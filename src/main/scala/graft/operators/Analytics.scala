@@ -1,0 +1,244 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** §2 C — relational substrate (joins/aggs/windows the reference's
+  * queue + progress-state flow relies on), TPC-H-shaped.
+  *
+  * Oracle-compat rules used throughout the codebase:
+  *  - money-ish sums go through DECIMAL (exact, order-insensitive,
+  *    map-side-combinable) and are cast to DOUBLE only at the end;
+  *  - averages are computed as double(sum_dec)/double(count) — one
+  *    deterministic IEEE division instead of engine-specific AVG;
+  *  - timestamps never leave a query raw: epoch millis (BIGINT) or
+  *    DATE only, to dodge ns/us parquet round-trips;
+  *  - every result has a total ORDER BY for deterministic dumps.
+  */
+object Analytics {
+
+  /** exact decimal sum of a double expression, emitted as double */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,6)")).cast("double")
+
+  // c1 — pricing summary: groupBy agg with map-side partials.
+  // ref capability: per-layer/band statistics roll-ups (gdal.Info style).
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+    l.filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+        (dsum(col("l_quantity")) / count(lit(1)).cast("double")).as("avg_qty"),
+        (dsum(col("l_extendedprice")) / count(lit(1)).cast("double")).as("avg_price"),
+        (dsum(col("l_discount")) / count(lit(1)).cast("double")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+       COUNT(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus"""
+
+  // c2 — shipping-priority top-k: 3-way join, sort-limit.
+  def q3Topk(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables(spark, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+    val l = Tables(spark, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01 00:00:00").cast("timestamp"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"), col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+      .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+  }
+
+  val q3TopkSql: String =
+    """SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+       FROM customer, orders, lineitem
+       WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+         AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+       GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+       ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+
+  // c3 — snowflake join with broadcast dims (region/nation/supplier are
+  // tiny at any SF ⇒ explicit broadcast keeps the fact tables shuffle-free
+  // on the dim side even at 100 TB).
+  def q5Join(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val n = Tables(spark, dir, "nation")
+    val c = Tables(spark, dir, "customer")
+    val s = Tables(spark, dir, "supplier")
+    val o = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+    val l = Tables(spark, dir, "lineitem")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5JoinSql: String =
+    """SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+       FROM customer, orders, lineitem, supplier, nation, region
+       WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+         AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         AND r_name = 'ASIA'
+         AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       GROUP BY n_name ORDER BY revenue DESC, n_name"""
+
+  // c4 — window rank: top-3 customers by balance per nation.
+  def qWindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    c.select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+        row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("c_nationkey"), col("rnk"))
+  }
+
+  val qWindowRankSql: String =
+    """SELECT c_custkey, c_nationkey, c_acctbal, rnk FROM (
+         SELECT c_custkey, c_nationkey, c_acctbal,
+                ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk
+         FROM customer) t
+       WHERE rnk <= 3 ORDER BY c_nationkey, rnk"""
+
+  // c5 — rollup hierarchy: region → nation customer stats.
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val n = Tables(spark, dir, "nation")
+    val r = Tables(spark, dir, "region")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("customers"), dsum(col("c_acctbal")).as("total_bal"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  val qRollupSql: String =
+    """SELECT r_name, n_name, COUNT(*) AS customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+       FROM customer, nation, region
+       WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+       GROUP BY ROLLUP(r_name, n_name)
+       ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST"""
+
+  // c6 — exists / not-exists: customers with vs without orders.
+  def qSemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders").select("o_custkey")
+    val withO = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n")).select(lit("with_orders").as("k"), col("n"))
+    val withoutO = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n")).select(lit("without_orders").as("k"), col("n"))
+    withO.unionAll(withoutO).orderBy("k")
+  }
+
+  val qSemiAntiSql: String =
+    """SELECT k, n FROM (
+         SELECT 'with_orders' AS k, COUNT(*) AS n FROM customer
+           WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         UNION ALL
+         SELECT 'without_orders' AS k, COUNT(*) AS n FROM customer
+           WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+       ) t ORDER BY k"""
+
+  // c7 — tumbling 1h window agg over the event stream (batch analog of
+  // the streaming ingest monitor; ref: pub/sub progress messages).
+  def qEventsWindow(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.select(
+        ((unix_millis(col("ts")) / 3600000L).cast("long") * 3600000L).as("window_start_ms"),
+        col("event_type"), col("value"))
+      .groupBy("window_start_ms", "event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy("window_start_ms", "event_type")
+  }
+
+  val qEventsWindowSql: String =
+    """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_start_ms, event_type,
+       COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  // c8 — gap-based sessionization (30 min) per user: lag + running sum.
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val flagged = e.withColumn("new_sess",
+      when(col("ts_ms") - lag(col("ts_ms"), 1).over(byUser) > 1800000L, 1)
+        .otherwise(0))
+    val sess = flagged.withColumn("session_id",
+      sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess.groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("ts_ms")) - min(col("ts_ms"))).as("duration_ms"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val qSessionizeSql: String =
+    """WITH e AS (
+         SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events
+       ), flagged AS (
+         SELECT user_id, event_id, ts_ms,
+           CASE WHEN ts_ms - LAG(ts_ms, 1) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) > 1800000
+                THEN 1 ELSE 0 END AS new_sess
+         FROM e
+       ), sess AS (
+         SELECT user_id, ts_ms,
+           CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         FROM flagged
+       )
+       SELECT user_id, session_id, COUNT(*) AS n_events,
+              MAX(ts_ms) - MIN(ts_ms) AS duration_ms
+       FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q3_topk" -> (q3Topk _),
+    "q5_join" -> (q5Join _),
+    "q_window_rank" -> (qWindowRank _),
+    "q_rollup" -> (qRollup _),
+    "q_semi_anti" -> (qSemiAnti _),
+    "q_events_window" -> (qEventsWindow _),
+    "q_sessionize" -> (qSessionize _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" -> q1AggSql,
+    "q3_topk" -> q3TopkSql,
+    "q5_join" -> q5JoinSql,
+    "q_window_rank" -> qWindowRankSql,
+    "q_rollup" -> qRollupSql,
+    "q_semi_anti" -> qSemiAntiSql,
+    "q_events_window" -> qEventsWindowSql,
+    "q_sessionize" -> qSessionizeSql)
+}
