@@ -1,0 +1,300 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Synth
+
+/** §2 B — geospatial core: the reference's reprojection, tiling, COG
+  * pyramid and validity semantics as pure codegen'd column math (zero
+  * UDFs ⇒ whole-stage codegen keeps these map-side and shuffle-free
+  * except the tile/pyramid aggregations, which shuffle once on their
+  * group keys).
+  *
+  * Feature coordinates are derived per Synth (bit-identical in the
+  * DuckDB oracles). Transcendental steps (ln/tan) are rounded before
+  * comparison or floored into integer tiles; both engines use IEEE754
+  * doubles and libm-quality functions, and values sit far from
+  * rounding boundaries at these magnitudes.
+  */
+object GeoOps {
+
+  private val R = 6378137.0 // WGS84 spherical radius (WebMercator)
+  private val MaxLat = 85.05112878 // WebMercator latitude clamp
+
+  /** b1 — EPSG:4326 → EPSG:3857 forward projection.
+    * ref config.py TARGET_SRS=EPSG:3857; processing.py:36-61. */
+  def qReprojectMercator(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val lon = Synth.lon(col("event_id"))
+    val lat = Synth.lat(col("event_id"))
+    e.select(col("event_id"), lon.as("lon"), lat.as("lat"))
+      .withColumn("merc_x", round(col("lon") * (R * math.Pi / 180.0), 2))
+      .withColumn("merc_y", round(lit(R) * log(tan(lit(math.Pi / 4) + radians(col("lat")) / 2)), 2))
+      .orderBy("event_id")
+  }
+
+  val qReprojectMercatorSql: String =
+    s"""WITH c AS (SELECT event_id, ${Synth.lonSql} AS lon, ${Synth.latSql} AS lat FROM events)
+      SELECT event_id, lon, lat,
+        round(lon * (6378137.0 * pi() / 180.0), 2) AS merc_x,
+        round(6378137.0 * ln(tan(pi() / 4 + radians(lat) / 2)), 2) AS merc_y
+      FROM c ORDER BY event_id"""
+
+  /** b2 — reprojection decision: EPSG:4326 sources are never
+    * reprojected; everything else is (vs dst 4326). ref processing.py:36-61. */
+  def qShouldReproject(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val src = when(col("event_id") % 4 === 0, 4326).when(col("event_id") % 4 === 1, 3857)
+      .when(col("event_id") % 4 === 2, 2249).otherwise(32633)
+    e.select(col("event_id"), src.as("src_epsg"))
+      .withColumn("should_reproject", col("src_epsg") =!= 4326)
+      .orderBy("event_id")
+  }
+
+  val qShouldReprojectSql: String =
+    """SELECT event_id,
+        CASE WHEN event_id % 4 = 0 THEN 4326 WHEN event_id % 4 = 1 THEN 3857
+             WHEN event_id % 4 = 2 THEN 2249 ELSE 32633 END AS src_epsg,
+        (CASE WHEN event_id % 4 = 0 THEN 4326 WHEN event_id % 4 = 1 THEN 3857
+              WHEN event_id % 4 = 2 THEN 2249 ELSE 32633 END) <> 4326 AS should_reproject
+      FROM events ORDER BY event_id"""
+
+  /** shared: WebMercatorQuad tile coords at zoom z (map-only, no shuffle).
+    * ref morecantile tms WebMercatorQuad (processing.py:506), tippecanoe
+    * tile cutting. */
+  private def tiled(spark: SparkSession, dir: String, z: Int): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val n = math.pow(2, z).toInt
+    val lon = Synth.lon(col("event_id"))
+    val lat = Synth.lat(col("event_id"))
+    val latc = greatest(least(lat, lit(MaxLat)), lit(-MaxLat))
+    val xt = least(floor((lon + 180.0) / 360.0 * n), lit(n - 1)).cast("int")
+    val yt = greatest(least(
+      floor((lit(1.0) - log(tan(radians(latc)) + lit(1.0) / cos(radians(latc))) / math.Pi) / 2.0 * n),
+      lit(n - 1)), lit(0)).cast("int")
+    e.select(col("event_id"), col("event_type"), xt.as("xt"), yt.as("yt"))
+  }
+
+  private def tiledSql(z: Int): String = {
+    val n = math.pow(2, z).toInt
+    s"""SELECT event_id, event_type,
+        CAST(LEAST(FLOOR(((${Synth.lonSql}) + 180.0) / 360.0 * $n), ${n - 1}) AS INT) AS xt,
+        CAST(GREATEST(LEAST(FLOOR((1.0 - ln(tan(radians(GREATEST(LEAST(${Synth.latSql}, 85.05112878), -85.05112878)))
+          + 1.0 / cos(radians(GREATEST(LEAST(${Synth.latSql}, 85.05112878), -85.05112878)))) / pi()) / 2.0 * $n),
+          ${n - 1}), 0) AS INT) AS yt
+      FROM events"""
+  }
+
+  /** b3 — per-feature tile assignment at z=8. */
+  def qTileAssign(spark: SparkSession, dir: String): DataFrame =
+    tiled(spark, dir, 8).select("event_id", "xt", "yt")
+      .withColumn("z", lit(8)).orderBy("event_id")
+
+  val qTileAssignSql: String =
+    s"""SELECT event_id, xt, yt, 8 AS z FROM (${tiledSql(8)}) t ORDER BY event_id"""
+
+  /** b4 — per-tile feature counts + layer counts (PMTiles tilestats).
+    * ref processing.py:263-265, 349-359. */
+  def qTileStats(spark: SparkSession, dir: String): DataFrame =
+    tiled(spark, dir, 8).groupBy("xt", "yt")
+      .agg(count(lit(1)).as("features"), countDistinct(col("event_type")).as("layers"))
+      .orderBy("xt", "yt")
+
+  val qTileStatsSql: String =
+    s"""SELECT xt, yt, COUNT(*) AS features, COUNT(DISTINCT event_type) AS layers
+      FROM (${tiledSql(8)}) t GROUP BY xt, yt ORDER BY xt, yt"""
+
+  /** b5 — tippecanoe `-zg` max-zoom guess from per-layer feature count
+    * (integer-exact via bin-string log2). ref processing.py:244. */
+  def qZoomGuess(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.groupBy(col("event_type")).agg(count(lit(1)).as("features"))
+      .withColumn("zoom_guess", expr("least(22, (length(bin(features)) + 1) div 2)").cast("int"))
+      .orderBy("event_type")
+  }
+
+  val qZoomGuessSql: String =
+    """SELECT event_type, COUNT(*) AS features,
+        CAST(LEAST(22, (length(bin(COUNT(*))) + 1) // 2) AS INT) AS zoom_guess
+      FROM events GROUP BY event_type ORDER BY event_type"""
+
+  /** b6 — per-layer extent (FlatGeobuf header bbox). ref dataset2fgb. */
+  def qLayerBbox(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.select(col("event_type"), Synth.lon(col("event_id")).as("lon"),
+        Synth.lat(col("event_id")).as("lat"))
+      .groupBy("event_type")
+      .agg(min("lon").as("min_lon"), min("lat").as("min_lat"),
+        max("lon").as("max_lon"), max("lat").as("max_lat"))
+      .orderBy("event_type")
+  }
+
+  val qLayerBboxSql: String =
+    s"""SELECT event_type, MIN(${Synth.lonSql}) AS min_lon, MIN(${Synth.latSql}) AS min_lat,
+        MAX(${Synth.lonSql}) AS max_lon, MAX(${Synth.latSql}) AS max_lat
+      FROM events GROUP BY event_type ORDER BY event_type"""
+
+  /** b7 — make-valid / skipfailures: features outside the WebMercator
+    * band are dropped; report kept/dropped per layer. ref
+    * processing.py:138-144 (`-makevalid -skipfailures`). */
+  def qMakeValid(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val latRaw = Synth.latRaw(col("event_id"))
+    e.select(col("event_type"), latRaw.as("lat_raw"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("original"),
+        sum(when(abs(col("lat_raw")) <= MaxLat, 1L).otherwise(0L)).as("converted"))
+      .withColumn("dropped", col("original") - col("converted"))
+      .orderBy("event_type")
+  }
+
+  val qMakeValidSql: String =
+    s"""SELECT event_type, COUNT(*) AS original,
+        CAST(SUM(CASE WHEN ABS(${Synth.latRawSql}) <= 85.05112878 THEN 1 ELSE 0 END) AS BIGINT) AS converted,
+        COUNT(*) - CAST(SUM(CASE WHEN ABS(${Synth.latRawSql}) <= 85.05112878 THEN 1 ELSE 0 END) AS BIGINT) AS dropped
+      FROM events GROUP BY event_type ORDER BY event_type"""
+
+  /** b8 — original-vs-converted feature count gate ⇒ error record with
+    * the reference's message shape. ref processing.py:160-181. */
+  def qFeatureCountCheck(spark: SparkSession, dir: String): DataFrame = {
+    val m = qMakeValid(spark, dir)
+    m.select(col("event_type").as("layer"), col("original"), col("converted"),
+        when(col("converted") === 0, "empty")
+          .when(col("converted") =!= col("original"), "error").otherwise("ok").as("status"))
+      .withColumn("message",
+        when(col("status") === "error",
+          concat(lit("There could be issues with layer \""), col("layer"),
+            lit("\". Original number of features/geometries ="), col("original").cast("string"),
+            lit(" while converted="), col("converted").cast("string")))
+          .otherwise(""))
+      .orderBy("layer")
+  }
+
+  val qFeatureCountCheckSql: String =
+    s"""WITH m AS (
+        SELECT event_type AS layer, COUNT(*) AS original,
+          CAST(SUM(CASE WHEN ABS(${Synth.latRawSql}) <= 85.05112878 THEN 1 ELSE 0 END) AS BIGINT) AS converted
+        FROM events GROUP BY event_type)
+      SELECT layer, original, converted,
+        CASE WHEN converted = 0 THEN 'empty'
+             WHEN converted <> original THEN 'error' ELSE 'ok' END AS status,
+        CASE WHEN converted <> original AND converted <> 0
+             THEN 'There could be issues with layer "' || layer
+                  || '". Original number of features/geometries =' || CAST(original AS VARCHAR)
+                  || ' while converted=' || CAST(converted AS VARCHAR)
+             ELSE '' END AS message
+      FROM m ORDER BY layer"""
+
+  /** b9 — COG overview pyramid: level L tiles are the 2×-downsampled
+    * (integer shift) parents of L+1; report non-empty tiles + features
+    * per level 8..5. ref config.py OVERVIEW_RESAMPLING=NEAREST,
+    * dataset2cog overviews. Each level re-aggregates the one below
+    * (shrinking data ⇒ log-depth cheap shuffles at scale). */
+  def qOverviewPyramid(spark: SparkSession, dir: String): DataFrame = {
+    val base = tiled(spark, dir, 8).groupBy("xt", "yt").agg(count(lit(1)).as("cnt"))
+    val levels = (8 to 5 by -1).map { level =>
+      val p = 1 << (8 - level)
+      base.select((col("xt") / p).cast("int").as("x"), (col("yt") / p).cast("int").as("y"), col("cnt"))
+        .groupBy("x", "y").agg(sum(col("cnt")).as("cnt"))
+        .agg(count(lit(1)).as("tiles"), sum(col("cnt")).as("features"))
+        .select(lit(level).as("level"), col("tiles"), col("features"))
+    }
+    levels.reduce(_ unionAll _).orderBy(col("level").desc)
+  }
+
+  val qOverviewPyramidSql: String = {
+    val base = s"SELECT xt, yt, COUNT(*) AS cnt FROM (${tiledSql(8)}) t GROUP BY xt, yt"
+    val levels = (8 to 5 by -1).map { level =>
+      val p = 1 << (8 - level)
+      s"""SELECT $level AS level, COUNT(*) AS tiles, CAST(SUM(cnt) AS BIGINT) AS features
+          FROM (SELECT xt // $p AS x, yt // $p AS y, SUM(cnt) AS cnt FROM base GROUP BY 1, 2) l$level"""
+    }
+    s"WITH base AS ($base) " + levels.mkString(" UNION ALL ") + " ORDER BY level DESC"
+  }
+
+  /** b10 — per-band statistics (gdal.Info / cog_validate style): bands
+    * stand in as l_linenumber, pixels as l_quantity. Variance from
+    * exact decimal sums ⇒ order-insensitive. */
+  def qBandStats(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+    l.groupBy(col("l_linenumber").as("band"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_quantity")).as("min_val"),
+        max(col("l_quantity")).as("max_val"),
+        sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("sum_val"),
+        sum((col("l_quantity") * col("l_quantity")).cast("decimal(28,8)")).cast("double").as("sum_sq"))
+      .withColumn("mean_val", col("sum_val") / col("n").cast("double"))
+      .withColumn("stddev_val",
+        sqrt(greatest((col("sum_sq") - col("sum_val") * col("sum_val") / col("n").cast("double")) / col("n").cast("double"), lit(0.0))))
+      .orderBy("band")
+  }
+
+  val qBandStatsSql: String =
+    """WITH b AS (
+        SELECT l_linenumber AS band, COUNT(*) AS n,
+          MIN(l_quantity) AS min_val, MAX(l_quantity) AS max_val,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_val,
+          CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sum_sq
+        FROM lineitem GROUP BY l_linenumber)
+      SELECT band, n, min_val, max_val, sum_val, sum_sq,
+        sum_val / CAST(n AS DOUBLE) AS mean_val,
+        sqrt(GREATEST((sum_sq - sum_val * sum_val / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE), 0.0)) AS stddev_val
+      FROM b ORDER BY band"""
+
+  /** b11 — COG layout: 256-px block grid, band count, BIGTIFF decision,
+    * overview count until max dim < 256. ref config.py:96
+    * (blockxsize 256, BIGTIFF YES), processing.py:489-492. */
+  def qCogLayout(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir, "part")
+    p.select(col("p_partkey"),
+        ((col("p_partkey") * 7919L) % 20000L + 256L).as("width"),
+        ((col("p_partkey") * 104729L) % 20000L + 256L).as("height"),
+        (col("p_size") % 6 + 1).as("nbands"))
+      .withColumn("blocks_x", ((col("width") + 255L) / 256L).cast("long"))
+      .withColumn("blocks_y", ((col("height") + 255L) / 256L).cast("long"))
+      .withColumn("nbytes", col("width") * col("height") * col("nbands") * 2L)
+      .withColumn("bigtiff", col("nbytes") > 4294967296L)
+      .withColumn("overviews", length(expr("bin(greatest(width, height) div 256)")).cast("int"))
+      .orderBy("p_partkey")
+  }
+
+  val qCogLayoutSql: String =
+    """WITH d AS (
+        SELECT p_partkey, (p_partkey * 7919) % 20000 + 256 AS width,
+          (p_partkey * 104729) % 20000 + 256 AS height,
+          p_size % 6 + 1 AS nbands
+        FROM part)
+      SELECT p_partkey, width, height, nbands,
+        (width + 255) // 256 AS blocks_x, (height + 255) // 256 AS blocks_y,
+        width * height * nbands * 2 AS nbytes,
+        width * height * nbands * 2 > 4294967296 AS bigtiff,
+        CAST(length(bin(GREATEST(width, height) // 256)) AS INT) AS overviews
+      FROM d ORDER BY p_partkey"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_reproject_mercator" -> (qReprojectMercator _),
+    "q_should_reproject" -> (qShouldReproject _),
+    "q_tile_assign" -> (qTileAssign _),
+    "q_tile_stats" -> (qTileStats _),
+    "q_zoom_guess" -> (qZoomGuess _),
+    "q_layer_bbox" -> (qLayerBbox _),
+    "q_make_valid" -> (qMakeValid _),
+    "q_feature_count_check" -> (qFeatureCountCheck _),
+    "q_overview_pyramid" -> (qOverviewPyramid _),
+    "q_band_stats" -> (qBandStats _),
+    "q_cog_layout" -> (qCogLayout _))
+
+  val oracles: Map[String, String] = Map(
+    "q_reproject_mercator" -> qReprojectMercatorSql,
+    "q_should_reproject" -> qShouldReprojectSql,
+    "q_tile_assign" -> qTileAssignSql,
+    "q_tile_stats" -> qTileStatsSql,
+    "q_zoom_guess" -> qZoomGuessSql,
+    "q_layer_bbox" -> qLayerBboxSql,
+    "q_make_valid" -> qMakeValidSql,
+    "q_feature_count_check" -> qFeatureCountCheckSql,
+    "q_overview_pyramid" -> qOverviewPyramidSql,
+    "q_band_stats" -> qBandStatsSql,
+    "q_cog_layout" -> qCogLayoutSql)
+}

@@ -1,0 +1,243 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Synth
+
+/** §2 A — ingest & routing: the reference's queue-message handling,
+  * format routing, path algebra and progress/stage bookkeeping as
+  * declarative, codegen-friendly column transforms (no UDFs).
+  */
+object IngestOps {
+
+  /** a1 — queue message parse. ref ingest.py:62-66
+    * (`blob_url;token;join_vector_tiles=bool` → typed columns). */
+  def qParseMessage(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val msg = concat(Synth.blobUrl(col("event_id"), col("user_id")), lit(";"),
+      md5(col("event_id").cast("string")), lit(";join_vector_tiles="),
+      when(col("event_id") % 2 === 0, "true").otherwise("false"))
+    e.select(col("event_id"), msg.as("msg"))
+      .select(col("event_id"),
+        split(col("msg"), ";").getItem(0).as("blob_url"),
+        split(col("msg"), ";").getItem(1).as("token"),
+        (split(split(col("msg"), ";").getItem(2), "=").getItem(1) === "true")
+          .as("join_vector_tiles"))
+      .orderBy("event_id")
+  }
+
+  val qParseMessageSql: String =
+    s"""WITH m AS (
+        SELECT event_id,
+          (${Synth.blobUrlSql}) || ';' || md5(CAST(event_id AS VARCHAR))
+          || ';join_vector_tiles=' || (CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'false' END) AS msg
+        FROM events)
+      SELECT event_id,
+        string_split(msg, ';')[1] AS blob_url,
+        string_split(msg, ';')[2] AS token,
+        string_split(string_split(msg, ';')[3], '=')[2] = 'true' AS join_vector_tiles
+      FROM m ORDER BY event_id"""
+
+  /** a2 — extension → processing route. ref config.py:32-81 (archive
+    * driver prefixes, allowed raster formats), ingest.py:246
+    * (.pmtiles passthrough), processing.py:619/682 (vector vs raster). */
+  def qRouteFormat(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val fname = Synth.fileName(col("event_id"))
+    val ext = Synth.ext(col("event_id"))
+    val route = when(ext === ".pmtiles", "passthrough")
+      .when(ext.isin(".zip", ".gz", ".tar", ".tgz", ".7z"), "archive")
+      .when(ext.isin(".tif", ".tiff", ".gtif", ".gtiff", ".nc", ".nc4", ".aig", ".asc", ".sgr", ".grd"), "cog")
+      .when(ext.isin(".gpkg", ".geojson", ".gdb", ".fgb", ".shp", ".mbtiles"), "pmtiles")
+      .otherwise("skip")
+    val vsi = when(ext === ".zip", "/vsizip/").when(ext === ".gz", "/vsigzip/")
+      .when(ext.isin(".tar", ".tgz"), "/vsitar/").when(ext === ".7z", "/vsi7z/")
+      .otherwise("")
+    e.select(col("event_id"), fname.as("fname"), route.as("route"), vsi.as("vsi_prefix"))
+      .orderBy("event_id")
+  }
+
+  val qRouteFormatSql: String = {
+    val ext = Synth.extSql
+    s"""SELECT event_id, ${Synth.fileNameSql} AS fname,
+        CASE WHEN ($ext) = '.pmtiles' THEN 'passthrough'
+             WHEN ($ext) IN ('.zip','.gz','.tar','.tgz','.7z') THEN 'archive'
+             WHEN ($ext) IN ('.tif','.tiff','.gtif','.gtiff','.nc','.nc4','.aig','.asc','.sgr','.grd') THEN 'cog'
+             WHEN ($ext) IN ('.gpkg','.geojson','.gdb','.fgb','.shp','.mbtiles') THEN 'pmtiles'
+             ELSE 'skip' END AS route,
+        CASE WHEN ($ext) = '.zip' THEN '/vsizip/'
+             WHEN ($ext) = '.gz' THEN '/vsigzip/'
+             WHEN ($ext) IN ('.tar','.tgz') THEN '/vsitar/'
+             WHEN ($ext) = '.7z' THEN '/vsi7z/'
+             ELSE '' END AS vsi_prefix
+        FROM events ORDER BY event_id"""
+  }
+
+  /** a3 — url → container/user/folder/name split. ref utils.py:15-19,
+    * ingest.py:244-245 (`container, user, *rest, blob_name`). */
+  def qChopBlobUrl(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val url = Synth.blobUrl(col("event_id"), col("user_id"))
+    val pat = "^https://[^/]+/([^/]+)/([^/]+)/([^/]+)/(.+)$"
+    e.select(col("event_id"), url.as("blob_url"))
+      .select(col("event_id"),
+        regexp_extract(col("blob_url"), pat, 1).as("container"),
+        regexp_extract(col("blob_url"), pat, 2).as("user_dir"),
+        regexp_extract(col("blob_url"), pat, 3).as("folder"),
+        regexp_extract(col("blob_url"), pat, 4).as("blob_name"))
+      .orderBy("event_id")
+  }
+
+  val qChopBlobUrlSql: String =
+    s"""WITH u AS (SELECT event_id, ${Synth.blobUrlSql} AS blob_url FROM events)
+      SELECT event_id,
+        regexp_extract(blob_url, '^https://[^/]+/([^/]+)/([^/]+)/([^/]+)/(.+)$$', 1) AS container,
+        regexp_extract(blob_url, '^https://[^/]+/([^/]+)/([^/]+)/([^/]+)/(.+)$$', 2) AS user_dir,
+        regexp_extract(blob_url, '^https://[^/]+/([^/]+)/([^/]+)/([^/]+)/(.+)$$', 3) AS folder,
+        regexp_extract(blob_url, '^https://[^/]+/([^/]+)/([^/]+)/([^/]+)/(.+)$$', 4) AS blob_name
+      FROM u ORDER BY event_id"""
+
+  /** a4 — destination path algebra: raw→datasets rewrite + per-band COG
+    * naming. ref utils.py:50-77. */
+  def qDstPath(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val fname = Synth.fileName(col("event_id"))
+    val rawPath = concat(lit("userdata/user"), col("user_id").cast("string"),
+      lit("/raw/"), fname)
+    val dst = concat(regexp_replace(rawPath, "/raw/", "/datasets/"), lit("/"), fname)
+    val base = regexp_replace(fname, "\\.[^.]*$", "")
+    val cog = concat(base, lit("_band"), (col("event_id") % 3 + 1).cast("string"), lit(".tif"))
+    e.select(col("event_id"), dst.as("dst_blob_path"), cog.as("cog_name")).orderBy("event_id")
+  }
+
+  val qDstPathSql: String =
+    s"""WITH p AS (
+        SELECT event_id, ${Synth.fileNameSql} AS fname,
+          'userdata/user' || CAST(user_id AS VARCHAR) || '/raw/' || (${Synth.fileNameSql}) AS raw_path
+        FROM events)
+      SELECT event_id,
+        regexp_replace(raw_path, '/raw/', '/datasets/') || '/' || fname AS dst_blob_path,
+        regexp_replace(fname, '\\.[^.]*$$', '') || '_band' || CAST(event_id % 3 + 1 AS VARCHAR) || '.tif' AS cog_name
+      FROM p ORDER BY event_id"""
+
+  /** a5 — compute_progress chunk schedule: 30% download offset, rest
+    * split evenly, remainder on the last chunk (⇒ 100). ref utils.py:79-84. */
+  def qProgressPlan(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables(spark, dir, "supplier")
+    val n = (col("s_suppkey") % 5 + 1).cast("int")
+    s.select(col("s_suppkey").as("asset_id"), n.as("nchunks"))
+      .withColumn("i", explode(sequence(lit(0), col("nchunks") - 1)))
+      .select(col("asset_id"), col("nchunks"), col("i"),
+        (when(col("i") < col("nchunks") - 1,
+          lit(30) + (lit(70) / col("nchunks")).cast("int") * (col("i") + 1))
+          .otherwise(lit(30) + lit(70) % col("nchunks")
+            + (lit(70) / col("nchunks")).cast("int") * (col("i") + 1))).as("progress"))
+      .orderBy("asset_id", "i")
+  }
+
+  val qProgressPlanSql: String =
+    """WITH a AS (SELECT s_suppkey AS asset_id, CAST(s_suppkey % 5 + 1 AS INT) AS nchunks FROM supplier),
+       x AS (SELECT asset_id, nchunks, unnest(generate_series(0, nchunks - 1)) AS i FROM a)
+       SELECT asset_id, nchunks, CAST(i AS INT) AS i,
+         CAST(CASE WHEN i < nchunks - 1 THEN 30 + (70 // nchunks) * (i + 1)
+              ELSE 30 + 70 % nchunks + (70 // nchunks) * (i + 1) END AS INT) AS progress
+       FROM x ORDER BY asset_id, i"""
+
+  /** a6 — latest stage/progress per asset (the blob-metadata state the
+    * reference writes after every step). ref azblob.py:216,
+    * ingest.py:257-264, processing.py:643-652. */
+  def qStageLatest(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val stage = when(col("event_type") === "signup", "downloaded")
+      .when(col("event_type").isin("view", "click"), "processing")
+      .when(col("event_type") === "purchase", "processed")
+      .otherwise("Cancelled")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    e.select(col("user_id"), col("event_id"), col("ts"), col("value"), stage.as("stage"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("stage"),
+        when(col("stage").isin("processed", "Cancelled"), 100)
+          .otherwise(floor(col("value")).cast("int")).as("progress"))
+      .orderBy("user_id")
+  }
+
+  val qStageLatestSql: String =
+    """WITH s AS (
+        SELECT user_id, event_id, ts, value,
+          CASE WHEN event_type = 'signup' THEN 'downloaded'
+               WHEN event_type IN ('view','click') THEN 'processing'
+               WHEN event_type = 'purchase' THEN 'processed'
+               ELSE 'Cancelled' END AS stage,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      SELECT user_id, stage,
+        CASE WHEN stage IN ('processed','Cancelled') THEN 100
+             ELSE CAST(FLOOR(value) AS INT) END AS progress
+      FROM s WHERE rn = 1 ORDER BY user_id"""
+
+  /** a7 — cancel-message matching: a cancel applies when its url equals
+    * an in-flight ingest's url and the flag is set. ref utils.py:126-131. */
+  def qCancelMatch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val url = Synth.userUrl(col("user_id"))
+    val inflight = e.filter(col("event_type") === "view").select(url.as("url"))
+    val cancels = e.filter(col("event_type") === "error" &&
+        floor(col("value")).cast("int") % 2 === 0)
+      .select(url.as("url"))
+    inflight.join(cancels, Seq("url"), "left_semi").distinct().orderBy("url")
+  }
+
+  val qCancelMatchSql: String =
+    s"""WITH inflight AS (
+        SELECT ${Synth.userUrlSql} AS url FROM events WHERE event_type = 'view'),
+      cancels AS (
+        SELECT ${Synth.userUrlSql} AS url FROM events
+        WHERE event_type = 'error' AND CAST(FLOOR(value) AS INT) % 2 = 0)
+      SELECT DISTINCT url FROM inflight WHERE url IN (SELECT url FROM cancels)
+      ORDER BY url"""
+
+  /** a8 — dead-letter / error aggregation by reason. ref ingest.py:182-206. */
+  def qDeadletterStats(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val reason = when(col("user_id") % 3 === 0, "message parse error")
+      .when(col("user_id") % 3 === 1, "ingest task error")
+      .otherwise("lock lost")
+    e.filter(col("event_type") === "error")
+      .select(reason.as("reason"), col("event_id"))
+      .groupBy("reason")
+      .agg(count(lit(1)).as("n"), min(col("event_id")).as("first_event"))
+      .orderBy("reason")
+  }
+
+  val qDeadletterStatsSql: String =
+    """SELECT CASE WHEN user_id % 3 = 0 THEN 'message parse error'
+                   WHEN user_id % 3 = 1 THEN 'ingest task error'
+                   ELSE 'lock lost' END AS reason,
+        COUNT(*) AS n, MIN(event_id) AS first_event
+      FROM events WHERE event_type = 'error'
+      GROUP BY 1 ORDER BY reason"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_parse_message" -> (qParseMessage _),
+    "q_route_format" -> (qRouteFormat _),
+    "q_chop_blob_url" -> (qChopBlobUrl _),
+    "q_dst_path" -> (qDstPath _),
+    "q_progress_plan" -> (qProgressPlan _),
+    "q_stage_latest" -> (qStageLatest _),
+    "q_cancel_match" -> (qCancelMatch _),
+    "q_deadletter_stats" -> (qDeadletterStats _))
+
+  val oracles: Map[String, String] = Map(
+    "q_parse_message" -> qParseMessageSql,
+    "q_route_format" -> qRouteFormatSql,
+    "q_chop_blob_url" -> qChopBlobUrlSql,
+    "q_dst_path" -> qDstPathSql,
+    "q_progress_plan" -> qProgressPlanSql,
+    "q_stage_latest" -> qStageLatestSql,
+    "q_cancel_match" -> qCancelMatchSql,
+    "q_deadletter_stats" -> qDeadletterStatsSql)
+}
