@@ -11,10 +11,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Analytics.queries ++ IngestOps.queries ++ GeoOps.queries
+    Analytics.queries ++ IngestOps.queries ++ GeoOps.queries ++
+      TextOps.queries ++ Dedup.queries ++ Ann.queries ++
+      graft.multimodal.Media.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Analytics.oracles ++ IngestOps.oracles ++ GeoOps.oracles
+    Analytics.oracles ++ IngestOps.oracles ++ GeoOps.oracles ++
+      TextOps.oracles ++ Dedup.oracles ++ Ann.oracles ++
+      graft.multimodal.Media.oracles
 }

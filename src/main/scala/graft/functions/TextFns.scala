@@ -1,0 +1,57 @@
+package graft.functions
+
+/** Shared text-shingling / hashing expression builders for the D/F
+  * operator families. Both sides of each pair (Spark SQL expr string,
+  * DuckDB SQL string) are kept adjacent so the semantics stay mirrored:
+  * 1-based element access (element_at / duck list indexing), md5-hex
+  * lexicographic minima (engine-neutral — no integer hash available in
+  * both engines), guarded empty shingle lists (Spark's sequence(1,0)
+  * would count DOWN, DuckDB's generate_series(1,0) is empty).
+  */
+object TextFns {
+
+  /** whitespace tokens */
+  val toksSpark = "split(text, ' ')"
+  val toksDuck = "string_split(text, ' ')"
+
+  /** distinct 3-gram word shingles */
+  val shSpark: String =
+    "CASE WHEN size(split(text, ' ')) >= 3 THEN " +
+      "array_distinct(transform(sequence(1, size(split(text, ' ')) - 2), " +
+      "i -> concat_ws(' ', element_at(split(text, ' '), i), " +
+      "element_at(split(text, ' '), i + 1), element_at(split(text, ' '), i + 2)))) " +
+      "ELSE array() END"
+
+  val shDuck: String =
+    "list_distinct(list_transform(generate_series(1, GREATEST(len(string_split(text, ' ')) - 2, 0)), " +
+      "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1] || ' ' || string_split(text, ' ')[i + 2]))"
+
+  /** K minhash values over a shingle-array column named `sh`:
+    * mh[k] = lexicographic min of md5("k:" + shingle). */
+  def mhSpark(k: Int): String =
+    s"transform(sequence(0, ${k - 1}), k -> array_min(transform(sh, x -> md5(concat(cast(k AS string), ':', x)))))"
+
+  def mhDuck(k: Int): String =
+    s"list_transform(generate_series(0, ${k - 1}), k -> list_min(list_transform(sh, x -> md5(CAST(k AS VARCHAR) || ':' || x))))"
+
+  /** normalized text (lowercase, collapsed whitespace, trimmed) */
+  val normSpark = "trim(regexp_replace(lower(text), ' +', ' '))"
+  val normDuck = "trim(regexp_replace(lower(text), ' +', ' ', 'g'))"
+
+  /** language stopword membership sets (n-gram-heuristic lang id) */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "des"))
+
+  def hitsSpark(lang: String): String = {
+    val set = stopwords(lang).map(w => s"'$w'").mkString(", ")
+    s"size(filter(split(text, ' '), t -> t IN ($set)))"
+  }
+
+  def hitsDuck(lang: String): String = {
+    val set = stopwords(lang).map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(string_split(text, ' '), t -> t IN ($set)))"
+  }
+}

@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFns._
+
+/** §2 D — deduplication over `documents` / `embeddings`.
+  *
+  * Scale shape: every variant is linear-plus-one-shuffle. MinHash/LSH
+  * and SimHash avoid the O(n²) pair join by shuffling once on band/
+  * bucket keys and only verifying candidate pairs; the same pattern
+  * carries the embedding near-dup. At 100 TB the band join is the only
+  * wide stage and its key space (band, bkey) is uniform by
+  * construction (md5), so no skew salting is needed.
+  */
+object Dedup {
+
+  /** d1 — exact dedup: group by md5(normalized text), keep min doc_id. */
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    d.select(col("doc_id"), md5(expr(normSpark)).as("content_key"))
+      .groupBy("content_key")
+      .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keeper"))
+      .orderBy("content_key")
+  }
+
+  val qDedupExactSql: String =
+    s"""SELECT md5($normDuck) AS content_key, COUNT(*) AS n_copies, MIN(doc_id) AS keeper
+      FROM documents GROUP BY 1 ORDER BY content_key"""
+
+  /** d2 — MinHash+LSH near-dup: 3-gram shingles → 8 minhashes → 4
+    * bands of 2 → band-bucket join → verified shingle-Jaccard ≥ 0.2. */
+  def qDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val sh = d.select(col("doc_id"), expr(shSpark).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sig = sh.withColumn("mh", expr(mhSpark(8)))
+    val bands = sig.select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("b"), col("mh"))
+      .withColumn("bkey", expr("md5(concat(element_at(mh, 2 * b + 1), element_at(mh, 2 * b + 2)))"))
+      .select("doc_id", "b", "bkey")
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val withSets = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter", expr("size(filter(sh_a, x -> array_contains(sh_b, x)))"))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
+    withSets.filter(col("jaccard") >= 0.2)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val qDedupMinhashSql: String =
+    s"""WITH s AS (
+        SELECT doc_id, $shDuck AS sh FROM documents),
+      sh AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+      sig AS (SELECT doc_id, sh, ${mhDuck(8)} AS mh FROM sh),
+      bx AS (SELECT doc_id, mh, unnest(generate_series(0, 3)) AS b FROM sig),
+      bands AS (SELECT doc_id, b, md5(mh[2 * b + 1] || mh[2 * b + 2]) AS bkey FROM bx),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+      ver AS (
+        SELECT doc_a, doc_b,
+          round(CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+            / (len(sa.sh) + len(sb.sh) - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))), 6) AS jaccard
+        FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
+      SELECT doc_a, doc_b, jaccard FROM ver WHERE jaccard >= 0.2
+      ORDER BY doc_a, doc_b"""
+
+  /** d3 — SimHash: 16-bit signature from per-token md5 hex-digit
+    * parities (bit-majority), integer-exact in both engines. */
+  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val bits = (0 until 16).map { j =>
+      s"""(CASE WHEN aggregate($toksSpark, 0, (acc, t) ->
+            acc + (((locate(substr(md5(t), ${j + 1}, 1), '0123456789abcdef') - 1) % 2) * 2 - 1)) > 0
+          THEN ${1 << j} ELSE 0 END)"""
+    }.mkString(" + ")
+    d.select(col("doc_id"), expr(s"cast(($bits) AS int)").as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  val qDedupSimhashSql: String = {
+    val bits = (0 until 16).map { j =>
+      s"""(CASE WHEN list_sum(list_transform(string_split(text, ' '), t ->
+            (((strpos('0123456789abcdef', substr(md5(t), ${j + 1}, 1)) - 1) % 2) * 2 - 1))) > 0
+          THEN ${1 << j} ELSE 0 END)"""
+    }.mkString(" + ")
+    s"SELECT doc_id, CAST(($bits) AS INT) AS simhash FROM documents ORDER BY doc_id"
+  }
+
+  /** d4 — n-gram Jaccard similarity via shingle inverted index (no
+    * band approximation — exact pairs sharing ≥ 6 shingles, then
+    * Jaccard ≥ 0.2). The shared-shingle pre-join bounds the pair space
+    * the same way the LSH bands do. */
+  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val sh = d.select(col("doc_id"), expr(shSpark).as("sh")).filter(size(col("sh")) > 0)
+    val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val cand = inv.as("x").join(inv.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 6)
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), size(col("sh")).as("na")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), size(col("sh")).as("nb")), "doc_b")
+      .withColumn("jaccard", round(col("shared").cast("double") /
+        (col("na") + col("nb") - col("shared")), 6))
+      .filter(col("jaccard") >= 0.2)
+      .select("doc_a", "doc_b", "shared", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val qNgramJaccardSql: String =
+    s"""WITH s AS (SELECT doc_id, $shDuck AS sh FROM documents),
+      sh AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+      inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+      cand AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS shared
+        FROM inv x JOIN inv y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 6)
+      SELECT doc_a, doc_b, shared,
+        round(CAST(shared AS DOUBLE) / (len(sa.sh) + len(sb.sh) - shared), 6) AS jaccard
+      FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
+      WHERE round(CAST(shared AS DOUBLE) / (len(sa.sh) + len(sb.sh) - shared), 6) >= 0.2
+      ORDER BY doc_a, doc_b"""
+
+  /** d5 — embedding-cosine near-dup: 4-bit hyperplane-LSH blocking
+    * (deterministic integer hyperplanes) then exact cosine ≥ 0.45
+    * within bucket. */
+  def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val bucketed = e.withColumn("bucket", expr(Ann.bucketSpark))
+    bucketed.as("x").join(bucketed.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        expr(Ann.cosineSpark("x.embedding", "y.embedding")).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.45)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val qDedupEmbeddingSql: String =
+    s"""WITH b AS (SELECT vec_id, embedding, ${Ann.bucketDuck} AS bucket FROM embeddings)
+      SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+        ${Ann.cosineDuck("x.embedding", "y.embedding")} AS cos_sim
+      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+      WHERE ${Ann.cosineDuck("x.embedding", "y.embedding")} >= 0.45
+      ORDER BY vec_a, vec_b"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_dedup_embedding" -> (qDedupEmbedding _))
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" -> qDedupExactSql,
+    "q_dedup_minhash" -> qDedupMinhashSql,
+    "q_dedup_simhash" -> qDedupSimhashSql,
+    "q_ngram_jaccard" -> qNgramJaccardSql,
+    "q_dedup_embedding" -> qDedupEmbeddingSql)
+}

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFns._
+
+/** §2 F — text analysis over `documents`: language-ID heuristic,
+  * quality scoring, token counting, fingerprinting. All pure column
+  * expressions (higher-order array functions, no UDFs) so the work is
+  * map-only and embarrassingly parallel at 100 TB.
+  */
+object TextOps {
+
+  /** f1 — n-gram/stopword language-ID heuristic: hit counts per
+    * language set, fixed-precedence argmax, compared to the labeled
+    * `lang` column. */
+  def qLangId(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val langs = Seq("en", "de", "es", "fr")
+    var out = d.select(col("doc_id"), col("lang"), col("text"))
+    langs.foreach(l => out = out.withColumn(s"s_$l", expr(hitsSpark(l)).cast("int")))
+    val guess = expr(
+      """CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+              WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+              WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END""")
+    out.withColumn("guess", guess)
+      .withColumn("correct", col("guess") === col("lang"))
+      .drop("text")
+      .orderBy("doc_id")
+  }
+
+  val qLangIdSql: String = {
+    val hits = Seq("en", "de", "es", "fr")
+      .map(l => s"CAST(${hitsDuck(l)} AS INT) AS s_$l").mkString(", ")
+    s"""WITH h AS (SELECT doc_id, lang, $hits FROM documents)
+      SELECT doc_id, lang, s_en, s_de, s_es, s_fr,
+        CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+             WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+             WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS guess,
+        (CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+             WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+             WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END) = lang AS correct
+      FROM h ORDER BY doc_id"""
+  }
+
+  /** f2 — quality scoring: token stats, punctuation and stopword
+    * ratios folded into one score. */
+  def qQualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    d.select(col("doc_id"), col("text"))
+      .withColumn("n_tok", expr(s"size($toksSpark)"))
+      .withColumn("alpha_chars", length(regexp_replace(col("text"), "[^a-z0-9]", "")))
+      .withColumn("punct_chars", length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
+      .withColumn("avg_tok_len", round(col("alpha_chars").cast("double") / col("n_tok"), 6))
+      .withColumn("punct_ratio", round(col("punct_chars").cast("double") / length(col("text")), 6))
+      .withColumn("stop_ratio", round(expr(hitsSpark("en")).cast("double") / col("n_tok"), 6))
+      .withColumn("score", round(
+        expr(hitsSpark("en")).cast("double") / col("n_tok") * 0.5
+          + (lit(1.0) - col("punct_chars").cast("double") / length(col("text"))) * 0.3
+          + least(col("alpha_chars").cast("double") / col("n_tok") / 10.0, lit(1.0)) * 0.2, 6))
+      .drop("text")
+      .orderBy("doc_id")
+  }
+
+  val qQualityScoreSql: String =
+    s"""WITH q AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+          CAST(length(regexp_replace(text, '[^a-z0-9]', '', 'g')) AS INT) AS alpha_chars,
+          CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INT) AS punct_chars,
+          CAST(length(text) AS INT) AS n_chars_txt,
+          CAST(${hitsDuck("en")} AS INT) AS stop_hits
+        FROM documents)
+      SELECT doc_id, n_tok, alpha_chars, punct_chars,
+        round(CAST(alpha_chars AS DOUBLE) / n_tok, 6) AS avg_tok_len,
+        round(CAST(punct_chars AS DOUBLE) / n_chars_txt, 6) AS punct_ratio,
+        round(CAST(stop_hits AS DOUBLE) / n_tok, 6) AS stop_ratio,
+        round(CAST(stop_hits AS DOUBLE) / n_tok * 0.5
+          + (1.0 - CAST(punct_chars AS DOUBLE) / n_chars_txt) * 0.3
+          + LEAST(CAST(alpha_chars AS DOUBLE) / n_tok / 10.0, 1.0) * 0.2, 6) AS score
+      FROM q ORDER BY doc_id"""
+
+  /** f3 — token counting: whitespace tokens + BPE-ish regex pieces. */
+  def qTokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    d.select(col("doc_id"),
+        expr(s"size($toksSpark)").as("ws_tokens"),
+        expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))").as("bpe_tokens"),
+        length(col("text")).as("n_chars_txt"))
+      .orderBy("doc_id")
+  }
+
+  val qTokenCountSql: String =
+    """SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+        CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS bpe_tokens,
+        CAST(length(text) AS INT) AS n_chars_txt
+      FROM documents ORDER BY doc_id"""
+
+  /** f4 — document fingerprinting: md5 of normalized text + minimum
+    * shingle hash (rolling-fingerprint analog). */
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    d.select(col("doc_id"), col("text"))
+      .withColumn("fp", md5(expr(normSpark)))
+      .withColumn("sh", expr(shSpark))
+      .withColumn("shingle_fp", coalesce(expr("array_min(transform(sh, x -> md5(x)))"), lit("")))
+      .select("doc_id", "fp", "shingle_fp")
+      .orderBy("doc_id")
+  }
+
+  val qFingerprintSql: String =
+    s"""WITH s AS (SELECT doc_id, md5($normDuck) AS fp, $shDuck AS sh FROM documents)
+      SELECT doc_id, fp,
+        COALESCE(list_min(list_transform(sh, x -> md5(x))), '') AS shingle_fp
+      FROM s ORDER BY doc_id"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lang_id" -> (qLangId _),
+    "q_quality_score" -> (qQualityScore _),
+    "q_token_count" -> (qTokenCount _),
+    "q_fingerprint" -> (qFingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "q_lang_id" -> qLangIdSql,
+    "q_quality_score" -> qQualityScoreSql,
+    "q_token_count" -> qTokenCountSql,
+    "q_fingerprint" -> qFingerprintSql)
+}
