@@ -9,6 +9,9 @@ Usage: python3 dev/check.py [sfDir] [verifyOut]
 import sys, json, glob, os
 import duckdb
 
+# NOTE: run Verify into a FRESH outDir (rm -rf first) — a failed query
+# leaves the previous run's parquet behind and silently compares stale.
+
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 

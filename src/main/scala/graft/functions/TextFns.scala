@@ -14,12 +14,18 @@ object TextFns {
   val toksSpark = "split(text, ' ')"
   val toksDuck = "string_split(text, ' ')"
 
-  /** distinct 3-gram word shingles */
+  /** distinct 3-gram word shingles.
+    * Built from three aligned slices zipped together instead of
+    * per-index element_at: Spark higher-order lambdas are interpreted
+    * (not codegen'd) and re-evaluate captured expressions per element,
+    * so an element_at(split(text), i) formulation costs O(tokens²)
+    * splits per document — this one does 3 slices + 2 zips. */
   val shSpark: String =
     "CASE WHEN size(split(text, ' ')) >= 3 THEN " +
-      "array_distinct(transform(sequence(1, size(split(text, ' ')) - 2), " +
-      "i -> concat_ws(' ', element_at(split(text, ' '), i), " +
-      "element_at(split(text, ' '), i + 1), element_at(split(text, ' '), i + 2)))) " +
+      "array_distinct(zip_with(" +
+      "zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 2), " +
+      "slice(split(text, ' '), 2, size(split(text, ' ')) - 2), (a, b) -> concat(a, ' ', b)), " +
+      "slice(split(text, ' '), 3, size(split(text, ' ')) - 2), (ab, c) -> concat(ab, ' ', c))) " +
       "ELSE array() END"
 
   val shDuck: String =

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.GraftFunctions
 
 /** §2 E — similarity search over `embeddings` (64-dim unit floats).
   *
@@ -17,21 +18,24 @@ import graft.Tables
 object Ann {
 
   /** cosine (dot product — embeddings are unit-norm) of two
-    * array<float> columns, rounded to 6 dp. */
+    * array<float> columns, rounded to 6 dp, via the native graft_dot
+    * Catalyst expression (codegen'd primitive loop; left-to-right
+    * accumulation matches the oracle's list_sum fold bit-for-bit).
+    * Requires GraftFunctions.register(spark) — every operator here
+    * does it. */
   def cosineSpark(a: String, b: String): String =
-    s"round(aggregate(zip_with($a, $b, (x, y) -> CAST(x AS double) * CAST(y AS double)), " +
-      "CAST(0 AS double), (acc, v) -> acc + v), 6)"
+    s"round(graft_dot($a, $b), 6)"
 
   def cosineDuck(a: String, b: String): String =
     s"round(list_sum(list_transform(generate_series(1, 64), i -> " +
       s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), 6)"
 
-  /** 4-bit hyperplane-LSH bucket of column `embedding` */
+  /** 4-bit hyperplane-LSH bucket of column `embedding`: hyperplane
+    * weights are compile-time constant float arrays (exact for these
+    * small ints), the dot is the codegen'd graft_dot loop. */
   val bucketSpark: String = (0 until 4).map { j =>
-    s"""(CASE WHEN round(aggregate(zip_with(embedding, transform(sequence(1, 64),
-          i -> CAST((i * 31 + $j * 17) % 7 - 3 AS double)),
-          (x, w) -> CAST(x AS double) * w), CAST(0 AS double), (acc, v) -> acc + v), 6) > 0
-        THEN ${1 << j} ELSE 0 END)"""
+    val w = (1 to 64).map(i => s"CAST(${(i * 31 + j * 17) % 7 - 3} AS float)").mkString(", ")
+    s"(CASE WHEN round(graft_dot(embedding, array($w)), 6) > 0 THEN ${1 << j} ELSE 0 END)"
   }.mkString("CAST((", " + ", ") AS int)")
 
   val bucketDuck: String = (0 until 4).map { j =>
@@ -44,6 +48,7 @@ object Ann {
     * the exact baseline every ANN variant is judged against. The
     * single-row query side is broadcast — no shuffle of the corpus. */
   def qAnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
     val e = Tables(spark, dir, "embeddings")
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
     e.crossJoin(broadcast(q))
@@ -62,6 +67,7 @@ object Ann {
   /** e2 — LSH-bucketed ANN: search only the query's bucket, exact
     * cosine inside it, top-5. */
   def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
     val e = Tables(spark, dir, "embeddings")
     val bucketed = e.withColumn("bucket", expr(bucketSpark))
     val q = bucketed.filter(col("vec_id") === 0)

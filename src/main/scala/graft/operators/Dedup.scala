@@ -30,15 +30,26 @@ object Dedup {
       FROM documents GROUP BY 1 ORDER BY content_key"""
 
   /** d2 — MinHash+LSH near-dup: 3-gram shingles → 8 minhashes → 4
-    * bands of 2 → band-bucket join → verified shingle-Jaccard ≥ 0.2. */
+    * bands of 2 → band-bucket join → verified shingle-Jaccard ≥ 0.2.
+    *
+    * The signature is computed by exploding shingles and taking 8
+    * min-aggregates: md5 + MIN are whole-stage-codegen'd with map-side
+    * partial aggregation, an order of magnitude faster than the
+    * equivalent interpreted array-lambda fold (and the shuffle it adds
+    * is on doc_id, which partial aggs shrink to one row per doc per
+    * partition). */
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir, "documents")
     val sh = d.select(col("doc_id"), expr(shSpark).as("sh"))
       .filter(size(col("sh")) > 0)
-    val sig = sh.withColumn("mh", expr(mhSpark(8)))
-    val bands = sig.select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("b"), col("mh"))
-      .withColumn("bkey", expr("md5(concat(element_at(mh, 2 * b + 1), element_at(mh, 2 * b + 2)))"))
-      .select("doc_id", "b", "bkey")
+    val mins = (0 until 8).map(k => min(md5(concat(lit(s"$k:"), col("s")))).as(s"h$k"))
+    val sig = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      .groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+    val bands = sig.select(col("doc_id"), explode(array((0 until 4).map { b =>
+        struct(lit(b).as("b"), md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bkey"))
+      }: _*)).as("band"))
+      .select(col("doc_id"), col("band.b").as("b"), col("band.bkey").as("bkey"))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.b") === col("y.b") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -74,15 +85,24 @@ object Dedup {
       ORDER BY doc_a, doc_b"""
 
   /** d3 — SimHash: 16-bit signature from per-token md5 hex-digit
-    * parities (bit-majority), integer-exact in both engines. */
+    * parities (bit-majority), integer-exact in both engines.
+    * Tokens are exploded so md5(t) is computed ONCE per token
+    * (subexpression elimination across the 16 weight columns in one
+    * codegen'd projection) and the 16 majority sums are partial
+    * aggregates — vs 16 interpreted lambda folds each re-hashing every
+    * token. */
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir, "documents")
-    val bits = (0 until 16).map { j =>
-      s"""(CASE WHEN aggregate($toksSpark, 0, (acc, t) ->
-            acc + (((locate(substr(md5(t), ${j + 1}, 1), '0123456789abcdef') - 1) % 2) * 2 - 1)) > 0
-          THEN ${1 << j} ELSE 0 END)"""
-    }.mkString(" + ")
-    d.select(col("doc_id"), expr(s"cast(($bits) AS int)").as("simhash"))
+    val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    val weights = toks.select(col("doc_id") +: (0 until 16).map { j =>
+      expr(s"((locate(substr(md5(t), ${j + 1}, 1), '0123456789abcdef') - 1) % 2) * 2 - 1").as(s"w$j")
+    }: _*)
+    val sums = weights.groupBy("doc_id")
+      .agg(sum(col("w0")).as("s0"), (1 until 16).map(j => sum(col(s"w$j")).as(s"s$j")): _*)
+    val simhash = (0 until 16)
+      .map(j => when(col(s"s$j") > 0, 1 << j).otherwise(0))
+      .reduce(_ + _)
+    sums.select(col("doc_id"), simhash.cast("int").as("simhash"))
       .orderBy("doc_id")
   }
 
@@ -136,6 +156,7 @@ object Dedup {
     * (deterministic integer hyperplanes) then exact cosine ≥ 0.45
     * within bucket. */
   def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val e = Tables(spark, dir, "embeddings")
     val bucketed = e.withColumn("bucket", expr(Ann.bucketSpark))
     bucketed.as("x").join(bucketed.as("y"),

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** §2 H — the reference's queue-consumer dataflow as Structured
+  * Streaming. ref ingest.py:41-207: receive message → track per-asset
+  * stage/progress (downloaded → processing → processed), publish every
+  * transition, time out stuck ingests (INGEST_TIMEOUT) as Cancelled,
+  * dead-letter errors.
+  *
+  * The batch analogs (a6 q_stage_latest, c7 q_events_window) carry the
+  * DuckDB oracle; these streaming versions are exercised with
+  * MemoryStream in StreamingSpec. State is keyed by asset url ⇒ hash
+  * partitioning spreads 100 TB of in-flight assets over executors, and
+  * watermarks bound state size.
+  */
+object IngestStream {
+
+  /** one queue/pub-sub message about an asset */
+  case class IngestEvent(url: String, user: String, stage: String,
+      progress: Int, eventTimeMs: Long)
+
+  /** per-asset ingest state (the reference's blob metadata) */
+  case class IngestState(url: String, user: String, stage: String,
+      progress: Int, lastUpdateMs: Long)
+
+  /** emitted on every transition (the reference's pub/sub payload) */
+  case class StageUpdate(url: String, user: String, stage: String,
+      progress: Int, lastUpdateMs: Long)
+
+  /** stage precedence: a late-arriving lower stage never regresses the
+    * asset (the reference's metadata writes are monotonic in practice
+    * because processing is sequential; distributed ingest must enforce
+    * it). Cancelled is terminal. */
+  private val rank = Map("queued" -> 0, "downloaded" -> 1,
+    "processing" -> 2, "processed" -> 3, "Cancelled" -> 4)
+
+  val IngestTimeoutMs: Long = 3600 * 1000L // ref ingest.py:35 INGEST_TIMEOUT
+
+  def updateState(url: String, events: Iterator[IngestEvent],
+      state: GroupState[IngestState]): Iterator[StageUpdate] = {
+    if (state.hasTimedOut) {
+      // ref ingest.py:131-152: hard timeout ⇒ Cancelled @100, error blob
+      val s = state.get
+      val cancelled = s.copy(stage = "Cancelled", progress = 100)
+      state.remove()
+      return Iterator(StageUpdate(cancelled.url, cancelled.user,
+        cancelled.stage, cancelled.progress, cancelled.lastUpdateMs))
+    }
+    val sorted = events.toSeq.sortBy(e => (e.eventTimeMs, rank.getOrElse(e.stage, -1)))
+    var cur = state.getOption
+    val out = Seq.newBuilder[StageUpdate]
+    sorted.foreach { e =>
+      val accept = cur match {
+        case Some(s) =>
+          rank.getOrElse(e.stage, -1) >= rank.getOrElse(s.stage, -1) &&
+            s.stage != "Cancelled" && s.stage != "processed"
+        case None => true
+      }
+      if (accept) {
+        val progress =
+          if (e.stage == "processed" || e.stage == "Cancelled") 100
+          else math.max(e.progress, cur.map(_.progress).getOrElse(0))
+        val next = IngestState(e.url, e.user, e.stage, progress, e.eventTimeMs)
+        if (cur.forall(s => s.stage != next.stage || s.progress != next.progress))
+          out += StageUpdate(next.url, next.user, next.stage, next.progress, next.lastUpdateMs)
+        cur = Some(next)
+      }
+    }
+    cur match {
+      case Some(s) if s.stage == "processed" || s.stage == "Cancelled" =>
+        state.remove() // terminal: free the state (bounded memory at scale)
+      case Some(s) =>
+        state.update(s)
+        // NoTimeout (tests) doesn't support timeout durations
+        try state.setTimeoutDuration(IngestTimeoutMs)
+        catch { case _: UnsupportedOperationException => () }
+      case None => ()
+    }
+    out.result().iterator
+  }
+
+  /** h1 — per-asset stage state machine over a stream of ingest events.
+    * Production uses ProcessingTimeTimeout so stuck ingests get
+    * Cancelled after INGEST_TIMEOUT; tests pass NoTimeout because the
+    * timeout trigger makes the engine run continuous empty microbatches
+    * (each checkpointing state), which never settles under
+    * processAllAvailable. */
+  def stageStateMachine(events: Dataset[IngestEvent],
+      timeoutConf: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout): Dataset[StageUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.url)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(updateState)
+  }
+
+  /** h2 — watermarked tumbling-window ingest throughput (streaming twin
+    * of c7 q_events_window). */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", timestamp_millis(col("eventTimeMs")))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("stage"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("stage"), col("n"))
+}

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Smoke + golden + plan-shape checks on sf0.001. The value-level
+  * correctness gate is the driver's DuckDB oracle (dev/check.py); these
+  * specs guard plan quality (broadcasts, pushdown) and invariants.
+  */
+class OperatorsSpec extends SparkTestBase {
+
+  // pair-producing queries may legitimately be empty at sf0.001
+  private val mayBeEmpty = Set("q_dedup_embedding", "q_dedup_minhash", "q_ngram_jaccard", "q_cancel_match")
+
+  test("every declared query runs and returns rows") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      assert(n >= 0, s"$name failed")
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("every oracle key has a query") {
+    val qs = SparkEntry.queries.keySet
+    SparkEntry.oracleSql.keySet.foreach(k => assert(qs(k), s"oracle $k lacks query"))
+  }
+
+  test("q5_join broadcasts the dimension tables") {
+    val plan = Analytics.q5Join(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "expected broadcast joins for dims")
+  }
+
+  test("q1_agg pushes the shipdate filter to the parquet scan") {
+    val plan = Analytics.q1Agg(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$plan")
+  }
+
+  test("scans prune columns (q1_agg reads only needed lineitem cols)") {
+    val plan = Analytics.q1Agg(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("l_orderkey"), "unexpected column read — pruning broken")
+  }
+
+  test("tile assignment stays in range at z=8") {
+    val df = GeoOps.qTileAssign(spark, sfDir)
+      .agg(min("xt"), max("xt"), min("yt"), max("yt")).collect()(0)
+    assert(df.getInt(0) >= 0 && df.getInt(1) <= 255)
+    assert(df.getInt(2) >= 0 && df.getInt(3) <= 255)
+  }
+
+  test("overview pyramid shrinks monotonically") {
+    val rows = GeoOps.qOverviewPyramid(spark, sfDir)
+      .orderBy(col("level").desc).collect()
+    val tiles = rows.map(_.getAs[Long]("tiles"))
+    assert(tiles.sliding(2).forall(p => p(1) <= p(0)), tiles.mkString(","))
+    val feats = rows.map(_.getAs[Long]("features")).distinct
+    assert(feats.size == 1, "features must be conserved across levels")
+  }
+
+  test("progress plans always end at 100 (ref utils.compute_progress)") {
+    val last = IngestOps.qProgressPlan(spark, sfDir)
+      .withColumn("is_last", col("i") === col("nchunks") - 1)
+      .filter(col("is_last")).select("progress").distinct().collect()
+    assert(last.map(_.getInt(0)).toSeq == Seq(100), last.mkString(","))
+  }
+
+  test("simhash fits in 16 bits") {
+    val r = Dedup.qDedupSimhash(spark, sfDir).agg(min("simhash"), max("simhash")).collect()(0)
+    assert(r.getInt(0) >= 0 && r.getInt(1) <= 65535)
+  }
+
+  test("ann brute top-1 is the query vector itself") {
+    val top = Ann.qAnnBrute(spark, sfDir).collect()
+    assert(top.head.getAs[Long]("vec_id") == 0L)
+    assert(math.abs(top.head.getAs[Double]("cos_sim") - 1.0) < 1e-6)
+  }
+
+  test("ann lsh results are a subset of the full corpus ranked by cosine") {
+    val lsh = Ann.qAnnLsh(spark, sfDir).collect()
+    assert(lsh.nonEmpty)
+    assert(lsh.map(_.getAs[Double]("cos_sim")).sliding(2).forall(p => p.length < 2 || p(1) <= p(0)))
+  }
+
+  test("minhash candidates verify against exact jaccard semantics") {
+    Dedup.qDedupMinhash(spark, sfDir).collect().foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.2 && j <= 1.0)
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+    }
+  }
+
+  test("media pipeline: stub decode is deterministic and schema is stable") {
+    import graft.multimodal.Media
+    val a = Media.decodeStub("hello world".getBytes("UTF-8")).toSeq
+    val b = Media.decodeStub("hello world".getBytes("UTF-8")).toSeq
+    assert(a == b)
+    val df = Media.qMediaPipeline(spark, sfDir)
+    assert(df.schema.fieldNames.toSeq == Seq("doc_id", "mime", "nbytes", "features"))
+    val row = df.limit(1).collect()(0)
+    assert(row.getAs[scala.collection.Seq[Float]]("features").length == 8)
+  }
+
+  test("route format covers every extension class") {
+    val routes = IngestOps.qRouteFormat(spark, sfDir)
+      .select("route").distinct().collect().map(_.getString(0)).toSet
+    assert(routes == Set("cog", "pmtiles", "archive", "passthrough", "skip"))
+  }
+}

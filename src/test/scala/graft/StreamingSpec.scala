@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+import graft.streaming.IngestStream
+import graft.streaming.IngestStream.{IngestEvent, IngestState, StageUpdate}
+
+class StreamingSpec extends SparkTestBase {
+
+  private def runBatches(batches: Seq[Seq[IngestEvent]]): Seq[StageUpdate] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[IngestEvent]
+    val query = IngestStream.stageStateMachine(input.toDS(), GroupStateTimeout.NoTimeout)
+      .writeStream.format("memory").queryName("updates")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      batches.foreach { b => input.addData(b); query.processAllAvailable() }
+      spark.table("updates").as[StageUpdate].collect().toSeq
+    } finally query.stop()
+  }
+
+  test("h1: stage machine walks downloaded → processing → processed") {
+    val url = "https://acct/u/raw/a.gpkg"
+    val out = runBatches(Seq(
+      Seq(IngestEvent(url, "u1", "downloaded", 30, 1000L)),
+      Seq(IngestEvent(url, "u1", "processing", 65, 2000L)),
+      Seq(IngestEvent(url, "u1", "processed", 0, 3000L))))
+    assert(out.map(_.stage) == Seq("downloaded", "processing", "processed"))
+    assert(out.last.progress == 100, "terminal stage forces progress=100")
+  }
+
+  test("h1: late lower-stage events never regress the asset") {
+    val url = "https://acct/u/raw/b.tif"
+    val out = runBatches(Seq(
+      Seq(IngestEvent(url, "u1", "processing", 65, 2000L)),
+      Seq(IngestEvent(url, "u1", "downloaded", 30, 1500L)))) // late arrival
+    assert(out.map(_.stage) == Seq("processing"))
+  }
+
+  test("h1: progress is monotonic within a stage") {
+    val url = "https://acct/u/raw/c.nc"
+    val out = runBatches(Seq(
+      Seq(IngestEvent(url, "u1", "processing", 65, 1000L)),
+      Seq(IngestEvent(url, "u1", "processing", 40, 2000L)))) // lower progress
+    assert(out.map(_.progress) == Seq(65), s"got $out")
+  }
+
+  test("h1: cancel completes the ingest; state is freed so a re-upload restarts") {
+    val url = "https://acct/u/raw/d.zip"
+    val out = runBatches(Seq(
+      Seq(IngestEvent(url, "u1", "processing", 50, 1000L)),
+      Seq(IngestEvent(url, "u1", "Cancelled", 0, 2000L)),
+      Seq(IngestEvent(url, "u1", "processing", 80, 3000L)))) // re-upload
+    // terminal stage frees state (bounded memory at 100 TB); the third
+    // event is a NEW ingest, mirroring the reference's re-upload flow
+    assert(out.map(_.stage) == Seq("processing", "Cancelled", "processing"))
+    assert(out(1).progress == 100)
+    assert(out(2).progress == 80)
+  }
+
+  test("h1: hard timeout cancels the ingest and clears state (ref INGEST_TIMEOUT)") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    val st = TestGroupState.create[IngestState](
+      org.apache.spark.api.java.Optional.of(IngestState("u", "u1", "processing", 42, 1000L)),
+      GroupStateTimeout.ProcessingTimeTimeout, 10000L,
+      org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = true)
+    val out = IngestStream.updateState("u", Iterator.empty, st).toSeq
+    assert(out.map(u => (u.stage, u.progress)) == Seq(("Cancelled", 100)))
+    assert(st.isRemoved, "timed-out state must be freed")
+  }
+
+  test("h2: windowed counts aggregate per stage (batch twin checked by oracle)") {
+    import spark.implicits._
+    val df = Seq(
+      IngestEvent("u", "u1", "processing", 10, 0L),
+      IngestEvent("u", "u1", "processing", 20, 60 * 60 * 1000L),
+      IngestEvent("u", "u1", "processed", 100, 60 * 60 * 1000L + 1)).toDF()
+    val out = IngestStream.windowedCounts(df).collect()
+    assert(out.map(_.getAs[Long]("n")).sum == 3)
+    assert(out.length == 3, out.mkString(";"))
+  }
+}
