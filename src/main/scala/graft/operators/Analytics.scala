@@ -222,7 +222,67 @@ object Analytics {
               MAX(ts_ms) - MIN(ts_ms) AS duration_ms
        FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id"""
 
+  // c9 — returned-items revenue per customer (TPC-H q10 shape):
+  // fact-fact join + broadcast dim + topk.
+  def q10Returns(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+    val l = Tables(spark, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val n = Tables(spark, dir, "nation")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10ReturnsSql: String =
+    """SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+       FROM customer, orders, lineitem, nation
+       WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+       GROUP BY c_custkey, c_name, n_name
+       ORDER BY revenue DESC, c_custkey LIMIT 20"""
+
+  // c10 — skew-safe salted join: the fact side carries a salt, the
+  // (small, but imagine-skewed) dim side is exploded across all salts,
+  // so one hot key spreads over 8 partitions instead of one straggler
+  // task. The oracle is the UNsalted equivalent — results must agree
+  // exactly, proving salting is semantics-preserving.
+  def qSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val nSalt = 8
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), (col("event_id") % nSalt).as("salt"))
+    val dim = Tables.events(spark, dir).select(col("event_type")).distinct()
+      .withColumn("weight",
+        when(col("event_type") === "purchase", 10).when(col("event_type") === "error", 5).otherwise(1))
+      .withColumn("salt", explode(sequence(lit(0), lit(nSalt - 1))))
+    e.join(dim, Seq("event_type", "salt"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("weight")).as("weighted"))
+      .orderBy("event_type")
+  }
+
+  val qSaltedJoinSql: String =
+    """WITH dim AS (
+         SELECT DISTINCT event_type,
+           CASE WHEN event_type = 'purchase' THEN 10
+                WHEN event_type = 'error' THEN 5 ELSE 1 END AS weight
+         FROM events)
+       SELECT e.event_type, COUNT(*) AS n, CAST(SUM(d.weight) AS BIGINT) AS weighted
+       FROM events e JOIN dim d ON e.event_type = d.event_type
+       GROUP BY e.event_type ORDER BY e.event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q10_returns" -> (q10Returns _),
+    "q_salted_join" -> (qSaltedJoin _),
     "q1_agg" -> (q1Agg _),
     "q3_topk" -> (q3Topk _),
     "q5_join" -> (q5Join _),
@@ -233,6 +293,8 @@ object Analytics {
     "q_sessionize" -> (qSessionize _))
 
   val oracles: Map[String, String] = Map(
+    "q10_returns" -> q10ReturnsSql,
+    "q_salted_join" -> qSaltedJoinSql,
     "q1_agg" -> q1AggSql,
     "q3_topk" -> q3TopkSql,
     "q5_join" -> q5JoinSql,

@@ -86,11 +86,67 @@ object Ann {
       FROM b, q WHERE bucket = qbucket
       ORDER BY cos_sim DESC, vec_id LIMIT 5"""
 
+  /** e3 — IVF-style ANN: a coarse quantizer partitions the corpus
+    * (labels stand in for k-means cell ids), per-cell centroids are
+    * computed with EXACT decimal element sums (order-insensitive ⇒
+    * deterministic under any partitioning — a plain double sum would
+    * differ run to run), the query probes its nearest centroid and
+    * searches only that cell. At 100 TB: centroids are a tiny broadcast
+    * table; the probe list prunes the scan to 1/nlist of the corpus.
+    */
+  def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val e = Tables(spark, dir, "embeddings")
+    // per-(cell, dim) exact centroid numerators + cell sizes
+    val pe = e.select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
+    val cent = pe.groupBy("label", "i")
+      .agg(sum(round(col("v").cast("double"), 6).cast("decimal(8,6)"))
+        .cast("decimal(12,6)").as("s"), count(lit(1)).as("n"))
+    // query vector, position-exploded, broadcast to the centroid table
+    val qe = e.filter(col("vec_id") === 0)
+      .select(posexplode(col("embedding")).as(Seq("i", "qv")))
+    val dots = cent.join(broadcast(qe), "i")
+      .groupBy("label")
+      .agg((sum(round(col("qv").cast("double"), 6).cast("decimal(8,6)") * col("s"))
+        .cast("double") / max(col("n"))).as("dot"))
+    val best = dots.orderBy(col("dot").desc, col("label")).limit(1).select("label")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    e.join(broadcast(best), "label")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"), expr(cosineSpark("embedding", "qv")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  val qAnnIvfSql: String =
+    s"""WITH pe AS (
+        SELECT label, unnest(generate_series(1, len(embedding))) AS i, unnest(embedding) AS v
+        FROM embeddings),
+      cent AS (
+        SELECT label, i,
+          CAST(SUM(CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(8,6))) AS DECIMAL(12,6)) AS s,
+          COUNT(*) AS n
+        FROM pe GROUP BY label, i),
+      qe AS (
+        SELECT unnest(generate_series(1, len(embedding))) AS i, unnest(embedding) AS qv
+        FROM embeddings WHERE vec_id = 0),
+      dots AS (
+        SELECT label,
+          CAST(SUM(CAST(round(CAST(qv AS DOUBLE), 6) AS DECIMAL(8,6)) * s) AS DOUBLE) / MAX(n) AS dot
+        FROM cent JOIN qe USING (i) GROUP BY label),
+      best AS (SELECT label FROM dots ORDER BY dot DESC, label LIMIT 1),
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT e.vec_id, e.label, ${cosineDuck("e.embedding", "qv")} AS cos_sim
+      FROM embeddings e, q WHERE e.label = (SELECT label FROM best)
+      ORDER BY cos_sim DESC, vec_id LIMIT 5"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_brute" -> (qAnnBrute _),
-    "q_ann_lsh" -> (qAnnLsh _))
+    "q_ann_lsh" -> (qAnnLsh _),
+    "q_ann_ivf" -> (qAnnIvf _))
 
   val oracles: Map[String, String] = Map(
     "q_ann_brute" -> qAnnBruteSql,
-    "q_ann_lsh" -> qAnnLshSql)
+    "q_ann_lsh" -> qAnnLshSql,
+    "q_ann_ivf" -> qAnnIvfSql)
 }

@@ -115,6 +115,23 @@ object Dedup {
     s"SELECT doc_id, CAST(($bits) AS INT) AS simhash FROM documents ORDER BY doc_id"
   }
 
+  /** d3b — SimHash collision groups: documents sharing an identical
+    * 16-bit signature are near-dup candidates (hamming-0 band of the
+    * signature space); one shuffle on the signature. */
+  def qSimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    qDedupSimhash(spark, dir)
+      .groupBy("simhash")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper"))
+      .filter(col("n_docs") > 1)
+      .orderBy("simhash")
+
+  val qSimhashPairsSql: String = {
+    val inner = qDedupSimhashSql.stripSuffix(" ORDER BY doc_id")
+    s"""SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keeper
+       FROM ($inner) s GROUP BY simhash HAVING COUNT(*) > 1
+       ORDER BY simhash"""
+  }
+
   /** d4 — n-gram Jaccard similarity via shingle inverted index (no
     * band approximation — exact pairs sharing ≥ 6 shingles, then
     * Jaccard ≥ 0.2). The shared-shingle pre-join bounds the pair space
@@ -179,6 +196,7 @@ object Dedup {
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_simhash_pairs" -> (qSimhashPairs _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_dedup_embedding" -> (qDedupEmbedding _))
 
@@ -186,6 +204,7 @@ object Dedup {
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_minhash" -> qDedupMinhashSql,
     "q_dedup_simhash" -> qDedupSimhashSql,
+    "q_simhash_pairs" -> qSimhashPairsSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_dedup_embedding" -> qDedupEmbeddingSql)
 }

@@ -272,7 +272,62 @@ object GeoOps {
         CAST(length(bin(GREATEST(width, height) // 256)) AS INT) AS overviews
       FROM d ORDER BY p_partkey"""
 
+  /** b12 — multilayer PMTiles manifest (join_vector_tiles=true path):
+    * one PMTiles file per dataset with all its layers; description is
+    * the comma-joined layer list. ref processing.py:314-376
+    * (`--named-layer`, description=",".join(layers)). Users stand in
+    * for datasets, event types for layers. */
+  def qPmtilesManifest(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.groupBy(col("user_id"))
+      .agg(countDistinct(col("event_type")).as("n_layers"),
+        concat_ws(",", array_sort(collect_set(col("event_type")))).as("description"))
+      .withColumn("pmtiles_name",
+        concat(lit("dataset_user"), col("user_id").cast("string"), lit(".pmtiles")))
+      .select("user_id", "pmtiles_name", "n_layers", "description")
+      .orderBy("user_id")
+  }
+
+  val qPmtilesManifestSql: String =
+    """SELECT user_id,
+        'dataset_user' || CAST(user_id AS VARCHAR) || '.pmtiles' AS pmtiles_name,
+        COUNT(DISTINCT event_type) AS n_layers,
+        string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS description
+      FROM events GROUP BY user_id ORDER BY user_id"""
+
+  /** b13 — inverse tiling: geographic bounds of each non-empty tile at
+    * z=4 (morecantile Tile→bounds; tippecanoe tile cutting edges).
+    * sinh spelled as (e^a - e^-a)/2 — the oracle engine lacks sinh. */
+  def qTileBounds(spark: SparkSession, dir: String): DataFrame = {
+    val n = 16 // 2^4
+    val t = tiled(spark, dir, 4).select("xt", "yt").distinct()
+    def latOf(yExpr: Column): Column = {
+      val a = lit(math.Pi) * (lit(1.0) - lit(2.0) * yExpr / n)
+      round(degrees(atan((exp(a) - exp(-a)) / 2.0)), 6)
+    }
+    t.select(col("xt"), col("yt"),
+        round(col("xt").cast("double") / n * 360.0 - 180.0, 6).as("west"),
+        round((col("xt") + 1).cast("double") / n * 360.0 - 180.0, 6).as("east"),
+        latOf(col("yt").cast("double")).as("north"),
+        latOf((col("yt") + 1).cast("double")).as("south"))
+      .orderBy("xt", "yt")
+  }
+
+  val qTileBoundsSql: String = {
+    def latOf(y: String) =
+      s"round(degrees(atan((exp(pi() * (1.0 - 2.0 * $y / 16)) - exp(-(pi() * (1.0 - 2.0 * $y / 16)))) / 2.0)), 6)"
+    s"""WITH t AS (SELECT DISTINCT xt, yt FROM (${tiledSql(4)}) s)
+      SELECT xt, yt,
+        round(CAST(xt AS DOUBLE) / 16 * 360.0 - 180.0, 6) AS west,
+        round(CAST(xt + 1 AS DOUBLE) / 16 * 360.0 - 180.0, 6) AS east,
+        ${latOf("CAST(yt AS DOUBLE)")} AS north,
+        ${latOf("CAST(yt + 1 AS DOUBLE)")} AS south
+      FROM t ORDER BY xt, yt"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pmtiles_manifest" -> (qPmtilesManifest _),
+    "q_tile_bounds" -> (qTileBounds _),
     "q_reproject_mercator" -> (qReprojectMercator _),
     "q_should_reproject" -> (qShouldReproject _),
     "q_tile_assign" -> (qTileAssign _),
@@ -286,6 +341,8 @@ object GeoOps {
     "q_cog_layout" -> (qCogLayout _))
 
   val oracles: Map[String, String] = Map(
+    "q_pmtiles_manifest" -> qPmtilesManifestSql,
+    "q_tile_bounds" -> qTileBoundsSql,
     "q_reproject_mercator" -> qReprojectMercatorSql,
     "q_should_reproject" -> qShouldReprojectSql,
     "q_tile_assign" -> qTileAssignSql,

@@ -221,7 +221,30 @@ object IngestOps {
       FROM events WHERE event_type = 'error'
       GROUP BY 1 ORDER BY reason"""
 
+  /** a9 — .pmtiles passthrough: already-tiled uploads skip processing
+    * and are copied raw→datasets verbatim. ref ingest.py:246-247,
+    * azblob.copy_raw2datasets. */
+  def qCopyPassthrough(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val fname = Synth.fileName(col("event_id"))
+    val src = concat(lit("userdata/user"), col("user_id").cast("string"), lit("/raw/"), fname)
+    e.filter(Synth.ext(col("event_id")) === ".pmtiles")
+      .select(col("event_id"), src.as("src_blob_path"),
+        concat(regexp_replace(src, "/raw/", "/datasets/"), lit("/"), fname).as("dst_blob_path"))
+      .orderBy("event_id")
+  }
+
+  val qCopyPassthroughSql: String =
+    s"""WITH p AS (
+        SELECT event_id, ${Synth.fileNameSql} AS fname,
+          'userdata/user' || CAST(user_id AS VARCHAR) || '/raw/' || (${Synth.fileNameSql}) AS src
+        FROM events WHERE (${Synth.extSql}) = '.pmtiles')
+      SELECT event_id, src AS src_blob_path,
+        regexp_replace(src, '/raw/', '/datasets/') || '/' || fname AS dst_blob_path
+      FROM p ORDER BY event_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_copy_passthrough" -> (qCopyPassthrough _),
     "q_parse_message" -> (qParseMessage _),
     "q_route_format" -> (qRouteFormat _),
     "q_chop_blob_url" -> (qChopBlobUrl _),
@@ -232,6 +255,7 @@ object IngestOps {
     "q_deadletter_stats" -> (qDeadletterStats _))
 
   val oracles: Map[String, String] = Map(
+    "q_copy_passthrough" -> qCopyPassthroughSql,
     "q_parse_message" -> qParseMessageSql,
     "q_route_format" -> qRouteFormatSql,
     "q_chop_blob_url" -> qChopBlobUrlSql,
