@@ -1,0 +1,46 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.DatasetsSink
+
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("GraftExtensions injects graft_dot into a fresh session") {
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-ext-test")
+      .getOrCreate()
+    try {
+      import spark.implicits._
+      val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+      val got = df.selectExpr("graft_dot(a, b) AS d").collect()(0).getDouble(0)
+      assert(math.abs(got - 32.0) < 1e-9)
+      // codegen path actually engages (no fallback warnings → hard to
+      // assert directly; at least the expression survives a filter)
+      assert(df.where(expr("graft_dot(a, b) > 0")).count() == 1)
+    } finally spark.stop()
+  }
+
+  test("DatasetsSink partitioned roundtrip with partition pruning") {
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-sink-test").getOrCreate()
+    try {
+      import spark.implicits._
+      val dir = Files.createTempDirectory("graft_sink").toString
+      val df = (0 until 100).map(i => (i.toLong % 5, i.toLong, s"row$i")).toDF("user_id", "id", "payload")
+      DatasetsSink.writePartitioned(df, dir)
+      val one = DatasetsSink.readUser(spark, dir, 3L)
+      assert(one.count() == 20)
+      val plan = one.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [isnotnull(user_id"), s"pruning missing:\n$plan")
+    } finally spark.stop()
+  }
+}
