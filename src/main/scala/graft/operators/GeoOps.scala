@@ -325,7 +325,72 @@ object GeoOps {
       FROM t ORDER BY xt, yt"""
   }
 
+  /** b14 — RGB/multiband grouping decision: bands whose max color
+    * interpretation ≥ 3 (GDAL palette/RGB enums) or a PHOTOMETRIC tag
+    * keep all bands in ONE multiband COG; otherwise one COG per band.
+    * ref processing.py:717-819 (colorinterp / PHOTOMETRIC probe). */
+  def qBandGrouping(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir, "part")
+    val withBands = p.select(col("p_partkey"), (col("p_size") % 6 + 1).as("nbands"),
+        (col("p_partkey") % 5 === 0).as("has_photometric"))
+      .withColumn("b", explode(sequence(lit(1), col("nbands"))))
+      .withColumn("colorinterp", (col("p_partkey") * 13 + col("b")) % 17)
+    withBands.groupBy("p_partkey", "nbands", "has_photometric")
+      .agg(max(col("colorinterp")).as("max_colorinterp"))
+      .withColumn("plan",
+        when(col("max_colorinterp") >= 3 || col("has_photometric"), "multiband")
+          .otherwise("per-band"))
+      .withColumn("n_outputs", when(col("plan") === "multiband", 1).otherwise(col("nbands")))
+      .orderBy("p_partkey")
+  }
+
+  val qBandGroupingSql: String =
+    """WITH bands AS (
+        SELECT p_partkey, p_size % 6 + 1 AS nbands, p_partkey % 5 = 0 AS has_photometric,
+          unnest(generate_series(1, p_size % 6 + 1)) AS b
+        FROM part),
+      probed AS (
+        SELECT p_partkey, nbands, has_photometric,
+          MAX((p_partkey * 13 + b) % 17) AS max_colorinterp
+        FROM bands GROUP BY 1, 2, 3)
+      SELECT p_partkey, CAST(nbands AS INT) AS nbands, has_photometric, max_colorinterp,
+        CASE WHEN max_colorinterp >= 3 OR has_photometric THEN 'multiband' ELSE 'per-band' END AS plan,
+        CAST(CASE WHEN max_colorinterp >= 3 OR has_photometric THEN 1 ELSE nbands END AS INT) AS n_outputs
+      FROM probed ORDER BY p_partkey"""
+
+  /** b15 — subdataset enumeration (NetCDF/GDB-style containers):
+    * explode `DRIVER:"path":var` subdataset paths and derive COG names
+    * from the last colon segment. ref processing.py:717-741,
+    * utils.get_local_cog_path:65-77. */
+  def qSubdatasets(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir, "part").filter(col("p_partkey") % 4 === 0)
+    p.select(col("p_partkey"), (col("p_partkey") % 3 + 1).as("n_subds"))
+      .withColumn("i0", explode(sequence(lit(1), col("n_subds"))))
+      .withColumn("i", col("i0").cast("int"))
+      .withColumn("subds_path",
+        concat(lit("NETCDF:\"file_"), col("p_partkey").cast("string"),
+          lit(".nc\":var"), col("i").cast("string")))
+      .withColumn("cog_name",
+        concat(regexp_extract(col("subds_path"), "[^:]+$", 0), lit(".tif")))
+      .select("p_partkey", "i", "subds_path", "cog_name")
+      .orderBy("p_partkey", "i")
+  }
+
+  val qSubdatasetsSql: String =
+    """WITH s AS (
+        SELECT p_partkey, unnest(generate_series(1, p_partkey % 3 + 1)) AS i
+        FROM part WHERE p_partkey % 4 = 0),
+      paths AS (
+        SELECT p_partkey, CAST(i AS INT) AS i,
+          'NETCDF:"file_' || CAST(p_partkey AS VARCHAR) || '.nc":var' || CAST(i AS VARCHAR) AS subds_path
+        FROM s)
+      SELECT p_partkey, i, subds_path,
+        regexp_extract(subds_path, '[^:]+$', 0) || '.tif' AS cog_name
+      FROM paths ORDER BY p_partkey, i"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_band_grouping" -> (qBandGrouping _),
+    "q_subdatasets" -> (qSubdatasets _),
     "q_pmtiles_manifest" -> (qPmtilesManifest _),
     "q_tile_bounds" -> (qTileBounds _),
     "q_reproject_mercator" -> (qReprojectMercator _),
@@ -341,6 +406,8 @@ object GeoOps {
     "q_cog_layout" -> (qCogLayout _))
 
   val oracles: Map[String, String] = Map(
+    "q_band_grouping" -> qBandGroupingSql,
+    "q_subdatasets" -> qSubdatasetsSql,
     "q_pmtiles_manifest" -> qPmtilesManifestSql,
     "q_tile_bounds" -> qTileBoundsSql,
     "q_reproject_mercator" -> qReprojectMercatorSql,

@@ -243,7 +243,27 @@ object IngestOps {
         regexp_replace(src, '/raw/', '/datasets/') || '/' || fname AS dst_blob_path
       FROM p ORDER BY event_id"""
 
+  /** a10 — queue-lock renewal planning: the reference renews the
+    * message lock 10s before the 300s lock_time expires, for as long
+    * as the ingest runs. ref azblob.handle_lock (renew loop),
+    * ingest.py:72-124. Integer-exact renewal counts per asset. */
+  def qLockSchedule(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables(spark, dir, "supplier")
+    val duration = (col("s_suppkey") * 37 % 3600 + 60).as("duration_s")
+    s.select(col("s_suppkey").as("asset_id"), duration)
+      .withColumn("n_renewals", ((col("duration_s") + 289L) / 290L).cast("long"))
+      .withColumn("last_renew_s", (col("n_renewals") - 1) * 290L)
+      .orderBy("asset_id")
+  }
+
+  val qLockScheduleSql: String =
+    """SELECT s_suppkey AS asset_id, s_suppkey * 37 % 3600 + 60 AS duration_s,
+        (s_suppkey * 37 % 3600 + 60 + 289) // 290 AS n_renewals,
+        ((s_suppkey * 37 % 3600 + 60 + 289) // 290 - 1) * 290 AS last_renew_s
+      FROM supplier ORDER BY asset_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lock_schedule" -> (qLockSchedule _),
     "q_copy_passthrough" -> (qCopyPassthrough _),
     "q_parse_message" -> (qParseMessage _),
     "q_route_format" -> (qRouteFormat _),
@@ -255,6 +275,7 @@ object IngestOps {
     "q_deadletter_stats" -> (qDeadletterStats _))
 
   val oracles: Map[String, String] = Map(
+    "q_lock_schedule" -> qLockScheduleSql,
     "q_copy_passthrough" -> qCopyPassthroughSql,
     "q_parse_message" -> qParseMessageSql,
     "q_route_format" -> qRouteFormatSql,
