@@ -262,7 +262,29 @@ object IngestOps {
         ((s_suppkey * 37 % 3600 + 60 + 289) // 290 - 1) * 290 AS last_renew_s
       FROM supplier ORDER BY asset_id"""
 
+  /** a11 — JSON property extraction from the message payload (the
+    * reference's cancel messages are JSON dicts — utils.py:126-131;
+    * pub/sub payloads are JSON — processing.py:602). get_json_object
+    * is codegen'd; aggregation proves the typed value round-trips. */
+  def qParseProps(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("k_total"),
+        min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+      .orderBy("event_type")
+  }
+
+  val qParsePropsSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS k_total,
+        MIN(CAST(json_extract(props, '$.k') AS INT)) AS k_min,
+        MAX(CAST(json_extract(props, '$.k') AS INT)) AS k_max
+      FROM events GROUP BY event_type ORDER BY event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_parse_props" -> (qParseProps _),
     "q_lock_schedule" -> (qLockSchedule _),
     "q_copy_passthrough" -> (qCopyPassthrough _),
     "q_parse_message" -> (qParseMessage _),
@@ -275,6 +297,7 @@ object IngestOps {
     "q_deadletter_stats" -> (qDeadletterStats _))
 
   val oracles: Map[String, String] = Map(
+    "q_parse_props" -> qParsePropsSql,
     "q_lock_schedule" -> qLockScheduleSql,
     "q_copy_passthrough" -> qCopyPassthroughSql,
     "q_parse_message" -> qParseMessageSql,
