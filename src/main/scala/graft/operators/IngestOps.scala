@@ -283,7 +283,27 @@ object IngestOps {
         MAX(CAST(json_extract(props, '$.k') AS INT)) AS k_max
       FROM events GROUP BY event_type ORDER BY event_type"""
 
+  /** a12 — user-ID derivation: the upload CLI identifies users by
+    * md5(email) and mints time-boxed access URLs. ref
+    * fgb_upload/main.py:36-44 (generate_userid), 47+ (SAS expiry). */
+  def qUserHash(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val email = concat(lower(regexp_replace(col("c_name"), "[^A-Za-z0-9]", "")), lit("@example.org"))
+    c.select(col("c_custkey"), email.as("email"))
+      .withColumn("user_id_hash", md5(col("email")))
+      .withColumn("sas_expiry_s", lit(1704067200L) + lit(7L * 24 * 3600)) // fixed epoch + 7d
+      .orderBy("c_custkey")
+  }
+
+  val qUserHashSql: String =
+    """SELECT c_custkey,
+        lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g')) || '@example.org' AS email,
+        md5(lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g')) || '@example.org') AS user_id_hash,
+        CAST(1704067200 + 7 * 24 * 3600 AS BIGINT) AS sas_expiry_s
+      FROM customer ORDER BY c_custkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_user_hash" -> (qUserHash _),
     "q_parse_props" -> (qParseProps _),
     "q_lock_schedule" -> (qLockSchedule _),
     "q_copy_passthrough" -> (qCopyPassthrough _),
@@ -297,6 +317,7 @@ object IngestOps {
     "q_deadletter_stats" -> (qDeadletterStats _))
 
   val oracles: Map[String, String] = Map(
+    "q_user_hash" -> qUserHashSql,
     "q_parse_props" -> qParsePropsSql,
     "q_lock_schedule" -> qLockScheduleSql,
     "q_copy_passthrough" -> qCopyPassthroughSql,
