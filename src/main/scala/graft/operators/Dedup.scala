@@ -132,6 +132,43 @@ object Dedup {
        ORDER BY simhash"""
   }
 
+  /** d3c — multi-index Hamming near-dup over the 16-bit simhash:
+    * pairs within distance ≤ 3 must agree exactly on at least one of
+    * the 4 nibbles (pigeonhole), so blocking on (nibble_idx, nibble)
+    * finds ALL such pairs with one shuffle instead of an O(n²) scan —
+    * the standard multi-index approach for Hamming ANN at scale.
+    * Verified with bit_count(xor). */
+  def qSimhashNear(spark: SparkSession, dir: String): DataFrame = {
+    val sig = qDedupSimhash(spark, dir)
+    val blocks = sig.withColumn("idx", explode(sequence(lit(0), lit(3))))
+      .withColumn("nib", expr("(simhash div CAST(pow(16, idx) AS INT)) % 16"))
+    val cand = blocks.as("x").join(blocks.as("y"),
+        col("x.idx") === col("y.idx") && col("x.nib") === col("y.nib") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
+      .distinct()
+    cand.withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
+      .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val qSimhashNearSql: String = {
+    val inner = qDedupSimhashSql.stripSuffix(" ORDER BY doc_id")
+    s"""WITH sig AS ($inner),
+      blocks AS (
+        SELECT doc_id, simhash, idx, (simhash // CAST(pow(16, idx) AS INT)) % 16 AS nib
+        FROM (SELECT doc_id, simhash, unnest(generate_series(0, 3)) AS idx FROM sig) b),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+          x.simhash AS sh_a, y.simhash AS sh_b
+        FROM blocks x JOIN blocks y ON x.idx = y.idx AND x.nib = y.nib AND x.doc_id < y.doc_id)
+      SELECT doc_a, doc_b, CAST(bit_count(xor(CAST(sh_a AS BIGINT), CAST(sh_b AS BIGINT))) AS INT) AS hamming
+      FROM cand WHERE bit_count(xor(CAST(sh_a AS BIGINT), CAST(sh_b AS BIGINT))) <= 3
+      ORDER BY doc_a, doc_b"""
+  }
+
   /** d4 — n-gram Jaccard similarity via shingle inverted index (no
     * band approximation — exact pairs sharing ≥ 6 shingles, then
     * Jaccard ≥ 0.2). The shared-shingle pre-join bounds the pair space
@@ -197,6 +234,7 @@ object Dedup {
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_simhash_pairs" -> (qSimhashPairs _),
+    "q_simhash_near" -> (qSimhashNear _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_dedup_embedding" -> (qDedupEmbedding _))
 
@@ -205,6 +243,7 @@ object Dedup {
     "q_dedup_minhash" -> qDedupMinhashSql,
     "q_dedup_simhash" -> qDedupSimhashSql,
     "q_simhash_pairs" -> qSimhashPairsSql,
+    "q_simhash_near" -> qSimhashNearSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_dedup_embedding" -> qDedupEmbeddingSql)
 }

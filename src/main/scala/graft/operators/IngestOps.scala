@@ -302,7 +302,35 @@ object IngestOps {
         CAST(1704067200 + 7 * 24 * 3600 AS BIGINT) AS sas_expiry_s
       FROM customer ORDER BY c_custkey"""
 
+  /** a13 — chunked-download plan: the reference downloads each blob in
+    * 5 ranged chunks (offset/length per chunk, remainder on the last).
+    * ref azblob.py:302 (download_blob nchunks=5), write_chunked. */
+  def qDownloadChunks(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir, "part")
+    val size = (col("p_partkey") * 131071L % 50000000L + 1024L)
+    val base = p.select(col("p_partkey").as("asset_id"), size.as("blob_size"))
+      .withColumn("chunk_len", (col("blob_size") / 5L).cast("long"))
+    base.withColumn("i", explode(sequence(lit(0), lit(4))))
+      .select(col("asset_id"), col("blob_size"), col("i"),
+        (col("chunk_len") * col("i")).as("offset"),
+        when(col("i") < 4, col("chunk_len"))
+          .otherwise(col("blob_size") - col("chunk_len") * 4).as("length"))
+      .orderBy("asset_id", "i")
+  }
+
+  val qDownloadChunksSql: String =
+    """WITH b AS (
+        SELECT p_partkey AS asset_id, p_partkey * 131071 % 50000000 + 1024 AS blob_size,
+          (p_partkey * 131071 % 50000000 + 1024) // 5 AS chunk_len
+        FROM part),
+      x AS (SELECT asset_id, blob_size, chunk_len, unnest(generate_series(0, 4)) AS i FROM b)
+      SELECT asset_id, blob_size, CAST(i AS INT) AS i,
+        chunk_len * i AS offset,
+        CASE WHEN i < 4 THEN chunk_len ELSE blob_size - chunk_len * 4 END AS length
+      FROM x ORDER BY asset_id, i"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_download_chunks" -> (qDownloadChunks _),
     "q_user_hash" -> (qUserHash _),
     "q_parse_props" -> (qParseProps _),
     "q_lock_schedule" -> (qLockSchedule _),
@@ -317,6 +345,7 @@ object IngestOps {
     "q_deadletter_stats" -> (qDeadletterStats _))
 
   val oracles: Map[String, String] = Map(
+    "q_download_chunks" -> qDownloadChunksSql,
     "q_user_hash" -> qUserHashSql,
     "q_parse_props" -> qParsePropsSql,
     "q_lock_schedule" -> qLockScheduleSql,
