@@ -36,6 +36,10 @@ for name in sorted(oracle):
     want = want.reindex(sorted(want.columns), axis=1)
     if list(got.columns) != list(want.columns):
         print(f"FAIL {name}: cols {list(got.columns)} vs {list(want.columns)}"); fails += 1; continue
+    dt = {c: (str(got[c].dtype), str(want[c].dtype)) for c in got.columns
+          if str(got[c].dtype) != str(want[c].dtype)}
+    if dt:
+        print(f"FAIL {name}: dtype mismatch {dt}"); fails += 1; continue
     if len(got) != len(want):
         print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); fails += 1; continue
     g = got.sort_values(list(got.columns)).reset_index(drop=True)

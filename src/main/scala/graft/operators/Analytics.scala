@@ -125,7 +125,7 @@ object Analytics {
   }
 
   val qWindowRankSql: String =
-    """SELECT c_custkey, c_nationkey, c_acctbal, rnk FROM (
+    """SELECT c_custkey, c_nationkey, c_acctbal, CAST(rnk AS INT) AS rnk FROM (
          SELECT c_custkey, c_nationkey, c_acctbal,
                 ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk
          FROM customer) t
