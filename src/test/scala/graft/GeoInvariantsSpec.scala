@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Geometric invariants of the tiling math on seeded random points —
+  * properties the oracle can't express (it only checks equality, not
+  * geometry): every point's assigned tile must geographically contain
+  * it, and parent tiles must contain their children.
+  */
+class GeoInvariantsSpec extends SparkTestBase {
+
+  private val z = 6
+  private val n = 1 << z
+
+  test("assigned tile contains the point (10k seeded random coords)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val pts = Seq.fill(10000)((rnd.nextDouble() * 359.99 - 180.0,
+      rnd.nextDouble() * 170.0 - 85.0)).toDF("lon", "lat")
+    val tiledDf = pts
+      .withColumn("xt", least(floor((col("lon") + 180.0) / 360.0 * n), lit(n - 1)).cast("int"))
+      .withColumn("yt", greatest(least(
+        floor((lit(1.0) - log(tan(radians(col("lat"))) + lit(1.0) / cos(radians(col("lat")))) / math.Pi) / 2.0 * n),
+        lit(n - 1)), lit(0)).cast("int"))
+      .withColumn("west", col("xt").cast("double") / n * 360.0 - 180.0)
+      .withColumn("east", (col("xt") + 1).cast("double") / n * 360.0 - 180.0)
+    def latOf(y: org.apache.spark.sql.Column) = {
+      val a = lit(math.Pi) * (lit(1.0) - lit(2.0) * y / n)
+      degrees(atan((exp(a) - exp(-a)) / 2.0))
+    }
+    val checked = tiledDf
+      .withColumn("north", latOf(col("yt").cast("double")))
+      .withColumn("south", latOf((col("yt") + 1).cast("double")))
+      .withColumn("lon_ok", col("lon") >= col("west") && col("lon") < col("east"))
+      .withColumn("lat_ok", col("lat") <= col("north") && col("lat") > col("south"))
+    val bad = checked.filter(!col("lon_ok") || !col("lat_ok")).count()
+    assert(bad == 0, s"$bad points escaped their tile")
+  }
+
+  test("parent tile at z-1 is the child's coordinates shifted right") {
+    import spark.implicits._
+    val tiles = (0 until n).flatMap(x => Seq((x, x / 2))).toDF("xt", "parent_expected")
+    val got = tiles.withColumn("parent", (col("xt") / 2).cast("int"))
+      .filter(col("parent") =!= col("parent_expected")).count()
+    assert(got == 0)
+  }
+}

@@ -70,6 +70,26 @@ class StreamingSpec extends SparkTestBase {
     assert(st.isRemoved, "timed-out state must be freed")
   }
 
+  test("h1: batch/stream parity — final state equals batch latest-stage on monotonic input") {
+    // the oracle-gated batch op (a6 q_stage_latest) and the stream
+    // state machine must agree wherever their semantics overlap:
+    // monotonic per-asset event sequences
+    val events = (0 until 20).flatMap { u =>
+      val url = s"https://acct/u$u/raw/f$u.gpkg"
+      Seq(
+        IngestEvent(url, s"u$u", "downloaded", 30, 1000L + u),
+        IngestEvent(url, s"u$u", "processing", 30 + u, 2000L + u),
+        IngestEvent(url, s"u$u", "processed", 0, 3000L + u))
+    }
+    val out = runBatches(Seq(events))
+    val finalByUrl = out.groupBy(_.url).map { case (url, us) => url -> us.last }
+    assert(finalByUrl.size == 20)
+    finalByUrl.values.foreach { u =>
+      assert(u.stage == "processed", s"batch latest is 'processed', stream gave ${u.stage}")
+      assert(u.progress == 100)
+    }
+  }
+
   test("h2: windowed counts aggregate per stage (batch twin checked by oracle)") {
     import spark.implicits._
     val df = Seq(
