@@ -280,7 +280,36 @@ object Analytics {
        FROM events e JOIN dim d ON e.event_type = d.event_type
        GROUP BY e.event_type ORDER BY e.event_type"""
 
+  // c11 — exact per-group median via rank arithmetic (engine-neutral,
+  // unlike percentile_approx sketches which can never hash-match an
+  // oracle): average of the middle one/two order statistics.
+  def qMedian(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"), col("o_orderkey"))
+    o.select(col("o_orderpriority"), col("o_totalprice"),
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(Window.partitionBy(col("o_orderpriority"))).as("cnt"))
+      .filter(col("rn") === expr("(cnt + 1) div 2") || col("rn") === expr("(cnt + 2) div 2"))
+      .groupBy("o_orderpriority")
+      .agg((sum(col("o_totalprice").cast("decimal(18,6)")).cast("double") / count(lit(1)).cast("double"))
+        .as("median_price"), max("cnt").as("n"))
+      .orderBy("o_orderpriority")
+  }
+
+  val qMedianSql: String =
+    """WITH r AS (
+         SELECT o_orderpriority, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn,
+           COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+         FROM orders)
+       SELECT o_orderpriority,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS median_price,
+         MAX(cnt) AS n
+       FROM r WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+       GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_median" -> (qMedian _),
     "q10_returns" -> (q10Returns _),
     "q_salted_join" -> (qSaltedJoin _),
     "q1_agg" -> (q1Agg _),
@@ -293,6 +322,7 @@ object Analytics {
     "q_sessionize" -> (qSessionize _))
 
   val oracles: Map[String, String] = Map(
+    "q_median" -> qMedianSql,
     "q10_returns" -> q10ReturnsSql,
     "q_salted_join" -> qSaltedJoinSql,
     "q1_agg" -> q1AggSql,
