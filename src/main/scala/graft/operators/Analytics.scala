@@ -308,7 +308,21 @@ object Analytics {
        FROM r WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
        GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  // c12 — HyperLogLog++ approximate distinct users per event type:
+  // the 100 TB path for cardinality (fixed-size sketch, one pass,
+  // mergeable across partitions). No oracle — sketch values are
+  // engine-specific; AnalyticsSpec bounds the error vs exact instead,
+  // and the exact count rides along for the driver's rows check.
+  def qApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_approx_distinct" -> (qApproxDistinct _),
     "q_median" -> (qMedian _),
     "q10_returns" -> (q10Returns _),
     "q_salted_join" -> (qSaltedJoin _),

@@ -100,6 +100,15 @@ class OperatorsSpec extends SparkTestBase {
     assert(row.getAs[scala.collection.Seq[Float]]("features").length == 8)
   }
 
+  test("approx distinct stays within the configured 2% error vs exact") {
+    Analytics.qApproxDistinct(spark, sfDir).collect().foreach { r =>
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val exact = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.1,
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+
   test("route format covers every extension class") {
     val routes = IngestOps.qRouteFormat(spark, sfDir)
       .select("route").distinct().collect().map(_.getString(0)).toSet
