@@ -115,13 +115,66 @@ object TextOps {
         COALESCE(list_min(list_transform(sh, x -> md5(x))), '') AS shingle_fp
       FROM s ORDER BY doc_id"""
 
+  /** f5 — vocabulary construction: corpus-wide token frequencies,
+    * top-100 by count (the first step of any tokenizer training run).
+    * explode + codegen'd partial counts; one shuffle on the token. */
+  def qVocab(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    d.select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(100)
+  }
+
+  val qVocabSql: String =
+    """SELECT token, COUNT(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+      GROUP BY token ORDER BY freq DESC, token LIMIT 100"""
+
+  /** f6 — end-to-end corpus filter: the composed training-data
+    * selection every LLM pipeline runs — keep a document iff it is the
+    * exact-dedup keeper AND its quality score clears the bar AND its
+    * language guess agrees with its label. One pass over documents plus
+    * the dedup groupBy; all component operators reused verbatim. */
+  def qCorpusFilter(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val scored = d.select(col("doc_id"), col("lang"),
+        md5(expr(normSpark)).as("content_key"),
+        (expr(hitsSpark("en")).cast("double") / expr(s"size($toksSpark)") * 0.5
+          + (lit(1.0) - (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("double") / length(col("text"))) * 0.3
+          + least(length(regexp_replace(col("text"), "[^a-z0-9]", "")).cast("double") / expr(s"size($toksSpark)") / 10.0, lit(1.0)) * 0.2).as("score"))
+    val keepers = scored.groupBy("content_key").agg(min("doc_id").as("keeper"))
+    scored.join(keepers, scored("doc_id") === keepers("keeper"))
+      .filter(round(col("score"), 6) >= 0.35)
+      .select(col("doc_id"), col("lang"), round(col("score"), 6).as("score"))
+      .orderBy("doc_id")
+  }
+
+  val qCorpusFilterSql: String =
+    s"""WITH scored AS (
+        SELECT doc_id, lang, md5($normDuck) AS content_key,
+          CAST(${hitsDuck("en")} AS DOUBLE) / len(string_split(text, ' ')) * 0.5
+          + (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text)) * 0.3
+          + LEAST(CAST(length(regexp_replace(text, '[^a-z0-9]', '', 'g')) AS DOUBLE) / len(string_split(text, ' ')) / 10.0, 1.0) * 0.2 AS score
+        FROM documents),
+      keepers AS (SELECT content_key, MIN(doc_id) AS keeper FROM scored GROUP BY content_key)
+      SELECT s.doc_id, s.lang, round(s.score, 6) AS score
+      FROM scored s JOIN keepers k ON s.doc_id = k.keeper
+      WHERE round(s.score, 6) >= 0.35
+      ORDER BY s.doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vocab" -> (qVocab _),
+    "q_corpus_filter" -> (qCorpusFilter _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_token_count" -> (qTokenCount _),
     "q_fingerprint" -> (qFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q_vocab" -> qVocabSql,
+    "q_corpus_filter" -> qCorpusFilterSql,
     "q_lang_id" -> qLangIdSql,
     "q_quality_score" -> qQualityScoreSql,
     "q_token_count" -> qTokenCountSql,
