@@ -40,8 +40,13 @@ object Dedup {
     * partition). */
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir, "documents")
+    // materialize the shingle sets once: this subplan is referenced 4×
+    // (both band-join sides + both verify-join sides) and Catalyst
+    // does not share non-exchange subplans across self-join branches —
+    // at 100 TB you'd persist the signature table for the same reason
     val sh = d.select(col("doc_id"), expr(shSpark).as("sh"))
       .filter(size(col("sh")) > 0)
+      .localCheckpoint(false)
     val mins = (0 until 8).map(k => min(md5(concat(lit(s"$k:"), col("s")))).as(s"h$k"))
     val sig = sh.select(col("doc_id"), explode(col("sh")).as("s"))
       .groupBy("doc_id")
@@ -139,18 +144,21 @@ object Dedup {
     * the standard multi-index approach for Hamming ANN at scale.
     * Verified with bit_count(xor). */
   def qSimhashNear(spark: SparkSession, dir: String): DataFrame = {
-    val sig = qDedupSimhash(spark, dir)
+    // signature table computed once (16 md5-parity sums per doc), then
+    // self-joined — see qDedupMinhash for why this is materialized
+    val sig = qDedupSimhash(spark, dir).localCheckpoint(false)
     val blocks = sig.withColumn("idx", explode(sequence(lit(0), lit(3))))
       .withColumn("nib", expr("(simhash div CAST(pow(16, idx) AS INT)) % 16"))
-    val cand = blocks.as("x").join(blocks.as("y"),
+    // filter on hamming BEFORE the pair-dedup: bit_count is a cheap
+    // codegen'd op, and it shrinks the distinct's shuffle from every
+    // blocked pair down to only the near-duplicates
+    blocks.as("x").join(blocks.as("y"),
         col("x.idx") === col("y.idx") && col("x.nib") === col("y.nib") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
-      .distinct()
-    cand.withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
+        expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
       .filter(col("hamming") <= 3)
-      .select("doc_a", "doc_b", "hamming")
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 
@@ -175,7 +183,9 @@ object Dedup {
     * the same way the LSH bands do. */
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir, "documents")
+    // shared 4 ways (index self-join + two size joins) — see qDedupMinhash
     val sh = d.select(col("doc_id"), expr(shSpark).as("sh")).filter(size(col("sh")) > 0)
+      .localCheckpoint(false)
     val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val cand = inv.as("x").join(inv.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
