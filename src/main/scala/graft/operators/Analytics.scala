@@ -151,6 +151,26 @@ object Analytics {
        GROUP BY ROLLUP(r_name, n_name)
        ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST"""
 
+  // c5b — CUBE over two independent dims (all grouping sets).
+  def qCube(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val n = Tables(spark, dir, "nation")
+    val r = Tables(spark, dir, "region")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .cube(col("r_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("customers"), dsum(col("c_acctbal")).as("total_bal"))
+      .orderBy(col("r_name").asc_nulls_first, col("c_mktsegment").asc_nulls_first)
+  }
+
+  val qCubeSql: String =
+    """SELECT r_name, c_mktsegment, COUNT(*) AS customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+       FROM customer, nation, region
+       WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+       GROUP BY CUBE(r_name, c_mktsegment)
+       ORDER BY r_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST"""
+
   // c6 — exists / not-exists: customers with vs without orders.
   def qSemiAnti(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables(spark, dir, "customer")
@@ -331,6 +351,7 @@ object Analytics {
     "q5_join" -> (q5Join _),
     "q_window_rank" -> (qWindowRank _),
     "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
     "q_semi_anti" -> (qSemiAnti _),
     "q_events_window" -> (qEventsWindow _),
     "q_sessionize" -> (qSessionize _))
@@ -344,6 +365,7 @@ object Analytics {
     "q5_join" -> q5JoinSql,
     "q_window_rank" -> qWindowRankSql,
     "q_rollup" -> qRollupSql,
+    "q_cube" -> qCubeSql,
     "q_semi_anti" -> qSemiAntiSql,
     "q_events_window" -> qEventsWindowSql,
     "q_sessionize" -> qSessionizeSql)
