@@ -242,6 +242,54 @@ object Analytics {
               MAX(ts_ms) - MIN(ts_ms) AS duration_ms
        FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id"""
 
+  // c13 — order-priority check (TPC-H q4 shape): EXISTS-driven agg.
+  def q4Priority(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01 00:00:00").cast("timestamp"))
+    val l = Tables(spark, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .select("l_orderkey")
+    o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q4PrioritySql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+       FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+         AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+       GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  // c14 — promotion revenue share (TPC-H q14 shape): conditional agg
+  // over a fact⋈dim join; one double division at the end.
+  def q14Promo(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-02-01 00:00:00").cast("timestamp"))
+    val p = Tables(spark, dir, "part")
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100.0) * sum(when(col("p_type") === "PROMO",
+            (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)"))
+          .otherwise(lit(0).cast("decimal(18,6)"))).cast("double")
+          / sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)")).cast("double"))
+          .as("promo_revenue_pct"))
+  }
+
+  val q14PromoSql: String =
+    """SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+             THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+             ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+         AS promo_revenue_pct
+       FROM lineitem, part
+       WHERE l_partkey = p_partkey
+         AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         AND l_shipdate < TIMESTAMP '1997-02-01 00:00:00'"""
+
   // c9 — returned-items revenue per customer (TPC-H q10 shape):
   // fact-fact join + broadcast dim + topk.
   def q10Returns(spark: SparkSession, dir: String): DataFrame = {
@@ -345,6 +393,8 @@ object Analytics {
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_median" -> (qMedian _),
     "q10_returns" -> (q10Returns _),
+    "q4_priority" -> (q4Priority _),
+    "q14_promo" -> (q14Promo _),
     "q_salted_join" -> (qSaltedJoin _),
     "q1_agg" -> (q1Agg _),
     "q3_topk" -> (q3Topk _),
@@ -359,6 +409,8 @@ object Analytics {
   val oracles: Map[String, String] = Map(
     "q_median" -> qMedianSql,
     "q10_returns" -> q10ReturnsSql,
+    "q4_priority" -> q4PrioritySql,
+    "q14_promo" -> q14PromoSql,
     "q_salted_join" -> qSaltedJoinSql,
     "q1_agg" -> q1AggSql,
     "q3_topk" -> q3TopkSql,

@@ -388,7 +388,57 @@ object GeoOps {
         regexp_extract(subds_path, '[^:]+$', 0) || '.tif' AS cog_name
       FROM paths ORDER BY p_partkey, i"""
 
+  /** b16 — distributed spatial join: features vs query boxes. The
+    * scale pattern is tile-blocking — each box explodes into the ≤4
+    * coarse tiles it covers (z=3), features join on their tile, exact
+    * bbox containment verifies. The oracle is the NAIVE exact
+    * cross-join — results must agree, proving the blocking loses
+    * nothing. At 100 TB the naive join is impossible; the blocked one
+    * shuffles each side once on the tile key. */
+  def qBboxJoin(spark: SparkSession, dir: String): DataFrame = {
+    val z = 3
+    val n = 1 << z
+    val s = Tables(spark, dir, "supplier")
+    val boxes = s.select(col("s_suppkey").as("box_id"),
+        ((col("s_suppkey") * 7907L % 300000L).cast("double") / 1000.0 - 150.0).as("west"),
+        ((col("s_suppkey") * 104729L % 120000L).cast("double") / 1000.0 - 60.0).as("south"))
+      .withColumn("east", col("west") + 15.0)
+      .withColumn("north", col("south") + 10.0)
+    def tx(lon: Column): Column = least(floor((lon + 180.0) / 360.0 * n), lit(n - 1)).cast("int")
+    def ty(lat: Column): Column = {
+      val latc = greatest(least(lat, lit(MaxLat)), lit(-MaxLat))
+      greatest(least(floor((lit(1.0) - log(tan(radians(latc)) + lit(1.0) / cos(radians(latc))) / math.Pi) / 2.0 * n),
+        lit(n - 1)), lit(0)).cast("int")
+    }
+    val boxTiles = boxes
+      .withColumn("xt", explode(sequence(tx(col("west")), tx(col("east")))))
+      .withColumn("yt", explode(sequence(ty(col("north")), ty(col("south")))))
+    val feats = Tables.events(spark, dir).select(col("event_id"),
+        Synth.lon(col("event_id")).as("lon"), Synth.lat(col("event_id")).as("lat"))
+      .withColumn("xt", tx(col("lon"))).withColumn("yt", ty(col("lat")))
+    feats.join(boxTiles, Seq("xt", "yt"))
+      .filter(col("lon") >= col("west") && col("lon") <= col("east") &&
+        col("lat") >= col("south") && col("lat") <= col("north"))
+      .groupBy("box_id")
+      .agg(count(lit(1)).as("n_features"))
+      .orderBy("box_id")
+  }
+
+  val qBboxJoinSql: String =
+    s"""WITH boxes AS (
+        SELECT s_suppkey AS box_id,
+          CAST(s_suppkey * 7907 % 300000 AS DOUBLE) / 1000.0 - 150.0 AS west,
+          CAST(s_suppkey * 104729 % 120000 AS DOUBLE) / 1000.0 - 60.0 AS south
+        FROM supplier),
+      b AS (SELECT box_id, west, south, west + 15.0 AS east, south + 10.0 AS north FROM boxes),
+      f AS (SELECT event_id, ${Synth.lonSql} AS lon, ${Synth.latSql} AS lat FROM events)
+      SELECT box_id, COUNT(*) AS n_features
+      FROM f, b
+      WHERE lon >= west AND lon <= east AND lat >= south AND lat <= north
+      GROUP BY box_id ORDER BY box_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bbox_join" -> (qBboxJoin _),
     "q_band_grouping" -> (qBandGrouping _),
     "q_subdatasets" -> (qSubdatasets _),
     "q_pmtiles_manifest" -> (qPmtilesManifest _),
@@ -406,6 +456,7 @@ object GeoOps {
     "q_cog_layout" -> (qCogLayout _))
 
   val oracles: Map[String, String] = Map(
+    "q_bbox_join" -> qBboxJoinSql,
     "q_band_grouping" -> qBandGroupingSql,
     "q_subdatasets" -> qSubdatasetsSql,
     "q_pmtiles_manifest" -> qPmtilesManifestSql,
