@@ -73,7 +73,10 @@ object Media {
   /** g2 — per-partition batch decode: binary in, fixed-width feature
     * vectors out. mapPartitions keeps codec state per task (the way a
     * real decoder amortizes init cost) and the output schema is
-    * explicit so downstream ops stay columnar. */
+    * explicit so downstream ops stay columnar. The feature vector is
+    * flattened to scalar f0..f7 columns (rounded) in the dumped
+    * result so the driver's rows-only check can sort it — an
+    * `array<float>` column is unhashable for pandas sort_values. */
   def qMediaPipeline(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val d = Tables(spark, dir, "documents")
@@ -82,12 +85,15 @@ object Media {
       .withColumn("mime", lit("image/fake-png"))
       .select(col("doc_id"), col("mime"), col("payload"))
       .as[(Long, String, Array[Byte])]
-    src.mapPartitions { it =>
+    val decoded = src.mapPartitions { it =>
       // per-task "codec" init would go here
       it.map { case (id, mime, payload) =>
         MediaFeatures(id, mime, payload.length, decodeStub(payload))
       }
     }.toDF()
+    val flat = (0 until 8).map(i =>
+      round(element_at(col("features"), i + 1).cast("double"), 5).as(s"f$i"))
+    decoded.select(Seq(col("doc_id"), col("mime"), col("nbytes")) ++ flat: _*)
       .orderBy("doc_id")
   }
 

@@ -137,64 +137,149 @@ object Dedup {
        ORDER BY simhash"""
   }
 
-  /** d3c — multi-index Hamming near-dup over the 16-bit simhash:
+  /** 64-bit simhash signature carried as 4 × 16-bit integer chunks
+    * (c0..c3). Bit j (j < 32) is the parity of hex digit j of md5(t);
+    * bits 32..63 use md5("x:" || t) for 32 more independent digits.
+    * Carrying the signature as four small non-negative INTs keeps the
+    * arithmetic integer-exact and sign-safe in BOTH engines (a single
+    * BIGINT with bit 63 set would go negative) and the chunks double
+    * as the multi-index block keys. Tokens are exploded so the two
+    * md5 calls are shared across all 64 weight columns by codegen
+    * subexpression elimination, and the 64 majority sums are
+    * partial aggregates (map-side combine). */
+  private[graft] def simhash64(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    // bit-majority is a count-weighted sum over DISTINCT tokens, so
+    // dedup (doc_id, token) first — partial aggs shrink the hash work
+    // and the 64 weight columns then run over ~2-3× fewer rows
+    val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
+    // per-token hex→parity-bit strings, materialized in their OWN
+    // projection (CollapseProject keeps non-cheap expressions
+    // referenced 32× from being inlined): ONE md5 + ONE translate per
+    // hash, then the 64 weight columns are codegen'd substr compares —
+    // `locate` is a CodegenFallback expression and 64 interpreted
+    // calls per token made this projection ~10× slower
+    val parity = "0101010101010101"
+    val hashed = toks.select(col("doc_id"), col("cnt"),
+      translate(md5(col("t")), "0123456789abcdef", parity).as("p1"),
+      translate(md5(concat(lit("x:"), col("t"))), "0123456789abcdef", parity).as("p2"))
+    val weights = hashed.select(col("doc_id") +: (0 until 64).map { j =>
+      val src = if (j < 32) "p1" else "p2"
+      val pos = (j % 32) + 1
+      (when(expr(s"substr($src, $pos, 1)") === "1", col("cnt"))
+        .otherwise(-col("cnt"))).as(s"w$j")
+    }: _*)
+    val sums = weights.groupBy("doc_id")
+      .agg(sum(col("w0")).as("s0"), (1 until 64).map(j => sum(col(s"w$j")).as(s"s$j")): _*)
+    val chunks = (0 until 4).map { k =>
+      (0 until 16).map(b => when(col(s"s${16 * k + b}") > 0, lit(1 << b)).otherwise(lit(0)))
+        .reduce(_ + _).cast("int").as(s"c$k")
+    }
+    sums.select(col("doc_id") +: chunks: _*)
+  }
+
+  /** d3c — multi-index Hamming near-dup over the 64-bit simhash:
     * pairs within distance ≤ 3 must agree exactly on at least one of
-    * the 4 nibbles (pigeonhole), so blocking on (nibble_idx, nibble)
-    * finds ALL such pairs with one shuffle instead of an O(n²) scan —
-    * the standard multi-index approach for Hamming ANN at scale.
-    * Verified with bit_count(xor). */
+    * the 4 16-bit chunks (pigeonhole), so blocking on (chunk_idx,
+    * chunk_value) finds ALL such pairs with one shuffle instead of an
+    * O(n²) scan — the standard multi-index approach for Hamming ANN.
+    * The block key space is 4 × 65,536 (vs 64 for the 16-bit toy
+    * version), so the candidate join stays near-linear at scale.
+    * Verified with summed per-chunk bit_count(xor). */
   def qSimhashNear(spark: SparkSession, dir: String): DataFrame = {
-    // signature table computed once (16 md5-parity sums per doc), then
+    // signature table computed once (64 md5-parity sums per doc), then
     // self-joined — see qDedupMinhash for why this is materialized
-    val sig = qDedupSimhash(spark, dir).localCheckpoint(false)
+    val sig = simhash64(spark, dir).localCheckpoint(false)
     val blocks = sig.withColumn("idx", explode(sequence(lit(0), lit(3))))
-      .withColumn("nib", expr("(simhash div CAST(pow(16, idx) AS INT)) % 16"))
+      .withColumn("chunk",
+        element_at(array(col("c0"), col("c1"), col("c2"), col("c3")), col("idx") + 1))
     // filter on hamming BEFORE the pair-dedup: bit_count is a cheap
     // codegen'd op, and it shrinks the distinct's shuffle from every
     // blocked pair down to only the near-duplicates
     blocks.as("x").join(blocks.as("y"),
-        col("x.idx") === col("y.idx") && col("x.nib") === col("y.nib") &&
+        col("x.idx") === col("y.idx") && col("x.chunk") === col("y.chunk") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+        expr("bit_count(x.c0 ^ y.c0) + bit_count(x.c1 ^ y.c1) + " +
+          "bit_count(x.c2 ^ y.c2) + bit_count(x.c3 ^ y.c3)").cast("int").as("hamming"))
       .filter(col("hamming") <= 3)
       .distinct()
       .orderBy("doc_a", "doc_b")
   }
 
-  val qSimhashNearSql: String = {
-    val inner = qDedupSimhashSql.stripSuffix(" ORDER BY doc_id")
-    s"""WITH sig AS ($inner),
-      blocks AS (
-        SELECT doc_id, simhash, idx, (simhash // CAST(pow(16, idx) AS INT)) % 16 AS nib
-        FROM (SELECT doc_id, simhash, unnest(generate_series(0, 3)) AS idx FROM sig) b),
-      cand AS (
-        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-          x.simhash AS sh_a, y.simhash AS sh_b
-        FROM blocks x JOIN blocks y ON x.idx = y.idx AND x.nib = y.nib AND x.doc_id < y.doc_id)
-      SELECT doc_a, doc_b, CAST(bit_count(xor(CAST(sh_a AS BIGINT), CAST(sh_b AS BIGINT))) AS INT) AS hamming
-      FROM cand WHERE bit_count(xor(CAST(sh_a AS BIGINT), CAST(sh_b AS BIGINT))) <= 3
-      ORDER BY doc_a, doc_b"""
+  /** DuckDB twin of [[simhash64]]: doc_id, c0..c3. */
+  private def simhash64Sql: String = {
+    val sums = (0 until 64).map { j =>
+      val src = if (j < 32) "p1" else "p2"
+      val pos = (j % 32) + 1
+      s"SUM(CASE WHEN substr($src, $pos, 1) = '1' THEN cnt ELSE -cnt END) AS s$j"
+    }.mkString(", ")
+    val chunks = (0 until 4).map { k =>
+      val bits = (0 until 16)
+        .map(b => s"(CASE WHEN s${16 * k + b} > 0 THEN ${1 << b} ELSE 0 END)")
+        .mkString(" + ")
+      s"CAST(($bits) AS INT) AS c$k"
+    }.mkString(", ")
+    s"""toks AS (
+        SELECT doc_id, t, COUNT(*) AS cnt
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) u
+        GROUP BY doc_id, t),
+      hashed AS (SELECT doc_id, cnt,
+        translate(md5(t), '0123456789abcdef', '0101010101010101') AS p1,
+        translate(md5('x:' || t), '0123456789abcdef', '0101010101010101') AS p2
+        FROM toks),
+      sums AS (SELECT doc_id, $sums FROM hashed GROUP BY doc_id),
+      sig AS (SELECT doc_id, $chunks FROM sums)"""
   }
 
+  val qSimhashNearSql: String = {
+    val ham = "bit_count(xor(x.c0, y.c0)) + bit_count(xor(x.c1, y.c1)) + " +
+      "bit_count(xor(x.c2, y.c2)) + bit_count(xor(x.c3, y.c3))"
+    s"""WITH $simhash64Sql,
+      blocks AS (
+        SELECT doc_id, c0, c1, c2, c3, idx,
+          CASE idx WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END AS chunk
+        FROM (SELECT doc_id, c0, c1, c2, c3, unnest(generate_series(0, 3)) AS idx FROM sig) b),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST($ham AS INT) AS hamming
+        FROM blocks x JOIN blocks y
+          ON x.idx = y.idx AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+        WHERE $ham <= 3)
+      SELECT doc_a, doc_b, hamming FROM cand ORDER BY doc_a, doc_b"""
+  }
+
+  /** df cap for the shingle inverted index: a shingle shared by df
+    * documents contributes O(df²) candidate pairs, so one boilerplate
+    * shingle in 1M docs is a 10¹²-pair hot key. Shingles with df >
+    * this cap are treated as boilerplate and excluded from the
+    * similarity vocabulary entirely (index, shared counts, AND set
+    * sizes — so the Jaccard stays internally consistent). */
+  val ngramDfCap = 50
+
   /** d4 — n-gram Jaccard similarity via shingle inverted index (no
-    * band approximation — exact pairs sharing ≥ 6 shingles, then
-    * Jaccard ≥ 0.2). The shared-shingle pre-join bounds the pair space
-    * the same way the LSH bands do. */
+    * band approximation — exact pairs sharing ≥ 6 non-boilerplate
+    * shingles, then Jaccard ≥ 0.2 over the df-capped vocabulary).
+    * The shared-shingle pre-join bounds the pair space the same way
+    * the LSH bands do, and the df cap bounds every posting list. */
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir, "documents")
-    // shared 4 ways (index self-join + two size joins) — see qDedupMinhash
-    val sh = d.select(col("doc_id"), expr(shSpark).as("sh")).filter(size(col("sh")) > 0)
-      .localCheckpoint(false)
-    val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val inv0 = d.select(col("doc_id"), expr(shSpark).as("sh"))
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val keep = inv0.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= ngramDfCap)
+    // capped index, shared 3 ways (self-join sides + size agg) — see
+    // qDedupMinhash for why this is materialized
+    val inv = inv0.join(keep.select("shingle"), "shingle").localCheckpoint(false)
+    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val cand = inv.as("x").join(inv.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= 6)
     cand
-      .join(sh.select(col("doc_id").as("doc_a"), size(col("sh")).as("na")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), size(col("sh")).as("nb")), "doc_b")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .withColumn("jaccard", round(col("shared").cast("double") /
         (col("na") + col("nb") - col("shared")), 6))
       .filter(col("jaccard") >= 0.2)
@@ -204,16 +289,18 @@ object Dedup {
 
   val qNgramJaccardSql: String =
     s"""WITH s AS (SELECT doc_id, $shDuck AS sh FROM documents),
-      sh AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
-      inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+      inv0 AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+      keep AS (SELECT shingle FROM inv0 GROUP BY shingle HAVING COUNT(*) <= $ngramDfCap),
+      inv AS (SELECT doc_id, shingle FROM inv0 JOIN keep USING (shingle)),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM inv GROUP BY doc_id),
       cand AS (
         SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS shared
         FROM inv x JOIN inv y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
         GROUP BY 1, 2 HAVING COUNT(*) >= 6)
       SELECT doc_a, doc_b, shared,
-        round(CAST(shared AS DOUBLE) / (len(sa.sh) + len(sb.sh) - shared), 6) AS jaccard
-      FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
-      WHERE round(CAST(shared AS DOUBLE) / (len(sa.sh) + len(sb.sh) - shared), 6) >= 0.2
+        round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard
+      FROM cand JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) >= 0.2
       ORDER BY doc_a, doc_b"""
 
   /** d5 — embedding-cosine near-dup: 4-bit hyperplane-LSH blocking

@@ -189,28 +189,36 @@ object GeoOps {
   /** b9 — COG overview pyramid: level L tiles are the 2×-downsampled
     * (integer shift) parents of L+1; report non-empty tiles + features
     * per level 8..5. ref config.py OVERVIEW_RESAMPLING=NEAREST,
-    * dataset2cog overviews. Each level re-aggregates the one below
-    * (shrinking data ⇒ log-depth cheap shuffles at scale). */
+    * dataset2cog overviews. Single-plan formulation: each base tile is
+    * exploded into its 4 pyramid levels and ONE grouped agg keyed by
+    * (level, x, y) builds every level — exactly one events scan and
+    * one (tiny — base tiles only) shuffle, vs a per-level union that
+    * would re-read the base 4×. */
   def qOverviewPyramid(spark: SparkSession, dir: String): DataFrame = {
     val base = tiled(spark, dir, 8).groupBy("xt", "yt").agg(count(lit(1)).as("cnt"))
-    val levels = (8 to 5 by -1).map { level =>
-      val p = 1 << (8 - level)
-      base.select((col("xt") / p).cast("int").as("x"), (col("yt") / p).cast("int").as("y"), col("cnt"))
-        .groupBy("x", "y").agg(sum(col("cnt")).as("cnt"))
-        .agg(count(lit(1)).as("tiles"), sum(col("cnt")).as("features"))
-        .select(lit(level).as("level"), col("tiles"), col("features"))
-    }
-    levels.reduce(_ unionAll _).orderBy(col("level").desc)
+    base.select(col("xt"), col("yt"), col("cnt"),
+        explode(sequence(lit(5), lit(8))).as("level"))
+      .select(col("level"),
+        expr("xt div CAST(pow(2, 8 - level) AS INT)").as("x"),
+        expr("yt div CAST(pow(2, 8 - level) AS INT)").as("y"),
+        col("cnt"))
+      .groupBy("level", "x", "y").agg(sum(col("cnt")).as("cnt"))
+      .groupBy("level")
+      .agg(count(lit(1)).as("tiles"), sum(col("cnt")).as("features"))
+      .select(col("level"), col("tiles"), col("features"))
+      .orderBy(col("level").desc)
   }
 
   val qOverviewPyramidSql: String = {
     val base = s"SELECT xt, yt, COUNT(*) AS cnt FROM (${tiledSql(8)}) t GROUP BY xt, yt"
-    val levels = (8 to 5 by -1).map { level =>
-      val p = 1 << (8 - level)
-      s"""SELECT $level AS level, COUNT(*) AS tiles, CAST(SUM(cnt) AS BIGINT) AS features
-          FROM (SELECT xt // $p AS x, yt // $p AS y, SUM(cnt) AS cnt FROM base GROUP BY 1, 2) l$level"""
-    }
-    s"WITH base AS ($base) " + levels.mkString(" UNION ALL ") + " ORDER BY level DESC"
+    s"""WITH base AS ($base),
+      lv AS (SELECT CAST(unnest(generate_series(5, 8)) AS INT) AS level, xt, yt, cnt FROM base),
+      tiles AS (
+        SELECT level, xt // CAST(pow(2, 8 - level) AS INT) AS x,
+          yt // CAST(pow(2, 8 - level) AS INT) AS y, SUM(cnt) AS cnt
+        FROM lv GROUP BY 1, 2, 3)
+      SELECT level, COUNT(*) AS tiles, CAST(SUM(cnt) AS BIGINT) AS features
+      FROM tiles GROUP BY level ORDER BY level DESC"""
   }
 
   /** b10 — per-band statistics (gdal.Info / cog_validate style): bands

@@ -95,9 +95,10 @@ class OperatorsSpec extends SparkTestBase {
     val b = Media.decodeStub("hello world".getBytes("UTF-8")).toSeq
     assert(a == b)
     val df = Media.qMediaPipeline(spark, sfDir)
-    assert(df.schema.fieldNames.toSeq == Seq("doc_id", "mime", "nbytes", "features"))
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("doc_id", "mime", "nbytes") ++ (0 until 8).map(i => s"f$i"))
     val row = df.limit(1).collect()(0)
-    assert(row.getAs[scala.collection.Seq[Float]]("features").length == 8)
+    assert((0 until 8).forall(i => !row.isNullAt(row.fieldIndex(s"f$i"))))
   }
 
   test("approx distinct stays within the configured 2% error vs exact") {

@@ -28,6 +28,13 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("overview pyramid scans the events base exactly once") {
+    val p = operators.GeoOps.qOverviewPyramid(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"pyramid must derive all levels from ONE base scan, got $scans:\n$p")
+  }
+
   test("events-based geo ops are map-side until their aggregation") {
     // tile assignment must not shuffle before the groupBy: exactly the
     // agg exchange(s), no repartition/sort-by-key upstream
