@@ -36,7 +36,19 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // belt and braces for the driver's stdout parse: persist the metric
+    // line to a file too (sbt wraps stdout in [info]/[error] prefixes
+    // and async executor logs can interleave mid-line)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), json + "\n")
+    // silence shutdown-path logging (EventLoop interrupt stacks at
+    // stop() previously corrupted the output tail), stop Spark FIRST,
+    // then emit the metric as the final stdout line
+    spark.sparkContext.setLogLevel("OFF")
+    org.apache.logging.log4j.LogManager.shutdown()
     spark.stop()
+    println(json)
+    System.out.flush()
   }
 }
