@@ -348,16 +348,47 @@ object Analytics {
        FROM events e JOIN dim d ON e.event_type = d.event_type
        GROUP BY e.event_type ORDER BY e.event_type"""
 
-  // c11 — exact per-group median via rank arithmetic (engine-neutral,
-  // unlike percentile_approx sketches which can never hash-match an
-  // oracle): average of the middle one/two order statistics.
+  // c11 — exact per-group median via distributed selection (engine-
+  // neutral, unlike percentile_approx sketches which can never
+  // hash-match an oracle): average of the middle one/two order
+  // statistics. Scale shape: a naive row_number window partitioned on
+  // o_orderpriority (5 keys) would sort the ENTIRE table on 5
+  // reducers — a straggler by construction. Instead: (0) tiny
+  // per-group stats agg → median ranks k1/k2; (1) histogram counts
+  // over 1024 value buckets (uniform (group,bucket) shuffle keys);
+  // cumulative ranks over the ≤ groups×1024-row histogram locate the
+  // target bucket(s); (2) only those buckets' rows (≈ n/1024 per
+  // group) are sorted, per bucket, to pull the k1/k2 elements. The
+  // oracle stays the plain rank-arithmetic SQL.
   def qMedian(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables(spark, dir, "orders")
-    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"), col("o_orderkey"))
-    o.select(col("o_orderpriority"), col("o_totalprice"),
-        row_number().over(w).as("rn"),
-        count(lit(1)).over(Window.partitionBy(col("o_orderpriority"))).as("cnt"))
-      .filter(col("rn") === expr("(cnt + 1) div 2") || col("rn") === expr("(cnt + 2) div 2"))
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+    val stats = o.groupBy("o_orderpriority")
+      .agg(min("o_totalprice").as("vmin"), max("o_totalprice").as("vmax"),
+        count(lit(1)).as("cnt"))
+      .withColumn("k1", expr("(cnt + 1) div 2"))
+      .withColumn("k2", expr("(cnt + 2) div 2"))
+    // bucket id is a pure map over the fact table (stats broadcast)
+    val bucketed = o.join(broadcast(stats), "o_orderpriority")
+      .withColumn("b", least(lit(1023),
+        floor((col("o_totalprice") - col("vmin")) * 1024.0 /
+          (col("vmax") - col("vmin") + lit(1e-9))).cast("int")))
+    val hist = bucketed.groupBy(col("o_orderpriority"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    // windowing over the HISTOGRAM only — bounded rows regardless of
+    // input scale, so the 5-key partition is harmless here
+    val wc = Window.partitionBy("o_orderpriority").orderBy("b")
+    val cum = hist.withColumn("hi", sum("c").over(wc))
+      .withColumn("lo", col("hi") - col("c"))
+    val targets = cum.join(stats.select("o_orderpriority", "k1", "k2"), "o_orderpriority")
+      .filter((col("k1") > col("lo") && col("k1") <= col("hi")) ||
+        (col("k2") > col("lo") && col("k2") <= col("hi")))
+      .select(col("o_orderpriority"), col("b"), col("lo"))
+    val wsel = Window.partitionBy(col("o_orderpriority"), col("b"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    bucketed.join(broadcast(targets), Seq("o_orderpriority", "b"))
+      .withColumn("rn", row_number().over(wsel).cast("long") + col("lo"))
+      .filter(col("rn") === col("k1") || col("rn") === col("k2"))
       .groupBy("o_orderpriority")
       .agg((sum(col("o_totalprice").cast("decimal(18,6)")).cast("double") / count(lit(1)).cast("double"))
         .as("median_price"), max("cnt").as("n"))

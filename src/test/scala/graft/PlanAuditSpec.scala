@@ -35,6 +35,20 @@ class PlanAuditSpec extends SparkTestBase {
     assert(scans == 1, s"pyramid must derive all levels from ONE base scan, got $scans:\n$p")
   }
 
+  test("median never sorts the full table on the 5 priority keys") {
+    val p = operators.Analytics.qMedian(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the selection window must partition on (priority, bucket), never
+    // on priority alone — that would put whole groups on one reducer
+    val rowNumSpecs = "row_number\\(\\) windowspecdefinition\\(([^)]*?) ASC".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(rowNumSpecs.nonEmpty, s"expected a row_number selection window:\n$p")
+    rowNumSpecs.foreach { spec =>
+      assert(spec.contains("b#"),
+        s"row_number window must include the bucket key, got: $spec")
+    }
+  }
+
   test("events-based geo ops are map-side until their aggregation") {
     // tile assignment must not shuffle before the groupBy: exactly the
     // agg exchange(s), no repartition/sort-by-key upstream
