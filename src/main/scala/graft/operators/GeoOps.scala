@@ -303,6 +303,52 @@ object GeoOps {
         string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS description
       FROM events GROUP BY user_id ORDER BY user_id"""
 
+  /** b12b — single-layer PMTiles fan-out (join_vector_tiles=false
+    * path): when the a1-parsed flag is false, fgb2pmtiles emits one
+    * PMTiles file PER layer named `{layer}.pmtiles`, plus an uploaded
+    * `.fgb` twin per file; when true, one multilayer file per dataset.
+    * ref processing.py:228-283 (per-layer tippecanoe, `.fgb` twin
+    * upload), ingest.py:64-66 (flag parse). The dataset's flag comes
+    * from its first queue message (min event_id), with the same parity
+    * algebra a1 parses out of the message text. ONE aggregate produces
+    * both the flag and the layer set — single scan, single shuffle,
+    * then the fan-out is a pure explode. */
+  def qPmtilesSingle(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val agg = e.groupBy("user_id")
+      .agg(min("event_id").as("first_event"),
+        array_sort(collect_set(col("event_type"))).as("layers"))
+      .withColumn("join_vector_tiles", col("first_event") % 2 === 0)
+    agg.select(col("user_id"), col("join_vector_tiles"), col("layers"),
+        explode(when(col("join_vector_tiles"), array(lit(null).cast("string")))
+          .otherwise(col("layers"))).as("layer"))
+      .select(col("user_id"), col("join_vector_tiles"), col("layer"),
+        when(col("layer").isNull,
+          concat(lit("dataset_user"), col("user_id").cast("string"), lit(".pmtiles")))
+          .otherwise(concat(col("layer"), lit(".pmtiles"))).as("pmtiles_name"),
+        when(col("layer").isNull, lit(null).cast("string"))
+          .otherwise(concat(col("layer"), lit(".pmtiles.fgb"))).as("fgb_twin"),
+        size(col("layers")).as("n_layers"))
+      .orderBy(col("user_id"), col("layer").asc_nulls_first)
+  }
+
+  val qPmtilesSingleSql: String =
+    """WITH agg AS (
+        SELECT user_id, MIN(event_id) AS first_event,
+          list_sort(list(DISTINCT event_type)) AS layers
+        FROM events GROUP BY user_id),
+      f AS (SELECT user_id, first_event % 2 = 0 AS join_vector_tiles, layers FROM agg),
+      x AS (
+        SELECT user_id, join_vector_tiles, layers,
+          unnest(CASE WHEN join_vector_tiles THEN [CAST(NULL AS VARCHAR)] ELSE layers END) AS layer
+        FROM f)
+      SELECT user_id, join_vector_tiles, layer,
+        CASE WHEN layer IS NULL THEN 'dataset_user' || CAST(user_id AS VARCHAR) || '.pmtiles'
+             ELSE layer || '.pmtiles' END AS pmtiles_name,
+        CASE WHEN layer IS NULL THEN NULL ELSE layer || '.pmtiles.fgb' END AS fgb_twin,
+        CAST(len(layers) AS INT) AS n_layers
+      FROM x ORDER BY user_id, layer NULLS FIRST"""
+
   /** b13 — inverse tiling: geographic bounds of each non-empty tile at
     * z=4 (morecantile Tile→bounds; tippecanoe tile cutting edges).
     * sinh spelled as (e^a - e^-a)/2 — the oracle engine lacks sinh. */
@@ -450,6 +496,7 @@ object GeoOps {
     "q_band_grouping" -> (qBandGrouping _),
     "q_subdatasets" -> (qSubdatasets _),
     "q_pmtiles_manifest" -> (qPmtilesManifest _),
+    "q_pmtiles_single" -> (qPmtilesSingle _),
     "q_tile_bounds" -> (qTileBounds _),
     "q_reproject_mercator" -> (qReprojectMercator _),
     "q_should_reproject" -> (qShouldReproject _),
@@ -468,6 +515,7 @@ object GeoOps {
     "q_band_grouping" -> qBandGroupingSql,
     "q_subdatasets" -> qSubdatasetsSql,
     "q_pmtiles_manifest" -> qPmtilesManifestSql,
+    "q_pmtiles_single" -> qPmtilesSingleSql,
     "q_tile_bounds" -> qTileBoundsSql,
     "q_reproject_mercator" -> qReprojectMercatorSql,
     "q_should_reproject" -> qShouldReprojectSql,

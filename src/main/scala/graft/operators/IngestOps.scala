@@ -329,7 +329,107 @@ object IngestOps {
         CASE WHEN i < 4 THEN chunk_len ELSE blob_size - chunk_len * 4 END AS length
       FROM x ORDER BY asset_id, i"""
 
+  /** a14 — archive inner-path algebra: prepare_arch_path prefixes the
+    * local absolute path with its GDAL vsi driver (ref utils.py:23-33,
+    * applied at processing.py:572), and GDAL then addresses each
+    * archive member as `{driver}{abs_path}/{member}`. Non-archives
+    * pass through unchanged (the ref's else branch) as member_idx 0;
+    * archives fan out one row per member. */
+  def qArchPath(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val ext = Synth.ext(col("event_id"))
+    val isArch = ext.isin(".zip", ".gz", ".tar", ".tgz", ".7z")
+    val vsi = when(ext === ".zip", "/vsizip/").when(ext === ".gz", "/vsigzip/")
+      .when(ext.isin(".tar", ".tgz"), "/vsitar/").when(ext === ".7z", "/vsi7z/")
+    val src = concat(lit("/data/"), Synth.fileName(col("event_id")))
+    e.select(col("event_id"),
+        when(isArch, concat(vsi, src)).otherwise(src).as("arch_path"),
+        when(isArch, (col("event_id") % 3 + 1).cast("int")).otherwise(lit(0)).as("n_members"))
+      .withColumn("member_idx",
+        explode(when(col("n_members") > 0, sequence(lit(1), col("n_members")))
+          .otherwise(array(lit(0)))))
+      .select(col("event_id"), col("arch_path"), col("member_idx"),
+        when(col("member_idx") === 0, col("arch_path"))
+          .otherwise(concat(col("arch_path"), lit("/member_"),
+            col("member_idx").cast("string"), lit(".shp"))).as("vsi_path"))
+      .orderBy("event_id", "member_idx")
+  }
+
+  val qArchPathSql: String = {
+    val ext = Synth.extSql
+    val archList = "('.zip','.gz','.tar','.tgz','.7z')"
+    val vsi = s"""CASE WHEN ($ext) = '.zip' THEN '/vsizip/'
+           WHEN ($ext) = '.gz' THEN '/vsigzip/'
+           WHEN ($ext) IN ('.tar','.tgz') THEN '/vsitar/'
+           ELSE '/vsi7z/' END"""
+    s"""WITH r AS (
+        SELECT event_id,
+          CASE WHEN ($ext) IN $archList
+               THEN ($vsi) || '/data/' || (${Synth.fileNameSql})
+               ELSE '/data/' || (${Synth.fileNameSql}) END AS arch_path,
+          CASE WHEN ($ext) IN $archList THEN CAST(event_id % 3 + 1 AS INT) ELSE 0 END AS n_members
+        FROM events),
+      x AS (
+        SELECT event_id, arch_path,
+          unnest(CASE WHEN n_members > 0 THEN generate_series(1, n_members)
+                      ELSE [CAST(0 AS BIGINT)] END) AS member_idx
+        FROM r)
+      SELECT event_id, arch_path, CAST(member_idx AS INT) AS member_idx,
+        CASE WHEN member_idx = 0 THEN arch_path
+             ELSE arch_path || '/member_' || CAST(member_idx AS VARCHAR) || '.shp' END AS vsi_path
+      FROM x ORDER BY event_id, member_idx"""
+  }
+
+  /** a15 — marker-blob state records: the reference writes sidecar
+    * blobs for transient states — `{datasets path}.timeout` with body
+    * "timeout" on cancellation/timeout (ref azblob.py:29-52,
+    * upload_timeout_blob) and `{blob path}.ingesting` with an empty
+    * body while an upload is in flight (ref azblob.py:114-131,
+    * upload_ingesting_blob). Both paths drop the container segment,
+    * exactly as the reference's split/join does. */
+  def qMarkerBlobs(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val fname = Synth.fileName(col("event_id"))
+    val raw = concat(lit("userdata/user"), col("user_id").cast("string"), lit("/raw/"), fname)
+    val rel = regexp_replace(
+      concat(regexp_replace(raw, "/raw/", "/datasets/"), lit("/"), fname),
+      "^userdata/", "")
+    val stage = when(col("event_type") === "signup", "downloaded")
+      .when(col("event_type").isin("view", "click"), "processing")
+      .when(col("event_type") === "purchase", "processed")
+      .otherwise("Cancelled")
+    e.select(col("event_id"), stage.as("stage"), rel.as("rel"))
+      .filter(col("stage").isin("processing", "Cancelled"))
+      .select(col("event_id"),
+        when(col("stage") === "Cancelled", "timeout").otherwise("ingesting").as("marker_kind"),
+        concat(col("rel"),
+          when(col("stage") === "Cancelled", ".timeout").otherwise(".ingesting")).as("marker_path"),
+        when(col("stage") === "Cancelled", "timeout").otherwise("").as("content"))
+      .orderBy("event_id")
+  }
+
+  val qMarkerBlobsSql: String =
+    s"""WITH p AS (
+        SELECT event_id,
+          CASE WHEN event_type = 'signup' THEN 'downloaded'
+               WHEN event_type IN ('view','click') THEN 'processing'
+               WHEN event_type = 'purchase' THEN 'processed'
+               ELSE 'Cancelled' END AS stage,
+          regexp_replace(
+            regexp_replace('userdata/user' || CAST(user_id AS VARCHAR) || '/raw/' || (${Synth.fileNameSql}),
+              '/raw/', '/datasets/') || '/' || (${Synth.fileNameSql}),
+            '^userdata/', '') AS rel
+        FROM events)
+      SELECT event_id,
+        CASE WHEN stage = 'Cancelled' THEN 'timeout' ELSE 'ingesting' END AS marker_kind,
+        rel || (CASE WHEN stage = 'Cancelled' THEN '.timeout' ELSE '.ingesting' END) AS marker_path,
+        CASE WHEN stage = 'Cancelled' THEN 'timeout' ELSE '' END AS content
+      FROM p WHERE stage IN ('processing', 'Cancelled')
+      ORDER BY event_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_arch_path" -> (qArchPath _),
+    "q_marker_blobs" -> (qMarkerBlobs _),
     "q_download_chunks" -> (qDownloadChunks _),
     "q_user_hash" -> (qUserHash _),
     "q_parse_props" -> (qParseProps _),
@@ -345,6 +445,8 @@ object IngestOps {
     "q_deadletter_stats" -> (qDeadletterStats _))
 
   val oracles: Map[String, String] = Map(
+    "q_arch_path" -> qArchPathSql,
+    "q_marker_blobs" -> qMarkerBlobsSql,
     "q_download_chunks" -> qDownloadChunksSql,
     "q_user_hash" -> qUserHashSql,
     "q_parse_props" -> qParsePropsSql,
