@@ -95,6 +95,33 @@ object IngestStream {
       .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(updateState)
   }
 
+  /** a cancel message from the pub/sub channel (ref utils.py:126-131) */
+  case class CancelMsg(url: String, cancelTimeMs: Long)
+
+  /** h3 — streaming cancel matching (stream-stream twin of the batch
+    * a7 left-semi join): cancel messages arrive on their OWN stream
+    * and apply to ingest events with the same url whose cancel arrives
+    * within the 1h ingest timeout after the event. Both sides carry
+    * watermarks and the join has a time-range bound, so Spark can
+    * evict join state — without them, 100 TB of history accumulates
+    * in the state store. Inner join ⇒ matches emit as soon as both
+    * sides arrive (no watermark wait). */
+  def cancelJoin(ingests: Dataset[IngestEvent], cancels: Dataset[CancelMsg]): DataFrame = {
+    val i = ingests.toDF()
+      .withColumn("ing_ts", timestamp_millis(col("eventTimeMs")))
+      .withWatermark("ing_ts", "1 hour")
+      .select(col("url"), col("user"), col("stage"), col("ing_ts"))
+    val c = cancels.toDF()
+      .withColumn("cancel_ts", timestamp_millis(col("cancelTimeMs")))
+      .withWatermark("cancel_ts", "1 hour")
+      .select(col("url").as("cancel_url"), col("cancel_ts"))
+    i.join(c,
+      col("url") === col("cancel_url") &&
+        col("cancel_ts") >= col("ing_ts") &&
+        col("cancel_ts") <= col("ing_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("url"), col("user"), col("stage"), col("ing_ts"), col("cancel_ts"))
+  }
+
   /** h2 — watermarked tumbling-window ingest throughput (streaming twin
     * of c7 q_events_window). */
   def windowedCounts(events: DataFrame): DataFrame =

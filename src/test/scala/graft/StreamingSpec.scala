@@ -90,6 +90,32 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("h3: stream-stream cancel join matches url within the timeout interval") {
+    import spark.implicits._
+    import graft.streaming.IngestStream.CancelMsg
+    implicit val sqlCtx = spark.sqlContext
+    val ingests = MemoryStream[IngestEvent]
+    val cancels = MemoryStream[CancelMsg]
+    val query = IngestStream.cancelJoin(ingests.toDS(), cancels.toDS())
+      .writeStream.format("memory").queryName("cancel_matches")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val h = 3600 * 1000L
+      ingests.addData(
+        IngestEvent("https://acct/u1/raw/a.gpkg", "u1", "processing", 50, 10 * h),
+        IngestEvent("https://acct/u2/raw/b.tif", "u2", "processing", 40, 10 * h))
+      query.processAllAvailable()
+      cancels.addData(
+        CancelMsg("https://acct/u1/raw/a.gpkg", 10 * h + 60000L), // in window → match
+        CancelMsg("https://acct/u2/raw/b.tif", 12 * h),           // > 1h later → no match
+        CancelMsg("https://acct/u3/raw/c.nc", 10 * h + 1))        // unknown url → no match
+      query.processAllAvailable()
+      val rows = spark.table("cancel_matches").collect()
+      assert(rows.map(_.getAs[String]("url")).toSeq == Seq("https://acct/u1/raw/a.gpkg"),
+        rows.mkString(";"))
+    } finally query.stop()
+  }
+
   test("h2: windowed counts aggregate per stage (batch twin checked by oracle)") {
     import spark.implicits._
     val df = Seq(
