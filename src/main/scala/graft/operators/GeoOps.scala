@@ -349,6 +349,62 @@ object GeoOps {
         CAST(len(layers) AS INT) AS n_layers
       FROM x ORDER BY user_id, layer NULLS FIRST"""
 
+  /** b17 — tippecanoe zoom/simplification/drop plan: the reference's
+    * tippecanoe invocation (ref processing.py:236-255) passes `-zg`
+    * (guess maxzoom), `--simplify-only-low-zooms` (simplify every zoom
+    * BELOW maxzoom, keep full detail at maxzoom) and relies on
+    * tippecanoe's feature dropping when a zoom's tile budget is
+    * exceeded; `--extend-zooms-if-still-dropping` raises maxzoom until
+    * nothing drops. Per (layer, zoom) accounting with a 500-feature
+    * tile budget over 4^z tiles: kept = min(features, 500·4^z),
+    * integer-exact via bin-length log2 in BOTH engines. */
+  def qTippecanoePlan(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val perLayer = e.groupBy(col("event_type").as("layer"))
+      .agg(count(lit(1)).as("features"))
+      .withColumn("maxzoom", expr("least(22, (length(bin(features)) + 1) div 2)").cast("int"))
+      // smallest z with 500*4^z >= features: ceil(log4(ceil(features/500)))
+      .withColumn("m", expr("(features + 499) div 500"))
+      .withColumn("no_drop_zoom", when(col("m") <= 1, 0)
+        .otherwise(expr("(length(bin(m - 1)) + 1) div 2")).cast("int"))
+      .withColumn("extended_maxzoom", least(lit(24), greatest(col("maxzoom"), col("no_drop_zoom"))))
+    perLayer.select(col("layer"), col("features"), col("maxzoom"), col("extended_maxzoom"),
+        explode(sequence(lit(0), col("maxzoom"))).as("z"))
+      .withColumn("tile_budget", expr("500 * CAST(pow(4, z) AS BIGINT)"))
+      .withColumn("kept", least(col("features"), col("tile_budget")))
+      .withColumn("dropped", col("features") - col("kept"))
+      .withColumn("simplify", col("z") < col("maxzoom"))
+      .select("layer", "z", "features", "kept", "dropped", "simplify",
+        "maxzoom", "extended_maxzoom")
+      .orderBy("layer", "z")
+  }
+
+  val qTippecanoePlanSql: String =
+    """WITH l AS (
+        SELECT event_type AS layer, COUNT(*) AS features FROM events GROUP BY event_type),
+      p AS (
+        SELECT layer, features,
+          CAST(LEAST(22, (length(bin(features)) + 1) // 2) AS INT) AS maxzoom,
+          (features + 499) // 500 AS m
+        FROM l),
+      p2 AS (
+        SELECT layer, features, maxzoom,
+          CAST(CASE WHEN m <= 1 THEN 0 ELSE (length(bin(m - 1)) + 1) // 2 END AS INT) AS no_drop_zoom
+        FROM p),
+      p3 AS (
+        SELECT layer, features, maxzoom,
+          CAST(LEAST(24, GREATEST(maxzoom, no_drop_zoom)) AS INT) AS extended_maxzoom
+        FROM p2),
+      x AS (
+        SELECT layer, features, maxzoom, extended_maxzoom,
+          CAST(unnest(generate_series(0, maxzoom)) AS INT) AS z
+        FROM p3)
+      SELECT layer, z, features,
+        LEAST(features, 500 * CAST(pow(4, z) AS BIGINT)) AS kept,
+        features - LEAST(features, 500 * CAST(pow(4, z) AS BIGINT)) AS dropped,
+        z < maxzoom AS simplify, maxzoom, extended_maxzoom
+      FROM x ORDER BY layer, z"""
+
   /** b13 — inverse tiling: geographic bounds of each non-empty tile at
     * z=4 (morecantile Tile→bounds; tippecanoe tile cutting edges).
     * sinh spelled as (e^a - e^-a)/2 — the oracle engine lacks sinh. */
@@ -497,6 +553,7 @@ object GeoOps {
     "q_subdatasets" -> (qSubdatasets _),
     "q_pmtiles_manifest" -> (qPmtilesManifest _),
     "q_pmtiles_single" -> (qPmtilesSingle _),
+    "q_tippecanoe_plan" -> (qTippecanoePlan _),
     "q_tile_bounds" -> (qTileBounds _),
     "q_reproject_mercator" -> (qReprojectMercator _),
     "q_should_reproject" -> (qShouldReproject _),
@@ -516,6 +573,7 @@ object GeoOps {
     "q_subdatasets" -> qSubdatasetsSql,
     "q_pmtiles_manifest" -> qPmtilesManifestSql,
     "q_pmtiles_single" -> qPmtilesSingleSql,
+    "q_tippecanoe_plan" -> qTippecanoePlanSql,
     "q_tile_bounds" -> qTileBoundsSql,
     "q_reproject_mercator" -> qReprojectMercatorSql,
     "q_should_reproject" -> qShouldReprojectSql,

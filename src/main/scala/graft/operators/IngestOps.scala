@@ -427,9 +427,54 @@ object IngestOps {
       FROM p WHERE stage IN ('processing', 'Cancelled')
       ORDER BY event_id"""
 
+  /** a16 — pub/sub relay: the reference publishes every
+    * {user,url,stage,progress} payload to the 'datapipeline' group and
+    * each subscriber filters the feed for its own uploads (ref
+    * wsockets/client_pub.py, client_sub.py, processing.py:602-608).
+    * Subscribers stand in as customers watching one user's uploads;
+    * delivery = equi-join of the message feed to the subscriber roster
+    * on the watched user, aggregated per subscriber. At scale both
+    * sides hash-partition on the user key — one shuffle, no fan-out
+    * hot spot because the group filter IS the join key. */
+  def qPubsubFanout(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val c = Tables(spark, dir, "customer")
+    val stage = when(col("event_type") === "signup", "downloaded")
+      .when(col("event_type").isin("view", "click"), "processing")
+      .when(col("event_type") === "purchase", "processed")
+      .otherwise("Cancelled")
+    val msgs = e.select(col("user_id"), stage.as("stage"),
+      floor(col("value")).cast("int").as("progress"))
+    val subs = c.select(col("c_custkey").as("sub_id"),
+      (col("c_custkey") % 1500L).as("watch_user"))
+    msgs.join(subs, col("user_id") === col("watch_user"))
+      .groupBy("sub_id")
+      .agg(count(lit(1)).as("n_delivered"),
+        sum(when(col("stage") === "processed", 1L).otherwise(0L)).as("n_processed"),
+        max(col("progress")).as("max_progress"))
+      .orderBy("sub_id")
+  }
+
+  val qPubsubFanoutSql: String =
+    """WITH msgs AS (
+        SELECT user_id,
+          CASE WHEN event_type = 'signup' THEN 'downloaded'
+               WHEN event_type IN ('view','click') THEN 'processing'
+               WHEN event_type = 'purchase' THEN 'processed'
+               ELSE 'Cancelled' END AS stage,
+          CAST(FLOOR(value) AS INT) AS progress
+        FROM events),
+      subs AS (SELECT c_custkey AS sub_id, c_custkey % 1500 AS watch_user FROM customer)
+      SELECT sub_id, COUNT(*) AS n_delivered,
+        CAST(SUM(CASE WHEN stage = 'processed' THEN 1 ELSE 0 END) AS BIGINT) AS n_processed,
+        MAX(progress) AS max_progress
+      FROM msgs JOIN subs ON user_id = watch_user
+      GROUP BY sub_id ORDER BY sub_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_arch_path" -> (qArchPath _),
     "q_marker_blobs" -> (qMarkerBlobs _),
+    "q_pubsub_fanout" -> (qPubsubFanout _),
     "q_download_chunks" -> (qDownloadChunks _),
     "q_user_hash" -> (qUserHash _),
     "q_parse_props" -> (qParseProps _),
@@ -447,6 +492,7 @@ object IngestOps {
   val oracles: Map[String, String] = Map(
     "q_arch_path" -> qArchPathSql,
     "q_marker_blobs" -> qMarkerBlobsSql,
+    "q_pubsub_fanout" -> qPubsubFanoutSql,
     "q_download_chunks" -> qDownloadChunksSql,
     "q_user_hash" -> qUserHashSql,
     "q_parse_props" -> qParsePropsSql,
