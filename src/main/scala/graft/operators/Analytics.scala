@@ -171,6 +171,35 @@ object Analytics {
        GROUP BY CUBE(r_name, c_mktsegment)
        ORDER BY r_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST"""
 
+  // c5c — explicit GROUPING SETS: arbitrary set lists are strictly
+  // more general than rollup/cube (here: (flag,status), (flag), ()
+  // but NOT (status)); Catalyst expands them into one Expand node —
+  // a single scan + single agg shuffle regardless of the set count.
+  // The grouping flag is expressed as IS NULL arithmetic so both
+  // engines agree without relying on grouping_id() numbering.
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "lineitem").createOrReplaceTempView("graft_li_gs")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+           (CASE WHEN l_returnflag IS NULL THEN 2 ELSE 0 END
+            + CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS gset,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+         FROM graft_li_gs
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+  }
+
+  val qGroupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+         (CASE WHEN l_returnflag IS NULL THEN 2 ELSE 0 END
+          + CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS gset,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+       ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+
   // c6 — exists / not-exists: customers with vs without orders.
   def qSemiAnti(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables(spark, dir, "customer")
@@ -433,6 +462,7 @@ object Analytics {
     "q_window_rank" -> (qWindowRank _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
+    "q_grouping_sets" -> (qGroupingSets _),
     "q_semi_anti" -> (qSemiAnti _),
     "q_events_window" -> (qEventsWindow _),
     "q_sessionize" -> (qSessionize _))
@@ -449,6 +479,7 @@ object Analytics {
     "q_window_rank" -> qWindowRankSql,
     "q_rollup" -> qRollupSql,
     "q_cube" -> qCubeSql,
+    "q_grouping_sets" -> qGroupingSetsSql,
     "q_semi_anti" -> qSemiAntiSql,
     "q_events_window" -> qEventsWindowSql,
     "q_sessionize" -> qSessionizeSql)

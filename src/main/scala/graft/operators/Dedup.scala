@@ -326,7 +326,65 @@ object Dedup {
       WHERE ${Ann.cosineDuck("x.embedding", "y.embedding")} >= 0.45
       ORDER BY vec_a, vec_b"""
 
+  /** d6 — near-dup connected components: LSH pairs only say "a≈b";
+    * real corpus dedup must group transitively (a≈b, b≈c ⇒ one
+    * cluster, keep one canonical doc). Pregel-style min-label
+    * propagation over the verified MinHash pair graph: every node
+    * starts as its own label, each round adopts the min label among
+    * itself and its neighbors, convergence in O(component diameter)
+    * rounds — the standard distributed CC (each round = one join +
+    * one partial-agg shuffle; localCheckpoint breaks the growing
+    * lineage exactly as an iterative production job would persist
+    * between rounds). Driver-side logic is loop CONTROL only (a
+    * per-round convergence count), never data. Oracle: DuckDB
+    * recursive CTE reaching the same fixpoint. */
+  def qDedupCc(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = qDedupMinhash(spark, dir).select("doc_a", "doc_b")
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+      .localCheckpoint(false)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(false)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("nlabel")), "dst")
+        .groupBy(col("src").as("id")).agg(min("nlabel").as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint(false)
+      changed = next.join(labels.select(col("id"), col("label").as("prev")), "id")
+        .filter(col("label") =!= col("prev")).count()
+      labels = next
+      rounds += 1
+    }
+    labels.groupBy(col("label").as("component"))
+      .agg(count(lit(1)).as("n_docs"), max("id").as("max_doc"))
+      .orderBy("component")
+  }
+
+  val qDedupCcSql: String = {
+    val pairsInner = qDedupMinhashSql
+    s"""WITH RECURSIVE mp AS (SELECT doc_a, doc_b FROM ($pairsInner) q),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM mp
+        UNION ALL SELECT doc_b, doc_a FROM mp),
+      nodes AS (SELECT DISTINCT src AS id FROM edges),
+      reach(id, label) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id)
+      SELECT MIN(label) AS component, COUNT(*) AS n_docs, MAX(id) AS max_doc
+      FROM (SELECT id, MIN(label) AS label FROM reach GROUP BY id) c
+      GROUP BY label ORDER BY component"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_cc" -> (qDedupCc _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
@@ -336,6 +394,7 @@ object Dedup {
     "q_dedup_embedding" -> (qDedupEmbedding _))
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_cc" -> qDedupCcSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_minhash" -> qDedupMinhashSql,
     "q_dedup_simhash" -> qDedupSimhashSql,

@@ -164,7 +164,69 @@ object TextOps {
       WHERE round(s.score, 6) >= 0.35
       ORDER BY s.doc_id"""
 
+  /** f7 — stratified training-mix sampling: a training corpus is
+    * assembled to target proportions per stratum (here: language).
+    * Selection must be DETERMINISTIC and shuffle-free so reruns and
+    * retries pick identical docs at any scale: keep doc ⟺
+    * hash(doc_id) mod 1000 < rate(lang), with the hash read off md5
+    * hex digits (engine-neutral — no shared integer hash exists).
+    * Pure map + filter: no shuffle until the caller aggregates. */
+  val mixRates: Map[String, Int] = // per-mille keep rates
+    Map("en" -> 800, "de" -> 500, "es" -> 300, "fr" -> 100)
+
+  def qSampleMix(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val rate = mixRates.foldLeft(lit(0)) { case (acc, (l, r)) =>
+      when(col("lang") === l, r).otherwise(acc)
+    }
+    // 3 hex digits of md5(doc_id) → uniform 0..4095, mod 1000
+    def digit(i: Int) = expr(s"locate(substr(md5(CAST(doc_id AS STRING)), $i, 1), '0123456789abcdef') - 1")
+    val v = (digit(1) * 256 + digit(2) * 16 + digit(3)) % 1000
+    d.select(col("doc_id"), col("lang"), v.cast("int").as("ticket"))
+      .withColumn("rate", rate)
+      .filter(col("ticket") < col("rate"))
+      .select("doc_id", "lang", "ticket")
+      .orderBy("doc_id")
+  }
+
+  val qSampleMixSql: String = {
+    val rate = "CASE lang WHEN 'en' THEN 800 WHEN 'de' THEN 500 WHEN 'es' THEN 300 WHEN 'fr' THEN 100 ELSE 0 END"
+    def digit(i: Int) = s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
+    s"""WITH t AS (
+        SELECT doc_id, lang,
+          CAST((${digit(1)} * 256 + ${digit(2)} * 16 + ${digit(3)}) % 1000 AS INT) AS ticket
+        FROM documents)
+      SELECT doc_id, lang, ticket FROM t
+      WHERE ticket < ($rate) ORDER BY doc_id"""
+  }
+
+  /** f8 — PII-style redaction pass: numbers and @-handles replaced by
+    * placeholder tokens before training; per-doc redaction counts plus
+    * an md5 fingerprint of the redacted text (the text itself stays in
+    * place — the fingerprint keeps the dumped result narrow). Pure
+    * map — regexp_replace/extract_all are codegen'd. */
+  def qRedactPii(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    d.select(col("doc_id"), col("text"))
+      .withColumn("n_nums", size(expr("regexp_extract_all(text, '[0-9]+', 0)")))
+      .withColumn("n_handles", size(expr("regexp_extract_all(text, '@[a-z]+', 0)")))
+      .withColumn("redacted_md5",
+        md5(regexp_replace(regexp_replace(col("text"), "[0-9]+", "<NUM>"),
+          "@[a-z]+", "<HANDLE>")))
+      .select("doc_id", "n_nums", "n_handles", "redacted_md5")
+      .orderBy("doc_id")
+  }
+
+  val qRedactPiiSql: String =
+    """SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_nums,
+        CAST(len(regexp_extract_all(text, '@[a-z]+')) AS INT) AS n_handles,
+        md5(regexp_replace(regexp_replace(text, '[0-9]+', '<NUM>', 'g'), '@[a-z]+', '<HANDLE>', 'g')) AS redacted_md5
+      FROM documents ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_mix" -> (qSampleMix _),
+    "q_redact_pii" -> (qRedactPii _),
     "q_vocab" -> (qVocab _),
     "q_corpus_filter" -> (qCorpusFilter _),
     "q_lang_id" -> (qLangId _),
@@ -173,6 +235,8 @@ object TextOps {
     "q_fingerprint" -> (qFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q_sample_mix" -> qSampleMixSql,
+    "q_redact_pii" -> qRedactPiiSql,
     "q_vocab" -> qVocabSql,
     "q_corpus_filter" -> qCorpusFilterSql,
     "q_lang_id" -> qLangIdSql,
