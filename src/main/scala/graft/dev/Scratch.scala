@@ -1,6 +1,8 @@
 package graft.dev
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns._
 
 /** dev tool: ad-hoc timing of subplans (not part of the library). */
 object Scratch {
@@ -18,17 +20,28 @@ object Scratch {
       f
       println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    graft.Tables(spark, sfDir, "documents").count()
-    (1 to 2).foreach { i =>
-      time(s"simhash64 #$i") {
-        graft.operators.Dedup.simhash64(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-      }
-      time(s"full q_simhash_near #$i") {
-        graft.operators.Dedup.qSimhashNear(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-      }
-    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val d = graft.Tables(spark, sfDir, "documents")
+    d.count()
+    val inv0 = d.select(col("doc_id"), expr(shSpark).as("sh"))
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    time("inv0 (shingle explode)")(noop(inv0))
+    time("inv0 again")(noop(inv0))
+    val drop = inv0.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > 50).select("shingle")
+    time("drop agg")(noop(drop))
+    val inv = inv0.join(broadcast(drop), Seq("shingle"), "left_anti")
+    time("inv anti-join")(noop(inv))
+    val invC = inv.localCheckpoint(false)
+    time("checkpoint materialize")(invC.count())
+    val cand = invC.as("x").join(invC.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared")).filter(col("shared") >= 6)
+    time("cand join+agg")(noop(cand))
+    time("full q_ngram_jaccard")(noop(graft.operators.Dedup.qNgramJaccard(spark, sfDir)))
+    time("full again")(noop(graft.operators.Dedup.qNgramJaccard(spark, sfDir)))
     spark.stop()
   }
 }

@@ -200,6 +200,35 @@ object Analytics {
        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
 
+  // c15 — correlated scalar subqueries: orders priced above their own
+  // customer's average. Catalyst decorrelates both subqueries into
+  // aggregated joins (DecorrelateInnerQuery) — no per-row re-execution
+  // at any scale. "Above average" is expressed multiplication-only
+  // (p·count > sum over DECIMAL) so both engines compare exact values
+  // — an AVG division would put borderline rows at float mercy.
+  def qScalarSubq(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders").createOrReplaceTempView("graft_orders_corr")
+    spark.sql(
+      """WITH o AS (
+           SELECT o_custkey, o_orderpriority, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+           FROM graft_orders_corr)
+         SELECT o_orderpriority, COUNT(*) AS n_above
+         FROM o
+         WHERE p * (SELECT COUNT(*) FROM o o2 WHERE o2.o_custkey = o.o_custkey)
+             > (SELECT SUM(p) FROM o o2 WHERE o2.o_custkey = o.o_custkey)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  }
+
+  val qScalarSubqSql: String =
+    """WITH o AS (
+         SELECT o_custkey, o_orderpriority, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+         FROM orders)
+       SELECT o_orderpriority, COUNT(*) AS n_above
+       FROM o
+       WHERE p * (SELECT COUNT(*) FROM o o2 WHERE o2.o_custkey = o.o_custkey)
+           > (SELECT SUM(p) FROM o o2 WHERE o2.o_custkey = o.o_custkey)
+       GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   // c6 — exists / not-exists: customers with vs without orders.
   def qSemiAnti(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables(spark, dir, "customer")
@@ -463,6 +492,7 @@ object Analytics {
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
     "q_grouping_sets" -> (qGroupingSets _),
+    "q_scalar_subq" -> (qScalarSubq _),
     "q_semi_anti" -> (qSemiAnti _),
     "q_events_window" -> (qEventsWindow _),
     "q_sessionize" -> (qSessionize _))
@@ -480,6 +510,7 @@ object Analytics {
     "q_rollup" -> qRollupSql,
     "q_cube" -> qCubeSql,
     "q_grouping_sets" -> qGroupingSetsSql,
+    "q_scalar_subq" -> qScalarSubqSql,
     "q_semi_anti" -> qSemiAntiSql,
     "q_events_window" -> qEventsWindowSql,
     "q_sessionize" -> qSessionizeSql)

@@ -264,13 +264,18 @@ object Dedup {
     * the LSH bands do, and the df cap bounds every posting list. */
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir, "documents")
+    // materialized once: the shingle explode is the interpreted-lambda
+    // hot spot and inv0 feeds the df agg AND both capped-index sides
     val inv0 = d.select(col("doc_id"), expr(shSpark).as("sh"))
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val keep = inv0.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= ngramDfCap)
-    // capped index, shared 3 ways (self-join sides + size agg) — see
-    // qDedupMinhash for why this is materialized
-    val inv = inv0.join(keep.select("shingle"), "shingle").localCheckpoint(false)
+      .localCheckpoint(false)
+    // the DROP set (df > cap) is small by construction — boilerplate
+    // shingles are few in kind even when huge in volume — so the cap
+    // is a broadcast anti-join: a map-side filter over materialized
+    // inv0, no extra shuffle or re-partition of the full index
+    val drop = inv0.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > ngramDfCap).select("shingle")
+    val inv = inv0.join(broadcast(drop), Seq("shingle"), "left_anti")
     val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val cand = inv.as("x").join(inv.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))

@@ -24,6 +24,23 @@ object DatasetsSink {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Scan-optimized write: zstd compression (the reference's COG
+    * profile compresses with ZSTD too — config.py gdal_configs),
+    * sortWithinPartitions clusters rows so min/max page stats prune
+    * aggressively, and parquet bloom filters serve point lookups on
+    * high-cardinality key columns that dictionary stats can't. At
+    * 100 TB this is the difference between "scan the partition" and
+    * "read three pages of it". */
+  def writeOptimized(df: DataFrame, path: String,
+      sortCols: Seq[String], bloomCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    var w = df.sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd")
+    bloomCols.foreach(c => w = w.option(s"parquet.bloom.filter.enabled#$c", "true"))
+    w.parquet(path)
+  }
+
   /** Read back one partition (one user's datasets) — partition pruning
     * keeps this O(selected data). */
   def readUser(spark: org.apache.spark.sql.SparkSession, path: String,

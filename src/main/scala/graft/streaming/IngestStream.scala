@@ -122,6 +122,44 @@ object IngestStream {
       .select(col("url"), col("user"), col("stage"), col("ing_ts"), col("cancel_ts"))
   }
 
+  /** per-user running ingest-session summary (h4 output) */
+  case class UserSession(user: String, nEvents: Int, firstMs: Long, lastMs: Long)
+
+  /** h4 — per-user session tracking via mapGroupsWithState (the
+    * one-output-per-group-per-batch sibling of h1's flatMap variant;
+    * streaming twin of the batch c8 sessionize): accumulates event
+    * count and first/last timestamps per user across batches. Update
+    * output mode — each batch re-emits the group's current summary.
+    * State is one small record per active user, hash-partitioned. */
+  def userSessions(events: Dataset[IngestEvent]): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: String, evs: Iterator[IngestEvent], state: GroupState[UserSession]) =>
+          val batch = evs.toSeq
+          val prev = state.getOption.getOrElse(
+            UserSession(user, 0, Long.MaxValue, Long.MinValue))
+          val next = UserSession(user,
+            prev.nEvents + batch.size,
+            math.min(prev.firstMs, batch.map(_.eventTimeMs).min),
+            math.max(prev.lastMs, batch.map(_.eventTimeMs).max))
+          state.update(next)
+          next
+      }
+  }
+
+  /** h5 — streaming exact dedup (the LLM-pipeline ingest guard): drop
+    * re-deliveries of the same content key as documents stream in.
+    * dropDuplicatesWithinWatermark bounds the key state to the
+    * watermark horizon — unbounded-history dedup state is exactly what
+    * kills a 100 TB stream; beyond the horizon the batch d1 operator
+    * owns exact dedup. */
+  def streamingDedup(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ts", timestamp_millis(col("eventTimeMs")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("contentKey")
+
   /** h2 — watermarked tumbling-window ingest throughput (streaming twin
     * of c7 q_events_window). */
   def windowedCounts(events: DataFrame): DataFrame =

@@ -1,0 +1,56 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.functions._
+
+import graft.sources.DatasetsSink
+
+/** Scan-optimized write path: zstd codec, in-partition clustering,
+  * parquet bloom filters on point-lookup keys.
+  */
+class SinkSpec extends SparkTestBase {
+
+  test("writeOptimized emits zstd parquet with bloom filters on the key column") {
+    val out = Files.createTempDirectory("graft_sink").toString
+    // bloom filters target HIGH-cardinality point-lookup keys (content
+    // hashes); low-cardinality columns stay fully dictionary-encoded
+    // and parquet rightly drops their (redundant) bloom filter
+    val df = spark.range(30000).select(
+      col("id"),
+      concat(md5(col("id").cast("string")), md5(concat(lit("x"), col("id").cast("string"))),
+        md5(concat(lit("y"), col("id").cast("string"))), md5(concat(lit("z"), col("id").cast("string"))))
+        .as("content_key"),
+      (col("id") % 100).as("user_id"))
+    DatasetsSink.writeOptimized(df.repartition(2), out,
+      sortCols = Seq("user_id"), bloomCols = Seq("content_key"))
+
+    val files = new File(out).listFiles.filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    assert(files.forall(_.getName.contains(".zstd.")),
+      s"expected zstd codec in file names, got ${files.map(_.getName).toSeq}")
+
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(files.head.getPath), new Configuration()))
+    try {
+      val cols = reader.getFooter.getBlocks.get(0).getColumns
+      val byName = (0 until cols.size()).map(cols.get)
+        .map(c => c.getPath.toDotString -> c).toMap
+      assert(byName("content_key").getBloomFilterOffset >= 0,
+        "content_key must carry a bloom filter")
+      assert(byName("id").getBloomFilterOffset < 0,
+        "bloom filters only on requested columns")
+    } finally reader.close()
+
+    // round-trip + point lookup still correct
+    val back = spark.read.parquet(out)
+    assert(back.count() == df.count())
+    val probe = df.where(col("id") === 7).select("content_key").collect()(0).getString(0)
+    assert(back.where(col("content_key") === probe).count() == 1)
+  }
+}

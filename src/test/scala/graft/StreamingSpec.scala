@@ -116,6 +116,44 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("h4: mapGroupsWithState session summary accumulates across batches") {
+    import spark.implicits._
+    import graft.streaming.IngestStream.UserSession
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[IngestEvent]
+    val query = IngestStream.userSessions(input.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        IngestEvent("u1/a", "u1", "downloaded", 30, 1000L),
+        IngestEvent("u1/a", "u1", "processing", 60, 2000L))
+      query.processAllAvailable()
+      input.addData(IngestEvent("u1/b", "u1", "processing", 70, 5000L))
+      query.processAllAvailable()
+      val last = spark.table("sessions").as[UserSession].collect().maxBy(_.nEvents)
+      assert(last == UserSession("u1", 3, 1000L, 5000L))
+    } finally query.stop()
+  }
+
+  test("h5: streaming dedup drops re-delivered content keys within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val query = IngestStream.streamingDedup(
+        input.toDF().toDF("contentKey", "eventTimeMs"))
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(("k1", 1000L), ("k1", 2000L), ("k2", 3000L))
+      query.processAllAvailable()
+      input.addData(("k1", 60000L), ("k3", 61000L)) // k1 re-delivered in-watermark
+      query.processAllAvailable()
+      val keys = spark.table("deduped").collect().map(_.getAs[String]("contentKey"))
+      assert(keys.sorted.toSeq == Seq("k1", "k2", "k3"), keys.mkString(","))
+    } finally query.stop()
+  }
+
   test("h2: windowed counts aggregate per stage (batch twin checked by oracle)") {
     import spark.implicits._
     val df = Seq(
