@@ -32,14 +32,6 @@ object TextFns {
     "list_distinct(list_transform(generate_series(1, GREATEST(len(string_split(text, ' ')) - 2, 0)), " +
       "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1] || ' ' || string_split(text, ' ')[i + 2]))"
 
-  /** K minhash values over a shingle-array column named `sh`:
-    * mh[k] = lexicographic min of md5("k:" + shingle). */
-  def mhSpark(k: Int): String =
-    s"transform(sequence(0, ${k - 1}), k -> array_min(transform(sh, x -> md5(concat(cast(k AS string), ':', x)))))"
-
-  def mhDuck(k: Int): String =
-    s"list_transform(generate_series(0, ${k - 1}), k -> list_min(list_transform(sh, x -> md5(CAST(k AS VARCHAR) || ':' || x))))"
-
   /** normalized text (lowercase, collapsed whitespace, trimmed) */
   val normSpark = "trim(regexp_replace(lower(text), ' +', ' '))"
   val normDuck = "trim(regexp_replace(lower(text), ' +', ' ', 'g'))"

@@ -37,7 +37,11 @@ object Dedup {
     * partial aggregation, an order of magnitude faster than the
     * equivalent interpreted array-lambda fold (and the shuffle it adds
     * is on doc_id, which partial aggs shrink to one row per doc per
-    * partition). */
+    * partition). The 8 minhashes are 4-hex-digit SLICES of ONE md5
+    * per shingle (own projection so it isn't inlined 8×) — candidate
+    * quality is LSH-grade either way and the exact-Jaccard verify
+    * step decides membership, so hashing once instead of 8× is pure
+    * savings. */
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir, "documents")
     // materialize the shingle sets once: this subplan is referenced 4×
@@ -47,9 +51,10 @@ object Dedup {
     val sh = d.select(col("doc_id"), expr(shSpark).as("sh"))
       .filter(size(col("sh")) > 0)
       .localCheckpoint(false)
-    val mins = (0 until 8).map(k => min(md5(concat(lit(s"$k:"), col("s")))).as(s"h$k"))
-    val sig = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-      .groupBy("doc_id")
+    val hashed = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), md5(col("s")).as("h"))
+    val mins = (0 until 8).map(k => min(expr(s"substr(h, ${4 * k + 1}, 4)")).as(s"h$k"))
+    val sig = hashed.groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
     val bands = sig.select(col("doc_id"), explode(array((0 until 4).map { b =>
         struct(lit(b).as("b"), md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bkey"))
@@ -75,7 +80,9 @@ object Dedup {
     s"""WITH s AS (
         SELECT doc_id, $shDuck AS sh FROM documents),
       sh AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
-      sig AS (SELECT doc_id, sh, ${mhDuck(8)} AS mh FROM sh),
+      hs AS (SELECT doc_id, sh, list_transform(sh, x -> md5(x)) AS hl FROM sh),
+      sig AS (SELECT doc_id, sh, list_transform(generate_series(0, 7),
+        k -> list_min(list_transform(hl, h -> substr(h, CAST(4 * k + 1 AS INT), 4)))) AS mh FROM hs),
       bx AS (SELECT doc_id, mh, unnest(generate_series(0, 3)) AS b FROM sig),
       bands AS (SELECT doc_id, b, md5(mh[2 * b + 1] || mh[2 * b + 2]) AS bkey FROM bx),
       cand AS (

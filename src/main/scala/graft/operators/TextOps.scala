@@ -144,6 +144,9 @@ object TextOps {
         (expr(hitsSpark("en")).cast("double") / expr(s"size($toksSpark)") * 0.5
           + (lit(1.0) - (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("double") / length(col("text"))) * 0.3
           + least(length(regexp_replace(col("text"), "[^a-z0-9]", "")).cast("double") / expr(s"size($toksSpark)") / 10.0, lit(1.0)) * 0.2).as("score"))
+      // materialized once: the scoring projection (several regex passes
+      // over text) feeds both the keeper agg and the join probe side
+      .localCheckpoint(false)
     val keepers = scored.groupBy("content_key").agg(min("doc_id").as("keeper"))
     scored.join(keepers, scored("doc_id") === keepers("keeper"))
       .filter(round(col("score"), 6) >= 0.35)
