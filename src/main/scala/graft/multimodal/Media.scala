@@ -97,12 +97,76 @@ object Media {
       .orderBy("doc_id")
   }
 
+  /** g3 — frame-sampling plan: each video contributes ≤ 8 evenly
+    * spaced frames (the standard "sample k frames for the vision
+    * encoder" step); per-frame timestamps at 24 fps in integer ms.
+    * Pure arithmetic fan-out — the decode of each sampled frame would
+    * slot into the g2 mapPartitions stage. */
+  def qFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val isVideo = ascii(substring(col("text"), 1, 1)).between(113, 120)
+    d.filter(isVideo)
+      .select(col("doc_id"), (col("n_chars") % 24 + 1).cast("int").as("frames"))
+      .withColumn("step", expr("(frames + 7) div 8").cast("int"))
+      .withColumn("frame_idx", explode(expr("sequence(0, frames - 1, step)")))
+      .withColumn("ts_ms", expr("(CAST(frame_idx AS BIGINT) * 1000) div 24"))
+      .select("doc_id", "frames", "frame_idx", "ts_ms")
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val qFrameSampleSql: String =
+    """WITH v AS (
+        SELECT doc_id, CAST(n_chars % 24 + 1 AS INT) AS frames
+        FROM documents WHERE ascii(substr(text, 1, 1)) BETWEEN 113 AND 120),
+      s AS (SELECT doc_id, frames, CAST((frames + 7) // 8 AS INT) AS step FROM v),
+      x AS (SELECT doc_id, frames, CAST(unnest(generate_series(0, frames - 1, step)) AS INT) AS frame_idx FROM s)
+      SELECT doc_id, frames, frame_idx,
+        CAST(CAST(frame_idx AS BIGINT) * 1000 // 24 AS BIGINT) AS ts_ms
+      FROM x ORDER BY doc_id, frame_idx"""
+
+  /** g4 — letterbox resize plan to a 224×224 encoder input: integer
+    * rational arithmetic only (scale = 224/max(w,h) applied as
+    * multiply-then-div) so both engines agree exactly; pad centers
+    * the short side. */
+  def qResizePlan(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val isImage = ascii(substring(col("text"), 1, 1)).between(97, 104)
+    d.filter(isImage)
+      .select(col("doc_id"),
+        (col("n_chars") % 640 + 16).cast("int").as("width"),
+        (col("doc_id") % 480 + 16).cast("int").as("height"))
+      .withColumn("long_side", greatest(col("width"), col("height")))
+      .withColumn("out_w", expr("(width * 224) div long_side").cast("int"))
+      .withColumn("out_h", expr("(height * 224) div long_side").cast("int"))
+      .withColumn("pad_x", expr("(224 - out_w) div 2").cast("int"))
+      .withColumn("pad_y", expr("(224 - out_h) div 2").cast("int"))
+      .select("doc_id", "width", "height", "out_w", "out_h", "pad_x", "pad_y")
+      .orderBy("doc_id")
+  }
+
+  val qResizePlanSql: String =
+    """WITH i AS (
+        SELECT doc_id, CAST(n_chars % 640 + 16 AS INT) AS width,
+          CAST(doc_id % 480 + 16 AS INT) AS height
+        FROM documents WHERE ascii(substr(text, 1, 1)) BETWEEN 97 AND 104),
+      g AS (SELECT doc_id, width, height, GREATEST(width, height) AS long_side FROM i)
+      SELECT doc_id, width, height,
+        CAST((width * 224) // long_side AS INT) AS out_w,
+        CAST((height * 224) // long_side AS INT) AS out_h,
+        CAST((224 - (width * 224) // long_side) // 2 AS INT) AS pad_x,
+        CAST((224 - (height * 224) // long_side) // 2 AS INT) AS pad_y
+      FROM g ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (qMultimodalMeta _),
-    "q_media_pipeline" -> (qMediaPipeline _))
+    "q_media_pipeline" -> (qMediaPipeline _),
+    "q_frame_sample" -> (qFrameSample _),
+    "q_resize_plan" -> (qResizePlan _))
 
   /** q_media_pipeline intentionally has no oracle (stubbed decode is
     * not SQL-expressible) → driver records a rows-only check. */
   val oracles: Map[String, String] = Map(
-    "q_multimodal_meta" -> qMultimodalMetaSql)
+    "q_multimodal_meta" -> qMultimodalMetaSql,
+    "q_frame_sample" -> qFrameSampleSql,
+    "q_resize_plan" -> qResizePlanSql)
 }
