@@ -5,9 +5,21 @@ import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    Analytics.q5Join(spark, "/root/testdata/sf0.001")
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The reference's end-to-end dataflow in ONE plan: queue
+    * message parse (a1) → format routing (a2) → destination path
+    * algebra (a4), joined on the message id — the backlog parsed,
+    * routed and destination-resolved, processable-first. */
+  def entry(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    IngestOps.qParseMessage(spark, dir)
+      .join(IngestOps.qRouteFormat(spark, dir), "event_id")
+      .join(IngestOps.qDstPath(spark, dir), "event_id")
+      .filter(col("route") =!= "skip")
+      .select("event_id", "blob_url", "join_vector_tiles", "route",
+        "vsi_prefix", "dst_blob_path", "cog_name")
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
