@@ -229,6 +229,43 @@ object Analytics {
            > (SELECT SUM(p) FROM o o2 WHERE o2.o_custkey = o.o_custkey)
        GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  // c16 — interval/range join via bucketing: events (points in time)
+  // matched to maintenance windows (intervals). A naive range join is
+  // O(n·m) BroadcastNestedLoop; blocking both sides on hour buckets
+  // (windows explode into the buckets they span) turns it into an
+  // equi-join + cheap residual verify — the 1-D twin of the b16
+  // tile-blocked spatial join. The oracle is the naive BETWEEN join.
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(unix_millis(col("ts")).as("ms"))
+    val s = Tables(spark, dir, "supplier")
+    // corpus start hour: one-row agg, broadcast (like the median stats)
+    val bounds = e.agg(expr("(min(ms) div 3600000) * 3600000").as("t0"))
+    val w = s.select(col("s_suppkey").as("w_id"))
+      .crossJoin(broadcast(bounds)) // 1-row side → BroadcastNestedLoop, not a cartesian
+      .select(col("w_id"),
+        (col("t0") + (col("w_id") * 37 % 700) * 3600000L).as("start_ms"))
+      .withColumn("end_ms", col("start_ms") + (col("w_id") % 6 + 1) * 3600000L)
+    val eb = e.withColumn("bucket", expr("ms div 3600000"))
+    val wb = w.withColumn("bucket",
+      explode(expr("sequence(start_ms div 3600000, (end_ms - 1) div 3600000)")))
+    eb.join(wb, Seq("bucket"))
+      .filter(col("ms") >= col("start_ms") && col("ms") < col("end_ms"))
+      .groupBy("w_id", "start_ms", "end_ms")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("w_id")
+  }
+
+  val qRangeJoinSql: String =
+    """WITH e AS (SELECT epoch_ms(ts) AS ms FROM events),
+      b AS (SELECT (MIN(ms) // 3600000) * 3600000 AS t0 FROM e),
+      w AS (SELECT s_suppkey AS w_id,
+          t0 + (s_suppkey * 37 % 700) * 3600000 AS start_ms,
+          t0 + (s_suppkey * 37 % 700) * 3600000 + (s_suppkey % 6 + 1) * 3600000 AS end_ms
+        FROM supplier, b)
+      SELECT w_id, start_ms, end_ms, COUNT(*) AS n_events
+      FROM w JOIN e ON e.ms >= w.start_ms AND e.ms < w.end_ms
+      GROUP BY 1, 2, 3 ORDER BY w_id"""
+
   // c6 — exists / not-exists: customers with vs without orders.
   def qSemiAnti(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables(spark, dir, "customer")
@@ -493,6 +530,7 @@ object Analytics {
     "q_cube" -> (qCube _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_scalar_subq" -> (qScalarSubq _),
+    "q_range_join" -> (qRangeJoin _),
     "q_semi_anti" -> (qSemiAnti _),
     "q_events_window" -> (qEventsWindow _),
     "q_sessionize" -> (qSessionize _))
@@ -511,6 +549,7 @@ object Analytics {
     "q_cube" -> qCubeSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_scalar_subq" -> qScalarSubqSql,
+    "q_range_join" -> qRangeJoinSql,
     "q_semi_anti" -> qSemiAntiSql,
     "q_events_window" -> qEventsWindowSql,
     "q_sessionize" -> qSessionizeSql)
