@@ -18,5 +18,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getCanonicalName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_intersect_count"),
+      new ExpressionInfo(classOf[graft.functions.IntersectCount].getCanonicalName,
+        "graft_intersect_count"),
+      (exprs: Seq[Expression]) => graft.functions.IntersectCount(exprs(0), exprs(1))))
+    // rewrite interpreted size(filter(a, x -> array_contains(b, x)))
+    // lambdas into the codegen'd hash-probe expression
+    ext.injectOptimizerRule(_ => graft.plans.IntersectCountRewrite)
   }
 }

@@ -57,9 +57,16 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object GraftFunctions {
-  /** Register graft-native expressions on a session (idempotent) so
-    * they are usable from expr()/SQL as `graft_dot(a, b)`. */
-  def register(spark: SparkSession): Unit =
+  /** Register graft-native expressions and rules on an EXISTING
+    * session (idempotent) — the runtime fallback for sessions built
+    * without `spark.sql.extensions=graft.GraftExtensions`. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_intersect_count", exprs => IntersectCount(exprs(0), exprs(1)), "built-in")
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.IntersectCountRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.IntersectCountRewrite
+  }
 }

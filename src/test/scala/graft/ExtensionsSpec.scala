@@ -27,6 +27,34 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("IntersectCountRewrite replaces the interpreted lambda pattern and agrees with it") {
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-ext-rule-test")
+      .getOrCreate()
+    try {
+      import spark.implicits._
+      val df = Seq(
+        (Seq("a", "b", "c", "d"), Seq("b", "d", "e")),
+        (Seq("x"), Seq("y")),
+        (Seq.empty[String], Seq("a")))
+        .toDF("sh_a", "sh_b")
+        .repartition(2) // keep a real plan (ConvertToLocalRelation would fold it)
+        .select(expr("size(filter(sh_a, x -> array_contains(sh_b, x)))").as("inter"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_intersect_count"),
+        s"optimizer rule must rewrite the lambda pattern:\n$plan")
+      assert(df.collect().map(_.getInt(0)).toSeq.sorted == Seq(0, 0, 2))
+      // direct function form agrees too
+      val direct = Seq((Seq("a", "b"), Seq("b")))
+        .toDF("a", "b").selectExpr("graft_intersect_count(a, b)").collect()(0).getInt(0)
+      assert(direct == 1)
+    } finally spark.stop()
+  }
+
   test("DatasetsSink partitioned roundtrip with partition pruning") {
     val spark = SparkSession.builder().master("local[2]")
       .config("spark.sql.shuffle.partitions", "2")
