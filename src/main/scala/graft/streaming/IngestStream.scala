@@ -160,6 +160,22 @@ object IngestStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("contentKey")
 
+  /** h6 — native session windows: gap-based sessions (30 min
+    * inactivity closes a session) via session_window — the streaming
+    * twin of the batch c8 lag+cumsum sessionize. Sessions finalize
+    * (Append emission) once the watermark passes their close; state
+    * per open session only. */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", timestamp_millis(col("eventTimeMs")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   /** h2 — watermarked tumbling-window ingest throughput (streaming twin
     * of c7 q_events_window). */
   def windowedCounts(events: DataFrame): DataFrame =

@@ -154,6 +154,33 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("h6: session windows close on the 30-minute gap once the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[IngestEvent]
+    val query = IngestStream.sessionWindows(input.toDS().toDF())
+      .writeStream.format("memory").queryName("sessions_w")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val min = 60 * 1000L
+      // two bursts 40 min apart → two sessions for u1
+      input.addData(
+        IngestEvent("a", "u1", "processing", 10, 0L),
+        IngestEvent("a", "u1", "processing", 20, 10 * min),
+        IngestEvent("a", "u1", "processing", 30, 50 * min))
+      query.processAllAvailable()
+      // far-future event advances the watermark past both sessions
+      input.addData(IngestEvent("b", "u2", "processing", 10, 600 * min))
+      query.processAllAvailable()
+      val rows = spark.table("sessions_w")
+        .where("user = 'u1'").collect()
+        .map(r => (r.getAs[Long]("n_events"),
+          r.getAs[java.sql.Timestamp]("session_start").getTime))
+        .sortBy(_._2)
+      assert(rows.toSeq == Seq((2L, 0L), (1L, 50 * min)), rows.mkString(";"))
+    } finally query.stop()
+  }
+
   test("h2: windowed counts aggregate per stage (batch twin checked by oracle)") {
     import spark.implicits._
     val df = Seq(
