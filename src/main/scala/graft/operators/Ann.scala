@@ -140,13 +140,82 @@ object Ann {
       FROM embeddings e, q WHERE e.label = (SELECT label FROM best)
       ORDER BY cos_sim DESC, vec_id LIMIT 5"""
 
+  /** e4 — multi-probe LSH: also search the 4 buckets one bit-flip away
+    * from the query's bucket (the standard recall fix for LSH's
+    * hard-boundary misses) — 5 probed buckets ≈ 5/16 of the corpus
+    * instead of 1/16, still pruned, and near-boundary neighbors the
+    * single-bucket e2 loses become reachable. Probe list is a pure
+    * explode on the broadcast query side. */
+  def qAnnMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val e = Tables(spark, dir, "embeddings")
+    val bucketed = e.withColumn("bucket", expr(bucketSpark))
+    val q = bucketed.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("bucket").as("qbucket"))
+    val probes = q.select(col("qv"), explode(array(
+      col("qbucket") +: (0 until 4).map(j => col("qbucket").bitwiseXOR(1 << j)): _*)).as("pbucket"))
+    bucketed.join(broadcast(probes), col("bucket") === col("pbucket"))
+      .select(col("vec_id"), col("bucket"),
+        expr(cosineSpark("embedding", "qv")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  val qAnnMultiprobeSql: String =
+    s"""WITH b AS (SELECT vec_id, embedding, $bucketDuck AS bucket FROM embeddings),
+      q AS (SELECT embedding AS qv, bucket AS qbucket FROM b WHERE vec_id = 0),
+      probes AS (
+        SELECT qv, unnest([qbucket, xor(qbucket, 1), xor(qbucket, 2),
+          xor(qbucket, 4), xor(qbucket, 8)]) AS pbucket
+        FROM q)
+      SELECT vec_id, bucket, ${cosineDuck("b.embedding", "qv")} AS cos_sim
+      FROM b JOIN probes ON bucket = pbucket
+      ORDER BY cos_sim DESC, vec_id LIMIT 5"""
+
+  /** e5 — batched ANN: many query vectors answered in ONE corpus pass
+    * (per-query scans never scale; the batch is broadcast and every
+    * corpus row scores against all of it map-side). Top-3 per query
+    * via a rank window keyed by query id — with production batch
+    * sizes the key space saturates the cluster. */
+  def qAnnBatch(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(spark, dir, "embeddings")
+    val qs = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val scored = e.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        expr(cosineSpark("embedding", "qv")).as("cos_sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("q_id", "vec_id", "cos_sim", "rk")
+      .orderBy("q_id", "rk")
+  }
+
+  val qAnnBatchSql: String =
+    s"""WITH qs AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+      scored AS (
+        SELECT q_id, e.vec_id, ${cosineDuck("e.embedding", "qv")} AS cos_sim
+        FROM embeddings e, qs WHERE e.vec_id <> q_id),
+      r AS (
+        SELECT q_id, vec_id, cos_sim,
+          CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INT) AS rk
+        FROM scored)
+      SELECT q_id, vec_id, cos_sim, rk FROM r WHERE rk <= 3 ORDER BY q_id, rk"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_brute" -> (qAnnBrute _),
     "q_ann_lsh" -> (qAnnLsh _),
-    "q_ann_ivf" -> (qAnnIvf _))
+    "q_ann_ivf" -> (qAnnIvf _),
+    "q_ann_multiprobe" -> (qAnnMultiprobe _),
+    "q_ann_batch" -> (qAnnBatch _))
 
   val oracles: Map[String, String] = Map(
     "q_ann_brute" -> qAnnBruteSql,
     "q_ann_lsh" -> qAnnLshSql,
-    "q_ann_ivf" -> qAnnIvfSql)
+    "q_ann_ivf" -> qAnnIvfSql,
+    "q_ann_multiprobe" -> qAnnMultiprobeSql,
+    "q_ann_batch" -> qAnnBatchSql)
 }
