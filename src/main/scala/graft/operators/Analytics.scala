@@ -515,7 +515,23 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  // c17 — approx-percentile sketch: the 100 TB path for quantiles
+  // (fixed-size mergeable sketch, one pass) — the scale alternative to
+  // the exact-selection c11 median. No oracle (sketch values are
+  // engine-specific); AnalyticsSpec bounds the error vs the exact
+  // median instead, and the exact rides along for the rows check.
+  def qApproxQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    o.groupBy(col("o_orderpriority"))
+      .agg(
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("p50_approx"),
+        percentile_approx(col("o_totalprice"), lit(0.95), lit(10000)).as("p95_approx"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_approx_quantiles" -> (qApproxQuantiles _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_median" -> (qMedian _),
     "q10_returns" -> (q10Returns _),

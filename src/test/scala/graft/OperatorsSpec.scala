@@ -101,6 +101,17 @@ class OperatorsSpec extends SparkTestBase {
     assert((0 until 8).forall(i => !row.isNullAt(row.fieldIndex(s"f$i"))))
   }
 
+  test("approx quantiles stay within 2% of the exact median") {
+    val exact = Analytics.qMedian(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("median_price")).toMap
+    Analytics.qApproxQuantiles(spark, sfDir).collect().foreach { r =>
+      val p50 = r.getAs[Double]("p50_approx")
+      val e = exact(r.getString(0))
+      assert(math.abs(p50 - e) / e <= 0.02, s"${r.getString(0)}: p50 $p50 vs exact $e")
+      assert(r.getAs[Double]("p95_approx") >= p50)
+    }
+  }
+
   test("approx distinct stays within the configured 2% error vs exact") {
     Analytics.qApproxDistinct(spark, sfDir).collect().foreach { r =>
       val approx = r.getAs[Long]("approx_users").toDouble
