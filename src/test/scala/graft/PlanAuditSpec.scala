@@ -49,6 +49,22 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("top-k paths plan their bounded forms (WindowGroupLimit / TakeOrderedAndProject)") {
+    // rank-filter windows must push the limit into a partial top-k per
+    // partition (WindowGroupLimit) instead of fully sorting each group,
+    // and global sort+limit must plan as TakeOrderedAndProject — at
+    // scale these are the difference between O(n log k) and a full sort
+    val rank = operators.Analytics.qWindowRank(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(rank.contains("WindowGroupLimit"), s"rank filter not pushed:\n$rank")
+    val topk = operators.Analytics.q3Topk(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(topk.contains("TakeOrderedAndProject"), s"sort+limit not bounded:\n$topk")
+    val batch = operators.Ann.qAnnBatch(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(batch.contains("WindowGroupLimit"), s"batched ANN top-3 not pushed:\n$batch")
+  }
+
   test("events-based geo ops are map-side until their aggregation") {
     // tile assignment must not shuffle before the groupBy: exactly the
     // agg exchange(s), no repartition/sort-by-key upstream
