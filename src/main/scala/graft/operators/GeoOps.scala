@@ -405,6 +405,31 @@ object GeoOps {
         z < maxzoom AS simplify, maxzoom, extended_maxzoom
       FROM x ORDER BY layer, z"""
 
+  /** b18 — Z-order (Morton) clustering key: bit-interleave of the z=8
+    * tile coordinates. Sorting/range-partitioning data files by this
+    * key keeps spatially-near tiles in the same file — the standard
+    * layout trick (COG internal tiling does the same thing) that turns
+    * bbox queries into a few contiguous file ranges at 100 TB. Pure
+    * integer bit arithmetic, identical in both engines. */
+  def qZorderKey(spark: SparkSession, dir: String): DataFrame = {
+    val morton = (0 until 8).map { j =>
+      expr(s"(((xt div ${1 << j}) % 2) * ${1L << (2 * j)}) + " +
+        s"(((yt div ${1 << j}) % 2) * ${1L << (2 * j + 1)})")
+    }.reduce(_ + _)
+    tiled(spark, dir, 8)
+      .select(col("event_id"), col("xt"), col("yt"))
+      .withColumn("zkey", morton.cast("int"))
+      .orderBy("event_id")
+  }
+
+  val qZorderKeySql: String = {
+    val morton = (0 until 8).map { j =>
+      s"(((xt // ${1 << j}) % 2) * ${1L << (2 * j)}) + (((yt // ${1 << j}) % 2) * ${1L << (2 * j + 1)})"
+    }.mkString(" + ")
+    s"""SELECT event_id, xt, yt, CAST($morton AS INT) AS zkey
+      FROM (${tiledSql(8)}) t ORDER BY event_id"""
+  }
+
   /** b13 — inverse tiling: geographic bounds of each non-empty tile at
     * z=4 (morecantile Tile→bounds; tippecanoe tile cutting edges).
     * sinh spelled as (e^a - e^-a)/2 — the oracle engine lacks sinh. */
@@ -554,6 +579,7 @@ object GeoOps {
     "q_pmtiles_manifest" -> (qPmtilesManifest _),
     "q_pmtiles_single" -> (qPmtilesSingle _),
     "q_tippecanoe_plan" -> (qTippecanoePlan _),
+    "q_zorder_key" -> (qZorderKey _),
     "q_tile_bounds" -> (qTileBounds _),
     "q_reproject_mercator" -> (qReprojectMercator _),
     "q_should_reproject" -> (qShouldReproject _),
@@ -574,6 +600,7 @@ object GeoOps {
     "q_pmtiles_manifest" -> qPmtilesManifestSql,
     "q_pmtiles_single" -> qPmtilesSingleSql,
     "q_tippecanoe_plan" -> qTippecanoePlanSql,
+    "q_zorder_key" -> qZorderKeySql,
     "q_tile_bounds" -> qTileBoundsSql,
     "q_reproject_mercator" -> qReprojectMercatorSql,
     "q_should_reproject" -> qShouldReprojectSql,

@@ -471,10 +471,51 @@ object IngestOps {
       FROM msgs JOIN subs ON user_id = watch_user
       GROUP BY sub_id ORDER BY sub_id"""
 
+  /** a17 — small-file compaction plan: object stores (and the
+    * reference's per-upload blobs) accumulate small files; at 100 TB
+    * the scan-planning cost of millions of tiny objects dominates.
+    * Greedy sequential bin packing per user directory: cumulative
+    * size over the name-ordered files, group = cumsum div 512 MB —
+    * one window over each directory's (small) file listing, an
+    * output row per planned merged file. */
+  def qCompactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir, "part")
+    val files = p.select(col("p_partkey").as("file_id"),
+      (col("p_partkey") % 40).as("user_dir"),
+      (col("p_partkey") * 131071L % 200000000L + 4096L).as("bytes"))
+    val w = Window.partitionBy("user_dir").orderBy("file_id")
+    val target = 512L * 1024 * 1024
+    files
+      .withColumn("cum", sum("bytes").over(w))
+      .withColumn("grp", expr(s"(cum - 1) div ${target}L").cast("long"))
+      .groupBy("user_dir", "grp")
+      .agg(count(lit(1)).as("n_files"), sum("bytes").as("out_bytes"),
+        min("file_id").as("first_file"), max("file_id").as("last_file"))
+      .orderBy("user_dir", "grp")
+  }
+
+  val qCompactionPlanSql: String = {
+    val target = 512L * 1024 * 1024
+    s"""WITH f AS (
+        SELECT p_partkey AS file_id, p_partkey % 40 AS user_dir,
+          p_partkey * 131071 % 200000000 + 4096 AS bytes
+        FROM part),
+      c AS (
+        SELECT file_id, user_dir, bytes,
+          SUM(bytes) OVER (PARTITION BY user_dir ORDER BY file_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM f)
+      SELECT user_dir, CAST((cum0.cum - 1) // $target AS BIGINT) AS grp,
+        COUNT(*) AS n_files, CAST(SUM(bytes) AS BIGINT) AS out_bytes,
+        MIN(file_id) AS first_file, MAX(file_id) AS last_file
+      FROM c cum0 GROUP BY 1, 2 ORDER BY user_dir, grp"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_arch_path" -> (qArchPath _),
     "q_marker_blobs" -> (qMarkerBlobs _),
     "q_pubsub_fanout" -> (qPubsubFanout _),
+    "q_compaction_plan" -> (qCompactionPlan _),
     "q_download_chunks" -> (qDownloadChunks _),
     "q_user_hash" -> (qUserHash _),
     "q_parse_props" -> (qParseProps _),
@@ -493,6 +534,7 @@ object IngestOps {
     "q_arch_path" -> qArchPathSql,
     "q_marker_blobs" -> qMarkerBlobsSql,
     "q_pubsub_fanout" -> qPubsubFanoutSql,
+    "q_compaction_plan" -> qCompactionPlanSql,
     "q_download_chunks" -> qDownloadChunksSql,
     "q_user_hash" -> qUserHashSql,
     "q_parse_props" -> qParsePropsSql,
