@@ -235,6 +235,10 @@ object Analytics {
   // (windows explode into the buckets they span) turns it into an
   // equi-join + cheap residual verify — the 1-D twin of the b16
   // tile-blocked spatial join. The oracle is the naive BETWEEN join.
+  // Scale note: the bucket key space is O(time span / bucket width) —
+  // pick the width so distinct buckets ≫ cores (finer than an hour
+  // for dense corpora); AQE's skew-join split (SkewJoinSpec) is the
+  // backstop for residual hot buckets.
   def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir).select(unix_millis(col("ts")).as("ms"))
     val s = Tables(spark, dir, "supplier")
