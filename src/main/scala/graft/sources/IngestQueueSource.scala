@@ -64,10 +64,16 @@ class IngestQueueTable(options: CaseInsensitiveStringMap)
   override def schema(): StructType = IngestQueueSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
+    // read-path options are the canonical source; table properties
+    // (captured at getTable) are the fallback for catalog-style use
+    def opt(key: String, default: Long): Long =
+      if (caseInsensitiveOptions.containsKey(key)) caseInsensitiveOptions.getLong(key, default)
+      else options.getLong(key, default)
     new IngestQueueScanBuilder(
-      options.getLong("numMessages", 1000L),
-      options.getInt("numPartitions", 4))
+      opt("numMessages", 1000L),
+      opt("numPartitions", 4L).toInt)
+  }
 }
 
 class IngestQueueScanBuilder(numMessages: Long, numPartitions: Int)
