@@ -511,7 +511,44 @@ object IngestOps {
       FROM c cum0 GROUP BY 1, 2 ORDER BY user_dir, grp"""
   }
 
+  /** a18 — log-blob shipping: the reference appends every formatted
+    * log record to a `{blob_name}.log` append blob next to the upload
+    * (ref azlog.py:20-37 — container dropped from the path, records
+    * ordered by time). Per-asset aggregation of the log stream: the
+    * sidecar path, record/error counts and the time span — the shape
+    * a log-compaction job materializes per asset. */
+  def qLogBlobs(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val fname = Synth.fileName(col("event_id"))
+    val logPath = concat(lit("user"), col("user_id").cast("string"),
+      lit("/raw/"), fname, lit(".log"))
+    val level = when(col("event_type") === "error", "ERROR")
+      .when(col("event_type") === "purchase", "INFO")
+      .otherwise("DEBUG")
+    e.select(col("user_id"), logPath.as("log_path"), level.as("level"),
+        unix_millis(col("ts")).as("ms"))
+      .groupBy("user_id", "log_path")
+      .agg(count(lit(1)).as("n_records"),
+        sum(when(col("level") === "ERROR", 1L).otherwise(0L)).as("n_errors"),
+        min("ms").as("first_ms"), max("ms").as("last_ms"))
+      .orderBy("user_id", "log_path")
+  }
+
+  val qLogBlobsSql: String =
+    s"""WITH l AS (
+        SELECT user_id,
+          'user' || CAST(user_id AS VARCHAR) || '/raw/' || (${Synth.fileNameSql}) || '.log' AS log_path,
+          CASE WHEN event_type = 'error' THEN 'ERROR'
+               WHEN event_type = 'purchase' THEN 'INFO' ELSE 'DEBUG' END AS level,
+          epoch_ms(ts) AS ms
+        FROM events)
+      SELECT user_id, log_path, COUNT(*) AS n_records,
+        CAST(SUM(CASE WHEN level = 'ERROR' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+        MIN(ms) AS first_ms, MAX(ms) AS last_ms
+      FROM l GROUP BY 1, 2 ORDER BY user_id, log_path"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_log_blobs" -> (qLogBlobs _),
     "q_arch_path" -> (qArchPath _),
     "q_marker_blobs" -> (qMarkerBlobs _),
     "q_pubsub_fanout" -> (qPubsubFanout _),
@@ -531,6 +568,7 @@ object IngestOps {
     "q_deadletter_stats" -> (qDeadletterStats _))
 
   val oracles: Map[String, String] = Map(
+    "q_log_blobs" -> qLogBlobsSql,
     "q_arch_path" -> qArchPathSql,
     "q_marker_blobs" -> qMarkerBlobsSql,
     "q_pubsub_fanout" -> qPubsubFanoutSql,
