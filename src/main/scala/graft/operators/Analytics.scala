@@ -270,6 +270,41 @@ object Analytics {
       FROM w JOIN e ON e.ms >= w.start_ms AND e.ms < w.end_ms
       GROUP BY 1, 2, 3 ORDER BY w_id"""
 
+  // c18 — rolling 7-day revenue via a RANGE window frame: the frame is
+  // value-based (calendar days), so gap days genuinely widen it —
+  // a ROWS frame would be wrong on sparse dates. Scale shape: the
+  // window runs over the DAILY AGGREGATE (bounded by calendar length
+  // no matter the input size), never over raw orders; revenue stays
+  // DECIMAL through the rolling sum so the float cast happens once at
+  // the end (order-insensitive, engine-exact).
+  def qRollingRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val daily = o
+      .select(datediff(to_date(col("o_orderdate")), lit("1992-01-01")).as("day_i"),
+        col("o_totalprice"))
+      .groupBy("day_i")
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev_dec"),
+        count(lit(1)).as("n_orders"))
+    val w = Window.orderBy("day_i").rangeBetween(-6, 0)
+    daily
+      .withColumn("rolling7_dec", sum(col("rev_dec")).over(w))
+      .select(col("day_i"), col("n_orders"),
+        col("rev_dec").cast("double").as("revenue"),
+        col("rolling7_dec").cast("double").as("rolling7"))
+      .orderBy("day_i")
+  }
+
+  val qRollingRevenueSql: String =
+    """WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS INT) AS day_i,
+          SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec,
+          COUNT(*) AS n_orders
+        FROM orders GROUP BY 1)
+      SELECT day_i, n_orders,
+        CAST(rev_dec AS DOUBLE) AS revenue,
+        CAST(SUM(rev_dec) OVER (ORDER BY day_i RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling7
+      FROM daily ORDER BY day_i"""
+
   // c6 — exists / not-exists: customers with vs without orders.
   def qSemiAnti(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables(spark, dir, "customer")
@@ -551,6 +586,7 @@ object Analytics {
     "q_grouping_sets" -> (qGroupingSets _),
     "q_scalar_subq" -> (qScalarSubq _),
     "q_range_join" -> (qRangeJoin _),
+    "q_rolling_revenue" -> (qRollingRevenue _),
     "q_semi_anti" -> (qSemiAnti _),
     "q_events_window" -> (qEventsWindow _),
     "q_sessionize" -> (qSessionize _))
@@ -570,6 +606,7 @@ object Analytics {
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_scalar_subq" -> qScalarSubqSql,
     "q_range_join" -> qRangeJoinSql,
+    "q_rolling_revenue" -> qRollingRevenueSql,
     "q_semi_anti" -> qSemiAntiSql,
     "q_events_window" -> qEventsWindowSql,
     "q_sessionize" -> qSessionizeSql)

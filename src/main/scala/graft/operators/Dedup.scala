@@ -350,7 +350,10 @@ object Dedup {
     * between rounds). Driver-side logic is loop CONTROL only (a
     * per-round convergence count), never data. Oracle: DuckDB
     * recursive CTE reaching the same fixpoint. */
-  def qDedupCc(spark: SparkSession, dir: String): DataFrame = {
+  /** per-doc connected-component labels over the MinHash pair graph
+    * (see [[qDedupCc]] for the algorithm notes); only docs appearing
+    * in at least one pair are returned. */
+  private[graft] def ccLabels(spark: SparkSession, dir: String): DataFrame = {
     val pairs = qDedupMinhash(spark, dir).select("doc_a", "doc_b")
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -374,10 +377,14 @@ object Dedup {
       labels = next
       rounds += 1
     }
-    labels.groupBy(col("label").as("component"))
+    labels
+  }
+
+  def qDedupCc(spark: SparkSession, dir: String): DataFrame =
+    ccLabels(spark, dir)
+      .groupBy(col("label").as("component"))
       .agg(count(lit(1)).as("n_docs"), max("id").as("max_doc"))
       .orderBy("component")
-  }
 
   val qDedupCcSql: String = {
     val pairsInner = qDedupMinhashSql
@@ -395,7 +402,56 @@ object Dedup {
       GROUP BY label ORDER BY component"""
   }
 
+  /** d7 — canonical selection: the actual OUTPUT of corpus dedup is
+    * one kept document per near-dup cluster, chosen by QUALITY (not
+    * by min id — you keep the best copy, the ids are arbitrary).
+    * Component = CC label for paired docs, the doc itself otherwise
+    * (singletons keep themselves); keeper = argmax quality score,
+    * ties broken by min doc_id. Composes d6's components with f2's
+    * quality scores — the exact shape a training-data pipeline feeds
+    * to its writer. */
+  def qDedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables(spark, dir, "documents").select(col("doc_id"))
+    val labels = ccLabels(spark, dir)
+      .select(col("id").as("doc_id"), col("label"))
+    val scores = TextOps.qQualityScore(spark, dir).select(col("doc_id"), col("score"))
+    val comp = d.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("component"))
+      .join(scores, "doc_id")
+    val w = Window.partitionBy("component")
+      .orderBy(col("score").desc, col("doc_id"))
+    comp.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("component"), col("doc_id").as("keeper"), col("score"))
+      .orderBy("component")
+  }
+
+  val qDedupKeepBestSql: String = {
+    val cc = qDedupCcSql
+    // re-derive per-doc labels (the CC CTE chain minus the final agg)
+    val idx = cc.indexOf("SELECT MIN(label)")
+    val ctes = cc.substring(0, idx).trim
+    s"""$ctes,
+      labels AS (SELECT id AS doc_id, MIN(label) AS label FROM reach GROUP BY id),
+      scores AS (SELECT doc_id, score FROM ($qQualityScoreInner) qs),
+      comp AS (
+        SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS component, s.score
+        FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+        JOIN scores s ON s.doc_id = d.doc_id),
+      r AS (
+        SELECT component, doc_id, score,
+          ROW_NUMBER() OVER (PARTITION BY component ORDER BY score DESC, doc_id) AS rk
+        FROM comp)
+      SELECT component, doc_id AS keeper, score FROM r WHERE rk = 1
+      ORDER BY component"""
+  }
+
+  /** f2's scoring SQL reduced to (doc_id, score) for composition. */
+  private def qQualityScoreInner: String = TextOps.qQualityScoreSql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_keep_best" -> (qDedupKeepBest _),
     "q_dedup_cc" -> (qDedupCc _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
@@ -406,6 +462,7 @@ object Dedup {
     "q_dedup_embedding" -> (qDedupEmbedding _))
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_keep_best" -> qDedupKeepBestSql,
     "q_dedup_cc" -> qDedupCcSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_minhash" -> qDedupMinhashSql,
