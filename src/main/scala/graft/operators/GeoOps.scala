@@ -430,6 +430,32 @@ object GeoOps {
       FROM (${tiledSql(8)}) t ORDER BY event_id"""
   }
 
+  /** b19 — quadkey addressing: the Bing-scheme string key for a z=8
+    * tile (digit i from the MSB = 2·y_bit + x_bit) — the tile
+    * addressing PMTiles-ecosystem tooling uses for prefix queries: a
+    * quadkey PREFIX is exactly an ancestor tile, so string prefix
+    * ranges give pyramid subtree scans for free. Pure integer/concat
+    * column math. */
+  def qQuadkey(spark: SparkSession, dir: String): DataFrame = {
+    val digits = (0 until 8).map { j =>
+      val shift = 1 << (7 - j)
+      expr(s"CAST(((yt div $shift) % 2) * 2 + ((xt div $shift) % 2) AS STRING)")
+    }
+    tiled(spark, dir, 8)
+      .select(col("event_id"), col("xt"), col("yt"))
+      .withColumn("quadkey", concat(digits: _*))
+      .orderBy("event_id")
+  }
+
+  val qQuadkeySql: String = {
+    val digits = (0 until 8).map { j =>
+      val shift = 1 << (7 - j)
+      s"CAST(((yt // $shift) % 2) * 2 + ((xt // $shift) % 2) AS VARCHAR)"
+    }.mkString(" || ")
+    s"""SELECT event_id, xt, yt, $digits AS quadkey
+      FROM (${tiledSql(8)}) t ORDER BY event_id"""
+  }
+
   /** b13 — inverse tiling: geographic bounds of each non-empty tile at
     * z=4 (morecantile Tile→bounds; tippecanoe tile cutting edges).
     * sinh spelled as (e^a - e^-a)/2 — the oracle engine lacks sinh. */
@@ -580,6 +606,7 @@ object GeoOps {
     "q_pmtiles_single" -> (qPmtilesSingle _),
     "q_tippecanoe_plan" -> (qTippecanoePlan _),
     "q_zorder_key" -> (qZorderKey _),
+    "q_quadkey" -> (qQuadkey _),
     "q_tile_bounds" -> (qTileBounds _),
     "q_reproject_mercator" -> (qReprojectMercator _),
     "q_should_reproject" -> (qShouldReproject _),
@@ -601,6 +628,7 @@ object GeoOps {
     "q_pmtiles_single" -> qPmtilesSingleSql,
     "q_tippecanoe_plan" -> qTippecanoePlanSql,
     "q_zorder_key" -> qZorderKeySql,
+    "q_quadkey" -> qQuadkeySql,
     "q_tile_bounds" -> qTileBoundsSql,
     "q_reproject_mercator" -> qReprojectMercatorSql,
     "q_should_reproject" -> qShouldReprojectSql,

@@ -227,7 +227,24 @@ object TextOps {
         md5(regexp_replace(regexp_replace(text, '[0-9]+', '<NUM>', 'g'), '@[a-z]+', '<HANDLE>', 'g')) AS redacted_md5
       FROM documents ORDER BY doc_id"""
 
+  /** f9 — corpus length distribution: per-language histogram of
+    * document lengths (100-char buckets) — the first diagnostic run
+    * on any new training corpus (truncation/padding budgeting, outlier
+    * detection). One map + one agg shuffle. */
+  def qLengthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    d.select(col("lang"), expr("CAST(n_chars div 100 AS INT)").as("bucket"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "bucket")
+  }
+
+  val qLengthHistogramSql: String =
+    """SELECT lang, CAST(n_chars // 100 AS INT) AS bucket, COUNT(*) AS n_docs
+      FROM documents GROUP BY 1, 2 ORDER BY lang, bucket"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_length_histogram" -> (qLengthHistogram _),
     "q_sample_mix" -> (qSampleMix _),
     "q_redact_pii" -> (qRedactPii _),
     "q_vocab" -> (qVocab _),
@@ -238,6 +255,7 @@ object TextOps {
     "q_fingerprint" -> (qFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q_length_histogram" -> qLengthHistogramSql,
     "q_sample_mix" -> qSampleMixSql,
     "q_redact_pii" -> qRedactPiiSql,
     "q_vocab" -> qVocabSql,
