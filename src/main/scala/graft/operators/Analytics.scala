@@ -305,6 +305,66 @@ object Analytics {
         CAST(SUM(rev_dec) OVER (ORDER BY day_i RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling7
       FROM daily ORDER BY day_i"""
 
+  // c19 — pivot: per-user-bucket event counts pivoted into one column
+  // per event type (the wide activity-matrix shape dashboards and
+  // feature stores want). Explicit value list ⇒ deterministic schema
+  // and a single agg pass (Catalyst plans pivot-with-values as one
+  // aggregate, no second values-discovery job). Oracle mirrors with
+  // conditional aggregation.
+  def qPivot(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val types = Seq("click", "view", "signup", "purchase", "error")
+    e.select((col("user_id") % 100).as("user_bucket"), col("event_type"))
+      .groupBy("user_bucket")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .orderBy("user_bucket")
+  }
+
+  val qPivotSql: String = {
+    val cols = Seq("click", "view", "signup", "purchase", "error").map { t =>
+      s"CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS $t"
+    }.mkString(",\n        ")
+    s"""SELECT user_id % 100 AS user_bucket,
+        $cols
+      FROM events GROUP BY 1 ORDER BY user_bucket"""
+  }
+
+  // c20 — snapshot set difference: incremental corpus maintenance is
+  // EXCEPT/INTERSECT over content keys (what's new today, what
+  // persisted). exceptAll/intersectAll plan as hash anti/semi
+  // aggregations — one shuffle each on the compare key, no sort.
+  def qSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    // content key = md5 of normalized text, as in d1
+    def keys(f: DataFrame => DataFrame) =
+      f(d).select(md5(expr(graft.functions.TextFns.normSpark)).as("content_key"))
+    val prev = keys(_.filter(col("doc_id") % 10 < 7))
+    val cur = keys(_.filter(col("doc_id") % 10 >= 2))
+    val added = cur.exceptAll(prev).groupBy().agg(count(lit(1)).as("n"))
+      .select(lit("added").as("change"), col("n"))
+    val kept = cur.intersectAll(prev).groupBy().agg(count(lit(1)).as("n"))
+      .select(lit("kept").as("change"), col("n"))
+    val removed = prev.exceptAll(cur).groupBy().agg(count(lit(1)).as("n"))
+      .select(lit("removed").as("change"), col("n"))
+    added.unionAll(kept).unionAll(removed).orderBy("change")
+  }
+
+  val qSnapshotDiffSql: String = {
+    val norm = graft.functions.TextFns.normDuck
+    s"""WITH prev AS (
+        SELECT md5($norm) AS content_key FROM documents WHERE doc_id % 10 < 7),
+      cur AS (
+        SELECT md5($norm) AS content_key FROM documents WHERE doc_id % 10 >= 2)
+      SELECT 'added' AS change, COUNT(*) AS n FROM (SELECT * FROM cur EXCEPT ALL SELECT * FROM prev) a
+      UNION ALL
+      SELECT 'kept', COUNT(*) FROM (SELECT * FROM cur INTERSECT ALL SELECT * FROM prev) k
+      UNION ALL
+      SELECT 'removed', COUNT(*) FROM (SELECT * FROM prev EXCEPT ALL SELECT * FROM cur) r
+      ORDER BY change"""
+  }
+
   // c6 — exists / not-exists: customers with vs without orders.
   def qSemiAnti(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables(spark, dir, "customer")
@@ -587,6 +647,8 @@ object Analytics {
     "q_scalar_subq" -> (qScalarSubq _),
     "q_range_join" -> (qRangeJoin _),
     "q_rolling_revenue" -> (qRollingRevenue _),
+    "q_pivot" -> (qPivot _),
+    "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_semi_anti" -> (qSemiAnti _),
     "q_events_window" -> (qEventsWindow _),
     "q_sessionize" -> (qSessionize _))
@@ -607,6 +669,8 @@ object Analytics {
     "q_scalar_subq" -> qScalarSubqSql,
     "q_range_join" -> qRangeJoinSql,
     "q_rolling_revenue" -> qRollingRevenueSql,
+    "q_pivot" -> qPivotSql,
+    "q_snapshot_diff" -> qSnapshotDiffSql,
     "q_semi_anti" -> qSemiAntiSql,
     "q_events_window" -> qEventsWindowSql,
     "q_sessionize" -> qSessionizeSql)
