@@ -89,6 +89,31 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("minhash LSH recall: every clearly-similar pair survives the banding") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFns.shSpark
+    // exhaustive ground truth (only feasible at sf0.001): all pairs
+    // with Jaccard well above the 0.2 verify threshold — band
+    // sensitivity dips near the threshold, but pairs at ≥ 0.4 must
+    // never be lost by the 4-band/2-row scheme
+    val sh = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), expr(shSpark).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val brute = sh.as("x").crossJoin(sh.as("y"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        expr("size(filter(x.sh, s -> array_contains(y.sh, s)))").as("inter"),
+        size(col("x.sh")).as("na"), size(col("y.sh")).as("nb"))
+      .withColumn("j", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("j") >= 0.4)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = Dedup.qDedupMinhash(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(brute.nonEmpty, "ground truth must exercise the check")
+    val missed = brute -- found
+    assert(missed.isEmpty, s"LSH lost clearly-similar pairs: $missed")
+  }
+
   test("media pipeline: stub decode is deterministic and schema is stable") {
     import graft.multimodal.Media
     val a = Media.decodeStub("hello world".getBytes("UTF-8")).toSeq
