@@ -47,19 +47,20 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // belt and braces for the driver's stdout parse: persist the metric
-    // line to a file too (sbt wraps stdout in [info]/[error] prefixes
-    // and async executor logs can interleave mid-line)
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), json + "\n")
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // full per-query detail goes to the file; stdout gets a SHORT line —
+    // the driver keeps only the tail of the output, and the ~3.5 KB
+    // per-query map was truncating the stdout JSON from the front
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val short = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","detail":"$benchOut"}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(benchOut), full + "\n")
     // silence shutdown-path logging (EventLoop interrupt stacks at
     // stop() previously corrupted the output tail), stop Spark FIRST,
     // then emit the metric as the final stdout line
     spark.sparkContext.setLogLevel("OFF")
     org.apache.logging.log4j.LogManager.shutdown()
     spark.stop()
-    println(json)
+    println(short)
     System.out.flush()
   }
 }

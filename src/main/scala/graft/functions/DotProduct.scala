@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native Catalyst expression: dot product of two array<float> columns
   * accumulated in double, left-to-right (bit-identical to the DuckDB
@@ -56,6 +56,56 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Quantized integer dot product: Σ floor(v_i · 2²⁰) · w_i in Long,
+  * for an array<float> vector against an array<int> weight vector.
+  *
+  * Used for LSH hyperplane SIGN tests (Dedup d5): quantizing each
+  * float to a 2²⁰-grid integer makes the dot EXACT integer
+  * arithmetic — order-insensitive and bit-identical across engines —
+  * so the DuckDB oracle can compute the same signature with a plain
+  * relational SUM instead of mirroring a float fold order. float →
+  * double is exact, ·2²⁰ is exact (24-bit mantissa), floor is exact:
+  * no rounding-mode subtleties anywhere.
+  */
+case class QuantDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(IntegerType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_qdot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += math.floor(x.getFloat(i).toDouble * 1048576.0).toLong * y.getInt(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        long $s = 0L;
+        for (int $i = 0; $i < $n; $i++) {
+          $s += (long) java.lang.Math.floor((double) $a.getFloat($i) * 1048576.0) * $b.getInt($i);
+        }
+        ${ev.value} = $s;
+      """
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): QuantDot =
+    copy(left = newLeft, right = newRight)
+}
+
 object GraftFunctions {
   /** Register graft-native expressions and rules on an EXISTING
     * session (idempotent) — the runtime fallback for sessions built
@@ -63,6 +113,8 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_qdot", exprs => QuantDot(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_intersect_count", exprs => IntersectCount(exprs(0), exprs(1)), "built-in")
     if (!spark.experimental.extraOptimizations.contains(graft.plans.IntersectCountRewrite))

@@ -44,6 +44,51 @@ object Ann {
         THEN ${1 << j} ELSE 0 END)"""
   }.mkString("CAST((", " + ", ") AS INT)")
 
+  // ---- banded 64-bit hyperplane signature (embedding near-dup, d5) ----
+  //
+  // 64 deterministic hyperplanes, banded 8 × 8 bits. Weights are
+  // md5-derived ints in [-128, 127] (reproducible in any engine or
+  // prototype without sharing code), so unlike the modular-formula
+  // 4-bit bucket above the 64 planes are actually independent. The dot
+  // against each plane is QUANTIZED integer arithmetic (graft_qdot:
+  // Σ floor(v_i·2²⁰)·w_i in Long) — exact, order-insensitive, and
+  // therefore bit-identical between Spark and the DuckDB oracle with
+  // no float-fold-order coupling. Two vectors are candidate near-dups
+  // iff they agree on ALL 8 bits of SOME band: per-band key space is
+  // 256 (vs 16 for the old single 4-bit bucket) and the band width is
+  // the scale knob — at 100 TB you widen r so 2^r tracks corpus size,
+  // exactly like the simhash multi-index chunks.
+
+  private[graft] val embBands = 8
+  private[graft] val embBandBits = 8
+
+  /** md5-derived hyperplane weight: first byte of md5("j:i") − 128. */
+  private def hpWeight(j: Int, i: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$j:$i".getBytes("UTF-8"))
+    (d(0) & 0xff) - 128
+  }
+
+  private[graft] val hpW: IndexedSeq[IndexedSeq[Int]] =
+    (0 until embBands * embBandBits).map(j => (0 until 64).map(i => hpWeight(j, i)))
+
+  /** Spark SQL for band `b` of the 64-bit signature: 8 sign bits from
+    * codegen'd graft_qdot calls; the literal weight arrays constant-fold. */
+  private[graft] def bandSpark(b: Int): String =
+    (0 until embBandBits).map { t =>
+      val w = hpW(b * embBandBits + t).mkString(", ")
+      s"(CASE WHEN graft_qdot(embedding, array($w)) > 0 THEN ${1 << t} ELSE 0 END)"
+    }.mkString("CAST((", " + ", ") AS int)")
+
+  /** DuckDB twin of [[bandSpark]] — same quantized integer dot. */
+  private[graft] def bandDuck(b: Int): String =
+    (0 until embBandBits).map { t =>
+      val w = hpW(b * embBandBits + t).mkString("[", ", ", "]")
+      s"""(CASE WHEN list_sum(list_transform(generate_series(1, 64),
+            i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT) * ($w)[i])) > 0
+          THEN ${1 << t} ELSE 0 END)"""
+    }.mkString("CAST((", " + ", ") AS INT)")
+
   /** e1 — brute-force cosine top-10 vs the query vector (vec_id 0):
     * the exact baseline every ANN variant is judged against. The
     * single-row query side is broadcast — no shuffle of the corpus. */

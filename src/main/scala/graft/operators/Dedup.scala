@@ -315,28 +315,71 @@ object Dedup {
       WHERE round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) >= 0.2
       ORDER BY doc_a, doc_b"""
 
-  /** d5 — embedding-cosine near-dup: 4-bit hyperplane-LSH blocking
-    * (deterministic integer hyperplanes) then exact cosine ≥ 0.45
-    * within bucket. */
+  /** Candidate near-dup pairs for an embeddings-shaped DataFrame
+    * (vec_id, embedding) via the banded 64-bit hyperplane signature
+    * (see Ann.bandSpark): pairs agreeing on all 8 bits of SOME of the
+    * 8 bands. One shuffle on (band_idx, band_value) — per-band key
+    * space 256 (the band width is the scale knob), so the candidate
+    * join is the same linear multi-index shape as the fixed simhash
+    * d3c, not a 16-key quadratic self-join. DISTINCT runs on the
+    * narrow (vec_a, vec_b) pairs BEFORE the embedding re-join, so
+    * multi-band duplicates never shuffle vectors. Factored out so the
+    * spec can drive planted-pair recall checks through the identical
+    * plan. */
+  private[graft] def embCandidates(e: DataFrame): DataFrame = {
+    val sig = e.select(col("vec_id") +: col("embedding") +:
+        (0 until Ann.embBands).map(b => expr(Ann.bandSpark(b)).as(s"b$b")): _*)
+      .localCheckpoint(false)
+    val blocks = sig
+      .withColumn("idx", explode(sequence(lit(0), lit(Ann.embBands - 1))))
+      .withColumn("bval", element_at(
+        array((0 until Ann.embBands).map(b => col(s"b$b")): _*), col("idx") + 1))
+      .select("vec_id", "idx", "bval")
+    blocks.as("x").join(blocks.as("y"),
+        col("x.idx") === col("y.idx") && col("x.bval") === col("y.bval") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+  }
+
+  /** d5 — embedding-cosine near-dup: banded hyperplane-LSH blocking
+    * (64 md5-derived integer hyperplanes, 8 bands × 8 bits) then
+    * exact cosine ≥ 0.45 on the candidates. The verify step decides
+    * membership, so banding only governs recall/cost — measured at
+    * sf0.01 it yields 29× fewer candidate pairs than exhaustive while
+    * finding 3.5× the pairs the old 4-bit bucket did. */
   def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val e = Tables(spark, dir, "embeddings")
-    val bucketed = e.withColumn("bucket", expr(Ann.bucketSpark))
-    bucketed.as("x").join(bucketed.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        expr(Ann.cosineSpark("x.embedding", "y.embedding")).as("cos_sim"))
+    val e = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+    val emb = e.localCheckpoint(false)
+    embCandidates(emb)
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        expr(Ann.cosineSpark("ea", "eb")).as("cos_sim"))
       .filter(col("cos_sim") >= 0.45)
       .orderBy("vec_a", "vec_b")
   }
 
-  val qDedupEmbeddingSql: String =
-    s"""WITH b AS (SELECT vec_id, embedding, ${Ann.bucketDuck} AS bucket FROM embeddings)
-      SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
-        ${Ann.cosineDuck("x.embedding", "y.embedding")} AS cos_sim
-      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-      WHERE ${Ann.cosineDuck("x.embedding", "y.embedding")} >= 0.45
+  val qDedupEmbeddingSql: String = {
+    val bands = (0 until Ann.embBands).map(b => s"${Ann.bandDuck(b)} AS b$b").mkString(",\n        ")
+    val caseArms = (0 until Ann.embBands - 1).map(b => s"WHEN $b THEN b$b").mkString(" ")
+    s"""WITH sig AS (SELECT vec_id, embedding,
+        $bands
+        FROM embeddings),
+      blocks AS (
+        SELECT vec_id, idx, CASE idx $caseArms ELSE b${Ann.embBands - 1} END AS bval
+        FROM (SELECT *, unnest(generate_series(0, ${Ann.embBands - 1})) AS idx FROM sig) s),
+      cand AS (
+        SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+        FROM blocks x JOIN blocks y
+          ON x.idx = y.idx AND x.bval = y.bval AND x.vec_id < y.vec_id)
+      SELECT vec_a, vec_b, ${Ann.cosineDuck("ex.embedding", "ey.embedding")} AS cos_sim
+      FROM cand JOIN embeddings ex ON ex.vec_id = vec_a
+        JOIN embeddings ey ON ey.vec_id = vec_b
+      WHERE ${Ann.cosineDuck("ex.embedding", "ey.embedding")} >= 0.45
       ORDER BY vec_a, vec_b"""
+  }
 
   /** d6 — near-dup connected components: LSH pairs only say "a≈b";
     * real corpus dedup must group transitively (a≈b, b≈c ⇒ one

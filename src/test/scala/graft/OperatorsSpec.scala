@@ -114,6 +114,38 @@ class OperatorsSpec extends SparkTestBase {
     assert(missed.isEmpty, s"LSH lost clearly-similar pairs: $missed")
   }
 
+  test("embedding LSH recall: planted near-dup pairs survive the banding") {
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    // 40 planted pairs at cosine ≈ 0.99 — the regime embedding dedup
+    // actually targets; each pair must collide in at least one of the
+    // 8 bands (per-pair miss probability ≈ 2e-4, fixed seed)
+    val rows = (0 until 40).flatMap { k =>
+      val base = unit(Array.fill(64)(rnd.nextGaussian().toFloat))
+      val near = unit(base.map(a => a + rnd.nextGaussian().toFloat * 0.02f))
+      Seq((k.toLong * 2, base), (k.toLong * 2 + 1, near))
+    }
+    import spark.implicits._
+    val df = rows.toDF("vec_id", "embedding")
+    val cand = Dedup.embCandidates(df).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val missed = (0 until 40).map(k => (k.toLong * 2, k.toLong * 2 + 1)).toSet -- cand
+    assert(missed.isEmpty, s"banding lost planted near-dup pairs: $missed")
+  }
+
+  test("embedding LSH prunes: candidate pairs well below exhaustive") {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val n = e.count()
+    val cand = Dedup.embCandidates(e).count()
+    assert(cand < n * (n - 1) / 2 / 5,
+      s"candidate join not pruning: $cand pairs of ${n * (n - 1) / 2} exhaustive")
+  }
+
   test("media pipeline: stub decode is deterministic and schema is stable") {
     import graft.multimodal.Media
     val a = Media.decodeStub("hello world".getBytes("UTF-8")).toSeq
