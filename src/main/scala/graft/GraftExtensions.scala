@@ -19,6 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getCanonicalName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_qdot"),
+      new ExpressionInfo(classOf[graft.functions.QuantDot].getCanonicalName, "graft_qdot"),
+      (exprs: Seq[Expression]) => graft.functions.QuantDot(exprs(0), exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_intersect_count"),
       new ExpressionInfo(classOf[graft.functions.IntersectCount].getCanonicalName,
         "graft_intersect_count"),

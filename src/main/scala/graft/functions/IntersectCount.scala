@@ -25,16 +25,25 @@ case class IntersectCount(left: Expression, right: Expression)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_intersect_count"
 
+  // null ELEMENTS are skipped on both sides, mirroring the lambda
+  // pattern this replaces: array_contains yields NULL for a null
+  // element (or a missing element when b contains nulls), and filter
+  // drops non-true rows — so null elements never count there either.
+  // (UnsafeArrayData returns an empty string for a null slot, which
+  // would otherwise spuriously match.)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val set = new java.util.HashSet[Any](y.numElements() * 2)
     var i = 0
-    while (i < y.numElements()) { set.add(y.getUTF8String(i)); i += 1 }
+    while (i < y.numElements()) {
+      if (!y.isNullAt(i)) set.add(y.getUTF8String(i))
+      i += 1
+    }
     var c = 0
     i = 0
     while (i < x.numElements()) {
-      if (set.contains(x.getUTF8String(i))) c += 1
+      if (!x.isNullAt(i) && set.contains(x.getUTF8String(i))) c += 1
       i += 1
     }
     c
@@ -49,11 +58,11 @@ case class IntersectCount(left: Expression, right: Expression)
       s"""
         java.util.HashSet $set = new java.util.HashSet($b.numElements() * 2);
         for (int $j = 0; $j < $b.numElements(); $j++) {
-          $set.add($b.getUTF8String($j));
+          if (!$b.isNullAt($j)) $set.add($b.getUTF8String($j));
         }
         int $c = 0;
         for (int $i = 0; $i < $a.numElements(); $i++) {
-          if ($set.contains($a.getUTF8String($i))) $c++;
+          if (!$a.isNullAt($i) && $set.contains($a.getUTF8String($i))) $c++;
         }
         ${ev.value} = $c;
       """

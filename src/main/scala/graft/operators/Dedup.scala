@@ -405,9 +405,15 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(false)
+    // safety valve, not a truncation: min-label propagation needs
+    // O(component diameter) rounds, and silently stopping early would
+    // split a >cap-diameter component into wrong clusters — if the cap
+    // is ever hit we fail LOUDLY (and the cap is far above any
+    // near-dup chain the pair graph realistically produces)
+    val maxRounds = 50
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 20) {
+    while (changed > 0 && rounds < maxRounds) {
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("label").as("nlabel")), "dst")
         .groupBy(col("src").as("id")).agg(min("nlabel").as("nmin"))
@@ -420,6 +426,10 @@ object Dedup {
       labels = next
       rounds += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"CC min-label propagation did not converge in $maxRounds rounds " +
+          s"($changed labels still changing) — component diameter exceeds the cap")
     labels
   }
 

@@ -170,10 +170,14 @@ object TextOps {
   /** f7 — stratified training-mix sampling: a training corpus is
     * assembled to target proportions per stratum (here: language).
     * Selection must be DETERMINISTIC and shuffle-free so reruns and
-    * retries pick identical docs at any scale: keep doc ⟺
-    * hash(doc_id) mod 1000 < rate(lang), with the hash read off md5
-    * hex digits (engine-neutral — no shared integer hash exists).
-    * Pure map + filter: no shuffle until the caller aggregates. */
+    * retries pick identical docs at any scale: a 16-bit ticket is
+    * read off 4 md5 hex digits of doc_id (engine-neutral — no shared
+    * integer hash exists) and a doc is kept ⟺
+    * ticket·1000 < rate·65536 — an exact integer compare, so the
+    * effective keep rate deviates from the stated per-mille rate by
+    * less than 2⁻¹⁶ per stratum (a `ticket % 1000` fold would over-
+    * select low tickets by ~1.6%). Pure map + filter: no shuffle
+    * until the caller aggregates. */
   val mixRates: Map[String, Int] = // per-mille keep rates
     Map("en" -> 800, "de" -> 500, "es" -> 300, "fr" -> 100)
 
@@ -182,12 +186,12 @@ object TextOps {
     val rate = mixRates.foldLeft(lit(0)) { case (acc, (l, r)) =>
       when(col("lang") === l, r).otherwise(acc)
     }
-    // 3 hex digits of md5(doc_id) → uniform 0..4095, mod 1000
+    // 4 hex digits of md5(doc_id) → uniform 0..65535
     def digit(i: Int) = expr(s"locate(substr(md5(CAST(doc_id AS STRING)), $i, 1), '0123456789abcdef') - 1")
-    val v = (digit(1) * 256 + digit(2) * 16 + digit(3)) % 1000
+    val v = ((digit(1) * 16 + digit(2)) * 16 + digit(3)) * 16 + digit(4)
     d.select(col("doc_id"), col("lang"), v.cast("int").as("ticket"))
       .withColumn("rate", rate)
-      .filter(col("ticket") < col("rate"))
+      .filter(col("ticket") * 1000 < col("rate") * 65536)
       .select("doc_id", "lang", "ticket")
       .orderBy("doc_id")
   }
@@ -197,10 +201,10 @@ object TextOps {
     def digit(i: Int) = s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
     s"""WITH t AS (
         SELECT doc_id, lang,
-          CAST((${digit(1)} * 256 + ${digit(2)} * 16 + ${digit(3)}) % 1000 AS INT) AS ticket
+          CAST(((${digit(1)} * 16 + ${digit(2)}) * 16 + ${digit(3)}) * 16 + ${digit(4)} AS INT) AS ticket
         FROM documents)
       SELECT doc_id, lang, ticket FROM t
-      WHERE ticket < ($rate) ORDER BY doc_id"""
+      WHERE ticket * 1000 < ($rate) * 65536 ORDER BY doc_id"""
   }
 
   /** f8 — PII-style redaction pass: numbers and @-handles replaced by

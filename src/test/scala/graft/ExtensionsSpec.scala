@@ -52,6 +52,34 @@ class ExtensionsSpec extends AnyFunSuite {
       val direct = Seq((Seq("a", "b"), Seq("b")))
         .toDF("a", "b").selectExpr("graft_intersect_count(a, b)").collect()(0).getInt(0)
       assert(direct == 1)
+      // the rule is session-global, so it must preserve the lambda
+      // pattern's null semantics for arbitrary user input: NULL
+      // filter-side → size(NULL) (NULL under ANSI — Spark 4's default
+      // — or -1 under the legacy flag; the rewrite captures the Size
+      // node's own flag either way), NULL contains-side → lambda NULL
+      // everywhere → size 0, null ELEMENTS on either side are
+      // dropped / never match
+      def nullCases(e: String) = Seq[(Seq[String], Seq[String])](
+          (null, Seq("a")),
+          (Seq("a", "b"), null),
+          (Seq("a", null, "b"), Seq(null, "b", "c")))
+        .toDF("sh_a", "sh_b")
+        .repartition(2)
+        .select(expr(e).as("inter"))
+      val nulls = nullCases("size(filter(sh_a, x -> array_contains(sh_b, x)))")
+      val nullPlan = nulls.queryExecution.executedPlan.toString
+      assert(nullPlan.contains("graft_intersect_count"),
+        s"rule must still fire on nullable inputs:\n$nullPlan")
+      def vals(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => if (r.isNullAt(0)) None else Some(r.getInt(0))).toSeq
+        .sortBy(_.getOrElse(Int.MinValue))
+      assert(vals(nulls) == Seq(None, Some(0), Some(1)))
+      // and it agrees exactly with an un-rewritten twin: wrapping the
+      // contains in coalesce(…, false) is observably identical (filter
+      // drops non-true either way) but doesn't match the rule's pattern
+      val raw = nullCases("size(filter(sh_a, x -> coalesce(array_contains(sh_b, x), false)))")
+      assert(!raw.queryExecution.executedPlan.toString.contains("graft_intersect_count"))
+      assert(vals(raw) == vals(nulls))
     } finally spark.stop()
   }
 
