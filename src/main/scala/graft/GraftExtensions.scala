@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.QuantDot].getCanonicalName, "graft_qdot"),
       (exprs: Seq[Expression]) => graft.functions.QuantDot(exprs(0), exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_shingle3"),
+      new ExpressionInfo(classOf[graft.functions.Shingle3].getCanonicalName, "graft_shingle3"),
+      (exprs: Seq[Expression]) => graft.functions.Shingle3(exprs(0))))
+    ext.injectFunction((
       FunctionIdentifier("graft_intersect_count"),
       new ExpressionInfo(classOf[graft.functions.IntersectCount].getCanonicalName,
         "graft_intersect_count"),

@@ -14,19 +14,15 @@ object TextFns {
   val toksSpark = "split(text, ' ')"
   val toksDuck = "string_split(text, ' ')"
 
-  /** distinct 3-gram word shingles.
-    * Built from three aligned slices zipped together instead of
-    * per-index element_at: Spark higher-order lambdas are interpreted
-    * (not codegen'd) and re-evaluate captured expressions per element,
-    * so an element_at(split(text), i) formulation costs O(tokens²)
-    * splits per document — this one does 3 slices + 2 zips. */
-  val shSpark: String =
-    "CASE WHEN size(split(text, ' ')) >= 3 THEN " +
-      "array_distinct(zip_with(" +
-      "zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 2), " +
-      "slice(split(text, ' '), 2, size(split(text, ' ')) - 2), (a, b) -> concat(a, ' ', b)), " +
-      "slice(split(text, ' '), 3, size(split(text, ' ')) - 2), (ab, c) -> concat(ab, ' ', c))) " +
-      "ELSE array() END"
+  /** distinct 3-gram word shingles, via the native codegen'd
+    * [[graft.functions.Shingle3]] expression (map-only, one compiled
+    * loop per row). The declarative equivalent — three aligned slices
+    * zip_with'd together then array_distinct — is interpreted
+    * per-element and was the hottest projection in the dedup family;
+    * a window/lead formulation is codegen'd but shuffles the token
+    * stream. Requires graft_shingle3 (GraftExtensions or
+    * GraftFunctions.register). */
+  val shSpark: String = "graft_shingle3(split(text, ' '))"
 
   val shDuck: String =
     "list_distinct(list_transform(generate_series(1, GREATEST(len(string_split(text, ' ')) - 2, 0)), " +

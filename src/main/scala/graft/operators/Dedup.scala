@@ -65,6 +65,7 @@ object Dedup {
     * step decides membership, so hashing once instead of 8× is pure
     * savings. */
   private def minhashPairsPlan(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val d = Tables(spark, dir, "documents")
     // materialize the shingle sets once: this subplan is referenced 4×
     // (both band-join sides + both verify-join sides) and Catalyst
@@ -292,11 +293,21 @@ object Dedup {
     * band approximation — exact pairs sharing ≥ 6 non-boilerplate
     * shingles, then Jaccard ≥ 0.2 over the df-capped vocabulary).
     * The shared-shingle pre-join bounds the pair space the same way
-    * the LSH bands do, and the df cap bounds every posting list. */
+    * the LSH bands do, and the df cap bounds every posting list.
+    *
+    * Pair generation goes through per-shingle POSTING ARRAYS rather
+    * than an index self-join: one aggregation shuffles each index row
+    * once into a sorted ≤cap-length posting list, and the O(df²) pair
+    * blow-up happens map-side AFTER that shuffle (posexplode × a
+    * codegen'd slice of the successors) — the self-join shape
+    * shuffled the full index twice and materialized every candidate
+    * row through the join before the pair aggregation could shrink
+    * it. */
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val d = Tables(spark, dir, "documents")
     // materialized once: the shingle explode is the interpreted-lambda
-    // hot spot and inv0 feeds the df agg AND both capped-index sides
+    // hot spot and inv0 feeds the df agg AND the capped index
     val inv0 = d.select(col("doc_id"), expr(shSpark).as("sh"))
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
       .localCheckpoint(false)
@@ -308,9 +319,14 @@ object Dedup {
       .filter(col("df") > ngramDfCap).select("shingle")
     val inv = inv0.join(broadcast(drop), Seq("shingle"), "left_anti")
     val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val cand = inv.as("x").join(inv.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val posting = inv.groupBy("shingle")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val cand = posting
+      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "doc_a")))
+      // successors of position i (0-based) start at 1-based index i+2
+      .select(col("doc_a"), explode(expr("slice(ds, i + 2, size(ds))")).as("doc_b"))
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= 6)
     cand

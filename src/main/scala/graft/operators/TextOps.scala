@@ -100,6 +100,7 @@ object TextOps {
   /** f4 — document fingerprinting: md5 of normalized text + minimum
     * shingle hash (rolling-fingerprint analog). */
   def qFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val d = Tables(spark, dir, "documents")
     d.select(col("doc_id"), col("text"))
       .withColumn("fp", md5(expr(normSpark)))
