@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -17,17 +18,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * at a time from a service bus (ref ingest.py:62-66); on Spark the
   * queue backlog is a TABLE, and this connector exposes it through the
   * V2 read path so any `SparkEntry` pipeline can consume it with
-  * `spark.read.format("graft-queue")`. A real deployment would point
+  * `spark.read.format("graft-queue")` — or, mirroring the reference's
+  * CONTINUOUS receiver loop (ref ingest.py:41 ingest_message), as a
+  * micro-batch stream via `spark.readStream.format("graft-queue")`
+  * (offset = message id, `maxMessagesPerTrigger` caps each batch the
+  * way the bus' prefetch window does). A real deployment would point
   * the same connector surface at the bus' checkpointable feed; here
   * the payload is the deterministic message synthesis the a1 operator
   * parses (same url/token/flag algebra).
   *
-  * Scale shape: `planInputPartitions` splits the id range into
-  * `numPartitions` independent slices (no driver materialization,
-  * ~even rows per task) and the ScanBuilder implements
-  * SupportsPushDownRequiredColumns, so `select(event_id)` reads
-  * nothing else — column pruning reaches the source exactly as it
-  * does for parquet.
+  * Scale shape: the id space is laid out in `numPartitions` fixed
+  * chunks (the source's "row groups"); `planInputPartitions` emits
+  * only chunks intersecting the pushed `event_id` range, so a range
+  * predicate prunes whole input partitions — the V2 equivalent of the
+  * reference's queue offsets. The ScanBuilder implements
+  * SupportsPushDownRequiredColumns (a `select(event_id)` reads
+  * nothing else) and SupportsPushDownFilters (range/point predicates
+  * on event_id are consumed exactly, nothing re-filtered post-scan).
   */
 class IngestQueueSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-queue"
@@ -63,7 +70,7 @@ class IngestQueueTable(options: CaseInsensitiveStringMap)
   override def name(): String = "graft_ingest_queue"
   override def schema(): StructType = IngestQueueSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
     // read-path options are the canonical source; table properties
     // (captured at getTable) are the fallback for catalog-style use
@@ -72,32 +79,133 @@ class IngestQueueTable(options: CaseInsensitiveStringMap)
       else options.getLong(key, default)
     new IngestQueueScanBuilder(
       opt("numMessages", 1000L),
-      opt("numPartitions", 4L).toInt)
+      opt("numPartitions", 4L).toInt,
+      opt("maxMessagesPerTrigger", 0L))
   }
 }
 
-class IngestQueueScanBuilder(numMessages: Long, numPartitions: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+class IngestQueueScanBuilder(numMessages: Long, numPartitions: Int, maxPerTrigger: Long)
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = IngestQueueSource.schema
+  private var lo: Long = 0L
+  private var hi: Long = numMessages // [lo, hi)
+  private var pushed: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new IngestQueueScan(numMessages, numPartitions, required)
+
+  // event_id IS the message id, so range/point predicates on it are
+  // satisfied EXACTLY by narrowing the scanned id range — they consume
+  // fully (no post-scan residual), like parquet min/max pruning but
+  // precise. Everything else is left for Spark to evaluate post-scan.
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def num(v: Any): Option[Long] = v match {
+      case n: Number => Some(n.longValue())
+      case _ => None
+    }
+    val (accepted, residual) = filters.partition {
+      case EqualTo("event_id", v) => num(v).isDefined
+      case GreaterThan("event_id", v) => num(v).isDefined
+      case GreaterThanOrEqual("event_id", v) => num(v).isDefined
+      case LessThan("event_id", v) => num(v).isDefined
+      case LessThanOrEqual("event_id", v) => num(v).isDefined
+      case IsNotNull("event_id") => true // schema is non-nullable
+      case _ => false
+    }
+    accepted.foreach {
+      case EqualTo("event_id", v) =>
+        lo = math.max(lo, num(v).get); hi = math.min(hi, num(v).get + 1)
+      case GreaterThan("event_id", v) => lo = math.max(lo, num(v).get + 1)
+      case GreaterThanOrEqual("event_id", v) => lo = math.max(lo, num(v).get)
+      case LessThan("event_id", v) => hi = math.min(hi, num(v).get)
+      case LessThanOrEqual("event_id", v) => hi = math.min(hi, num(v).get + 1)
+      case _ => ()
+    }
+    pushed = accepted
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new IngestQueueScan(numMessages, lo, math.max(lo, hi), numPartitions, maxPerTrigger, required)
 }
 
 case class IdRange(start: Long, end: Long) extends InputPartition
 
-class IngestQueueScan(numMessages: Long, numPartitions: Int, required: StructType)
+/** Streaming offset: the next unread message id (Kafka-style). */
+case class MsgOffset(id: Long) extends Offset {
+  override def json(): String = id.toString
+}
+
+class IngestQueueScan(numMessages: Long, lo: Long, hi: Long, numPartitions: Int,
+    maxPerTrigger: Long, required: StructType)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Fixed chunk layout over the FULL id space, intersected with the
+    * pushed [lo, hi) range — chunks wholly outside the predicate are
+    * never planned (observable as fewer input partitions). */
   override def planInputPartitions(): Array[InputPartition] = {
     val per = math.max(1L, (numMessages + numPartitions - 1) / numPartitions)
-    (0L until numMessages by per)
-      .map(s => IdRange(s, math.min(s + per, numMessages)): InputPartition)
+    (0 until numPartitions).iterator
+      .map(k => IdRange(math.max(k * per, lo), math.min((k + 1) * per, hi)))
+      .filter(r => r.start < r.end)
+      .map(r => r: InputPartition)
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new IngestQueueReaderFactory(required)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new IngestQueueMicroBatchStream(hi, lo, numPartitions, maxPerTrigger, required)
+}
+
+/** Micro-batch view of the queue: each trigger consumes the next slice
+  * of message ids, restartable from the checkpointed offset — the
+  * Spark re-expression of the reference's receiver loop + message
+  * lock/checkpoint cycle (ref ingest.py:41-124). Admission control
+  * caps a trigger at `maxMessagesPerTrigger` rows like Kafka's
+  * maxOffsetsPerTrigger. */
+class IngestQueueMicroBatchStream(total: Long, start: Long, numPartitions: Int,
+    maxPerTrigger: Long, required: StructType)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  override def initialOffset(): Offset = MsgOffset(start)
+  override def deserializeOffset(json: String): Offset = MsgOffset(json.toLong)
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxPerTrigger > 0) ReadLimit.maxRows(maxPerTrigger) else ReadLimit.allAvailable()
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
+    val s = startOffset.asInstanceOf[MsgOffset].id
+    limit match {
+      case rl: ReadMaxRows => MsgOffset(math.min(s + rl.maxRows(), total))
+      case _ => MsgOffset(total)
+    }
+  }
+
+  override def reportLatestOffset(): Offset = MsgOffset(total)
+
+  override def planInputPartitions(startOffset: Offset, endOffset: Offset): Array[InputPartition] = {
+    val s = startOffset.asInstanceOf[MsgOffset].id
+    val e = endOffset.asInstanceOf[MsgOffset].id
+    val per = math.max(1L, (e - s + numPartitions - 1) / numPartitions)
+    (s until e by per)
+      .map(b => IdRange(b, math.min(b + per, e)): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new IngestQueueReaderFactory(required)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 class IngestQueueReaderFactory(required: StructType)

@@ -32,4 +32,27 @@ class SourceV2Spec extends SparkTestBase {
     assert(row.getAs[String]("token") == graft.sources.IngestQueueSource.md5hex("2"))
     assert(row.getAs[Boolean]("join_vector_tiles"))
   }
+
+  test("event_id range predicate prunes input partitions (filter pushdown)") {
+    def q = spark.read.format("graft-queue")
+      .option("numMessages", 1000).option("numPartitions", 4).load()
+    // full scan plans all 4 fixed chunks of the id space
+    assert(q.rdd.getNumPartitions == 4)
+    // a range predicate covering one chunk plans exactly that chunk
+    val ranged = q.where("event_id >= 500 AND event_id < 750")
+    assert(ranged.rdd.getNumPartitions == 1,
+      "chunks outside the pushed range must not be planned")
+    assert(ranged.count() == 250)
+    val ids = ranged.agg(org.apache.spark.sql.functions.min("event_id"),
+      org.apache.spark.sql.functions.max("event_id")).collect()(0)
+    assert(ids.getLong(0) == 500 && ids.getLong(1) == 749)
+    // point lookup plans a single partition and nothing is re-filtered
+    val point = q.where("event_id = 7")
+    assert(point.rdd.getNumPartitions == 1)
+    assert(point.collect().map(_.getAs[Long]("event_id")).toSeq == Seq(7L))
+    // non-id predicates stay post-scan (residual) and still apply
+    val mixed = q.where("event_id < 250 AND join_vector_tiles")
+    assert(mixed.rdd.getNumPartitions == 1)
+    assert(mixed.count() == 125, "residual filter must still be evaluated")
+  }
 }

@@ -213,6 +213,49 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("i1: graft-queue streams micro-batches through the h1 state machine into the partitioned sink") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft_queue_stream").toString
+    // the reference's continuous receiver loop (ingest.py:41), end to
+    // end on Spark: queue connector → parse → stage state machine →
+    // partitioned datasets layout, rate-limited per trigger
+    val msgs = spark.readStream.format("graft-queue")
+      .option("numMessages", 300)
+      .option("numPartitions", 4)
+      .option("maxMessagesPerTrigger", 100)
+      .load()
+    val events = msgs.select(
+        col("blob_url").as("url"),
+        regexp_extract(col("blob_url"), "/userdata/([^/]+)/", 1).as("user"),
+        lit("queued").as("stage"),
+        lit(0).as("progress"),
+        col("event_id").as("eventTimeMs"))
+      .as[IngestEvent]
+    val updates = IngestStream.stageStateMachine(events, GroupStateTimeout.NoTimeout)
+    val query = updates.toDF()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.withColumn("user_id", col("user"))
+          .write.mode("append").partitionBy("user_id").parquet(out)
+      }
+      .start()
+    try {
+      query.processAllAvailable()
+      // admission control: 300 messages at 100/trigger = 3 data batches
+      val dataBatches = query.recentProgress.filter(_.numInputRows > 0)
+      assert(dataBatches.length == 3, dataBatches.map(_.numInputRows).mkString(","))
+      assert(dataBatches.forall(_.numInputRows == 100))
+      // every message produced exactly one state-machine update in the sink
+      val back = spark.read.parquet(out)
+      assert(back.count() == 300)
+      assert(back.select("url").distinct().count() == 300)
+      assert(back.select("stage").distinct().collect().map(_.getString(0)).toSeq == Seq("queued"))
+      // per-user partition pruning serves the read, as in DatasetsSink
+      assert(new java.io.File(out).listFiles.exists(_.getName.startsWith("user_id=")))
+    } finally query.stop()
+  }
+
   test("h2: windowed counts aggregate per stage (batch twin checked by oracle)") {
     import spark.implicits._
     val df = Seq(
