@@ -41,24 +41,46 @@ object GeoOps {
         round(6378137.0 * ln(tan(pi() / 4 + radians(lat) / 2)), 2) AS merc_y
       FROM c ORDER BY event_id"""
 
-  /** b2 — reprojection decision: EPSG:4326 sources are never
-    * reprojected; everything else is (vs dst 4326). ref processing.py:36-61. */
+  /** b2 — reprojection decision, the reference's FULL matrix (ref
+    * processing.py:36-61): (1) a source whose authority code is 4326
+    * is never reprojected; (2) when both authority codes resolve, the
+    * decision is the integer code comparison against the dst (4326);
+    * (3) when the source has NO authority code (custom WKT —
+    * `int(None)` raises in the reference), the fallback is the
+    * geometric `IsSame` probe, and only a projection that IsSame
+    * judges equivalent escapes reprojection. src_epsg = -1 models the
+    * no-authority case; is_same models the probe's verdict for those
+    * rows. */
   def qShouldReproject(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
-    val src = when(col("event_id") % 4 === 0, 4326).when(col("event_id") % 4 === 1, 3857)
-      .when(col("event_id") % 4 === 2, 2249).otherwise(32633)
+    val src = when(col("event_id") % 5 === 0, 4326).when(col("event_id") % 5 === 1, 3857)
+      .when(col("event_id") % 5 === 2, 2249).when(col("event_id") % 5 === 3, 32633)
+      .otherwise(-1)
     e.select(col("event_id"), src.as("src_epsg"))
-      .withColumn("should_reproject", col("src_epsg") =!= 4326)
+      .withColumn("is_same", col("src_epsg") === -1 && col("event_id") % 2 === 0)
+      .withColumn("cmp_method",
+        when(col("src_epsg") =!= -1, "authority_code").otherwise("is_same"))
+      .withColumn("should_reproject",
+        when(col("src_epsg") === 4326, false)
+          .when(col("src_epsg") =!= -1, col("src_epsg") =!= 4326)
+          .otherwise(!col("is_same")))
       .orderBy("event_id")
   }
 
   val qShouldReprojectSql: String =
-    """SELECT event_id,
-        CASE WHEN event_id % 4 = 0 THEN 4326 WHEN event_id % 4 = 1 THEN 3857
-             WHEN event_id % 4 = 2 THEN 2249 ELSE 32633 END AS src_epsg,
-        (CASE WHEN event_id % 4 = 0 THEN 4326 WHEN event_id % 4 = 1 THEN 3857
-              WHEN event_id % 4 = 2 THEN 2249 ELSE 32633 END) <> 4326 AS should_reproject
-      FROM events ORDER BY event_id"""
+    """WITH s AS (
+        SELECT event_id,
+          CASE WHEN event_id % 5 = 0 THEN 4326 WHEN event_id % 5 = 1 THEN 3857
+               WHEN event_id % 5 = 2 THEN 2249 WHEN event_id % 5 = 3 THEN 32633
+               ELSE -1 END AS src_epsg
+        FROM events)
+      SELECT event_id, src_epsg,
+        (src_epsg = -1 AND event_id % 2 = 0) AS is_same,
+        CASE WHEN src_epsg <> -1 THEN 'authority_code' ELSE 'is_same' END AS cmp_method,
+        CASE WHEN src_epsg = 4326 THEN false
+             WHEN src_epsg <> -1 THEN src_epsg <> 4326
+             ELSE NOT (src_epsg = -1 AND event_id % 2 = 0) END AS should_reproject
+      FROM s ORDER BY event_id"""
 
   /** shared: WebMercatorQuad tile coords at zoom z (map-only, no shuffle).
     * ref morecantile tms WebMercatorQuad (processing.py:506), tippecanoe

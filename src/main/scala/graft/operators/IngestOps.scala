@@ -547,7 +547,93 @@ object IngestOps {
         MIN(ms) AS first_ms, MAX(ms) AS last_ms
       FROM l GROUP BY 1, 2 ORDER BY user_id, log_path"""
 
+  /** a19 — `.error` sidecar blobs: every failed ingest uploads the
+    * error message body to `{blob_path}.error` (ref azblob.py:133-149,
+    * upload_error_blob). Paths arriving from the raster route carry
+    * the full account/container URL, so the reference strips
+    * everything through `/{container}/` first — conditionally, only
+    * when the container segment is present; both branches are
+    * exercised here. Body = the dead-letter reason (a8's taxonomy). */
+  def qErrorBlobs(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val fname = Synth.fileName(col("event_id"))
+    val rel = concat(lit("user"), col("user_id").cast("string"), lit("/raw/"), fname)
+    // raster-route failures carry the full URL (ref "paths coming
+    // from ingest_raster"); vector ones arrive container-relative
+    val isRaster = Synth.ext(col("event_id")).isin(".tif", ".tiff", ".nc", ".xyz")
+    val path = when(isRaster,
+      concat(lit("https://acct.blob.core.windows.net/userdata/"), rel)).otherwise(rel)
+    val stripped = when(path.contains("/userdata/"),
+      regexp_extract(path, "/userdata/(.*)$", 1)).otherwise(path)
+    val reason = when(col("user_id") % 3 === 0, "message parse error")
+      .when(col("user_id") % 3 === 1, "ingest task error")
+      .otherwise("lock lost")
+    e.filter(col("event_type") === "error")
+      .select(col("event_id"),
+        concat(stripped, lit(".error")).as("error_blob_path"),
+        reason.as("content"))
+      .orderBy("event_id")
+  }
+
+  val qErrorBlobsSql: String =
+    s"""WITH p AS (
+        SELECT event_id, user_id,
+          CASE WHEN (${Synth.extSql}) IN ('.tif', '.tiff', '.nc', '.xyz')
+               THEN 'https://acct.blob.core.windows.net/userdata/user' || CAST(user_id AS VARCHAR)
+                    || '/raw/' || (${Synth.fileNameSql})
+               ELSE 'user' || CAST(user_id AS VARCHAR) || '/raw/' || (${Synth.fileNameSql})
+          END AS path
+        FROM events WHERE event_type = 'error')
+      SELECT event_id,
+        (CASE WHEN path LIKE '%/userdata/%'
+              THEN regexp_extract(path, '/userdata/(.*)$$', 1) ELSE path END) || '.error'
+          AS error_blob_path,
+        CASE WHEN user_id % 3 = 0 THEN 'message parse error'
+             WHEN user_id % 3 = 1 THEN 'ingest task error'
+             ELSE 'lock lost' END AS content
+      FROM p ORDER BY event_id"""
+
+  /** a20 — SAS URL assembly: the upload CLI mints a read SAS for each
+    * published PMTiles and hands out
+    * `{account_url}/{container}/{blob}?{sas}` (ref
+    * fgb_upload/main.py:69-86 generate_sas_url, 112-113 assembly) with
+    * a 1-hour expiry. The token's signature is an opaque
+    * deterministic stand-in (md5 over the signed fields — the real
+    * HMAC needs the account key, which never belongs in a dataset). */
+  def qSasUrl(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val fname = Synth.fileName(col("event_id"))
+    val blob = concat(lit("user"), col("user_id").cast("string"),
+      lit("/datasets/"), fname, lit("/"), fname)
+    // fixed mint epoch + 1h expiry, ISO-8601 (UTC sessions both sides)
+    val expiry = date_format(
+      timestamp_seconds(lit(1704067200L) + (col("event_id") % 24) * 3600L + 3600L),
+      "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    e.filter(Synth.ext(col("event_id")) === ".pmtiles")
+      .select(col("event_id"), blob.as("blob_path"), expiry.as("se"))
+      .withColumn("sas_url",
+        concat(lit("https://acct.blob.core.windows.net/userdata/"), col("blob_path"),
+          lit("?sv=2022-11-02&sp=r&sr=b&se="), col("se"),
+          lit("&sig="), md5(concat(col("blob_path"), col("se")))))
+      .orderBy("event_id")
+  }
+
+  val qSasUrlSql: String =
+    s"""WITH p AS (
+        SELECT event_id,
+          'user' || CAST(user_id AS VARCHAR) || '/datasets/' || (${Synth.fileNameSql})
+            || '/' || (${Synth.fileNameSql}) AS blob_path,
+          strftime(make_timestamp((1704067200 + (event_id % 24) * 3600 + 3600) * 1000000),
+            '%Y-%m-%dT%H:%M:%SZ') AS se
+        FROM events WHERE (${Synth.extSql}) = '.pmtiles')
+      SELECT event_id, blob_path, se,
+        'https://acct.blob.core.windows.net/userdata/' || blob_path
+          || '?sv=2022-11-02&sp=r&sr=b&se=' || se || '&sig=' || md5(blob_path || se) AS sas_url
+      FROM p ORDER BY event_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_error_blobs" -> (qErrorBlobs _),
+    "q_sas_url" -> (qSasUrl _),
     "q_log_blobs" -> (qLogBlobs _),
     "q_arch_path" -> (qArchPath _),
     "q_marker_blobs" -> (qMarkerBlobs _),
@@ -568,6 +654,8 @@ object IngestOps {
     "q_deadletter_stats" -> (qDeadletterStats _))
 
   val oracles: Map[String, String] = Map(
+    "q_error_blobs" -> qErrorBlobsSql,
+    "q_sas_url" -> qSasUrlSql,
     "q_log_blobs" -> qLogBlobsSql,
     "q_arch_path" -> qArchPathSql,
     "q_marker_blobs" -> qMarkerBlobsSql,
