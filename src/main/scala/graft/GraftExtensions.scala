@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.Shingle3].getCanonicalName, "graft_shingle3"),
       (exprs: Seq[Expression]) => graft.functions.Shingle3(exprs(0))))
     ext.injectFunction((
+      FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[graft.functions.SimHash64].getCanonicalName, "graft_simhash64"),
+      (exprs: Seq[Expression]) => graft.functions.SimHash64(exprs(0))))
+    ext.injectFunction((
       FunctionIdentifier("graft_intersect_count"),
       new ExpressionInfo(classOf[graft.functions.IntersectCount].getCanonicalName,
         "graft_intersect_count"),

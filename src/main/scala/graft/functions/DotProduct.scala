@@ -119,6 +119,8 @@ object GraftFunctions {
       "graft_intersect_count", exprs => IntersectCount(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingle3", exprs => Shingle3(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash64", exprs => SimHash64(exprs(0)), "built-in")
     if (!spark.experimental.extraOptimizations.contains(graft.plans.IntersectCountRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.IntersectCountRewrite

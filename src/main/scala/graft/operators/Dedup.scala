@@ -122,24 +122,17 @@ object Dedup {
       ORDER BY doc_a, doc_b"""
 
   /** d3 — SimHash: 16-bit signature from per-token md5 hex-digit
-    * parities (bit-majority), integer-exact in both engines.
-    * Tokens are exploded so md5(t) is computed ONCE per token
-    * (subexpression elimination across the 16 weight columns in one
-    * codegen'd projection) and the 16 majority sums are partial
-    * aggregates — vs 16 interpreted lambda folds each re-hashing every
-    * token. */
+    * parities (bit-majority), integer-exact in both engines. The
+    * 16-bit signature is exactly chunk c0 of the 64-bit signature
+    * (same digits, same parity, same majority), so it reuses the
+    * map-only native [[graft.functions.SimHash64]] expression — the
+    * oracle keeps the explicit 16-lambda-fold formulation, proving the
+    * equivalence every run. */
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val d = Tables(spark, dir, "documents")
-    val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-    val weights = toks.select(col("doc_id") +: (0 until 16).map { j =>
-      expr(s"((locate(substr(md5(t), ${j + 1}, 1), '0123456789abcdef') - 1) % 2) * 2 - 1").as(s"w$j")
-    }: _*)
-    val sums = weights.groupBy("doc_id")
-      .agg(sum(col("w0")).as("s0"), (1 until 16).map(j => sum(col(s"w$j")).as(s"s$j")): _*)
-    val simhash = (0 until 16)
-      .map(j => when(col(s"s$j") > 0, 1 << j).otherwise(0))
-      .reduce(_ + _)
-    sums.select(col("doc_id"), simhash.cast("int").as("simhash"))
+    d.select(col("doc_id"),
+        expr("graft_simhash64(split(text, ' '))")(0).as("simhash"))
       .orderBy("doc_id")
   }
 
@@ -175,40 +168,19 @@ object Dedup {
     * Carrying the signature as four small non-negative INTs keeps the
     * arithmetic integer-exact and sign-safe in BOTH engines (a single
     * BIGINT with bit 63 set would go negative) and the chunks double
-    * as the multi-index block keys. Tokens are exploded so the two
-    * md5 calls are shared across all 64 weight columns by codegen
-    * subexpression elimination, and the 64 majority sums are
-    * partial aggregates (map-side combine). */
+    * as the multi-index block keys. Computed by the native
+    * [[graft.functions.SimHash64]] expression: one map-side pass per
+    * document (distinct-token counts, two digests per token, weighted
+    * bit majority) — the previous explode + 64-column projection +
+    * 64-partial-agg formulation paid two shuffles and a heavy codegen
+    * unit for what is a pure per-row computation. */
   private[graft] def simhash64(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val d = Tables(spark, dir, "documents")
-    // bit-majority is a count-weighted sum over DISTINCT tokens, so
-    // dedup (doc_id, token) first — partial aggs shrink the hash work
-    // and the 64 weight columns then run over ~2-3× fewer rows
-    val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
-    // per-token hex→parity-bit strings, materialized in their OWN
-    // projection (CollapseProject keeps non-cheap expressions
-    // referenced 32× from being inlined): ONE md5 + ONE translate per
-    // hash, then the 64 weight columns are codegen'd substr compares —
-    // `locate` is a CodegenFallback expression and 64 interpreted
-    // calls per token made this projection ~10× slower
-    val parity = "0101010101010101"
-    val hashed = toks.select(col("doc_id"), col("cnt"),
-      translate(md5(col("t")), "0123456789abcdef", parity).as("p1"),
-      translate(md5(concat(lit("x:"), col("t"))), "0123456789abcdef", parity).as("p2"))
-    val weights = hashed.select(col("doc_id") +: (0 until 64).map { j =>
-      val src = if (j < 32) "p1" else "p2"
-      val pos = (j % 32) + 1
-      (when(expr(s"substr($src, $pos, 1)") === "1", col("cnt"))
-        .otherwise(-col("cnt"))).as(s"w$j")
-    }: _*)
-    val sums = weights.groupBy("doc_id")
-      .agg(sum(col("w0")).as("s0"), (1 until 64).map(j => sum(col(s"w$j")).as(s"s$j")): _*)
-    val chunks = (0 until 4).map { k =>
-      (0 until 16).map(b => when(col(s"s${16 * k + b}") > 0, lit(1 << b)).otherwise(lit(0)))
-        .reduce(_ + _).cast("int").as(s"c$k")
-    }
-    sums.select(col("doc_id") +: chunks: _*)
+    d.select(col("doc_id"), expr("graft_simhash64(split(text, ' '))").as("ch"))
+      .select(col("doc_id"),
+        col("ch")(0).as("c0"), col("ch")(1).as("c1"),
+        col("ch")(2).as("c2"), col("ch")(3).as("c3"))
   }
 
   /** d3c — multi-index Hamming near-dup over the 64-bit simhash:
