@@ -629,7 +629,77 @@ object Analytics {
       .orderBy("o_orderpriority")
   }
 
+  /** c21 — as-of (backward) join: for every purchase event, the
+    * latest order of the same customer at-or-before the event day —
+    * the time-series join Spark has no native operator for (and the
+    * shape every point-in-time feature lookup / SCD-2 read needs).
+    *
+    * Spark-first formulation: UNION both sides tagged, one window per
+    * key ordered by (time, tag), and a last(ignoreNulls) carry-forward
+    * of the order columns; event rows then hold their as-of match.
+    * ONE shuffle on the join key, state = one running row per key —
+    * no per-pair range explosion, no BroadcastNestedLoopJoin (which is
+    * what a naive t_left >= t_right join plans), and at 100 TB the
+    * window is a plain hash-partitioned sort within partitions. The
+    * right side is first reduced to one order per (key, day) — argmax
+    * orderkey via struct max — because as-of over duplicate timestamps
+    * is otherwise nondeterministic (the oracle's ASOF JOIN has the
+    * same requirement). Oracle: DuckDB's native ASOF JOIN. */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val o = Tables(spark, dir, "orders")
+    val ev = e.filter(col("event_type") === "purchase")
+      .select((col("user_id") + 1).as("k"),
+        expr("unix_millis(ts) div 86400000").as("t"), col("event_id"))
+    val od = o.select(col("o_custkey").as("k"),
+        // o_orderdate is TIMESTAMP_NTZ in the parquet; day-granularity
+        // epoch days via DATE (TZ-free on both engines)
+        unix_date(to_date(col("o_orderdate"))).cast("long").as("t"),
+        col("o_orderkey"), col("o_totalprice"))
+      .groupBy("k", "t")
+      .agg(max(struct(col("o_orderkey"), col("o_totalprice"))).as("s"))
+      .select(col("k"), col("t"),
+        col("s.o_orderkey").as("o_orderkey"), col("s.o_totalprice").as("o_totalprice"))
+    val tagged = od
+      .select(col("k"), col("t"), lit(0).as("tag"),
+        col("o_orderkey"), col("o_totalprice"),
+        lit(null).cast("long").as("event_id"))
+      .unionByName(ev.select(col("k"), col("t"), lit(1).as("tag"),
+        lit(null).cast("long").as("o_orderkey"),
+        lit(null).cast("double").as("o_totalprice"),
+        col("event_id")))
+    val w = Window.partitionBy("k").orderBy(col("t"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("o_key", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("o_day", last(when(col("tag") === 0, col("t")), ignoreNulls = true).over(w))
+      .withColumn("o_price", last(col("o_totalprice"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1 && col("o_key").isNotNull)
+      .select(col("event_id"), col("k"), col("t").as("event_day"),
+        col("o_day").as("order_day"), col("o_key").as("o_orderkey"),
+        col("o_price").as("o_totalprice"))
+      .orderBy("event_id")
+  }
+
+  val qAsofJoinSql: String =
+    """WITH ev AS (
+        SELECT user_id + 1 AS k, epoch_ms(ts) // 86400000 AS t, event_id
+        FROM events WHERE event_type = 'purchase'),
+      o1 AS (
+        SELECT o_custkey AS k,
+          CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS t,
+          o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey, CAST(o_orderdate AS DATE)
+            ORDER BY o_orderkey DESC) AS rn
+        FROM orders),
+      od AS (SELECT k, t, o_orderkey, o_totalprice FROM o1 WHERE rn = 1)
+      SELECT event_id, ev.k, ev.t AS event_day, od.t AS order_day,
+        od.o_orderkey, od.o_totalprice
+      FROM ev ASOF JOIN od ON ev.k = od.k AND ev.t >= od.t
+      ORDER BY event_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join" -> (qAsofJoin _),
     "q_approx_quantiles" -> (qApproxQuantiles _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_median" -> (qMedian _),
@@ -654,6 +724,7 @@ object Analytics {
     "q_sessionize" -> (qSessionize _))
 
   val oracles: Map[String, String] = Map(
+    "q_asof_join" -> qAsofJoinSql,
     "q_median" -> qMedianSql,
     "q10_returns" -> q10ReturnsSql,
     "q4_priority" -> q4PrioritySql,

@@ -232,6 +232,37 @@ object TextOps {
         md5(regexp_replace(regexp_replace(text, '[0-9]+', '<NUM>', 'g'), '@[a-z]+', '<HANDLE>', 'g')) AS redacted_md5
       FROM documents ORDER BY doc_id"""
 
+  /** f10 — benchmark decontamination: flag training docs sharing ≥ 3
+    * distinct 3-gram shingles with any eval-benchmark document — the
+    * n-gram-overlap contamination check every serious LLM training
+    * pipeline runs before training (benchmark = doc_id % 50 == 0 here).
+    * Scale shape: the benchmark index is TINY next to the corpus, so
+    * it broadcasts — the corpus side stays map-only (shingle explode +
+    * broadcast hash probe) and the only shuffle carries the matched
+    * rows, not the corpus. */
+  def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val d = Tables(spark, dir, "documents")
+    val sh = d.select(col("doc_id"), explode(expr(shSpark)).as("shingle"))
+    val bench = sh.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("bench_id"), col("shingle"))
+    val corpus = sh.filter(col("doc_id") % 50 =!= 0)
+    corpus.join(broadcast(bench), "shingle")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 3)
+      .orderBy("doc_id", "bench_id")
+  }
+
+  val qDecontaminateSql: String =
+    s"""WITH s AS (SELECT doc_id, unnest($shDuck) AS shingle FROM documents),
+      b AS (SELECT doc_id AS bench_id, shingle FROM s WHERE doc_id % 50 = 0),
+      c AS (SELECT doc_id, shingle FROM s WHERE doc_id % 50 <> 0)
+      SELECT doc_id, bench_id, COUNT(*) AS shared
+      FROM c JOIN b USING (shingle)
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+      ORDER BY doc_id, bench_id"""
+
   /** f9 — corpus length distribution: per-language histogram of
     * document lengths (100-char buckets) — the first diagnostic run
     * on any new training corpus (truncation/padding budgeting, outlier
@@ -249,6 +280,7 @@ object TextOps {
       FROM documents GROUP BY 1, 2 ORDER BY lang, bucket"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_decontaminate" -> (qDecontaminate _),
     "q_length_histogram" -> (qLengthHistogram _),
     "q_sample_mix" -> (qSampleMix _),
     "q_redact_pii" -> (qRedactPii _),
@@ -260,6 +292,7 @@ object TextOps {
     "q_fingerprint" -> (qFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q_decontaminate" -> qDecontaminateSql,
     "q_length_histogram" -> qLengthHistogramSql,
     "q_sample_mix" -> qSampleMixSql,
     "q_redact_pii" -> qRedactPiiSql,

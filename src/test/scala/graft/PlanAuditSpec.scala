@@ -65,6 +65,38 @@ class PlanAuditSpec extends SparkTestBase {
     assert(batch.contains("WindowGroupLimit"), s"batched ANN top-3 not pushed:\n$batch")
   }
 
+  test("as-of join plans as one keyed window, not a nested-loop range join") {
+    val df = operators.Analytics.qAsofJoin(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // the naive t_left >= t_right join plans BroadcastNestedLoopJoin —
+    // O(n·m) compares; the union+carry-forward form must not
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"as-of fell back to NLJ:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Window"), s"expected the carry-forward window:\n$p")
+    // and it agrees with a small driver-side reference computation
+    import org.apache.spark.sql.functions._
+    val events = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select((col("user_id") + 1).as("k"),
+        expr("unix_millis(ts) div 86400000").as("t"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val orders = Tables(spark, sfDir, "orders")
+      .select(col("o_custkey"), unix_date(to_date(col("o_orderdate"))).cast("long"),
+        col("o_orderkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = events.flatMap { case (k, t, eid) =>
+      val cands = orders.filter(o => o._1 == k && o._2 <= t)
+      if (cands.isEmpty) None
+      else {
+        val bestDay = cands.map(_._2).max
+        Some(eid -> cands.filter(_._2 == bestDay).map(_._3).max)
+      }
+    }.toMap
+    val got = df.collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("o_orderkey")).toMap
+    assert(got == expected, "as-of matches brute-force point-in-time lookup")
+  }
+
   test("events-based geo ops are map-side until their aggregation") {
     // tile assignment must not shuffle before the groupBy: exactly the
     // agg exchange(s), no repartition/sort-by-key upstream
