@@ -38,5 +38,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // rewrite interpreted size(filter(a, x -> array_contains(b, x)))
     // lambdas into the codegen'd hash-probe expression
     ext.injectOptimizerRule(_ => graft.plans.IntersectCountRewrite)
+    // plan constant-width interval joins as bucketed equi-joins
+    // instead of BroadcastNestedLoopJoin
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }

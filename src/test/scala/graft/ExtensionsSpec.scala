@@ -83,6 +83,44 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("RangeJoinRewrite plans constant-width interval joins without a nested loop") {
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-range-rewrite-test")
+      .getOrCreate()
+    try {
+      import spark.implicits._
+      val points = (0L until 1000L).map(i => i * 7L % 5000L).toDF("t").repartition(2)
+      val windows = (0L until 50L).map(i => (i, i * 97L % 4900L)).toDF("w_id", "start").repartition(2)
+      // the naive formulation every user writes first
+      val joined = points.join(windows,
+        col("t") >= col("start") && col("t") < col("start") + 100L)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"range join must not plan a nested loop:\n$plan")
+      assert(plan.contains("_graft_range_bucket"),
+        s"expected the bucketed rewrite:\n$plan")
+      // exhaustive ground truth
+      val ps = (0L until 1000L).map(i => i * 7L % 5000L)
+      val ws = (0L until 50L).map(i => (i, i * 97L % 4900L))
+      val expected = (for { t <- ps; (w, s) <- ws if t >= s && t < s + 100L } yield (t, w, s))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val got = joined.collect()
+        .map(r => (r.getAs[Long]("t"), r.getAs[Long]("w_id"), r.getAs[Long]("start")))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(got == expected, "rewrite must preserve join semantics exactly (no dups, no losses)")
+      // joins that already have an equi key are left alone
+      val equi = points.withColumn("k", col("t") % 10)
+        .join(windows.withColumn("k", col("w_id") % 10), Seq("k"))
+        .where(col("t") >= col("start") && col("t") < col("start") + 100L)
+      assert(!equi.queryExecution.executedPlan.toString.contains("_graft_range_bucket"),
+        "rule must not fire when a cross-side equi-predicate exists")
+    } finally spark.stop()
+  }
+
   test("DatasetsSink partitioned roundtrip with partition pruning") {
     val spark = SparkSession.builder().master("local[2]")
       .config("spark.sql.shuffle.partitions", "2")
