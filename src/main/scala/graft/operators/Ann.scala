@@ -250,7 +250,98 @@ object Ann {
         FROM scored)
       SELECT q_id, vec_id, cos_sim, rk FROM r WHERE rk <= 3 ORDER BY q_id, rk"""
 
+  // ---- e6: product quantization ----
+
+  /** dot of 8-dim subspace j of two vectors (same fold order both
+    * engines: left-to-right over the 8 elements). */
+  private def subDotSpark(a: String, b: String, j: Int): String =
+    s"graft_dot(slice($a, ${8 * j + 1}, 8), slice($b, ${8 * j + 1}, 8))"
+
+  private def subDotDuck(a: String, b: String, j: Int): String =
+    s"list_sum(list_transform(generate_series(1, 8), i -> " +
+      s"CAST($a[${8 * j} + i] AS DOUBLE) * CAST($b[${8 * j} + i] AS DOUBLE)))"
+
+  /** e6 — product-quantization ANN (the memory-scale path: a 100 TB
+    * corpus can't hold raw vectors in RAM, but 8 one-byte codes per
+    * vector can). 64 dims → 8 subspaces × 8 dims; the codebook is 4
+    * deterministic anchor vectors (vec_id 1..4 — a trained k-means
+    * codebook would slot in identically); ENCODE assigns each
+    * subvector to its nearest codeword by exact squared distance
+    * (argmin via an integer (quantized-distance, anchor) key, so the
+    * tie-break is engine-exact); SEARCH is asymmetric distance
+    * computation — the query's 8×4 dot-product LUT broadcasts and
+    * every corpus vector's approximate score is 8 integer LUT adds.
+    * Top-10 by ADC then exact-cosine rerank on just those rows — the
+    * standard IVF-PQ serving shape. Encoding is one broadcast 4-way
+    * fan-out + per-vector min aggs; nothing but the 10 finalists ever
+    * touches full vectors again. */
+  def qAnnPq(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val e = Tables(spark, dir, "embeddings")
+    val anchors = e.filter(col("vec_id").between(1, 4))
+      .select(col("vec_id").as("a_id"), col("embedding").as("a"))
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    // squared-distance argmin key per subspace: dist² − |v_j|² =
+    // |a_j|² − 2·v_j·a_j (the |v_j|² term is constant per vector, so
+    // dropping it preserves the argmin); quantized to 1e-6 and packed
+    // with the anchor id so MIN() is the deterministic argmin
+    val ks = (0 until 8).map { j =>
+      expr(s"CAST(round(round(${subDotSpark("a", "a", j)} - 2 * ${subDotSpark("embedding", "a", j)}, 6) * 1000000, 0) AS BIGINT) * 16 + a_id")
+        .as(s"k$j")
+    }
+    val scored = e.crossJoin(broadcast(anchors)).select(col("vec_id") +: ks: _*)
+    val codeAggs = (0 until 8).map(j => pmod(min(col(s"k$j")), lit(16L)).as(s"c$j"))
+    val codes = scored.groupBy("vec_id").agg(codeAggs.head, codeAggs.tail: _*)
+    val cl = codes.select(col("vec_id"),
+      posexplode(array((0 until 8).map(j => col(s"c$j")): _*)).as(Seq("j", "code")))
+    val lutWide = anchors.crossJoin(broadcast(q)).select(col("a_id") +:
+      (0 until 8).map { j =>
+        expr(s"CAST(round(round(${subDotSpark("qv", "a", j)}, 6) * 1000000, 0) AS BIGINT)").as(s"l$j")
+      }: _*)
+    val lut = lutWide.select(col("a_id"),
+      posexplode(array((0 until 8).map(j => col(s"l$j")): _*)).as(Seq("j", "dot_i")))
+    val adc = cl.as("cl").join(broadcast(lut.as("lt")),
+        col("cl.code") === col("lt.a_id") && col("cl.j") === col("lt.j"))
+      .groupBy(col("cl.vec_id").as("vec_id"))
+      .agg(round(sum("dot_i").cast("double") / 1000000, 6).as("adc"))
+    adc.orderBy(col("adc").desc, col("vec_id")).limit(10)
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("adc"), expr(cosineSpark("embedding", "qv")).as("cos_sim"))
+      .orderBy(col("adc").desc, col("vec_id"))
+  }
+
+  val qAnnPqSql: String = {
+    val ds = (0 until 8).map(j =>
+      s"CAST(round(round(${subDotDuck("a", "a", j)} - 2 * ${subDotDuck("e.embedding", "a", j)}, 6) * 1000000, 0) AS BIGINT) * 16 + a_id AS k$j")
+      .mkString(", ")
+    val codeCols = (0 until 8).map(j => s"((MIN(k$j) % 16) + 16) % 16 AS c$j").mkString(", ")
+    val luts = (0 until 8).map(j =>
+      s"CAST(round(round(${subDotDuck("qv", "a", j)}, 6) * 1000000, 0) AS BIGINT) AS l$j")
+      .mkString(", ")
+    val lutCase = (0 until 8).map(j => s"WHEN $j THEN l$j").mkString(" ")
+    s"""WITH anchors AS (SELECT vec_id AS a_id, embedding AS a FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      scored AS (SELECT e.vec_id, a_id, $ds FROM embeddings e, anchors),
+      codes AS (SELECT vec_id, $codeCols FROM scored GROUP BY vec_id),
+      cl AS (SELECT vec_id, unnest([0,1,2,3,4,5,6,7]) AS j,
+        unnest([c0,c1,c2,c3,c4,c5,c6,c7]) AS code FROM codes),
+      lut AS (SELECT a_id, j, CASE j $lutCase END AS dot_i
+        FROM (SELECT a_id, $luts, unnest([0,1,2,3,4,5,6,7]) AS j FROM anchors, q) x),
+      adc AS (
+        SELECT cl.vec_id AS vec_id,
+          round(CAST(CAST(SUM(lut.dot_i) AS BIGINT) AS DOUBLE) / 1000000, 6) AS adc
+        FROM cl JOIN lut ON lut.a_id = cl.code AND lut.j = cl.j
+        GROUP BY cl.vec_id),
+      top AS (SELECT vec_id, adc FROM adc ORDER BY adc DESC, vec_id LIMIT 10)
+      SELECT t.vec_id AS vec_id, t.adc AS adc,
+        ${cosineDuck("e.embedding", "qv")} AS cos_sim
+      FROM top t JOIN embeddings e ON e.vec_id = t.vec_id, q
+      ORDER BY adc DESC, vec_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_pq" -> (qAnnPq _),
     "q_ann_brute" -> (qAnnBrute _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
@@ -258,6 +349,7 @@ object Ann {
     "q_ann_batch" -> (qAnnBatch _))
 
   val oracles: Map[String, String] = Map(
+    "q_ann_pq" -> qAnnPqSql,
     "q_ann_brute" -> qAnnBruteSql,
     "q_ann_lsh" -> qAnnLshSql,
     "q_ann_ivf" -> qAnnIvfSql,

@@ -232,6 +232,100 @@ object TextOps {
         md5(regexp_replace(regexp_replace(text, '[0-9]+', '<NUM>', 'g'), '@[a-z]+', '<HANDLE>', 'g')) AS redacted_md5
       FROM documents ORDER BY doc_id"""
 
+  /** f12 — per-domain document caps: web-crawl pipelines cap how many
+    * documents any single domain contributes (one boilerplate-heavy
+    * site must not dominate the mix), keeping the best-quality docs up
+    * to the cap. Domain is derived deterministically from doc_id (the
+    * corpus carries no URLs); keeper rank = row_number per domain by
+    * (quality desc, doc_id). One window over hash-partitioned domains
+    * — the same WindowGroupLimit-able top-k-per-group shape as c4. */
+  def qDomainCap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cap = 8
+    val scores = qQualityScore(spark, dir).select(col("doc_id"), col("score"))
+    val domain = concat(lit("site"), ((col("doc_id") * 7) % 40).cast("string"), lit(".example"))
+    val w = Window.partitionBy("domain").orderBy(col("score").desc, col("doc_id"))
+    scores.withColumn("domain", domain)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap)
+      .select(col("doc_id"), col("domain"), col("rk"), col("score"))
+      .orderBy("domain", "rk")
+  }
+
+  val qDomainCapSql: String =
+    s"""WITH scores AS (SELECT doc_id, score FROM ($qQualityScoreSql) q),
+      d AS (
+        SELECT doc_id, 'site' || CAST((doc_id * 7) % 40 AS VARCHAR) || '.example' AS domain, score
+        FROM scores),
+      r AS (
+        SELECT doc_id, domain, score,
+          CAST(ROW_NUMBER() OVER (PARTITION BY domain ORDER BY score DESC, doc_id) AS INT) AS rk
+        FROM d)
+      SELECT doc_id, domain, rk, score FROM r WHERE rk <= 8
+      ORDER BY domain, rk"""
+
+  /** f11 — BM25 retrieval scoring: top-20 documents for a fixed term
+    * query (the relevance ranking behind retrieval-based data curation
+    * and RAG indexing). One token explode feeds BOTH the per-doc
+    * conditional-sum tf/dl aggregation and the tiny corpus-stats agg
+    * (N, avgdl, per-term df) that broadcasts back — so the corpus is
+    * read once, shuffles once on doc_id with map-side partials, and
+    * the scoring itself is a map over the aggregated rows. k1=1.2,
+    * b=0.75; idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (the
+    * non-negative Robertson variant); scores rounded to 6dp with a
+    * doc_id tiebreak so the top-k is deterministic cross-engine. */
+  val bm25Terms: Seq[String] = Seq("vector", "hash", "stream")
+
+  def qBm25(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    val perDocAggs = count(lit(1)).as("dl") +:
+      bm25Terms.zipWithIndex.map { case (term, i) =>
+        sum(when(col("t") === term, 1L).otherwise(0L)).as(s"tf$i")
+      }
+    val perDoc = toks.groupBy("doc_id").agg(perDocAggs.head, perDocAggs.tail: _*)
+    val statAggs = count(lit(1)).as("n_docs") +: sum(col("dl")).as("sum_dl") +:
+      bm25Terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val score = bm25Terms.indices.map { i =>
+      val idf = log(lit(1.0) +
+        (col("n_docs").cast("double") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5))
+      val tf = col(s"tf$i").cast("double")
+      idf * tf * (lit(1.2) + 1.0) /
+        (tf + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dl").cast("double") / avgdl))
+    }.reduce(_ + _)
+    val outCols = col("doc_id") +: bm25Terms.indices.map(i => col(s"tf$i")) :+
+      col("dl") :+ round(score, 6).as("bm25")
+    perDoc.crossJoin(broadcast(stats))
+      .select(outCols: _*)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val qBm25Sql: String = {
+    val tfs = bm25Terms.zipWithIndex.map { case (term, i) =>
+      s"CAST(SUM(CASE WHEN t = '$term' THEN 1 ELSE 0 END) AS BIGINT) AS tf$i"
+    }.mkString(", ")
+    val dfs = bm25Terms.indices.map(i =>
+      s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    val score = bm25Terms.indices.map { i =>
+      s"""ln(1.0 + (CAST(n_docs AS DOUBLE) - df$i + 0.5) / (df$i + 0.5))
+          * CAST(tf$i AS DOUBLE) * (1.2 + 1.0)
+          / (CAST(tf$i AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+              / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"""
+    }.mkString(" + ")
+    s"""WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      per_doc AS (SELECT doc_id, COUNT(*) AS dl, $tfs FROM toks GROUP BY doc_id),
+      stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl, $dfs FROM per_doc)
+      SELECT doc_id, ${bm25Terms.indices.map(i => s"tf$i").mkString(", ")}, dl,
+        round($score, 6) AS bm25
+      FROM per_doc, stats
+      ORDER BY bm25 DESC, doc_id LIMIT 20"""
+  }
+
   /** f10 — benchmark decontamination: flag training docs sharing ≥ 3
     * distinct 3-gram shingles with any eval-benchmark document — the
     * n-gram-overlap contamination check every serious LLM training
@@ -281,6 +375,8 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_decontaminate" -> (qDecontaminate _),
+    "q_domain_cap" -> (qDomainCap _),
+    "q_bm25" -> (qBm25 _),
     "q_length_histogram" -> (qLengthHistogram _),
     "q_sample_mix" -> (qSampleMix _),
     "q_redact_pii" -> (qRedactPii _),
@@ -293,6 +389,8 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "q_decontaminate" -> qDecontaminateSql,
+    "q_domain_cap" -> qDomainCapSql,
+    "q_bm25" -> qBm25Sql,
     "q_length_histogram" -> qLengthHistogramSql,
     "q_sample_mix" -> qSampleMixSql,
     "q_redact_pii" -> qRedactPiiSql,
