@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -170,7 +170,14 @@ class IngestQueueScan(numMessages: Long, lo: Long, hi: Long, numPartitions: Int,
   * maxOffsetsPerTrigger. */
 class IngestQueueMicroBatchStream(total: Long, start: Long, numPartitions: Int,
     maxPerTrigger: Long, required: StructType)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  // Trigger.AvailableNow drains the backlog as of query start in
+  // rate-limited batches, then stops — the "catch up and exit" run
+  // mode of a periodic ingest sweep. The backlog here is static, so
+  // freezing it is capturing `total`.
+  @volatile private var frozenTotal: Long = total
+  override def prepareForTriggerAvailableNow(): Unit = frozenTotal = total
 
   override def initialOffset(): Offset = MsgOffset(start)
   override def deserializeOffset(json: String): Offset = MsgOffset(json.toLong)
@@ -185,12 +192,12 @@ class IngestQueueMicroBatchStream(total: Long, start: Long, numPartitions: Int,
   override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
     val s = startOffset.asInstanceOf[MsgOffset].id
     limit match {
-      case rl: ReadMaxRows => MsgOffset(math.min(s + rl.maxRows(), total))
-      case _ => MsgOffset(total)
+      case rl: ReadMaxRows => MsgOffset(math.min(s + rl.maxRows(), frozenTotal))
+      case _ => MsgOffset(frozenTotal)
     }
   }
 
-  override def reportLatestOffset(): Offset = MsgOffset(total)
+  override def reportLatestOffset(): Offset = MsgOffset(frozenTotal)
 
   override def planInputPartitions(startOffset: Offset, endOffset: Offset): Array[InputPartition] = {
     val s = startOffset.asInstanceOf[MsgOffset].id

@@ -97,6 +97,27 @@ class PlanAuditSpec extends SparkTestBase {
     assert(got == expected, "as-of matches brute-force point-in-time lookup")
   }
 
+  test("new-operator plan shapes: broadcasts, window limits, bounded top-k") {
+    // decontamination: the benchmark shingle index must broadcast so
+    // the corpus side stays map-only
+    val dec = operators.TextOps.qDecontaminate(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(dec.contains("BroadcastHashJoin"), s"benchmark index not broadcast:\n$dec")
+    // domain caps: the rk <= cap filter must push into WindowGroupLimit
+    val cap = operators.TextOps.qDomainCap(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(cap.contains("WindowGroupLimit"), s"per-domain cap not pushed:\n$cap")
+    // bm25: global top-20 must plan TakeOrderedAndProject, and the
+    // corpus stats side must broadcast
+    val bm = operators.TextOps.qBm25(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(bm.contains("TakeOrderedAndProject"), s"bm25 top-k not bounded:\n$bm")
+    // PQ: the ADC LUT probe must be a broadcast hash join
+    val pq = operators.Ann.qAnnPq(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(pq.contains("BroadcastHashJoin"), s"PQ LUT not broadcast:\n$pq")
+  }
+
   test("events-based geo ops are map-side until their aggregation") {
     // tile assignment must not shuffle before the groupBy: exactly the
     // agg exchange(s), no repartition/sort-by-key upstream

@@ -256,6 +256,27 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("i1: Trigger.AvailableNow drains the queue backlog in rate-limited batches and stops") {
+    import org.apache.spark.sql.streaming.Trigger
+    val out = java.nio.file.Files.createTempDirectory("graft_queue_avail").toString
+    val query = spark.readStream.format("graft-queue")
+      .option("numMessages", 250)
+      .option("numPartitions", 4)
+      .option("maxMessagesPerTrigger", 100)
+      .load()
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+      }
+      .start()
+    // AvailableNow must terminate on its own once the backlog drains
+    assert(query.awaitTermination(120000L), "AvailableNow query did not stop")
+    val batches = query.recentProgress.filter(_.numInputRows > 0).map(_.numInputRows)
+    assert(batches.toSeq == Seq(100L, 100L, 50L), batches.mkString(","))
+    assert(spark.read.parquet(out).count() == 250)
+  }
+
   test("h2: windowed counts aggregate per stage (batch twin checked by oracle)") {
     import spark.implicits._
     val df = Seq(
