@@ -478,6 +478,46 @@ object GeoOps {
       FROM (${tiledSql(8)}) t ORDER BY event_id"""
   }
 
+  /** b20 — quadkey subtree scan: per-ancestor-tile (z=3) feature
+    * counts + extent, answered entirely through quadkey string
+    * PREFIXES — digit i of a quadkey is the ancestor at zoom i+1, so
+    * `substr(quadkey, 1, 3)` groups the z=8 tile stream into its z=3
+    * pyramid subtrees with zero extra tile math, and a `LIKE 'pfx%'`
+    * range predicate on a quadkey-sorted layout becomes a contiguous
+    * scan (the i3 sortWithinPartitions clustering makes it row-group
+    * prunable). The aggregated answer per subtree is the b9 pyramid
+    * relation computed a different way — only map work + one agg. */
+  def qQuadkeySubtree(spark: SparkSession, dir: String): DataFrame = {
+    val digits = (0 until 8).map { j =>
+      val shift = 1 << (7 - j)
+      expr(s"CAST(((yt div $shift) % 2) * 2 + ((xt div $shift) % 2) AS STRING)")
+    }
+    tiled(spark, dir, 8)
+      .select(col("event_id"), col("xt"), col("yt"))
+      .withColumn("quadkey", concat(digits: _*))
+      .withColumn("subtree", expr("substr(quadkey, 1, 3)"))
+      .groupBy("subtree")
+      .agg(count(lit(1)).as("n_features"),
+        countDistinct(col("quadkey")).as("n_tiles"),
+        min("xt").as("min_x"), max("xt").as("max_x"),
+        min("yt").as("min_y"), max("yt").as("max_y"))
+      .orderBy("subtree")
+  }
+
+  val qQuadkeySubtreeSql: String = {
+    val digits = (0 until 8).map { j =>
+      val shift = 1 << (7 - j)
+      s"CAST(((yt // $shift) % 2) * 2 + ((xt // $shift) % 2) AS VARCHAR)"
+    }.mkString(" || ")
+    s"""WITH qk AS (
+        SELECT event_id, xt, yt, $digits AS quadkey
+        FROM (${tiledSql(8)}) t)
+      SELECT substr(quadkey, 1, 3) AS subtree, COUNT(*) AS n_features,
+        COUNT(DISTINCT quadkey) AS n_tiles,
+        MIN(xt) AS min_x, MAX(xt) AS max_x, MIN(yt) AS min_y, MAX(yt) AS max_y
+      FROM qk GROUP BY 1 ORDER BY subtree"""
+  }
+
   /** b13 — inverse tiling: geographic bounds of each non-empty tile at
     * z=4 (morecantile Tile→bounds; tippecanoe tile cutting edges).
     * sinh spelled as (e^a - e^-a)/2 — the oracle engine lacks sinh. */
@@ -629,6 +669,7 @@ object GeoOps {
     "q_tippecanoe_plan" -> (qTippecanoePlan _),
     "q_zorder_key" -> (qZorderKey _),
     "q_quadkey" -> (qQuadkey _),
+    "q_quadkey_subtree" -> (qQuadkeySubtree _),
     "q_tile_bounds" -> (qTileBounds _),
     "q_reproject_mercator" -> (qReprojectMercator _),
     "q_should_reproject" -> (qShouldReproject _),
@@ -651,6 +692,7 @@ object GeoOps {
     "q_tippecanoe_plan" -> qTippecanoePlanSql,
     "q_zorder_key" -> qZorderKeySql,
     "q_quadkey" -> qQuadkeySql,
+    "q_quadkey_subtree" -> qQuadkeySubtreeSql,
     "q_tile_bounds" -> qTileBoundsSql,
     "q_reproject_mercator" -> qReprojectMercatorSql,
     "q_should_reproject" -> qShouldReprojectSql,
