@@ -277,6 +277,37 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(out).count() == 250)
   }
 
+  test("i1: queue stream restarts from the checkpointed offset — no loss, no replay") {
+    import org.apache.spark.sql.streaming.Trigger
+    val out = java.nio.file.Files.createTempDirectory("graft_queue_ckpt_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_queue_ckpt").toString
+    def run(numMessages: Int): Unit = {
+      val q = spark.readStream.format("graft-queue")
+        .option("numMessages", numMessages)
+        .option("numPartitions", 4)
+        .option("maxMessagesPerTrigger", 60)
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .start()
+      assert(q.awaitTermination(120000L))
+      q.stop()
+    }
+    // first run drains the 120-message backlog; the "queue" then grows
+    // to 200 and the restarted query must resume at offset 120 —
+    // deserializeOffset + commit are the recovery surface
+    run(120)
+    assert(spark.read.parquet(out).count() == 120)
+    run(200)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 200, "restart must deliver exactly the 80 new messages")
+    assert(back.select("event_id").distinct().count() == 200, "no message replayed")
+  }
+
   test("h2: windowed counts aggregate per stage (batch twin checked by oracle)") {
     import spark.implicits._
     val df = Seq(
