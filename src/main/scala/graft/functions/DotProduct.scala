@@ -124,5 +124,8 @@ object GraftFunctions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.IntersectCountRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.IntersectCountRewrite
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RangeJoinRewrite
   }
 }
