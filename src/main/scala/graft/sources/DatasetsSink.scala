@@ -41,6 +41,18 @@ object DatasetsSink {
     w.parquet(path)
   }
 
+  /** Idempotent micro-batch landing for foreachBatch sinks: plain
+    * `mode(append)` duplicates rows when a failed micro-batch is
+    * retried (foreachBatch is at-least-once), so each batch instead
+    * OVERWRITES its own `batch_id=<id>` subdirectory — a retry
+    * replaces itself and the union of subdirectories is exactly-once.
+    * The layout stays a normal partitioned parquet table (batch_id is
+    * a partition column on read), which is how production Spark
+    * pipelines get transactional micro-batch output without a table
+    * format. */
+  def writeBatchIdempotent(batch: DataFrame, batchId: Long, path: String): Unit =
+    batch.write.mode(SaveMode.Overwrite).parquet(s"$path/batch_id=$batchId")
+
   /** Read back one partition (one user's datasets) — partition pruning
     * keeps this O(selected data). */
   def readUser(spark: org.apache.spark.sql.SparkSession, path: String,

@@ -16,6 +16,21 @@ import graft.sources.DatasetsSink
   */
 class SinkSpec extends SparkTestBase {
 
+  test("writeBatchIdempotent: a retried micro-batch replaces itself, never duplicates") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_sink_idem").toString
+    DatasetsSink.writeBatchIdempotent((0 until 10).toDF("v"), 0L, out)
+    DatasetsSink.writeBatchIdempotent((10 until 15).toDF("v"), 1L, out)
+    assert(spark.read.parquet(out).count() == 15)
+    // batch 1 fails mid-commit upstream and is retried with the same id
+    DatasetsSink.writeBatchIdempotent((10 until 15).toDF("v"), 1L, out)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 15, "retry must replace, not append")
+    assert(back.select("v").distinct().count() == 15)
+    // batch_id is an ordinary partition column on read
+    assert(back.where(col("batch_id") === 1).count() == 5)
+  }
+
   test("writeOptimized emits zstd parquet with bloom filters on the key column") {
     val out = Files.createTempDirectory("graft_sink").toString
     // bloom filters target HIGH-cardinality point-lookup keys (content
