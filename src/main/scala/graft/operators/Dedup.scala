@@ -278,20 +278,26 @@ object Dedup {
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val d = Tables(spark, dir, "documents")
-    // materialized once: the shingle explode is the interpreted-lambda
-    // hot spot and inv0 feeds the df agg AND the capped index
+    // materialized once: the shingle explode feeds the df agg AND the
+    // capped index. Shingles are immediately replaced by 60-bit
+    // md5-derived integer ids — the index shuffles 8-byte keys instead
+    // of ~25-char strings, and because BOTH engines derive the id from
+    // the same md5 prefix, even a collision (≈n²/2⁶¹) yields identical
+    // results on both sides of the oracle
     val inv0 = d.select(col("doc_id"), expr(shSpark).as("sh"))
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"),
+        expr("CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)").as("sid"))
       .localCheckpoint(false)
     // the DROP set (df > cap) is small by construction — boilerplate
     // shingles are few in kind even when huge in volume — so the cap
     // is a broadcast anti-join: a map-side filter over materialized
     // inv0, no extra shuffle or re-partition of the full index
-    val drop = inv0.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") > ngramDfCap).select("shingle")
-    val inv = inv0.join(broadcast(drop), Seq("shingle"), "left_anti")
+    val drop = inv0.groupBy("sid").agg(count(lit(1)).as("df"))
+      .filter(col("df") > ngramDfCap).select("sid")
+    val inv = inv0.join(broadcast(drop), Seq("sid"), "left_anti")
     val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val posting = inv.groupBy("shingle")
+    val posting = inv.groupBy("sid")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) >= 2)
     val cand = posting
@@ -313,13 +319,15 @@ object Dedup {
 
   val qNgramJaccardSql: String =
     s"""WITH s AS (SELECT doc_id, $shDuck AS sh FROM documents),
-      inv0 AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
-      keep AS (SELECT shingle FROM inv0 GROUP BY shingle HAVING COUNT(*) <= $ngramDfCap),
-      inv AS (SELECT doc_id, shingle FROM inv0 JOIN keep USING (shingle)),
+      inv0 AS (
+        SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS sid
+        FROM (SELECT doc_id, unnest(sh) AS shingle FROM s) u),
+      keep AS (SELECT sid FROM inv0 GROUP BY sid HAVING COUNT(*) <= $ngramDfCap),
+      inv AS (SELECT doc_id, sid FROM inv0 JOIN keep USING (sid)),
       sizes AS (SELECT doc_id, COUNT(*) AS n FROM inv GROUP BY doc_id),
       cand AS (
         SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS shared
-        FROM inv x JOIN inv y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        FROM inv x JOIN inv y ON x.sid = y.sid AND x.doc_id < y.doc_id
         GROUP BY 1, 2 HAVING COUNT(*) >= 6)
       SELECT doc_a, doc_b, shared,
         round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard
