@@ -157,16 +157,67 @@ object Media {
         CAST((224 - (height * 224) // long_side) // 2 AS INT) AS pad_y
       FROM g ORDER BY doc_id"""
 
+  /** g5 — decode batch packing: GPU/codec decode workers want batches
+    * of BOUNDED TOTAL BYTES per mime type (a 4 MB budget of fake-PNGs
+    * per call), not fixed row counts — media sizes are wildly skewed,
+    * and a count-based batch mixes one 50 MB video with a thousand
+    * icons. Greedy running-sum packing per mime: cumulative payload
+    * bytes within each mime (ordered by doc_id for determinism) `div`
+    * the budget = the batch id each item joins. One window per mime
+    * partition — the media twin of the a17 compaction planner, and
+    * exactly the batch shape g2's mapPartitions decode consumes. */
+  def qDecodeBatches(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 4096L // bytes per decode batch (scaled to the testdata)
+    val d = Tables(spark, dir, "documents")
+    val mime =
+      when(ascii(substring(col("text"), 1, 1)).between(97, 104), "image/fake-png")
+        .when(ascii(substring(col("text"), 1, 1)).between(105, 112), "audio/fake-wav")
+        .when(ascii(substring(col("text"), 1, 1)).between(113, 120), "video/fake-mp4")
+        .otherwise("text/plain")
+    val w = Window.partitionBy("mime").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.select(col("doc_id"), mime.as("mime"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("nbytes"))
+      .withColumn("cum", sum(col("nbytes")).over(w))
+      .withColumn("batch_id", expr(s"(cum - 1) div $budget").cast("long"))
+      .groupBy("mime", "batch_id")
+      .agg(count(lit(1)).as("n_items"), sum(col("nbytes")).as("batch_bytes"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("mime", "batch_id")
+  }
+
+  val qDecodeBatchesSql: String =
+    """WITH m AS (
+        SELECT doc_id,
+          CASE WHEN ascii(substr(text, 1, 1)) BETWEEN 97 AND 104 THEN 'image/fake-png'
+               WHEN ascii(substr(text, 1, 1)) BETWEEN 105 AND 112 THEN 'audio/fake-wav'
+               WHEN ascii(substr(text, 1, 1)) BETWEEN 113 AND 120 THEN 'video/fake-mp4'
+               ELSE 'text/plain' END AS mime,
+          CAST(octet_length(encode(text)) AS BIGINT) AS nbytes
+        FROM documents),
+      c AS (
+        SELECT doc_id, mime, nbytes,
+          SUM(nbytes) OVER (PARTITION BY mime ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM m)
+      SELECT mime, CAST((cum0.cum - 1) // 4096 AS BIGINT) AS batch_id,
+        COUNT(*) AS n_items, CAST(SUM(nbytes) AS BIGINT) AS batch_bytes,
+        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      FROM c cum0 GROUP BY 1, 2 ORDER BY mime, batch_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_media_pipeline" -> (qMediaPipeline _),
     "q_frame_sample" -> (qFrameSample _),
-    "q_resize_plan" -> (qResizePlan _))
+    "q_resize_plan" -> (qResizePlan _),
+    "q_decode_batches" -> (qDecodeBatches _))
 
   /** q_media_pipeline intentionally has no oracle (stubbed decode is
     * not SQL-expressible) → driver records a rows-only check. */
   val oracles: Map[String, String] = Map(
     "q_multimodal_meta" -> qMultimodalMetaSql,
     "q_frame_sample" -> qFrameSampleSql,
-    "q_resize_plan" -> qResizePlanSql)
+    "q_resize_plan" -> qResizePlanSql,
+    "q_decode_batches" -> qDecodeBatchesSql)
 }
