@@ -42,9 +42,14 @@ object Dedup {
   private val sharedPlans =
     scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
 
-  private def memo(spark: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame =
+  private def memo(spark: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame = {
+    // bounded: a long-lived JVM cycling many sessions/dirs must not pin
+    // checkpointed blocks forever — past 64 entries the cache resets
+    // (worst case is one recompute per consumer, never wrong results)
+    if (sharedPlans.size > 64) sharedPlans.clear()
     sharedPlans.getOrElseUpdate((System.identityHashCode(spark), dir, key),
       build.localCheckpoint(true))
+  }
 
   /** Verified MinHash near-dup pairs (doc_a, doc_b, jaccard), unordered
     * — the shared pair graph. See [[qDedupMinhash]] for the LSH notes. */
