@@ -41,5 +41,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // plan constant-width interval joins as bucketed equi-joins
     // instead of BroadcastNestedLoopJoin
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    // physical operator for the first-class as-of join node
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.GraftPlanBridge
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+import graft.Tables
+import graft.plans.AsofJoin
+
+/** Public API + query entry for the FIRST-CLASS as-of join operator
+  * (graft.plans.AsofJoin / AsofJoinExec) — the full custom-operator
+  * ladder: LogicalPlan node, planner Strategy, physical SparkPlan.
+  * Where the composable c21 formulation pays a union + window, the
+  * physical operator is a per-partition zipper: both sides
+  * hash-clustered on the key and sorted by (key, time), one O(n+m)
+  * merge pass with a single buffered row of state.
+  */
+object Asof {
+
+  /** As-of (backward, inner) join: for each left row the LATEST right
+    * row with equal key and right time ≤ left time. Key/time columns
+    * must be LongType. */
+  def asofJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String): DataFrame = {
+    val lp = GraftPlanBridge.analyzed(left)
+    val rp = GraftPlanBridge.analyzed(right)
+    def attr(p: LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"no column $n in ${p.output.map(_.name)}"))
+    GraftPlanBridge.ofRows(left.sparkSession,
+      AsofJoin(lp, rp, attr(lp, leftKey), attr(rp, rightKey),
+        attr(lp, leftTime), attr(rp, rightTime)))
+  }
+
+  /** c22 — the c21 as-of query through the NATIVE operator: identical
+    * semantics and oracle (DuckDB ASOF JOIN), but planned as
+    * AsofJoinExec — two exchanges, two sorts, one zipper pass; no
+    * union, no window state. */
+  def qAsofNative(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.events(spark, dir)
+    val o = Tables(spark, dir, "orders")
+    val ev = e.filter(col("event_type") === "purchase")
+      .select((col("user_id") + 1).as("k"),
+        expr("unix_millis(ts) div 86400000").as("t"), col("event_id"))
+    val od = o.select(col("o_custkey").as("rk"),
+        unix_date(to_date(col("o_orderdate"))).cast("long").as("rt"),
+        col("o_orderkey"), col("o_totalprice"))
+      .groupBy("rk", "rt")
+      .agg(max(struct(col("o_orderkey"), col("o_totalprice"))).as("s"))
+      .select(col("rk"), col("rt"),
+        col("s.o_orderkey").as("o_orderkey"), col("s.o_totalprice").as("o_totalprice"))
+    asofJoin(ev, od, "k", "rk", "t", "rt")
+      .select(col("event_id"), col("k"), col("t").as("event_day"),
+        col("rt").as("order_day"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_native" -> (qAsofNative _))
+
+  /** Same result contract as c21 ⇒ same oracle. */
+  val oracles: Map[String, String] = Map(
+    "q_asof_native" -> Analytics.qAsofJoinSql)
+}

@@ -1,0 +1,114 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Logical as-of join: for every left row, the LATEST right row with
+  * the same key and right.time <= left.time (inner: unmatched left
+  * rows drop). Spark has no such operator — the composable
+  * workarounds are an O(n·m) range join or the union+window
+  * carry-forward (Analytics c21); this node gives the semantics a
+  * first-class plan so the planner can pick the dedicated physical
+  * operator below. Key and time expressions must be LongType (the
+  * integral-time contract every epoch-keyed table meets).
+  */
+case class AsofJoin(left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner strategy: AsofJoin → AsofJoinExec. Injected via
+  * GraftExtensions (injectPlannerStrategy). */
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoin(l, r, lk, rk, lt, rt) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical sort-merge as-of join: both children hash-clustered on the
+  * key (EnsureRequirements inserts the two exchanges and aligns
+  * partition counts) and sorted by (key, time); each partition is then
+  * a single zipper pass — the right cursor advances monotonically,
+  * carrying the latest right row at-or-before the left cursor, so the
+  * whole join is O(n + m) per partition with ONE buffered row of
+  * state. This is the shape a dedicated time-series engine gives
+  * as-of joins, expressed as a Spark operator: no union
+  * materialization, no window state, no range fan-out.
+  */
+case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  // requiredNumPartitions pinned (as stateful streaming operators do):
+  // doExecute zips the two children partition-by-partition, so AQE
+  // must never coalesce the two shuffles to different partition counts
+  override def requiredChildDistribution: Seq[Distribution] = {
+    val n = Some(conf.numShufflePartitions)
+    Seq(ClusteredDistribution(Seq(leftKey), requiredNumPartitions = n),
+      ClusteredDistribution(Seq(rightKey), requiredNumPartitions = n))
+  }
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val allOut = output
+    val lkE = BindReferences.bindReference(leftKey, lOut)
+    val ltE = BindReferences.bindReference(leftTime, lOut)
+    val rkE = BindReferences.bindReference(rightKey, rOut)
+    val rtE = BindReferences.bindReference(rightTime, rOut)
+    left.execute().zipPartitions(right.execute()) { (li, ri) =>
+      val joined = new JoinedRow
+      // identity projection: emit UnsafeRows downstream operators expect
+      val project = UnsafeProjection.create(allOut.map(a => a: Expression), allOut)
+      var carried: InternalRow = null
+      var carriedKey: Long = 0L
+      var rNext: InternalRow = null // lookahead (right rows not yet admitted)
+      def advanceRight(lk: Long, lt: Long): Unit = {
+        var continue = true
+        while (continue) {
+          if (rNext == null && ri.hasNext) rNext = ri.next()
+          if (rNext == null) continue = false
+          else {
+            val rk = rkE.eval(rNext).asInstanceOf[Long]
+            val rt = rtE.eval(rNext).asInstanceOf[Long]
+            if (rk < lk || (rk == lk && rt <= lt)) {
+              // admitted: becomes the carried candidate for its key
+              carried = rNext.copy()
+              carriedKey = rk
+              rNext = null
+            } else continue = false
+          }
+        }
+      }
+      li.flatMap { lrow =>
+        val lk = lkE.eval(lrow).asInstanceOf[Long]
+        val lt = ltE.eval(lrow).asInstanceOf[Long]
+        advanceRight(lk, lt)
+        if (carried != null && carriedKey == lk)
+          Iterator.single(project(joined(lrow, carried)))
+        else Iterator.empty
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+}
