@@ -31,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.SimHash64].getCanonicalName, "graft_simhash64"),
       (exprs: Seq[Expression]) => graft.functions.SimHash64(exprs(0))))
     ext.injectFunction((
+      FunctionIdentifier("graft_hyperband"),
+      new ExpressionInfo(classOf[graft.functions.HyperBand].getCanonicalName, "graft_hyperband"),
+      (exprs: Seq[Expression]) => graft.functions.HyperBand(exprs(0))))
+    ext.injectFunction((
       FunctionIdentifier("graft_intersect_count"),
       new ExpressionInfo(classOf[graft.functions.IntersectCount].getCanonicalName,
         "graft_intersect_count"),

@@ -121,6 +121,8 @@ object GraftFunctions {
       "graft_shingle3", exprs => Shingle3(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash64", exprs => SimHash64(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hyperband", exprs => HyperBand(exprs(0)), "built-in")
     if (!spark.experimental.extraOptimizations.contains(graft.plans.IntersectCountRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.IntersectCountRewrite

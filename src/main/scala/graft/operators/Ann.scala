@@ -62,23 +62,13 @@ object Ann {
   private[graft] val embBands = 8
   private[graft] val embBandBits = 8
 
-  /** md5-derived hyperplane weight: first byte of md5("j:i") − 128. */
-  private def hpWeight(j: Int, i: Int): Int = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$j:$i".getBytes("UTF-8"))
-    (d(0) & 0xff) - 128
-  }
-
+  /** md5-derived hyperplane weights — the canonical table lives with
+    * the native one-pass signature expression
+    * [[graft.functions.HyperBand]] (the Spark side); this view of it
+    * feeds the DuckDB oracle twin [[bandDuck]]. */
   private[graft] val hpW: IndexedSeq[IndexedSeq[Int]] =
-    (0 until embBands * embBandBits).map(j => (0 until 64).map(i => hpWeight(j, i)))
-
-  /** Spark SQL for band `b` of the 64-bit signature: 8 sign bits from
-    * codegen'd graft_qdot calls; the literal weight arrays constant-fold. */
-  private[graft] def bandSpark(b: Int): String =
-    (0 until embBandBits).map { t =>
-      val w = hpW(b * embBandBits + t).mkString(", ")
-      s"(CASE WHEN graft_qdot(embedding, array($w)) > 0 THEN ${1 << t} ELSE 0 END)"
-    }.mkString("CAST((", " + ", ") AS int)")
+    (0 until embBands * embBandBits).map(j =>
+      (0 until 64).map(i => graft.functions.HyperBand.weight(j, i)))
 
   /** DuckDB twin of [[bandSpark]] — same quantized integer dot. */
   private[graft] def bandDuck(b: Int): String =

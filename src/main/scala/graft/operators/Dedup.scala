@@ -42,6 +42,13 @@ object Dedup {
   private val sharedPlans =
     scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
 
+  /** Drop all memoized intermediates. The bench calls this before each
+    * timed run so d2/d6/d7 each report their full standalone pipeline
+    * cost instead of a cache hit on the first dedup query's build;
+    * dropped checkpoints are reclaimed by the ContextCleaner once
+    * unreferenced. Results are identical either way. */
+  private[graft] def clearShared(): Unit = sharedPlans.clear()
+
   private def memo(spark: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame = {
     // bounded: a long-lived JVM cycling many sessions/dirs must not pin
     // checkpointed blocks forever — past 64 entries the cache resets
@@ -352,14 +359,14 @@ object Dedup {
     * spec can drive planted-pair recall checks through the identical
     * plan. */
   private[graft] def embCandidates(e: DataFrame): DataFrame = {
-    val sig = e.select(col("vec_id") +: col("embedding") +:
-        (0 until Ann.embBands).map(b => expr(Ann.bandSpark(b)).as(s"b$b")): _*)
+    // whole signature in one native-expression pass (each element read
+    // and quantized once for all 64 planes), posexploded straight to
+    // (band idx, band key) block rows; checkpointed because the
+    // self-join below reads the blocks twice
+    val blocks = e
+      .select(col("vec_id"),
+        posexplode(expr("graft_hyperband(embedding)")).as(Seq("idx", "bval")))
       .localCheckpoint(false)
-    val blocks = sig
-      .withColumn("idx", explode(sequence(lit(0), lit(Ann.embBands - 1))))
-      .withColumn("bval", element_at(
-        array((0 until Ann.embBands).map(b => col(s"b$b")): _*), col("idx") + 1))
-      .select("vec_id", "idx", "bval")
     blocks.as("x").join(blocks.as("y"),
         col("x.idx") === col("y.idx") && col("x.bval") === col("y.bval") &&
           col("x.vec_id") < col("y.vec_id"))

@@ -2,10 +2,11 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, BoundReference, Expression, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.LongType
 
 /** Logical as-of join: for every left row, the LATEST right row with
   * the same key and right.time <= left.time (inner: unmatched left
@@ -73,33 +74,55 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
     val ltE = BindReferences.bindReference(leftTime, lOut)
     val rkE = BindReferences.bindReference(rightKey, rOut)
     val rtE = BindReferences.bindReference(rightTime, rOut)
+    // key/time are LongType attributes in practice, so after binding
+    // they are BoundReferences — read them as primitive row.getLong
+    // ordinals in the zipper (no Expression.eval, no Long boxing);
+    // -1 falls back to eval for exotic (computed) key expressions
+    def ordinal(e: Expression): Int = e match {
+      case b: BoundReference if b.dataType == LongType && !b.nullable => b.ordinal
+      case _ => -1
+    }
+    val (lkO, ltO, rkO, rtO) = (ordinal(lkE), ordinal(ltE), ordinal(rkE), ordinal(rtE))
     left.execute().zipPartitions(right.execute()) { (li, ri) =>
       val joined = new JoinedRow
       // identity projection: emit UnsafeRows downstream operators expect
       val project = UnsafeProjection.create(allOut.map(a => a: Expression), allOut)
+      @inline def longAt(row: InternalRow, o: Int, e: Expression): Long =
+        if (o >= 0) row.getLong(o) else e.eval(row).asInstanceOf[Long]
+      // the carried row must survive the sorter reusing its row buffer,
+      // so admitted rows are copied OUT of the iterator — but into ONE
+      // reused UnsafeRow buffer (copyFrom), not a fresh copy() per
+      // admitted row: zero steady-state allocation in the zipper
       var carried: InternalRow = null
+      var carriedBuf: UnsafeRow = null
       var carriedKey: Long = 0L
       var rNext: InternalRow = null // lookahead (right rows not yet admitted)
+      def admit(rk: Long): Unit = {
+        rNext match {
+          case u: UnsafeRow =>
+            if (carriedBuf == null) carriedBuf = u.copy()
+            else carriedBuf.copyFrom(u)
+            carried = carriedBuf
+          case other => carried = other.copy()
+        }
+        carriedKey = rk
+        rNext = null
+      }
       def advanceRight(lk: Long, lt: Long): Unit = {
         var continue = true
         while (continue) {
           if (rNext == null && ri.hasNext) rNext = ri.next()
           if (rNext == null) continue = false
           else {
-            val rk = rkE.eval(rNext).asInstanceOf[Long]
-            val rt = rtE.eval(rNext).asInstanceOf[Long]
-            if (rk < lk || (rk == lk && rt <= lt)) {
-              // admitted: becomes the carried candidate for its key
-              carried = rNext.copy()
-              carriedKey = rk
-              rNext = null
-            } else continue = false
+            val rk = longAt(rNext, rkO, rkE)
+            if (rk < lk || (rk == lk && longAt(rNext, rtO, rtE) <= lt)) admit(rk)
+            else continue = false
           }
         }
       }
       li.flatMap { lrow =>
-        val lk = lkE.eval(lrow).asInstanceOf[Long]
-        val lt = ltE.eval(lrow).asInstanceOf[Long]
+        val lk = longAt(lrow, lkO, lkE)
+        val lt = longAt(lrow, ltO, ltE)
         advanceRight(lk, lt)
         if (carried != null && carriedKey == lk)
           Iterator.single(project(joined(lrow, carried)))
