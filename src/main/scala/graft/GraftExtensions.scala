@@ -35,6 +35,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.HyperBand].getCanonicalName, "graft_hyperband"),
       (exprs: Seq[Expression]) => graft.functions.HyperBand(exprs(0))))
     ext.injectFunction((
+      FunctionIdentifier("graft_sid60"),
+      new ExpressionInfo(classOf[graft.functions.Sid60].getCanonicalName, "graft_sid60"),
+      (exprs: Seq[Expression]) => graft.functions.Sid60(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingle_sids"),
+      new ExpressionInfo(classOf[graft.functions.ShingleSids].getCanonicalName, "graft_shingle_sids"),
+      (exprs: Seq[Expression]) => graft.functions.ShingleSids(exprs(0))))
+    ext.injectFunction((
       FunctionIdentifier("graft_intersect_count"),
       new ExpressionInfo(classOf[graft.functions.IntersectCount].getCanonicalName,
         "graft_intersect_count"),

@@ -123,6 +123,10 @@ object GraftFunctions {
       "graft_simhash64", exprs => SimHash64(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hyperband", exprs => HyperBand(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sid60", exprs => Sid60(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingle_sids", exprs => ShingleSids(exprs(0)), "built-in")
     if (!spark.experimental.extraOptimizations.contains(graft.plans.IntersectCountRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.IntersectCountRewrite

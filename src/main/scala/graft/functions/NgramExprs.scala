@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: the top 60 bits of md5(s) as a
+  * non-negative BIGINT — the integer shingle id of the d4 n-gram
+  * index. Bit-identical to the SQL formulation
+  * `CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)` (the first
+  * 15 hex digits are the first 60 bits, big-endian), which is what
+  * the DuckDB oracle still computes — but straight from the digest
+  * bytes: no 32-char hex string, no substring, no base-16 parse per
+  * shingle. */
+case class Sid60(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sid60"
+
+  override def nullSafeEval(input: Any): Any =
+    Sid60.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = classOf[Sid60Helper].getName
+    val ref = ctx.addReferenceObj("sid60", Sid60.helper, helper)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Sid60 =
+    copy(child = newChild)
+}
+
+/** Java-callable helper so generated code invokes one method. */
+class Sid60Helper extends Serializable {
+  @transient private lazy val md =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  def compute(s: UTF8String): Long = {
+    val digest = md.get()
+    digest.reset()
+    val d = digest.digest(s.getBytes)
+    // big-endian first 8 bytes = hex digits 0..15; >>> 4 drops digit 15
+    var v = 0L
+    var i = 0
+    while (i < 8) {
+      v = (v << 8) | (d(i) & 0xffL)
+      i += 1
+    }
+    v >>> 4
+  }
+}
+
+object Sid60 {
+  val helper = new Sid60Helper
+  def compute(s: UTF8String): Long = helper.compute(s)
+}
+
+/** Native Catalyst expression: distinct 3-gram word shingles of a
+  * token array mapped straight to their 60-bit [[Sid60]] ids —
+  * `graft_sid60(shingle)` for each element graft_shingle3 would
+  * produce, in one fused pass (no intermediate shingle-string array
+  * in the plan). array<bigint>, first-occurrence order; distinctness
+  * is on the shingle STRING, exactly like the exploded
+  * shingle→md5→conv formulation (and the DuckDB oracle's
+  * list_distinct + md5), so an sid collision yields the same
+  * duplicate ids on both engines. */
+case class ShingleSids(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_sids"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleSids.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = classOf[ShingleSidsHelper].getName
+    val ref = ctx.addReferenceObj("shingleSids", ShingleSids.helper, helper)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleSids =
+    copy(child = newChild)
+}
+
+/** Java-callable helper so generated code invokes one method. */
+class ShingleSidsHelper extends Serializable {
+  private val sep = UTF8String.fromString(" ")
+
+  def compute(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val set = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i + 2 < n) {
+      set.add(UTF8String.concatWs(sep,
+        a.getUTF8String(i), a.getUTF8String(i + 1), a.getUTF8String(i + 2)))
+      i += 1
+    }
+    val out = new Array[Any](set.size)
+    val it = set.iterator()
+    var k = 0
+    while (it.hasNext) {
+      out(k) = Sid60.compute(it.next())
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+object ShingleSids {
+  val helper = new ShingleSidsHelper
+  def compute(a: ArrayData): ArrayData = helper.compute(a)
+}

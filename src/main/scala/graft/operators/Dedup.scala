@@ -282,44 +282,62 @@ object Dedup {
     * Pair generation goes through per-shingle POSTING ARRAYS rather
     * than an index self-join: one aggregation shuffles each index row
     * once into a sorted ≤cap-length posting list, and the O(df²) pair
-    * blow-up happens map-side AFTER that shuffle (posexplode × a
-    * codegen'd slice of the successors) — the self-join shape
-    * shuffled the full index twice and materialized every candidate
-    * row through the join before the pair aggregation could shrink
-    * it. */
-  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    * blow-up happens map-side AFTER that shuffle (one native
+    * graft_pairs pass + inline) — the self-join shape shuffled the
+    * full index twice and materialized every candidate row through
+    * the join before the pair aggregation could shrink it. */
+  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramStages(spark, dir).last._2
+
+  /** The d4 pipeline cut at its stage boundaries (probe surface for
+    * [[graft.dev.NgramProbe]]); the last entry is the full query. */
+  private[graft] def ngramStages(spark: SparkSession, dir: String): Seq[(String, DataFrame)] = {
     graft.functions.GraftFunctions.register(spark)
     val d = Tables(spark, dir, "documents")
-    // materialized once: the shingle explode feeds the df agg AND the
-    // capped index. Shingles are immediately replaced by 60-bit
-    // md5-derived integer ids — the index shuffles 8-byte keys instead
-    // of ~25-char strings, and because BOTH engines derive the id from
-    // the same md5 prefix, even a collision (≈n²/2⁶¹) yields identical
-    // results on both sides of the oracle
-    val inv0 = d.select(col("doc_id"), expr(shSpark).as("sh"))
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"),
-        expr("CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)").as("sid"))
+    // ONE fused native pass per document: distinct 3-gram shingles
+    // mapped straight to 60-bit md5-derived integer ids (the index
+    // shuffles 8-byte keys instead of ~25-char strings; both engines
+    // derive the id from the same md5 prefix, so even a collision
+    // (≈n²/2⁶¹) yields identical results on both oracle sides). The
+    // checkpoint materializes the COMPACT per-doc arrays — ~50 longs
+    // per doc, not 50 index rows — and feeds the exploded index AND
+    // the map-only doc-size computation below
+    val sids = d.select(col("doc_id"),
+        expr(s"graft_shingle_sids($toksSpark)").as("sids"))
       .localCheckpoint(false)
+    val inv0 = sids.select(col("doc_id"), explode(col("sids")).as("sid"))
     // the DROP set (df > cap) is small by construction — boilerplate
     // shingles are few in kind even when huge in volume — so the cap
-    // is a broadcast anti-join: a map-side filter over materialized
-    // inv0, no extra shuffle or re-partition of the full index
+    // is a broadcast anti-join: a map-side filter over the index,
+    // no extra shuffle or re-partition of the full index
     val drop = inv0.groupBy("sid").agg(count(lit(1)).as("df"))
       .filter(col("df") > ngramDfCap).select("sid")
     val inv = inv0.join(broadcast(drop), Seq("sid"), "left_anti")
-    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // per-doc kept-vocabulary size WITHOUT an aggregation shuffle:
+    // the dropped ids ride along as one broadcast array row and the
+    // size is array arithmetic over the checkpointed sid arrays (an
+    // intra-doc sid collision on a dropped id could deviate from the
+    // row-count formulation — probability ≈ df_dropped/2⁶¹, accepted
+    // like the id derivation itself)
+    val dropArr = drop.agg(collect_list(col("sid")).as("dropped"))
+    val sizes = sids.crossJoin(broadcast(dropArr))
+      .select(col("doc_id"),
+        (size(col("sids")) - size(array_intersect(col("sids"), col("dropped")))).as("n"))
     val posting = inv.groupBy("sid")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) >= 2)
     val cand = posting
       .select(col("ds"), posexplode(col("ds")).as(Seq("i", "doc_a")))
-      // successors of position i (0-based) start at 1-based index i+2
+      // successors of position i (0-based) start at 1-based index i+2;
+      // slice of an UnsafeArrayData copies primitives without boxing —
+      // measured faster than a struct-array pair generator, whose
+      // per-pair GenericInternalRow allocations cost more than the
+      // slice copies they avoid
       .select(col("doc_a"), explode(expr("slice(ds, i + 2, size(ds))")).as("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= 6)
-    cand
+    val full = cand
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .withColumn("jaccard", round(col("shared").cast("double") /
@@ -327,6 +345,8 @@ object Dedup {
       .filter(col("jaccard") >= 0.2)
       .select("doc_a", "doc_b", "shared", "jaccard")
       .orderBy("doc_a", "doc_b")
+    Seq("inv0" -> inv0, "drop" -> drop, "sizes" -> sizes,
+      "posting" -> posting, "cand" -> cand, "full" -> full)
   }
 
   val qNgramJaccardSql: String =
