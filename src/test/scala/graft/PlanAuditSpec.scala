@@ -118,6 +118,39 @@ class PlanAuditSpec extends SparkTestBase {
     assert(pq.contains("BroadcastHashJoin"), s"PQ LUT not broadcast:\n$pq")
   }
 
+  test("native as-of join: AQE keeps the two zipper shuffles aligned") {
+    // AsofJoinExec zips children partition-by-partition, so the pinned
+    // requiredNumPartitions must survive AQE: after execution, both
+    // children report the SAME partition count (AQE coalescing either
+    // side independently would zip mismatched partitions = wrong rows)
+    val df = operators.Asof.qAsofNative(spark, sfDir)
+    df.collect() // finalize the adaptive plan
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // query-stage wrappers are leaves — descend through their plans
+    def collectAll(p: SparkPlan): Seq[graft.plans.AsofJoinExec] = {
+      val here = p match { case e: graft.plans.AsofJoinExec => Seq(e); case _ => Nil }
+      val kids = p match {
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      here ++ kids.flatMap(collectAll)
+    }
+    val execs = collectAll(finalPlan)
+    assert(execs.nonEmpty, s"expected AsofJoinExec in:\n$finalPlan")
+    execs.foreach { e =>
+      val l = e.left.outputPartitioning.numPartitions
+      val r = e.right.outputPartitioning.numPartitions
+      assert(l == r, s"zipper children diverged: left=$l right=$r\n$finalPlan")
+      assert(l == spark.sessionState.conf.numShufflePartitions,
+        s"pinned partition count not honored: $l")
+    }
+  }
+
   test("events-based geo ops are map-side until their aggregation") {
     // tile assignment must not shuffle before the groupBy: exactly the
     // agg exchange(s), no repartition/sort-by-key upstream
