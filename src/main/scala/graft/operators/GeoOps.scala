@@ -660,7 +660,47 @@ object GeoOps {
       WHERE lon >= west AND lon <= east AND lat >= south AND lat <= north
       GROUP BY box_id ORDER BY box_id"""
 
+  /** b21 — vector layer-name enumeration: the per-file layer list
+    * that drives the fgb fan-out (ref fgb_upload/main.py:54-66
+    * get_layer_names reads vector_layers ids from PMTiles metadata;
+    * main.py:150-152 GetLayerCount/GetLayerByIndex for the opened
+    * dataset). Layer counts/names are a deterministic synthesis from
+    * the file key — mirroring b15's subdataset pattern — and
+    * zero-layer files yield no rows, exactly the reference's
+    * `if layer_count == 0: continue`. Map-only explode; feeds the
+    * b12/b12b manifest layer lists and the a21 sweep. */
+  def qLayerNames(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val fname = Synth.fileName(col("event_id"))
+    e.filter(Synth.ext(col("event_id")) === ".pmtiles")
+      .select(col("event_id"), col("user_id"),
+        expr("CAST((event_id div 10) % 4 AS INT)").as("n_layers"))
+      .filter(col("n_layers") >= 1)
+      .withColumn("i", explode(sequence(lit(1), col("n_layers"))))
+      .select(col("event_id"),
+        concat(lit("user"), col("user_id").cast("string"), lit("/datasets/"),
+          fname, lit("/"), fname).as("blob_path"),
+        col("n_layers"), col("i").cast("int").as("i"),
+        concat(lit("layer_"), col("i").cast("string"), lit("_"),
+          (col("event_id") % 97).cast("string")).as("layer_name"))
+      .orderBy("event_id", "i")
+  }
+
+  val qLayerNamesSql: String =
+    s"""WITH p AS (
+        SELECT event_id, user_id, CAST((event_id // 10) % 4 AS INT) AS n_layers
+        FROM events WHERE (${Synth.extSql}) = '.pmtiles'),
+      x AS (SELECT event_id, user_id, n_layers, unnest(generate_series(1, n_layers)) AS i
+        FROM p WHERE n_layers >= 1)
+      SELECT event_id,
+        'user' || CAST(user_id AS VARCHAR) || '/datasets/' || (${Synth.fileNameSql})
+          || '/' || (${Synth.fileNameSql}) AS blob_path,
+        n_layers, CAST(i AS INT) AS i,
+        'layer_' || CAST(i AS VARCHAR) || '_' || CAST(event_id % 97 AS VARCHAR) AS layer_name
+      FROM x ORDER BY event_id, i"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_layer_names" -> (qLayerNames _),
     "q_bbox_join" -> (qBboxJoin _),
     "q_band_grouping" -> (qBandGrouping _),
     "q_subdatasets" -> (qSubdatasets _),
@@ -684,6 +724,7 @@ object GeoOps {
     "q_cog_layout" -> (qCogLayout _))
 
   val oracles: Map[String, String] = Map(
+    "q_layer_names" -> qLayerNamesSql,
     "q_bbox_join" -> qBboxJoinSql,
     "q_band_grouping" -> qBandGroupingSql,
     "q_subdatasets" -> qSubdatasetsSql,

@@ -631,7 +631,139 @@ object IngestOps {
           || '?sv=2022-11-02&sp=r&sr=b&se=' || se || '&sig=' || md5(blob_path || se) AS sas_url
       FROM p ORDER BY event_id"""
 
+  /** a21 — per-user folder re-ingest sweep (ref fgb_upload/main.py:
+    * 105-193 ingest_user_folder): enumerate each user's published
+    * PMTiles under `{user}/datasets/`, mint the read SAS (a20's
+    * arithmetic — the reference mints BEFORE any check), then decide:
+    * zero vector layers → skip `no_layers` (main.py:119-121); an fgb
+    * already uploaded under the dataset path → skip
+    * `already_ingested` (:124-129); raw source blob gone → skip
+    * `raw_missing` (:135-140); otherwise `ingest` with one output
+    * per layer (single-layer datasets join into one `.fgb`,
+    * multi-layer fan out per layer — :131, :157-186). Layer counts
+    * and blob presence are the b21/synthetic derivations; the whole
+    * sweep is a pure map over the message stream, so at 100 TB it
+    * shards by user prefix exactly like the reference's
+    * per-user CLI invocation. */
+  def qUserFolderSweep(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val fname = Synth.fileName(col("event_id"))
+    val base = e.filter(Synth.ext(col("event_id")) === ".pmtiles")
+      .select(col("event_id"), col("user_id"),
+        concat(lit("user"), col("user_id").cast("string"), lit("/datasets/"),
+          fname, lit("/"), fname).as("pmtiles_path"),
+        concat(lit("user"), col("user_id").cast("string"), lit("/raw/"), fname).as("raw_blob"),
+        expr("CAST((event_id div 10) % 4 AS INT)").as("n_layers"),
+        (col("event_id") % 3 === 0).as("has_fgb"),
+        (col("event_id") % 7 =!= 0).as("has_raw"),
+        date_format(
+          timestamp_seconds(lit(1704067200L) + (col("event_id") % 24) * 3600L + 3600L),
+          "yyyy-MM-dd'T'HH:mm:ss'Z'").as("se"))
+    base.select(col("event_id"), col("user_id"), col("pmtiles_path"),
+        concat(lit("https://acct.blob.core.windows.net/userdata/"), col("pmtiles_path"),
+          lit("?sv=2022-11-02&sp=r&sr=b&se="), col("se"),
+          lit("&sig="), md5(concat(col("pmtiles_path"), col("se")))).as("sas_url"),
+        when(col("n_layers") === 0, "no_layers")
+          .when(col("has_fgb"), "already_ingested")
+          .when(!col("has_raw"), "raw_missing")
+          .otherwise("ingest").as("status"),
+        col("raw_blob"), col("n_layers"),
+        when(col("n_layers") =!= 0 && !col("has_fgb") && col("has_raw"), col("n_layers"))
+          .otherwise(0).cast("int").as("n_outputs"))
+      .orderBy("event_id")
+  }
+
+  val qUserFolderSweepSql: String =
+    s"""WITH p AS (
+        SELECT event_id, user_id,
+          'user' || CAST(user_id AS VARCHAR) || '/datasets/' || (${Synth.fileNameSql})
+            || '/' || (${Synth.fileNameSql}) AS pmtiles_path,
+          'user' || CAST(user_id AS VARCHAR) || '/raw/' || (${Synth.fileNameSql}) AS raw_blob,
+          CAST((event_id // 10) % 4 AS INT) AS n_layers,
+          (event_id % 3 = 0) AS has_fgb, (event_id % 7 <> 0) AS has_raw,
+          strftime(make_timestamp((1704067200 + (event_id % 24) * 3600 + 3600) * 1000000),
+            '%Y-%m-%dT%H:%M:%SZ') AS se
+        FROM events WHERE (${Synth.extSql}) = '.pmtiles')
+      SELECT event_id, user_id, pmtiles_path,
+        'https://acct.blob.core.windows.net/userdata/' || pmtiles_path
+          || '?sv=2022-11-02&sp=r&sr=b&se=' || se || '&sig=' || md5(pmtiles_path || se) AS sas_url,
+        CASE WHEN n_layers = 0 THEN 'no_layers'
+             WHEN has_fgb THEN 'already_ingested'
+             WHEN NOT has_raw THEN 'raw_missing'
+             ELSE 'ingest' END AS status,
+        raw_blob, n_layers,
+        CAST(CASE WHEN n_layers <> 0 AND NOT has_fgb AND has_raw THEN n_layers ELSE 0 END AS INT)
+          AS n_outputs
+      FROM p ORDER BY event_id"""
+
+  /** a22 — append-log blob lifecycle (ref azlog.py:21-38
+    * AzureBlobStorageHandler): the handler CREATES the
+    * `{blob}.log` append blob once at attach (create_append_blob,
+    * :21-29), APPENDS one block per formatted record (emit, :31-36),
+    * and the container client closes at teardown (:38). Modeled as
+    * ordered lifecycle rows per log blob: seq 0 `create`, one
+    * `append` per record with its running byte offset (the append-
+    * blob commit position), and a final `close` carrying the total
+    * committed length. One keyed window + one aggregation on the
+    * same key — the 100 TB shape is a single shuffle per log blob,
+    * and a18's per-blob stats remain the cheap summary view. */
+  def qLogLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val fname = Synth.fileName(col("event_id"))
+    val level = when(col("event_type") === "error", "ERROR")
+      .when(col("event_type") === "purchase", "INFO")
+      .otherwise("DEBUG")
+    // record length = 19-char asctime + '-' + level:message body
+    val recs = e.select(col("event_id"),
+        concat(lit("user"), col("user_id").cast("string"), lit("/raw/"),
+          fname, lit(".log")).as("log_path"),
+        unix_millis(col("ts")).as("ms"),
+        (lit(20) + length(concat(level, lit(":"), col("event_type")))).cast("int").as("len"))
+    val w = Window.partitionBy("log_path").orderBy("ms", "event_id")
+    val appends = recs.select(col("log_path"),
+      row_number().over(w).cast("int").as("seq"),
+      lit("append").as("action"),
+      coalesce(sum(col("len")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).cast("long").as("byte_offset"),
+      col("len"), col("ms").as("at_ms"))
+    val perBlob = recs.groupBy("log_path")
+      .agg(count(lit(1)).as("n"), sum(col("len")).as("total"),
+        min("ms").as("first_ms"), max("ms").as("last_ms"))
+    val creates = perBlob.select(col("log_path"), lit(0).as("seq"),
+      lit("create").as("action"), lit(0L).as("byte_offset"),
+      lit(0).as("len"), col("first_ms").as("at_ms"))
+    val closes = perBlob.select(col("log_path"), (col("n") + 1).cast("int").as("seq"),
+      lit("close").as("action"), col("total").cast("long").as("byte_offset"),
+      lit(0).as("len"), col("last_ms").as("at_ms"))
+    creates.unionByName(appends).unionByName(closes)
+      .orderBy("log_path", "seq")
+  }
+
+  val qLogLifecycleSql: String =
+    s"""WITH l AS (
+        SELECT event_id,
+          'user' || CAST(user_id AS VARCHAR) || '/raw/' || (${Synth.fileNameSql}) || '.log' AS log_path,
+          CASE WHEN event_type = 'error' THEN 'ERROR'
+               WHEN event_type = 'purchase' THEN 'INFO' ELSE 'DEBUG' END AS level,
+          epoch_ms(ts) AS ms, event_type
+        FROM events),
+      r AS (SELECT *, CAST(20 + length(level || ':' || event_type) AS INT) AS len FROM l),
+      a AS (SELECT log_path, CAST(ROW_NUMBER() OVER w AS INT) AS seq, 'append' AS action,
+          CAST(COALESCE(SUM(len) OVER (PARTITION BY log_path ORDER BY ms, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS byte_offset,
+          len, ms AS at_ms
+        FROM r WINDOW w AS (PARTITION BY log_path ORDER BY ms, event_id)),
+      c AS (SELECT log_path, 0 AS seq, 'create' AS action, CAST(0 AS BIGINT) AS byte_offset,
+          CAST(0 AS INT) AS len, MIN(ms) AS at_ms FROM r GROUP BY log_path),
+      z AS (SELECT log_path, CAST(COUNT(*) + 1 AS INT) AS seq, 'close' AS action,
+          CAST(SUM(len) AS BIGINT) AS byte_offset, CAST(0 AS INT) AS len, MAX(ms) AS at_ms
+        FROM r GROUP BY log_path)
+      SELECT * FROM (SELECT * FROM c UNION ALL SELECT * FROM a UNION ALL SELECT * FROM z)
+      ORDER BY log_path, seq"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_user_folder_sweep" -> (qUserFolderSweep _),
+    "q_log_lifecycle" -> (qLogLifecycle _),
     "q_error_blobs" -> (qErrorBlobs _),
     "q_sas_url" -> (qSasUrl _),
     "q_log_blobs" -> (qLogBlobs _),
@@ -654,6 +786,8 @@ object IngestOps {
     "q_deadletter_stats" -> (qDeadletterStats _))
 
   val oracles: Map[String, String] = Map(
+    "q_user_folder_sweep" -> qUserFolderSweepSql,
+    "q_log_lifecycle" -> qLogLifecycleSql,
     "q_error_blobs" -> qErrorBlobsSql,
     "q_sas_url" -> qSasUrlSql,
     "q_log_blobs" -> qLogBlobsSql,
