@@ -27,6 +27,10 @@ val jdk17AddOpens = Seq(
 // output — the bench driver parses the LAST stdout line as the metric
 Global / showSuccess := false
 Global / excludeLintKeys += showSuccess
+// ... and let the forked JVM write to the REAL stdout instead of
+// sbt's logger, which prefixes every line with "[info] " and made the
+// driver's json.loads of the last line fail (BENCH_r04 parsed: null)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
