@@ -1,14 +1,80 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
+/** Real image codec on the JDK's built-in PNG support (javax.imageio —
+  * no extra dependency). The testdata has no image files, so each
+  * document's payload bytes are first rendered into a real tiny PNG
+  * (deterministically, losslessly), then decoded back to pixels; the
+  * feature step runs on ACTUAL decoded pixel values, exercising the
+  * same per-task codec path a production image pipeline uses. */
+object ImageCodec {
+  ImageIO.setUseCache(false) // in-memory streams only; never spill to disk in a task
+
+  /** Deterministic tiny RGB image from payload bytes: dimensions from
+    * the payload/doc key, pixel (x,y) channels are three consecutive
+    * payload bytes (wrapped). PNG is lossless, so the decoder sees
+    * exactly these values — the golden-pixel spec relies on that. */
+  def encodePng(docId: Long, payload: Array[Byte]): Array[Byte] = {
+    val w = (payload.length % 24) + 8
+    val h = ((docId % 16) + 8).toInt
+    val n = math.max(payload.length, 1)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = (y * w + x) * 3
+        def b(j: Int): Int = if (payload.isEmpty) 0 else payload(j % n) & 0xff
+        img.setRGB(x, y, (b(i) << 16) | (b(i + 1) << 8) | b(i + 2))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Real decode (JDK PNG reader) → width, height, and 8 vertical-band
+    * mean-luminance features from the decoded pixels. Accumulation
+    * order is fixed (row-major), so the floats are deterministic. */
+  def decode(png: Array[Byte]): (Int, Int, Array[Float]) = {
+    val img = ImageIO.read(new ByteArrayInputStream(png))
+    val w = img.getWidth
+    val h = img.getHeight
+    val f = new Array[Float](8)
+    val cnt = new Array[Int](8)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        val band = x * 8 / w
+        f(band) += lum / 765.0f
+        cnt(band) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var i = 0
+    while (i < 8) { if (cnt(i) > 0) f(i) /= cnt(i); i += 1 }
+    (w, h, f)
+  }
+}
+
 /** §2 G — multimodal columns: media as opaque `binary` + typed
-  * metadata. The codec libraries aren't in this container, so decode is
-  * a clearly-marked deterministic stub — but the Spark-side plumbing
-  * (binary columns, schema, partition-sized batches, per-partition
-  * processing) is real and tested.
+  * metadata. Decode is REAL (JDK `javax.imageio` PNG codec — see
+  * [[ImageCodec]]); the testdata has no stored images, so the stored
+  * binary is synthesized from the document payload first, then decoded
+  * back through the actual codec inside the per-partition batch stage.
   */
 object Media {
 
@@ -49,51 +115,39 @@ object Media {
   // g2 — media batch pipeline (rows-only check; exercised in tests).
   // ---------------------------------------------------------------
 
-  /** One decoded media item. In a real deployment `features` would come
-    * from an image/audio codec; here the decode step is STUBBED with a
-    * deterministic transform of the payload bytes so the distributed
-    * plumbing (schema, batching, partition layout) is fully testable.
-    */
+  /** One decoded media item: real decoded dimensions + pixel-derived
+    * feature vector, plus the encoded byte size. */
   case class MediaFeatures(doc_id: Long, mime: String, nbytes: Int,
-      features: Array[Float])
-
-  /** STUB decode: deterministic 8-dim "feature vector" from payload
-    * bytes. Replace with a real codec (e.g. javax.imageio) when the
-    * runtime has one — the signature and batch shape stay identical. */
-  def decodeStub(payload: Array[Byte]): Array[Float] = {
-    val f = new Array[Float](8)
-    var i = 0
-    while (i < payload.length) {
-      f(i % 8) += (payload(i) & 0xff) / 255.0f
-      i += 1
-    }
-    f
-  }
+      width: Int, height: Int, features: Array[Float])
 
   /** g2 — per-partition batch decode: binary in, fixed-width feature
-    * vectors out. mapPartitions keeps codec state per task (the way a
-    * real decoder amortizes init cost) and the output schema is
-    * explicit so downstream ops stay columnar. The feature vector is
-    * flattened to scalar f0..f7 columns (rounded) in the dumped
-    * result so the driver's rows-only check can sort it — an
-    * `array<float>` column is unhashable for pandas sort_values. */
+    * vectors out, through the REAL JDK PNG codec. Each payload is
+    * rendered to an actual PNG (stand-in for the stored image bytes),
+    * then `ImageIO`-decoded back to pixels and reduced to 8 luminance
+    * bands. mapPartitions keeps codec state per task (the way a real
+    * decoder amortizes init cost) and the output schema is explicit so
+    * downstream ops stay columnar. The feature vector is flattened to
+    * scalar f0..f7 columns (rounded) in the dumped result so the
+    * driver's rows-only check can sort it — an `array<float>` column
+    * is unhashable for pandas sort_values. */
   def qMediaPipeline(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val d = Tables(spark, dir, "documents")
     val src = d.select(col("doc_id"), col("text"))
       .withColumn("payload", encode(col("text"), "UTF-8"))
-      .withColumn("mime", lit("image/fake-png"))
-      .select(col("doc_id"), col("mime"), col("payload"))
-      .as[(Long, String, Array[Byte])]
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
     val decoded = src.mapPartitions { it =>
-      // per-task "codec" init would go here
-      it.map { case (id, mime, payload) =>
-        MediaFeatures(id, mime, payload.length, decodeStub(payload))
+      it.map { case (id, payload) =>
+        val png = ImageCodec.encodePng(id, payload)
+        val (w, h, feats) = ImageCodec.decode(png)
+        MediaFeatures(id, "image/png", png.length, w, h, feats)
       }
     }.toDF()
     val flat = (0 until 8).map(i =>
       round(element_at(col("features"), i + 1).cast("double"), 5).as(s"f$i"))
-    decoded.select(Seq(col("doc_id"), col("mime"), col("nbytes")) ++ flat: _*)
+    decoded.select(Seq(col("doc_id"), col("mime"), col("nbytes"),
+        col("width"), col("height")) ++ flat: _*)
       .orderBy("doc_id")
   }
 
@@ -213,8 +267,9 @@ object Media {
     "q_resize_plan" -> (qResizePlan _),
     "q_decode_batches" -> (qDecodeBatches _))
 
-  /** q_media_pipeline intentionally has no oracle (stubbed decode is
-    * not SQL-expressible) → driver records a rows-only check. */
+  /** q_media_pipeline intentionally has no oracle (a PNG codec
+    * round-trip is not SQL-expressible) → driver records a rows-only
+    * check; MediaSpec gates it with golden-pixel assertions. */
   val oracles: Map[String, String] = Map(
     "q_multimodal_meta" -> qMultimodalMetaSql,
     "q_frame_sample" -> qFrameSampleSql,

@@ -699,7 +699,108 @@ object GeoOps {
         'layer_' || CAST(i AS VARCHAR) || '_' || CAST(event_id % 97 AS VARCHAR) AS layer_name
       FROM x ORDER BY event_id, i"""
 
+  /** b22 — GDAL COG creation-option table (ref config.py:82-112
+    * gdal_configs): profile name → rio-cogeo creation options
+    * (COMPRESS / QUALITY / PHOTOMETRIC), with the reference's
+    * unconditional overrides applied on top (BIGTIFF=YES,
+    * blockxsize=blockysize=256, PREDICTOR=YES where the codec supports
+    * a predictor, OVERVIEW_RESAMPLING=NEAREST), joined to b11's block
+    * layout so each file carries its resolved write plan. Pure
+    * map-side CASE algebra over the same single `part` scan b11 uses —
+    * no shuffle except the presentation sort. */
+  def qGdalProfile(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir, "part")
+    val profiles = Seq("zstd", "lzw", "deflate", "webp", "jpeg", "packbits", "lzma", "raw")
+    val compress = Seq("ZSTD", "LZW", "DEFLATE", "WEBP", "JPEG", "PACKBITS", "LZMA", "NONE")
+    val idx = col("p_partkey") % 8
+    val profile = profiles.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, (v, k)) => when(idx === k, v).otherwise(acc)
+    }
+    val comp = compress.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, (v, k)) => when(idx === k, v).otherwise(acc)
+    }
+    p.select(col("p_partkey"),
+        ((col("p_partkey") * 7919L) % 20000L + 256L).as("width"),
+        ((col("p_partkey") * 104729L) % 20000L + 256L).as("height"),
+        profile.as("profile"), comp.as("compress"))
+      .withColumn("quality",
+        when(col("compress") === "JPEG", 85).when(col("compress") === "WEBP", 75)
+          .otherwise(lit(null)).cast("int"))
+      .withColumn("photometric",
+        when(col("compress") === "JPEG", "YCbCr").otherwise(lit(null).cast("string")))
+      .withColumn("predictor",
+        when(col("compress").isin("ZSTD", "LZW", "DEFLATE"), "YES").otherwise("NO"))
+      .withColumn("overview_resampling", lit("NEAREST"))
+      .withColumn("blockxsize", lit(256))
+      .withColumn("bigtiff", lit("YES"))
+      .withColumn("blocks_x", ((col("width") + 255L) / 256L).cast("long"))
+      .withColumn("blocks_y", ((col("height") + 255L) / 256L).cast("long"))
+      .drop("width", "height")
+      .orderBy("p_partkey")
+  }
+
+  val qGdalProfileSql: String =
+    """WITH d AS (
+        SELECT p_partkey, (p_partkey * 7919) % 20000 + 256 AS width,
+          (p_partkey * 104729) % 20000 + 256 AS height,
+          CASE p_partkey % 8 WHEN 0 THEN 'zstd' WHEN 1 THEN 'lzw' WHEN 2 THEN 'deflate'
+            WHEN 3 THEN 'webp' WHEN 4 THEN 'jpeg' WHEN 5 THEN 'packbits'
+            WHEN 6 THEN 'lzma' ELSE 'raw' END AS profile,
+          CASE p_partkey % 8 WHEN 0 THEN 'ZSTD' WHEN 1 THEN 'LZW' WHEN 2 THEN 'DEFLATE'
+            WHEN 3 THEN 'WEBP' WHEN 4 THEN 'JPEG' WHEN 5 THEN 'PACKBITS'
+            WHEN 6 THEN 'LZMA' ELSE 'NONE' END AS compress
+        FROM part)
+      SELECT p_partkey, profile, compress,
+        CAST(CASE WHEN compress = 'JPEG' THEN 85 WHEN compress = 'WEBP' THEN 75 END AS INT) AS quality,
+        CASE WHEN compress = 'JPEG' THEN 'YCbCr' END AS photometric,
+        CASE WHEN compress IN ('ZSTD','LZW','DEFLATE') THEN 'YES' ELSE 'NO' END AS predictor,
+        'NEAREST' AS overview_resampling, 256 AS blockxsize, 'YES' AS bigtiff,
+        (width + 255) // 256 AS blocks_x, (height + 255) // 256 AS blocks_y
+      FROM d ORDER BY p_partkey"""
+
+  /** b4b — tilestats schema validation (ref processing.py:349-376):
+    * after tippecanoe writes the PMTiles, the reference reads
+    * `metadata()["tilestats"]["layers"]`, builds the layer→count dict,
+    * and errors when an expected layer is absent from the dict or
+    * present with count 0. Expected layers come from the dataset's own
+    * feature groups (one groupBy shuffle); the tippecanoe-reported
+    * side is a deterministic synthesis keyed on (dataset, layer) so
+    * all three verdicts — ok / empty / missing — occur. Status algebra
+    * is pure post-aggregation column math. */
+  def qTilestatsValid(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val expected = e.groupBy(col("user_id"), col("event_type").as("layer"))
+      .agg(count(lit(1)).as("expected_features"))
+    val key = col("user_id") * 131L + ascii(col("layer")) + length(col("layer"))
+    expected
+      .withColumn("in_tilestats", pmod(key, lit(13L)) =!= 0L)
+      .withColumn("reported_count",
+        when(!col("in_tilestats"), lit(null).cast("long"))
+          .when(pmod(key, lit(11L)) === 0L, 0L)
+          .otherwise(col("expected_features")))
+      .withColumn("status",
+        when(!col("in_tilestats"), "missing")
+          .when(col("reported_count") === 0L, "empty")
+          .otherwise("ok"))
+      .orderBy("user_id", "layer")
+  }
+
+  val qTilestatsValidSql: String =
+    """WITH x AS (
+        SELECT user_id, event_type AS layer, COUNT(*) AS expected_features,
+          user_id * 131 + ascii(event_type) + length(event_type) AS k
+        FROM events GROUP BY 1, 2)
+      SELECT user_id, layer, expected_features,
+        k % 13 <> 0 AS in_tilestats,
+        CAST(CASE WHEN k % 13 = 0 THEN NULL WHEN k % 11 = 0 THEN 0
+          ELSE expected_features END AS BIGINT) AS reported_count,
+        CASE WHEN k % 13 = 0 THEN 'missing' WHEN k % 11 = 0 THEN 'empty'
+          ELSE 'ok' END AS status
+      FROM x ORDER BY user_id, layer"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gdal_profile" -> (qGdalProfile _),
+    "q_tilestats_valid" -> (qTilestatsValid _),
     "q_layer_names" -> (qLayerNames _),
     "q_bbox_join" -> (qBboxJoin _),
     "q_band_grouping" -> (qBandGrouping _),
@@ -724,6 +825,8 @@ object GeoOps {
     "q_cog_layout" -> (qCogLayout _))
 
   val oracles: Map[String, String] = Map(
+    "q_gdal_profile" -> qGdalProfileSql,
+    "q_tilestats_valid" -> qTilestatsValidSql,
     "q_layer_names" -> qLayerNamesSql,
     "q_bbox_join" -> qBboxJoinSql,
     "q_band_grouping" -> qBandGroupingSql,

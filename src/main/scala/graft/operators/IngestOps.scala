@@ -761,7 +761,48 @@ object IngestOps {
       SELECT * FROM (SELECT * FROM c UNION ALL SELECT * FROM a UNION ALL SELECT * FROM z)
       ORDER BY log_path, seq"""
 
+  /** a23 — WebPubSub client-token minting (ref config.py:114-129
+    * get_azurewebsubpub_client_token): each subscriber gets a client
+    * access token scoped to its group with the two group roles the
+    * reference requests — `webpubsub.joinLeaveGroup.{group}` and
+    * `webpubsub.sendToGroup.{group}` — plus a minutes_to_expire=60
+    * ISO expiry. Groups follow a16's subscriber model (each customer
+    * watches one user's feed, so its group is that user's channel).
+    * The JWT signature is an opaque deterministic stand-in (md5 over
+    * the signed claims — the real HMAC needs the service key, which
+    * never belongs in a dataset). Pure map over the roster. */
+  def qPubsubToken(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val group = concat(lit("user"), (col("c_custkey") % 1500L).cast("string"))
+    val expiry = date_format(
+      timestamp_seconds(lit(1704067200L) + (col("c_custkey") % 24) * 3600L + 3600L),
+      "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    c.select(col("c_custkey").as("sub_id"), group.as("group_name"),
+        expiry.as("expires_at"))
+      .withColumn("role_join", concat(lit("webpubsub.joinLeaveGroup."), col("group_name")))
+      .withColumn("role_send", concat(lit("webpubsub.sendToGroup."), col("group_name")))
+      .withColumn("token",
+        md5(concat(lit("geohub-data-pipeline|"), col("role_join"), lit("|"),
+          col("role_send"), lit("|"), col("expires_at"))))
+      .orderBy("sub_id")
+  }
+
+  val qPubsubTokenSql: String =
+    """WITH p AS (
+        SELECT c_custkey AS sub_id, 'user' || CAST(c_custkey % 1500 AS VARCHAR) AS group_name,
+          strftime(make_timestamp((1704067200 + (c_custkey % 24) * 3600 + 3600) * 1000000),
+            '%Y-%m-%dT%H:%M:%SZ') AS expires_at
+        FROM customer),
+      r AS (SELECT sub_id, group_name, expires_at,
+          'webpubsub.joinLeaveGroup.' || group_name AS role_join,
+          'webpubsub.sendToGroup.' || group_name AS role_send
+        FROM p)
+      SELECT sub_id, group_name, expires_at, role_join, role_send,
+        md5('geohub-data-pipeline|' || role_join || '|' || role_send || '|' || expires_at) AS token
+      FROM r ORDER BY sub_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pubsub_token" -> (qPubsubToken _),
     "q_user_folder_sweep" -> (qUserFolderSweep _),
     "q_log_lifecycle" -> (qLogLifecycle _),
     "q_error_blobs" -> (qErrorBlobs _),
@@ -786,6 +827,7 @@ object IngestOps {
     "q_deadletter_stats" -> (qDeadletterStats _))
 
   val oracles: Map[String, String] = Map(
+    "q_pubsub_token" -> qPubsubTokenSql,
     "q_user_folder_sweep" -> qUserFolderSweepSql,
     "q_log_lifecycle" -> qLogLifecycleSql,
     "q_error_blobs" -> qErrorBlobsSql,

@@ -146,15 +146,39 @@ class OperatorsSpec extends SparkTestBase {
       s"candidate join not pruning: $cand pairs of ${n * (n - 1) / 2} exhaustive")
   }
 
-  test("media pipeline: stub decode is deterministic and schema is stable") {
+  test("media pipeline: PNG round-trip is golden-pixel exact") {
+    import graft.multimodal.ImageCodec
+    import javax.imageio.ImageIO
+    import java.io.ByteArrayInputStream
+    val payload = "hello world".getBytes("UTF-8") // 11 bytes → 19×13 image
+    val png = ImageCodec.encodePng(docId = 5L, payload)
+    // a real PNG came out of the JDK encoder...
+    assert(png.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    val img = ImageIO.read(new ByteArrayInputStream(png))
+    assert(img.getWidth == 19 && img.getHeight == 13)
+    // ...and decodes to EXACTLY the pixels synthesized from the payload
+    // (PNG is lossless): pixel (x,y) packs payload bytes 3i,3i+1,3i+2.
+    def b(j: Int): Int = payload(j % payload.length) & 0xff
+    for ((x, y) <- Seq((0, 0), (5, 3), (18, 12))) {
+      val i = (y * 19 + x) * 3
+      val expected = (b(i) << 16) | (b(i + 1) << 8) | b(i + 2)
+      assert((img.getRGB(x, y) & 0xffffff) == expected, s"pixel ($x,$y)")
+    }
+    // feature extraction over decoded pixels is deterministic
+    val (w1, h1, f1) = ImageCodec.decode(png)
+    val (_, _, f2) = ImageCodec.decode(png)
+    assert(w1 == 19 && h1 == 13 && f1.toSeq == f2.toSeq)
+    assert(f1.forall(v => v >= 0.0f && v <= 1.0f)) // band mean luminance is normalized
+  }
+
+  test("media pipeline: real decode runs distributed and schema is stable") {
     import graft.multimodal.Media
-    val a = Media.decodeStub("hello world".getBytes("UTF-8")).toSeq
-    val b = Media.decodeStub("hello world".getBytes("UTF-8")).toSeq
-    assert(a == b)
     val df = Media.qMediaPipeline(spark, sfDir)
     assert(df.schema.fieldNames.toSeq ==
-      Seq("doc_id", "mime", "nbytes") ++ (0 until 8).map(i => s"f$i"))
+      Seq("doc_id", "mime", "nbytes", "width", "height") ++ (0 until 8).map(i => s"f$i"))
     val row = df.limit(1).collect()(0)
+    assert(row.getAs[String]("mime") == "image/png")
+    assert(row.getAs[Int]("width") >= 8 && row.getAs[Int]("height") >= 8)
     assert((0 until 8).forall(i => !row.isNullAt(row.fieldIndex(s"f$i"))))
   }
 
