@@ -31,11 +31,18 @@ object Bench {
         catch { case _: Throwable => () }
       }
     }
+    // optional comma-separated filter for fast single-query iteration
+    // (SPARK_GRAFT_BENCH_ONLY=q_asof_native,q_asof_join); the full run
+    // (driver mode) is the default
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     // min of 2 runs per query: the first run pays janino compilation
     // of that query's generated code (up to several seconds for wide
     // projections) — the min reflects steady-state throughput, which
     // is what a long-running cluster job actually sees
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         // each timed run stands alone: evict the shared dedup pair-graph
         // memo so d2/d6/d7 measure their whole pipeline, not a cache hit
@@ -51,10 +58,31 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // regression tracking: bench_history.json (committed to the repo)
+    // carries the previous full run's per-query seconds; the detail
+    // file reports prior + delta per query so a regression is visible
+    // without digging through old round artifacts. The history only
+    // updates on full (unfiltered) runs so partial iteration runs
+    // can't clobber it.
+    val histPath = java.nio.file.Paths.get("bench_history.json")
+    val prior: Map[String, Double] =
+      if (java.nio.file.Files.exists(histPath)) {
+        val txt = java.nio.file.Files.readString(histPath)
+        "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9.Ee+-]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } else Map.empty
+    val priorJson = results.flatMap { case (k, _) =>
+      prior.get(k).map(p => "\"" + k + "\":" + p)
+    }.mkString("{", ",", "}")
+    val deltaJson = results.flatMap { case (k, v) =>
+      prior.get(k).map(p => f""""$k":${v - p}%.3f""")
+    }.mkString("{", ",", "}")
+    if (only.isEmpty) java.nio.file.Files.writeString(histPath, qs + "\n")
     // full per-query detail goes to the file; stdout gets a SHORT line —
     // the driver keeps only the tail of the output, and the ~3.5 KB
     // per-query map was truncating the stdout JSON from the front
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""prior":$priorJson,"delta":$deltaJson,"sf":"$sfDir"}"""
     val short = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","detail":"$benchOut"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(benchOut), full + "\n")
     // silence shutdown-path logging (EventLoop interrupt stacks at

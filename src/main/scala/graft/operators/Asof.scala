@@ -20,10 +20,15 @@ object Asof {
 
   /** As-of (backward, inner) join: for each left row the LATEST right
     * row with equal key and right time ≤ left time. Key/time columns
-    * must be LongType. */
+    * must be LongType. `rightTiebreak` names columns that order right
+    * rows sharing (key, time) — the GREATEST tiebreak tuple wins,
+    * replacing the per-(key, time) pre-aggregation callers otherwise
+    * need for determinism (the dedup rides the operator's own sort
+    * instead of paying an extra exchange + hash-agg). */
   def asofJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String,
+      rightTiebreak: Seq[String] = Nil): DataFrame = {
     val lp = GraftPlanBridge.analyzed(left)
     val rp = GraftPlanBridge.analyzed(right)
     def attr(p: LogicalPlan, n: String) =
@@ -31,13 +36,17 @@ object Asof {
         throw new IllegalArgumentException(s"no column $n in ${p.output.map(_.name)}"))
     GraftPlanBridge.ofRows(left.sparkSession,
       AsofJoin(lp, rp, attr(lp, leftKey), attr(rp, rightKey),
-        attr(lp, leftTime), attr(rp, rightTime)))
+        attr(lp, leftTime), attr(rp, rightTime),
+        rightTiebreak.map(attr(rp, _))))
   }
 
   /** c22 — the c21 as-of query through the NATIVE operator: identical
     * semantics and oracle (DuckDB ASOF JOIN), but planned as
-    * AsofJoinExec — two exchanges, two sorts, one zipper pass; no
-    * union, no window state. */
+    * AsofJoinExec — two exchanges, two sorts, one codegen'd zipper
+    * pass; no union, no window state, and no right-side
+    * pre-aggregation either: the max-orderkey-per-(customer, day)
+    * dedup the c21 plan pays a shuffle + hash-agg for is folded into
+    * the zipper's sort via the tiebreak ordering. */
   def qAsofNative(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.events(spark, dir)
@@ -48,11 +57,8 @@ object Asof {
     val od = o.select(col("o_custkey").as("rk"),
         unix_date(to_date(col("o_orderdate"))).cast("long").as("rt"),
         col("o_orderkey"), col("o_totalprice"))
-      .groupBy("rk", "rt")
-      .agg(max(struct(col("o_orderkey"), col("o_totalprice"))).as("s"))
-      .select(col("rk"), col("rt"),
-        col("s.o_orderkey").as("o_orderkey"), col("s.o_totalprice").as("o_totalprice"))
-    asofJoin(ev, od, "k", "rk", "t", "rt")
+    asofJoin(ev, od, "k", "rk", "t", "rt",
+        rightTiebreak = Seq("o_orderkey", "o_totalprice"))
       .select(col("event_id"), col("k"), col("t").as("event_day"),
         col("rt").as("order_day"), col("o_orderkey"), col("o_totalprice"))
       .orderBy("event_id")

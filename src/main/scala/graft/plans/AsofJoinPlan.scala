@@ -3,9 +3,10 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, BoundReference, Expression, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.types.LongType
 
 /** Logical as-of join: for every left row, the LATEST right row with
@@ -16,10 +17,18 @@ import org.apache.spark.sql.types.LongType
   * first-class plan so the planner can pick the dedicated physical
   * operator below. Key and time expressions must be LongType (the
   * integral-time contract every epoch-keyed table meets).
+  *
+  * `rightTiebreak` disambiguates right rows sharing (key, time): among
+  * ties the row GREATEST under the tiebreak ordering wins, because the
+  * zipper admits ties in ascending tiebreak order and each admission
+  * replaces the carried row. This folds the "one row per (key, time)"
+  * pre-aggregation an as-of join otherwise needs into the sort the
+  * operator already requires — one whole exchange + hash-agg less.
   */
 case class AsofJoin(left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    rightTiebreak: Seq[Expression] = Nil) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ right.output
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoin =
@@ -30,32 +39,46 @@ case class AsofJoin(left: LogicalPlan, right: LogicalPlan,
   * GraftExtensions (injectPlannerStrategy). */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(l, r, lk, rk, lt, rt) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsofJoin(l, r, lk, rk, lt, rt, tb) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
     case _ => Nil
   }
 }
 
 /** Physical sort-merge as-of join: both children hash-clustered on the
   * key (EnsureRequirements inserts the two exchanges and aligns
-  * partition counts) and sorted by (key, time); each partition is then
-  * a single zipper pass — the right cursor advances monotonically,
-  * carrying the latest right row at-or-before the left cursor, so the
-  * whole join is O(n + m) per partition with ONE buffered row of
-  * state. This is the shape a dedicated time-series engine gives
-  * as-of joins, expressed as a Spark operator: no union
+  * partition counts) and sorted by (key, time[, tiebreak]); each
+  * partition is then a single zipper pass — the right cursor advances
+  * monotonically, carrying the latest right row at-or-before the left
+  * cursor, so the whole join is O(n + m) per partition with ONE
+  * buffered row of state. This is the shape a dedicated time-series
+  * engine gives as-of joins, expressed as a Spark operator: no union
   * materialization, no window state, no range fan-out.
+  *
+  * Participates in whole-stage codegen (the zipper loop is generated,
+  * and the joined columns flow into the parent operator as variables —
+  * no per-row UnsafeProjection, no JoinedRow materialization); the
+  * interpreted doExecute below is the spark.sql.codegen.wholeStage=false
+  * fallback.
   */
 case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression) extends BinaryExecNode {
+    leftTime: Expression, rightTime: Expression,
+    rightTiebreak: Seq[Expression] = Nil)
+  extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] = left.output ++ right.output
   override def outputPartitioning: Partitioning = left.outputPartitioning
+  // the zipper streams left rows in order ⇒ the left sort survives
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
 
   // requiredNumPartitions pinned (as stateful streaming operators do):
-  // doExecute zips the two children partition-by-partition, so AQE
-  // must never coalesce the two shuffles to different partition counts
+  // doExecute zips the two children partition-by-partition, so the two
+  // shuffles must never end up with different partition counts. AQE is
+  // no risk in practice — CoalesceShufflePartitions only forms coalesce
+  // groups under nodes it knows (ShuffledJoin, Union, Aggregate), so a
+  // custom binary node's shuffles are left uncoalesced either way — but
+  // the pin makes the invariant explicit instead of relying on that.
   override def requiredChildDistribution: Seq[Distribution] = {
     val n = Some(conf.numShufflePartitions)
     Seq(ClusteredDistribution(Seq(leftKey), requiredNumPartitions = n),
@@ -64,7 +87,8 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)) ++
+      rightTiebreak.map(SortOrder(_, Ascending)))
 
   override protected def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
@@ -129,6 +153,94 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
         else Iterator.empty
       }
     }
+  }
+
+  // ------------------------- codegen -------------------------
+  // Modeled on SortMergeJoinExec: both children arrive as plain
+  // iterators (inputs[0]/inputs[1]); WholeStageCodegenExec zips the
+  // two input RDDs partition-by-partition exactly like doExecute.
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  // the carried row is a reused mutable buffer, so rows leaving the
+  // stage must be copied before any parent buffers them
+  override def needCopyResult: Boolean = true
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val leftInput = ctx.addMutableState("scala.collection.Iterator", "asofLeftInput",
+      v => s"$v = inputs[0];", forceInline = true)
+    val rightInput = ctx.addMutableState("scala.collection.Iterator", "asofRightInput",
+      v => s"$v = inputs[1];", forceInline = true)
+    val leftRow = ctx.addMutableState("InternalRow", "asofLeftRow")
+    val rNextRow = ctx.addMutableState("InternalRow", "asofRNextRow")
+    val rNextKey = ctx.addMutableState("long", "asofRNextKey")
+    val rNextTime = ctx.addMutableState("long", "asofRNextTime")
+    val carried = ctx.addMutableState(
+      "org.apache.spark.sql.catalyst.expressions.UnsafeRow", "asofCarried")
+    val carriedValid = ctx.addMutableState("boolean", "asofCarriedValid")
+    val carriedKey = ctx.addMutableState("long", "asofCarriedKey")
+
+    ctx.currentVars = null
+    ctx.INPUT_ROW = leftRow
+    val lkCode = BindReferences.bindReference(leftKey, left.output).genCode(ctx)
+    val ltCode = BindReferences.bindReference(leftTime, left.output).genCode(ctx)
+    ctx.INPUT_ROW = rNextRow
+    val rkCode = BindReferences.bindReference(rightKey, right.output).genCode(ctx)
+    val rtCode = BindReferences.bindReference(rightTime, right.output).genCode(ctx)
+    // output columns as variables: left side straight off the streamed
+    // row, right side off the carried buffer — the parent consumes them
+    // directly, so no joined row is ever materialized here
+    ctx.INPUT_ROW = leftRow
+    val leftVars = left.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    ctx.INPUT_ROW = carried
+    val rightVars = right.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    val lk = ctx.freshName("lk")
+    val lt = ctx.freshName("lt")
+
+    s"""
+       |while ($leftInput.hasNext()) {
+       |  $leftRow = (InternalRow) $leftInput.next();
+       |  ${lkCode.code}
+       |  ${ltCode.code}
+       |  if (${lkCode.isNull} || ${ltCode.isNull}) continue;
+       |  final long $lk = ${lkCode.value};
+       |  final long $lt = ${ltCode.value};
+       |  while (true) {
+       |    if ($rNextRow == null) {
+       |      if (!$rightInput.hasNext()) break;
+       |      $rNextRow = (InternalRow) $rightInput.next();
+       |      ${rkCode.code}
+       |      ${rtCode.code}
+       |      if (${rkCode.isNull} || ${rtCode.isNull}) { $rNextRow = null; continue; }
+       |      $rNextKey = ${rkCode.value};
+       |      $rNextTime = ${rtCode.value};
+       |    }
+       |    if ($rNextKey < $lk || ($rNextKey == $lk && $rNextTime <= $lt)) {
+       |      // admit: copy out of the sorter's reused buffer, into ONE
+       |      // reused UnsafeRow (copyFrom) — zero steady-state allocation
+       |      if ($carried == null) {
+       |        $carried = ((org.apache.spark.sql.catalyst.expressions.UnsafeRow) $rNextRow).copy();
+       |      } else {
+       |        $carried.copyFrom((org.apache.spark.sql.catalyst.expressions.UnsafeRow) $rNextRow);
+       |      }
+       |      $carriedValid = true;
+       |      $carriedKey = $rNextKey;
+       |      $rNextRow = null;
+       |    } else {
+       |      break;
+       |    }
+       |  }
+       |  if ($carriedValid && $carriedKey == $lk) {
+       |    ${consume(ctx, leftVars ++ rightVars)}
+       |    if (shouldStop()) return;
+       |  }
+       |}
+     """.stripMargin
   }
 
   override protected def withNewChildrenInternal(

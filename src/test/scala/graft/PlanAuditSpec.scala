@@ -149,6 +149,17 @@ class PlanAuditSpec extends SparkTestBase {
       assert(l == spark.sessionState.conf.numShufflePartitions,
         s"pinned partition count not honored: $l")
     }
+    // the zipper participates in whole-stage codegen: the exec must sit
+    // under a WholeStageCodegen node ("*(n) AsofJoin" in the tree), not
+    // fall back to the interpreted doExecute (janino failures fall back
+    // SILENTLY, so assert the generated code actually compiled)
+    val tree = finalPlan.toString
+    assert("\\*\\(\\d+\\) AsofJoin".r.findFirstIn(tree).isDefined,
+      s"AsofJoinExec not whole-stage-codegen'd:\n$tree")
+    // and no pre-zipper aggregation survives on the right side: the
+    // (key, time) dedup rides the tiebreak sort, not a hash-agg
+    assert(!tree.contains("HashAggregate"),
+      s"unexpected aggregation in the native as-of plan:\n$tree")
   }
 
   test("events-based geo ops are map-side until their aggregation") {
