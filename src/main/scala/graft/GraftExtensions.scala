@@ -43,6 +43,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.ShingleSids].getCanonicalName, "graft_shingle_sids"),
       (exprs: Seq[Expression]) => graft.functions.ShingleSids(exprs(0))))
     ext.injectFunction((
+      FunctionIdentifier("graft_posting_records"),
+      new ExpressionInfo(classOf[graft.functions.PostingRecords].getCanonicalName, "graft_posting_records"),
+      (exprs: Seq[Expression]) => graft.functions.PostingRecords(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_capped_list"),
+      new ExpressionInfo(classOf[graft.functions.CappedList].getCanonicalName, "graft_capped_list"),
+      (exprs: Seq[Expression]) => graft.functions.CappedList(exprs(0), exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_intersect_count"),
       new ExpressionInfo(classOf[graft.functions.IntersectCount].getCanonicalName,
         "graft_intersect_count"),

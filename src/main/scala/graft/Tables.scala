@@ -19,6 +19,21 @@ object Tables {
     * set in Verify/Bench/test sessions). Normalize to a microsecond
     * TimestampType column so downstream operators are oblivious.
     */
+  /** Fan a narrow source out to the session's parallelism — ONLY when
+    * it is actually narrow. The driver's testdata writes each table as
+    * one parquet row group, so every scan yields ONE partition and a
+    * CPU-heavy map stage (shingling, codec work, signature math) runs
+    * single-threaded no matter how many cores the session has; AQE
+    * can't help because its coalescing reasons in BYTES while these
+    * stages amplify CPU per byte. On a real cluster the scan already
+    * has hundreds of splits, `getNumPartitions >= target` holds, and
+    * this is a planning-time no-op — no shuffle is ever added at
+    * scale. */
+  def fanout(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.LongType

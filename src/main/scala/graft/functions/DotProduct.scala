@@ -127,6 +127,10 @@ object GraftFunctions {
       "graft_sid60", exprs => Sid60(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingle_sids", exprs => ShingleSids(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_posting_records", exprs => PostingRecords(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_capped_list", exprs => CappedList(exprs(0), exprs(1)), "built-in")
     if (!spark.experimental.extraOptimizations.contains(graft.plans.IntersectCountRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.IntersectCountRewrite

@@ -117,3 +117,73 @@ object ShingleSids {
   val helper = new ShingleSidsHelper
   def compute(a: ArrayData): ArrayData = helper.compute(a)
 }
+
+/** Native Catalyst expression: the d4 posting-row record generator.
+  * For one posting list (array<bigint> of doc ids, any order) it emits,
+  * in ONE primitive-array pass:
+  *   - all C(n,2) ordered pairs, each packed into ONE non-negative
+  *     bigint (`a << 32 | b` with a < b after an in-place sort), and
+  *   - one NEGATIVE record `-(doc + 1)` per member doc.
+  * Downstream, a single groupBy over the records computes BOTH the
+  * pair co-occurrence counts (records ≥ 0: `shared`) and the per-doc
+  * kept-vocabulary sizes (records < 0: how many kept posting lists
+  * contain the doc) — one Generate + one aggregation where the
+  * pair/size split otherwise costs two reduce passes over the posting
+  * exchange. Packing keys the aggregation on a single primitive long:
+  * half the shuffle key bytes of a two-column key, one murmur per row.
+  * Unpack pairs with `p >>> 32` / `p & 0xffffffff`, sizes with
+  * `-p - 1`. Ids must fit in 32 unsigned bits — enforced loudly (a
+  * silent wrap would corrupt pair identities); wider id spaces take
+  * the struct-pair path. */
+case class PostingRecords(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_posting_records"
+
+  override def nullSafeEval(input: Any): Any =
+    PostingRecords.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = classOf[PostingRecordsHelper].getName
+    val ref = ctx.addReferenceObj("postingRecords", PostingRecords.helper, helper)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PostingRecords =
+    copy(child = newChild)
+}
+
+/** Java-callable helper so generated code invokes one method. */
+class PostingRecordsHelper extends Serializable {
+  def compute(a: ArrayData): ArrayData = {
+    val ds = a.toLongArray()
+    val n = ds.length
+    require(n <= 65536, s"posting list of $n ids: cap the df before pairing")
+    java.util.Arrays.sort(ds)
+    val out = new Array[Long](n * (n - 1) / 2 + n)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val hi = ds(i)
+      require((hi >>> 32) == 0L, s"doc id $hi exceeds 32 bits: packed pairs unsupported")
+      val shifted = hi << 32
+      var j = i + 1
+      while (j < n) {
+        out(k) = shifted | ds(j)
+        k += 1
+        j += 1
+      }
+      out(k) = -hi - 1
+      k += 1
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+object PostingRecords {
+  val helper = new PostingRecordsHelper
+  def compute(a: ArrayData): ArrayData = helper.compute(a)
+}

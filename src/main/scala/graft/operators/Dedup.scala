@@ -294,52 +294,67 @@ object Dedup {
   private[graft] def ngramStages(spark: SparkSession, dir: String): Seq[(String, DataFrame)] = {
     graft.functions.GraftFunctions.register(spark)
     val d = Tables(spark, dir, "documents")
+    // fan the narrow scan out BEFORE the shingle pass so the md5-heavy
+    // sid computation uses every core (no-op on a real multi-split
+    // scan); the exchange is reused by both consumers of `src`
+    val src = Tables.fanout(d.select(col("doc_id"), col("text")))
     // ONE fused native pass per document: distinct 3-gram shingles
     // mapped straight to 60-bit md5-derived integer ids (the index
     // shuffles 8-byte keys instead of ~25-char strings; both engines
     // derive the id from the same md5 prefix, so even a collision
-    // (≈n²/2⁶¹) yields identical results on both oracle sides). The
-    // checkpoint materializes the COMPACT per-doc arrays — ~50 longs
-    // per doc, not 50 index rows — and feeds the exploded index AND
-    // the map-only doc-size computation below
-    val sids = d.select(col("doc_id"),
-        expr(s"graft_shingle_sids($toksSpark)").as("sids"))
-      .localCheckpoint(false)
+    // (≈n²/2⁶¹) yields identical results on both oracle sides)
+    val sids = src.select(col("doc_id"),
+      expr(s"graft_shingle_sids($toksSpark)").as("sids"))
     val inv0 = sids.select(col("doc_id"), explode(col("sids")).as("sid"))
-    // the DROP set (df > cap) is small by construction — boilerplate
-    // shingles are few in kind even when huge in volume — so the cap
-    // is a broadcast anti-join: a map-side filter over the index,
-    // no extra shuffle or re-partition of the full index
-    val drop = inv0.groupBy("sid").agg(count(lit(1)).as("df"))
-      .filter(col("df") > ngramDfCap).select("sid")
-    val inv = inv0.join(broadcast(drop), Seq("sid"), "left_anti")
-    // per-doc kept-vocabulary size WITHOUT an aggregation shuffle:
-    // the dropped ids ride along as one broadcast array row and the
-    // size is array arithmetic over the checkpointed sid arrays (an
-    // intra-doc sid collision on a dropped id could deviate from the
-    // row-count formulation — probability ≈ df_dropped/2⁶¹, accepted
-    // like the id derivation itself)
-    val dropArr = drop.agg(collect_list(col("sid")).as("dropped"))
-    val sizes = sids.crossJoin(broadcast(dropArr))
-      .select(col("doc_id"),
-        (size(col("sids")) - size(array_intersect(col("sids"), col("dropped")))).as("n"))
-    val posting = inv.groupBy("sid")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) >= 2)
-    val cand = posting
-      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "doc_a")))
-      // successors of position i (0-based) start at 1-based index i+2;
-      // slice of an UnsafeArrayData copies primitives without boxing —
-      // measured faster than a struct-array pair generator, whose
-      // per-pair GenericInternalRow allocations cost more than the
-      // slice copies they avoid
-      .select(col("doc_a"), explode(expr("slice(ds, i + 2, size(ds))")).as("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= 6)
+    // ONE aggregation builds the posting lists AND witnesses the df
+    // cap: graft_capped_list stops collecting at cap+1 elements, so a
+    // length ≤ cap list is the COMPLETE posting set while cap+1 marks
+    // "boilerplate shingle, drop" — without ever materializing the
+    // full posting list of a hot shingle (bounded memory at 100 TB,
+    // and the separate df-count pass + anti-join of the index are
+    // gone). The explicit hash repartition pins the shuffle at the
+    // session's parallelism: the pair stage downstream amplifies CPU
+    // quadratically in df (C(df,2) pairs per posting row), so AQE's
+    // byte-based coalescing — which sees only a few MB of posting
+    // lists — would serialize exactly the hottest loop.
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val postingAll = inv0.repartition(parts, col("sid")).groupBy("sid")
+      .agg(expr(s"graft_capped_list(doc_id, ${ngramDfCap + 1})").as("ds"))
+    val posting = postingAll
+      .filter(size(col("ds")).between(1, ngramDfCap))
+    val drop = postingAll.filter(size(col("ds")) === ngramDfCap + 1).select("sid")
+    // ONE Generate + ONE aggregation computes BOTH halves of the
+    // verification arithmetic: each kept posting row emits its C(df,2)
+    // packed pairs (a << 32 | b after the in-helper sort, so ≥ 0) and
+    // one negative `-(doc+1)` record per member doc; the single
+    // groupBy then yields pair co-occurrence counts (`shared`) AND
+    // per-doc kept-vocabulary sizes (how many kept posting lists
+    // contain the doc = the doc's kept-sid count) from the same
+    // shuffle. The pair/size split otherwise costs two reduce passes
+    // over the posting exchange plus a second documents pass for
+    // sizes. Packing keys the aggregation on one primitive long —
+    // half the shuffle key bytes, one murmur per row.
+    val recs = posting
+      .select(explode(expr("graft_posting_records(ds)")).as("p"))
+      .groupBy("p")
+      .agg(count(lit(1)).as("cnt"))
+    val cand = recs
+      .filter(col("p") >= 0 && col("cnt") >= 6)
+      .select(shiftrightunsigned(col("p"), 32).as("doc_a"),
+        (col("p").bitwiseAND(lit(0xffffffffL))).as("doc_b"),
+        col("cnt").as("shared"))
+    val sizes = recs.filter(col("p") < 0)
+      .select((-col("p") - 1).as("doc_id"), col("cnt").as("n"))
+    // the surviving pairs are few and sizes is one compact row per doc:
+    // broadcast the size table so the verify join never shuffles — the
+    // SAME broadcast serves both sides (identical child plan ⇒ the
+    // exchange is built once and reused)
+    val bsz = broadcast(sizes)
     val full = cand
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .join(bsz.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(bsz.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        col("sa.n").as("na"), col("sb.n").as("nb"))
       .withColumn("jaccard", round(col("shared").cast("double") /
         (col("na") + col("nb") - col("shared")), 6))
       .filter(col("jaccard") >= 0.2)

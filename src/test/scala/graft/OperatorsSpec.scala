@@ -182,6 +182,27 @@ class OperatorsSpec extends SparkTestBase {
     assert((0 until 8).forall(i => !row.isNullAt(row.fieldIndex(s"f$i"))))
   }
 
+  test("capped list aggregate: complete below cap, truncated witness above") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    // key 1 has 3 members (< cap 5 → complete set), key 2 has 7 (> cap → 5-element witness)
+    val df = ((1 to 3).map(i => (1L, i.toLong)) ++ (1 to 7).map(i => (2L, i.toLong)))
+      .toDF("k", "v")
+      .groupBy("k").agg(org.apache.spark.sql.functions.expr("graft_capped_list(v, 5)").as("ds"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(df(1L).sorted == Seq(1L, 2L, 3L), "below-cap list must be the complete set")
+    assert(df(2L).length == 5, "above-cap list must stop at exactly cap elements")
+    assert(df(2L).distinct.length == 5 && df(2L).forall(v => v >= 1 && v <= 7))
+    // posting-records encoding: pairs are non-negative and sorted a<b,
+    // member records are -(doc+1)
+    val recs = graft.functions.PostingRecords.compute(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(7L, 3L, 5L)))
+      .toLongArray().toSeq
+    val pairs = recs.filter(_ >= 0).map(p => (p >>> 32, p & 0xffffffffL))
+    assert(pairs.toSet == Set((3L, 5L), (3L, 7L), (5L, 7L)))
+    assert(recs.filter(_ < 0).map(p => -p - 1).toSet == Set(3L, 5L, 7L))
+  }
+
   test("approx quantiles stay within 2% of the exact median") {
     val exact = Analytics.qMedian(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getAs[Double]("median_price")).toMap
