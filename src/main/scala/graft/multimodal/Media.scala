@@ -133,7 +133,9 @@ object Media {
   def qMediaPipeline(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val d = Tables(spark, dir, "documents")
-    val src = d.select(col("doc_id"), col("text"))
+    // codec work is CPU-per-row, not bytes: fan the one-row-group scan
+    // out so every core runs a decoder (no-op on a multi-split scan)
+    val src = Tables.fanout(d.select(col("doc_id"), col("text")))
       .withColumn("payload", encode(col("text"), "UTF-8"))
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]

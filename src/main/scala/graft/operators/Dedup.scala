@@ -83,7 +83,10 @@ object Dedup {
     // (both band-join sides + both verify-join sides) and Catalyst
     // does not share non-exchange subplans across self-join branches —
     // at 100 TB you'd persist the signature table for the same reason
-    val sh = d.select(col("doc_id"), expr(shSpark).as("sh"))
+    // fan the one-row-group scan out first so the shingle/md5 pass and
+    // everything downstream runs at full parallelism (no-op at scale)
+    val sh = Tables.fanout(d.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), expr(shSpark).as("sh"))
       .filter(size(col("sh")) > 0)
       .localCheckpoint(false)
     val hashed = sh.select(col("doc_id"), explode(col("sh")).as("s"))
