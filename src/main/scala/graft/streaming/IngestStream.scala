@@ -40,6 +40,20 @@ object IngestStream {
   val IngestTimeoutMs: Long = 3600 * 1000L // ref ingest.py:35 INGEST_TIMEOUT
 
   def updateState(url: String, events: Iterator[IngestEvent],
+      state: GroupState[IngestState]): Iterator[StageUpdate] =
+    updateStateImpl(eventTime = false)(url, events, state)
+
+  /** event-time twin of [[updateState]]: the timeout clock is the
+    * stream's watermark, not wall-clock — a stuck ingest is Cancelled
+    * once the watermark passes lastUpdate + INGEST_TIMEOUT. Replayable
+    * (reprocessing old data times out the same assets at the same
+    * points), which wall-clock timeouts are not. */
+  def updateStateEventTime(url: String, events: Iterator[IngestEvent],
+      state: GroupState[IngestState]): Iterator[StageUpdate] =
+    updateStateImpl(eventTime = true)(url, events, state)
+
+  private def updateStateImpl(eventTime: Boolean)(url: String,
+      events: Iterator[IngestEvent],
       state: GroupState[IngestState]): Iterator[StageUpdate] = {
     if (state.hasTimedOut) {
       // ref ingest.py:131-152: hard timeout ⇒ Cancelled @100, error blob
@@ -74,9 +88,19 @@ object IngestStream {
         state.remove() // terminal: free the state (bounded memory at scale)
       case Some(s) =>
         state.update(s)
-        // NoTimeout (tests) doesn't support timeout durations
-        try state.setTimeoutDuration(IngestTimeoutMs)
-        catch { case _: UnsupportedOperationException => () }
+        if (eventTime) {
+          // watermark-driven: fire when event time passes the horizon.
+          // A deeply-late event whose horizon already passed times out
+          // at the current watermark (the engine rejects timestamps
+          // behind the watermark).
+          val horizon = s.lastUpdateMs + IngestTimeoutMs
+          val wm = state.getCurrentWatermarkMs()
+          state.setTimeoutTimestamp(math.max(horizon, wm + 1))
+        } else {
+          // NoTimeout (tests) doesn't support timeout durations
+          try state.setTimeoutDuration(IngestTimeoutMs)
+          catch { case _: UnsupportedOperationException => () }
+        }
       case None => ()
     }
     out.result().iterator
@@ -93,6 +117,36 @@ object IngestStream {
     import events.sparkSession.implicits._
     events.groupByKey(_.url)
       .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(updateState)
+  }
+
+  /** h1 (event-time variant) — same state machine, but the
+    * INGEST_TIMEOUT clock is the watermark: deterministic under replay
+    * and testable with MemoryStream (the ProcessingTimeTimeout trigger
+    * never settles under processAllAvailable — see above). The
+    * watermark delay bounds how long late events are honored before a
+    * stuck asset can be declared Cancelled. */
+  /** [[IngestEvent]] plus its watermark column: the event-time
+    * attribute must survive into the grouping input or the engine
+    * cannot see the watermark (UnsupportedOperationChecker reads the
+    * delay metadata off the child's output attributes). */
+  case class IngestEventTs(url: String, user: String, stage: String,
+      progress: Int, eventTimeMs: Long, ts: java.sql.Timestamp)
+
+  def stageStateMachineEventTime(events: Dataset[IngestEvent],
+      watermarkDelay: String = "10 minutes"): Dataset[StageUpdate] = {
+    import events.sparkSession.implicits._
+    events.toDF()
+      .withColumn("ts", timestamp_millis(col("eventTimeMs")))
+      .withWatermark("ts", watermarkDelay)
+      .as[IngestEventTs]
+      .groupByKey(_.url)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout) {
+        (url: String, evs: Iterator[IngestEventTs], state: GroupState[IngestState]) =>
+          updateStateEventTime(url,
+            evs.map(e => IngestEvent(e.url, e.user, e.stage, e.progress, e.eventTimeMs)),
+            state)
+      }
   }
 
   /** a cancel message from the pub/sub channel (ref utils.py:126-131) */

@@ -42,4 +42,51 @@ class SkewJoinSpec extends SparkTestBase {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("AQE splits a hot parquet key at realistic volume and default skew factor") {
+    // The 32KB-threshold test above proves the mechanism; this one
+    // proves it at volume the thresholds are designed for: a skewed
+    // parquet table whose hot key's shuffle partition is tens of MB —
+    // ~85% of ~1.5M rows on one key — detected with the DEFAULT
+    // skewedPartitionFactor (5.0) and an 8MB threshold, the same
+    // shape a 100 TB run would hit when one user owns most uploads.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8MB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4MB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    val dir = java.nio.file.Files.createTempDirectory("graft_skew").toString
+    try {
+      import spark.implicits._
+      val n = 1500000L
+      spark.range(n)
+        .select(
+          when(col("id") % 20 < 17, 0L).otherwise(col("id") % 1000L).as("key"),
+          concat(md5(col("id").cast("string")),
+            md5((col("id") + n).cast("string"))).as("payload"))
+        .write.mode("overwrite").parquet(dir)
+      val left = spark.read.parquet(dir)
+      val right = spark.range(1000).select(col("id").as("key"),
+        md5(col("id").cast("string")).as("dim"))
+      // aggregate on top so finalizing the plan doesn't collect 1.5M
+      // rows to the driver; the join underneath is what AQE must split
+      val q = left.join(right, "key")
+        .agg(count(lit(1)).as("n"), sum(length(col("payload"))).as("bytes"))
+      val row = q.collect().head
+      assert(row.getAs[Long]("n") == n)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"adaptive plan must split the hot key's partition:\n$plan")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }

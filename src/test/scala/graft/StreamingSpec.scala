@@ -70,6 +70,39 @@ class StreamingSpec extends SparkTestBase {
     assert(st.isRemoved, "timed-out state must be freed")
   }
 
+  test("h1: event-time timeout cancels a stuck ingest once the watermark passes INGEST_TIMEOUT") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val h = 3600 * 1000L
+    val input = MemoryStream[IngestEvent]
+    val query = IngestStream.stageStateMachineEventTime(input.toDS(), "1 minute")
+      .writeStream.format("memory").queryName("et_updates")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // an ingest that stalls at processing/42 (ts well past the
+      // initial watermark of 0 — a ts==watermark row is dropped late)
+      input.addData(Seq(IngestEvent("stuck", "u1", "processing", 42, 10 * h)))
+      query.processAllAvailable()
+      // a healthy asset 4h later drives the watermark past stuck's
+      // lastUpdate + 1h horizon; the engine's no-data batch after the
+      // watermark advance fires the timeout
+      input.addData(Seq(IngestEvent("live", "u2", "downloaded", 10, 14 * h)))
+      query.processAllAvailable()
+      input.addData(Seq(IngestEvent("live", "u2", "processing", 50, 14 * h + 1000L)))
+      query.processAllAvailable()
+      val out = spark.table("et_updates").as[StageUpdate].collect().toSeq
+      val stuck = out.filter(_.url == "stuck")
+      assert(stuck.map(u => (u.stage, u.progress)) ==
+        Seq(("processing", 42), ("Cancelled", 100)), out.mkString(";"))
+      // timed-out state was freed: a re-upload restarts from scratch
+      input.addData(Seq(IngestEvent("stuck", "u1", "downloaded", 5, 14 * h + 2000L)))
+      query.processAllAvailable()
+      val again = spark.table("et_updates").as[StageUpdate].collect()
+        .filter(u => u.url == "stuck" && u.stage == "downloaded")
+      assert(again.nonEmpty, "re-upload after timeout must restart the state machine")
+    } finally query.stop()
+  }
+
   test("h1: batch/stream parity — final state equals batch latest-stage on monotonic input") {
     // the oracle-gated batch op (a6 q_stage_latest) and the stream
     // state machine must agree wherever their semantics overlap:
