@@ -471,12 +471,22 @@ object Dedup {
 
   private def ccLabelsPlan(spark: SparkSession, dir: String): DataFrame = {
     val pairs = minhashPairs(spark, dir).select("doc_a", "doc_b")
+    // symmetric edge set, pre-partitioned on the per-round join key so
+    // the checkpointed LogicalRDD carries HashPartitioning(dst) and
+    // every round's message join reuses it instead of re-shuffling the
+    // (at scale, huge) edge table — only the tiny label side moves
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst")
+      .repartition(col("dst"))
       .localCheckpoint(false)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // seed = round 1 fused into one agg: label0(id) = min(id, min
+    // neighbor). groupBy(dst) matches the edge partitioning — map-side
+    // only, no exchange. Every node appears as a dst (symmetry).
+    var labels = edges
+      .groupBy(col("dst"))
+      .agg(least(col("dst"), min(col("src"))).as("label"))
+      .select(col("dst").as("id"), col("label"))
       .localCheckpoint(false)
     // safety valve, not a truncation: min-label propagation needs
     // O(component diameter) rounds, and silently stopping early would
@@ -487,16 +497,22 @@ object Dedup {
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
-      val neighborMin = edges
-        .join(labels.select(col("id").as("dst"), col("label").as("nlabel")), "dst")
-        .groupBy(col("src").as("id")).agg(min("nlabel").as("nmin"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      // one round = one join (edges side exchange-free) + one groupBy:
+      // next(id) = min(own label, neighbor labels). The own label rides
+      // the union tagged own=true, so the agg also yields prev and the
+      // convergence check needs no extra join — just a count on the
+      // checkpointed result.
+      val msgs = edges
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .select(col("src").as("id"), col("label"), lit(false).as("own"))
+      val next = msgs
+        .union(labels.select(col("id"), col("label"), lit(true).as("own")))
+        .groupBy("id")
+        .agg(min("label").as("label"),
+          max(when(col("own"), col("label"))).as("prev"))
         .localCheckpoint(false)
-      changed = next.join(labels.select(col("id"), col("label").as("prev")), "id")
-        .filter(col("label") =!= col("prev")).count()
-      labels = next
+      changed = next.filter(col("label") < col("prev")).count()
+      labels = next.select("id", "label")
       rounds += 1
     }
     if (changed > 0)

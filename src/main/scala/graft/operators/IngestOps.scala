@@ -80,13 +80,16 @@ object IngestOps {
   def qChopBlobUrl(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
     val url = Synth.blobUrl(col("event_id"), col("user_id"))
-    val pat = "^https://[^/]+/([^/]+)/([^/]+)/([^/]+)/(.+)$"
-    e.select(col("event_id"), url.as("blob_url"))
+    // one split pass instead of four regex runs over the same string:
+    // https: / "" / host / container / user / folder / name...
+    // (name has no '/', so element 7 onward re-joined covers the
+    // general rest-of-path the reference's chop returns)
+    e.select(col("event_id"), split(url, "/").as("p"))
       .select(col("event_id"),
-        regexp_extract(col("blob_url"), pat, 1).as("container"),
-        regexp_extract(col("blob_url"), pat, 2).as("user_dir"),
-        regexp_extract(col("blob_url"), pat, 3).as("folder"),
-        regexp_extract(col("blob_url"), pat, 4).as("blob_name"))
+        element_at(col("p"), 4).as("container"),
+        element_at(col("p"), 5).as("user_dir"),
+        element_at(col("p"), 6).as("folder"),
+        array_join(slice(col("p"), 7, 1000000), "/").as("blob_name"))
       .orderBy("event_id")
   }
 
