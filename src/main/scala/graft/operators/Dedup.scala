@@ -76,24 +76,36 @@ object Dedup {
     * quality is LSH-grade either way and the exact-Jaccard verify
     * step decides membership, so hashing once instead of 8× is pure
     * savings. */
-  private def minhashPairsPlan(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val d = Tables(spark, dir, "documents")
-    // materialize the shingle sets once: this subplan is referenced 4×
-    // (both band-join sides + both verify-join sides) and Catalyst
-    // does not share non-exchange subplans across self-join branches —
-    // at 100 TB you'd persist the signature table for the same reason
-    // fan the one-row-group scan out first so the shingle/md5 pass and
-    // everything downstream runs at full parallelism (no-op at scale)
-    val sh = Tables.fanout(d.select(col("doc_id"), col("text")))
-      .select(col("doc_id"), expr(shSpark).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .localCheckpoint(false)
+  /** distinct 3-gram shingle sets per doc — the shared input of the
+    * MinHash family (d2 pairs and the f15 fuzzy-decontamination
+    * screen both verify against it). Fanned out so the one-row-group
+    * scan parallelizes; checkpointed because each consumer references
+    * it several times (band sides + verify sides) and Catalyst does
+    * not share non-exchange subplans across self-join branches — at
+    * 100 TB you'd persist the shingle table for the same reason. */
+  private[graft] def shingleSets(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "shingle_sets") {
+      graft.functions.GraftFunctions.register(spark)
+      val d = Tables(spark, dir, "documents")
+      Tables.fanout(d.select(col("doc_id"), col("text")))
+        .select(col("doc_id"), expr(shSpark).as("sh"))
+        .filter(size(col("sh")) > 0)
+    }
+
+  /** 8-minhash signature per doc (4-hex-digit slices of ONE md5 per
+    * shingle — see [[qDedupMinhash]] for why slicing one hash is
+    * LSH-grade): columns doc_id, h0..h7. Consumers band these as
+    * their recall/cost point dictates (d2: 4 bands × 2; f15: 8 × 1). */
+  private[graft] def minhashSig(sh: DataFrame): DataFrame = {
     val hashed = sh.select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"), md5(col("s")).as("h"))
     val mins = (0 until 8).map(k => min(expr(s"substr(h, ${4 * k + 1}, 4)")).as(s"h$k"))
-    val sig = hashed.groupBy("doc_id")
-      .agg(mins.head, mins.tail: _*)
+    hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  private def minhashPairsPlan(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleSets(spark, dir)
+    val sig = minhashSig(sh)
     val bands = sig.select(col("doc_id"), explode(array((0 until 4).map { b =>
         struct(lit(b).as("b"), md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bkey"))
       }: _*)).as("band"))

@@ -373,7 +373,150 @@ object TextOps {
     """SELECT lang, CAST(n_chars // 100 AS INT) AS bucket, COUNT(*) AS n_docs
       FROM documents GROUP BY 1, 2 ORDER BY lang, bucket"""
 
+  /** f13 — training-chunk extraction: sliding token windows (32
+    * tokens, stride 24 ⇒ 8-token overlap) — how a pretraining
+    * pipeline turns documents into fixed-budget sequences. Map-only:
+    * chunk starts are computed per row (sequence + slice), posexplode
+    * emits (chunk_id, tokens); no shuffle until the output sort. At
+    * 100 TB this is the shape you want — chunking never needs to see
+    * two documents at once. */
+  def qChunkDocs(spark: SparkSession, dir: String): DataFrame = {
+    val (window, stride) = (32, 24)
+    val d = Tables(spark, dir, "documents")
+    d.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n_tok", size(col("toks")))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, (n_tok - 1) div $stride), i -> slice(toks, i * $stride + 1, $window))"))
+          .as(Seq("chunk_id", "ctoks")))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * stride + 1).as("start_tok"),
+        size(col("ctoks")).as("n_tok_chunk"),
+        array_join(col("ctoks"), " ").as("chunk"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val qChunkDocsSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n_tok FROM documents),
+      c AS (SELECT doc_id, toks, n_tok,
+          unnest(generate_series(0, CAST((n_tok - 1) // 24 AS INT))) AS chunk_id FROM t)
+      SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        CAST(chunk_id * 24 + 1 AS INT) AS start_tok,
+        CAST(len(toks[(chunk_id * 24 + 1):(chunk_id * 24 + 32)]) AS INT) AS n_tok_chunk,
+        array_to_string(toks[(chunk_id * 24 + 1):(chunk_id * 24 + 32)], ' ') AS chunk
+      FROM c ORDER BY doc_id, chunk_id"""
+
+  /** f14 — repetition signals (the Gopher-rules family): distinct-token
+    * ratio, most-frequent-token fraction, duplicate-2-gram fraction,
+    * and the resulting repetitive flag. Explode + two-phase aggregate
+    * rather than per-row array lambdas: higher-order functions are
+    * interpreted (and the distinct×count formulation is quadratic in
+    * DOCUMENT length), while explode + codegen'd partial counts keyed
+    * on doc_id cost O(tokens) regardless of how long one document is
+    * — a 500-page outlier can't stall a task. Shuffles are keyed on
+    * (doc_id[, token]) — uniform by construction. */
+  def qRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val base = Tables.fanout(d.select(col("doc_id"), split(col("text"), " ").as("toks")))
+      .withColumn("n_tok", size(col("toks")))
+    val tokStats = base
+      .select(col("doc_id"), col("n_tok"), explode(col("toks")).as("t"))
+      .groupBy("doc_id", "n_tok", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n_tok")
+      .agg(count(lit(1)).as("n_distinct"), max("c").as("top_cnt"))
+    // Spark's sequence(1, 0) counts DOWN — the 1-token doc gets an
+    // empty list, is dropped by the explode, and the left join below
+    // restores it with the same dup frac the per-row formula yields
+    val g2Stats = base
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN n_tok < 2 THEN cast(array() AS array<string>)
+             ELSE transform(sequence(1, n_tok - 1),
+               i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) END"""))
+        .as("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_g2"), countDistinct(col("g")).as("d_g2"))
+    tokStats.join(g2Stats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        round(col("n_distinct").cast("double") / col("n_tok"), 6).as("distinct_ratio"),
+        round(col("top_cnt").cast("double") / col("n_tok"), 6).as("top_tok_frac"),
+        coalesce(round(lit(1.0) - col("d_g2").cast("double") /
+          greatest(col("n_g2"), lit(1L)), 6), lit(1.0)).as("dup_2gram_frac"))
+      .withColumn("repetitive",
+        col("top_tok_frac") > 0.2 || col("dup_2gram_frac") > 0.1)
+      .orderBy("doc_id")
+  }
+
+  val qRepetitionSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      g AS (SELECT doc_id, toks, len(toks) AS n_tok,
+          list_transform(generate_series(1, GREATEST(len(toks) - 1, 0)),
+            i -> toks[i] || ' ' || toks[i + 1]) AS g2 FROM t),
+      r AS (SELECT doc_id, CAST(n_tok AS INT) AS n_tok,
+        round(CAST(len(list_distinct(toks)) AS DOUBLE) / n_tok, 6) AS distinct_ratio,
+        round(CAST(list_max(list_transform(list_distinct(toks),
+            t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE) / n_tok, 6) AS top_tok_frac,
+        round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / GREATEST(len(g2), 1), 6) AS dup_2gram_frac
+      FROM g)
+      SELECT doc_id, n_tok, distinct_ratio, top_tok_frac, dup_2gram_frac,
+        (top_tok_frac > 0.2 OR dup_2gram_frac > 0.1) AS repetitive
+      FROM r ORDER BY doc_id"""
+
+  /** f15 — FUZZY benchmark decontamination: where f10 requires shared
+    * raw shingles, this screens for near-duplicate benchmark overlap
+    * the way contamination actually appears (light paraphrase,
+    * whitespace drift): MinHash 8-bands-of-1 blocking (recall-maximal
+    * — missing contamination costs more than verifying a candidate)
+    * between corpus docs and the benchmark set, then exact shingle
+    * Jaccard on candidates with the contaminated flag at ≥ 0.1.
+    * Scale shape: the benchmark band index is tiny ⇒ broadcast; the
+    * corpus side is map-only signature computation; only candidate
+    * pairs reach the verify join. */
+  def qDecontaminateFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingleSets(spark, dir)
+    val sig = Dedup.minhashSig(sh)
+    val bands = sig.select(col("doc_id"), explode(array((0 until 8).map { k =>
+        struct(lit(k).as("b"), col(s"h$k").as("bkey"))
+      }: _*)).as("band"))
+      .select(col("doc_id"), col("band.b").as("b"), col("band.bkey").as("bkey"))
+    val bench = bands.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("bench_id"), col("b"), col("bkey"))
+    val cand = bands.filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(bench), Seq("b", "bkey"))
+      .select(col("doc_id"), col("bench_id")).distinct()
+    cand
+      .join(sh.select(col("doc_id"), col("sh").as("sh_c")), "doc_id")
+      .join(sh.select(col("doc_id").as("bench_id"), col("sh").as("sh_b")), "bench_id")
+      .withColumn("inter", expr("size(filter(sh_c, x -> array_contains(sh_b, x)))"))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("sh_c")) + size(col("sh_b")) - col("inter")), 6))
+      .select(col("doc_id"), col("bench_id"), col("jaccard"),
+        (col("jaccard") >= 0.1).as("contaminated"))
+      .orderBy("doc_id", "bench_id")
+  }
+
+  val qDecontaminateFuzzySql: String =
+    s"""WITH s AS (SELECT doc_id, $shDuck AS sh FROM documents),
+      sh AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+      hs AS (SELECT doc_id, sh, list_transform(sh, x -> md5(x)) AS hl FROM sh),
+      sig AS (SELECT doc_id, sh, list_transform(generate_series(0, 7),
+        k -> list_min(list_transform(hl, h -> substr(h, CAST(4 * k + 1 AS INT), 4)))) AS mh FROM hs),
+      bx AS (SELECT doc_id, mh, unnest(generate_series(0, 7)) AS b FROM sig),
+      bands AS (SELECT doc_id, b, mh[b + 1] AS bkey FROM bx),
+      cand AS (SELECT DISTINCT c.doc_id AS doc_id, bn.doc_id AS bench_id
+        FROM bands c JOIN bands bn ON c.b = bn.b AND c.bkey = bn.bkey
+        WHERE c.doc_id % 50 <> 0 AND bn.doc_id % 50 = 0),
+      ver AS (SELECT cand.doc_id AS doc_id, bench_id,
+        round(CAST(len(list_filter(sc.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+          / (len(sc.sh) + len(sb.sh) - len(list_filter(sc.sh, x -> list_contains(sb.sh, x)))), 6) AS jaccard
+        FROM cand JOIN sh sc ON sc.doc_id = cand.doc_id JOIN sh sb ON sb.doc_id = bench_id)
+      SELECT doc_id, bench_id, jaccard, jaccard >= 0.1 AS contaminated
+      FROM ver ORDER BY doc_id, bench_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunk_docs" -> (qChunkDocs _),
+    "q_repetition" -> (qRepetition _),
+    "q_decontaminate_fuzzy" -> (qDecontaminateFuzzy _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_domain_cap" -> (qDomainCap _),
     "q_bm25" -> (qBm25 _),
@@ -388,6 +531,9 @@ object TextOps {
     "q_fingerprint" -> (qFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q_chunk_docs" -> qChunkDocsSql,
+    "q_repetition" -> qRepetitionSql,
+    "q_decontaminate_fuzzy" -> qDecontaminateFuzzySql,
     "q_decontaminate" -> qDecontaminateSql,
     "q_domain_cap" -> qDomainCapSql,
     "q_bm25" -> qBm25Sql,

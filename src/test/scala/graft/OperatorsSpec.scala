@@ -10,7 +10,8 @@ import graft.operators._
 class OperatorsSpec extends SparkTestBase {
 
   // pair-producing queries may legitimately be empty at sf0.001
-  private val mayBeEmpty = Set("q_dedup_embedding", "q_dedup_minhash", "q_ngram_jaccard", "q_cancel_match")
+  private val mayBeEmpty = Set("q_dedup_embedding", "q_dedup_minhash",
+    "q_ngram_jaccard", "q_cancel_match", "q_decontaminate_fuzzy")
 
   test("every declared query runs and returns rows") {
     SparkEntry.queries.foreach { case (name, fn) =>
@@ -112,6 +113,40 @@ class OperatorsSpec extends SparkTestBase {
     assert(brute.nonEmpty, "ground truth must exercise the check")
     val missed = brute -- found
     assert(missed.isEmpty, s"LSH lost clearly-similar pairs: $missed")
+  }
+
+  test("chunking reconstructs the token stream with exact stride coverage") {
+    val d = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
+    val agg = TextOps.qChunkDocs(spark, sfDir)
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_chunks"),
+        max(col("chunk_id")).as("max_id"),
+        max(col("start_tok") + col("n_tok_chunk") - 1).as("covered"),
+        max("n_tok_chunk").as("max_len"))
+      .join(d, "doc_id").collect()
+    assert(agg.nonEmpty)
+    agg.foreach { r =>
+      assert(r.getAs[Long]("n_chunks") == r.getAs[Int]("max_id") + 1,
+        s"chunk ids not contiguous: $r")
+      // stride < window ⇒ windows overlap ⇒ the last chunk's end IS
+      // total coverage, and it must land exactly on the doc's n_tok
+      assert(r.getAs[Int]("covered") == r.getAs[Int]("n_tok"), s"coverage gap: $r")
+      assert(r.getAs[Int]("max_len") <= 32, s"window overflow: $r")
+    }
+  }
+
+  test("fuzzy decontamination: sides and flag are consistent") {
+    TextOps.qDecontaminateFuzzy(spark, sfDir).collect().foreach { r =>
+      assert(r.getAs[Long]("bench_id") % 50 == 0, "bench side must be the benchmark set")
+      assert(r.getAs[Long]("doc_id") % 50 != 0, "corpus side must exclude the benchmark")
+      assert(r.getAs[Boolean]("contaminated") == (r.getAs[Double]("jaccard") >= 0.1))
+    }
+    // scale shape: the benchmark band index must broadcast — the
+    // corpus side stays map-only up to the candidate distinct
+    val plan = TextOps.qDecontaminateFuzzy(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"bench index not broadcast:\n$plan")
   }
 
   test("embedding LSH recall: planted near-dup pairs survive the banding") {
