@@ -698,8 +698,78 @@ object Analytics {
       FROM ev ASOF JOIN od ON ev.k = od.k AND ev.t >= od.t
       ORDER BY event_id"""
 
+  /** c24 — SKEW-RESILIENT as-of join: the salting story c21/c22 lack.
+    * Both window (c21) and zipper (c22) formulations cluster a key's
+    * whole history into ONE task — a hot key (one user with millions
+    * of events) becomes an unsplittable straggler at 100 TB. This
+    * variant salts the time axis instead of the key: rows group by
+    * (key, time-bucket), so a hot key's timeline splits across
+    * #buckets parallel tasks, and correctness across bucket
+    * boundaries is restored by a per-bucket CARRY-IN row — the latest
+    * order at-or-before the bucket start — computed with two window
+    * passes over the PER-BUCKET summary table (one row per active
+    * (key, bucket): thousands of rows where the raw data has
+    * billions, so the unsalted window there is free). Bucket width =
+    * the salt granularity: smaller buckets = more parallelism + more
+    * carry rows. Semantics and oracle are exactly c21's. */
+  def qAsofSalted(spark: SparkSession, dir: String): DataFrame = {
+    val bucketDays = 16L
+    val e = Tables.events(spark, dir)
+    val o = Tables(spark, dir, "orders")
+    val ev = e.filter(col("event_type") === "purchase")
+      .select((col("user_id") + 1).as("k"),
+        expr("unix_millis(ts) div 86400000").as("t"), col("event_id"))
+      .withColumn("bkt", expr(s"t div $bucketDays"))
+    // same per-(key, day) determinism dedup as c21
+    val od = o.select(col("o_custkey").as("k"),
+        unix_date(to_date(col("o_orderdate"))).cast("long").as("t"),
+        col("o_orderkey"), col("o_totalprice"))
+      .groupBy("k", "t")
+      .agg(max(struct(col("o_orderkey"), col("o_totalprice"))).as("s"))
+      .select(col("k"), col("t"),
+        col("s.o_orderkey").as("o_orderkey"), col("s.o_totalprice").as("o_totalprice"))
+      .withColumn("bkt", expr(s"t div $bucketDays"))
+    // latest order per active (key, bucket) — the ONLY data the
+    // cross-bucket pass touches
+    val lastInBkt = od.groupBy("k", "bkt")
+      .agg(max(struct(col("t"), col("o_orderkey"), col("o_totalprice"))).as("s"))
+    // carry-in for every bucket either side touches: running last
+    // order over the bucket sequence, shifted one bucket forward
+    val bkts = ev.select("k", "bkt").union(od.select("k", "bkt")).distinct()
+    val wb = Window.partitionBy("k").orderBy("bkt")
+    val carry = bkts.join(lastInBkt, Seq("k", "bkt"), "left")
+      .withColumn("run", last(col("s"), ignoreNulls = true)
+        .over(wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cin", lag(col("run"), 1).over(wb))
+      .filter(col("cin").isNotNull)
+      .select(col("k"), col("bkt"), col("cin.t").as("t"),
+        col("cin.o_orderkey").as("o_orderkey"),
+        col("cin.o_totalprice").as("o_totalprice"))
+    // carry rows sort before every in-bucket row by construction
+    // (their t < bucket start); the big pass groups by (k, bkt)
+    val tagged = od.select(col("k"), col("bkt"), col("t"), lit(0).as("tag"),
+        col("o_orderkey"), col("o_totalprice"), lit(null).cast("long").as("event_id"))
+      .unionByName(carry.select(col("k"), col("bkt"), col("t"), lit(0).as("tag"),
+        col("o_orderkey"), col("o_totalprice"), lit(null).cast("long").as("event_id")))
+      .unionByName(ev.select(col("k"), col("bkt"), col("t"), lit(1).as("tag"),
+        lit(null).cast("long").as("o_orderkey"),
+        lit(null).cast("double").as("o_totalprice"), col("event_id")))
+    val w = Window.partitionBy("k", "bkt").orderBy(col("t"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("o_key", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("o_day", last(when(col("tag") === 0, col("t")), ignoreNulls = true).over(w))
+      .withColumn("o_price", last(col("o_totalprice"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1 && col("o_key").isNotNull)
+      .select(col("event_id"), col("k"), col("t").as("event_day"),
+        col("o_day").as("order_day"), col("o_key").as("o_orderkey"),
+        col("o_price").as("o_totalprice"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> (qAsofJoin _),
+    "q_asof_salted" -> (qAsofSalted _),
     "q_approx_quantiles" -> (qApproxQuantiles _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_median" -> (qMedian _),
@@ -725,6 +795,8 @@ object Analytics {
 
   val oracles: Map[String, String] = Map(
     "q_asof_join" -> qAsofJoinSql,
+    // identical result contract to c21 ⇒ identical oracle
+    "q_asof_salted" -> qAsofJoinSql,
     "q_median" -> qMedianSql,
     "q10_returns" -> q10ReturnsSql,
     "q4_priority" -> q4PrioritySql,

@@ -115,6 +115,18 @@ class OperatorsSpec extends SparkTestBase {
     assert(missed.isEmpty, s"LSH lost clearly-similar pairs: $missed")
   }
 
+  test("salted as-of equals the keyed-window as-of; heavy window groups by (k, bucket)") {
+    val plain = Analytics.qAsofJoin(spark, sfDir).collect().toSeq
+    val salted = Analytics.qAsofSalted(spark, sfDir).collect().toSeq
+    assert(plain.nonEmpty)
+    assert(salted == plain, "time-bucket salting changed the as-of result")
+    // the skew defense: the big carry-forward window must partition on
+    // (k, bkt) so a hot key's timeline splits across tasks
+    val plan = Analytics.qAsofSalted(spark, sfDir).queryExecution.executedPlan.toString
+    assert("windowspecdefinition\\(k#\\d+L?, bkt#\\d+L?, t#".r.findFirstIn(plan).isDefined,
+      s"expected a window keyed on (k, bkt):\n$plan")
+  }
+
   test("chunking reconstructs the token stream with exact stride coverage") {
     val d = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
