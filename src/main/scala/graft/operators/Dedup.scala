@@ -103,13 +103,17 @@ object Dedup {
     hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
-  private def minhashPairsPlan(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleSets(spark, dir)
-    val sig = minhashSig(sh)
-    val bands = sig.select(col("doc_id"), explode(array((0 until 4).map { b =>
+  /** d2's 4-bands-of-2 LSH blocking keys (the precision/recall point
+    * tuned for pair DEDUP; f15 uses 8×1 for recall instead). */
+  private[graft] def minhashBands4x2(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), explode(array((0 until 4).map { b =>
         struct(lit(b).as("b"), md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bkey"))
       }: _*)).as("band"))
       .select(col("doc_id"), col("band.b").as("b"), col("band.bkey").as("bkey"))
+
+  private def minhashPairsPlan(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleSets(spark, dir)
+    val bands = minhashBands4x2(minhashSig(sh))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.b") === col("y.b") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -604,7 +608,80 @@ object Dedup {
   /** f2's scoring SQL reduced to (doc_id, score) for composition. */
   private def qQualityScoreInner: String = TextOps.qQualityScoreSql
 
+  /** d8 — INCREMENTAL dedup: screen an arriving batch (doc_id % 10 ==
+    * 7 models "today's ingest") against the standing corpus index —
+    * the shape production dedup actually runs daily, where re-deduping
+    * the whole corpus (d2/d6) would be quadratic over time. Exact
+    * content-key match ⇒ drop_exact; else MinHash-band candidate +
+    * verified Jaccard ≥ 0.2 ⇒ drop_near; else keep. Scale shape: the
+    * batch is tiny next to the index, so the band/key joins broadcast
+    * the BATCH side and the index streams map-only past it — per-day
+    * cost is O(batch + index scan), with the index signature table
+    * persisted in practice (memoized here). */
+  def qDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val isNew = col("doc_id") % 10 === 7
+    val keys = Tables.fanout(d.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), md5(expr(normSpark)).as("ck"))
+    val exact = keys.filter(isNew)
+      .join(keys.filter(!isNew).select(col("doc_id").as("idx_id"), col("ck")), "ck")
+      .groupBy("doc_id").agg(min("idx_id").as("m_exact"))
+    val sh = shingleSets(spark, dir)
+    val bands = minhashBands4x2(minhashSig(sh))
+    val cand = bands.filter(isNew).as("n")
+      .join(bands.filter(!isNew).as("i"),
+        col("n.b") === col("i.b") && col("n.bkey") === col("i.bkey"))
+      .select(col("n.doc_id").as("doc_id"), col("i.doc_id").as("idx_id"))
+      .distinct()
+    val near = cand
+      .join(sh.select(col("doc_id"), col("sh").as("sh_n")), "doc_id")
+      .join(sh.select(col("doc_id").as("idx_id"), col("sh").as("sh_i")), "idx_id")
+      .withColumn("inter", expr("size(filter(sh_n, x -> array_contains(sh_i, x)))"))
+      .filter(col("inter").cast("double") /
+        (size(col("sh_n")) + size(col("sh_i")) - col("inter")) >= 0.2)
+      .groupBy("doc_id").agg(min("idx_id").as("m_near"))
+    d.select(col("doc_id")).filter(isNew)
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("m_exact").isNotNull, "drop_exact")
+          .when(col("m_near").isNotNull, "drop_near")
+          .otherwise("keep").as("verdict"),
+        coalesce(col("m_exact"), col("m_near")).as("match_id"))
+      .orderBy("doc_id")
+  }
+
+  val qDedupIncrementalSql: String =
+    s"""WITH keys AS (SELECT doc_id, md5($normDuck) AS ck FROM documents),
+      s AS (SELECT doc_id, $shDuck AS sh FROM documents),
+      sh AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+      hs AS (SELECT doc_id, sh, list_transform(sh, x -> md5(x)) AS hl FROM sh),
+      sig AS (SELECT doc_id, sh, list_transform(generate_series(0, 7),
+        k -> list_min(list_transform(hl, h -> substr(h, CAST(4 * k + 1 AS INT), 4)))) AS mh FROM hs),
+      bx AS (SELECT doc_id, mh, unnest(generate_series(0, 3)) AS b FROM sig),
+      bands AS (SELECT doc_id, b, md5(mh[2 * b + 1] || mh[2 * b + 2]) AS bkey FROM bx),
+      exact AS (
+        SELECT n.doc_id, MIN(i.doc_id) AS m FROM keys n JOIN keys i ON n.ck = i.ck
+        WHERE n.doc_id % 10 = 7 AND i.doc_id % 10 <> 7 GROUP BY 1),
+      cand AS (SELECT DISTINCT n.doc_id AS doc_id, i.doc_id AS idx_id
+        FROM bands n JOIN bands i ON n.b = i.b AND n.bkey = i.bkey
+        WHERE n.doc_id % 10 = 7 AND i.doc_id % 10 <> 7),
+      near AS (
+        SELECT cand.doc_id, MIN(idx_id) AS m
+        FROM cand JOIN sh sn ON sn.doc_id = cand.doc_id JOIN sh si ON si.doc_id = idx_id
+        WHERE CAST(len(list_filter(sn.sh, x -> list_contains(si.sh, x))) AS DOUBLE)
+          / (len(sn.sh) + len(si.sh) - len(list_filter(sn.sh, x -> list_contains(si.sh, x)))) >= 0.2
+        GROUP BY 1)
+      SELECT d.doc_id,
+        CASE WHEN e.m IS NOT NULL THEN 'drop_exact'
+             WHEN nr.m IS NOT NULL THEN 'drop_near' ELSE 'keep' END AS verdict,
+        COALESCE(e.m, nr.m) AS match_id
+      FROM documents d LEFT JOIN exact e ON e.doc_id = d.doc_id
+        LEFT JOIN near nr ON nr.doc_id = d.doc_id
+      WHERE d.doc_id % 10 = 7 ORDER BY d.doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_keep_best" -> (qDedupKeepBest _),
     "q_dedup_cc" -> (qDedupCc _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -616,6 +693,7 @@ object Dedup {
     "q_dedup_embedding" -> (qDedupEmbedding _))
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_incremental" -> qDedupIncrementalSql,
     "q_dedup_keep_best" -> qDedupKeepBestSql,
     "q_dedup_cc" -> qDedupCcSql,
     "q_dedup_exact" -> qDedupExactSql,
