@@ -380,7 +380,9 @@ object TextOps {
     * emits (chunk_id, tokens); no shuffle until the output sort. At
     * 100 TB this is the shape you want — chunking never needs to see
     * two documents at once. */
-  def qChunkDocs(spark: SparkSession, dir: String): DataFrame = {
+  /** unordered chunk stream shared by f13 (adds the output sort) and
+    * f16's sequence packing */
+  private def chunkPlan(spark: SparkSession, dir: String): DataFrame = {
     val (window, stride) = (32, 24)
     val d = Tables(spark, dir, "documents")
     d.select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -393,8 +395,10 @@ object TextOps {
         (col("chunk_id") * stride + 1).as("start_tok"),
         size(col("ctoks")).as("n_tok_chunk"),
         array_join(col("ctoks"), " ").as("chunk"))
-      .orderBy("doc_id", "chunk_id")
   }
+
+  def qChunkDocs(spark: SparkSession, dir: String): DataFrame =
+    chunkPlan(spark, dir).orderBy("doc_id", "chunk_id")
 
   val qChunkDocsSql: String =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
@@ -406,6 +410,48 @@ object TextOps {
         CAST(len(toks[(chunk_id * 24 + 1):(chunk_id * 24 + 32)]) AS INT) AS n_tok_chunk,
         array_to_string(toks[(chunk_id * 24 + 1):(chunk_id * 24 + 32)], ' ') AS chunk
       FROM c ORDER BY doc_id, chunk_id"""
+
+  /** f16 — sequence packing: assign f13's chunks to fixed-token-budget
+    * training sequences (concat-and-split packing: a running token
+    * prefix sum per doc, cut every 128 tokens — the deterministic
+    * packing pretraining loaders use when exact bin packing isn't
+    * worth a serial pass). Per-doc window = keyed prefix sum, one
+    * shuffle on doc_id; sequences then summarize per (doc, seq). */
+  def qPackSequences(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 128
+    val w = Window.partitionBy("doc_id").orderBy("chunk_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunkPlan(spark, dir)
+      .withColumn("cum", sum(col("n_tok_chunk")).over(w))
+      // integer div on BOTH engines: DuckDB's CAST(double AS INT)
+      // rounds where Spark's truncates — never let a double carry this
+      .withColumn("seq_id", expr(s"int((cum - n_tok_chunk) div $budget)"))
+      .groupBy("doc_id", "seq_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_tok_chunk")).as("seq_tokens"),
+        min("chunk_id").as("first_chunk"),
+        max("chunk_id").as("last_chunk"))
+      .orderBy("doc_id", "seq_id")
+  }
+
+  val qPackSequencesSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n_tok FROM documents),
+      c AS (SELECT doc_id, toks, n_tok,
+          unnest(generate_series(0, CAST((n_tok - 1) // 24 AS INT))) AS chunk_id FROM t),
+      ch AS (SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+          CAST(len(toks[(chunk_id * 24 + 1):(chunk_id * 24 + 32)]) AS INT) AS n_tok_chunk
+        FROM c),
+      pre AS (SELECT doc_id, chunk_id, n_tok_chunk,
+          SUM(n_tok_chunk) OVER (PARTITION BY doc_id ORDER BY chunk_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM ch)
+      SELECT doc_id, CAST((cum - n_tok_chunk) // 128 AS INT) AS seq_id,
+        COUNT(*) AS n_chunks, CAST(SUM(n_tok_chunk) AS BIGINT) AS seq_tokens,
+        MIN(chunk_id) AS first_chunk, MAX(chunk_id) AS last_chunk
+      FROM pre GROUP BY doc_id, CAST((cum - n_tok_chunk) // 128 AS INT)
+      ORDER BY doc_id, seq_id"""
 
   /** f14 — repetition signals (the Gopher-rules family): distinct-token
     * ratio, most-frequent-token fraction, duplicate-2-gram fraction,
@@ -515,6 +561,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chunk_docs" -> (qChunkDocs _),
+    "q_pack_sequences" -> (qPackSequences _),
     "q_repetition" -> (qRepetition _),
     "q_decontaminate_fuzzy" -> (qDecontaminateFuzzy _),
     "q_decontaminate" -> (qDecontaminate _),
@@ -532,6 +579,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "q_chunk_docs" -> qChunkDocsSql,
+    "q_pack_sequences" -> qPackSequencesSql,
     "q_repetition" -> qRepetitionSql,
     "q_decontaminate_fuzzy" -> qDecontaminateFuzzySql,
     "q_decontaminate" -> qDecontaminateSql,
