@@ -99,6 +99,38 @@ object Ann {
       FROM embeddings, q
       ORDER BY cos_sim DESC, vec_id LIMIT 10"""
 
+  /** e7 — FILTERED vector search: top-10 among vectors whose DOCUMENT
+    * satisfies a metadata predicate (lang = 'en') — the production
+    * retrieval shape (RAG with ACL/language/date filters). Pre-filter
+    * strategy: the predicate pushes to the documents parquet scan,
+    * the surviving id set joins the vectors BEFORE any distance math
+    * (so cosine runs only on admissible rows), and the single-row
+    * query broadcasts. At 100 TB doc metadata and vectors co-bucket
+    * on id, making the admission join shuffle-free; post-filtering an
+    * unfiltered ANN result — the naive alternative — breaks exactly
+    * when the filter is selective, which is when it matters. */
+  def qAnnFiltered(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val e = Tables(spark, dir, "embeddings")
+    val admissible = Tables(spark, dir, "documents")
+      .filter(col("lang") === "en").select(col("doc_id").as("vec_id"))
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    e.join(admissible, "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        expr(cosineSpark("embedding", "qv")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val qAnnFilteredSql: String =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      f AS (SELECT e.vec_id, e.label, e.embedding FROM embeddings e
+            JOIN documents d ON d.doc_id = e.vec_id WHERE d.lang = 'en')
+      SELECT vec_id, label, ${cosineDuck("embedding", "qv")} AS cos_sim
+      FROM f, q
+      ORDER BY cos_sim DESC, vec_id LIMIT 10"""
+
   /** e2 — LSH-bucketed ANN: search only the query's bucket, exact
     * cosine inside it, top-5. */
   def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
@@ -333,6 +365,7 @@ object Ann {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_pq" -> (qAnnPq _),
     "q_ann_brute" -> (qAnnBrute _),
+    "q_ann_filtered" -> (qAnnFiltered _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_multiprobe" -> (qAnnMultiprobe _),
@@ -341,6 +374,7 @@ object Ann {
   val oracles: Map[String, String] = Map(
     "q_ann_pq" -> qAnnPqSql,
     "q_ann_brute" -> qAnnBruteSql,
+    "q_ann_filtered" -> qAnnFilteredSql,
     "q_ann_lsh" -> qAnnLshSql,
     "q_ann_ivf" -> qAnnIvfSql,
     "q_ann_multiprobe" -> qAnnMultiprobeSql,
