@@ -21,6 +21,10 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("the flagship entry() dataflow returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("every oracle key has a query") {
     val qs = SparkEntry.queries.keySet
     SparkEntry.oracleSql.keySet.foreach(k => assert(qs(k), s"oracle $k lacks query"))
