@@ -45,32 +45,24 @@ object Bench {
     // runs disagree by more than 2× the machine was stalling (shared
     // hosts hiccup for seconds at a time); one extra run keeps a
     // transient stall from defining the query's number.
-    val results = selected.map { case (name, fn) =>
-      def run(): Double = {
-        // each timed run stands alone: evict the shared dedup pair-graph
-        // memo so d2/d6/d7 measure their whole pipeline, not a cache hit
-        graft.operators.Dedup.clearShared()
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        (System.nanoTime() - t0) / 1e9
-      }
-      val times = Seq(run(), run())
-      val best =
-        if (times.max > 2 * times.min) math.min(times.min, run())
-        else times.min
-      name -> best
+    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // each timed run stands alone: evict the shared dedup pair-graph
+      // memo so d2/d6/d7 measure their whole pipeline, not a cache hit
+      graft.operators.Dedup.clearShared()
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     // regression tracking: bench_history.json (committed to the repo)
-    // carries the previous full run's per-query seconds; the detail
-    // file reports prior + delta per query so a regression is visible
-    // without digging through old round artifacts. The history only
-    // updates on full (unfiltered) runs so partial iteration runs
-    // can't clobber it.
+    // carries the element-wise BEST-OBSERVED per-query seconds across
+    // full runs; the detail file reports prior + delta per query so a
+    // regression is visible without digging through old round
+    // artifacts. The history only updates on full (unfiltered) runs so
+    // partial iteration runs can't clobber it, and it is folded as
+    // min(new, prior) so one stall-poisoned run can never erase the
+    // calm baseline (the host freezes for minutes at a time; see
+    // bench_history commit d450e2c vs the poisoned BENCH_r06).
     val histPath = java.nio.file.Paths.get("bench_history.json")
     val prior: Map[String, Double] =
       if (java.nio.file.Files.exists(histPath)) {
@@ -78,13 +70,45 @@ object Bench {
         "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9.Ee+-]+)".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } else Map.empty
+    val firstPass = selected.map { case (name, fn) =>
+      val times = Seq(run(name, fn), run(name, fn))
+      val best =
+        if (times.max > 2 * times.min) math.min(times.min, run(name, fn))
+        else times.min
+      name -> best
+    }
+    // Total-level stall guard: the per-query min-of-2-or-3 defends
+    // against a stall WITHIN one query, but a multi-minute host freeze
+    // inflates every attempt of the queries it spans. If the run total
+    // is more than 2x what the history says these queries cost, rerun
+    // each >3x-inflated query once more and keep the better time.
+    val byName = selected.toMap
+    val priorSum = firstPass.collect { case (k, _) if prior.contains(k) => prior(k) }.sum
+    val curSumOnPrior = firstPass.collect { case (k, v) if prior.contains(k) => v }.sum
+    val results =
+      if (priorSum > 0 && curSumOnPrior > 2 * priorSum) {
+        System.err.println(f"[bench] stall guard: run total $curSumOnPrior%.1fs > 2x history $priorSum%.1fs; rerunning outliers")
+        firstPass.map { case (k, v) =>
+          if (prior.get(k).exists(p => v > 3 * p)) k -> math.min(v, run(k, byName(k)))
+          else k -> v
+        }
+      } else firstPass
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val priorJson = results.flatMap { case (k, _) =>
       prior.get(k).map(p => "\"" + k + "\":" + p)
     }.mkString("{", ",", "}")
     val deltaJson = results.flatMap { case (k, v) =>
       prior.get(k).map(p => f""""$k":${v - p}%.3f""")
     }.mkString("{", ",", "}")
-    if (only.isEmpty) java.nio.file.Files.writeString(histPath, qs + "\n")
+    if (only.isEmpty) {
+      val folded = results.map { case (k, v) => k -> math.min(v, prior.getOrElse(k, v)) }
+      val foldedJson = folded.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      java.nio.file.Files.writeString(histPath, foldedJson + "\n")
+    }
     // full per-query detail goes to the file; stdout gets a SHORT line —
     // the driver keeps only the tail of the output, and the ~3.5 KB
     // per-query map was truncating the stdout JSON from the front
