@@ -18,6 +18,13 @@ import org.apache.spark.sql.types.LongType
   * operator below. Key and time expressions must be LongType (the
   * integral-time contract every epoch-keyed table meets).
   *
+  * `leftKeys`/`rightKeys` are compared LEXICOGRAPHICALLY, which is what
+  * makes the operator skew-salt-able: pass (key, time-bucket) as the
+  * key tuple and the clustering splits a hot key's timeline across
+  * #buckets tasks — the c24 salting recipe folded into the operator
+  * (correctness across bucket boundaries still needs the planted
+  * carry-in rows on the right side; see Asof.qAsofSaltedNative).
+  *
   * `rightTiebreak` disambiguates right rows sharing (key, time): among
   * ties the row GREATEST under the tiebreak ordering wins, because the
   * zipper admits ties in ascending tiebreak order and each admission
@@ -26,9 +33,11 @@ import org.apache.spark.sql.types.LongType
   * operator already requires — one whole exchange + hash-agg less.
   */
 case class AsofJoin(left: LogicalPlan, right: LogicalPlan,
-    leftKey: Expression, rightKey: Expression,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     rightTiebreak: Seq[Expression] = Nil) extends BinaryNode {
+  require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
+    s"as-of key tuples must be non-empty and same-arity: $leftKeys vs $rightKeys")
   override def output: Seq[Attribute] = left.output ++ right.output
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoin =
@@ -46,8 +55,8 @@ object AsofJoinStrategy extends SparkStrategy {
 }
 
 /** Physical sort-merge as-of join: both children hash-clustered on the
-  * key (EnsureRequirements inserts the two exchanges and aligns
-  * partition counts) and sorted by (key, time[, tiebreak]); each
+  * key tuple (EnsureRequirements inserts the two exchanges and aligns
+  * partition counts) and sorted by (keys..., time[, tiebreak]); each
   * partition is then a single zipper pass — the right cursor advances
   * monotonically, carrying the latest right row at-or-before the left
   * cursor, so the whole join is O(n + m) per partition with ONE
@@ -62,10 +71,12 @@ object AsofJoinStrategy extends SparkStrategy {
   * fallback.
   */
 case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
-    leftKey: Expression, rightKey: Expression,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     rightTiebreak: Seq[Expression] = Nil)
   extends BinaryExecNode with CodegenSupport {
+
+  private def nKeys: Int = leftKeys.size
 
   override def output: Seq[Attribute] = left.output ++ right.output
   override def outputPartitioning: Partitioning = left.outputPartitioning
@@ -81,22 +92,23 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
   // the pin makes the invariant explicit instead of relying on that.
   override def requiredChildDistribution: Seq[Distribution] = {
     val n = Some(conf.numShufflePartitions)
-    Seq(ClusteredDistribution(Seq(leftKey), requiredNumPartitions = n),
-      ClusteredDistribution(Seq(rightKey), requiredNumPartitions = n))
+    Seq(ClusteredDistribution(leftKeys, requiredNumPartitions = n),
+      ClusteredDistribution(rightKeys, requiredNumPartitions = n))
   }
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)) ++
-      rightTiebreak.map(SortOrder(_, Ascending)))
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) ++ (SortOrder(rightTime, Ascending) +:
+      rightTiebreak.map(SortOrder(_, Ascending))))
 
   override protected def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
     val allOut = output
-    val lkE = BindReferences.bindReference(leftKey, lOut)
+    val arity = nKeys
+    val lkEs = leftKeys.map(BindReferences.bindReference(_, lOut)).toArray
+    val rkEs = rightKeys.map(BindReferences.bindReference(_, rOut)).toArray
     val ltE = BindReferences.bindReference(leftTime, lOut)
-    val rkE = BindReferences.bindReference(rightKey, rOut)
     val rtE = BindReferences.bindReference(rightTime, rOut)
     // key/time are LongType attributes in practice, so after binding
     // they are BoundReferences — read them as primitive row.getLong
@@ -106,22 +118,41 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
       case b: BoundReference if b.dataType == LongType && !b.nullable => b.ordinal
       case _ => -1
     }
-    val (lkO, ltO, rkO, rtO) = (ordinal(lkE), ordinal(ltE), ordinal(rkE), ordinal(rtE))
+    val lkOs = lkEs.map(ordinal)
+    val rkOs = rkEs.map(ordinal)
+    val (ltO, rtO) = (ordinal(ltE), ordinal(rtE))
     left.execute().zipPartitions(right.execute()) { (li, ri) =>
       val joined = new JoinedRow
       // identity projection: emit UnsafeRows downstream operators expect
       val project = UnsafeProjection.create(allOut.map(a => a: Expression), allOut)
       @inline def longAt(row: InternalRow, o: Int, e: Expression): Long =
         if (o >= 0) row.getLong(o) else e.eval(row).asInstanceOf[Long]
+      def readKeys(row: InternalRow, os: Array[Int], es: Array[Expression],
+          out: Array[Long]): Unit = {
+        var i = 0
+        while (i < arity) { out(i) = longAt(row, os(i), es(i)); i += 1 }
+      }
+      // lexicographic tuple compare: <0, 0, >0
+      def cmp(a: Array[Long], b: Array[Long]): Int = {
+        var i = 0
+        while (i < arity) {
+          if (a(i) < b(i)) return -1
+          if (a(i) > b(i)) return 1
+          i += 1
+        }
+        0
+      }
       // the carried row must survive the sorter reusing its row buffer,
       // so admitted rows are copied OUT of the iterator — but into ONE
       // reused UnsafeRow buffer (copyFrom), not a fresh copy() per
       // admitted row: zero steady-state allocation in the zipper
       var carried: InternalRow = null
       var carriedBuf: UnsafeRow = null
-      var carriedKey: Long = 0L
+      val carriedKey = new Array[Long](arity)
+      val lKey = new Array[Long](arity)
+      val rKey = new Array[Long](arity)
       var rNext: InternalRow = null // lookahead (right rows not yet admitted)
-      def admit(rk: Long): Unit = {
+      def admit(): Unit = {
         rNext match {
           case u: UnsafeRow =>
             if (carriedBuf == null) carriedBuf = u.copy()
@@ -129,26 +160,29 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
             carried = carriedBuf
           case other => carried = other.copy()
         }
-        carriedKey = rk
+        System.arraycopy(rKey, 0, carriedKey, 0, arity)
         rNext = null
       }
-      def advanceRight(lk: Long, lt: Long): Unit = {
+      def advanceRight(lt: Long): Unit = {
         var continue = true
         while (continue) {
-          if (rNext == null && ri.hasNext) rNext = ri.next()
+          if (rNext == null && ri.hasNext) {
+            rNext = ri.next()
+            readKeys(rNext, rkOs, rkEs, rKey)
+          }
           if (rNext == null) continue = false
           else {
-            val rk = longAt(rNext, rkO, rkE)
-            if (rk < lk || (rk == lk && longAt(rNext, rtO, rtE) <= lt)) admit(rk)
+            val c = cmp(rKey, lKey)
+            if (c < 0 || (c == 0 && longAt(rNext, rtO, rtE) <= lt)) admit()
             else continue = false
           }
         }
       }
       li.flatMap { lrow =>
-        val lk = longAt(lrow, lkO, lkE)
+        readKeys(lrow, lkOs, lkEs, lKey)
         val lt = longAt(lrow, ltO, ltE)
-        advanceRight(lk, lt)
-        if (carried != null && carriedKey == lk)
+        advanceRight(lt)
+        if (carried != null && cmp(carriedKey, lKey) == 0)
           Iterator.single(project(joined(lrow, carried)))
         else Iterator.empty
       }
@@ -168,25 +202,28 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
   override def needCopyResult: Boolean = true
 
   override protected def doProduce(ctx: CodegenContext): String = {
+    val arity = nKeys
     val leftInput = ctx.addMutableState("scala.collection.Iterator", "asofLeftInput",
       v => s"$v = inputs[0];", forceInline = true)
     val rightInput = ctx.addMutableState("scala.collection.Iterator", "asofRightInput",
       v => s"$v = inputs[1];", forceInline = true)
     val leftRow = ctx.addMutableState("InternalRow", "asofLeftRow")
     val rNextRow = ctx.addMutableState("InternalRow", "asofRNextRow")
-    val rNextKey = ctx.addMutableState("long", "asofRNextKey")
+    val rNextKeys = (0 until arity).map(i => ctx.addMutableState("long", s"asofRNextKey$i"))
     val rNextTime = ctx.addMutableState("long", "asofRNextTime")
     val carried = ctx.addMutableState(
       "org.apache.spark.sql.catalyst.expressions.UnsafeRow", "asofCarried")
     val carriedValid = ctx.addMutableState("boolean", "asofCarriedValid")
-    val carriedKey = ctx.addMutableState("long", "asofCarriedKey")
+    val carriedKeys = (0 until arity).map(i => ctx.addMutableState("long", s"asofCarriedKey$i"))
 
     ctx.currentVars = null
     ctx.INPUT_ROW = leftRow
-    val lkCode = BindReferences.bindReference(leftKey, left.output).genCode(ctx)
+    val lkCodes = leftKeys.map(k =>
+      BindReferences.bindReference(k, left.output).genCode(ctx))
     val ltCode = BindReferences.bindReference(leftTime, left.output).genCode(ctx)
     ctx.INPUT_ROW = rNextRow
-    val rkCode = BindReferences.bindReference(rightKey, right.output).genCode(ctx)
+    val rkCodes = rightKeys.map(k =>
+      BindReferences.bindReference(k, right.output).genCode(ctx))
     val rtCode = BindReferences.bindReference(rightTime, right.output).genCode(ctx)
     // output columns as variables: left side straight off the streamed
     // row, right side off the carried buffer — the parent consumes them
@@ -199,28 +236,53 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
     val rightVars = right.output.zipWithIndex.map { case (a, i) =>
       BoundReference(i, a.dataType, a.nullable).genCode(ctx)
     }
-    val lk = ctx.freshName("lk")
+    val lks = (0 until arity).map(i => ctx.freshName(s"lk$i"))
     val lt = ctx.freshName("lt")
+
+    val lkDecls = lks.zip(lkCodes).map { case (v, c) =>
+      s"final long $v = ${c.value};"
+    }.mkString("\n")
+    val anyLkNull = lkCodes.map(_.isNull.toString).filterNot(_ == "false")
+    val anyRkNull = rkCodes.map(_.isNull.toString).filterNot(_ == "false")
+    val lkNullCheck =
+      if (anyLkNull.isEmpty && ltCode.isNull.toString == "false") ""
+      else s"if (${(anyLkNull :+ ltCode.isNull.toString).mkString(" || ")}) continue;"
+    val rkNullCheck =
+      if (anyRkNull.isEmpty && rtCode.isNull.toString == "false") ""
+      else s"if (${(anyRkNull :+ rtCode.isNull.toString).mkString(" || ")}) { $rNextRow = null; continue; }"
+    val rkAssigns = rNextKeys.zip(rkCodes).map { case (v, c) =>
+      s"$v = ${c.value};"
+    }.mkString("\n")
+    // admissible ⇔ rKeys < lKeys lexicographically, or equal and rt <= lt
+    def admissible(i: Int): String =
+      if (i == arity) s"$rNextTime <= $lt"
+      else s"${rNextKeys(i)} < ${lks(i)} || (${rNextKeys(i)} == ${lks(i)} && (${admissible(i + 1)}))"
+    val carriedAssigns = carriedKeys.zip(rNextKeys).map { case (c, r) =>
+      s"$c = $r;"
+    }.mkString("\n")
+    val carriedMatch = (carriedValid +: carriedKeys.zip(lks).map { case (c, l) =>
+      s"$c == $l"
+    }).mkString(" && ")
 
     s"""
        |while ($leftInput.hasNext()) {
        |  $leftRow = (InternalRow) $leftInput.next();
-       |  ${lkCode.code}
+       |  ${lkCodes.map(_.code).mkString("\n")}
        |  ${ltCode.code}
-       |  if (${lkCode.isNull} || ${ltCode.isNull}) continue;
-       |  final long $lk = ${lkCode.value};
+       |  $lkNullCheck
+       |  $lkDecls
        |  final long $lt = ${ltCode.value};
        |  while (true) {
        |    if ($rNextRow == null) {
        |      if (!$rightInput.hasNext()) break;
        |      $rNextRow = (InternalRow) $rightInput.next();
-       |      ${rkCode.code}
+       |      ${rkCodes.map(_.code).mkString("\n")}
        |      ${rtCode.code}
-       |      if (${rkCode.isNull} || ${rtCode.isNull}) { $rNextRow = null; continue; }
-       |      $rNextKey = ${rkCode.value};
+       |      $rkNullCheck
+       |      $rkAssigns
        |      $rNextTime = ${rtCode.value};
        |    }
-       |    if ($rNextKey < $lk || ($rNextKey == $lk && $rNextTime <= $lt)) {
+       |    if (${admissible(0)}) {
        |      // admit: copy out of the sorter's reused buffer, into ONE
        |      // reused UnsafeRow (copyFrom) — zero steady-state allocation
        |      if ($carried == null) {
@@ -229,13 +291,13 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
        |        $carried.copyFrom((org.apache.spark.sql.catalyst.expressions.UnsafeRow) $rNextRow);
        |      }
        |      $carriedValid = true;
-       |      $carriedKey = $rNextKey;
+       |      $carriedAssigns
        |      $rNextRow = null;
        |    } else {
        |      break;
        |    }
        |  }
-       |  if ($carriedValid && $carriedKey == $lk) {
+       |  if ($carriedMatch) {
        |    ${consume(ctx, leftVars ++ rightVars)}
        |    if (shouldStop()) return;
        |  }

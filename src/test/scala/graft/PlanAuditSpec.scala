@@ -162,6 +162,57 @@ class PlanAuditSpec extends SparkTestBase {
       s"unexpected aggregation in the native as-of plan:\n$tree")
   }
 
+  test("salted native as-of: composite (key, bucket) clustering, codegen'd, equals plain native") {
+    val df = operators.Asof.qAsofSaltedNative(spark, sfDir)
+    val rows = df.collect().toSeq
+    val plain = operators.Asof.qAsofNative(spark, sfDir).collect().toSeq
+    assert(rows.nonEmpty)
+    assert(rows == plain, "time-bucket salting changed the native as-of result")
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    def collectAll(p: SparkPlan): Seq[graft.plans.AsofJoinExec] = {
+      val here = p match { case e: graft.plans.AsofJoinExec => Seq(e); case _ => Nil }
+      val kids = p match {
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      here ++ kids.flatMap(collectAll)
+    }
+    val execs = collectAll(finalPlan)
+    assert(execs.nonEmpty, s"expected AsofJoinExec in:\n$finalPlan")
+    execs.foreach { e =>
+      // the skew defense: the zipper must cluster per (key, bucket) so a
+      // hot key's timeline splits across #buckets tasks
+      assert(e.leftKeys.size == 2 && e.rightKeys.size == 2,
+        s"expected composite (key, bucket) clustering, got ${e.leftKeys}")
+      assert(e.left.outputPartitioning.numPartitions ==
+        e.right.outputPartitioning.numPartitions, "zipper children diverged")
+    }
+    // both zipper shuffles hash on BOTH key parts
+    val tree = finalPlan.toString
+    assert("hashpartitioning\\(k#\\d+L?, kb#\\d+L?".r.findFirstIn(tree).isDefined,
+      s"left shuffle not keyed on (k, kb):\n$tree")
+    assert("hashpartitioning\\(rk#\\d+L?, rb#\\d+L?".r.findFirstIn(tree).isDefined,
+      s"right shuffle not keyed on (rk, rb):\n$tree")
+    // and the composite-key zipper still whole-stage-codegens
+    assert("\\*\\(\\d+\\) AsofJoin".r.findFirstIn(tree).isDefined,
+      s"salted AsofJoinExec not whole-stage-codegen'd:\n$tree")
+  }
+
+  test("filtered IVF ANN: cell probe broadcasts and the metadata filter reaches the scan") {
+    val df = operators.Ann.qAnnFilteredIvf(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // geometry prune: the 1-row probed-cell table joins by broadcast
+    assert(p.contains("BroadcastHashJoin"), s"cell probe not broadcast:\n$p")
+    // metadata prune: lang = 'en' pushes into the documents parquet scan
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(lang,en)"),
+      s"metadata filter not pushed to the documents scan:\n$p")
+  }
+
   test("events-based geo ops are map-side until their aggregation") {
     // tile assignment must not shuffle before the groupBy: exactly the
     // agg exchange(s), no repartition/sort-by-key upstream
