@@ -131,6 +131,83 @@ object Ann {
       FROM f, q
       ORDER BY cos_sim DESC, vec_id LIMIT 10"""
 
+  /** e8 — filtered ANN with GEOMETRY pruning (the e7 upgrade): the
+    * metadata filter composed with the IVF cell probe, so the query
+    * prunes BOTH by predicate and by vector geometry — the shape a
+    * RAG store needs when the filter is NOT selective (e7's
+    * filter-then-brute-scan is right when the filter kills most of
+    * the corpus; when it doesn't, the admissible set is nearly the
+    * whole corpus and the scan must still be pruned by the index).
+    * The IVF index (per-cell centroids) is built over the FULL corpus
+    * — indexes are built once at ingest, filters arrive per-query —
+    * the query probes its nearest centroid, and the cell scan joins
+    * the admissible-id set BEFORE any cosine math. At 100 TB: the
+    * centroid table and probe result are tiny broadcasts, doc
+    * metadata and vectors co-bucket on id so the admission join is
+    * shuffle-free, and the cosine touches 1/nlist of the admissible
+    * rows. */
+  def qAnnFilteredIvf(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val e = Tables(spark, dir, "embeddings")
+    val admissible = Tables(spark, dir, "documents")
+      .filter(col("lang") === "en").select(col("doc_id").as("vec_id"))
+    filteredIvfTopK(e, admissible, k = 10)
+  }
+
+  /** The e8 core over arbitrary inputs (spec-testable with PLANTED
+    * clustered corpora — the synthetic testdata's labels are arbitrary
+    * cells with no geometric structure, so recall there says nothing;
+    * with genuinely clustered data the probe's recall is the real
+    * claim): `e` is (vec_id, label, embedding) with label = cell id
+    * and the query at vec_id 0; `admissible` is the metadata-admitted
+    * id set. */
+  private[graft] def filteredIvfTopK(e: DataFrame, admissible: DataFrame,
+      k: Int): DataFrame = {
+    // full-corpus IVF centroids + probe — identical math to e3
+    val pe = e.select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
+    val cent = pe.groupBy("label", "i")
+      .agg(sum(round(col("v").cast("double"), 6).cast("decimal(8,6)"))
+        .cast("decimal(12,6)").as("s"), count(lit(1)).as("n"))
+    val qe = e.filter(col("vec_id") === 0)
+      .select(posexplode(col("embedding")).as(Seq("i", "qv")))
+    val dots = cent.join(broadcast(qe), "i")
+      .groupBy("label")
+      .agg((sum(round(col("qv").cast("double"), 6).cast("decimal(8,6)") * col("s"))
+        .cast("double") / max(col("n"))).as("dot"))
+    val best = dots.orderBy(col("dot").desc, col("label")).limit(1).select("label")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    e.join(broadcast(best), "label")   // geometry prune: only the probed cell
+      .join(admissible, "vec_id")      // metadata prune BEFORE distance math
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        expr(cosineSpark("embedding", "qv")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  val qAnnFilteredIvfSql: String =
+    s"""WITH pe AS (
+        SELECT label, unnest(generate_series(1, len(embedding))) AS i, unnest(embedding) AS v
+        FROM embeddings),
+      cent AS (
+        SELECT label, i,
+          CAST(SUM(CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(8,6))) AS DECIMAL(12,6)) AS s,
+          COUNT(*) AS n
+        FROM pe GROUP BY label, i),
+      qe AS (
+        SELECT unnest(generate_series(1, len(embedding))) AS i, unnest(embedding) AS qv
+        FROM embeddings WHERE vec_id = 0),
+      dots AS (
+        SELECT label,
+          CAST(SUM(CAST(round(CAST(qv AS DOUBLE), 6) AS DECIMAL(8,6)) * s) AS DOUBLE) / MAX(n) AS dot
+        FROM cent JOIN qe USING (i) GROUP BY label),
+      best AS (SELECT label FROM dots ORDER BY dot DESC, label LIMIT 1),
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT e.vec_id, e.label, ${cosineDuck("e.embedding", "qv")} AS cos_sim
+      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id, q
+      WHERE e.label = (SELECT label FROM best) AND d.lang = 'en'
+      ORDER BY cos_sim DESC, vec_id LIMIT 10"""
+
   /** e2 — LSH-bucketed ANN: search only the query's bucket, exact
     * cosine inside it, top-5. */
   def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
@@ -366,6 +443,7 @@ object Ann {
     "q_ann_pq" -> (qAnnPq _),
     "q_ann_brute" -> (qAnnBrute _),
     "q_ann_filtered" -> (qAnnFiltered _),
+    "q_ann_filtered_ivf" -> (qAnnFilteredIvf _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_multiprobe" -> (qAnnMultiprobe _),
@@ -375,6 +453,7 @@ object Ann {
     "q_ann_pq" -> qAnnPqSql,
     "q_ann_brute" -> qAnnBruteSql,
     "q_ann_filtered" -> qAnnFilteredSql,
+    "q_ann_filtered_ivf" -> qAnnFilteredIvfSql,
     "q_ann_lsh" -> qAnnLshSql,
     "q_ann_ivf" -> qAnnIvfSql,
     "q_ann_multiprobe" -> qAnnMultiprobeSql,
