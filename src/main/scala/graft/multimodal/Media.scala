@@ -153,6 +153,75 @@ object Media {
       .orderBy("doc_id")
   }
 
+  /** One decoded item from a planned decode batch: g2's features plus
+    * the g5 batch it was decoded in. */
+  case class BatchedMediaFeatures(doc_id: Long, batch_id: Long,
+      batch_items: Int, nbytes: Int, width: Int, height: Int,
+      features: Array[Float])
+
+  /** g6 — g2's decode driven by g5's PLANNED BATCHES (the contract the
+    * two ops were designed around, now demonstrated end-to-end):
+    * the g5 running-sum packing assigns each image a bounded-bytes
+    * batch_id; rows then repartition on (mime, batch_id) and sort
+    * within partitions so each batch's payloads are CONSECUTIVE, and
+    * the mapPartitions decode stage consumes one whole batch per
+    * iteration — the shape a GPU/codec worker wants (bounded bytes per
+    * call, one decoder session per batch, batch size amortizing init).
+    * Decoded values are identical to per-row g2 (spec-asserted);
+    * batch_id/batch_items are identical to g5's plan for the image
+    * mime. Restricted to the image mime — g5 plans per-mime batches
+    * and each mime would dispatch to its own decoder. Rows-only check
+    * (codec round-trip, like g2); MediaSpec golden-pixel gates it. */
+  def qMediaBatched(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val budget = 4096L // same bounded-bytes budget as g5
+    val d = Tables(spark, dir, "documents")
+    val isImage = ascii(substring(col("text"), 1, 1)).between(97, 104)
+    // the EXACT g5 packing window (partition by mime), restricted to
+    // the image mime — batch ids here must equal g5's plan rows
+    val w = Window.partitionBy("mime").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val planned = d.filter(isImage)
+      .select(col("doc_id"), lit("image/fake-png").as("mime"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .withColumn("nbytes", length(col("payload")).cast("long"))
+      .withColumn("cum", sum(col("nbytes")).over(w))
+      .withColumn("batch_id", expr(s"(cum - 1) div $budget").cast("long"))
+    // co-locate each batch and make its rows consecutive: the decode
+    // stage's unit of work is the batch, not the row
+    val src = planned.repartition(col("batch_id"))
+      .sortWithinPartitions("batch_id", "doc_id")
+      .select(col("batch_id"), col("doc_id"), col("payload"))
+      .as[(Long, Long, Array[Byte])]
+    val decoded = src.mapPartitions { it =>
+      val buf = it.buffered
+      // consecutive same-batch_id runs → one decoded batch per pull
+      val batches = new Iterator[Seq[(Long, Long, Array[Byte])]] {
+        def hasNext: Boolean = buf.hasNext
+        def next(): Seq[(Long, Long, Array[Byte])] = {
+          val bid = buf.head._1
+          val b = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Array[Byte])]
+          while (buf.hasNext && buf.head._1 == bid) b += buf.next()
+          b.toSeq
+        }
+      }
+      batches.flatMap { batch =>
+        val n = batch.size
+        batch.map { case (bid, id, payload) =>
+          val png = ImageCodec.encodePng(id, payload)
+          val (wid, hei, feats) = ImageCodec.decode(png)
+          BatchedMediaFeatures(id, bid, n, png.length, wid, hei, feats)
+        }
+      }
+    }.toDF()
+    val flat = (0 until 8).map(i =>
+      round(element_at(col("features"), i + 1).cast("double"), 5).as(s"f$i"))
+    decoded.select(Seq(col("doc_id"), col("batch_id"), col("batch_items"),
+        col("nbytes"), col("width"), col("height")) ++ flat: _*)
+      .orderBy("doc_id")
+  }
+
   /** g3 — frame-sampling plan: each video contributes ≤ 8 evenly
     * spaced frames (the standard "sample k frames for the vision
     * encoder" step); per-frame timestamps at 24 fps in integer ms.
@@ -265,13 +334,15 @@ object Media {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_media_pipeline" -> (qMediaPipeline _),
+    "q_media_batched" -> (qMediaBatched _),
     "q_frame_sample" -> (qFrameSample _),
     "q_resize_plan" -> (qResizePlan _),
     "q_decode_batches" -> (qDecodeBatches _))
 
-  /** q_media_pipeline intentionally has no oracle (a PNG codec
-    * round-trip is not SQL-expressible) → driver records a rows-only
-    * check; MediaSpec gates it with golden-pixel assertions. */
+  /** q_media_pipeline and q_media_batched intentionally have no
+    * oracle (a PNG codec round-trip is not SQL-expressible) → driver
+    * records a rows-only check; MediaSpec gates them with golden-pixel
+    * and g2-parity/g5-parity assertions. */
   val oracles: Map[String, String] = Map(
     "q_multimodal_meta" -> qMultimodalMetaSql,
     "q_frame_sample" -> qFrameSampleSql,
