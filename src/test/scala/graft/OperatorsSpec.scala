@@ -233,6 +233,100 @@ class OperatorsSpec extends SparkTestBase {
     assert((0 until 8).forall(i => !row.isNullAt(row.fieldIndex(s"f$i"))))
   }
 
+  test("filtered IVF ANN: admissible-only, one probed cell, equals cell-restricted brute") {
+    import org.apache.spark.sql.functions._
+    val ivf = Ann.qAnnFilteredIvf(spark, sfDir).collect()
+    assert(ivf.nonEmpty)
+    // geometry prune: results come from exactly ONE (probed) cell
+    val cells = ivf.map(_.getAs[Int]("label")).distinct
+    assert(cells.length == 1, s"results crossed cells: ${cells.toSeq}")
+    // metadata prune: every result is admissible under the filter
+    val en = Tables(spark, sfDir, "documents").filter(col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    ivf.foreach(r => assert(en(r.getAs[Long]("vec_id")),
+      s"inadmissible vec ${r.getAs[Long]("vec_id")} in filtered result"))
+    // exactness within the pruned set: identical to brute-force cosine
+    // over (probed cell ∩ admissible) — the IVF approximation is ONLY
+    // the cell choice, never the ranking
+    val q = Tables(spark, sfDir, "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val truth = Tables(spark, sfDir, "embeddings")
+      .filter(col("label") === cells.head)
+      .filter(col("vec_id").isInCollection(en))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), expr(Ann.cosineSpark("embedding", "qv")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id")).limit(10).collect()
+    assert(ivf.map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toSeq ==
+      truth.map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toSeq)
+  }
+
+  test("filtered IVF ANN recall: planted clustered corpus recalls the filtered truth") {
+    // the synthetic testdata's labels are arbitrary (no geometric
+    // clustering), so single-cell recall there is meaningless; with a
+    // GENUINELY clustered corpus — the data IVF is built for — the
+    // probe must recall nearly all of the filtered brute-force top-10
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val centers = Array.fill(4)(unit(Array.fill(64)(rnd.nextGaussian().toFloat)))
+    // 4 clusters × 50 members at cosine ≈ 0.97 to their center;
+    // vec_id 0 lands in cluster 0
+    val rows = (0 until 200).map { i =>
+      val c = i % 4
+      val v = unit(centers(c).map(a => a + rnd.nextGaussian().toFloat * 0.12f))
+      (i.toLong, c, v)
+    }
+    val e = rows.toDF("vec_id", "label", "embedding")
+    val admissible = e.filter(col("vec_id") % 2 === 0).select("vec_id")
+    val ivf = Ann.filteredIvfTopK(e, admissible, k = 10).collect()
+      .map(_.getAs[Long]("vec_id"))
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val truth = e.join(admissible, "vec_id").crossJoin(broadcast(q))
+      .select(col("vec_id"), expr(Ann.cosineSpark("embedding", "qv")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id")).limit(10).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val recall = ivf.count(truth) / truth.size.toDouble
+    assert(recall >= 0.8, s"filtered-IVF recall $recall on clustered corpus")
+  }
+
+  test("batched media decode: per-row g2 parity and exact g5 batch plan") {
+    import graft.multimodal.Media
+    val batched = Media.qMediaBatched(spark, sfDir).collect()
+    assert(batched.nonEmpty)
+    // decode parity: batching changes the UNIT of work, never the values
+    val perRow = Media.qMediaPipeline(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    batched.foreach { r =>
+      val g2 = perRow(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Int]("width") == g2.getAs[Int]("width"))
+      assert(r.getAs[Int]("height") == g2.getAs[Int]("height"))
+      (0 until 8).foreach { i =>
+        assert(r.getAs[Double](s"f$i") == g2.getAs[Double](s"f$i"),
+          s"feature f$i diverged for doc ${r.getAs[Long]("doc_id")}")
+      }
+    }
+    // plan parity: batch membership must be EXACTLY g5's image batches
+    val plan = Media.qDecodeBatches(spark, sfDir).collect()
+      .filter(_.getAs[String]("mime") == "image/fake-png")
+      .map(r => r.getAs[Long]("batch_id") ->
+        ((r.getAs[Long]("n_items"), r.getAs[Long]("first_doc"), r.getAs[Long]("last_doc"))))
+      .toMap
+    val got = batched.groupBy(_.getAs[Long]("batch_id")).map { case (b, rs) =>
+      b -> ((rs.length.toLong, rs.map(_.getAs[Long]("doc_id")).min,
+        rs.map(_.getAs[Long]("doc_id")).max))
+    }
+    assert(got == plan, "batched decode did not follow g5's planned batches")
+    // and the decode stage really saw whole batches (batch_items = plan size)
+    batched.foreach { r =>
+      assert(r.getAs[Int]("batch_items").toLong == plan(r.getAs[Long]("batch_id"))._1)
+    }
+  }
+
   test("capped list aggregate: complete below cap, truncated witness above") {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
