@@ -401,31 +401,62 @@ object Dedup {
       WHERE round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) >= 0.2
       ORDER BY doc_a, doc_b"""
 
+  /** Band buckets larger than this refine their join key with the
+    * NEXT band's 8 bits before pairing. Real embedding corpora are
+    * CLUSTERED — a dense region shares sign patterns on many
+    * hyperplanes, so without a cap one band bucket holds a large
+    * slice of a cluster and the candidate self-join goes O(bucket²)
+    * exactly where the data is thickest (measured: 18× cost for 10×
+    * rows on a 10-cluster corpus). Refinement keeps true near-dups
+    * (cosine ≈ 1 agrees on the extra band w.p. ≈ 1) while cutting
+    * sub-threshold cluster pairs by the extra band's selectivity.
+    * At 100 TB the refinement would recurse (idx+2, …) until buckets
+    * fit; one level suffices for the tested regimes. */
+  private[graft] val embBucketCap = 64L
+
   /** Candidate near-dup pairs for an embeddings-shaped DataFrame
     * (vec_id, embedding) via the banded 64-bit hyperplane signature
     * (see Ann.bandSpark): pairs agreeing on all 8 bits of SOME of the
-    * 8 bands. One shuffle on (band_idx, band_value) — per-band key
-    * space 256 (the band width is the scale knob), so the candidate
-    * join is the same linear multi-index shape as the fixed simhash
-    * d3c, not a 16-key quadratic self-join. DISTINCT runs on the
-    * narrow (vec_a, vec_b) pairs BEFORE the embedding re-join, so
-    * multi-band duplicates never shuffle vectors. Factored out so the
-    * spec can drive planted-pair recall checks through the identical
-    * plan. */
+    * 8 bands — and, in buckets over [[embBucketCap]], also on the
+    * following band (adaptive key widening, the dense-region guard).
+    * One shuffle on the bucket key — per-band key space 256, widened
+    * to 65,536 where hot, so the candidate join stays the linear
+    * multi-index shape of the fixed simhash d3c even on clustered
+    * corpora. The bucket-size census is ≤ 8×256 rows and broadcasts;
+    * DISTINCT runs on the narrow (vec_a, vec_b) pairs BEFORE the
+    * embedding re-join, so multi-band duplicates never shuffle
+    * vectors. Factored out so the spec can drive planted-pair recall
+    * checks through the identical plan. */
   private[graft] def embCandidates(e: DataFrame): DataFrame = {
     // whole signature in one native-expression pass (each element read
-    // and quantized once for all 64 planes), posexploded straight to
-    // (band idx, band key) block rows; checkpointed because the
-    // self-join below reads the blocks twice
+    // and quantized once for all 64 planes), posexploded to (band idx,
+    // band key) block rows that KEEP the signature array (8 ints) so
+    // hot buckets can widen their key without a second pass over the
+    // vectors; checkpointed because the joins below read it thrice
     val blocks = e
-      .select(col("vec_id"),
-        posexplode(expr("graft_hyperband(embedding)")).as(Seq("idx", "bval")))
+      .select(col("vec_id"), expr("graft_hyperband(embedding)").as("sig"))
+      .select(col("vec_id"), col("sig"),
+        posexplode(col("sig")).as(Seq("idx", "bval")))
       .localCheckpoint(false)
-    blocks.as("x").join(blocks.as("y"),
+    // bucket census: at most bands × 2^bits = 2,048 keys — broadcast
+    val hot = blocks.groupBy("idx", "bval").agg(count(lit(1)).as("n"))
+      .filter(col("n") > embBucketCap).select("idx", "bval")
+    val cold = blocks.join(broadcast(hot), Seq("idx", "bval"), "left_anti")
+      .select("idx", "bval", "vec_id")
+    val coldPairs = cold.as("x").join(cold.as("y"),
         col("x.idx") === col("y.idx") && col("x.bval") === col("y.bval") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-      .distinct()
+    // hot buckets: widen the key with the NEXT band's value (cyclic)
+    val refined = blocks.join(broadcast(hot), Seq("idx", "bval"))
+      .withColumn("bval2", element_at(col("sig"),
+        (pmod(col("idx") + 1, lit(graft.operators.Ann.embBands)) + 1).cast("int")))
+      .select("idx", "bval", "bval2", "vec_id")
+    val hotPairs = refined.as("x").join(refined.as("y"),
+        col("x.idx") === col("y.idx") && col("x.bval") === col("y.bval") &&
+          col("x.bval2") === col("y.bval2") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+    coldPairs.union(hotPairs).distinct()
   }
 
   /** d5 — embedding-cosine near-dup: banded hyperplane-LSH blocking
@@ -449,17 +480,35 @@ object Dedup {
 
   val qDedupEmbeddingSql: String = {
     val bands = (0 until Ann.embBands).map(b => s"${Ann.bandDuck(b)} AS b$b").mkString(",\n        ")
-    val caseArms = (0 until Ann.embBands - 1).map(b => s"WHEN $b THEN b$b").mkString(" ")
+    def bandCase(sel: String) = {
+      val arms = (0 until Ann.embBands - 1).map(b => s"WHEN $b THEN b$b").mkString(" ")
+      s"CASE $sel $arms ELSE b${Ann.embBands - 1} END"
+    }
     s"""WITH sig AS (SELECT vec_id, embedding,
         $bands
         FROM embeddings),
       blocks AS (
-        SELECT vec_id, idx, CASE idx $caseArms ELSE b${Ann.embBands - 1} END AS bval
+        SELECT vec_id, idx, ${bandCase("idx")} AS bval,
+          ${bandCase(s"((idx + 1) % ${Ann.embBands})")} AS bval2
         FROM (SELECT *, unnest(generate_series(0, ${Ann.embBands - 1})) AS idx FROM sig) s),
+      hot AS (
+        SELECT idx, bval FROM blocks GROUP BY idx, bval HAVING count(*) > $embBucketCap),
+      cold AS (
+        SELECT b.* FROM blocks b WHERE NOT EXISTS (
+          SELECT 1 FROM hot h WHERE h.idx = b.idx AND h.bval = b.bval)),
+      hotb AS (
+        SELECT b.* FROM blocks b WHERE EXISTS (
+          SELECT 1 FROM hot h WHERE h.idx = b.idx AND h.bval = b.bval)),
       cand AS (
-        SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-        FROM blocks x JOIN blocks y
-          ON x.idx = y.idx AND x.bval = y.bval AND x.vec_id < y.vec_id)
+        SELECT DISTINCT vec_a, vec_b FROM (
+          SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+          FROM cold x JOIN cold y
+            ON x.idx = y.idx AND x.bval = y.bval AND x.vec_id < y.vec_id
+          UNION ALL
+          SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+          FROM hotb x JOIN hotb y
+            ON x.idx = y.idx AND x.bval = y.bval AND x.bval2 = y.bval2
+              AND x.vec_id < y.vec_id) u)
       SELECT vec_a, vec_b, ${Ann.cosineDuck("ex.embedding", "ey.embedding")} AS cos_sim
       FROM cand JOIN embeddings ex ON ex.vec_id = vec_a
         JOIN embeddings ey ON ey.vec_id = vec_b

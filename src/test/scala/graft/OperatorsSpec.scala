@@ -188,6 +188,48 @@ class OperatorsSpec extends SparkTestBase {
     assert(missed.isEmpty, s"banding lost planted near-dup pairs: $missed")
   }
 
+  test("embedding LSH dense-region guard: hot buckets widen keys, dups survive") {
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    // ONE dense sub-threshold cluster of 2,000 (per-dim spread 0.15 vs
+    // a unit center ⇒ pairwise cosine ≈ 0.41 < the 0.45 verify
+    // threshold — none of these pairs is a true match, every candidate
+    // among them is wasted verify work) + 20 planted near-dup pairs at
+    // cosine ≈ 0.99 inside the same region (worst case: the dups live
+    // WHERE the data is dense)
+    val center = unit(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val members = (0 until 2000).map { i =>
+      i.toLong -> unit(center.map(a => a + rnd.nextGaussian().toFloat * 0.15f))
+    }
+    val dups = (0 until 20).map { k =>
+      (2000L + k) -> unit(members(k * 50)._2.map(a => a + rnd.nextGaussian().toFloat * 0.02f))
+    }
+    val df = (members ++ dups).toDF("vec_id", "embedding")
+    // the actual (guarded) candidate generator
+    val cand = Dedup.embCandidates(df)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    // every planted dup survives the widened keys (cosine ≈ 1 agrees
+    // on the extra band with probability ≈ 1)
+    val missed = (0 until 20).map(k => (k * 50L, 2000L + k)).toSet -- cand
+    assert(missed.isEmpty, s"refinement lost planted near-dup pairs: $missed")
+    // and the guard genuinely prunes: rebuild the UNREFINED candidate
+    // set inline (plain 8-bit band join, no cap) and require a big cut
+    val blocks = df.select(col("vec_id"),
+      posexplode(expr("graft_hyperband(embedding)")).as(Seq("idx", "bval")))
+    val unrefined = blocks.as("x").join(blocks.as("y"),
+        col("x.idx") === col("y.idx") && col("x.bval") === col("y.bval") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id"), col("y.vec_id")).distinct().count()
+    assert(unrefined > 0 && cand.size.toLong * 2 <= unrefined,
+      s"dense-region guard not pruning: ${cand.size} refined vs $unrefined unrefined")
+  }
+
   test("embedding LSH prunes: candidate pairs well below exhaustive") {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables(spark, sfDir, "embeddings").select("vec_id", "embedding")
