@@ -51,6 +51,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.CappedList].getCanonicalName, "graft_capped_list"),
       (exprs: Seq[Expression]) => graft.functions.CappedList(exprs(0), exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_mg_topk"),
+      new ExpressionInfo(classOf[graft.functions.MisraGries].getCanonicalName, "graft_mg_topk"),
+      (exprs: Seq[Expression]) => graft.functions.MisraGries(exprs(0), exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_intersect_count"),
       new ExpressionInfo(classOf[graft.functions.IntersectCount].getCanonicalName,
         "graft_intersect_count"),

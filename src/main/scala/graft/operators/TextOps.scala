@@ -133,6 +133,50 @@ object TextOps {
       FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
       GROUP BY token ORDER BY freq DESC, token LIMIT 100"""
 
+  /** f17 — heavy hitters without a full-cardinality shuffle: tokens
+    * making up ≥ 0.5% of the corpus token stream. f5's exact
+    * `groupBy(token)` shuffles the entire distinct vocabulary — fine
+    * at a 31-word synthetic vocab, a wall at a real corpus's hundreds
+    * of millions of distinct tokens when only the frequent tail is
+    * wanted. Here pass 1 is ONE bounded Misra–Gries sketch
+    * (`graft_mg_topk`, native TypedImperativeAggregate: ≤ 512
+    * counters per partition partial, mergeable with the guarantee
+    * intact) whose keys provably include every token above N/513 —
+    * comfortably under the N/200 threshold — and pass 2 computes
+    * EXACT counts for those ≤ 512 candidates only (the groupBy's
+    * shuffle carries candidate tokens alone, pruned by a broadcast
+    * semi-join). False positives fall to the final threshold filter,
+    * so the result is exact and partitioning-independent: the oracle
+    * is the plain GROUP BY + HAVING. Threshold arithmetic is integer
+    * (ceil(N/200) = (N+199) div 200) so both engines agree to the
+    * row. */
+  def qHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val d = Tables(spark, dir, "documents")
+    val toks = d.select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val sketch = toks.agg(
+      expr("graft_mg_topk(token, 512)").as("mg"), count(lit(1)).as("total"))
+    val cand = sketch.select(explode(map_keys(col("mg"))).as("token"))
+    val threshold = sketch.select(expr("(total + 199) div 200").as("thr"))
+    toks.join(broadcast(cand), "token")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(threshold))
+      .filter(col("cnt") >= col("thr"))
+      .select(col("token"), col("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
+  val qHeavyHittersSql: String =
+    """WITH t AS (
+        SELECT token FROM (
+          SELECT unnest(string_split(text, ' ')) AS token FROM documents) u
+        WHERE length(token) > 0),
+      cnt AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY token)
+      SELECT token, cnt FROM cnt
+      WHERE cnt >= ((SELECT SUM(cnt) FROM cnt) + 199) // 200
+      ORDER BY cnt DESC, token"""
+
   /** f6 — end-to-end corpus filter: the composed training-data
     * selection every LLM pipeline runs — keep a document iff it is the
     * exact-dedup keeper AND its quality score clears the bar AND its
@@ -560,6 +604,7 @@ object TextOps {
       FROM ver ORDER BY doc_id, bench_id"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_heavy_hitters" -> (qHeavyHitters _),
     "q_chunk_docs" -> (qChunkDocs _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_repetition" -> (qRepetition _),
@@ -578,6 +623,7 @@ object TextOps {
     "q_fingerprint" -> (qFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q_heavy_hitters" -> qHeavyHittersSql,
     "q_chunk_docs" -> qChunkDocsSql,
     "q_pack_sequences" -> qPackSequencesSql,
     "q_repetition" -> qRepetitionSql,

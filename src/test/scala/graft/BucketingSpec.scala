@@ -38,4 +38,38 @@ class BucketingSpec extends AnyFunSuite {
       spark.stop()
     }
   }
+
+  test("filtered ANN admission join is exchange-free over id-bucketed tables") {
+    // the e8 scale claim made concrete: vectors and document metadata
+    // co-bucketed on id at write time ⇒ the per-query metadata
+    // admission join (the one join that touches every admissible row)
+    // plans with NO shuffle — only the tiny probed-cell/centroid
+    // broadcasts move per query
+    val wh = Files.createTempDirectory("graft_wh_ann").toString
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.warehouse.dir", wh)
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-bucketing-ann").getOrCreate()
+    try {
+      import spark.implicits._
+      val vecs = (0L until 2000L).map(i => (i, Array.fill(4)(i.toFloat), (i % 7L).toInt))
+        .toDF("vec_id", "embedding", "label")
+      val meta = (0L until 2000L).map(i => (i, if (i % 3 == 0) "en" else "de"))
+        .toDF("vec_id", "lang")
+      vecs.write.mode("overwrite").bucketBy(8, "vec_id").sortBy("vec_id").saveAsTable("vecs_b")
+      meta.write.mode("overwrite").bucketBy(8, "vec_id").sortBy("vec_id").saveAsTable("meta_b")
+      val admitted = spark.table("vecs_b")
+        .join(spark.table("meta_b").filter(col("lang") === "en").select("vec_id"), "vec_id")
+      val plan = admitted.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"admission join shuffled over bucketed tables:\n$plan")
+      assert(admitted.count() == 667L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS vecs_b")
+      spark.sql("DROP TABLE IF EXISTS meta_b")
+      spark.stop()
+    }
+  }
 }

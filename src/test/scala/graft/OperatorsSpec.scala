@@ -188,6 +188,39 @@ class OperatorsSpec extends SparkTestBase {
     assert(missed.isEmpty, s"banding lost planted near-dup pairs: $missed")
   }
 
+  test("heavy hitters: exact over a vocabulary far above the sketch cap") {
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 50,000 distinct rare tokens (vocab 100x the 512-counter cap) +
+    // 10 planted heavy tokens at ~2% each: the regime the sketch
+    // exists for — groupBy would shuffle 50k+ distinct keys, the
+    // sketch carries 512 per partition and must still find exactly
+    // the 10 planted tokens with exact counts
+    val n = 50000
+    val heavy = (0 until 10).flatMap(h => Seq.fill(n / 50)(s"hot_$h"))
+    val rare = (0 until n).map(i => s"rare_$i")
+    val docs = (heavy ++ rare).grouped(100).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val total = (heavy.size + rare.size).toLong
+    val thr = (total + 199) / 200
+    // same dataflow as f17, inlined over the synthetic docs
+    val toks = docs.select(explode(split(col("text"), " ")).as("token"))
+      .repartition(8) // force multi-partition partials + a real merge
+    val sketch = toks.agg(expr("graft_mg_topk(token, 512)").as("mg"))
+    val cand = sketch.select(explode(map_keys(col("mg"))).as("token"))
+    val got = toks.join(broadcast(cand), "token")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= thr)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = (0 until 10).map(h => s"hot_$h" -> (n / 50).toLong).toMap
+    assert(got == want,
+      s"sketch+exact pass diverged from truth: got ${got.size} tokens")
+    // and the candidate set really is bounded by the cap
+    assert(cand.count() <= 512)
+  }
+
   test("embedding LSH dense-region guard: hot buckets widen keys, dups survive") {
     graft.functions.GraftFunctions.register(spark)
     import org.apache.spark.sql.functions._
