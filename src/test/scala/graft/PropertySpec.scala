@@ -1,0 +1,113 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based checks for the native primitives whose guarantees
+  * are ALGEBRAIC — a handful of example-based cases can't cover the
+  * adversarial stream shapes these must survive at 100 TB, random
+  * generation can. The Misra–Gries properties are pure-JVM (they
+  * exercise exactly the update/merge/serialize code the distributed
+  * aggregation runs, under random partition splits); the as-of
+  * property drives the real physical operator against an in-memory
+  * reference model.
+  */
+class PropertySpec extends SparkTestBase {
+
+  import org.apache.spark.unsafe.types.UTF8String
+  import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+  import org.apache.spark.sql.types.StringType
+
+  private def check(prop: Prop, n: Int): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def mgAgg(cap: Int) =
+    graft.functions.MisraGries(BoundReference(0, StringType, nullable = true), Literal(cap))
+
+  /** Run the sketch the way Spark does: per-partition partials (update
+    * path) merged pairwise in order (merge path), through the wire
+    * format (serialize/deserialize) like a real shuffle. */
+  private def mgRun(partitions: Seq[Seq[String]], cap: Int): Map[String, Long] = {
+    val agg = mgAgg(cap)
+    val partials = partitions.map { part =>
+      val buf = agg.createAggregationBuffer()
+      val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      part.foreach { s =>
+        row.update(0, UTF8String.fromString(s))
+        agg.update(buf, row)
+      }
+      agg.deserialize(agg.serialize(buf))
+    }
+    val merged = partials.reduceLeft { (a, b) => agg.merge(a, b) }
+    merged.counts.map { case (k, v) => k.toString -> v }.toMap
+  }
+
+  test("Misra-Gries guarantee holds under random streams, splits and caps") {
+    val genStream = for {
+      // skewed alphabet: small id = frequent, so real heavy hitters exist
+      n <- Gen.choose(50, 2000)
+      items <- Gen.listOfN(n, Gen.frequency(
+        (8, Gen.choose(0, 5)), (3, Gen.choose(6, 30)), (1, Gen.choose(31, 500))))
+      cap <- Gen.choose(2, 40)
+      nParts <- Gen.choose(1, 8)
+      seed <- Gen.choose(0L, Long.MaxValue)
+    } yield (items.map(i => s"w$i"), cap, nParts, seed)
+    check(Prop.forAll(genStream) { case (items, cap, nParts, seed) =>
+      val rnd = new scala.util.Random(seed)
+      // random split into partitions (order preserved within each, as
+      // a real scan would)
+      val parts = Array.fill(nParts)(Seq.newBuilder[String])
+      items.foreach(s => parts(rnd.nextInt(nParts)) += s)
+      val sketch = mgRun(parts.toSeq.map(_.result()), cap)
+      val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val slack = items.size.toLong / (cap + 1) // the MG frequency-error bound
+      // 1. NO FALSE NEGATIVES above the guarantee line
+      truth.foreach { case (k, c) =>
+        if (c > slack)
+          assert(sketch.contains(k), s"lost heavy item $k (count $c > N/(cap+1) = $slack)")
+      }
+      // 2. counts are underestimates, within the bound
+      sketch.foreach { case (k, est) =>
+        val c = truth.getOrElse(k, 0L)
+        assert(est <= c, s"overestimate for $k: $est > true $c")
+        assert(c - est <= slack, s"error for $k exceeds bound: $c - $est > $slack")
+      }
+      // 3. the buffer honors its cap
+      sketch.size <= cap
+    }, n = 200)
+  }
+
+  test("native as-of join equals an in-memory reference model on random data") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val genCase = for {
+      nl <- Gen.choose(1, 120)
+      nr <- Gen.choose(0, 120)
+      keyMax <- Gen.choose(1, 6) // few keys = many per-key collisions
+      tMax <- Gen.choose(1, 25) // small time domain = many exact ties
+      seed <- Gen.choose(0L, Long.MaxValue)
+    } yield (nl, nr, keyMax, tMax, seed)
+    check(Prop.forAll(genCase) { case (nl, nr, keyMax, tMax, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val left = (0 until nl).map(i =>
+        (i.toLong, rnd.nextInt(keyMax).toLong, rnd.nextInt(tMax).toLong))
+      val right = (0 until nr).map(i =>
+        (rnd.nextInt(keyMax).toLong, rnd.nextInt(tMax).toLong, i.toLong))
+      val ldf = left.toDF("lid", "k", "t")
+      val rdf = right.toDF("rk", "rt", "payload")
+      val got = graft.operators.Asof.asofJoinKeys(ldf, rdf,
+          Seq("k"), Seq("rk"), "t", "rt", rightTiebreak = Seq("payload"))
+        .select("lid", "payload").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference: latest right at-or-before; greatest payload on ties
+      val want = left.flatMap { case (lid, k, t) =>
+        val matches = right.filter { case (rk, rt, _) => rk == k && rt <= t }
+        if (matches.isEmpty) None
+        else Some(lid -> matches.maxBy { case (_, rt, p) => (rt, p) }._3)
+      }.toMap
+      assert(got == want, s"as-of diverged (seed $seed, nl=$nl nr=$nr)")
+      true
+    }, n = 12)
+  }
+}
