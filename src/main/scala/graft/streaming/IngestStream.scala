@@ -230,6 +230,46 @@ object IngestStream {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** per-shard heavy-hitter sketch emitted every batch (h8) */
+  case class ShardSketch(shard: Int, counts: Map[String, Long], n: Long)
+
+  /** h8 — streaming heavy hitters: the frequent users in the event
+    * stream, tracked with BOUNDED state (the batch f17 sketch composed
+    * with mapGroupsWithState). Naive streaming top-k keeps one counter
+    * per distinct user — unbounded state, the thing that kills a
+    * 100 TB stream. Here the stream shards by hash(user) % nShards
+    * (each user lives in exactly ONE shard, so shard outputs merge by
+    * plain union — no cross-shard counter addition needed) and each
+    * shard's state is a Misra–Gries summary of ≤ cap counters: every
+    * user exceeding shard_n/(cap+1) of their shard's stream is
+    * guaranteed present, with counts underestimated by at most that
+    * slack. Update-mode emission: every batch re-emits the shards it
+    * touched, so a downstream reader always has the current sketch.
+    * At scale: nShards ≈ executors × a small factor; state is
+    * nShards × cap counters TOTAL regardless of user cardinality. */
+  def frequentUsers(events: Dataset[IngestEvent], cap: Int,
+      nShards: Int): Dataset[ShardSketch] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => math.floorMod(e.user.hashCode, nShards))
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (shard: Int, evs: Iterator[IngestEvent], state: GroupState[ShardSketch]) =>
+          var m = state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])
+          var n = state.getOption.map(_.n).getOrElse(0L)
+          evs.foreach { e =>
+            n += 1
+            m.get(e.user) match {
+              case Some(c) => m = m.updated(e.user, c + 1)
+              case None if m.size < cap => m = m.updated(e.user, 1L)
+              case None => // decrement-all, drop zeros (classic MG step)
+                m = m.collect { case (k, c) if c > 1 => k -> (c - 1) }
+            }
+          }
+          val next = ShardSketch(shard, m, n)
+          state.update(next)
+          next
+      }
+  }
+
   /** h2 — watermarked tumbling-window ingest throughput (streaming twin
     * of c7 q_events_window). */
   def windowedCounts(events: DataFrame): DataFrame =

@@ -241,6 +241,53 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("h8: streaming heavy hitters keep frequent users in bounded sharded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[IngestEvent]
+    val cap = 8
+    val query = IngestStream.frequentUsers(input.toDS(), cap = cap, nShards = 4)
+      .writeStream.format("memory").queryName("freq_users")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def ev(user: String, i: Int) = IngestEvent(s"u$i", user, "processing", 10, i * 1000L)
+      // batch 1: heavy "alice" among distinct noise users
+      input.addData((0 until 60).map(i =>
+        if (i % 3 == 0) ev("alice", i) else ev(s"noise_a$i", i)): _*)
+      query.processAllAvailable()
+      // batch 2: "bob" becomes heavy too — state must ACCUMULATE
+      input.addData((60 until 120).map(i =>
+        if (i % 3 == 0) ev("bob", i) else if (i % 3 == 1) ev("alice", i)
+        else ev(s"noise_b$i", i)): _*)
+      query.processAllAvailable()
+      // latest sketch per shard (Update mode re-emits touched shards)
+      val latest = spark.table("freq_users").collect()
+        .groupBy(_.getAs[Int]("shard"))
+        .map { case (_, rows) => rows.maxBy(_.getAs[Long]("n")) }.toSeq
+      val merged = latest.flatMap(_.getAs[Map[String, Long]]("counts")).toMap
+      // both heavy users survive across batches (alice 40, bob 20 —
+      // state must ACCUMULATE across batches for alice's 20+20); the
+      // per-shard MG slack is shard_n/(cap+1)
+      val truth = Map("alice" -> 40L, "bob" -> 20L)
+      assert(merged.contains("alice") && merged.contains("bob"),
+        s"lost a heavy user: ${merged.keys.toSeq.sorted}")
+      val total = latest.map(_.getAs[Long]("n")).sum
+      assert(total == 120L, s"event count diverged: $total")
+      truth.foreach { case (u, c) =>
+        assert(merged(u) <= c, s"MG overestimated $u: ${merged(u)} > $c") }
+      latest.foreach { r =>
+        val m = r.getAs[Map[String, Long]]("counts")
+        assert(m.size <= cap, s"shard state exceeded cap: ${m.size}")
+        val slack = r.getAs[Long]("n") / (cap + 1)
+        truth.foreach { case (u, c) =>
+          if (m.contains(u))
+            assert(c - m(u) <= slack,
+              s"$u underestimated past the shard bound: ${m(u)} vs $c")
+        }
+      }
+    } finally query.stop()
+  }
+
   test("h6: session windows close on the 30-minute gap once the watermark passes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
