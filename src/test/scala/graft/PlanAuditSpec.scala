@@ -213,6 +213,18 @@ class PlanAuditSpec extends SparkTestBase {
       s"metadata filter not pushed to the documents scan:\n$p")
   }
 
+  test("heavy hitters: candidates broadcast into the exact pass, sketch agg is object-hash") {
+    val df = operators.TextOps.qHeavyHitters(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // the exact second pass must not shuffle the full token stream to
+    // a join — the <=512-key candidate set broadcasts into it
+    assert(p.contains("BroadcastHashJoin"), s"candidate set not broadcast:\n$p")
+    // the sketch is a TypedImperativeAggregate: partial per partition,
+    // merged — an ObjectHashAggregate, never a sort-based fallback
+    assert(p.contains("ObjectHashAggregate"), s"MG sketch not object-hash-aggregated:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in heavy-hitters plan:\n$p")
+  }
+
   test("events-based geo ops are map-side until their aggregation") {
     // tile assignment must not shuffle before the groupBy: exactly the
     // agg exchange(s), no repartition/sort-by-key upstream
