@@ -110,4 +110,41 @@ class PropertySpec extends SparkTestBase {
       true
     }, n = 12)
   }
+
+  test("composite-key native as-of equals the reference model on random data") {
+    // the c25 salting foundation: the zipper's lexicographic tuple
+    // compare must match per-(k1,k2) as-of semantics exactly,
+    // including ties on every component
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val genCase = for {
+      nl <- Gen.choose(1, 100)
+      nr <- Gen.choose(0, 100)
+      k1Max <- Gen.choose(1, 4)
+      k2Max <- Gen.choose(1, 4) // tiny domains force cross-component ties
+      tMax <- Gen.choose(1, 15)
+      seed <- Gen.choose(0L, Long.MaxValue)
+    } yield (nl, nr, k1Max, k2Max, tMax, seed)
+    check(Prop.forAll(genCase) { case (nl, nr, k1Max, k2Max, tMax, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val left = (0 until nl).map(i => (i.toLong,
+        rnd.nextInt(k1Max).toLong, rnd.nextInt(k2Max).toLong, rnd.nextInt(tMax).toLong))
+      val right = (0 until nr).map(i => (rnd.nextInt(k1Max).toLong,
+        rnd.nextInt(k2Max).toLong, rnd.nextInt(tMax).toLong, i.toLong))
+      val ldf = left.toDF("lid", "k1", "k2", "t")
+      val rdf = right.toDF("rk1", "rk2", "rt", "payload")
+      val got = graft.operators.Asof.asofJoinKeys(ldf, rdf,
+          Seq("k1", "k2"), Seq("rk1", "rk2"), "t", "rt",
+          rightTiebreak = Seq("payload"))
+        .select("lid", "payload").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = left.flatMap { case (lid, k1, k2, t) =>
+        val ms = right.filter { case (r1, r2, rt, _) => r1 == k1 && r2 == k2 && rt <= t }
+        if (ms.isEmpty) None
+        else Some(lid -> ms.maxBy { case (_, _, rt, p) => (rt, p) }._4)
+      }.toMap
+      assert(got == want, s"composite as-of diverged (seed $seed)")
+      true
+    }, n = 12)
+  }
 }
