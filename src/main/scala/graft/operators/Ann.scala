@@ -439,7 +439,112 @@ object Ann {
       ORDER BY adc DESC, vec_id"""
   }
 
+  /** e9 — IVF+PQ composed (the FAISS IVFPQ shape, the production
+    * 100 TB ANN architecture): the query probes its nearest IVF
+    * centroid (e3's math) and then scans ONLY the probed cell in the
+    * COMPRESSED domain — PQ codes + broadcast ADC LUT (e6's math) —
+    * with an exact-cosine rerank of the ADC top-10. At scale: cell
+    * assignment and PQ codes are built once at ingest and stored
+    * co-partitioned (a codes table clustered by cell), so a query
+    * touches centroids (tiny broadcast), 1/nlist of the code table
+    * (bytes per vector, not floats), and k raw vectors for the
+    * rerank. Exact integer quantization keeps encode/ADC
+    * deterministic cross-engine, so the composition is oracle-exact
+    * like e3/e6 separately. */
+  def qAnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val e = Tables(spark, dir, "embeddings")
+    // probe: exact decimal centroid numerators, best cell by query dot
+    val pe = e.select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
+    val cent = pe.groupBy("label", "i")
+      .agg(sum(round(col("v").cast("double"), 6).cast("decimal(8,6)"))
+        .cast("decimal(12,6)").as("s"), count(lit(1)).as("n"))
+    val qe = e.filter(col("vec_id") === 0)
+      .select(posexplode(col("embedding")).as(Seq("i", "qv")))
+    val dots = cent.join(broadcast(qe), "i")
+      .groupBy("label")
+      .agg((sum(round(col("qv").cast("double"), 6).cast("decimal(8,6)") * col("s"))
+        .cast("double") / max(col("n"))).as("dot"))
+    val best = dots.orderBy(col("dot").desc, col("label")).limit(1).select("label")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    // the compressed-domain scan is restricted to the probed cell
+    val cell = e.join(broadcast(best), "label")
+    val anchors = e.filter(col("vec_id").between(1, 4))
+      .select(col("vec_id").as("a_id"), col("embedding").as("a"))
+    val ks = (0 until 8).map { j =>
+      expr(s"CAST(round(round(${subDotSpark("a", "a", j)} - 2 * ${subDotSpark("embedding", "a", j)}, 6) * 1000000, 0) AS BIGINT) * 16 + a_id")
+        .as(s"k$j")
+    }
+    val scored = cell.crossJoin(broadcast(anchors)).select(col("vec_id") +: ks: _*)
+    val codeAggs = (0 until 8).map(j => pmod(min(col(s"k$j")), lit(16L)).as(s"c$j"))
+    val codes = scored.groupBy("vec_id").agg(codeAggs.head, codeAggs.tail: _*)
+    val cl = codes.select(col("vec_id"),
+      posexplode(array((0 until 8).map(j => col(s"c$j")): _*)).as(Seq("j", "code")))
+    val lutWide = anchors.crossJoin(broadcast(q)).select(col("a_id") +:
+      (0 until 8).map { j =>
+        expr(s"CAST(round(round(${subDotSpark("qv", "a", j)}, 6) * 1000000, 0) AS BIGINT)").as(s"l$j")
+      }: _*)
+    val lut = lutWide.select(col("a_id"),
+      posexplode(array((0 until 8).map(j => col(s"l$j")): _*)).as(Seq("j", "dot_i")))
+    val adc = cl.as("cl").join(broadcast(lut.as("lt")),
+        col("cl.code") === col("lt.a_id") && col("cl.j") === col("lt.j"))
+      .groupBy(col("cl.vec_id").as("vec_id"))
+      .agg(round(sum("dot_i").cast("double") / 1000000, 6).as("adc"))
+    adc.orderBy(col("adc").desc, col("vec_id")).limit(10)
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("adc"), expr(cosineSpark("embedding", "qv")).as("cos_sim"))
+      .orderBy(col("adc").desc, col("vec_id"))
+  }
+
+  val qAnnIvfPqSql: String = {
+    val ds = (0 until 8).map(j =>
+      s"CAST(round(round(${subDotDuck("a", "a", j)} - 2 * ${subDotDuck("e.embedding", "a", j)}, 6) * 1000000, 0) AS BIGINT) * 16 + a_id AS k$j")
+      .mkString(", ")
+    val codeCols = (0 until 8).map(j => s"((MIN(k$j) % 16) + 16) % 16 AS c$j").mkString(", ")
+    val luts = (0 until 8).map(j =>
+      s"CAST(round(round(${subDotDuck("qv", "a", j)}, 6) * 1000000, 0) AS BIGINT) AS l$j")
+      .mkString(", ")
+    val lutCase = (0 until 8).map(j => s"WHEN $j THEN l$j").mkString(" ")
+    s"""WITH pe AS (
+        SELECT label, unnest(generate_series(1, len(embedding))) AS i, unnest(embedding) AS v
+        FROM embeddings),
+      cent AS (
+        SELECT label, i,
+          CAST(SUM(CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(8,6))) AS DECIMAL(12,6)) AS s,
+          COUNT(*) AS n
+        FROM pe GROUP BY label, i),
+      qe AS (
+        SELECT unnest(generate_series(1, len(embedding))) AS i, unnest(embedding) AS qv
+        FROM embeddings WHERE vec_id = 0),
+      cdots AS (
+        SELECT label,
+          CAST(SUM(CAST(round(CAST(qv AS DOUBLE), 6) AS DECIMAL(8,6)) * s) AS DOUBLE) / MAX(n) AS dot
+        FROM cent JOIN qe USING (i) GROUP BY label),
+      best AS (SELECT label FROM cdots ORDER BY dot DESC, label LIMIT 1),
+      anchors AS (SELECT vec_id AS a_id, embedding AS a FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      scored AS (SELECT e.vec_id, a_id, $ds FROM embeddings e, anchors
+        WHERE e.label = (SELECT label FROM best)),
+      codes AS (SELECT vec_id, $codeCols FROM scored GROUP BY vec_id),
+      cl AS (SELECT vec_id, unnest([0,1,2,3,4,5,6,7]) AS j,
+        unnest([c0,c1,c2,c3,c4,c5,c6,c7]) AS code FROM codes),
+      lut AS (SELECT a_id, j, CASE j $lutCase END AS dot_i
+        FROM (SELECT a_id, $luts, unnest([0,1,2,3,4,5,6,7]) AS j FROM anchors, q) x),
+      adc AS (
+        SELECT cl.vec_id AS vec_id,
+          round(CAST(CAST(SUM(lut.dot_i) AS BIGINT) AS DOUBLE) / 1000000, 6) AS adc
+        FROM cl JOIN lut ON lut.a_id = cl.code AND lut.j = cl.j
+        GROUP BY cl.vec_id),
+      top AS (SELECT vec_id, adc FROM adc ORDER BY adc DESC, vec_id LIMIT 10)
+      SELECT t.vec_id AS vec_id, t.adc AS adc,
+        ${cosineDuck("e.embedding", "qv")} AS cos_sim
+      FROM top t JOIN embeddings e ON e.vec_id = t.vec_id, q
+      ORDER BY adc DESC, vec_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_ann_pq" -> (qAnnPq _),
     "q_ann_brute" -> (qAnnBrute _),
     "q_ann_filtered" -> (qAnnFiltered _),
@@ -450,6 +555,7 @@ object Ann {
     "q_ann_batch" -> (qAnnBatch _))
 
   val oracles: Map[String, String] = Map(
+    "q_ann_ivfpq" -> qAnnIvfPqSql,
     "q_ann_pq" -> qAnnPqSql,
     "q_ann_brute" -> qAnnBruteSql,
     "q_ann_filtered" -> qAnnFilteredSql,

@@ -369,6 +369,30 @@ class OperatorsSpec extends SparkTestBase {
     assert(recall >= 0.8, s"filtered-IVF recall $recall on clustered corpus")
   }
 
+  test("IVFPQ: results come from the probed cell, ADC agrees with cell-restricted PQ") {
+    import org.apache.spark.sql.functions._
+    val got = Ann.qAnnIvfPq(spark, sfDir).collect()
+    assert(got.nonEmpty && got.length <= 10)
+    // every result sits in ONE cell — the probe really pruned the scan
+    val labelOf = Tables(spark, sfDir, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val cells = got.map(r => labelOf(r.getAs[Long]("vec_id"))).distinct
+    assert(cells.length == 1, s"IVFPQ results crossed cells: ${cells.toSeq}")
+    // the compressed-domain ordering is EXACTLY e6's ADC restricted to
+    // that cell: same codes, same LUT, same integer arithmetic
+    val pqAll = Ann.qAnnPq(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("adc")).toMap
+    got.filter(r => pqAll.contains(r.getAs[Long]("vec_id"))).foreach { r =>
+      assert(r.getAs[Double]("adc") == pqAll(r.getAs[Long]("vec_id")),
+        s"ADC diverged from e6 for vec ${r.getAs[Long]("vec_id")}")
+    }
+    // scan shape: probe/LUT/anchors broadcast, nothing cartesian
+    val p = Ann.qAnnIvfPq(spark, sfDir).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"probed cell not broadcast-joined:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in IVFPQ plan:\n$p")
+  }
+
   test("batched media decode: per-row g2 parity and exact g5 batch plan") {
     import graft.multimodal.Media
     val batched = Media.qMediaBatched(spark, sfDir).collect()
