@@ -771,7 +771,98 @@ object Analytics {
       .orderBy("event_id")
   }
 
+  /** c26 — large-volume orders (TPC-H q18 shape): the agg-filter-
+    * then-rejoin pattern. One aggregation over the fact finds order
+    * keys whose total quantity clears a threshold (shuffle on
+    * l_orderkey with map-side partials); the surviving key set is
+    * ORDERS-OF-MAGNITUDE smaller than the fact, so both rejoin edges
+    * (orders for the header, lineitem re-agg for the display sum)
+    * hang off that small set, and the final top-100 is a sort-limit
+    * over the filtered join — never over the fact. Quantity sums go
+    * through decimal (dsum) so HAVING and display agree exactly with
+    * the oracle regardless of partitioning. */
+  def q18BigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer").select("c_custkey", "c_name")
+    val o = Tables(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val l = Tables(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
+    val big = l.groupBy("l_orderkey").agg(dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 150.0)
+    o.join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(c), col("c_custkey") === col("o_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val q18BigOrdersSql: String =
+    """WITH big AS (
+         SELECT l_orderkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY l_orderkey
+         HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 150.0)
+       SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+       FROM big JOIN orders ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""
+
+  /** c27 — waiting-supplier stragglers (TPC-H q21 shape, adapted to
+    * this schema's columns: lateness = shipped > 90 days after the
+    * order date, straggler = latest l_shipdate in the order): for
+    * each late line of a finished order, EXISTS another supplier in
+    * the same order AND NOT EXISTS another supplier who shipped
+    * later — the double-correlated semi+anti pattern on the SAME
+    * fact, the hardest decorrelation shape in the TPC-H suite. Plan:
+    * both the semi and the anti side are the lineitem projection
+    * re-read and joined on l_orderkey (co-partitioned shuffles, no
+    * broadcast of the fact); the supplier name attaches by broadcast
+    * at the end, after the per-supplier count has already collapsed
+    * the volume. */
+  def q21Waiting(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables(spark, dir, "supplier").select("s_suppkey", "s_name")
+    val o = Tables(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val l = Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+    val l1 = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > date_add(col("o_orderdate"), 90))
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+    val l2 = l.select(col("l_orderkey").as("k2"), col("l_suppkey").as("sk2"))
+    val l3 = l.select(col("l_orderkey").as("k3"), col("l_suppkey").as("sk3"),
+      col("l_shipdate").as("sd3"))
+    l1.join(l2, col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("sk2"), "left_semi")
+      .join(l3, col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("sk3") &&
+        col("sd3") > col("l_shipdate"), "left_anti")
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  val q21WaitingSql: String =
+    """WITH l1 AS (
+         SELECT l_orderkey, l_suppkey, l_shipdate
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderstatus = 'F' AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+       SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+       FROM l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+       WHERE EXISTS (
+           SELECT 1 FROM lineitem l2
+           WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+         AND NOT EXISTS (
+           SELECT 1 FROM lineitem l3
+           WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+             AND l3.l_shipdate > l1.l_shipdate)
+       GROUP BY s_suppkey, s_name
+       ORDER BY numwait DESC, s_name LIMIT 20"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_big_orders" -> (q18BigOrders _),
+    "q21_waiting" -> (q21Waiting _),
     "q_asof_join" -> (qAsofJoin _),
     "q_asof_salted" -> (qAsofSalted _),
     "q_approx_quantiles" -> (qApproxQuantiles _),
@@ -798,6 +889,8 @@ object Analytics {
     "q_sessionize" -> (qSessionize _))
 
   val oracles: Map[String, String] = Map(
+    "q18_big_orders" -> q18BigOrdersSql,
+    "q21_waiting" -> q21WaitingSql,
     "q_asof_join" -> qAsofJoinSql,
     // identical result contract to c21 ⇒ identical oracle
     "q_asof_salted" -> qAsofJoinSql,

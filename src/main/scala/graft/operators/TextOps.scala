@@ -603,7 +603,72 @@ object TextOps {
       SELECT doc_id, bench_id, jaccard, jaccard >= 0.1 AS contaminated
       FROM ver ORDER BY doc_id, bench_id"""
 
+  /** f18 — unigram-LM perplexity scoring (the CCNet-style "perplexity
+    * filter", ref pipeline analog: quality gating before tiling):
+    * score every document by its cross-entropy under a unigram
+    * language model — the standard signal separating fluent prose
+    * from boilerplate/gibberish when curating training data. The
+    * model is built from the corpus itself (top-200 tokens by
+    * frequency, MLE probabilities; rarer tokens are OOV at
+    * probability 1/(N+1)); in production the broadcast table is a
+    * fixed pretrained LM — same shape, no build pass. Cost shape: one
+    * token explode feeds (a) the model build (full-vocab groupBy —
+    * swap in f17's Misra–Gries sketch when the vocabulary is
+    * web-scale) and (b) the scoring pass, which is MAP-ONLY against
+    * the ≤200-row broadcast model + 1-row total, so the only scoring
+    * shuffle is the per-doc aggregation. Per-token log-probs are
+    * quantized to integer micro-nats (round(ln·1e6) as BIGINT) BEFORE
+    * summation, so the per-doc sum is exact integer arithmetic —
+    * associative, partition-order-independent, and bit-identical in
+    * the oracle (graft_qdot's quantization trick applied to logs). */
+  def qPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val vocabK = 200
+    val d = Tables(spark, dir, "documents")
+    val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("n"))
+    val model = counts.orderBy(col("cnt").desc, col("tok")).limit(vocabK)
+      .crossJoin(broadcast(total))
+      .select(col("tok"),
+        round(log(col("cnt").cast("double") / col("n").cast("double")) * lit(1e6))
+          .cast("long").as("lpq"))
+    toks.join(broadcast(model), Seq("tok"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("oov", col("lpq").isNull)
+      .withColumn("lp", coalesce(col("lpq"),
+        round(-log(col("n").cast("double") + 1.0) * lit(1e6)).cast("long")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("oov"), 1L).otherwise(0L)).as("n_oov"),
+        round(-sum(col("lp")).cast("double") / (count(lit(1)) * lit(1e6)), 6).as("ce"))
+      .orderBy("doc_id")
+  }
+
+  val qPerplexitySql: String =
+    """WITH toks AS (
+        SELECT doc_id, t AS tok FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) x
+        WHERE length(t) > 0),
+      counts AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+      total AS (SELECT SUM(cnt) AS n FROM counts),
+      model AS (
+        SELECT tok,
+          CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS lpq
+        FROM counts, total ORDER BY cnt DESC, tok LIMIT 200),
+      scored AS (
+        SELECT t.doc_id,
+          COALESCE(m.lpq,
+            CAST(round(-ln(CAST(tt.n AS DOUBLE) + 1.0) * 1e6) AS BIGINT)) AS lp,
+          m.lpq IS NULL AS oov
+        FROM toks t LEFT JOIN model m ON t.tok = m.tok, total tt)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+        CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        round(-CAST(SUM(lp) AS DOUBLE) / (COUNT(*) * 1e6), 6) AS ce
+      FROM scored GROUP BY doc_id ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_perplexity" -> (qPerplexity _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_chunk_docs" -> (qChunkDocs _),
     "q_pack_sequences" -> (qPackSequences _),
@@ -623,6 +688,7 @@ object TextOps {
     "q_fingerprint" -> (qFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q_perplexity" -> qPerplexitySql,
     "q_heavy_hitters" -> qHeavyHittersSql,
     "q_chunk_docs" -> qChunkDocsSql,
     "q_pack_sequences" -> qPackSequencesSql,
