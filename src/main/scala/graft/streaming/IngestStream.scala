@@ -270,6 +270,23 @@ object IngestStream {
       }
   }
 
+  /** h9 — stream-static broadcast enrichment: every progress event
+    * joins the (small, slowly-changing) user-profile dimension before
+    * publish, the way the reference resolves the user's container/
+    * folder from the blob URL on every message (ref utils.py path
+    * algebra + fgb_upload per-user metadata). A stream-STATIC equi
+    * join is STATELESS — no watermark, no state store, nothing to
+    * grow over months of uptime — and with the dim broadcast it adds
+    * zero shuffles to the stream side: each micro-batch is a map-only
+    * hash probe. At 1000 executors the alternative (stream-stream
+    * join, or keying state by user) would hold per-user state
+    * forever for no reason; this shape is the right default for any
+    * dimension that fits in memory. Unmatched users pass through
+    * (left join) — enrichment must never drop progress events. */
+  def enrichWithProfile(events: DataFrame, profile: DataFrame): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(profile), Seq("user"), "left")
+
   /** h2 — watermarked tumbling-window ingest throughput (streaming twin
     * of c7 q_events_window). */
   def windowedCounts(events: DataFrame): DataFrame =

@@ -452,4 +452,38 @@ class StreamingSpec extends SparkTestBase {
     assert(out.map(_.getAs[Long]("n")).sum == 3)
     assert(out.length == 3, out.mkString(";"))
   }
+
+  test("h9: stream-static enrichment is stateless, broadcast, and never drops events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val profile = Seq(("u1", "ALICE", "EUROPE"), ("u2", "BOB", "ASIA"))
+      .toDF("user", "display_name", "region")
+
+    // the join shape itself (same plan batch or stream): broadcast,
+    // no shuffle of the event side
+    val batchTwin = IngestStream.enrichWithProfile(
+      Seq(IngestEvent("url1", "u1", "processing", 50, 0L)).toDF(), profile)
+    val physical = batchTwin.queryExecution.executedPlan.toString()
+    assert(physical.contains("BroadcastHashJoin"), physical)
+
+    val input = MemoryStream[IngestEvent]
+    val q = IngestStream.enrichWithProfile(input.toDF(), profile)
+      .writeStream.format("memory").queryName("h9_enriched")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Seq(
+        IngestEvent("url1", "u1", "downloaded", 30, 1000L),
+        IngestEvent("url2", "u2", "processing", 65, 2000L),
+        IngestEvent("url3", "u_unknown", "downloaded", 30, 3000L)))
+      q.processAllAvailable()
+      val out = spark.table("h9_enriched").collect()
+      assert(out.length == 3, "left join must pass unmatched users through")
+      val byUser = out.map(r => r.getAs[String]("user") -> r.getAs[String]("region")).toMap
+      assert(byUser("u1") == "EUROPE" && byUser("u2") == "ASIA")
+      assert(byUser("u_unknown") == null)
+      // stateless: months of uptime accumulate nothing
+      assert(q.lastProgress.stateOperators.isEmpty,
+        s"stream-static join must not create state: ${q.lastProgress}")
+    } finally q.stop()
+  }
 }
