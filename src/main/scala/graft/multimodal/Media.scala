@@ -331,7 +331,45 @@ object Media {
         MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       FROM c cum0 GROUP BY 1, 2 ORDER BY mime, batch_id"""
 
+  /** g7 — audio feature-frame plan (the STFT framing every speech/
+    * audio encoder front-end runs): 25 ms windows with a 10 ms hop at
+    * 16 kHz = 400-sample frames every 160 samples, n_frames = 1 +
+    * (n_samples − 400) div 160 (no padding — the standard "valid"
+    * framing). Sample counts derive deterministically from the doc
+    * (each char stands in for 16 samples; payload bytes are the g2
+    * analog). Pure integer arithmetic fan-out: map-only explode, no
+    * shuffle, same plan family as g3's frame sampling — the decode of
+    * each frame window would slot into g2/g6's batched mapPartitions
+    * stage, and g5 would pack the frames into bounded decode calls. */
+  def qAudioFrames(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val isAudio = ascii(substring(col("text"), 1, 1)).between(105, 112)
+    d.filter(isAudio)
+      .select(col("doc_id"),
+        (col("n_chars").cast("long") * 16L + 400L).as("n_samples"))
+      .withColumn("n_frames", expr("(1 + (n_samples - 400) div 160)").cast("int"))
+      .withColumn("frame_idx", explode(expr("sequence(0, n_frames - 1)")))
+      .withColumn("start_sample", col("frame_idx").cast("long") * 160L)
+      .withColumn("ts_ms", expr("(start_sample * 1000) div 16000"))
+      .select("doc_id", "n_samples", "n_frames", "frame_idx", "start_sample", "ts_ms")
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val qAudioFramesSql: String =
+    """WITH a AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) * 16 + 400 AS n_samples
+        FROM documents WHERE ascii(substr(text, 1, 1)) BETWEEN 105 AND 112),
+      f AS (SELECT doc_id, n_samples,
+        CAST(1 + (n_samples - 400) // 160 AS INT) AS n_frames FROM a),
+      x AS (SELECT doc_id, n_samples, n_frames,
+        CAST(unnest(generate_series(0, n_frames - 1)) AS INT) AS frame_idx FROM f)
+      SELECT doc_id, n_samples, n_frames, frame_idx,
+        CAST(frame_idx AS BIGINT) * 160 AS start_sample,
+        CAST((CAST(frame_idx AS BIGINT) * 160 * 1000) // 16000 AS BIGINT) AS ts_ms
+      FROM x ORDER BY doc_id, frame_idx"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_audio_frames" -> (qAudioFrames _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_media_pipeline" -> (qMediaPipeline _),
     "q_media_batched" -> (qMediaBatched _),
@@ -344,6 +382,7 @@ object Media {
     * records a rows-only check; MediaSpec gates them with golden-pixel
     * and g2-parity/g5-parity assertions. */
   val oracles: Map[String, String] = Map(
+    "q_audio_frames" -> qAudioFramesSql,
     "q_multimodal_meta" -> qMultimodalMetaSql,
     "q_frame_sample" -> qFrameSampleSql,
     "q_resize_plan" -> qResizePlanSql,

@@ -118,6 +118,28 @@ class PlanAuditSpec extends SparkTestBase {
     assert(pq.contains("BroadcastHashJoin"), s"PQ LUT not broadcast:\n$pq")
   }
 
+  test("q18/q21/perplexity plan shapes: broadcasts where small, shuffles only on keys") {
+    // q18: the customer attach must broadcast, and the global top-100
+    // must plan bounded (TakeOrderedAndProject), never a full sort
+    val q18 = operators.Analytics.q18BigOrders(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(q18.contains("BroadcastHashJoin"), s"customer not broadcast:\n$q18")
+    assert(q18.contains("TakeOrderedAndProject"), s"top-100 not bounded:\n$q18")
+    // q21: the double-correlated exists/not-exists must plan as
+    // LeftSemi + LeftAnti on the orderkey — no cartesian sweep is
+    // possible in this Spark build without one of the two
+    val q21 = operators.Analytics.q21Waiting(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(q21.contains("LeftSemi"), s"EXISTS side not a semi join:\n$q21")
+    assert(q21.contains("LeftAnti"), s"NOT EXISTS side not an anti join:\n$q21")
+    assert(q21.contains("TakeOrderedAndProject"), s"top-20 not bounded:\n$q21")
+    // perplexity: the unigram model must broadcast into the scoring
+    // join so the token stream's only shuffle is the per-doc agg
+    val ppl = operators.TextOps.qPerplexity(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(ppl.contains("BroadcastHashJoin"), s"LM model not broadcast:\n$ppl")
+  }
+
   test("native as-of join: AQE keeps the two zipper shuffles aligned") {
     // AsofJoinExec zips children partition-by-partition, so the pinned
     // requiredNumPartitions must survive AQE: after execution, both
