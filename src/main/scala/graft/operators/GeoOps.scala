@@ -798,7 +798,88 @@ object GeoOps {
           ELSE 'ok' END AS status
       FROM x ORDER BY user_id, layer"""
 
+  /** b24 — point-in-POLYGON containment join (the step past b16's
+    * rectangle test: tippecanoe's tile cutting clips features against
+    * actual polygon geometry, ref processing.py:236-255). Geometry is
+    * integer micro-degrees END TO END: convex parallelograms (center
+    * + half-extents + shear, all BIGINT from the key) and points
+    * synthesized on the same integer grid, so the containment test —
+    * four CCW edge cross-products ≥ 0 — is EXACT 64-bit arithmetic
+    * with no epsilon and no float drift cross-engine (products peak
+    * ~8e16, well inside long). The O(points × polygons) blow-up is
+    * blocked by 2^24-µdeg grid cells: each polygon explodes into the
+    * ≤9 cells its bbox covers (broadcast — tiny), each point lands in
+    * EXACTLY one cell (no post-join dedup), the join is a broadcast
+    * hash probe and the exact test runs only on cell-collocated
+    * candidates. At 100 TB the points side stays map-only. Oracle is
+    * the naive exact cross join — blocking must not change results. */
+  def qPolygonJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cell = 16777216L // 2^24 µdeg ≈ 16.8°
+    val s = Tables(spark, dir, "supplier")
+    val k = col("s_suppkey").cast("long")
+    val g = s.select(col("s_suppkey").as("poly_id"),
+        (k * 15485863L % 300000000L - 150000000L + 180000000L).as("cx"),
+        (k * 32452843L % 120000000L - 60000000L + 85000000L).as("cy"),
+        (k % 7L * 1000000L + 5000000L).as("a"),
+        (k % 5L * 1000000L + 3000000L).as("b"),
+        ((k % 9L - 4L) * 1000000L).as("sx"))
+    val v = g.select(col("poly_id"),
+      (col("cx") - col("a") - col("sx")).as("x1"), (col("cy") - col("b")).as("y1"),
+      (col("cx") + col("a") - col("sx")).as("x2"), (col("cy") - col("b")).as("y2"),
+      (col("cx") + col("a") + col("sx")).as("x3"), (col("cy") + col("b")).as("y3"),
+      (col("cx") - col("a") + col("sx")).as("x4"), (col("cy") + col("b")).as("y4"))
+    // all coordinates are non-negative by construction, so `div` is
+    // floor division and each point lands in exactly one cell
+    val polyCells = v
+      .withColumn("cxl", explode(sequence(
+        expr(s"least(x1, x4) div $cell"), expr(s"greatest(x2, x3) div $cell"))))
+      .withColumn("cyl", explode(sequence(
+        expr(s"y1 div $cell"), expr(s"y3 div $cell"))))
+    // Synth.lon/lat's multipliers at µdeg resolution (decorrelated
+    // lattice — the 7919/104729 pair left 80% of polygons unreachable)
+    val pts = Tables.events(spark, dir).select(col("event_id"),
+        (col("event_id") * 2654435761L % 360000000L).as("px"),
+        (col("event_id") * 1327217873L % 170000000L).as("py"))
+      .withColumn("cxl", expr(s"px div $cell"))
+      .withColumn("cyl", expr(s"py div $cell"))
+    def cross(xi: Column, yi: Column, xj: Column, yj: Column): Column =
+      (xj - xi) * (col("py") - yi) - (yj - yi) * (col("px") - xi)
+    pts.join(broadcast(polyCells), Seq("cxl", "cyl"))
+      .filter(
+        cross(col("x1"), col("y1"), col("x2"), col("y2")) >= 0 &&
+        cross(col("x2"), col("y2"), col("x3"), col("y3")) >= 0 &&
+        cross(col("x3"), col("y3"), col("x4"), col("y4")) >= 0 &&
+        cross(col("x4"), col("y4"), col("x1"), col("y1")) >= 0)
+      .groupBy("poly_id")
+      .agg(count(lit(1)).as("n_points"))
+      .orderBy("poly_id")
+  }
+
+  val qPolygonJoinSql: String =
+    """WITH p AS (
+        SELECT event_id, event_id * 2654435761 % 360000000 AS px,
+               event_id * 1327217873 % 170000000 AS py FROM events),
+      g AS (SELECT s_suppkey AS poly_id,
+          CAST(s_suppkey AS BIGINT) * 15485863 % 300000000 - 150000000 + 180000000 AS cx,
+          CAST(s_suppkey AS BIGINT) * 32452843 % 120000000 - 60000000 + 85000000 AS cy,
+          s_suppkey % 7 * 1000000 + 5000000 AS a,
+          s_suppkey % 5 * 1000000 + 3000000 AS b,
+          (s_suppkey % 9 - 4) * 1000000 AS sx
+        FROM supplier),
+      v AS (SELECT poly_id,
+          cx - a - sx AS x1, cy - b AS y1, cx + a - sx AS x2, cy - b AS y2,
+          cx + a + sx AS x3, cy + b AS y3, cx - a + sx AS x4, cy + b AS y4
+        FROM g)
+      SELECT poly_id, COUNT(*) AS n_points
+      FROM p, v
+      WHERE (x2-x1)*(py-y1) - (y2-y1)*(px-x1) >= 0
+        AND (x3-x2)*(py-y2) - (y3-y2)*(px-x2) >= 0
+        AND (x4-x3)*(py-y3) - (y4-y3)*(px-x3) >= 0
+        AND (x1-x4)*(py-y4) - (y1-y4)*(px-x4) >= 0
+      GROUP BY poly_id ORDER BY poly_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_polygon_join" -> (qPolygonJoin _),
     "q_gdal_profile" -> (qGdalProfile _),
     "q_tilestats_valid" -> (qTilestatsValid _),
     "q_layer_names" -> (qLayerNames _),
@@ -825,6 +906,7 @@ object GeoOps {
     "q_cog_layout" -> (qCogLayout _))
 
   val oracles: Map[String, String] = Map(
+    "q_polygon_join" -> qPolygonJoinSql,
     "q_gdal_profile" -> qGdalProfileSql,
     "q_tilestats_valid" -> qTilestatsValidSql,
     "q_layer_names" -> qLayerNamesSql,

@@ -270,6 +270,54 @@ object IngestStream {
       }
   }
 
+  /** one element of the h10 merged stream: tag 0 = a state UPDATE for
+    * the key (new metadata version), tag 1 = a PROBE asking for the
+    * latest state as of its time */
+  case class KeyedElem(k: Long, t: Long, tag: Int,
+      updateId: Long, payload: Double, probeId: Long)
+
+  /** latest-known update per key — the ENTIRE state, one row per key */
+  case class LatestUpdate(t: Long, updateId: Long, payload: Double)
+
+  case class AsofMatch(probeId: Long, k: Long, t: Long,
+      updateT: Long, updateId: Long, payload: Double)
+
+  /** h10 — streaming as-of enrichment, the streaming twin of the c21
+    * batch as-of join: probes (progress events) are answered with the
+    * latest update (asset/metadata version) at-or-before their event
+    * time, carried across micro-batches in keyed state. The state is
+    * ONE row per key — the latest update — regardless of how many
+    * updates the key has seen (bounded forever, spec-asserted), which
+    * is what makes this viable where a stream-stream interval join
+    * would buffer the whole update history inside the watermark.
+    * In-batch ordering is restored by (t, tag) sort — updates apply
+    * before same-time probes, c21's tie rule. Cross-batch the feed
+    * must be in order per key (the queue source's per-key delivery
+    * order); a straggler update arriving after a probe was answered
+    * does not rewrite the emitted answer — the same
+    * "latest-known-so-far" semantics the reference's progress
+    * publishes have. */
+  def streamingAsof(elems: Dataset[KeyedElem]): Dataset[AsofMatch] = {
+    import elems.sparkSession.implicits._
+    elems.groupByKey(_.k)
+      .flatMapGroupsWithState[LatestUpdate, AsofMatch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (k: Long, it: Iterator[KeyedElem], state: GroupState[LatestUpdate]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsofMatch]
+          var latest = state.getOption
+          it.toSeq.sortBy(e => (e.t, e.tag)).foreach { e =>
+            if (e.tag == 0) {
+              if (latest.forall(_.t <= e.t))
+                latest = Some(LatestUpdate(e.t, e.updateId, e.payload))
+            } else latest.filter(_.t <= e.t).foreach { s =>
+              out += AsofMatch(e.probeId, k, e.t, s.t, s.updateId, s.payload)
+            }
+          }
+          latest.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** h9 — stream-static broadcast enrichment: every progress event
     * joins the (small, slowly-changing) user-profile dimension before
     * publish, the way the reference resolves the user's container/

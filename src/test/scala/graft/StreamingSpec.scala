@@ -453,6 +453,51 @@ class StreamingSpec extends SparkTestBase {
     assert(out.length == 3, out.mkString(";"))
   }
 
+  test("h10: streaming as-of answers probes with the latest update, one state row per key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import IngestStream.{AsofMatch, KeyedElem}
+    def upd(k: Long, t: Long, id: Long, p: Double) = KeyedElem(k, t, 0, id, p, -1L)
+    def probe(k: Long, t: Long, pid: Long) = KeyedElem(k, t, 1, -1L, 0.0, pid)
+
+    val input = MemoryStream[KeyedElem]
+    val q = IngestStream.streamingAsof(input.toDS())
+      .writeStream.format("memory").queryName("h10_asof")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: out-of-order WITHIN the batch (probe listed before the
+      // update it must see), same-time tie (update applies first)
+      input.addData(Seq(
+        probe(1L, 10L, 100L), upd(1L, 5L, 50L, 0.5), upd(1L, 10L, 51L, 0.7),
+        probe(2L, 3L, 200L), // no update for k=2 yet: unanswered
+        upd(3L, 1L, 70L, 0.1)))
+      q.processAllAvailable()
+      // batch 2: probes answered from STATE carried across batches;
+      // many updates for k=3 still collapse to one state row
+      input.addData(Seq(
+        probe(3L, 2L, 300L),
+        upd(3L, 3L, 71L, 0.2), upd(3L, 4L, 72L, 0.3), upd(3L, 5L, 73L, 0.4),
+        probe(3L, 9L, 301L),
+        probe(1L, 99L, 101L)))
+      q.processAllAvailable()
+
+      val out = spark.table("h10_asof").as[AsofMatch].collect()
+        .map(m => m.probeId -> ((m.updateId, m.payload))).toMap
+      assert(out == Map(
+        100L -> ((51L, 0.7)),  // same-time update wins the tie
+        300L -> ((70L, 0.1)),  // carried across batches
+        301L -> ((73L, 0.4)),  // latest of the in-batch run
+        101L -> ((51L, 0.7))), // state survives idle batches
+        s"got $out")
+      // probe 200 had no update at-or-before its time: no row
+      assert(!out.contains(200L))
+      // the state is ONE row per key WITH updates (k=1, k=3) — not one
+      // per update, and probe-only keys (k=2) hold no state at all
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows == 2L, s"expected 2 state rows, got $stateRows")
+    } finally q.stop()
+  }
+
   test("h9: stream-static enrichment is stateless, broadcast, and never drops events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
