@@ -51,6 +51,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.CappedList].getCanonicalName, "graft_capped_list"),
       (exprs: Seq[Expression]) => graft.functions.CappedList(exprs(0), exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_repstats"),
+      new ExpressionInfo(classOf[graft.functions.RepStats].getCanonicalName, "graft_repstats"),
+      (exprs: Seq[Expression]) => graft.functions.RepStats(exprs(0))))
+    ext.injectFunction((
       FunctionIdentifier("graft_mg_topk"),
       new ExpressionInfo(classOf[graft.functions.MisraGries].getCanonicalName, "graft_mg_topk"),
       (exprs: Seq[Expression]) => graft.functions.MisraGries(exprs(0), exprs(1))))

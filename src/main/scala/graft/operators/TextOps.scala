@@ -499,39 +499,33 @@ object TextOps {
 
   /** f14 — repetition signals (the Gopher-rules family): distinct-token
     * ratio, most-frequent-token fraction, duplicate-2-gram fraction,
-    * and the resulting repetitive flag. Explode + two-phase aggregate
-    * rather than per-row array lambdas: higher-order functions are
-    * interpreted (and the distinct×count formulation is quadratic in
-    * DOCUMENT length), while explode + codegen'd partial counts keyed
-    * on doc_id cost O(tokens) regardless of how long one document is
-    * — a 500-page outlier can't stall a task. Shuffles are keyed on
-    * (doc_id[, token]) — uniform by construction. */
+    * and the resulting repetitive flag. MAP-ONLY via the native
+    * `graft_repstats` expression: one hash pass per document computes
+    * [n_tok, n_distinct, top_cnt, n_g2, d_g2] inside whole-stage
+    * codegen — zero shuffles, zero joins, linear in document length.
+    * (History: round-6 used explode + two-phase aggregate because
+    * Spark's higher-order array lambdas are interpreted and the
+    * distinct×count lambda formulation is quadratic in document
+    * length; the native expression keeps the per-row O(tokens) hash
+    * pass AND drops the two token-stream shuffles + rejoin that
+    * formulation needed. A 500-page outlier still can't stall a task
+    * beyond its own O(length) work.) */
   def qRepetition(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val d = Tables(spark, dir, "documents")
-    val base = Tables.fanout(d.select(col("doc_id"), split(col("text"), " ").as("toks")))
-      .withColumn("n_tok", size(col("toks")))
-    val tokStats = base
-      .select(col("doc_id"), col("n_tok"), explode(col("toks")).as("t"))
-      .groupBy("doc_id", "n_tok", "t").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id", "n_tok")
-      .agg(count(lit(1)).as("n_distinct"), max("c").as("top_cnt"))
-    // Spark's sequence(1, 0) counts DOWN — the 1-token doc gets an
-    // empty list, is dropped by the explode, and the left join below
-    // restores it with the same dup frac the per-row formula yields
-    val g2Stats = base
-      .select(col("doc_id"), explode(expr(
-        """CASE WHEN n_tok < 2 THEN cast(array() AS array<string>)
-             ELSE transform(sequence(1, n_tok - 1),
-               i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) END"""))
-        .as("g"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_g2"), countDistinct(col("g")).as("d_g2"))
-    tokStats.join(g2Stats, Seq("doc_id"), "left")
+    Tables.fanout(d.select(col("doc_id"), split(col("text"), " ").as("toks")))
+      .select(col("doc_id"), expr("graft_repstats(toks)").as("s"))
+      .select(col("doc_id"),
+        element_at(col("s"), 1).cast("int").as("n_tok"),
+        element_at(col("s"), 2).as("n_distinct"),
+        element_at(col("s"), 3).as("top_cnt"),
+        element_at(col("s"), 4).as("n_g2"),
+        element_at(col("s"), 5).as("d_g2"))
       .select(col("doc_id"), col("n_tok"),
         round(col("n_distinct").cast("double") / col("n_tok"), 6).as("distinct_ratio"),
         round(col("top_cnt").cast("double") / col("n_tok"), 6).as("top_tok_frac"),
-        coalesce(round(lit(1.0) - col("d_g2").cast("double") /
-          greatest(col("n_g2"), lit(1L)), 6), lit(1.0)).as("dup_2gram_frac"))
+        round(lit(1.0) - col("d_g2").cast("double") /
+          greatest(col("n_g2"), lit(1L)), 6).as("dup_2gram_frac"))
       .withColumn("repetitive",
         col("top_tok_frac") > 0.2 || col("dup_2gram_frac") > 0.1)
       .orderBy("doc_id")

@@ -472,4 +472,21 @@ class OperatorsSpec extends SparkTestBase {
       .select("route").distinct().collect().map(_.getString(0)).toSet
     assert(routes == Set("cog", "pmtiles", "archive", "passthrough", "skip"))
   }
+
+  test("graft_repstats matches hand-computed signals on edge cases") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rows = Seq(
+      (1L, Seq("only")),                            // 1 token: no bigrams
+      (2L, Seq("a", "a", "a", "a")),                // max repetition
+      (3L, Seq("a", "b", "a", "b", "a")),           // alternating: all bigrams dup'd into 2 distinct
+      (4L, Seq("w", "x", "y", "z"))                 // all distinct
+    ).toDF("doc_id", "toks")
+    val got = rows.selectExpr("doc_id", "graft_repstats(toks) AS s")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got(1L) == Seq(1L, 1L, 1L, 0L, 0L))
+    assert(got(2L) == Seq(4L, 1L, 4L, 3L, 1L))      // "a a" ×3 → 1 distinct
+    assert(got(3L) == Seq(5L, 2L, 3L, 4L, 2L))      // "a b","b a" ×2 each
+    assert(got(4L) == Seq(4L, 4L, 1L, 3L, 3L))
+  }
 }

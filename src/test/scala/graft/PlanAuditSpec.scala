@@ -138,6 +138,17 @@ class PlanAuditSpec extends SparkTestBase {
     val ppl = operators.TextOps.qPerplexity(spark, sfDir)
       .queryExecution.executedPlan.toString
     assert(ppl.contains("BroadcastHashJoin"), s"LM model not broadcast:\n$ppl")
+    // repetition: native graft_repstats makes it MAP-ONLY — the only
+    // exchange allowed is the final presentation sort
+    val rep = operators.TextOps.qRepetition(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // allowed exchanges: the fanout repartition + the presentation
+    // sort — but never an aggregation or a join (the old formulation
+    // shuffled the token stream twice and re-joined)
+    val exchanges = "Exchange".r.findAllIn(rep).size
+    assert(exchanges <= 2, s"repetition must be map-only, got $exchanges exchanges:\n$rep")
+    assert(!rep.contains("HashAggregate"), s"repetition must not aggregate:\n$rep")
+    assert(!rep.contains("Join"), s"repetition must not join:\n$rep")
   }
 
   test("native as-of join: AQE keeps the two zipper shuffles aligned") {
