@@ -543,7 +543,51 @@ object Ann {
       ORDER BY adc DESC, vec_id"""
   }
 
+  /** e10 — index-quality evaluation AS A QUERY: recall@5 of the LSH
+    * bucket (e2) and multi-probe (e4) indexes against the exact
+    * brute-force top-5 — the measurement every production ANN
+    * deployment runs before trusting an index (FAISS's recall sweep,
+    * re-expressed declaratively). The ground-truth side is a bounded
+    * top-k (TakeOrderedAndProject), each index side is its own pruned
+    * plan, and the comparison is two tiny semi-join counts — so the
+    * evaluation costs one corpus scan per method and the result is a
+    * 2-row report (method, k, n_hits, recall). At 100 TB this runs
+    * over a SAMPLE of queries the same way; per-query ground truth is
+    * the only exact-scan component, which is precisely why recall
+    * evaluation is a batch job and not an online check. */
+  def qAnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val e = Tables(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val exact = e.crossJoin(broadcast(q))
+      .select(col("vec_id"), expr(cosineSpark("embedding", "qv")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(5).select("vec_id")
+    def report(method: String, retrieved: DataFrame): DataFrame =
+      retrieved.select("vec_id").join(exact, "vec_id")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(method).as("method"), lit(5).as("k"), col("n_hits"),
+          round(col("n_hits").cast("double") / 5.0, 6).as("recall"))
+    report("lsh", qAnnLsh(spark, dir))
+      .unionAll(report("multiprobe", qAnnMultiprobe(spark, dir)))
+      .orderBy("method")
+  }
+
+  val qAnnRecallSql: String =
+    s"""WITH exact AS (SELECT vec_id FROM (${qAnnBruteSql.replace("LIMIT 10", "LIMIT 5")}) x),
+      l AS (SELECT vec_id FROM ($qAnnLshSql) y),
+      m AS (SELECT vec_id FROM ($qAnnMultiprobeSql) z)
+      SELECT method, 5 AS k, n_hits, round(CAST(n_hits AS DOUBLE) / 5.0, 6) AS recall
+      FROM (
+        SELECT 'lsh' AS method, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM l JOIN exact USING (vec_id)
+        UNION ALL
+        SELECT 'multiprobe' AS method, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM m JOIN exact USING (vec_id)) t
+      ORDER BY method"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_recall" -> (qAnnRecall _),
     "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_ann_pq" -> (qAnnPq _),
     "q_ann_brute" -> (qAnnBrute _),
@@ -555,6 +599,7 @@ object Ann {
     "q_ann_batch" -> (qAnnBatch _))
 
   val oracles: Map[String, String] = Map(
+    "q_ann_recall" -> qAnnRecallSql,
     "q_ann_ivfpq" -> qAnnIvfPqSql,
     "q_ann_pq" -> qAnnPqSql,
     "q_ann_brute" -> qAnnBruteSql,

@@ -809,7 +809,56 @@ object IngestOps {
         md5('geohub-data-pipeline|' || role_join || '|' || role_send || '|' || expires_at) AS token
       FROM r ORDER BY sub_id"""
 
+  /** a24 — redelivery/backoff accounting: the queue consumer abandons
+    * a failed message back to the bus, which redelivers with
+    * exponential backoff until it completes or hits the
+    * max-delivery-count and dead-letters (ref ingest.py:182-206
+    * dead_letter_message on error; the service-bus redelivery loop
+    * around it). Per failed message: delivery attempts up to the cap
+    * of 10, backoff before attempt i = min(300s, 5·2^(i−2)) (first
+    * delivery immediate), cumulative wait via a per-message window,
+    * outcome = retried / completed / dead_letter. Integer arithmetic
+    * end to end; the explode is bounded by the delivery cap. */
+  def qRetryBackoff(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val x = e.filter(col("event_id") % 17 === 0)
+      .select(col("event_id"), (col("event_id") % 13 + 1).as("attempts_needed"))
+      .withColumn("deliveries", least(col("attempts_needed"), lit(10L)))
+      .withColumn("attempt", explode(expr("sequence(1, int(deliveries))")))
+      .withColumn("delay_s",
+        when(col("attempt") === 1, 0L)
+          .otherwise(expr("least(300L, shiftleft(5L, attempt - 2))")))
+    val w = Window.partitionBy("event_id").orderBy("attempt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    x.withColumn("cum_delay_s", sum(col("delay_s")).over(w))
+      .withColumn("outcome",
+        when(col("attempt") < col("deliveries"), "retried")
+          .when(col("attempts_needed") <= 10, "completed")
+          .otherwise("dead_letter"))
+      .select("event_id", "attempt", "delay_s", "cum_delay_s", "outcome")
+      .orderBy("event_id", "attempt")
+  }
+
+  val qRetryBackoffSql: String =
+    """WITH m AS (
+        SELECT event_id, event_id % 13 + 1 AS attempts_needed
+        FROM events WHERE event_id % 17 = 0),
+      d AS (SELECT event_id, attempts_needed,
+        LEAST(attempts_needed, 10) AS deliveries FROM m),
+      x AS (SELECT event_id, attempts_needed, deliveries,
+        CAST(unnest(generate_series(1, CAST(deliveries AS INT))) AS INT) AS attempt FROM d),
+      y AS (SELECT *, CAST(CASE WHEN attempt = 1 THEN 0
+          ELSE LEAST(300, 5 * (1 << (attempt - 2))) END AS BIGINT) AS delay_s FROM x)
+      SELECT event_id, attempt, delay_s,
+        CAST(SUM(delay_s) OVER (PARTITION BY event_id ORDER BY attempt
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_delay_s,
+        CASE WHEN attempt < deliveries THEN 'retried'
+             WHEN attempts_needed <= 10 THEN 'completed'
+             ELSE 'dead_letter' END AS outcome
+      FROM y ORDER BY event_id, attempt"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_retry_backoff" -> (qRetryBackoff _),
     "q_pubsub_token" -> (qPubsubToken _),
     "q_user_folder_sweep" -> (qUserFolderSweep _),
     "q_log_lifecycle" -> (qLogLifecycle _),
@@ -835,6 +884,7 @@ object IngestOps {
     "q_deadletter_stats" -> (qDeadletterStats _))
 
   val oracles: Map[String, String] = Map(
+    "q_retry_backoff" -> qRetryBackoffSql,
     "q_pubsub_token" -> qPubsubTokenSql,
     "q_user_folder_sweep" -> qUserFolderSweepSql,
     "q_log_lifecycle" -> qLogLifecycleSql,
