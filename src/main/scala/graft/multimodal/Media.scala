@@ -42,6 +42,50 @@ object ImageCodec {
     bos.toByteArray
   }
 
+  /** 64-bit difference hash (dHash) from the REAL decoded pixels:
+    * average-pool luminance into a 9×8 grid, bit (y,x) = grid cell
+    * brighter than its right neighbor. Returned as 4 × 16-bit
+    * non-negative Int chunks (same sign-safe carriage as the text
+    * SimHash in Dedup.scala — a single BIGINT with bit 63 set would
+    * go negative) so the chunks double as multi-index block keys.
+    * Integer accumulation only ⇒ bit-exact across JVMs. */
+  def dhash(png: Array[Byte]): Array[Int] = {
+    val img = ImageIO.read(new ByteArrayInputStream(png))
+    val w = img.getWidth
+    val h = img.getHeight
+    val acc = Array.ofDim[Long](8, 9)
+    val cnt = Array.ofDim[Int](8, 9)
+    var y = 0
+    while (y < h) {
+      val gy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val gx = x * 9 / w
+        val rgb = img.getRGB(x, y)
+        acc(gy)(gx) += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        cnt(gy)(gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val out = new Array[Int](4)
+    var i = 0
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        // compare mean luminance as exact cross-multiplied integers
+        val l = acc(gy)(gx) * math.max(cnt(gy)(gx + 1), 1)
+        val r = acc(gy)(gx + 1) * math.max(cnt(gy)(gx), 1)
+        if (l > r) out(i / 16) |= 1 << (i % 16)
+        i += 1
+        gx += 1
+      }
+      gy += 1
+    }
+    out
+  }
+
   /** Real decode (JDK PNG reader) → width, height, and 8 vertical-band
     * mean-luminance features from the decoded pixels. Accumulation
     * order is fixed (row-major), so the floats are deterministic. */
@@ -368,7 +412,77 @@ object Media {
         CAST((CAST(frame_idx AS BIGINT) * 160 * 1000) // 16000 AS BIGINT) AS ts_ms
       FROM x ORDER BY doc_id, frame_idx"""
 
+  /** One perceptually-hashed image: doc + the dHash's 4 × 16-bit
+    * chunks. */
+  case class PHashed(doc_id: Long, c0: Int, c1: Int, c2: Int, c3: Int)
+
+  /** doc_id offset marking the planted re-upload stream in g8 (far
+    * above any real doc_id, so variant ids never collide). */
+  val PhashVariantOffset: Long = 1L << 40
+
+  /** g8 — perceptual image dedup: the multimodal twin of the text
+    * SimHash near-dup (Dedup.scala d3c). Each stored image is decoded
+    * through the REAL JDK PNG codec and reduced to a 64-bit dHash
+    * ([[ImageCodec.dhash]] — grid-pooled luminance gradient signs,
+    * integer-exact); pairs within Hamming ≤ 3 must agree exactly on
+    * one of the 4 16-bit chunks (pigeonhole), so blocking on
+    * (chunk_idx, chunk_value) finds ALL such pairs with one shuffle
+    * and NO O(n²) scan. Exact re-encodes land at Hamming 0; small
+    * pixel edits land ≤ 3 (spec-proven). Decode is mapPartitions
+    * (codec state amortized per task); everything after the hash is
+    * plain columnar Spark, identical in shape to d3c — including its
+    * scale story (4 × 65,536 block keys; a hot block — e.g. billions
+    * of near-black thumbnails — would widen its key with the next
+    * chunk's bits exactly like d5's hot-bucket fix). Rows-only check
+    * (the codec is not SQL-expressible); OperatorsSpec gates golden
+    * hashes, near-dup sensitivity, and exact-dup recall. */
+  def qPhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables(spark, dir, "documents")
+    val src = Tables.fanout(d.select(col("doc_id"), col("text")))
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+    // The testdata has no duplicate images (all 500 texts are unique),
+    // so the corpus is augmented with a deterministic RE-UPLOAD stream
+    // — the scenario image dedup exists for: every 5th doc contributes
+    // a byte-exact copy (same image stored twice), every 5th+1 a
+    // one-byte pixel nudge (re-encode / slight edit). The operator
+    // must find the planted pairs back; the copies are a pigeonhole
+    // GUARANTEE (hamming 0), the nudges are the perceptual case.
+    val sig = src.mapPartitions { it =>
+      it.flatMap { case (id, payload) =>
+        def hashed(docId: Long, p: Array[Byte]): PHashed = {
+          val ch = ImageCodec.dhash(ImageCodec.encodePng(id, p))
+          PHashed(docId, ch(0), ch(1), ch(2), ch(3))
+        }
+        val orig = hashed(id, payload)
+        if (id % 5 == 0) {
+          orig :: hashed(id + PhashVariantOffset, payload) :: Nil
+        } else if (id % 5 == 1 && payload.length > 0) {
+          val nudged = payload.clone()
+          val i = 20 % nudged.length
+          nudged(i) = (nudged(i) + 1).toByte
+          orig :: hashed(id + PhashVariantOffset, nudged) :: Nil
+        } else orig :: Nil
+      }
+    }.toDF().localCheckpoint(false) // hash once, not once per join side
+    val blocks = sig.withColumn("idx", explode(sequence(lit(0), lit(3))))
+      .withColumn("chunk",
+        element_at(array(col("c0"), col("c1"), col("c2"), col("c3")), col("idx") + 1))
+    blocks.as("x").join(blocks.as("y"),
+        col("x.idx") === col("y.idx") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("bit_count(x.c0 ^ y.c0) + bit_count(x.c1 ^ y.c1) + " +
+          "bit_count(x.c2 ^ y.c2) + bit_count(x.c3 ^ y.c3)").cast("int").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_phash_dedup" -> (qPhashDedup _),
     "q_audio_frames" -> (qAudioFrames _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_media_pipeline" -> (qMediaPipeline _),
@@ -377,10 +491,11 @@ object Media {
     "q_resize_plan" -> (qResizePlan _),
     "q_decode_batches" -> (qDecodeBatches _))
 
-  /** q_media_pipeline and q_media_batched intentionally have no
-    * oracle (a PNG codec round-trip is not SQL-expressible) → driver
-    * records a rows-only check; MediaSpec gates them with golden-pixel
-    * and g2-parity/g5-parity assertions. */
+  /** q_media_pipeline, q_media_batched and q_phash_dedup
+    * intentionally have no oracle (a PNG codec round-trip is not
+    * SQL-expressible) → driver records a rows-only check; the specs
+    * gate them with golden-pixel, g2-parity/g5-parity, golden-hash
+    * and exact-dup-recall assertions. */
   val oracles: Map[String, String] = Map(
     "q_audio_frames" -> qAudioFramesSql,
     "q_multimodal_meta" -> qMultimodalMetaSql,

@@ -860,7 +860,46 @@ object Analytics {
        GROUP BY s_suppkey, s_name
        ORDER BY numwait DESC, s_name LIMIT 20"""
 
+  // c28 — top revenue supplier (TPC-H q15 shape): revenue view (one
+  // agg over the filtered fact), global max of the view (one row,
+  // broadcast), equality join back to the view, dim attach. Distinct
+  // plan: "scalar agg over an agg view" — two aggregations and a
+  // 1-row broadcast join, no window over the whole view, one scan of
+  // the fact. The view is bounded by supplier cardinality, so the
+  // max + rejoin cost is independent of fact size; the revenue
+  // comparison happens on the exact decimal sums (cast to double only
+  // in the output) so max-equality cannot drift.
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+    val rev = l.groupBy("l_suppkey")
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)"))
+        .as("total_rev"))
+    val top = rev.agg(max(col("total_rev")).as("max_rev"))
+    val s = Tables(spark, dir, "supplier")
+    rev.join(broadcast(top), col("total_rev") === col("max_rev"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  val q15TopSupplierSql: String =
+    """WITH rev AS (
+         SELECT l_suppkey,
+           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS total_rev
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+         GROUP BY l_suppkey)
+       SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+       FROM rev JOIN supplier ON l_suppkey = s_suppkey
+       WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+       ORDER BY s_suppkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q15_top_supplier" -> (q15TopSupplier _),
     "q18_big_orders" -> (q18BigOrders _),
     "q21_waiting" -> (q21Waiting _),
     "q_asof_join" -> (qAsofJoin _),
@@ -889,6 +928,7 @@ object Analytics {
     "q_sessionize" -> (qSessionize _))
 
   val oracles: Map[String, String] = Map(
+    "q15_top_supplier" -> q15TopSupplierSql,
     "q18_big_orders" -> q18BigOrdersSql,
     "q21_waiting" -> q21WaitingSql,
     "q_asof_join" -> qAsofJoinSql,

@@ -661,7 +661,64 @@ object TextOps {
         round(-CAST(SUM(lp) AS DOUBLE) / (COUNT(*) * 1e6), 6) AS ce
       FROM scored GROUP BY doc_id ORDER BY doc_id"""
 
+  /** f19 — C4-style duplicate-span removal (the "discard repeated
+    * spans" pass every web-scale training corpus runs): documents are
+    * cut into non-overlapping 10-token spans, every span occurring
+    * more than once in the corpus keeps only its globally-first
+    * occurrence (lowest (doc_id, span_id)), and documents are
+    * reassembled from the surviving spans in order.
+    *
+    * Scale shape: the keeper per span is `min(struct(doc_id,
+    * span_id))` — a map-side-combinable aggregate, so a span repeated
+    * millions of times (boilerplate, licenses, nav bars) partially
+    * aggregates on every input task instead of concentrating its rows
+    * on one task the way `row_number() OVER (PARTITION BY span)`
+    * would. The keeper join back is a plain equi-join on span (AQE
+    * skew-split eligible), then one shuffle on doc_id reassembles.
+    * Requires non-empty documents (f13's same precondition: Spark's
+    * `div` truncates toward zero, DuckDB's `//` floors, so the
+    * zero-token span index would disagree at size 0). */
+  def qSpanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val span = 10
+    val d = Tables(spark, dir, "documents")
+    val spans = d.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, (size(toks) - 1) div $span), i -> array_join(slice(toks, i * $span + 1, $span), ' '))"))
+          .as(Seq("span_id", "span")))
+    val keepers = spans.groupBy("span")
+      .agg(min(struct(col("doc_id"), col("span_id"))).as("keep"),
+        count(lit(1)).as("n_occ"))
+    spans.join(keepers, "span")
+      .filter(struct(col("doc_id"), col("span_id")) === col("keep"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_kept"),
+        sum(when(col("n_occ") > 1, 1).otherwise(0)).cast("long").as("n_dup_kept"),
+        expr("array_join(transform(array_sort(collect_list(struct(span_id, span))), s -> s.span), ' ')")
+          .as("text_clean"))
+      .orderBy("doc_id")
+  }
+
+  val qSpanDedupSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      s AS (SELECT doc_id, toks,
+          unnest(generate_series(0, CAST((len(toks) - 1) // 10 AS INT))) AS span_id
+        FROM t),
+      sp AS (SELECT doc_id, CAST(span_id AS INT) AS span_id,
+          array_to_string(toks[(span_id * 10 + 1):(span_id * 10 + 10)], ' ') AS span
+        FROM s),
+      k AS (SELECT doc_id, span_id, span,
+          COUNT(*) OVER (PARTITION BY span) AS n_occ,
+          ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, span_id) AS rn
+        FROM sp)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_kept,
+        string_agg(span, ' ' ORDER BY span_id) AS text_clean
+      FROM k WHERE rn = 1
+      GROUP BY doc_id ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_span_dedup" -> (qSpanDedup _),
     "q_perplexity" -> (qPerplexity _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_chunk_docs" -> (qChunkDocs _),
@@ -682,6 +739,7 @@ object TextOps {
     "q_fingerprint" -> (qFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q_span_dedup" -> qSpanDedupSql,
     "q_perplexity" -> qPerplexitySql,
     "q_heavy_hitters" -> qHeavyHittersSql,
     "q_chunk_docs" -> qChunkDocsSql,

@@ -297,6 +297,49 @@ class OperatorsSpec extends SparkTestBase {
     assert(f1.forall(v => v >= 0.0f && v <= 1.0f)) // band mean luminance is normalized
   }
 
+  test("phash dedup: golden hash, near-dup sensitivity, exact-dup recall") {
+    import graft.multimodal.{ImageCodec, Media}
+    import org.apache.spark.sql.functions._
+    // deterministic: same payload → identical chunks across calls
+    val payload = "the quick brown fox jumps over the lazy dog!".getBytes("UTF-8")
+    val h1 = ImageCodec.dhash(ImageCodec.encodePng(7L, payload))
+    val h2 = ImageCodec.dhash(ImageCodec.encodePng(7L, payload))
+    assert(h1.toSeq == h2.toSeq)
+    assert(h1.forall(c => c >= 0 && c <= 0xffff), "chunks must be sign-safe 16-bit")
+    // near-dup sensitivity: a one-byte luminance nudge flips few bits
+    val tweaked = payload.clone(); tweaked(20) = (tweaked(20) + 1).toByte
+    val ht = ImageCodec.dhash(ImageCodec.encodePng(7L, tweaked))
+    val near = (0 until 4).map(i => Integer.bitCount(h1(i) ^ ht(i))).sum
+    assert(near <= 3, s"one-byte tweak moved $near bits — dHash not perceptual")
+    // a different payload is far
+    val other = ImageCodec.dhash(ImageCodec.encodePng(7L,
+      "completely different pixels here, yes truly different".getBytes("UTF-8")))
+    val far = (0 until 4).map(i => Integer.bitCount(h1(i) ^ other(i))).sum
+    assert(far > 3, s"unrelated payloads collided at hamming $far")
+    // end-to-end: every planted byte-exact re-upload (doc_id % 5 == 0)
+    // MUST be found at hamming 0 — identical payload ⇒ identical PNG
+    // ⇒ all 4 chunks agree (pigeonhole guarantee, not luck)
+    val pairs = Media.qPhashDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val ids = Tables(spark, sfDir, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    val got = pairs.map(p => (p._1, p._2)).toMap
+    ids.filter(_ % 5 == 0).foreach { id =>
+      val v = id + Media.PhashVariantOffset
+      assert(got.get(id).contains(v) || pairs.exists(p => p._1 == id && p._2 == v),
+        s"missing planted exact copy ($id, $v)")
+      pairs.filter(p => p._1 == id && p._2 == v)
+        .foreach(p => assert(p._3 == 0, s"exact copy at hamming ${p._3}"))
+    }
+    // the nudged re-uploads (doc_id % 5 == 1) are the perceptual case:
+    // most one-byte pixel edits stay within hamming 3
+    val planted = ids.count(_ % 5 == 1)
+    val foundNudged = pairs.count(p =>
+      p._1 % 5 == 1 && p._2 == p._1 + Media.PhashVariantOffset)
+    assert(foundNudged * 2 > planted,
+      s"only $foundNudged of $planted nudged re-uploads found — dHash not perceptual")
+  }
+
   test("media pipeline: real decode runs distributed and schema is stable") {
     import graft.multimodal.Media
     val df = Media.qMediaPipeline(spark, sfDir)

@@ -151,6 +151,24 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!rep.contains("Join"), s"repetition must not join:\n$rep")
   }
 
+  test("span dedup / q15 plan shapes: no window over span text, combined aggs, broadcast max") {
+    // f19: the keeper per span must come from a partial-then-final
+    // aggregate (map-side combine kills hot-span skew), NEVER from a
+    // row_number window partitioned by span text
+    val sd = operators.TextOps.qSpanDedup(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!sd.contains("Window"), s"span keeper must not be a window over span:\n$sd")
+    assert("SortAggregate|HashAggregate".r.findAllIn(sd).size >= 2,
+      s"keeper agg must have a partial (map-side) phase:\n$sd")
+    // c28 (q15 shape): the 1-row global max and the supplier dim must
+    // both broadcast; no window over the revenue view
+    val q15 = operators.Analytics.q15TopSupplier(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastExchange".r.findAllIn(q15).size >= 2,
+      s"max row + supplier dim must broadcast:\n$q15")
+    assert(!q15.contains("Window"), s"q15 must not rank the view with a window:\n$q15")
+  }
+
   test("native as-of join: AQE keeps the two zipper shuffles aligned") {
     // AsofJoinExec zips children partition-by-partition, so the pinned
     // requiredNumPartitions must survive AQE: after execution, both
