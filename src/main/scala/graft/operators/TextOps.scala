@@ -678,17 +678,29 @@ object TextOps {
     * Requires non-empty documents (f13's same precondition: Spark's
     * `div` truncates toward zero, DuckDB's `//` floors, so the
     * zero-token span index would disagree at size 0). */
-  def qSpanDedup(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, span_id, span) stream — f19's explode stage. */
+  private[graft] def spanStream(spark: SparkSession, dir: String): DataFrame = {
     val span = 10
     val d = Tables(spark, dir, "documents")
-    val spans = d.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    d.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"),
         posexplode(expr(
           s"transform(sequence(0, (size(toks) - 1) div $span), i -> array_join(slice(toks, i * $span + 1, $span), ' '))"))
           .as(Seq("span_id", "span")))
-    val keepers = spans.groupBy("span")
+  }
+
+  /** f19's keeper aggregate, exposed so the spec can measure its
+    * shuffle volume: partial min/count per input partition means a
+    * hot span writes ~one shuffle record per partition, not one per
+    * occurrence. */
+  private[graft] def spanKeepers(spans: DataFrame): DataFrame =
+    spans.groupBy("span")
       .agg(min(struct(col("doc_id"), col("span_id"))).as("keep"),
         count(lit(1)).as("n_occ"))
+
+  def qSpanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val spans = spanStream(spark, dir)
+    val keepers = spanKeepers(spans)
     spans.join(keepers, "span")
       .filter(struct(col("doc_id"), col("span_id")) === col("keep"))
       .groupBy("doc_id")

@@ -43,6 +43,45 @@ class SkewJoinSpec extends SparkTestBase {
     }
   }
 
+  test("span-dedup keeper agg combines hot spans map-side (shuffle stays small)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    import org.apache.spark.sql.functions._
+    // 200k occurrences of ONE span (the boilerplate/license-header
+    // case) + 500 unique spans. A row_number-over-span formulation
+    // would shuffle all 200,500 records into one task; the partial
+    // min/count agg must write ~one record per (partition, span).
+    val hot = spark.range(200000L).select(col("id").as("doc_id"),
+      lit(0).as("span_id"), lit("all rights reserved do not copy this page thank you").as("span"))
+    val uniq = spark.range(500L).select((col("id") + 300000L).as("doc_id"),
+      lit(0).as("span_id"), concat(lit("unique span "), col("id")).as("span"))
+    val spans = hot.unionAll(uniq)
+    val written = new java.util.concurrent.atomic.AtomicLong
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          written.addAndGet(te.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val keepers = operators.TextOps.spanKeepers(spans).collect()
+      // correctness: one keeper row per distinct span, hot keeper is
+      // the global first occurrence
+      assert(keepers.length == 501)
+      val hotRow = keepers.find(_.getAs[Long]("n_occ") == 200000L).get
+      assert(hotRow.getAs[org.apache.spark.sql.Row]("keep").getLong(0) == 0L)
+      // metrics settle asynchronously; poll until stable
+      val deadline = System.nanoTime() + 10e9.toLong
+      var last = -1L
+      while (System.nanoTime() < deadline && written.get() != last) {
+        last = written.get(); Thread.sleep(200)
+      }
+      val records = written.get()
+      assert(records > 0, "listener saw no shuffle at all — test is vacuous")
+      assert(records < 20000,
+        s"keeper agg shuffled $records records for 200,500 input spans — partial agg not combining")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("AQE splits a hot parquet key at realistic volume and default skew factor") {
     // The 32KB-threshold test above proves the mechanism; this one
     // proves it at volume the thresholds are designed for: a skewed
