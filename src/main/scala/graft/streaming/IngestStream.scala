@@ -335,6 +335,61 @@ object IngestStream {
     events.join(
       org.apache.spark.sql.functions.broadcast(profile), Seq("user"), "left")
 
+  /** one perceptually-hashed image arriving on the ingest stream —
+    * the g8 dHash chunks computed at decode time (Media.ImageCodec) */
+  case class HashedImage(docId: Long, c0: Int, c1: Int, c2: Int, c3: Int,
+      eventTimeMs: Long)
+
+  /** h11 — streaming near-dup image guard: g8's perceptual dedup
+    * running IN-STREAM, catching re-uploads of the same image within
+    * an hour of each other before they reach the corpus. Each arriving
+    * image explodes its 4 dHash chunks into pigeonhole block keys
+    * (any pair within Hamming ≤ 3 shares at least one — same
+    * guarantee as the batch operator) and the block stream SELF-joins
+    * within a 1-hour event-time window. Both sides carry watermarks
+    * AND the join has a time-range bound, so Spark evicts block-key
+    * state — without the bound, every block key ever seen lives
+    * forever. A pair sharing several equal chunks emits once per
+    * shared block; the chained dropDuplicatesWithinWatermark (Spark's
+    * multi-stateful pipeline support) collapses them, its state also
+    * watermark-bounded. Beyond the horizon, the batch g8 operator owns
+    * near-dup detection — same division of labor as h5/d1. */
+  def nearDupGuard(images: Dataset[HashedImage]): DataFrame = {
+    val base = images.toDF()
+      .withColumn("ts", timestamp_millis(col("eventTimeMs")))
+      .withWatermark("ts", "1 hour")
+    def blocks(side: String): DataFrame = base.select(
+        col("docId").as(s"${side}_doc"),
+        col("c0").as(s"${side}_c0"), col("c1").as(s"${side}_c1"),
+        col("c2").as(s"${side}_c2"), col("c3").as(s"${side}_c3"),
+        col("ts").as(s"${side}_ts"))
+      .select(col(s"${side}_doc"), col(s"${side}_c0"), col(s"${side}_c1"),
+        col(s"${side}_c2"), col(s"${side}_c3"), col(s"${side}_ts"),
+        explode(expr(
+          s"array(named_struct('idx', 0, 'chunk', ${side}_c0)," +
+            s" named_struct('idx', 1, 'chunk', ${side}_c1)," +
+            s" named_struct('idx', 2, 'chunk', ${side}_c2)," +
+            s" named_struct('idx', 3, 'chunk', ${side}_c3))")).as("b"))
+      .select(col(s"${side}_doc"), col(s"${side}_c0"), col(s"${side}_c1"),
+        col(s"${side}_c2"), col(s"${side}_c3"), col(s"${side}_ts"),
+        col("b.idx").as(s"${side}_idx"), col("b.chunk").as(s"${side}_chunk"))
+    blocks("x").join(blocks("y"),
+        col("x_idx") === col("y_idx") && col("x_chunk") === col("y_chunk") &&
+          col("x_doc") < col("y_doc") &&
+          col("y_ts") >= col("x_ts") - expr("INTERVAL 1 HOUR") &&
+          col("y_ts") <= col("x_ts") + expr("INTERVAL 1 HOUR"))
+      .withColumn("hamming", expr(
+        "bit_count(x_c0 ^ y_c0) + bit_count(x_c1 ^ y_c1) + " +
+          "bit_count(x_c2 ^ y_c2) + bit_count(x_c3 ^ y_c3)").cast("int"))
+      .filter(col("hamming") <= 3)
+      .select(col("x_doc").as("doc_a"), col("y_doc").as("doc_b"),
+        col("hamming"), col("x_ts").as("first_ts"))
+      // first_ts keeps its event-time watermark through the join, so
+      // the chained dedup state is horizon-bounded too (re-declaring
+      // a watermark here is disallowed in multi-stateful pipelines)
+      .dropDuplicatesWithinWatermark("doc_a", "doc_b")
+  }
+
   /** h2 — watermarked tumbling-window ingest throughput (streaming twin
     * of c7 q_events_window). */
   def windowedCounts(events: DataFrame): DataFrame =

@@ -531,4 +531,35 @@ class StreamingSpec extends SparkTestBase {
         s"stream-static join must not create state: ${q.lastProgress}")
     } finally q.stop()
   }
+
+  test("h11: streaming near-dup guard pairs re-uploads in-window, once per pair") {
+    import spark.implicits._
+    import graft.streaming.IngestStream.HashedImage
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[HashedImage]
+    val q = IngestStream.nearDupGuard(input.toDS())
+      .writeStream.format("memory").queryName("h11_pairs")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val h = 3600 * 1000L
+      input.addData(
+        HashedImage(1L, 10, 20, 30, 40, 10 * h),          // original
+        HashedImage(2L, 10, 20, 30, 40, 10 * h + 300000), // exact re-upload → hamming 0
+        HashedImage(3L, 10, 20, 30, 41, 10 * h + 600000), // 1-bit edit → hamming 1 to both
+        HashedImage(4L, 999, 888, 777, 666, 10 * h + 1))  // unrelated
+      q.processAllAvailable()
+      input.addData(HashedImage(5L, 10, 20, 30, 40, 13 * h)) // same image, 3h later → outside window
+      q.processAllAvailable()
+      val rows = spark.table("h11_pairs").collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Int]("hamming")))
+      // (1,3) shares 3 equal chunks ⇒ 3 block hits; the chained
+      // dropDuplicatesWithinWatermark must emit it ONCE
+      assert(rows.length == rows.map(p => (p._1, p._2)).distinct.length,
+        s"pair emitted more than once: ${rows.toSeq}")
+      assert(rows.toSet == Set((1L, 2L, 0), (1L, 3L, 1), (2L, 3L, 1)),
+        s"got ${rows.toSeq}")
+      // the late doc 5 never pairs: outside the 1h bound
+      assert(!rows.exists(p => p._1 == 5L || p._2 == 5L))
+    } finally q.stop()
+  }
 }
