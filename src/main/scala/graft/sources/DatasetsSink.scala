@@ -58,4 +58,23 @@ object DatasetsSink {
   def readUser(spark: org.apache.spark.sql.SparkSession, path: String,
       userId: Long): DataFrame =
     spark.read.parquet(path).where(org.apache.spark.sql.functions.col("user_id") === userId)
+
+  /** i6 — schema-evolution-tolerant read: a long-lived lake
+    * accumulates parquet batches whose schemas DRIFT — columns appear
+    * in later eras, early eras wrote narrower integers, dead columns
+    * linger in old files. The Spark-native answer is to push the
+    * table's CANONICAL schema straight into the scan: era files
+    * missing a column read it as typed nulls (parquet missing-column
+    * semantics, never a schema error), era files with a narrower
+    * type widen inside the vectorized reader (Spark 4 type-widening
+    * promotions: int → long etc.), and columns the canonical schema
+    * dropped are never even read. Contrast with `mergeSchema`, which
+    * (a) runs a footer-reading job over the whole lake before the
+    * query starts and (b) hard-fails on exactly the INT→BIGINT drift
+    * evolution produces. This is a single pruned, filter-pushed scan
+    * with no metadata pre-pass — at 100 TB, the only acceptable
+    * shape. */
+  def readEvolved(spark: org.apache.spark.sql.SparkSession, path: String,
+      canonical: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(canonical).parquet(path)
 }

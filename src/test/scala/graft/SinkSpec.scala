@@ -68,4 +68,40 @@ class SinkSpec extends SparkTestBase {
     val probe = df.where(col("id") === 7).select("content_key").collect()(0).getString(0)
     assert(back.where(col("content_key") === probe).count() == 1)
   }
+
+  test("readEvolved: drifting batch schemas read back as one canonical schema") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evolve").toString
+    // era 1: narrow ints, no lang column yet
+    spark.range(3).select(col("id").cast("int").as("doc_id"),
+      concat(lit("old_"), col("id")).as("text"))
+      .write.mode("append").parquet(dir)
+    // era 2: doc_id widened to long, lang added
+    spark.range(3, 6).select(col("id").as("doc_id"),
+      concat(lit("new_"), col("id")).as("text"), lit("en").as("lang"))
+      .write.mode("append").parquet(dir)
+    // era 3: a column the canonical schema later dropped
+    spark.range(6, 9).select(col("id").as("doc_id"),
+      concat(lit("tmp_"), col("id")).as("text"), lit("de").as("lang"),
+      lit(0.5).as("legacy_score"))
+      .write.mode("append").parquet(dir)
+    val canonical = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val out = sources.DatasetsSink.readEvolved(spark, dir, canonical)
+    // one stable schema: widened, aligned, dropped column pruned
+    assert(out.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      Seq(("doc_id", LongType), ("text", StringType), ("lang", StringType)))
+    val rows = out.orderBy("doc_id").collect()
+    assert(rows.length == 9)
+    // era-1 rows: missing lang reads as null, never a schema error
+    assert(rows.take(3).forall(r => r.isNullAt(2) && r.getString(1).startsWith("old_")))
+    assert(rows.drop(3).take(3).forall(_.getString(2) == "en"))
+    // pruning survives the align: a doc_id-only query reads one column
+    val plan = sources.DatasetsSink.readEvolved(spark, dir, canonical)
+      .select("doc_id").queryExecution.executedPlan.toString
+    assert(!plan.contains("legacy_score") && !plan.toLowerCase.contains("readschema: struct<doc_id:bigint,text"),
+      s"align must not defeat column pruning:\n$plan")
+  }
 }
