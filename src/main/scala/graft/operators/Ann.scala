@@ -586,7 +586,71 @@ object Ann {
         FROM m JOIN exact USING (vec_id)) t
       ORDER BY method"""
 
+  /** e11 — one exact Lloyd iteration (the k-means step IVF training
+    * runs until convergence; e3/e9's `label` cells come from exactly
+    * this loop in production FAISS). Seeds = vectors 0..3 (the
+    * deterministic init every engine can reproduce); every vector is
+    * assigned to its nearest seed by squared L2 over EXACT
+    * decimal-quantized components (same decimal(8,6) convention as
+    * the rest of the family — float summation order can flip an
+    * argmin near a tie, exact decimals cannot, so assignment is
+    * oracle-identical); the step emits each refreshed cluster's size
+    * and new mean (first 3 dims). Plan shape: seeds broadcast (k×dim
+    * rows), the per-(vector, seed) distance agg partially combines
+    * map-side, argmin is a min(struct) — the whole step is one
+    * scan + two combined shuffles, and ITERATING it (driver loop,
+    * like d6's CC rounds) re-broadcasts only the k×dim refreshed
+    * seeds, never re-shuffles history. */
+  def qKmeansStep(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val dq = round(col("v").cast("double"), 6).cast("decimal(8,6)")
+    val pe = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .select(col("vec_id"), col("i"), dq.as("qv"))
+    val seeds = pe.filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("int").as("seed_id"), col("i"), col("qv").as("cv"))
+    val dist = pe.join(broadcast(seeds), "i")
+      .groupBy("vec_id", "seed_id")
+      .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv"))).as("d2"))
+    val assign = dist.groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("seed_id"))).as("best"))
+      .select(col("vec_id"), col("best.seed_id").as("seed_id"))
+    pe.join(assign, "vec_id")
+      .filter(col("i") < 3)
+      .groupBy("seed_id")
+      .agg((count(lit(1)) / 3).cast("long").as("n_assigned"),
+        round((sum(when(col("i") === 0, col("qv"))).cast("double") * 3
+          / count(lit(1))), 6).as("m0"),
+        round((sum(when(col("i") === 1, col("qv"))).cast("double") * 3
+          / count(lit(1))), 6).as("m1"),
+        round((sum(when(col("i") === 2, col("qv"))).cast("double") * 3
+          / count(lit(1))), 6).as("m2"))
+      .orderBy("seed_id")
+  }
+
+  val qKmeansStepSql: String =
+    """WITH pe AS (
+        SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
+          CAST(round(CAST(unnest(embedding) AS DOUBLE), 6) AS DECIMAL(8,6)) AS qv
+        FROM embeddings),
+      seeds AS (SELECT CAST(vec_id AS INT) AS seed_id, i, qv AS cv FROM pe WHERE vec_id < 4),
+      dist AS (
+        SELECT vec_id, seed_id, SUM((qv - cv) * (qv - cv)) AS d2
+        FROM pe JOIN seeds USING (i) GROUP BY vec_id, seed_id),
+      assign AS (
+        SELECT vec_id, seed_id FROM (
+          SELECT vec_id, seed_id,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, seed_id) AS rn
+          FROM dist) x WHERE rn = 1)
+      SELECT seed_id,
+        CAST(COUNT(*) / 3 AS BIGINT) AS n_assigned,
+        round(CAST(SUM(CASE WHEN i = 1 THEN qv END) AS DOUBLE) * 3 / COUNT(*), 6) AS m0,
+        round(CAST(SUM(CASE WHEN i = 2 THEN qv END) AS DOUBLE) * 3 / COUNT(*), 6) AS m1,
+        round(CAST(SUM(CASE WHEN i = 3 THEN qv END) AS DOUBLE) * 3 / COUNT(*), 6) AS m2
+      FROM pe JOIN assign USING (vec_id) WHERE i <= 3
+      GROUP BY seed_id ORDER BY seed_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kmeans_step" -> (qKmeansStep _),
     "q_ann_recall" -> (qAnnRecall _),
     "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_ann_pq" -> (qAnnPq _),
@@ -599,6 +663,7 @@ object Ann {
     "q_ann_batch" -> (qAnnBatch _))
 
   val oracles: Map[String, String] = Map(
+    "q_kmeans_step" -> qKmeansStepSql,
     "q_ann_recall" -> qAnnRecallSql,
     "q_ann_ivfpq" -> qAnnIvfPqSql,
     "q_ann_pq" -> qAnnPqSql,

@@ -729,7 +729,68 @@ object Dedup {
         LEFT JOIN near nr ON nr.doc_id = d.doc_id
       WHERE d.doc_id % 10 = 7 ORDER BY d.doc_id"""
 
+  /** d9 — dedup-index quality as a query (the d-family twin of e10's
+    * ANN recall evaluation): recall of d2's 4×2 banded MinHash
+    * candidates against EXACT ground truth, bucketed by true Jaccard
+    * — the measured LSH S-curve (bands catch nearly everything at
+    * J ≥ 0.5 and intentionally little at the 0.2 boundary; this query
+    * quantifies exactly where the knee sits on the real corpus).
+    * Ground truth needs no cartesian: any pair with J ≥ 0.2 shares a
+    * shingle, so exact pairs come from a shingle equi-self-join +
+    * exact-Jaccard verify. Uncapped posting lists here — exactness is
+    * the point of an EVAL query; at 100 TB you run it on an eval
+    * sample and the production screen keeps d4's df-capped lists. */
+  def qDedupRecall(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleSets(spark, dir)
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val truePairs = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val withJ = truePairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter", expr("size(filter(sh_a, x -> array_contains(sh_b, x)))"))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
+      .filter(col("jaccard") >= 0.2)
+      .select("doc_a", "doc_b", "jaccard")
+    val caught = minhashPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("caught"))
+    withJ.join(caught, Seq("doc_a", "doc_b"), "left")
+      .withColumn("bucket", (floor(col("jaccard") * 10) / 10).cast("double"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("caught"), lit(0))).cast("long").as("n_caught"),
+        round(sum(coalesce(col("caught"), lit(0))).cast("double") / count(lit(1)), 6)
+          .as("recall"))
+      .orderBy("bucket")
+  }
+
+  val qDedupRecallSql: String = {
+    val band = qDedupMinhashSql.replace("ORDER BY doc_a, doc_b", "")
+    s"""WITH s AS (SELECT doc_id, $shDuck AS sh FROM documents),
+      sh AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+      ex AS (SELECT doc_id, unnest(sh) AS sg FROM sh),
+      tp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id),
+      wj AS (
+        SELECT doc_a, doc_b,
+          round(CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+            / (len(sa.sh) + len(sb.sh) - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))), 6) AS jaccard
+        FROM tp JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b),
+      tr AS (SELECT doc_a, doc_b, jaccard FROM wj WHERE jaccard >= 0.2),
+      bandpairs AS (SELECT doc_a, doc_b, 1 AS caught FROM ($band) bp)
+      SELECT CAST(floor(jaccard * 10) / 10 AS DOUBLE) AS bucket,
+        COUNT(*) AS n_true,
+        CAST(SUM(COALESCE(caught, 0)) AS BIGINT) AS n_caught,
+        round(CAST(SUM(COALESCE(caught, 0)) AS DOUBLE) / COUNT(*), 6) AS recall
+      FROM tr LEFT JOIN bandpairs USING (doc_a, doc_b)
+      GROUP BY 1 ORDER BY bucket"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_recall" -> (qDedupRecall _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_keep_best" -> (qDedupKeepBest _),
     "q_dedup_cc" -> (qDedupCc _),
@@ -742,6 +803,7 @@ object Dedup {
     "q_dedup_embedding" -> (qDedupEmbedding _))
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_recall" -> qDedupRecallSql,
     "q_dedup_incremental" -> qDedupIncrementalSql,
     "q_dedup_keep_best" -> qDedupKeepBestSql,
     "q_dedup_cc" -> qDedupCcSql,
