@@ -742,17 +742,22 @@ object Dedup {
     * sample and the production screen keeps d4's df-capped lists. */
   def qDedupRecall(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingleSets(spark, dir)
+    // |A∩B| counted straight off the posting stream (d4's shape): the
+    // shingle equi-self-join yields one row per SHARED shingle, so a
+    // count per pair IS the intersection — no arrays carried through
+    // the pair join, no distinct
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val truePairs = ex.as("a").join(ex.as("b"),
+    val inter = ex.as("a").join(ex.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val withJ = truePairs
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("inter", expr("size(filter(sh_a, x -> array_contains(sh_b, x)))"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+    val withJ = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
       .withColumn("jaccard", round(col("inter").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
+        (col("n_a") + col("n_b") - col("inter")), 6))
       .filter(col("jaccard") >= 0.2)
       .select("doc_a", "doc_b", "jaccard")
     val caught = minhashPairs(spark, dir)
@@ -772,13 +777,15 @@ object Dedup {
     s"""WITH s AS (SELECT doc_id, $shDuck AS sh FROM documents),
       sh AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
       ex AS (SELECT doc_id, unnest(sh) AS sg FROM sh),
-      tp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id),
+      ints AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
       wj AS (
         SELECT doc_a, doc_b,
-          round(CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
-            / (len(sa.sh) + len(sb.sh) - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))), 6) AS jaccard
-        FROM tp JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b),
+          round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+        FROM ints JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b),
       tr AS (SELECT doc_a, doc_b, jaccard FROM wj WHERE jaccard >= 0.2),
       bandpairs AS (SELECT doc_a, doc_b, 1 AS caught FROM ($band) bp)
       SELECT CAST(floor(jaccard * 10) / 10 AS DOUBLE) AS bucket,

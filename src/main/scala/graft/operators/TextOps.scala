@@ -678,11 +678,12 @@ object TextOps {
     * Requires non-empty documents (f13's same precondition: Spark's
     * `div` truncates toward zero, DuckDB's `//` floors, so the
     * zero-token span index would disagree at size 0). */
-  /** (doc_id, span_id, span) stream — f19's explode stage. */
-  private[graft] def spanStream(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, span_id, span) stream — f19's explode stage, over any
+    * (doc_id, text) frame (PropertySpec drives it with random
+    * corpora). */
+  private[graft] def spanStreamOf(docs: DataFrame): DataFrame = {
     val span = 10
-    val d = Tables(spark, dir, "documents")
-    d.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"),
         posexplode(expr(
           s"transform(sequence(0, (size(toks) - 1) div $span), i -> array_join(slice(toks, i * $span + 1, $span), ' '))"))
@@ -698,8 +699,9 @@ object TextOps {
       .agg(min(struct(col("doc_id"), col("span_id"))).as("keep"),
         count(lit(1)).as("n_occ"))
 
-  def qSpanDedup(spark: SparkSession, dir: String): DataFrame = {
-    val spans = spanStream(spark, dir)
+  /** f19's full pipeline over any (doc_id, text) frame. */
+  private[graft] def spanDedup(docs: DataFrame): DataFrame = {
+    val spans = spanStreamOf(docs)
     val keepers = spanKeepers(spans)
     spans.join(keepers, "span")
       .filter(struct(col("doc_id"), col("span_id")) === col("keep"))
@@ -710,6 +712,9 @@ object TextOps {
           .as("text_clean"))
       .orderBy("doc_id")
   }
+
+  def qSpanDedup(spark: SparkSession, dir: String): DataFrame =
+    spanDedup(Tables(spark, dir, "documents"))
 
   val qSpanDedupSql: String =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

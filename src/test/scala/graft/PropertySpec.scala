@@ -147,4 +147,43 @@ class PropertySpec extends SparkTestBase {
       true
     }, n = 12)
   }
+
+  test("span dedup equals the reference model on random corpora") {
+    // f19's distributed formulation (partial min/count agg + keeper
+    // join + reassembly) against a direct in-memory model: global
+    // first-occurrence keep over non-overlapping 10-token spans. Tiny
+    // vocab forces heavy span collisions, short docs exercise the
+    // ragged last span.
+    import spark.implicits._
+    val genCase = for {
+      nDocs <- Gen.choose(1, 40)
+      vocab <- Gen.choose(2, 6)
+      maxLen <- Gen.choose(1, 35)
+      seed <- Gen.choose(0L, Long.MaxValue)
+    } yield (nDocs, vocab, maxLen, seed)
+    check(Prop.forAll(genCase) { case (nDocs, vocab, maxLen, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val docs = (0 until nDocs).map { i =>
+        val n = 1 + rnd.nextInt(maxLen)
+        (i.toLong, (0 until n).map(_ => s"w${rnd.nextInt(vocab)}").mkString(" "))
+      }
+      val got = operators.TextOps.spanDedup(docs.toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+      val spans = docs.flatMap { case (id, text) =>
+        text.split(" ").grouped(10).zipWithIndex.map { case (c, si) =>
+          (id, si, c.mkString(" "))
+        }
+      }
+      val counts = spans.groupBy(_._3).view.mapValues(_.size).toMap
+      val keeper = spans.groupBy(_._3).view
+        .mapValues(_.minBy(s => (s._1, s._2))).toMap
+      val kept = spans.filter(s => keeper(s._3) == s)
+      val want = kept.groupBy(_._1).map { case (id, ss) =>
+        (id, ss.size.toLong, ss.count(s => counts(s._3) > 1).toLong,
+          ss.sortBy(_._2).map(_._3).mkString(" "))
+      }.toSeq.sortBy(_._1)
+      assert(got.sortBy(_._1) == want, s"span dedup diverged (seed $seed)")
+      true
+    }, n = 15)
+  }
 }
