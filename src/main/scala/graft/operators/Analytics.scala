@@ -898,7 +898,47 @@ object Analytics {
        WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
        ORDER BY s_suppkey"""
 
+  // c29 — dormant high-balance customers (TPC-H q22 shape): a global
+  // scalar threshold (positive-balance average over the nation
+  // subset) gates the fact, then an ANTI join on a filtered orders
+  // subset finds customers with money but no urgent orders. The
+  // threshold compare cross-multiplies (bal * n_pos > sum_pos, the
+  // c15 trick) so no division touches the predicate — exact decimals
+  // end to end, and the 1-row threshold broadcasts. The anti side
+  // filters BEFORE the join, so the semi-join state is the urgent
+  // subset, not the whole orders table.
+  def q22NoOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+      .filter(col("c_nationkey") % 2 === 1)
+      .select(col("c_custkey"), col("c_nationkey"),
+        col("c_acctbal").cast("decimal(18,2)").as("bal"))
+    val thr = c.filter(col("bal") > 0)
+      .agg(count(lit(1)).as("n_pos"), sum(col("bal")).as("sum_pos"))
+    val urgent = Tables(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey")
+    c.crossJoin(broadcast(thr))
+      .filter(col("bal") * col("n_pos") > col("sum_pos"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("bal")).cast("double").as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
+
+  val q22NoOrdersSql: String =
+    """WITH c AS (SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+         FROM customer WHERE c_nationkey % 2 = 1),
+       thr AS (SELECT COUNT(*) AS n_pos, SUM(bal) AS sum_pos FROM c WHERE bal > 0)
+       SELECT c_nationkey, COUNT(*) AS numcust, CAST(SUM(bal) AS DOUBLE) AS totacctbal
+       FROM c, thr
+       WHERE bal * n_pos > sum_pos
+         AND NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+       GROUP BY c_nationkey ORDER BY c_nationkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_no_orders" -> (q22NoOrders _),
     "q15_top_supplier" -> (q15TopSupplier _),
     "q18_big_orders" -> (q18BigOrders _),
     "q21_waiting" -> (q21Waiting _),
@@ -928,6 +968,7 @@ object Analytics {
     "q_sessionize" -> (qSessionize _))
 
   val oracles: Map[String, String] = Map(
+    "q22_no_orders" -> q22NoOrdersSql,
     "q15_top_supplier" -> q15TopSupplierSql,
     "q18_big_orders" -> q18BigOrdersSql,
     "q21_waiting" -> q21WaitingSql,
