@@ -241,6 +241,46 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("h1 on RocksDB: the state machine runs unchanged on the production state store") {
+    // local tests default to the in-memory HDFS-backed store; a 100 TB
+    // stream keys state by asset url and MUST run on RocksDB (state
+    // larger than executor heap, incremental checkpoints). Prove the
+    // stateful operators are store-agnostic: same state machine, same
+    // output, RocksDB provider actually engaged.
+    import spark.implicits._
+    import graft.streaming.IngestStream.IngestEvent
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[IngestEvent]
+    val query = IngestStream.stageStateMachine(input.toDS(), GroupStateTimeout.NoTimeout)
+      .writeStream.format("memory").queryName("rocksdb_stages")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        IngestEvent("u1/a.tif", "u1", "downloaded", 30, 1000L),
+        IngestEvent("u1/a.tif", "u1", "processing", 60, 2000L))
+      query.processAllAvailable()
+      input.addData(IngestEvent("u1/a.tif", "u1", "processed", 100, 3000L))
+      query.processAllAvailable()
+      val stages = spark.table("rocksdb_stages").collect()
+        .map(_.getAs[String]("stage")).toSeq
+      assert(stages == Seq("downloaded", "processing", "processed"), stages.mkString(","))
+      // the provider must actually be RocksDB, not silently defaulted
+      val p = query.lastProgress.stateOperators
+      assert(p.nonEmpty && p(0).customMetrics.containsKey("rocksdbFilesCopied"),
+        s"RocksDB store not engaged: ${if (p.isEmpty) "no state ops" else p(0).customMetrics}")
+    } finally {
+      query.stop()
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("h8: streaming heavy hitters keep frequent users in bounded sharded state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
