@@ -111,6 +111,15 @@ object GraftFunctions {
     * session (idempotent) — the runtime fallback for sessions built
     * without `spark.sql.extensions=graft.GraftExtensions`. */
   def register(spark: SparkSession): Unit = {
+    // fast idempotence: operators call this defensively from query
+    // builders, so skip the 12 createOrReplace calls (and their
+    // "replaced a previously registered function" warn spam) once the
+    // session has the graft surface; graft_repstats is the sentinel
+    // (last name registered below, and also present when the session
+    // was built with GraftExtensions)
+    if (spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_repstats")))
+      return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

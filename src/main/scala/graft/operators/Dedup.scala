@@ -735,29 +735,48 @@ object Dedup {
     * — the measured LSH S-curve (bands catch nearly everything at
     * J ≥ 0.5 and intentionally little at the 0.2 boundary; this query
     * quantifies exactly where the knee sits on the real corpus).
-    * Ground truth needs no cartesian: any pair with J ≥ 0.2 shares a
-    * shingle, so exact pairs come from a shingle equi-self-join +
-    * exact-Jaccard verify. Uncapped posting lists here — exactness is
-    * the point of an EVAL query; at 100 TB you run it on an eval
-    * sample and the production screen keeps d4's df-capped lists. */
+    * Ground truth needs no cartesian — and no posting SELF-JOIN
+    * either: exact pairs come off per-shingle posting lists built
+    * with d4's one-aggregation df-cap witness ([[ngramDfCap]]), so a
+    * boilerplate shingle shared by k docs can never emit its C(k,2)
+    * pair rows — the blow-up d4 caps and d5 guards against is bounded
+    * INSIDE this query (≤ C(cap,2) pair rows per posting row), not by
+    * a run-it-on-a-sample convention. Recall is measured on the
+    * capped universe: still exact for every pair whose shingles are
+    * all non-boilerplate — every pair on this corpus, the recall
+    * table is unchanged — and the capped truth is the right yardstick
+    * anyway, because the production screen (d4) lives in the same
+    * capped vocabulary. */
   def qDedupRecall(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val sh = shingleSets(spark, dir)
-    // |A∩B| counted straight off the posting stream (d4's shape): the
-    // shingle equi-self-join yields one row per SHARED shingle, so a
-    // count per pair IS the intersection — no arrays carried through
-    // the pair join, no distinct
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val inter = ex.as("a").join(ex.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter"))
-    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+    // posting lists with the cap witnessed in ONE aggregation: ≤ cap
+    // elements = the COMPLETE posting set, cap+1 = boilerplate, drop
+    // (bounded memory; see qNgramJaccard for the repartition note)
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val postingAll = ex.repartition(parts, col("s")).groupBy("s")
+      .agg(expr(s"graft_capped_list(doc_id, ${ngramDfCap + 1})").as("ds"))
+    val posting = postingAll.filter(size(col("ds")).between(1, ngramDfCap))
+    // ONE Generate + ONE aggregation yields pair intersection counts
+    // (packed a<<32|b records, count per pair = |A∩B|) AND per-doc
+    // kept-vocabulary sizes (negative records) from the same shuffle
+    val recs = posting
+      .select(explode(expr("graft_posting_records(ds)")).as("p"))
+      .groupBy("p").agg(count(lit(1)).as("cnt"))
+    val inter = recs.filter(col("p") >= 0)
+      .select(shiftrightunsigned(col("p"), 32).as("doc_a"),
+        (col("p").bitwiseAND(lit(0xffffffffL))).as("doc_b"),
+        col("cnt").as("inter"))
+    val sizes = recs.filter(col("p") < 0)
+      .select((-col("p") - 1).as("doc_id"), col("cnt").as("n"))
+    // one compact row per doc — broadcast, reused by both join sides
+    val bsz = broadcast(sizes)
     val withJ = inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .join(bsz.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(bsz.as("sb"), col("doc_b") === col("sb.doc_id"))
       .withColumn("jaccard", round(col("inter").cast("double") /
-        (col("n_a") + col("n_b") - col("inter")), 6))
+        (col("sa.n") + col("sb.n") - col("inter")), 6))
       .filter(col("jaccard") >= 0.2)
       .select("doc_a", "doc_b", "jaccard")
     val caught = minhashPairs(spark, dir)
@@ -777,10 +796,12 @@ object Dedup {
     s"""WITH s AS (SELECT doc_id, $shDuck AS sh FROM documents),
       sh AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
       ex AS (SELECT doc_id, unnest(sh) AS sg FROM sh),
+      keep AS (SELECT sg FROM ex GROUP BY sg HAVING COUNT(*) <= $ngramDfCap),
+      inv AS (SELECT doc_id, sg FROM ex JOIN keep USING (sg)),
       ints AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-        FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        FROM inv a JOIN inv b ON a.sg = b.sg AND a.doc_id < b.doc_id
         GROUP BY 1, 2),
-      sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM inv GROUP BY doc_id),
       wj AS (
         SELECT doc_a, doc_b,
           round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard

@@ -143,11 +143,18 @@ object TextOps {
     * counters per partition partial, mergeable with the guarantee
     * intact) whose keys provably include every token above N/513 —
     * comfortably under the N/200 threshold — and pass 2 computes
-    * EXACT counts for those ≤ 512 candidates only (the groupBy's
-    * shuffle carries candidate tokens alone, pruned by a broadcast
-    * semi-join). False positives fall to the final threshold filter,
-    * so the result is exact and partitioning-independent: the oracle
-    * is the plain GROUP BY + HAVING. Threshold arithmetic is integer
+    * EXACT counts for those ≤ 512 candidates only. The sketch row
+    * (≤ 512 keys + the stream length — a few KB) is collected on the
+    * driver ONCE and re-enters the exact pass as an IN-set filter and
+    * a literal threshold, so the corpus is scanned exactly twice; the
+    * earlier lazy form re-planned the sketch aggregation under both
+    * the candidate and threshold consumers — three scans for a
+    * documented two-pass cost shape. (Driver-side is the right place:
+    * at 100 TB the sketch is still ≤ 512 counters, and production MG
+    * pipelines ship exactly this candidate set back as a literal.)
+    * False positives fall to the final threshold filter, so the
+    * result is exact and partitioning-independent: the oracle is the
+    * plain GROUP BY + HAVING. Threshold arithmetic is integer
     * (ceil(N/200) = (N+199) div 200) so both engines agree to the
     * row. */
   def qHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
@@ -156,13 +163,16 @@ object TextOps {
     val toks = d.select(explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
     val sketch = toks.agg(
-      expr("graft_mg_topk(token, 512)").as("mg"), count(lit(1)).as("total"))
-    val cand = sketch.select(explode(map_keys(col("mg"))).as("token"))
-    val threshold = sketch.select(expr("(total + 199) div 200").as("thr"))
-    toks.join(broadcast(cand), "token")
+        expr("graft_mg_topk(token, 512)").as("mg"), count(lit(1)).as("total"))
+      .head()
+    val cand: Seq[String] = sketch.getMap[String, Long](0).keys.toSeq
+    val thr: Long = (sketch.getLong(1) + 199L) / 200L
+    // map-side IN-set prune before the only shuffle: the exact pass
+    // aggregates candidate tokens alone — no broadcast exchange, no
+    // second sketch scan
+    toks.filter(col("token").isInCollection(cand))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(threshold))
-      .filter(col("cnt") >= col("thr"))
+      .filter(col("cnt") >= lit(thr))
       .select(col("token"), col("cnt"))
       .orderBy(col("cnt").desc, col("token"))
   }

@@ -38,11 +38,18 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   ONLY MANIFEST-LISTED FILES, so a crash between rename and
   *   manifest leaves garbage bytes but no visible rows (same
   *   visibility rule as the reference's `.ingesting` marker blobs);
-  * - a streaming epoch's manifest is keyed by epochId; replaying a
-  *   committed epoch (at-least-once micro-batch retry) finds the
-  *   manifest already present, discards its staging files and returns
-  *   — EXACTLY-ONCE publish per epoch, the V2-native version of
-  *   DatasetsSink.writeBatchIdempotent's overwrite-by-batch-id.
+  * - a streaming epoch's manifest is keyed by (queryId, epochId):
+  *   replaying a committed epoch (at-least-once micro-batch retry)
+  *   finds the manifest already present, discards its staging files
+  *   and returns — EXACTLY-ONCE publish per epoch, the V2-native
+  *   version of DatasetsSink.writeBatchIdempotent's
+  *   overwrite-by-batch-id. queryId is part of the key because
+  *   epochId alone is ambiguous across queries: a SECOND streaming
+  *   query appending to the same path, or a restart from a FRESH
+  *   checkpoint (epochs restart at 0), reuses epoch numbers and an
+  *   epochId-only manifest would silently discard their commits as
+  *   "replays". queryId is stable across restarts from the SAME
+  *   checkpoint, so genuine retries still dedupe.
   *
   * Local filesystem I/O stands in for the blob/pub-sub SDK; on a
   * cluster the staging dir and rename map onto the object store's
@@ -103,12 +110,14 @@ object PubSubSink {
     val rootP = Paths.get(root)
     val files: Seq[String] =
       if (!Files.exists(rootP)) Seq.empty
-      else Files.list(rootP).iterator().asScala
-        .filter(_.getFileName.toString.startsWith("_graft_manifest"))
-        .flatMap(m => Files.readAllLines(m).asScala)
-        .map(line => rootP.resolve(
-          line.split("\"file\":\"")(1).split("\"")(0)).toString)
-        .toSeq
+      else scala.util.Using.resource(Files.list(rootP)) { ls =>
+        ls.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("_graft_manifest"))
+          .flatMap(m => Files.readAllLines(m).asScala)
+          .map(line => rootP.resolve(
+            line.split("\"file\":\"")(1).split("\"")(0)).toString)
+          .toSeq
+      }
     if (files.isEmpty) spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).json(files: _*)
@@ -140,7 +149,7 @@ class PubSubWrite(path: String, schema: StructType, queryId: String) extends Wri
   // fail at plan time, not mid-task, if a payload column can't serialize
   PubSubRowJson.validate(schema)
   override def toBatch: BatchWrite = new PubSubBatchWrite(path, schema, queryId)
-  override def toStreaming: StreamingWrite = new PubSubStreamingWrite(path, schema)
+  override def toStreaming: StreamingWrite = new PubSubStreamingWrite(path, schema, queryId)
 }
 
 class PubSubBatchWrite(path: String, schema: StructType, queryId: String)
@@ -155,13 +164,16 @@ class PubSubBatchWrite(path: String, schema: StructType, queryId: String)
     PubSubSink.discard(path, messages)
 }
 
-class PubSubStreamingWrite(path: String, schema: StructType) extends StreamingWrite {
+class PubSubStreamingWrite(path: String, schema: StructType, queryId: String)
+    extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     Files.createDirectories(PubSubSink.tmpDir(path))
     new PubSubWriterFactory(path, schema)
   }
+  // (queryId, epochId) key — epochId alone collides across queries and
+  // across fresh-checkpoint restarts; see the class doc commit notes
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    PubSubSink.publish(path, s"_graft_manifest_epoch_$epochId", messages)
+    PubSubSink.publish(path, s"_graft_manifest_${queryId}_epoch_$epochId", messages)
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     PubSubSink.discard(path, messages)
 }

@@ -264,16 +264,44 @@ class PlanAuditSpec extends SparkTestBase {
       s"metadata filter not pushed to the documents scan:\n$p")
   }
 
-  test("heavy hitters: candidates broadcast into the exact pass, sketch agg is object-hash") {
+  test("heavy hitters: exact pass prunes map-side to the collected candidate set, join-free") {
     val df = operators.TextOps.qHeavyHitters(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
-    // the exact second pass must not shuffle the full token stream to
-    // a join — the <=512-key candidate set broadcasts into it
-    assert(p.contains("BroadcastHashJoin"), s"candidate set not broadcast:\n$p")
-    // the sketch is a TypedImperativeAggregate: partial per partition,
-    // merged — an ObjectHashAggregate, never a sort-based fallback
-    assert(p.contains("ObjectHashAggregate"), s"MG sketch not object-hash-aggregated:\n$p")
-    assert(!p.contains("CartesianProduct"), s"cartesian in heavy-hitters plan:\n$p")
+    // the ≤512-key candidate set is collected once and re-enters as a
+    // literal IN-set filter AHEAD of the aggregation's shuffle — the
+    // exact pass carries candidate tokens only, with no join and no
+    // re-planned sketch scan (the lazy form planned the MG sketch
+    // aggregation twice more under the candidate/threshold consumers)
+    assert(p.contains("INSET") || p.contains(" IN ("), s"candidate prune not inlined:\n$p")
+    assert(!p.contains("Join"), s"exact pass must be join-free:\n$p")
+    assert(!p.contains("graft_mg_topk"), s"sketch re-planned into the exact pass:\n$p")
+    // the MG sketch itself (run eagerly at build time) is a
+    // TypedImperativeAggregate: partial per partition, merged — an
+    // ObjectHashAggregate, never a sort-based fallback
+    val sketchPlan = Tables(spark, sfDir, "documents")
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")).as("token"))
+      .agg(org.apache.spark.sql.functions.expr("graft_mg_topk(token, 512)"))
+      .queryExecution.executedPlan.toString
+    assert(sketchPlan.contains("ObjectHashAggregate"),
+      s"MG sketch not object-hash-aggregated:\n$sketchPlan")
+  }
+
+  test("dedup recall: ground-truth pairs come from df-capped posting lists, not a posting self-join") {
+    val df = operators.Dedup.qDedupRecall(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // the exact ground truth must be bounded INSIDE the query: pair
+    // records are generated map-side from graft_capped_list postings
+    // (≤ C(cap,2) pairs per posting row) — an uncapped shingle
+    // equi-self-join would be O(df²) in the hottest shingle
+    assert(p.contains("graft_capped_list"), s"ground-truth postings not df-capped:\n$p")
+    assert(p.contains("graft_posting_records"), s"pairs not generated from posting lists:\n$p")
+    // the only equi-join on a shingle column would be the old self-join
+    // shape: shingles must never be a join key in this plan
+    assert(!"(?i)sortmergejoin.*\\bs#".r.findFirstIn(p).isDefined,
+      s"posting self-join on raw shingles resurfaced:\n$p")
+    assert(!p.contains("CartesianProduct"))
   }
 
   test("events-based geo ops are map-side until their aggregation") {

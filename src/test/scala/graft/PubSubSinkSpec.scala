@@ -84,7 +84,7 @@ class PubSubSinkSpec extends SparkTestBase {
 
   test("replaying a committed epoch is exactly-once (manifest is the idempotence key)") {
     val dir = Files.createTempDirectory("graft_pubsub_epoch").toString
-    val sw = new PubSubStreamingWrite(dir, schema)
+    val sw = new PubSubStreamingWrite(dir, schema, "query-A")
     val factory = sw.createStreamingWriterFactory(null)
 
     val w1 = factory.createWriter(0, 0L, 5L)
@@ -99,6 +99,17 @@ class PubSubSinkSpec extends SparkTestBase {
     sw.commit(5L, Array(w2.commit()))
     assert(PubSubSink.readPublished(spark, dir, schema).count() == 1,
       "epoch 5 republished rows must be discarded")
+    assert(tmpLeftovers(dir).isEmpty)
+
+    // a DIFFERENT query reusing the same epoch number (second writer on
+    // the path, or a restart from a fresh checkpoint where epochs start
+    // over at 0) is NOT a replay — its commit must publish, not discard
+    val swB = new PubSubStreamingWrite(dir, schema, "query-B")
+    val w3 = swB.createStreamingWriterFactory(null).createWriter(0, 9L, 5L)
+    w3.write(progressRow("u4", "downloaded", 30))
+    swB.commit(5L, Array(w3.commit()))
+    assert(PubSubSink.readPublished(spark, dir, schema).count() == 2,
+      "a different query's epoch 5 must not be mistaken for a replay")
     assert(tmpLeftovers(dir).isEmpty)
   }
 
