@@ -60,6 +60,18 @@ object IngestQueueSource {
   def blobUrl(id: Long): String =
     s"https://acct.blob.core.windows.net/userdata/user${id % 1500}/raw/${fileName(id)}"
 
+  /** Column twin of [[blobUrl]] — the connector's id→payload algebra
+    * is a public contract (queries address an asset by the id of any
+    * of its messages, e.g. the composed service loop resolving a chunk
+    * notification to its parent asset), so the algebra lives here in
+    * ONE place rather than re-derived per consumer. */
+  def blobUrlCol(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    concat(lit("https://acct.blob.core.windows.net/userdata/user"),
+      (id % 1500).cast("string"), lit("/raw/file_"), (id % 97).cast("string"),
+      element_at(array(exts.map(lit): _*), (id % 10).cast("int") + 1))
+  }
+
   def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
