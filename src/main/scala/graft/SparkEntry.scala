@@ -25,12 +25,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ IngestOps.queries ++ GeoOps.queries ++
       TextOps.queries ++ Dedup.queries ++ Ann.queries ++
-      Asof.queries ++ graft.multimodal.Media.queries
+      Asof.queries ++ Serving.queries ++ graft.multimodal.Media.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Analytics.oracles ++ IngestOps.oracles ++ GeoOps.oracles ++
       TextOps.oracles ++ Dedup.oracles ++ Ann.oracles ++
-      Asof.oracles ++ graft.multimodal.Media.oracles
+      Asof.oracles ++ Serving.oracles ++ graft.multimodal.Media.oracles
 }

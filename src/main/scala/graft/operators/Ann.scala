@@ -353,7 +353,7 @@ object Ann {
 
   /** dot of 8-dim subspace j of two vectors (same fold order both
     * engines: left-to-right over the 8 elements). */
-  private def subDotSpark(a: String, b: String, j: Int): String =
+  private[graft] def subDotSpark(a: String, b: String, j: Int): String =
     s"graft_dot(slice($a, ${8 * j + 1}, 8), slice($b, ${8 * j + 1}, 8))"
 
   private def subDotDuck(a: String, b: String, j: Int): String =

@@ -1,0 +1,242 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions
+import graft.functions.TextFns._
+import graft.sources.DatasetsSink
+
+/** §2 E/D serving path — ANN and dedup answered from a PERSISTED
+  * index instead of rebuilding signatures per query. e9 recomputes
+  * centroids and PQ codes on every invocation and d8 re-derives the
+  * standing corpus' MinHash signatures per batch; production builds
+  * those once at ingest (FAISS writes the IVF lists + code table,
+  * dedup services keep a signature store) and every query reads the
+  * persisted structure. Here the build step writes the index through
+  * i3's scan-optimized layout (DatasetsSink.writeIndexed: partitioned
+  * by cell / band shard, sorted, zstd, bloom) and the serve queries
+  * read it back bucket-pruned — the plan shows a LITERAL partition
+  * filter on the probed cell, so a 100 TB index serves a query from
+  * one partition directory, not a corpus scan.
+  *
+  * The serve queries return byte-identical results to their
+  * rebuild-every-time twins (e9 / d8), so they share those oracles —
+  * the index is an ARCHITECTURE change, not a semantics change.
+  *
+  * Index lifecycle: the index dir is keyed by a content fingerprint
+  * (file names/sizes/mtimes) of the source tables, so a changed
+  * corpus can never serve a stale index — the rebuilt corpus gets a
+  * fresh dir, and builds are idempotent (ready-marker last).
+  */
+object Serving {
+
+  // ---------- index location & lifecycle ----------
+
+  private[graft] def indexRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_index")
+
+  /** Content fingerprint of the source tables an index derives from. */
+  private[graft] def fingerprint(dir: String, tables: Seq[String]): String = {
+    val parts = tables.flatMap { t =>
+      val p = Paths.get(dir, s"$t.parquet")
+      if (!Files.exists(p)) Seq(s"$t:absent")
+      else scala.util.Using.resource(Files.walk(p)) { w =>
+        val it = w.iterator()
+        val b = Seq.newBuilder[String]
+        while (it.hasNext) {
+          val f = it.next()
+          if (Files.isRegularFile(f))
+            b += s"${p.relativize(f)}:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}"
+        }
+        b.result().sorted
+      }
+    }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest((dir +: parts).mkString("|").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** Build-once gate: runs `build` only if the ready marker is absent
+    * (driver-side control, one line of state — the in-session twin of
+    * "the ingest pipeline wrote the index last night"). */
+  private def ensure(name: String, fp: String)(build: String => Unit): String = {
+    val dir = s"$indexRoot/${name}_$fp"
+    val marker = Paths.get(dir, "_GRAFT_INDEX_READY")
+    if (!Files.exists(marker)) {
+      build(dir)
+      Files.createDirectories(marker.getParent)
+      Files.write(marker, Array.emptyByteArray)
+    }
+    dir
+  }
+
+  // ---------- e12: IVFPQ index build + serve ----------
+
+  /** Build (or reuse) the persisted IVFPQ index for `dir`'s
+    * embeddings: `centroids` (exact-decimal cell numerators, e3's
+    * convention), `codebook` (the PQ anchor vectors), and `cells` —
+    * every vector's 8 PQ codes + raw embedding, PARTITIONED BY CELL
+    * and sorted/bloomed on vec_id. The one-off build cost is the
+    * point: e9 pays the centroid pass + code assignment on EVERY
+    * query; here they amortize over the index lifetime. */
+  def annIndexDir(spark: SparkSession, dir: String): String = {
+    GraftFunctions.register(spark)
+    ensure("ann", fingerprint(dir, Seq("embeddings"))) { ix =>
+      val e = Tables(spark, dir, "embeddings")
+      val pe = e.select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
+      val cent = pe.groupBy("label", "i")
+        .agg(sum(round(col("v").cast("double"), 6).cast("decimal(8,6)"))
+          .cast("decimal(12,6)").as("s"), count(lit(1)).as("n"))
+      DatasetsSink.writeOptimized(cent, s"$ix/centroids", Seq("label", "i"), Seq.empty)
+      val anchors = e.filter(col("vec_id").between(1, 4))
+        .select(col("vec_id").as("a_id"), col("embedding").as("a"))
+      DatasetsSink.writeOptimized(anchors, s"$ix/codebook", Seq("a_id"), Seq.empty)
+      // per-vector PQ codes (e9's exact integer encode, over the WHOLE
+      // corpus once instead of the probed cell per query)
+      val ks = (0 until 8).map { j =>
+        expr(s"CAST(round(round(${Ann.subDotSpark("a", "a", j)} - 2 * ${Ann.subDotSpark("embedding", "a", j)}, 6) * 1000000, 0) AS BIGINT) * 16 + a_id")
+          .as(s"k$j")
+      }
+      val scored = e.crossJoin(broadcast(anchors)).select(col("vec_id") +: ks: _*)
+      val codeAggs = (0 until 8).map(j => pmod(min(col(s"k$j")), lit(16L)).as(s"c$j"))
+      val codes = scored.groupBy("vec_id").agg(codeAggs.head, codeAggs.tail: _*)
+      val cells = codes.join(e.select(col("vec_id"), col("label"), col("embedding")), "vec_id")
+      DatasetsSink.writeIndexed(cells, s"$ix/cells",
+        partitionCols = Seq("label"), sortCols = Seq("vec_id"), bloomCols = Seq("vec_id"))
+    }
+  }
+
+  /** e12 — q_ann_ivfpq_indexed: e9's query served from the persisted
+    * index. The probe reads the tiny centroids table, the router
+    * collects the winning cell (one row) so the code-table scan is a
+    * LITERAL partition filter — static pruning, 1/nlist of the index
+    * touched — and the rerank reads raw vectors from the SAME pruned
+    * partition (the index is self-contained; the base table is only
+    * consulted for the query vector). Result is byte-identical to e9,
+    * so it shares e9's oracle. */
+  def qAnnIvfPqIndexed(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val ix = annIndexDir(spark, dir)
+    val e = Tables(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val qe = e.filter(col("vec_id") === 0)
+      .select(posexplode(col("embedding")).as(Seq("i", "qv")))
+    val cent = spark.read.parquet(s"$ix/centroids")
+    val dots = cent.join(broadcast(qe), "i")
+      .groupBy("label")
+      .agg((sum(round(col("qv").cast("double"), 6).cast("decimal(8,6)") * col("s"))
+        .cast("double") / max(col("n"))).as("dot"))
+    // the query router's probe decision: one tiny driver-side row, so
+    // the cell scan below prunes statically (visible PartitionFilters)
+    val bestLabel = dots.orderBy(col("dot").desc, col("label")).limit(1)
+      .select(col("label").cast("int")).head().getInt(0)
+    val cells = spark.read.parquet(s"$ix/cells")
+      .filter(col("label") === lit(bestLabel))
+    val cl = cells.select(col("vec_id"),
+      posexplode(array((0 until 8).map(j => col(s"c$j")): _*)).as(Seq("j", "code")))
+    val codebook = spark.read.parquet(s"$ix/codebook")
+    val lutWide = codebook.crossJoin(broadcast(q)).select(col("a_id") +:
+      (0 until 8).map { j =>
+        expr(s"CAST(round(round(${Ann.subDotSpark("qv", "a", j)}, 6) * 1000000, 0) AS BIGINT)").as(s"l$j")
+      }: _*)
+    val lut = lutWide.select(col("a_id"),
+      posexplode(array((0 until 8).map(j => col(s"l$j")): _*)).as(Seq("j", "dot_i")))
+    val adc = cl.as("cl").join(broadcast(lut.as("lt")),
+        col("cl.code") === col("lt.a_id") && col("cl.j") === col("lt.j"))
+      .groupBy(col("cl.vec_id").as("vec_id"))
+      .agg(round(sum("dot_i").cast("double") / 1000000, 6).as("adc"))
+    adc.orderBy(col("adc").desc, col("vec_id")).limit(10)
+      .join(cells.select(col("vec_id"), col("embedding")), "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("adc"),
+        expr(Ann.cosineSpark("embedding", "qv")).as("cos_sim"))
+      .orderBy(col("adc").desc, col("vec_id"))
+  }
+
+  // ---------- d10: dedup served from the signature index ----------
+
+  /** Build (or reuse) the persisted dedup index over the standing
+    * corpus (doc_id % 10 != 7 — d8's convention): exact content keys
+    * (sorted+bloomed on ck — point lookups), shingle sets (sorted on
+    * doc_id — the verify side), and the 4×2 MinHash band keys
+    * (sorted+bloomed on bkey — the candidate join side). d8 recomputes
+    * all three per batch; at 100 TB the signature store is written
+    * once at ingest and each daily batch only hashes ITSELF. */
+  def dedupIndexDir(spark: SparkSession, dir: String): String = {
+    GraftFunctions.register(spark)
+    ensure("dedup", fingerprint(dir, Seq("documents"))) { ix =>
+      val idx = Tables(spark, dir, "documents").filter(col("doc_id") % 10 =!= 7)
+      val src = Tables.fanout(idx.select(col("doc_id"), col("text")))
+      val keys = src.select(col("doc_id"), md5(expr(normSpark)).as("ck"))
+      DatasetsSink.writeOptimized(keys, s"$ix/keys", Seq("ck"), Seq("ck"))
+      val sh = src.select(col("doc_id"), expr(shSpark).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .localCheckpoint(true) // feeds both the shingle store and the bands
+      DatasetsSink.writeOptimized(sh, s"$ix/shingles", Seq("doc_id"), Seq("doc_id"))
+      val bands = Dedup.minhashBands4x2(Dedup.minhashSig(sh))
+      DatasetsSink.writeOptimized(bands, s"$ix/bands", Seq("bkey"), Seq("bkey"))
+    }
+  }
+
+  /** d10 — q_dedup_served: d8's incremental screen with the standing
+    * corpus read from the persisted signature index. The arriving
+    * batch hashes only itself; its keys/bands BROADCAST against the
+    * streamed index tables (the batch is tiny next to the index), and
+    * the Jaccard verify reads stored shingle sets instead of
+    * re-shingling the corpus. Byte-identical to d8 ⇒ shares its
+    * oracle. */
+  def qDedupServed(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val ix = dedupIndexDir(spark, dir)
+    val d = Tables(spark, dir, "documents")
+    val batch = d.filter(col("doc_id") % 10 === 7)
+    val src = Tables.fanout(batch.select(col("doc_id"), col("text")))
+    val bKeys = src.select(col("doc_id"), md5(expr(normSpark)).as("ck"))
+    val exact = broadcast(bKeys)
+      .join(spark.read.parquet(s"$ix/keys").select(col("doc_id").as("idx_id"), col("ck")), "ck")
+      .groupBy("doc_id").agg(min("idx_id").as("m_exact"))
+    val bSh = src.select(col("doc_id"), expr(shSpark).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint(true) // bands + two verify consumers below
+    val bBands = Dedup.minhashBands4x2(Dedup.minhashSig(bSh))
+    val iBands = spark.read.parquet(s"$ix/bands")
+    val cand = broadcast(bBands.as("n"))
+      .join(iBands.as("i"),
+        col("n.b") === col("i.b") && col("n.bkey") === col("i.bkey"))
+      .select(col("n.doc_id").as("doc_id"), col("i.doc_id").as("idx_id"))
+      .distinct()
+    val near = cand
+      .join(broadcast(bSh.select(col("doc_id"), col("sh").as("sh_n"))), "doc_id")
+      .join(spark.read.parquet(s"$ix/shingles")
+        .select(col("doc_id").as("idx_id"), col("sh").as("sh_i")), "idx_id")
+      .withColumn("inter", expr("size(filter(sh_n, x -> array_contains(sh_i, x)))"))
+      .filter(col("inter").cast("double") /
+        (size(col("sh_n")) + size(col("sh_i")) - col("inter")) >= 0.2)
+      .groupBy("doc_id").agg(min("idx_id").as("m_near"))
+    batch.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("m_exact").isNotNull, "drop_exact")
+          .when(col("m_near").isNotNull, "drop_near")
+          .otherwise("keep").as("verdict"),
+        coalesce(col("m_exact"), col("m_near")).as("match_id"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_ivfpq_indexed" -> (qAnnIvfPqIndexed _),
+    "q_dedup_served" -> (qDedupServed _))
+
+  /** The serve queries are result-identical to their rebuild twins,
+    * so they share those oracles — the driver then hash-verifies that
+    * the persisted-index architecture changes nothing semantically. */
+  val oracles: Map[String, String] = Map(
+    "q_ann_ivfpq_indexed" -> Ann.qAnnIvfPqSql,
+    "q_dedup_served" -> Dedup.qDedupIncrementalSql)
+}

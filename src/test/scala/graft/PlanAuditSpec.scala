@@ -304,6 +304,32 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("served IVFPQ reads ONE persisted cell partition (literal PartitionFilters)") {
+    val df = operators.Serving.qAnnIvfPqIndexed(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // the router's probe decision is collected driver-side, so the
+    // code-table scan prunes STATICALLY: at 100 TB the query touches
+    // 1/nlist of the index, and the plan proves it
+    assert("PartitionFilters: \\[isnotnull\\(label#\\d+\\), \\(label#\\d+ = \\d+\\)\\]".r
+      .findFirstIn(p.replaceAll("\\s+", " ")).isDefined,
+      s"cell scan not statically partition-pruned:\n$p")
+    assert(p.contains("graft_index") && p.contains("/cells"),
+      s"rerank must read the persisted index, not the base table:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("served dedup broadcasts the batch against streamed index tables") {
+    val df = operators.Serving.qDedupServed(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // the standing corpus comes from the persisted signature store —
+    // no re-shingling of the index side in the serve plan
+    assert(p.contains("/bands") && p.contains("/shingles") && p.contains("/keys"),
+      s"serve plan must read the persisted signature tables:\n$p")
+    // the tiny batch side broadcasts into the candidate/key joins
+    assert(p.contains("BroadcastHashJoin"), s"batch side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("events-based geo ops are map-side until their aggregation") {
     // tile assignment must not shuffle before the groupBy: exactly the
     // agg exchange(s), no repartition/sort-by-key upstream

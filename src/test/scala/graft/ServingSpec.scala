@@ -1,0 +1,47 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import graft.operators.Serving
+
+/** Persisted-index serving (e12/d10): build-once/serve-many semantics,
+  * result parity with the rebuild-every-time twins (also hash-gated by
+  * the shared oracles), and staleness safety — a changed corpus must
+  * never be served from the old index.
+  */
+class ServingSpec extends SparkTestBase {
+
+  test("served results equal the rebuild twins exactly") {
+    val ann = Serving.qAnnIvfPqIndexed(spark, sfDir).collect().toSeq
+    val annTwin = operators.Ann.qAnnIvfPq(spark, sfDir).collect().toSeq
+    assert(ann == annTwin, "served IVFPQ diverged from e9")
+    val ded = Serving.qDedupServed(spark, sfDir).collect().toSeq
+    val dedTwin = operators.Dedup.qDedupIncremental(spark, sfDir).collect().toSeq
+    assert(ded == dedTwin, "served dedup diverged from d8")
+  }
+
+  test("index builds once and is reused; a changed corpus gets a fresh index") {
+    // copy the corpus so we can mutate it without touching testdata
+    val work = Files.createTempDirectory("graft_serving_corpus")
+    Seq("embeddings", "documents").foreach { t =>
+      Files.copy(Paths.get(sfDir, s"$t.parquet"), work.resolve(s"$t.parquet"),
+        StandardCopyOption.COPY_ATTRIBUTES)
+    }
+    val dir = work.toString
+    val ix1 = Serving.annIndexDir(spark, dir)
+    assert(Files.exists(Paths.get(ix1, "_GRAFT_INDEX_READY")))
+    val mtime1 = Files.getLastModifiedTime(Paths.get(ix1, "_GRAFT_INDEX_READY"))
+    // second call: same fingerprint, no rebuild (marker untouched)
+    assert(Serving.annIndexDir(spark, dir) == ix1)
+    assert(Files.getLastModifiedTime(Paths.get(ix1, "_GRAFT_INDEX_READY")) == mtime1)
+    // "new ingest overwrote the corpus": same path, different bytes ⇒
+    // different fingerprint ⇒ a DIFFERENT index dir is built — the
+    // stale one can never serve the new corpus
+    val f = work.resolve("embeddings.parquet")
+    Files.setLastModifiedTime(f,
+      java.nio.file.attribute.FileTime.fromMillis(
+        Files.getLastModifiedTime(f).toMillis + 60000))
+    val ix2 = Serving.annIndexDir(spark, dir)
+    assert(ix2 != ix1, "changed corpus must not reuse the old index dir")
+  }
+}
