@@ -34,6 +34,16 @@ object GenVecs {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val withVec = synthesize(spark, rows, amp)
+    withVec.coalesce(4).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    println(s"[genvecs] wrote $rows vectors to $out/embeddings.parquet")
+    spark.stop()
+  }
+
+  /** The corpus as a DataFrame (vec_id, embedding float[64], label) —
+    * factored out so specs can synthesize a clustered corpus in-session
+    * (the k-means training spec) without a parquet round-trip. */
+  def synthesize(spark: SparkSession, rows: Int, amp: Double): org.apache.spark.sql.DataFrame = {
     // u(tag, i) ~ uniform in [-1, 1), from one md5 per (tag, dim)
     def u(tag: String, i: String) =
       s"(conv(substr(md5(concat($tag, '_', $i)), 1, 6), 16, 10) / 8388608.0 - 1.0)"
@@ -58,8 +68,6 @@ object GenVecs {
         expr("transform(raw, x -> cast(x / nrm as float))").as("embedding"),
         col("label"))
       .orderBy("vec_id")
-    withVec.coalesce(4).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-    println(s"[genvecs] wrote $rows vectors to $out/embeddings.parquet")
-    spark.stop()
+    withVec
   }
 }

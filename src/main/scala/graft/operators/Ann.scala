@@ -649,6 +649,106 @@ object Ann {
       FROM pe JOIN assign USING (vec_id) WHERE i <= 3
       GROUP BY seed_id ORDER BY seed_id"""
 
+  // ---------- e11 iterated: the IVF training loop ----------
+
+  /** Position-exploded, decimal-quantized view of (vec_id, embedding)
+    * — the working set every Lloyd iteration re-reads. Checkpointed:
+    * one materialization, then each iteration reads blocks instead of
+    * re-scanning parquet (at 100 TB you'd persist this projection the
+    * same way; it is 64 small rows per vector, no raw text/media). */
+  private def quantized(vectors: DataFrame): DataFrame =
+    vectors
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .select(col("vec_id"), col("i"),
+        round(col("v").cast("double"), 6).cast("decimal(8,6)").as("qv"))
+      .localCheckpoint(true)
+
+  private def seedsDF(spark: SparkSession, cents: Map[Int, IndexedSeq[Double]]): DataFrame = {
+    import spark.implicits._
+    cents.toSeq.flatMap { case (s, v) => v.indices.map(i => (s, i, v(i))) }
+      .toDF("seed_id", "i", "cvd")
+      .select(col("seed_id"), col("i"),
+        round(col("cvd"), 6).cast("decimal(8,6)").as("cv"))
+  }
+
+  /** Nearest-centroid assignment (e11's exact-decimal argmin): one
+    * scan of the quantized working set, seeds broadcast (k×dim rows),
+    * both aggregations partially combine map-side. Returns
+    * (vec_id, seed_id, d2). */
+  private[graft] def assignTo(pe: DataFrame, seeds: DataFrame): DataFrame =
+    pe.join(broadcast(seeds), "i")
+      .groupBy("vec_id", "seed_id")
+      .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv"))).as("d2"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("seed_id"))).as("best"))
+      .select(col("vec_id"), col("best.seed_id").as("seed_id"),
+        col("best.d2").cast("double").as("d2"))
+
+  /** e11 iterated to convergence — the k-means training loop whose
+    * output cells e3/e9's `label` stands in for (FAISS trains IVF
+    * coarse quantizers with exactly this loop). Driver control ONLY
+    * (d6's CC pattern): per iteration one assignment + one mean pass
+    * over the checkpointed working set, and the k×dim refreshed
+    * centroids — a few KB — come back to the driver and re-broadcast;
+    * history is never re-shuffled. Exact-decimal distances make the
+    * argmin partitioning-independent, so the trajectory is
+    * deterministic end to end. Init = vectors 0..k-1 (e11's seeds).
+    * Returns (centroids, iterations run, final max per-dim shift);
+    * converged when the shift drops to `tol` (an empty cell keeps its
+    * previous centroid). */
+  def trainCentroids(vectors: DataFrame, k: Int, maxIters: Int = 20,
+      tol: Double = 1e-4): (Map[Int, IndexedSeq[Double]], Int, Double) = {
+    val spark = vectors.sparkSession
+    GraftFunctions.register(spark)
+    val pe = quantized(vectors)
+    var cents: Map[Int, IndexedSeq[Double]] =
+      pe.filter(col("vec_id") < k)
+        .select(col("vec_id").cast("int").as("s"), col("i"),
+          col("qv").cast("double").as("c"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (s, rows) =>
+          s -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toIndexedSeq }
+    var iter = 0
+    var shift = Double.MaxValue
+    while (iter < maxIters && shift > tol) {
+      val means = pe.join(assignTo(pe, seedsDF(spark, cents)).select("vec_id", "seed_id"), "vec_id")
+        .groupBy("seed_id", "i")
+        .agg((sum(col("qv")).cast("double") / count(lit(1))).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (s, rows) =>
+          s -> rows.sortBy(_.getInt(1))
+            .map(r => math.rint(r.getDouble(2) * 1e6) / 1e6).toIndexedSeq }
+      val next = cents.map { case (s, old) => s -> means.getOrElse(s, old) }
+      shift = next.map { case (s, v) =>
+        val o = cents(s); v.indices.map(d => math.abs(v(d) - o(d))).max }.max
+      cents = next
+      iter += 1
+    }
+    (cents, iter, shift)
+  }
+
+  /** Total within-cell squared distance for a given centroid set —
+    * the quantity each Lloyd step provably does not increase; the
+    * training spec gates on it dropping vs the untrained seeds. */
+  private[graft] def inertia(vectors: DataFrame, cents: Map[Int, IndexedSeq[Double]]): Double = {
+    val spark = vectors.sparkSession
+    assignTo(quantized(vectors), seedsDF(spark, cents))
+      .agg(sum(col("d2")).cast("double")).head().getDouble(0)
+  }
+
+  /** Cell assignment for a centroid set, collected — the spec's
+    * serving-side input (cells + centroids are what e3/e9-style
+    * probes search; recall eval runs locally over them). */
+  private[graft] def cellsFor(vectors: DataFrame,
+      cents: Map[Int, IndexedSeq[Double]]): Map[Long, Int] = {
+    val spark = vectors.sparkSession
+    assignTo(quantized(vectors), seedsDF(spark, cents))
+      .select("vec_id", "seed_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kmeans_step" -> (qKmeansStep _),
     "q_ann_recall" -> (qAnnRecall _),

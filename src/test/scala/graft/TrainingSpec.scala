@@ -1,0 +1,69 @@
+package graft
+
+import graft.dev.GenVecs
+import graft.operators.Ann
+
+/** e11's Lloyd step iterated to convergence (Ann.trainCentroids) — the
+  * training loop that produces the IVF cells e3/e9's `label` column
+  * stands in for. Gates: convergence on a clustered corpus, inertia
+  * strictly below the untrained seeds (Lloyd's monotonicity made
+  * observable), and cell-probed recall@5 IMPROVING once the cells come
+  * from training instead of raw seed vectors.
+  */
+class TrainingSpec extends SparkTestBase {
+
+  test("Lloyd loop converges; trained cells beat untrained seeds on inertia and recall") {
+    // k < true cluster count (10): cell boundaries must fall BETWEEN
+    // clusters for whole-cluster recall, which raw seed positions get
+    // wrong and converged centroids get right — the regime where
+    // training visibly pays (k == clusters saturates recall for both)
+    val k = 4
+    val vecs = GenVecs.synthesize(spark, 1000, 0.7).localCheckpoint(true)
+    val (trained, iters, shift) = Ann.trainCentroids(vecs, k, maxIters = 15, tol = 1e-3)
+    assert(shift <= 1e-3 && iters < 15, s"did not converge: iters=$iters shift=$shift")
+
+    // untrained baseline = the deterministic init (vectors 0..k-1),
+    // quantized the same way the trainer quantizes
+    val emb: Map[Long, Array[Float]] = vecs.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val untrained: Map[Int, IndexedSeq[Double]] = (0 until k).map { s =>
+      s -> emb(s.toLong).map(x => math.rint(x.toDouble * 1e6) / 1e6).toIndexedSeq
+    }.toMap
+
+    // Lloyd never increases inertia; on a clustered corpus training
+    // must beat raw seed positions by a wide margin
+    val i0 = Ann.inertia(vecs, untrained)
+    val iT = Ann.inertia(vecs, trained)
+    assert(iT < i0 * 0.9, s"inertia did not improve: $i0 -> $iT")
+
+    // recall@5 of the e3/e9 serving shape (probe nearest centroid,
+    // search only that cell) — evaluated locally over the collected
+    // corpus; the Spark side under test is the training + assignment
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((acc, d) => acc + a(d).toDouble * b(d).toDouble)
+    def top5(q: Long, members: Iterable[Long]): Seq[Long] =
+      members.toSeq.map(v => (cos(emb(q), emb(v)), v))
+        .sortBy(t => (-t._1, t._2)).take(5).map(_._2)
+    def recallFor(cells: Map[Long, Int], cents: Map[Int, IndexedSeq[Double]]): Double = {
+      val byCell = cells.groupBy(_._2).map { case (c, m) => c -> m.keys }
+      val queries = (0 until 20).map(j => (j * 47 + 13).toLong)
+      val rs = queries.map { q =>
+        val exact = top5(q, emb.keys)
+        val qv = emb(q).map(_.toDouble)
+        val probe = cents.toSeq.map { case (s, cv) =>
+          (cv.indices.foldLeft(0.0) { (acc, d) =>
+            val diff = qv(d) - cv(d); acc + diff * diff }, s)
+        }.min._2
+        val got = top5(q, byCell.getOrElse(probe, Nil))
+        exact.count(got.contains).toDouble / 5
+      }
+      rs.sum / rs.size
+    }
+    val cellsT = Ann.cellsFor(vecs, trained)
+    val cellsU = Ann.cellsFor(vecs, untrained)
+    val rT = recallFor(cellsT, trained)
+    val rU = recallFor(cellsU, untrained)
+    assert(rT > rU, s"trained recall $rT must beat untrained $rU")
+    assert(rT >= 0.8, s"trained recall@5 too low: $rT")
+  }
+}
