@@ -82,6 +82,50 @@ class SkewJoinSpec extends SparkTestBase {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("span-dedup keeper JOIN-BACK is skew-immune: the keeper filter joins on a composite key") {
+    // the keeper AGG is proven map-side-combining above; this drives
+    // the full f19 pipeline under a 200k-copy boilerplate span and
+    // proves the join back cannot hot-spot AT ALL: Catalyst pushes the
+    // keeper-identity filter (struct(doc_id, span_id) === keep) INTO
+    // the equi-join condition, so the join key is (keeper struct,
+    // span) — the 200k copies of the hot span hash to 200k DISTINCT
+    // keys and no skewed partition ever forms. Stronger than relying
+    // on AQE's skew split: there is nothing to split. Broadcast is
+    // disabled because at corpus scale the keeper table (one row per
+    // DISTINCT span) does not broadcast — the sort-merge shape is the
+    // one that must stay safe.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one boilerplate page (exactly one 10-token span) in 200k docs
+      // + 500 unique docs
+      val hotText = "all rights reserved do not copy this page thank you"
+      val docs = spark.range(200000L)
+        .select(col("id").as("doc_id"), lit(hotText).as("text"))
+        .unionAll(spark.range(500L).select((col("id") + 300000L).as("doc_id"),
+          concat(lit("unique words number "), col("id"), lit(" stop")).as("text")))
+      val out = operators.TextOps.spanDedup(docs)
+      val rows = out.collect()
+      // correctness under the hot key: the global first occurrence
+      // keeps the boilerplate span, every other hot doc loses its only
+      // span and drops out; unique docs keep theirs
+      assert(rows.length == 501, s"expected 501 surviving docs, got ${rows.length}")
+      val doc0 = rows.find(_.getAs[Long]("doc_id") == 0L).get
+      assert(doc0.getAs[Long]("n_kept") == 1L && doc0.getAs[Long]("n_dup_kept") == 1L)
+      val plan = out.queryExecution.executedPlan.toString.replaceAll("\\s+", " ")
+      // the join-back's left keys carry the keeper struct alongside the
+      // span — a bare span-keyed join here would be the skew trap
+      assert("SortMergeJoin \\[struct\\(doc_id, [^\\]]*span#".r.findFirstIn(plan).isDefined,
+        s"keeper filter not fused into the join key — span-only key is skew-prone:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("AQE splits a hot parquet key at realistic volume and default skew factor") {
     // The 32KB-threshold test above proves the mechanism; this one
     // proves it at volume the thresholds are designed for: a skewed
