@@ -1,0 +1,147 @@
+package graft.dev
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.{IngestStream, ServiceLoop}
+import graft.operators.Serving
+
+/** dev tool: the two perf surfaces the per-query bench cannot see —
+  *
+  * 1. STREAMING THROUGHPUT: rows/sec draining a file-source backlog
+  *    under Trigger.AvailableNow with the RocksDB state store (the
+  *    production configuration), for the stateful streaming ops:
+  *    h1 (stage state machine), h8 (sharded heavy hitters), h11
+  *    (near-dup guard), plus the composed i1→h1→i5 service loop in
+  *    messages/sec.
+  * 2. INDEX BUILD VS SERVE: the one-off build cost of the persisted
+  *    ANN/dedup indexes vs the per-query serve cost they buy
+  *    (q_ann_ivfpq_indexed / q_dedup_served in the main bench measure
+  *    serve only, amortizing the build by design).
+  *
+  * Prints ONE JSON line; recorded in SURVEY §5 per round.
+  *
+  *   runMain graft.dev.AuxBench [nEvents] [sfDir]
+  */
+object AuxBench {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(500000)
+    val sfDir = args.lift(1).getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def tmp(tag: String): String =
+      java.nio.file.Files.createTempDirectory(s"graft_aux_$tag").toString
+    def drain(tag: String)(start: String => org.apache.spark.sql.streaming.StreamingQuery): Double = {
+      val t0 = System.nanoTime()
+      val q = start(tmp(s"${tag}_ckpt"))
+      if (!q.awaitTermination(600000L)) sys.error(s"$tag did not drain")
+      q.stop()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def rps(v: Double): Double = math.rint(n / v)
+
+    // ---- backlog: n ingest events over n/5 assets, stages cycling ----
+    val eventsDir = tmp("events")
+    spark.range(n.toLong).select(
+        concat(lit("https://acct/u"), (col("id") % (n / 5)).cast("string")).as("url"),
+        concat(lit("user"), (col("id") % 1500).cast("string")).as("user"),
+        element_at(array(lit("downloaded"), lit("processing"), lit("processing"),
+          lit("processed"), lit("queued")), (col("id") % 5 + 1).cast("int")).as("stage"),
+        (col("id") % 100).cast("int").as("progress"),
+        (col("id") + 1).cast("long").as("eventTimeMs"))
+      .write.mode("overwrite").parquet(eventsDir)
+    val eventsSchema = spark.read.parquet(eventsDir).schema
+    def eventStream = spark.readStream.schema(eventsSchema).parquet(eventsDir)
+      .as[IngestStream.IngestEvent]
+
+    // h1: per-asset state machine (n/5 asset keys through RocksDB)
+    val h1Sec = drain("h1") { ckpt =>
+      IngestStream.stageStateMachine(eventStream,
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+        .writeStream.format("noop").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+    }
+
+    // h8: bounded sharded heavy hitters (update mode)
+    val h8Sec = drain("h8") { ckpt =>
+      IngestStream.frequentUsers(eventStream, cap = 64, nShards = 32)
+        .writeStream.format("noop").outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+    }
+
+    // h11: perceptual near-dup guard (stream-stream self-join + dedup);
+    // ~5% planted near-dups via shared chunk values
+    val imagesDir = tmp("images")
+    spark.range(n.toLong).select(
+        col("id").as("docId"),
+        (col("id") % (n / 20)).cast("int").as("c0"),
+        ((col("id") * 7) % 65536).cast("int").as("c1"),
+        ((col("id") * 13) % 65536).cast("int").as("c2"),
+        ((col("id") * 31) % 65536).cast("int").as("c3"),
+        (col("id") + 1).cast("long").as("eventTimeMs"))
+      .write.mode("overwrite").parquet(imagesDir)
+    val imagesSchema = spark.read.parquet(imagesDir).schema
+    val h11Sec = drain("h11") { ckpt =>
+      IngestStream.nearDupGuard(
+          spark.readStream.schema(imagesSchema).parquet(imagesDir)
+            .as[IngestStream.HashedImage])
+        .writeStream.format("noop").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+    }
+
+    // composed service loop: i1 queue → h1 event-time machine → i5
+    // pub/sub sink, messages/sec end to end
+    val svcMessages = math.max(1000, n / 5)
+    val svcSec = {
+      val t0 = System.nanoTime()
+      val q = ServiceLoop.run(spark, svcMessages, svcMessages / 4 + 1,
+        tmp("svc_pub"), tmp("svc_ckpt"))
+      if (!q.awaitTermination(600000L)) sys.error("service loop did not drain")
+      q.stop()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // ---- index build vs serve ----
+    def timeIt(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // fresh build: drop any existing index for this corpus
+    def rmrf(p: java.nio.file.Path): Unit = if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) { w =>
+        w.sorted(java.util.Comparator.reverseOrder()).iterator().asScala
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    rmrf(java.nio.file.Paths.get(Serving.indexRoot))
+    val annBuild = timeIt(Serving.annIndexDir(spark, sfDir))
+    val dedupBuild = timeIt(Serving.dedupIndexDir(spark, sfDir))
+    def serve(fn: => org.apache.spark.sql.DataFrame): Double =
+      Seq.fill(2)(timeIt(fn.write.format("noop").mode("overwrite").save())).min
+    val annServe = serve(Serving.qAnnIvfPqIndexed(spark, sfDir))
+    val dedupServe = serve(Serving.qDedupServed(spark, sfDir))
+
+    println(s"""{"n_events":$n,"sf":"$sfDir",""" +
+      s""""h1_rows_per_sec":${rps(h1Sec)},"h8_rows_per_sec":${rps(h8Sec)},""" +
+      s""""h11_rows_per_sec":${rps(h11Sec)},""" +
+      s""""service_loop_msgs_per_sec":${math.rint(svcMessages / svcSec)},""" +
+      f""""ann_index_build_sec":$annBuild%.3f,"ann_serve_sec":$annServe%.3f,""" +
+      f""""dedup_index_build_sec":$dedupBuild%.3f,"dedup_serve_sec":$dedupServe%.3f}""")
+    spark.stop()
+  }
+}
