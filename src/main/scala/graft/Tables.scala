@@ -34,7 +34,15 @@ object Tables {
     * the scan, which is a driver-side side effect worth paying ONCE
     * per distinct plan, not once per call from a hot operator builder
     * — so the verdict is memoized per (session, canonicalized plan,
-    * target). Bounded: a handful of table scans per session. */
+    * target).
+    *
+    * Known staleness, accepted: the verdict is NOT invalidated if the
+    * path's file/partition count changes mid-session (an incremental
+    * re-read after more files land keeps the old narrow/wide call —
+    * perf-only, never wrong results; a fresh session re-probes).
+    * Retention is bounded below instead of per-session eviction: past
+    * 256 entries the cache resets (worst case one re-probe per scan),
+    * so a long-lived JVM cycling sessions cannot pin entries forever. */
   private val narrowCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), java.lang.Boolean]()
 
@@ -42,6 +50,7 @@ object Tables {
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
     val key = (System.identityHashCode(df.sparkSession),
       df.queryExecution.logical.semanticHash(), target)
+    if (narrowCache.size > 256) narrowCache.clear()
     val narrow = narrowCache.computeIfAbsent(key,
       _ => Boolean.box(df.rdd.getNumPartitions < target))
     if (narrow) df.repartition(target) else df

@@ -47,12 +47,17 @@ object GenVecs {
     // u(tag, i) ~ uniform in [-1, 1), from one md5 per (tag, dim)
     def u(tag: String, i: String) =
       s"(conv(substr(md5(concat($tag, '_', $i)), 1, 6), 16, 10) / 8388608.0 - 1.0)"
-    // dup sources: vec_id % 20 == 7 copies vec_id - 20 (same label
-    // class, one full dup-free cycle below it) with 1% jitter
+    // dup sources: vec_id % 20 == 7 copies vec_id - 30 with 1% jitter.
+    // The offset must land on a NON-dup slot ((id-30) % 20 == 17):
+    // copying another dup row would chain JITTER TAGS, not vectors —
+    // vec(47) built from j(27) is cosine ≈ 0.88 to vec(27) (which was
+    // built from j(7)), i.e. an ordinary cluster mate, not a planted
+    // copy (caught by the clustered-corpus recall spec). The dup
+    // inherits its source's label, so it stays in the same cluster.
     val base = spark.range(rows.toLong).select(col("id").as("vec_id"))
       .withColumn("src_id",
-        when(pmod(col("vec_id"), lit(20)) === 7 && col("vec_id") >= 20,
-          col("vec_id") - 20).otherwise(col("vec_id")))
+        when(pmod(col("vec_id"), lit(20)) === 7 && col("vec_id") >= 30,
+          col("vec_id") - 30).otherwise(col("vec_id")))
       .withColumn("label", pmod(col("src_id"), lit(10)).cast("int"))
       .withColumn("noise_amp", lit(amp))
     // center(label, i) + jitter(src, i) [+ tiny dup jitter]: cluster

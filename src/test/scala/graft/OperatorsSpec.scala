@@ -263,6 +263,28 @@ class OperatorsSpec extends SparkTestBase {
       s"dense-region guard not pruning: ${cand.size} refined vs $unrefined unrefined")
   }
 
+  test("embedding dedup recall on the clustered GenVecs corpus (hot-bucket regime)") {
+    graft.functions.GraftFunctions.register(spark)
+    // the corpus that caught the original O(bucket²) regression: 10
+    // tight topic clusters (amp 0.35 ⇒ within-cluster cosine ≈ 0.9),
+    // clusters of ~200 ≫ the 64-row bucket cap, so candidate
+    // generation runs THROUGH the key-widening hot path — and because
+    // the DuckDB oracle mirrors the hot/cold logic, only this planted
+    // recall assertion gates the "cosine ≈ 1 agrees on the extra band
+    // w.p. ≈ 1" claim
+    val vecs = graft.dev.GenVecs.synthesize(spark, 2000, 0.35)
+      .select("vec_id", "embedding").localCheckpoint(true)
+    val cand = operators.Dedup.embCandidates(vecs).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    // GenVecs plants vec_id % 20 == 7 (id ≥ 30) as a cosine ≈ 1 copy
+    // of vec_id - 30 — every planted pair must survive the banding
+    val planted = (30L until 2000L).filter(id => id % 20 == 7)
+      .map(id => (id - 30, id)).toSet
+    val missed = planted -- cand
+    assert(planted.size == 98 && missed.isEmpty,
+      s"clustered-corpus banding lost ${missed.size}/${planted.size} planted pairs: ${missed.take(5)}")
+  }
+
   test("embedding LSH prunes: candidate pairs well below exhaustive") {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables(spark, sfDir, "embeddings").select("vec_id", "embedding")
