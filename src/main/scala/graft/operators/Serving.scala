@@ -169,18 +169,60 @@ object Serving {
     * once at ingest and each daily batch only hashes ITSELF. */
   def dedupIndexDir(spark: SparkSession, dir: String): String = {
     GraftFunctions.register(spark)
-    ensure("dedup", fingerprint(dir, Seq("documents"))) { ix =>
-      val idx = Tables(spark, dir, "documents").filter(col("doc_id") % 10 =!= 7)
-      val src = Tables.fanout(idx.select(col("doc_id"), col("text")))
-      val keys = src.select(col("doc_id"), md5(expr(normSpark)).as("ck"))
-      DatasetsSink.writeOptimized(keys, s"$ix/keys", Seq("ck"), Seq("ck"))
-      val sh = src.select(col("doc_id"), expr(shSpark).as("sh"))
-        .filter(size(col("sh")) > 0)
-        .localCheckpoint(true) // feeds both the shingle store and the bands
-      DatasetsSink.writeOptimized(sh, s"$ix/shingles", Seq("doc_id"), Seq("doc_id"))
-      val bands = Dedup.minhashBands4x2(Dedup.minhashSig(sh))
-      DatasetsSink.writeOptimized(bands, s"$ix/bands", Seq("bkey"), Seq("bkey"))
-    }
+    ensure("dedup", fingerprint(dir, Seq("documents")))(buildDedupIndex(spark, dir, _))
+  }
+
+  /** Base build of the signature index (the standing corpus, d8's
+    * doc_id % 10 != 7 convention) into an explicit target — the
+    * absorb-cycle spec maintains its OWN index copy so the shared
+    * fingerprint-keyed dir stays byte-identical to what the d10
+    * oracle expects. */
+  private[graft] def buildDedupIndex(spark: SparkSession, dir: String, ix: String): Unit = {
+    GraftFunctions.register(spark)
+    val idx = Tables(spark, dir, "documents").filter(col("doc_id") % 10 =!= 7)
+    writeSignatures(idx.select(col("doc_id"), col("text")), ix, batchId = 0L)
+  }
+
+  /** Write one batch's signature tables (content keys, shingle sets,
+    * band keys) under `batch_id=<id>` subdirectories of the index —
+    * the base build is batch 0, [[absorbBatch]] appends later batches.
+    * Overwrite-by-batch-id (i4's idempotent landing): a retried
+    * absorb REPLACES itself instead of duplicating signatures. */
+  private def writeSignatures(docs: DataFrame, ix: String, batchId: Long): Unit = {
+    val src = Tables.fanout(docs)
+    val keys = src.select(col("doc_id"), md5(expr(normSpark)).as("ck"))
+    DatasetsSink.writeOptimized(keys, s"$ix/keys/batch_id=$batchId", Seq("ck"), Seq("ck"))
+    val sh = src.select(col("doc_id"), expr(shSpark).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint(true) // feeds both the shingle store and the bands
+    DatasetsSink.writeOptimized(sh, s"$ix/shingles/batch_id=$batchId",
+      Seq("doc_id"), Seq("doc_id"))
+    val bands = Dedup.minhashBands4x2(Dedup.minhashSig(sh))
+    DatasetsSink.writeOptimized(bands, s"$ix/bands/batch_id=$batchId",
+      Seq("bkey"), Seq("bkey"))
+  }
+
+  /** i7 — index MAINTENANCE, the other half of the daily cycle: after
+    * [[qDedupServed]] screens the arriving batch, its KEEPERS join
+    * the standing corpus — so tomorrow's re-upload of today's novel
+    * content is caught. The reference's equivalent is the blob
+    * metadata it writes after every ingest; at 100 TB this is the
+    * difference between an index that decays (misses everything
+    * ingested since the build) and one that tracks the corpus. The
+    * keeper signatures land as one `batch_id` partition per absorb —
+    * idempotent per batch id, atomic enough for a daily job (readers
+    * see a batch entirely or not at all once its files commit). */
+  def absorbBatch(spark: SparkSession, dir: String, ix: String, batchId: Long): Unit = {
+    GraftFunctions.register(spark)
+    // screen EXCLUDING this batch's own partition: a retried absorb
+    // must recompute the same keeper set from the pre-absorb index —
+    // screening against its own half-written (or complete) first
+    // attempt would find self-matches and absorb nothing
+    val keepers = qDedupServedAt(spark, dir, ix, excludeBatch = Some(batchId))
+      .filter(col("verdict") === "keep").select("doc_id")
+    val docs = Tables(spark, dir, "documents")
+      .join(keepers, "doc_id").select(col("doc_id"), col("text"))
+    writeSignatures(docs, ix, batchId)
   }
 
   /** d10 — q_dedup_served: d8's incremental screen with the standing
@@ -190,21 +232,33 @@ object Serving {
     * the Jaccard verify reads stored shingle sets instead of
     * re-shingling the corpus. Byte-identical to d8 ⇒ shares its
     * oracle. */
-  def qDedupServed(spark: SparkSession, dir: String): DataFrame = {
+  def qDedupServed(spark: SparkSession, dir: String): DataFrame =
+    qDedupServedAt(spark, dir, dedupIndexDir(spark, dir))
+
+  /** [[qDedupServed]] against an explicit index dir — the absorb
+    * cycle's screen step runs on a MAINTAINED index, not the
+    * fingerprint-keyed build. `excludeBatch` drops one `batch_id`
+    * partition from every index read (partition-pruned) — the absorb
+    * retry path's self-exclusion. */
+  private[graft] def qDedupServedAt(spark: SparkSession, dir: String, ix: String,
+      excludeBatch: Option[Long] = None): DataFrame = {
     GraftFunctions.register(spark)
-    val ix = dedupIndexDir(spark, dir)
+    def ixRead(table: String): DataFrame = {
+      val t = spark.read.parquet(s"$ix/$table")
+      excludeBatch.fold(t)(b => t.where(col("batch_id") =!= b))
+    }
     val d = Tables(spark, dir, "documents")
     val batch = d.filter(col("doc_id") % 10 === 7)
     val src = Tables.fanout(batch.select(col("doc_id"), col("text")))
     val bKeys = src.select(col("doc_id"), md5(expr(normSpark)).as("ck"))
     val exact = broadcast(bKeys)
-      .join(spark.read.parquet(s"$ix/keys").select(col("doc_id").as("idx_id"), col("ck")), "ck")
+      .join(ixRead("keys").select(col("doc_id").as("idx_id"), col("ck")), "ck")
       .groupBy("doc_id").agg(min("idx_id").as("m_exact"))
     val bSh = src.select(col("doc_id"), expr(shSpark).as("sh"))
       .filter(size(col("sh")) > 0)
       .localCheckpoint(true) // bands + two verify consumers below
     val bBands = Dedup.minhashBands4x2(Dedup.minhashSig(bSh))
-    val iBands = spark.read.parquet(s"$ix/bands")
+    val iBands = ixRead("bands")
     val cand = broadcast(bBands.as("n"))
       .join(iBands.as("i"),
         col("n.b") === col("i.b") && col("n.bkey") === col("i.bkey"))
@@ -212,7 +266,7 @@ object Serving {
       .distinct()
     val near = cand
       .join(broadcast(bSh.select(col("doc_id"), col("sh").as("sh_n"))), "doc_id")
-      .join(spark.read.parquet(s"$ix/shingles")
+      .join(ixRead("shingles")
         .select(col("doc_id").as("idx_id"), col("sh").as("sh_i")), "idx_id")
       .withColumn("inter", expr("size(filter(sh_n, x -> array_contains(sh_i, x)))"))
       .filter(col("inter").cast("double") /

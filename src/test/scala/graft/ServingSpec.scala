@@ -20,6 +20,40 @@ class ServingSpec extends SparkTestBase {
     assert(ded == dedTwin, "served dedup diverged from d8")
   }
 
+  test("daily cycle: absorbed keepers are caught as exact dups on re-screen, idempotently") {
+    // own index copy — absorbing into the shared fingerprint-keyed dir
+    // would break the d10 oracle's corpus-minus-batch expectation
+    val ix = Files.createTempDirectory("graft_absorb_ix").toString
+    Serving.buildDedupIndex(spark, sfDir, ix)
+    val screen1 = Serving.qDedupServedAt(spark, sfDir, ix).collect()
+    val keepers = screen1.filter(_.getString(1) == "keep").map(_.getLong(0)).toSet
+    assert(keepers.nonEmpty, "screen found no novel docs — absorb test is vacuous")
+    // absorb today's keepers; tomorrow the SAME batch re-uploads and
+    // every absorbed doc must now hit an exact self-match in the index
+    Serving.absorbBatch(spark, sfDir, ix, batchId = 1L)
+    def rescreen(): Map[Long, (String, Long)] =
+      Serving.qDedupServedAt(spark, sfDir, ix).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+        .toMap
+    val screen2 = rescreen()
+    keepers.foreach { id =>
+      assert(screen2(id) == ("drop_exact", id),
+        s"absorbed keeper $id not caught on re-screen: ${screen2(id)}")
+    }
+    // docs that were dups on day one keep their original verdicts
+    screen1.filter(_.getString(1) != "keep").foreach { r =>
+      assert(screen2(r.getLong(0))._1 == r.getString(1),
+        s"day-one verdict changed for ${r.getLong(0)}")
+    }
+    // a RETRIED absorb of the same batch id replaces itself: same
+    // index row count, same re-screen result (i4's idempotence)
+    val rowsBefore = spark.read.parquet(s"$ix/keys").count()
+    Serving.absorbBatch(spark, sfDir, ix, batchId = 1L)
+    assert(spark.read.parquet(s"$ix/keys").count() == rowsBefore,
+      "retried absorb duplicated index signatures")
+    assert(rescreen() == screen2, "retried absorb changed the screen result")
+  }
+
   test("index builds once and is reused; a changed corpus gets a fresh index") {
     // copy the corpus so we can mutate it without touching testdata
     val work = Files.createTempDirectory("graft_serving_corpus")
