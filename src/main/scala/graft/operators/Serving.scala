@@ -87,28 +87,36 @@ object Serving {
   def annIndexDir(spark: SparkSession, dir: String): String = {
     GraftFunctions.register(spark)
     ensure("ann", fingerprint(dir, Seq("embeddings"))) { ix =>
-      val e = Tables(spark, dir, "embeddings")
-      val pe = e.select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
-      val cent = pe.groupBy("label", "i")
-        .agg(sum(round(col("v").cast("double"), 6).cast("decimal(8,6)"))
-          .cast("decimal(12,6)").as("s"), count(lit(1)).as("n"))
-      DatasetsSink.writeOptimized(cent, s"$ix/centroids", Seq("label", "i"), Seq.empty)
-      val anchors = e.filter(col("vec_id").between(1, 4))
-        .select(col("vec_id").as("a_id"), col("embedding").as("a"))
-      DatasetsSink.writeOptimized(anchors, s"$ix/codebook", Seq("a_id"), Seq.empty)
-      // per-vector PQ codes (e9's exact integer encode, over the WHOLE
-      // corpus once instead of the probed cell per query)
-      val ks = (0 until 8).map { j =>
-        expr(s"CAST(round(round(${Ann.subDotSpark("a", "a", j)} - 2 * ${Ann.subDotSpark("embedding", "a", j)}, 6) * 1000000, 0) AS BIGINT) * 16 + a_id")
-          .as(s"k$j")
-      }
-      val scored = e.crossJoin(broadcast(anchors)).select(col("vec_id") +: ks: _*)
-      val codeAggs = (0 until 8).map(j => pmod(min(col(s"k$j")), lit(16L)).as(s"c$j"))
-      val codes = scored.groupBy("vec_id").agg(codeAggs.head, codeAggs.tail: _*)
-      val cells = codes.join(e.select(col("vec_id"), col("label"), col("embedding")), "vec_id")
-      DatasetsSink.writeIndexed(cells, s"$ix/cells",
-        partitionCols = Seq("label"), sortCols = Seq("vec_id"), bloomCols = Seq("vec_id"))
+      buildAnnIndex(Tables(spark, dir, "embeddings"), ix)
     }
+  }
+
+  /** Build the IVFPQ index from any (vec_id, label, embedding) frame
+    * into an explicit target — `label` is the cell assignment, which
+    * is the deterministic corpus label for the oracle-gated e12 and a
+    * TRAINED `Ann.trainCentroids` assignment in the training-spec
+    * composition (the cells a production build would use). */
+  private[graft] def buildAnnIndex(e: DataFrame, ix: String): Unit = {
+    val pe = e.select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
+    val cent = pe.groupBy("label", "i")
+      .agg(sum(round(col("v").cast("double"), 6).cast("decimal(8,6)"))
+        .cast("decimal(12,6)").as("s"), count(lit(1)).as("n"))
+    DatasetsSink.writeOptimized(cent, s"$ix/centroids", Seq("label", "i"), Seq.empty)
+    val anchors = e.filter(col("vec_id").between(1, 4))
+      .select(col("vec_id").as("a_id"), col("embedding").as("a"))
+    DatasetsSink.writeOptimized(anchors, s"$ix/codebook", Seq("a_id"), Seq.empty)
+    // per-vector PQ codes (e9's exact integer encode, over the WHOLE
+    // corpus once instead of the probed cell per query)
+    val ks = (0 until 8).map { j =>
+      expr(s"CAST(round(round(${Ann.subDotSpark("a", "a", j)} - 2 * ${Ann.subDotSpark("embedding", "a", j)}, 6) * 1000000, 0) AS BIGINT) * 16 + a_id")
+        .as(s"k$j")
+    }
+    val scored = e.crossJoin(broadcast(anchors)).select(col("vec_id") +: ks: _*)
+    val codeAggs = (0 until 8).map(j => pmod(min(col(s"k$j")), lit(16L)).as(s"c$j"))
+    val codes = scored.groupBy("vec_id").agg(codeAggs.head, codeAggs.tail: _*)
+    val cells = codes.join(e.select(col("vec_id"), col("label"), col("embedding")), "vec_id")
+    DatasetsSink.writeIndexed(cells, s"$ix/cells",
+      partitionCols = Seq("label"), sortCols = Seq("vec_id"), bloomCols = Seq("vec_id"))
   }
 
   /** e12 — q_ann_ivfpq_indexed: e9's query served from the persisted
@@ -121,10 +129,22 @@ object Serving {
     * so it shares e9's oracle. */
   def qAnnIvfPqIndexed(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
-    val ix = annIndexDir(spark, dir)
-    val e = Tables(spark, dir, "embeddings")
-    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-    val qe = e.filter(col("vec_id") === 0)
+    qAnnIvfPqIndexedAt(spark, Tables(spark, dir, "embeddings"),
+      annIndexDir(spark, dir), queryVecId = 0L)
+  }
+
+  /** [[qAnnIvfPqIndexed]] against an explicit index dir, base frame,
+    * query vector, and rerank depth — the training-spec composition
+    * serves many queries from indexes whose cells came from different
+    * centroid sets. `rerankDepth` is the standard IVFPQ knob (how
+    * many ADC candidates get the exact-distance rerank): 10 is the
+    * e9-oracle shape; evaluation reranks deeper so cell quality, not
+    * 4-anchor ADC coarseness, is what recall measures. */
+  private[graft] def qAnnIvfPqIndexedAt(spark: SparkSession, e: DataFrame,
+      ix: String, queryVecId: Long, rerankDepth: Int = 10): DataFrame = {
+    GraftFunctions.register(spark)
+    val q = e.filter(col("vec_id") === queryVecId).select(col("embedding").as("qv"))
+    val qe = e.filter(col("vec_id") === queryVecId)
       .select(posexplode(col("embedding")).as(Seq("i", "qv")))
     val cent = spark.read.parquet(s"$ix/centroids")
     val dots = cent.join(broadcast(qe), "i")
@@ -150,7 +170,7 @@ object Serving {
         col("cl.code") === col("lt.a_id") && col("cl.j") === col("lt.j"))
       .groupBy(col("cl.vec_id").as("vec_id"))
       .agg(round(sum("dot_i").cast("double") / 1000000, 6).as("adc"))
-    adc.orderBy(col("adc").desc, col("vec_id")).limit(10)
+    adc.orderBy(col("adc").desc, col("vec_id")).limit(rerankDepth)
       .join(cells.select(col("vec_id"), col("embedding")), "vec_id")
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("adc"),

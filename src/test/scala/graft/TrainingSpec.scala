@@ -65,5 +65,40 @@ class TrainingSpec extends SparkTestBase {
     val rU = recallFor(cellsU, untrained)
     assert(rT > rU, s"trained recall $rT must beat untrained $rU")
     assert(rT >= 0.8, s"trained recall@5 too low: $rT")
+
+    // ---- the SERVING composition: trained cells through the REAL
+    // persisted IVFPQ path (build index with each cell assignment,
+    // serve per query, recall@10 vs local exact top-10) ----
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    def indexFor(cells: Map[Long, Int]): String = {
+      val ix = java.nio.file.Files.createTempDirectory("graft_trained_ix").toString
+      val cellsDF = cells.toSeq.toDF("vec_id", "cell")
+      val relabeled = vecs.drop("label").join(cellsDF, "vec_id")
+        .select(col("vec_id"), col("cell").as("label"), col("embedding"))
+      operators.Serving.buildAnnIndex(relabeled, ix)
+      ix
+    }
+    def top10Exact(q: Long): Set[Long] =
+      emb.keys.toSeq.map(v => (cos(emb(q), emb(v)), v))
+        .sortBy(t => (-t._1, t._2)).take(10).map(_._2).toSet
+    def servedRecall(ix: String): Double = {
+      val queries = Seq(13L, 107L, 251L, 389L, 521L, 653L, 787L, 919L)
+      val rs = queries.map { q =>
+        // rerank deep (the production recall knob) then take the exact
+        // top-10 — recall now measures CELL quality, not the 4-anchor
+        // ADC's coarseness, which is identical for both indexes
+        val got = operators.Serving
+          .qAnnIvfPqIndexedAt(spark, vecs, ix, q, rerankDepth = 100)
+          .orderBy(col("cos_sim").desc, col("vec_id")).limit(10)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        (got intersect top10Exact(q)).size.toDouble / 10
+      }
+      rs.sum / rs.size
+    }
+    val servedT = servedRecall(indexFor(cellsT))
+    val servedU = servedRecall(indexFor(cellsU))
+    assert(servedT > servedU,
+      s"served recall@10: trained $servedT must beat untrained $servedU")
   }
 }
