@@ -19,6 +19,22 @@ class ServiceLoopSpec extends SparkTestBase {
       .toSeq.sorted
 
   test("service loop: kill mid-asset, restart from checkpoint, publishes equal the uninterrupted run") {
+    // the whole composition runs on the PRODUCTION state store: state
+    // restore across the kill/restart below exercises RocksDB
+    // checkpoint recovery, not just the in-memory default (h12's
+    // store-agnosticism proof lifted to the composed job)
+    val storeKey = "spark.sql.streaming.stateStore.providerClass"
+    val savedStore = spark.conf.getOption(storeKey)
+    spark.conf.set(storeKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try serviceLoopScenario()
+    finally savedStore match {
+      case Some(v) => spark.conf.set(storeKey, v)
+      case None => spark.conf.unset(storeKey)
+    }
+  }
+
+  private def serviceLoopScenario(): Unit = {
     val pub = java.nio.file.Files.createTempDirectory("graft_svc_pub").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_svc_ckpt").toString
 
@@ -41,6 +57,12 @@ class ServiceLoopSpec extends SparkTestBase {
     // resume at 110, asset 27's state machine resumes at processing/76
     val q2 = ServiceLoop.run(spark, 200, 60, pub, ckpt)
     assert(q2.awaitTermination(180000L), "run 2 did not drain")
+    // the restarted run must actually be on RocksDB, not silently
+    // defaulted — its state restore is the point of the scenario
+    val stateOps = q2.lastProgress.stateOperators
+    assert(stateOps.nonEmpty && stateOps(0).customMetrics.containsKey("rocksdbFilesCopied"),
+      s"RocksDB store not engaged in the restarted run: ${
+        if (stateOps.isEmpty) "no state ops" else stateOps(0).customMetrics}")
     q2.stop()
 
     // uninterrupted twin: fresh checkpoint + fresh pub/sub path
