@@ -356,7 +356,7 @@ object Ann {
   private[graft] def subDotSpark(a: String, b: String, j: Int): String =
     s"graft_dot(slice($a, ${8 * j + 1}, 8), slice($b, ${8 * j + 1}, 8))"
 
-  private def subDotDuck(a: String, b: String, j: Int): String =
+  private[graft] def subDotDuck(a: String, b: String, j: Int): String =
     s"list_sum(list_transform(generate_series(1, 8), i -> " +
       s"CAST($a[${8 * j} + i] AS DOUBLE) * CAST($b[${8 * j} + i] AS DOUBLE)))"
 

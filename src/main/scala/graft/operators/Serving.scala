@@ -178,6 +178,123 @@ object Serving {
       .orderBy(col("adc").desc, col("vec_id"))
   }
 
+  /** e13 — q_ann_batch_indexed: a BATCH of queries served from the
+    * persisted index in ONE pass (e5's one-corpus-pass batching × the
+    * e12 index architecture — the production online-serving shape,
+    * where requests are micro-batched against the index). The router
+    * probes all queries against the tiny centroids table, collects
+    * the 8 probe decisions, and scans the code table ONCE with a
+    * literal multi-cell partition filter (the UNION of probed cells —
+    * at 100 TB the batch touches |distinct probed cells|/nlist of the
+    * index, however many queries share a cell). ADC scoring joins the
+    * pruned code rows to a broadcast per-query LUT keyed by the
+    * query's probe cell, top-10 per query is a WindowGroupLimit rank,
+    * and the exact rerank reads raw vectors from the same pruned
+    * partitions. Fully oracle-gated (the per-query math is e9's,
+    * generalized over the batch). */
+  def qAnnBatchIndexed(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val ix = annIndexDir(spark, dir)
+    val e = Tables(spark, dir, "embeddings")
+    val qs = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val qe = qs.select(col("q_id"), posexplode(col("qv")).as(Seq("i", "qvi")))
+    val cent = spark.read.parquet(s"$ix/centroids")
+    val dots = cent.join(broadcast(qe), "i")
+      .groupBy("q_id", "label")
+      .agg((sum(round(col("qvi").cast("double"), 6).cast("decimal(8,6)") * col("s"))
+        .cast("double") / max(col("n"))).as("dot"))
+    // the router's batch of probe decisions — 8 tiny rows collected, so
+    // the cell scan prunes statically to the union of probed partitions
+    val probeRows = dots
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("dot").desc, col("label"))))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("label").cast("int").as("plabel"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val probedLabels = probeRows.map(_._2).distinct
+    import spark.implicits._
+    val probes = broadcast(probeRows.toDF("q_id", "plabel"))
+    val cells = spark.read.parquet(s"$ix/cells")
+      .filter(col("label").isInCollection(probedLabels))
+    val cl = cells.select(col("vec_id"), col("label"),
+        posexplode(array((0 until 8).map(j => col(s"c$j")): _*)).as(Seq("j", "code")))
+      .join(probes, col("label") === col("plabel"))
+      .select(col("q_id"), col("vec_id"), col("j"), col("code"))
+    val codebook = spark.read.parquet(s"$ix/codebook")
+    val lutWide = codebook.crossJoin(broadcast(qs)).select(col("q_id") +: col("a_id") +:
+      (0 until 8).map { j =>
+        expr(s"CAST(round(round(${Ann.subDotSpark("qv", "a", j)}, 6) * 1000000, 0) AS BIGINT)").as(s"l$j")
+      }: _*)
+    val lut = lutWide.select(col("q_id"), col("a_id"),
+      posexplode(array((0 until 8).map(j => col(s"l$j")): _*)).as(Seq("j", "dot_i")))
+    val adc = cl.as("cl").join(broadcast(lut.as("lt")),
+        col("cl.q_id") === col("lt.q_id") && col("cl.code") === col("lt.a_id") &&
+          col("cl.j") === col("lt.j"))
+      .groupBy(col("cl.q_id").as("q_id"), col("cl.vec_id").as("vec_id"))
+      .agg(round(sum("dot_i").cast("double") / 1000000, 6).as("adc"))
+    val w = Window.partitionBy("q_id").orderBy(col("adc").desc, col("vec_id"))
+    adc.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+      .join(cells.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(qs), "q_id")
+      .select(col("q_id"), col("vec_id"), col("adc"),
+        expr(Ann.cosineSpark("embedding", "qv")).as("cos_sim"))
+      .orderBy(col("q_id"), col("adc").desc, col("vec_id"))
+  }
+
+  val qAnnBatchIndexedSql: String = {
+    val ds = (0 until 8).map(j =>
+      s"CAST(round(round(${Ann.subDotDuck("a", "a", j)} - 2 * ${Ann.subDotDuck("e.embedding", "a", j)}, 6) * 1000000, 0) AS BIGINT) * 16 + a_id AS k$j")
+      .mkString(", ")
+    val codeCols = (0 until 8).map(j => s"((MIN(k$j) % 16) + 16) % 16 AS c$j").mkString(", ")
+    val luts = (0 until 8).map(j =>
+      s"CAST(round(round(${Ann.subDotDuck("qv", "a", j)}, 6) * 1000000, 0) AS BIGINT) AS l$j")
+      .mkString(", ")
+    val lutCase = (0 until 8).map(j => s"WHEN $j THEN l$j").mkString(" ")
+    s"""WITH pe AS (
+        SELECT label, unnest(generate_series(1, len(embedding))) AS i, unnest(embedding) AS v
+        FROM embeddings),
+      cent AS (
+        SELECT label, i,
+          CAST(SUM(CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(8,6))) AS DECIMAL(12,6)) AS s,
+          COUNT(*) AS n
+        FROM pe GROUP BY label, i),
+      qs AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+      qe AS (SELECT q_id, unnest(generate_series(1, len(qv))) AS i, unnest(qv) AS qvi FROM qs),
+      cdots AS (
+        SELECT q_id, label,
+          CAST(SUM(CAST(round(CAST(qvi AS DOUBLE), 6) AS DECIMAL(8,6)) * s) AS DOUBLE) / MAX(n) AS dot
+        FROM cent JOIN qe USING (i) GROUP BY q_id, label),
+      probe AS (SELECT q_id, label FROM (
+          SELECT q_id, label, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dot DESC, label) AS rn
+          FROM cdots) x WHERE rn = 1),
+      anchors AS (SELECT vec_id AS a_id, embedding AS a FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+      scored AS (SELECT e.vec_id, e.label, a_id, $ds FROM embeddings e, anchors
+        WHERE e.label IN (SELECT label FROM probe)),
+      codes AS (SELECT vec_id, label, $codeCols FROM scored GROUP BY vec_id, label),
+      cl AS (SELECT p.q_id, c.vec_id, c.j, c.code FROM (
+          SELECT vec_id, label, unnest([0,1,2,3,4,5,6,7]) AS j,
+            unnest([c0,c1,c2,c3,c4,c5,c6,c7]) AS code FROM codes) c
+        JOIN probe p ON p.label = c.label),
+      lut AS (SELECT q_id, a_id, j, CASE j $lutCase END AS dot_i
+        FROM (SELECT q_id, a_id, $luts, unnest([0,1,2,3,4,5,6,7]) AS j FROM anchors, qs) x),
+      adc AS (
+        SELECT cl.q_id AS q_id, cl.vec_id AS vec_id,
+          round(CAST(CAST(SUM(lut.dot_i) AS BIGINT) AS DOUBLE) / 1000000, 6) AS adc
+        FROM cl JOIN lut ON lut.q_id = cl.q_id AND lut.a_id = cl.code AND lut.j = cl.j
+        GROUP BY cl.q_id, cl.vec_id),
+      top AS (SELECT q_id, vec_id, adc FROM (
+          SELECT q_id, vec_id, adc,
+            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc DESC, vec_id) AS rn
+          FROM adc) t WHERE rn <= 10)
+      SELECT t.q_id AS q_id, t.vec_id AS vec_id, t.adc AS adc,
+        ${Ann.cosineDuck("e.embedding", "qv")} AS cos_sim
+      FROM top t JOIN embeddings e ON e.vec_id = t.vec_id
+        JOIN qs ON qs.q_id = t.q_id
+      ORDER BY q_id, adc DESC, vec_id"""
+  }
+
   // ---------- d10: dedup served from the signature index ----------
 
   /** Build (or reuse) the persisted dedup index over the standing
@@ -305,6 +422,7 @@ object Serving {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_ivfpq_indexed" -> (qAnnIvfPqIndexed _),
+    "q_ann_batch_indexed" -> (qAnnBatchIndexed _),
     "q_dedup_served" -> (qDedupServed _))
 
   /** The serve queries are result-identical to their rebuild twins,
@@ -312,5 +430,6 @@ object Serving {
     * the persisted-index architecture changes nothing semantically. */
   val oracles: Map[String, String] = Map(
     "q_ann_ivfpq_indexed" -> Ann.qAnnIvfPqSql,
+    "q_ann_batch_indexed" -> qAnnBatchIndexedSql,
     "q_dedup_served" -> Dedup.qDedupIncrementalSql)
 }

@@ -318,6 +318,19 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("batch-indexed ANN scans the union of probed cells once, top-k group-limited") {
+    val df = operators.Serving.qAnnBatchIndexed(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // one code-table scan pruned to the probed cells of the WHOLE
+    // batch (a literal IN partition filter), not a scan per query
+    assert("PartitionFilters: \\[label#\\d+ IN \\([0-9,]+\\)".r
+      .findFirstIn(p.replaceAll("\\s+", " ")).isDefined,
+      s"cell scan not pruned to the probed-cell union:\n$p")
+    // per-query top-10 must plan the bounded rank form
+    assert(p.contains("WindowGroupLimit"), s"per-query top-k not group-limited:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("served dedup broadcasts the batch against streamed index tables") {
     val df = operators.Serving.qDedupServed(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
