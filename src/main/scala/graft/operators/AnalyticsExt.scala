@@ -1,0 +1,339 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** §2 C (continued) — the remaining classic TPC-H shapes (c30-c37),
+  * adapted to the driver schema (no partsupp table, no
+  * shipmode/receiptdate columns — filters re-target the columns the
+  * data has; the PLAN shape each query exists to exercise is
+  * unchanged). Same oracle-compat rules as Analytics.scala: exact
+  * decimals for money, one final IEEE division at most, total ORDER
+  * BY, no raw timestamps out.
+  *
+  * ref capability: these complete the relational substrate
+  * (UNDP-Data/geohub-data-pipeline's joins/state queries are simple;
+  * C exists so the engine is a general analytics substrate at 100 TB).
+  */
+object AnalyticsExt {
+
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,6)")).cast("double")
+
+  // c30 — small-quantity-order revenue (TPC-H q17 shape): a fact
+  // correlated with ITS OWN per-group aggregate. Distinct plan: the
+  // filtered fact is scanned once into a per-part agg (map-side
+  // partials), then joined back to itself on partkey — AQE reuses the
+  // partkey shuffle on both sides, and the broadcast part filter
+  // prunes BEFORE either. The 0.2*avg predicate is cross-multiplied
+  // (qty*5*cnt < sum — exact decimals, no division in the predicate);
+  // the single division happens once, on the final 1-row result.
+  // At 100 TB: per-part agg is bounded by |part|, both join inputs
+  // hash-partition on l_partkey, nothing driver-side.
+  def q17SmallQty(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir, "part")
+      .filter(col("p_brand") === "Brand#23" && col("p_type") === "SMALL")
+      .select("p_partkey")
+    val lp = Tables(spark, dir, "lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    val st = lp.groupBy("l_partkey")
+      .agg(sum(col("l_quantity").cast("decimal(18,6)")).as("sum_qty"),
+        count(lit(1)).as("cnt"))
+    lp.join(st, "l_partkey")
+      .filter(col("l_quantity").cast("decimal(18,6)") * 5 * col("cnt") < col("sum_qty"))
+      .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+  }
+
+  val q17SmallQtySql: String =
+    """WITH lp AS (SELECT l_partkey, l_quantity, l_extendedprice
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE p_brand = 'Brand#23' AND p_type = 'SMALL'),
+       st AS (SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty, COUNT(*) AS cnt
+         FROM lp GROUP BY l_partkey)
+       SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0 AS avg_yearly
+       FROM lp JOIN st USING (l_partkey)
+       WHERE CAST(l_quantity AS DECIMAL(18,6)) * 5 * cnt < sum_qty"""
+
+  // c31 — customer order-count distribution (TPC-H q13 shape): LEFT
+  // OUTER join so no-order customers survive as c_count = 0, then a
+  // second aggregation over the first's output. Distinct capability:
+  // outer-join null semantics under COUNT(col) + double aggregation.
+  // The join predicate carries the non-key filter (priority <>
+  // URGENT) INSIDE the outer join — pushing it below would turn
+  // "customer with only urgent orders" into a lost row instead of 0.
+  // At 100 TB: shuffle on custkey (both sides), second agg is over
+  // |distinct counts| ≈ tiny.
+  def q13CustDist(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer").select("c_custkey")
+    val o = Tables(spark, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_custkey", "o_orderkey")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13CustDistSql: String =
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+         SELECT c_custkey, COUNT(o_orderkey) AS c_count
+         FROM customer LEFT OUTER JOIN orders
+           ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+         GROUP BY c_custkey)
+       GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""
+
+  // c32 — bilateral trade volume (TPC-H q7 shape): the SAME dimension
+  // joined twice in two roles (supplier's nation, customer's nation)
+  // with a directional pair predicate. Distinct capability: dim
+  // self-aliasing — two independent broadcasts of nation, and the
+  // OR-of-pairs filter evaluated across both aliases post-join.
+  // At 100 TB: nation/supplier broadcast, the only shuffles are the
+  // two fact joins (orderkey, custkey) and the final tiny agg.
+  def q7Volume(spark: SparkSession, dir: String): DataFrame = {
+    val sn = Tables(spark, dir, "nation")
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val cn = Tables(spark, dir, "nation")
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    val l = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+    val o = Tables(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    val c = Tables(spark, dir, "customer").select("c_custkey", "c_nationkey")
+    val s = Tables(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(cn), col("c_nationkey") === col("cn_key"))
+      .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+        (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("int").as("l_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val q7VolumeSql: String =
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(YEAR(l_shipdate) AS INT) AS l_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+       FROM lineitem, orders, customer, supplier, nation sn, nation cn
+       WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey AND l_suppkey = s_suppkey
+         AND s_nationkey = sn.n_nationkey AND c_nationkey = cn.n_nationkey
+         AND ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+           OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+         AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+       GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
+  // c33 — market share (TPC-H q8 shape): numerator-as-conditional-agg
+  // over the SAME grouped rows as the denominator — one pass, one
+  // shuffle, the share = (CASE-sum)/(sum) with both sides exact
+  // decimals and exactly one IEEE division per output row. Distinct
+  // capability: conditional aggregation keyed by a dim attribute
+  // (supplier nation) that is NOT in the GROUP BY.
+  // At 100 TB: every dim broadcasts; the two fact joins are the only
+  // shuffles; numerator adds zero extra passes.
+  def q8MktShare(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir, "part").filter(col("p_type") === "PROMO").select("p_partkey")
+    val o = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val c = Tables(spark, dir, "customer").select("c_custkey", "c_nationkey")
+    val cn = Tables(spark, dir, "nation")
+      .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+    val r = Tables(spark, dir, "region").filter(col("r_name") === "ASIA").select("r_regionkey")
+    val s = Tables(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val sn = Tables(spark, dir, "nation")
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val vol = (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)")
+    Tables(spark, dir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(cn), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg((sum(when(col("supp_nation") === "NATION_3", vol)
+          .otherwise(lit(0).cast("decimal(18,6)"))).cast("double") /
+        sum(vol).cast("double")).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  val q8MktShareSql: String =
+    """SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+           THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+           ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share
+       FROM lineitem, part, orders, customer, nation cn, region, supplier, nation sn
+       WHERE l_partkey = p_partkey AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+         AND c_nationkey = cn.n_nationkey AND cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+         AND l_suppkey = s_suppkey AND s_nationkey = sn.n_nationkey
+         AND p_type = 'PROMO'
+         AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       GROUP BY 1 ORDER BY 1"""
+
+  // c34 — disjunctive-predicate join (TPC-H q19 shape): the join
+  // condition is an OR of conjunctions mixing BOTH sides' columns —
+  // Catalyst keeps the equi-key (partkey) as the hash join key,
+  // derives the part-only disjunction (brand/size) as a pushable
+  // scan filter on the broadcast side, and evaluates the mixed
+  // residual post-join. Distinct capability: predicate decomposition
+  // of OR-of-ANDs (the case where naive pushdown is impossible but
+  // per-side weakening is).
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir, "part").select("p_partkey", "p_brand", "p_size")
+    val l = Tables(spark, dir, "lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val cond = col("l_partkey") === col("p_partkey") && (
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) && col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) && col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#5" && col("p_size").between(1, 35) && col("l_quantity").between(20, 30)))
+    l.join(broadcast(p), cond)
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+  }
+
+  val q19DisjunctiveSql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+       FROM lineitem, part
+       WHERE p_partkey = l_partkey AND (
+         (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30))"""
+
+  // c35 — min-cost supplier per part (TPC-H q2 shape): the argmin
+  // pattern — per-group MIN computed once, then an equality re-join
+  // on (group, min-value) recovers the full argmin rows, ties
+  // included, with DISTINCT collapsing multi-lineitem ties. The
+  // min-compare happens on exact decimals so "equals the min" cannot
+  // drift. Distinct capability: correlated-min decorrelated into
+  // agg + rejoin (what Catalyst does to q2's subquery), bounded
+  // output via TakeOrderedAndProject.
+  // At 100 TB: candidate set pre-pruned by broadcast dims (size,
+  // region), both agg and rejoin shuffle on partkey, output top-100.
+  def q2MinCost(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir, "part").filter(col("p_size") === 15).select("p_partkey")
+    val s = Tables(spark, dir, "supplier")
+    val n = Tables(spark, dir, "nation")
+    val r = Tables(spark, dir, "region").filter(col("r_name") === "EUROPE")
+    val cand = Tables(spark, dir, "lineitem")
+      .select("l_partkey", "l_suppkey", "l_extendedprice")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice").cast("decimal(18,6)").as("cost"),
+        col("s_name"), col("n_name"), col("s_acctbal"))
+    val mn = cand.groupBy(col("l_partkey").as("m_partkey"))
+      .agg(min(col("cost")).as("min_cost"))
+    cand.join(mn, col("l_partkey") === col("m_partkey") && col("cost") === col("min_cost"))
+      .select(col("l_partkey").as("p_partkey"), col("min_cost").cast("double").as("min_cost"),
+        col("l_suppkey").as("s_suppkey"), col("s_name"), col("n_name"), col("s_acctbal"))
+      .distinct()
+      .orderBy(col("s_acctbal").desc, col("p_partkey"), col("s_suppkey"))
+      .limit(100)
+  }
+
+  val q2MinCostSql: String =
+    """WITH cand AS (
+         SELECT l_partkey, l_suppkey, CAST(l_extendedprice AS DECIMAL(18,6)) AS cost,
+                s_name, n_name, s_acctbal
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+           JOIN supplier ON s_suppkey = l_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+         WHERE p_size = 15 AND r_name = 'EUROPE'),
+       mn AS (SELECT l_partkey AS m_partkey, MIN(cost) AS min_cost FROM cand GROUP BY l_partkey)
+       SELECT DISTINCT l_partkey AS p_partkey, CAST(min_cost AS DOUBLE) AS min_cost,
+              l_suppkey AS s_suppkey, s_name, n_name, s_acctbal
+       FROM cand JOIN mn ON l_partkey = m_partkey AND cost = min_cost
+       ORDER BY s_acctbal DESC, p_partkey, s_suppkey LIMIT 100"""
+
+  // c36 — ranking-window suite: NTILE / PERCENT_RANK / CUME_DIST /
+  // LAG in one window. All four are deterministic here because the
+  // ORDER BY is a total order (acctbal desc, custkey): percent_rank
+  // = (rank-1)/(n-1) and cume_dist = peers/n are single IEEE
+  // divisions of integers — identical across engines. Distinct
+  // capability: the ranking-family window functions beyond c4's
+  // rank(), incl. LAG's null-on-first-row semantics.
+  // At 100 TB: one shuffle on the partition key, no driver state.
+  def qWindowSuite(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        lag(col("c_acctbal"), 1).over(w).as("prev_bal"))
+      .orderBy("c_nationkey", "c_custkey")
+  }
+
+  val qWindowSuiteSql: String =
+    """SELECT c_custkey, c_nationkey,
+       NTILE(4) OVER w AS quartile,
+       PERCENT_RANK() OVER w AS pr,
+       CUME_DIST() OVER w AS cd,
+       LAG(c_acctbal) OVER w AS prev_bal
+       FROM customer
+       WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+       ORDER BY c_nationkey, c_custkey"""
+
+  // c37 — multi-distinct aggregation: three COUNT(DISTINCT ...) over
+  // DIFFERENT key sets plus plain aggs in ONE groupBy — Catalyst
+  // plans this with a single Expand (one row per distinct-group per
+  // input row) and a two-phase agg, NOT three separate scans.
+  // Distinct capability: the Expand-based multi-distinct strategy,
+  // incl. a composite (partkey, suppkey) distinct tuple.
+  // At 100 TB: one scan; Expand multiplies rows 4x into the shuffle,
+  // the partial agg collapses them before the exchange.
+  def qMultiDistinct(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("nd_parts"),
+        countDistinct(col("l_suppkey")).as("nd_supps"),
+        countDistinct(col("l_partkey"), col("l_suppkey")).as("nd_pairs"),
+        count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  val qMultiDistinctSql: String =
+    """SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS nd_parts,
+       COUNT(DISTINCT l_suppkey) AS nd_supps,
+       COUNT(DISTINCT (l_partkey, l_suppkey)) AS nd_pairs,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_small_qty" -> (q17SmallQty _),
+    "q13_cust_dist" -> (q13CustDist _),
+    "q7_volume" -> (q7Volume _),
+    "q8_mkt_share" -> (q8MktShare _),
+    "q19_disjunctive" -> (q19Disjunctive _),
+    "q2_min_cost" -> (q2MinCost _),
+    "q_window_suite" -> (qWindowSuite _),
+    "q_multi_distinct" -> (qMultiDistinct _))
+
+  val oracles: Map[String, String] = Map(
+    "q17_small_qty" -> q17SmallQtySql,
+    "q13_cust_dist" -> q13CustDistSql,
+    "q7_volume" -> q7VolumeSql,
+    "q8_mkt_share" -> q8MktShareSql,
+    "q19_disjunctive" -> q19DisjunctiveSql,
+    "q2_min_cost" -> q2MinCostSql,
+    "q_window_suite" -> qWindowSuiteSql,
+    "q_multi_distinct" -> qMultiDistinctSql)
+}
