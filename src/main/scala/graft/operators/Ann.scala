@@ -749,7 +749,80 @@ object Ann {
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
   }
 
+  /** e14 — scalar-quantization ANN (SQ8, the FAISS SQ shape — the
+    * OTHER production compression family next to e6's PQ): each
+    * dimension is affinely quantized to a 7-bit code against its own
+    * corpus-wide scale, so a 64-float vector becomes 64 bytes with NO
+    * codebook to train. Everything is exact integer math end to end:
+    * components quantize to micro-units (floor(v·2²⁰), the graft_qdot
+    * trick), per-dim scales are integer maxes, codes come from a
+    * floor-division of non-negative integers (identical in any
+    * engine), and the asymmetric score folds
+    * Σ mᵢ²·(2cᵢ−127)·(2dᵢ−127) in Int64 (≤2⁶⁰, no overflow) — a
+    * monotone proxy for the reconstructed dot product. Top-32 by
+    * score (TakeOrderedAndProject), exact-cosine rerank to top-10.
+    * At 100 TB: the stats pass is 64 map-side-combined maxes (one
+    * tiny row broadcast back), encoding is map-only, the scan reads
+    * bytes-per-vector instead of floats, and only 32 raw vectors are
+    * touched for the rerank — the same serve shape e12 persists. */
+  def qAnnSq8(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val e = Tables(spark, dir, "embeddings")
+    val eq = e.select(col("vec_id"), col("label"), col("embedding"),
+      expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT))").as("qvec"))
+    // per-dim scale: one pass, 64 max-abs aggs (floor to 1 so a
+    // constant-zero dim can't divide by zero)
+    val maxCols = (0 until 64).map(i =>
+      greatest(max(abs(element_at(col("qvec"), i + 1))), lit(1L)).as(s"m$i"))
+    val stats = eq.agg(maxCols.head, maxCols.tail: _*)
+      .select(array((0 until 64).map(i => col(s"m$i")): _*).as("mv"))
+    // 7-bit code per dim: ((q + m) * 127) div (2m) ∈ [0, 127] —
+    // floor division of non-negatives, engine-independent
+    val coded = eq.crossJoin(broadcast(stats)).select(
+      col("vec_id"), col("label"),
+      expr("zip_with(qvec, mv, (q, m) -> ((q + m) * 127) DIV (2 * m))").as("codes"),
+      col("mv"))
+    val qc = coded.filter(col("vec_id") === 0).select(col("codes").as("qcodes"))
+    val scored = coded.crossJoin(broadcast(qc)).select(col("vec_id"), col("label"),
+      expr("""aggregate(
+          zip_with(zip_with(codes, qcodes, (c, d) -> (2*c - 127) * (2*d - 127)), mv,
+                   (p, m) -> p * m * m),
+          CAST(0 AS BIGINT), (acc, x) -> acc + x)""").as("sq_score"))
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    scored.orderBy(col("sq_score").desc, col("vec_id")).limit(32)
+      .join(e.select("vec_id", "embedding"), "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"), col("sq_score"),
+        expr(cosineSpark("embedding", "qv")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val qAnnSq8Sql: String =
+    s"""WITH eq AS (SELECT vec_id, label, embedding,
+          list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT)) AS qvec
+        FROM embeddings),
+      stats AS (SELECT list(m ORDER BY i) AS mv FROM (
+        SELECT i, greatest(MAX(abs(qvec[i])), 1) AS m
+        FROM eq, generate_series(1, 64) AS g(i) GROUP BY i) s),
+      coded AS (SELECT vec_id, label,
+          list_transform(generate_series(1, 64), i -> ((qvec[i] + mv[i]) * 127) // (2 * mv[i])) AS codes,
+          mv
+        FROM eq, stats),
+      qc AS (SELECT codes AS qcodes FROM coded WHERE vec_id = 0),
+      scored AS (SELECT vec_id, label,
+          CAST(list_sum(list_transform(generate_series(1, 64),
+            i -> (2*codes[i] - 127) * (2*qcodes[i] - 127) * mv[i] * mv[i])) AS BIGINT) AS sq_score
+        FROM coded, qc),
+      cand AS (SELECT vec_id, label, sq_score FROM scored ORDER BY sq_score DESC, vec_id LIMIT 32),
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT c.vec_id AS vec_id, c.label AS label, c.sq_score AS sq_score,
+        ${cosineDuck("e.embedding", "qv")} AS cos_sim
+      FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id, q
+      ORDER BY cos_sim DESC, vec_id LIMIT 10"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_sq8" -> (qAnnSq8 _),
     "q_kmeans_step" -> (qKmeansStep _),
     "q_ann_recall" -> (qAnnRecall _),
     "q_ann_ivfpq" -> (qAnnIvfPq _),
@@ -763,6 +836,7 @@ object Ann {
     "q_ann_batch" -> (qAnnBatch _))
 
   val oracles: Map[String, String] = Map(
+    "q_ann_sq8" -> qAnnSq8Sql,
     "q_kmeans_step" -> qKmeansStepSql,
     "q_ann_recall" -> qAnnRecallSql,
     "q_ann_ivfpq" -> qAnnIvfPqSql,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFns._
@@ -744,7 +745,51 @@ object TextOps {
       FROM k WHERE rn = 1
       GROUP BY doc_id ORDER BY doc_id"""
 
+  /** f20 — TF-IDF document keywords: per-(doc, token) term frequency,
+    * per-token document frequency, smoothed idf, and the top-5 terms
+    * per document by weight. The idf is quantized to integer
+    * micro-nats (round(ln((N+1)/(df+1))·1e6) as BIGINT — f18's trick:
+    * ONE division inside ONE ln per distinct token, then pure integer
+    * multiplication), so per-row weights and the per-doc ranking are
+    * exact, partition-order-independent, and oracle-identical. The
+    * rank-≤5 window plans as WindowGroupLimit — per-partition partial
+    * top-5, no full per-doc sort.
+    * At 100 TB: tf shuffles once on (doc, token), df once on token
+    * (both map-side combined); the df attach joins on token — the
+    * vocabulary-sized side, shuffle-safe at any vocab cardinality
+    * (broadcast would die at a real corpus's 10⁸ distinct tokens). */
+  def qTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val tf = d.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    val weighted = tf.join(df, "token").crossJoin(broadcast(nDocs))
+      .withColumn("tfidf_micro", col("tf") *
+        round(log((col("n_docs").cast("double") + 1.0) / (col("df").cast("double") + 1.0)) * 1e6)
+          .cast("long"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf_micro").desc, col("token"))
+    weighted.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("doc_id", "token", "tf", "df", "tfidf_micro")
+      .orderBy(col("doc_id"), col("tfidf_micro").desc, col("token"))
+  }
+
+  val qTfidfSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+      df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+      st AS (SELECT COUNT(*) AS n_docs FROM documents),
+      sc AS (SELECT doc_id, tf.token AS token, tf, df,
+          tf * CAST(round(ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) * 1e6) AS BIGINT) AS tfidf_micro
+        FROM tf JOIN df USING (token), st),
+      rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_micro DESC, token) AS rn FROM sc)
+      SELECT doc_id, token, tf, df, tfidf_micro FROM rk WHERE rn <= 5
+      ORDER BY doc_id, tfidf_micro DESC, token"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tfidf" -> (qTfidf _),
     "q_span_dedup" -> (qSpanDedup _),
     "q_perplexity" -> (qPerplexity _),
     "q_heavy_hitters" -> (qHeavyHitters _),
@@ -766,6 +811,7 @@ object TextOps {
     "q_fingerprint" -> (qFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q_tfidf" -> qTfidfSql,
     "q_span_dedup" -> qSpanDedupSql,
     "q_perplexity" -> qPerplexitySql,
     "q_heavy_hitters" -> qHeavyHittersSql,

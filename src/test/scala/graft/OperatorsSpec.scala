@@ -554,4 +554,48 @@ class OperatorsSpec extends SparkTestBase {
     assert(got(3L) == Seq(5L, 2L, 3L, 4L, 2L))      // "a b","b a" ×2 each
     assert(got(4L) == Seq(4L, 4L, 1L, 3L, 3L))
   }
+
+  test("e14 SQ8: exact self-match, bounded candidate cut, recall vs brute") {
+    val got = Ann.qAnnSq8(spark, sfDir).collect()
+    assert(got.nonEmpty && got.length <= 10)
+    // the query vector survives quantization as its own best match
+    assert(got.head.getAs[Long]("vec_id") == 0L)
+    assert(math.abs(got.head.getAs[Double]("cos_sim") - 1.0) < 1e-6)
+    // 7-bit/dim quantization at 64 dims must retain most of the exact
+    // top-10 (1.0 at sf0.01; allow headroom for the tiny sf)
+    val truth = Ann.qAnnBrute(spark, sfDir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val recall = got.count(r => truth(r.getAs[Long]("vec_id"))) / truth.size.toDouble
+    assert(recall >= 0.8, s"SQ8 recall@10 $recall")
+    // candidate cut must be the bounded top-k form, never a full sort
+    val p = Ann.qAnnSq8(spark, sfDir).queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"SQ8 candidate cut unbounded:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("f20 TF-IDF: per-doc top-5, exact integer weights, bounded window") {
+    val rows = TextOps.qTfidf(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.values.forall(_.length <= 5))
+    // within a doc the dump order IS the weight order (desc, token tiebreak)
+    byDoc.values.foreach { rs =>
+      rs.sliding(2).foreach {
+        case Array(a, b) =>
+          val (wa, wb) = (a.getAs[Long]("tfidf_micro"), b.getAs[Long]("tfidf_micro"))
+          assert(wa > wb || (wa == wb &&
+            a.getAs[String]("token") < b.getAs[String]("token")), s"order broken: $a vs $b")
+        case _ =>
+      }
+    }
+    // weight = tf * round(ln((N+1)/(df+1))*1e6) exactly
+    val n = Tables(spark, sfDir, "documents").count()
+    rows.foreach { r =>
+      val idf = math.round(math.log((n + 1.0) / (r.getAs[Long]("df") + 1.0)) * 1e6)
+      assert(r.getAs[Long]("tfidf_micro") == r.getAs[Long]("tf") * idf, s"weight drifted: $r")
+    }
+    // the rank-<=5 filter must push into the window as a group limit
+    val p = TextOps.qTfidf(spark, sfDir).queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), s"top-5 filter not pushed:\n$p")
+  }
 }
