@@ -58,12 +58,17 @@ object Tables {
 
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = apply(spark, dir, "events")
     raw.schema("ts").dataType match {
       // integer div — a double division would lose precision on epoch-ns
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _        => raw
+      // TIMESTAMP(MICROS) with isAdjustedToUTC=false reads as NTZ; all
+      // graft sessions pin spark.sql.session.timeZone=UTC, so the cast
+      // to an instant is the identity on the stored microsecond value
+      // (and unix_millis & friends only accept TimestampType).
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
     }
   }
 }

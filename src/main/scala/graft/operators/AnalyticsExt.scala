@@ -317,6 +317,226 @@ object AnalyticsExt {
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  // c38 — forecast-revenue change (TPC-H q6): the degenerate-but-
+  // load-bearing shape — NO join, NO groupBy key, just a four-way
+  // conjunctive filter and one global sum. Its whole point is scan
+  // efficiency: every predicate is scan-pushable (PushedFilters
+  // carries shipdate range + discount range + quantity bound,
+  // plan-asserted), the projection reads exactly two data columns,
+  // and the agg is a map-side partial + 1-row final — zero shuffle
+  // of data rows. At 100 TB this is the query that proves the
+  // engine reads only what the parquet row-group stats can't
+  // exclude.
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+  }
+
+  val q6ForecastSql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"""
+
+  // c39 — product-type profit (TPC-H q9 shape): the widest join tree
+  // in the suite — fact joins FOUR dims plus a second fact (orders),
+  // with a non-sargable LIKE filter on the part name deciding the
+  // candidate set. No partsupp table, so supply cost is modeled as
+  // p_retailprice·quantity (the PLAN — like-filtered broadcast prune
+  // first, then dim broadcasts, then the one orderkey shuffle join —
+  // is q9's). Profit = exact-decimal revenue minus exact-decimal
+  // cost per row, summed per (nation, year). At 100 TB: part/
+  // supplier/nation broadcast, lineitem⋈orders is the only exchange,
+  // output bounded by |nation|·|years|.
+  def q9Profit(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir, "part")
+      .filter(col("p_name").like("%gear%"))
+      .select("p_partkey", "p_retailprice")
+    val s = Tables(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val n = Tables(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name").as("nation"))
+    val o = Tables(spark, dir, "orders").select("o_orderkey", "o_orderdate")
+    val amount = (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)") -
+      (col("p_retailprice") * col("l_quantity")).cast("decimal(18,6)")
+    Tables(spark, dir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg(sum(amount).cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val q9ProfitSql: String =
+    """SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+              - CAST(p_retailprice * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+       FROM lineitem, part, supplier, nation, orders
+       WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+         AND n_nationkey = s_nationkey AND o_orderkey = l_orderkey
+         AND p_name LIKE '%gear%'
+       GROUP BY 1, 2 ORDER BY 1, 2 DESC"""
+
+  // c40 — priority shipping split (TPC-H q12 shape): fact⋈fact join
+  // followed by TWO complementary conditional integer counts in one
+  // agg — the "CASE WHEN ... THEN 1 ELSE 0" pair over a joined
+  // attribute (order priority) grouped by a fact attribute
+  // (linestatus, standing in for the schema's missing shipmode).
+  // Distinct capability vs c14/c33: the conditional agg is on the
+  // JOINED side's attribute while grouping on the FACT side's, and
+  // both branches are integer counts (no decimal path at all).
+  // At 100 TB: one orderkey shuffle, date filter pushed to the fact
+  // scan, output = |linestatus| rows.
+  def q12Priority(spark: SparkSession, dir: String): DataFrame = {
+    val high = col("o_orderpriority") === "1-URGENT" || col("o_orderpriority") === "2-HIGH"
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      .select("l_orderkey", "l_linestatus")
+      .join(Tables(spark, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_linestatus")
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  val q12PrioritySql: String =
+    """SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+       FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+       GROUP BY 1 ORDER BY 1"""
+
+  // c41 — important stock share (TPC-H q11 shape): a grouped value
+  // agg filtered by a FRACTION OF ITS OWN GLOBAL TOTAL — the
+  // agg-then-scalar-threshold shape. The per-part value agg is
+  // computed once; the global total is a second agg OVER THE SAME
+  // shuffled branch (AQE reuses the partkey exchange, c28's
+  // pattern), broadcast back as one row; the threshold compare is
+  // cross-multiplied on exact decimals (val·500 > tot — no
+  // division anywhere). At 100 TB: one partkey shuffle + a 1-row
+  // broadcast; the nation prune broadcasts before the fact scan agg.
+  def q11TopStock(spark: SparkSession, dir: String): DataFrame = {
+    val sn = Tables(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+      .join(broadcast(Tables(spark, dir, "nation").filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val v = Tables(spark, dir, "lineitem")
+      .select("l_partkey", "l_suppkey", "l_extendedprice")
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey")
+      .agg(sum(col("l_extendedprice").cast("decimal(18,6)")).as("val"))
+    val tot = v.agg(sum(col("val")).as("tot"))
+    v.join(broadcast(tot))
+      .filter(col("val") * 500 > col("tot"))
+      .select(col("l_partkey"), col("val").cast("double").as("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey"))
+  }
+
+  val q11TopStockSql: String =
+    """WITH v AS (
+         SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS val
+         FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+           JOIN nation ON n_nationkey = s_nationkey
+         WHERE n_name = 'NATION_3' GROUP BY l_partkey),
+       t AS (SELECT SUM(val) AS tot FROM v)
+       SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
+       FROM v, t WHERE val * 500 > tot
+       ORDER BY part_value DESC, l_partkey"""
+
+  // c42 — supplier-relationship count (TPC-H q16 shape): COUNT
+  // (DISTINCT supplier) per part attribute triple, with a NOT-IN
+  // supplier exclusion list. The exclusion NOT IN becomes a
+  // broadcast LeftAnti BEFORE the distinct agg (so excluded
+  // suppliers never enter the shuffle); the part attribute filter
+  // (brand ≠, type ≠, size IN) rides the broadcast dim. The schema
+  // has no partsupp, so lineitem's (partkey, suppkey) edges are the
+  // relationship table — DISTINCT inside the agg collapses the
+  // multi-lineitem multiplicity exactly as q16's partsupp PK would.
+  // At 100 TB: one shuffle keyed by the attribute triple, Expand-
+  // free single distinct, anti side broadcast.
+  def q16SupplierCnt(spark: SparkSession, dir: String): DataFrame = {
+    val excl = Tables(spark, dir, "supplier")
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    val pp = Tables(spark, dir, "part")
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    Tables(spark, dir, "lineitem")
+      .select("l_partkey", "l_suppkey")
+      .join(broadcast(pp), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  val q16SupplierCntSql: String =
+    """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+         AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+         AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+       GROUP BY 1, 2, 3 ORDER BY 4 DESC, 1, 2, 3"""
+
+  // c43 — promotion-eligible suppliers (TPC-H q20 shape): the
+  // doubly-nested correlated subquery — "suppliers whose recent
+  // shipped quantity of gear parts exceeds half their all-time
+  // quantity" — decorrelated Spark-first: BOTH the recent and the
+  // all-time per-(part, supplier) sums come out of ONE conditional
+  // agg over ONE fact scan (sum(when(recent, qty)) next to
+  // sum(qty) — q20's two correlated aggs, zero extra passes), the
+  // threshold is cross-multiplied on exact decimals (q97·5 > qall,
+  // i.e. recent > 20% of all-time; groups with no recent rows sum
+  // to NULL and correctly fail), the gear-part prune broadcasts, and
+  // the surviving supplier keys reach the nation-filtered supplier
+  // dim as a LeftSemi. At 100 TB: one (partkey, suppkey) shuffle,
+  // everything after it is broadcast-sized.
+  def q20PromoSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val recent = col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+      col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp")
+    val gear = Tables(spark, dir, "part")
+      .filter(col("p_name").like("%gear%")).select("p_partkey")
+    val cand = Tables(spark, dir, "lineitem")
+      .join(broadcast(gear), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(when(recent, col("l_quantity").cast("decimal(18,6)"))).as("q97"),
+        sum(col("l_quantity").cast("decimal(18,6)")).as("qall"))
+      .filter(col("q97") * 5 > col("qall"))
+      .select("l_suppkey")
+    Tables(spark, dir, "supplier")
+      .join(broadcast(Tables(spark, dir, "nation").filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(cand, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_name")
+  }
+
+  val q20PromoSuppliersSql: String =
+    """WITH pq AS (
+         SELECT l_partkey, l_suppkey,
+           SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                     AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+                    THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS q97,
+           SUM(CAST(l_quantity AS DECIMAL(18,6))) AS qall
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE p_name LIKE '%gear%'
+         GROUP BY 1, 2)
+       SELECT s_suppkey, s_name
+       FROM supplier JOIN nation ON n_nationkey = s_nationkey
+       WHERE n_name = 'NATION_3'
+         AND s_suppkey IN (SELECT l_suppkey FROM pq WHERE q97 * 5 > qall)
+       ORDER BY s_name"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_small_qty" -> (q17SmallQty _),
     "q13_cust_dist" -> (q13CustDist _),
@@ -325,7 +545,13 @@ object AnalyticsExt {
     "q19_disjunctive" -> (q19Disjunctive _),
     "q2_min_cost" -> (q2MinCost _),
     "q_window_suite" -> (qWindowSuite _),
-    "q_multi_distinct" -> (qMultiDistinct _))
+    "q_multi_distinct" -> (qMultiDistinct _),
+    "q6_forecast" -> (q6Forecast _),
+    "q9_profit" -> (q9Profit _),
+    "q12_priority" -> (q12Priority _),
+    "q11_top_stock" -> (q11TopStock _),
+    "q16_supplier_cnt" -> (q16SupplierCnt _),
+    "q20_promo_suppliers" -> (q20PromoSuppliers _))
 
   val oracles: Map[String, String] = Map(
     "q17_small_qty" -> q17SmallQtySql,
@@ -335,5 +561,11 @@ object AnalyticsExt {
     "q19_disjunctive" -> q19DisjunctiveSql,
     "q2_min_cost" -> q2MinCostSql,
     "q_window_suite" -> qWindowSuiteSql,
-    "q_multi_distinct" -> qMultiDistinctSql)
+    "q_multi_distinct" -> qMultiDistinctSql,
+    "q6_forecast" -> q6ForecastSql,
+    "q9_profit" -> q9ProfitSql,
+    "q12_priority" -> q12PrioritySql,
+    "q11_top_stock" -> q11TopStockSql,
+    "q16_supplier_cnt" -> q16SupplierCntSql,
+    "q20_promo_suppliers" -> q20PromoSuppliersSql)
 }
