@@ -817,7 +817,137 @@ object Dedup {
       GROUP BY 1 ORDER BY bucket"""
   }
 
+  /** d11 core, factored so the spec can plant a near-identical pair
+    * and assert exactly the redundant member is dropped. Input must
+    * carry (vec_id, embedding, label); returns the REMOVAL list
+    * (vec_id, cluster, cent_dot). See [[qDedupSemantic]]. */
+  private[graft] def semanticVictims(e: DataFrame, tau: Double = 0.4): DataFrame = {
+    // quantized position-exploded working set (e11's decimal(8,6)
+    // convention — every downstream sum is exact, order-insensitive)
+    val qpe = e
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .select(col("vec_id"), col("i"),
+        round(col("v").cast("double"), 6).cast("decimal(8,6)").as("qv"))
+    // per-(label, dim) centroid, rounded to 6 dp: the exact decimal
+    // sum casts to double losslessly (|sum|·10⁶ < 2⁵³), the single
+    // division is IEEE-identical cross-engine, and the 6-dp round
+    // re-enters decimal so the distance math below is exact again
+    val cent = e.select(col("vec_id"), col("label"))
+      .join(qpe, "vec_id")
+      .groupBy(col("label"), col("i"))
+      .agg(round(sum(col("qv")).cast("double") / count(lit(1)), 6)
+        .cast("decimal(8,6)").as("cv"))
+    // exact-decimal squared-L2 to EVERY centroid (k×dim broadcast) +
+    // the centroid dot that the keep rule orders by; the argmin is a
+    // row_number over (d2, label) — deterministic, decimal compares
+    val d2s = qpe.join(broadcast(cent), "i")
+      .groupBy("vec_id", "label")
+      .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv"))).as("d2"),
+        sum(col("qv") * col("cv")).as("cdot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("d2"), col("label"))
+    val assigned = d2s
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("label").as("cl"), col("cdot"))
+    // within-cluster candidate pairs; the verify cosine is the same
+    // quantized graft_dot the d5/e-family queries use
+    val emb = e.select(col("vec_id"), col("embedding"))
+    val pairs = assigned.as("x")
+      .join(assigned.as("y"),
+        col("x.cl") === col("y.cl") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"),
+        col("x.cdot").as("ca"), col("y.cdot").as("cb"))
+      .join(emb.select(col("vec_id").as("va"), col("embedding").as("ea")), "va")
+      .join(emb.select(col("vec_id").as("vb"), col("embedding").as("eb")), "vb")
+      .select(col("va"), col("vb"), col("ca"), col("cb"),
+        expr(Ann.cosineSpark("ea", "eb")).as("cos_sim"))
+      .filter(col("cos_sim") >= tau)
+    // keep rule: of each redundant pair, DROP the member closer to
+    // the centroid (higher cdot; vec_id breaks exact ties) — SemDeDup
+    // keeps the lowest-centroid-similarity representative so cluster
+    // edges survive. Within one cluster |centroid| is constant, so
+    // ordering by the exact-decimal cdot IS ordering by cosine — no
+    // division, no float fold anywhere in the rule. The rule is
+    // PAIR-LOCAL: in a dense ≥ tau graph a chain can drop a member
+    // whose own keeper was dropped — over-pruning, never
+    // under-pruning (every victim has a ≥ tau witness), the
+    // conservative direction for training-data dedup; transitive
+    // one-per-group selection is d6+d7's job.
+    val victims = pairs
+      .select(when(col("ca") > col("cb") ||
+          (col("ca") === col("cb") && col("va") > col("vb")), col("va"))
+        .otherwise(col("vb")).as("vec_id"))
+      .distinct()
+    victims.join(assigned, "vec_id")
+      .select(col("vec_id"), col("cl").as("cluster"),
+        col("cdot").cast("double").as("cent_dot"))
+      .orderBy("vec_id")
+  }
+
+  /** d11 — SemDeDup-style semantic deduplication (cluster, then prune
+    * within-cluster high-cosine redundancy — Abbas et al. 2023,
+    * arXiv:2303.09540): embeddings are assigned to their NEAREST
+    * per-label centroid by exact-decimal squared-L2 (not trusted to
+    * their stored label — boundary vectors reassign), candidate pairs
+    * are generated ONLY within a cluster, and of every pair with
+    * quantized cosine ≥ 0.4 the member nearer its centroid is dropped
+    * (keep the edge representative). Returns the removal list.
+    *
+    * Scale shape (the paper's tradeoff, re-expressed in Spark): the
+    * centroid table is k×dim and broadcasts; assignment is one scan
+    * of the n×dim exploded working set joined to that broadcast (n·k
+    * partial products, map-side combined); pair generation is the
+    * ONE cluster-keyed shuffle and is bounded by Σ|cluster|² — k is
+    * chosen so clusters fit (at 100 TB k grows with n, exactly as
+    * SemDeDup runs 50k clusters for billions of examples), and an
+    * over-dense cluster would widen its key with a d5-style LSH band
+    * before pairing. No division and no float accumulation anywhere
+    * determinism-critical: centroids re-quantize to decimal(8,6)
+    * after one IEEE division, distances/dots are exact decimal sums.
+    *
+    * ref capability: beyond the reference — the LLM-training-data
+    * semantic-dedup stage (SURVEY §2 D). */
+  def qDedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    semanticVictims(Tables(spark, dir, "embeddings")
+      .select("vec_id", "embedding", "label"))
+  }
+
+  val qDedupSemanticSql: String =
+    s"""WITH qpe AS (
+        SELECT vec_id, i, CAST(round(CAST(embedding[i] AS DOUBLE), 6) AS DECIMAL(8,6)) AS qv
+        FROM embeddings, unnest(generate_series(1, 64)) AS t(i)),
+      cent AS (
+        SELECT e.label, q.i,
+          CAST(round(CAST(SUM(q.qv) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(8,6)) AS cv
+        FROM embeddings e JOIN qpe q USING (vec_id)
+        GROUP BY e.label, q.i),
+      d2s AS (
+        SELECT q.vec_id, c.label, SUM((q.qv - c.cv) * (q.qv - c.cv)) AS d2,
+               SUM(q.qv * c.cv) AS cdot
+        FROM qpe q JOIN cent c USING (i)
+        GROUP BY q.vec_id, c.label),
+      assigned AS (
+        SELECT vec_id, label AS cl, cdot FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+          FROM d2s) r
+        WHERE rn = 1),
+      pairs AS (
+        SELECT x.vec_id AS va, y.vec_id AS vb, x.cdot AS ca, y.cdot AS cb,
+          ${Ann.cosineDuck("ex.embedding", "ey.embedding")} AS cos_sim
+        FROM assigned x JOIN assigned y ON x.cl = y.cl AND x.vec_id < y.vec_id
+        JOIN embeddings ex ON ex.vec_id = x.vec_id
+        JOIN embeddings ey ON ey.vec_id = y.vec_id),
+      victims AS (
+        SELECT DISTINCT CASE WHEN ca > cb OR (ca = cb AND va > vb)
+          THEN va ELSE vb END AS vec_id
+        FROM pairs WHERE cos_sim >= 0.4)
+      SELECT v.vec_id, a.cl AS cluster, CAST(a.cdot AS DOUBLE) AS cent_dot
+      FROM victims v JOIN assigned a ON a.vec_id = v.vec_id
+      ORDER BY v.vec_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_semantic" -> (qDedupSemantic _),
     "q_dedup_recall" -> (qDedupRecall _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_keep_best" -> (qDedupKeepBest _),
@@ -831,6 +961,7 @@ object Dedup {
     "q_dedup_embedding" -> (qDedupEmbedding _))
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_semantic" -> qDedupSemanticSql,
     "q_dedup_recall" -> qDedupRecallSql,
     "q_dedup_incremental" -> qDedupIncrementalSql,
     "q_dedup_keep_best" -> qDedupKeepBestSql,

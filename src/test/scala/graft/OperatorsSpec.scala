@@ -285,6 +285,34 @@ class OperatorsSpec extends SparkTestBase {
       s"clustered-corpus banding lost ${missed.size}/${planted.size} planted pairs: ${missed.take(5)}")
   }
 
+  test("semantic dedup drops exactly one member of each planted near-identical pair") {
+    graft.functions.GraftFunctions.register(spark)
+    // high-amp GenVecs: cluster mates sit well below the 0.4 cosine
+    // threshold, so the ONLY redundancy is the planted cosine ≈ 1
+    // copies (vec_id % 20 == 7, id ≥ 30, copying id - 30) — the
+    // surgical case for the keep rule: per pair, ONE member must go
+    // and one must survive
+    // tau = 0.95 isolates the planted copies (cluster mates sit far
+    // below), so the ≥ tau graph is exactly the 18 disjoint planted
+    // edges and the pair-local keep rule must resolve each to ONE
+    // dropped member — no chains, no extras
+    val vecs = graft.dev.GenVecs.synthesize(spark, 400, 2.0)
+      .localCheckpoint(true)
+    val victims = operators.Dedup.semanticVictims(vecs, tau = 0.95).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val planted = (30L until 400L).filter(_ % 20 == 7).map(id => (id - 30, id))
+    assert(planted.size == 18)
+    planted.foreach { case (a, b) =>
+      assert(victims.contains(a) || victims.contains(b),
+        s"planted pair ($a, $b) not deduplicated")
+      assert(!(victims.contains(a) && victims.contains(b)),
+        s"both members of planted pair ($a, $b) dropped — no representative kept")
+    }
+    assert(victims.size == planted.size,
+      s"expected exactly one victim per planted pair, got ${victims.size}: " +
+        s"extras ${(victims -- planted.flatMap(p => Seq(p._1, p._2))).take(5)}")
+  }
+
   test("embedding LSH prunes: candidate pairs well below exhaustive") {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables(spark, sfDir, "embeddings").select("vec_id", "embedding")
