@@ -788,7 +788,101 @@ object TextOps {
       SELECT doc_id, token, tf, df, tfidf_micro FROM rk WHERE rn <= 5
       ORDER BY doc_id, tfidf_micro DESC, token"""
 
+  /** f21 — Stupid Backoff bigram LM scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" — the canonical
+    * MapReduce-scale LM: relative frequencies + a fixed 0.4 backoff
+    * multiplier, no discounting, BECAUSE normalized smoothing doesn't
+    * distribute). Train/score split is held out by md5-free determinism
+    * (doc_id % 50): the model (bigram + unigram counts) is built from
+    * the training partition only, probe documents are scored under it,
+    * so unseen-bigram backoff genuinely fires. Per bigram:
+    * S(w2|w1) = c(w1 w2)/c(w1) if seen, else 0.4·c(w2)/N, else the
+    * 0.4/(N+1) OOV floor; log-scores quantize to integer micro-nats
+    * BEFORE the per-doc sum (f18's trick — exact, order-independent).
+    *
+    * Cost shape at 100 TB: bigram counting is ONE (w1,w2)-keyed
+    * shuffle (map-side combined — Brants' exact reduce); scoring joins
+    * the probe bigrams against the count tables by key (the model is
+    * corpus-sized, so this join SHUFFLES by design — a broadcast would
+    * be wrong at web scale; swap in f17's sketch for a capped vocab);
+    * the per-doc roll-up is the only other exchange. */
+  def qLmBackoff(spark: SparkSession, dir: String): DataFrame =
+    lmBackoffScores(Tables(spark, dir, "documents").select("doc_id", "text"))
+
+  /** f21 core over any (doc_id, text) frame — factored so the spec can
+    * drive a corpus whose probe bigrams are genuinely unseen and check
+    * the backoff arithmetic by hand (the driver corpus's vocabulary is
+    * dense enough that every probe bigram is seen in training). */
+  private[graft] def lmBackoffScores(docs: DataFrame): DataFrame = {
+    val d = docs
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> length(x) > 0)").as("toks"))
+    val bigramsOf = (df: DataFrame) => df.select(col("doc_id"), explode(expr(
+      """if(size(toks) < 2, array(),
+           transform(sequence(2, size(toks)), i ->
+             struct(toks[i-2] AS w1, toks[i-1] AS w2)))""")).as("bg"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+    val train = d.filter(col("doc_id") % 50 =!= 0)
+    val probe = d.filter(col("doc_id") % 50 === 0)
+    val uni = train.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c1"))
+    val total = uni.agg(sum(col("c1")).as("n"))
+    val bi = bigramsOf(train).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    bigramsOf(probe)
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(uni.select(col("tok").as("w1"), col("c1").as("c1w1")), Seq("w1"), "left")
+      .join(uni.select(col("tok").as("w2"), col("c1").as("c1w2")), Seq("w2"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("backoff", col("c2").isNull || col("c1w1").isNull)
+      .withColumn("s", when(!col("backoff"),
+          col("c2").cast("double") / col("c1w1").cast("double"))
+        .when(col("c1w2").isNotNull,
+          lit(0.4) * col("c1w2").cast("double") / col("n").cast("double"))
+        .otherwise(lit(0.4) / (col("n").cast("double") + 1.0)))
+      .withColumn("qlp", round(log(col("s")) * lit(1e6)).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bi"),
+        sum(when(col("backoff"), 1L).otherwise(0L)).as("n_backoff"),
+        round(-sum(col("qlp")).cast("double") / (count(lit(1)) * lit(1e6)), 6).as("score"))
+      .orderBy("doc_id")
+  }
+
+  val qLmBackoffSql: String =
+    """WITH d AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+        FROM documents),
+      trainbg AS (
+        SELECT doc_id, t[i-1] AS w1, t[i] AS w2 FROM (
+          SELECT doc_id, toks AS t FROM d WHERE doc_id % 50 <> 0) x,
+          unnest(generate_series(2, len(t))) AS u(i)),
+      probebg AS (
+        SELECT doc_id, t[i-1] AS w1, t[i] AS w2 FROM (
+          SELECT doc_id, toks AS t FROM d WHERE doc_id % 50 = 0) x,
+          unnest(generate_series(2, len(t))) AS u(i)),
+      uni AS (
+        SELECT tok, COUNT(*) AS c1 FROM (
+          SELECT unnest(toks) AS tok FROM d WHERE doc_id % 50 <> 0) x GROUP BY tok),
+      total AS (SELECT SUM(c1) AS n FROM uni),
+      bi AS (SELECT w1, w2, COUNT(*) AS c2 FROM trainbg GROUP BY w1, w2),
+      scored AS (
+        SELECT p.doc_id,
+          (b.c2 IS NULL OR u1.c1 IS NULL) AS backoff,
+          CASE WHEN b.c2 IS NOT NULL AND u1.c1 IS NOT NULL
+               THEN CAST(b.c2 AS DOUBLE) / CAST(u1.c1 AS DOUBLE)
+               WHEN u2.c1 IS NOT NULL
+               THEN 0.4 * CAST(u2.c1 AS DOUBLE) / CAST(t.n AS DOUBLE)
+               ELSE 0.4 / (CAST(t.n AS DOUBLE) + 1.0) END AS s
+        FROM probebg p
+        LEFT JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+        LEFT JOIN uni u1 ON u1.tok = p.w1
+        LEFT JOIN uni u2 ON u2.tok = p.w2, total t)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bi,
+        CAST(SUM(CASE WHEN backoff THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+        round(-CAST(SUM(CAST(round(ln(s) * 1e6) AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1e6), 6) AS score
+      FROM scored GROUP BY doc_id ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lm_backoff" -> (qLmBackoff _),
     "q_tfidf" -> (qTfidf _),
     "q_span_dedup" -> (qSpanDedup _),
     "q_perplexity" -> (qPerplexity _),
@@ -811,6 +905,7 @@ object TextOps {
     "q_fingerprint" -> (qFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q_lm_backoff" -> qLmBackoffSql,
     "q_tfidf" -> qTfidfSql,
     "q_span_dedup" -> qSpanDedupSql,
     "q_perplexity" -> qPerplexitySql,

@@ -313,6 +313,25 @@ class OperatorsSpec extends SparkTestBase {
         s"extras ${(victims -- planted.flatMap(p => Seq(p._1, p._2))).take(5)}")
   }
 
+  test("stupid-backoff LM: unseen bigrams back off with the 0.4 multiplier (hand-checked)") {
+    import spark.implicits._
+    // train doc 1: "a b a b" → c(a,b)=2, c(b,a)=1; uni a=2, b=2, N=4
+    // probe doc 0: "a b c a" → (a,b) seen: s=2/2; (b,c) w2 unseen:
+    // s=0.4/(N+1); (c,a) w1 unseen: s=0.4·c(a)/N = 0.2
+    val docs = Seq((0L, "a b c a"), (1L, "a b a b")).toDF("doc_id", "text")
+    val rows = operators.TextOps.lmBackoffScores(docs).collect()
+    assert(rows.length == 1 && rows(0).getAs[Long]("doc_id") == 0L)
+    assert(rows(0).getAs[Long]("n_bi") == 3L, "expected 3 probe bigrams")
+    assert(rows(0).getAs[Long]("n_backoff") == 2L, "two bigrams must back off")
+    def q(lp: Double): Long =
+      BigDecimal(lp * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val expected = BigDecimal(
+        -(q(math.log(1.0)) + q(math.log(0.4 / 5.0)) + q(math.log(0.2))).toDouble / 3e6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows(0).getAs[Double]("score") == expected,
+      s"score ${rows(0).getAs[Double]("score")} != hand-computed $expected")
+  }
+
   test("embedding LSH prunes: candidate pairs well below exhaustive") {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables(spark, sfDir, "embeddings").select("vec_id", "embedding")
