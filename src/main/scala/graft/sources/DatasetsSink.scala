@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode}
 
 /** Output layout mirroring the reference's blob store convention:
@@ -67,6 +68,70 @@ object DatasetsSink {
     * format. */
   def writeBatchIdempotent(batch: DataFrame, batchId: Long, path: String): Unit =
     batch.write.mode(SaveMode.Overwrite).parquet(s"$path/batch_id=$batchId")
+
+  /** What [[compactPartition]] did, for logging/specs. */
+  case class CompactionStats(filesBefore: Int, filesAfter: Int,
+    bytesBefore: Long, skipped: Boolean)
+
+  /** i8 — compaction EXECUTOR, the other half of a17's plan (a17
+    * decides WHAT to merge; this rewrites it): one partition
+    * directory's accumulation of small files — the micro-batch
+    * landings of i4, the per-upload blobs of the reference — is
+    * rewritten into ceil(bytes/target) files through i3's optimized
+    * layout (zstd + in-partition sort + blooms survive compaction).
+    *
+    * Commit protocol (filesystem rename as the atomic unit): the
+    * compacted copy is FULLY written to a sibling staging directory
+    * first (the read of the live files happens here, so the live dir
+    * is never touched while still needed), then live renames to a
+    * trash dir and staging renames to live; the crash window between
+    * the two renames is closed by recovery at entry (live missing +
+    * staging present ⇒ finish the swap; both present ⇒ the previous
+    * run died before commit, its stale staging is discarded). On an
+    * object store without atomic rename this commit point would be
+    * i5's manifest instead — the staging/recovery structure is
+    * unchanged. Re-running on an already-compacted partition is a
+    * no-op (file count already ≤ target count).
+    *
+    * ref capability: the reference re-uploads merged blobs after
+    * ingest bursts (azblob.py scan_blobs + upload loops); at 100 TB
+    * scan-planning over millions of tiny objects dominates query
+    * time, so compaction IS a query-performance operator. */
+  def compactPartition(spark: org.apache.spark.sql.SparkSession,
+      partitionDir: String, targetBytes: Long,
+      sortCols: Seq[String], bloomCols: Seq[String]): CompactionStats = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new Path(partitionDir)
+    val fs = live.getFileSystem(conf)
+    val staging = new Path(live.getParent, s".${live.getName}.compact_staging")
+    val trash = new Path(live.getParent, s".${live.getName}.compact_trash")
+    // recovery: finish or discard a previous run's half-done commit
+    if (!fs.exists(live) && fs.exists(staging)) fs.rename(staging, live)
+    else if (fs.exists(staging)) fs.delete(staging, true)
+    if (fs.exists(trash)) fs.delete(trash, true)
+    val files = fs.listStatus(live)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val bytes = files.map(_.getLen).sum
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    if (files.length <= nOut)
+      return CompactionStats(files.length, files.length, bytes, skipped = true)
+    // stage: one bounded-width rewrite through the optimized layout
+    // (repartition count is the a17 bin count — file sizes track the
+    // target the way the plan's cumsum groups do)
+    writeOptimized(spark.read.parquet(partitionDir).repartition(nOut),
+      staging.toString, sortCols, bloomCols)
+    // commit: two renames; recovery above makes the window safe
+    if (!fs.rename(live, trash))
+      throw new IllegalStateException(s"compaction commit failed renaming $live")
+    if (!fs.rename(staging, live)) {
+      fs.rename(trash, live) // roll back — staging is still intact
+      throw new IllegalStateException(s"compaction commit failed renaming $staging")
+    }
+    fs.delete(trash, true)
+    val after = fs.listStatus(live)
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    CompactionStats(files.length, after, bytes, skipped = false)
+  }
 
   /** Read back one partition (one user's datasets) — partition pruning
     * keeps this O(selected data). */

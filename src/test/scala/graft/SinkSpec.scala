@@ -104,4 +104,61 @@ class SinkSpec extends SparkTestBase {
     assert(!plan.contains("legacy_score") && !plan.toLowerCase.contains("readschema: struct<doc_id:bigint,text"),
       s"align must not defeat column pruning:\n$plan")
   }
+
+  test("compactPartition rewrites small files, keeps content/blooms, recovers a crashed commit") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft_compact").toString
+    // 20 micro-batch landings of a few rows each — the i4 layout after
+    // a bursty day; each batch dir holds at least one small parquet
+    (0 until 20).foreach { b =>
+      DatasetsSink.writeBatchIdempotent(
+        (b * 10 until b * 10 + 10).map(i => (i.toLong, s"k$i")).toDF("id", "content_key"),
+        b.toLong, table)
+    }
+    val part = s"$table/batch_id=3"
+    val before = new File(part).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(before >= 1)
+    // make the partition multi-file so compaction has work
+    DatasetsSink.writeBatchIdempotent(
+      (30 until 40).map(i => (i.toLong, s"k$i")).toDF("id", "content_key")
+        .repartition(8), 3L, table)
+    val scattered = new File(part).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(scattered >= 4, s"expected a multi-file partition, got $scattered")
+
+    val stats = DatasetsSink.compactPartition(spark, part,
+      targetBytes = 64L * 1024 * 1024, sortCols = Seq("id"), bloomCols = Seq("content_key"))
+    assert(!stats.skipped && stats.filesBefore == scattered && stats.filesAfter == 1,
+      s"expected $scattered -> 1 files, got $stats")
+    // content is the exact multiset, blooms survive the rewrite
+    val back = spark.read.parquet(part)
+    assert(back.count() == 10 && back.select("id").distinct().count() == 10)
+    val pf = new File(part).listFiles.filter(_.getName.endsWith(".parquet")).head
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(pf.getPath), new Configuration()))
+    try {
+      val cols = reader.getFooter.getBlocks.get(0).getColumns
+      val byName = (0 until cols.size()).map(cols.get)
+        .map(c => c.getPath.toDotString -> c).toMap
+      assert(byName("content_key").getBloomFilterOffset >= 0,
+        "compacted file must keep the bloom filter")
+    } finally reader.close()
+    // whole-table read still sees every batch (partition col intact)
+    assert(spark.read.parquet(table).count() == 200)
+
+    // re-run is a no-op
+    val again = DatasetsSink.compactPartition(spark, part,
+      targetBytes = 64L * 1024 * 1024, sortCols = Seq("id"), bloomCols = Seq("content_key"))
+    assert(again.skipped && again.filesAfter == 1)
+
+    // crashed commit: live renamed away, staging fully written — the
+    // next call must finish the swap before doing anything else
+    val fs = new Path(part).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(s"$table/.batch_id=3.compact_staging")
+    fs.rename(new Path(part), staging)
+    assert(!new File(part).exists())
+    val recovered = DatasetsSink.compactPartition(spark, part,
+      targetBytes = 64L * 1024 * 1024, sortCols = Seq("id"), bloomCols = Seq("content_key"))
+    assert(recovered.skipped, "recovered partition is already compact")
+    assert(spark.read.parquet(part).count() == 10, "crashed commit must recover losslessly")
+  }
 }
