@@ -663,7 +663,7 @@ object Ann {
         round(col("v").cast("double"), 6).cast("decimal(8,6)").as("qv"))
       .localCheckpoint(true)
 
-  private def seedsDF(spark: SparkSession, cents: Map[Int, IndexedSeq[Double]]): DataFrame = {
+  private[graft] def seedsDF(spark: SparkSession, cents: Map[Int, IndexedSeq[Double]]): DataFrame = {
     import spark.implicits._
     cents.toSeq.flatMap { case (s, v) => v.indices.map(i => (s, i, v(i))) }
       .toDF("seed_id", "i", "cvd")

@@ -821,46 +821,65 @@ object Dedup {
     * and assert exactly the redundant member is dropped. Input must
     * carry (vec_id, embedding, label); returns the REMOVAL list
     * (vec_id, cluster, cent_dot). See [[qDedupSemantic]]. */
-  private[graft] def semanticVictims(e: DataFrame, tau: Double = 0.4): DataFrame = {
-    // quantized position-exploded working set (e11's decimal(8,6)
-    // convention — every downstream sum is exact, order-insensitive)
-    val qpe = e
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
-      .select(col("vec_id"), col("i"),
-        round(col("v").cast("double"), 6).cast("decimal(8,6)").as("qv"))
-    // per-(label, dim) centroid, rounded to 6 dp: the exact decimal
-    // sum casts to double losslessly (|sum|·10⁶ < 2⁵³), the single
-    // division is IEEE-identical cross-engine, and the 6-dp round
-    // re-enters decimal so the distance math below is exact again
-    val cent = e.select(col("vec_id"), col("label"))
-      .join(qpe, "vec_id")
+  private[graft] def semanticVictims(e: DataFrame, tau: Double = 0.4): DataFrame =
+    semanticVictimsFrom(e, labelCentroids(e), tau)
+
+  /** The quantized position-exploded working set (e11's decimal(8,6)
+    * convention — every downstream sum is exact, order-insensitive). */
+  private def quantizedPe(e: DataFrame): DataFrame = e
+    .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+    .select(col("vec_id"), col("i"),
+      round(col("v").cast("double"), 6).cast("decimal(8,6)").as("qv"))
+
+  /** Per-(label, dim) centroid, rounded to 6 dp: the exact decimal
+    * sum casts to double losslessly (|sum|·10⁶ < 2⁵³), the single
+    * division is IEEE-identical cross-engine, and the 6-dp round
+    * re-enters decimal so the distance math stays exact. The trained
+    * alternative is `Ann.seedsDF(trainCentroids(...))` renamed to the
+    * same (label, i, cv) shape — k is then a free knob. */
+  private[graft] def labelCentroids(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("label"))
+      .join(quantizedPe(e), "vec_id")
       .groupBy(col("label"), col("i"))
       .agg(round(sum(col("qv")).cast("double") / count(lit(1)), 6)
         .cast("decimal(8,6)").as("cv"))
-    // exact-decimal squared-L2 to EVERY centroid (k×dim broadcast) +
-    // the centroid dot that the keep rule orders by; the argmin is a
-    // row_number over (d2, label) — deterministic, decimal compares
-    val d2s = qpe.join(broadcast(cent), "i")
+
+  /** Nearest-centroid assignment against an explicit (label, i, cv)
+    * centroid frame: exact-decimal squared-L2 to EVERY centroid
+    * (k×dim broadcast) + the centroid dot the keep rule orders by;
+    * the argmin is a row_number over (d2, label) — deterministic,
+    * decimal compares. Returns (vec_id, cl, cdot). */
+  private[graft] def semanticAssign(e: DataFrame, cent: DataFrame): DataFrame = {
+    val d2s = quantizedPe(e).join(broadcast(cent), "i")
       .groupBy("vec_id", "label")
       .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv"))).as("d2"),
         sum(col("qv") * col("cv")).as("cdot"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("d2"), col("label"))
-    val assigned = d2s
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    d2s.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("vec_id"), col("label").as("cl"), col("cdot"))
-    // within-cluster candidate pairs; the verify cosine is the same
-    // quantized graft_dot the d5/e-family queries use
-    val emb = e.select(col("vec_id"), col("embedding"))
-    val pairs = assigned.as("x")
-      .join(assigned.as("y"),
+  }
+
+  private[graft] def semanticVictimsFrom(e: DataFrame, cent: DataFrame,
+      tau: Double): DataFrame = {
+    // checkpointed: the self-join below would otherwise re-run the
+    // whole explode + assignment pipeline for BOTH sides (d5's
+    // pattern — at 100 TB this materialization is the persisted
+    // assignment table every SemDeDup run writes anyway)
+    val assigned = semanticAssign(e, cent).localCheckpoint(false)
+    // within-cluster candidate pairs: vectors ride ALONG the one
+    // cluster-keyed self-join (one n-row attach + one cl shuffle)
+    // instead of re-joining the pair stream against the corpus twice
+    // — the pair stream is the big side here, the vectors are not
+    val withVec = assigned
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .localCheckpoint(false)
+    val pairs = withVec.as("x")
+      .join(withVec.as("y"),
         col("x.cl") === col("y.cl") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"),
-        col("x.cdot").as("ca"), col("y.cdot").as("cb"))
-      .join(emb.select(col("vec_id").as("va"), col("embedding").as("ea")), "va")
-      .join(emb.select(col("vec_id").as("vb"), col("embedding").as("eb")), "vb")
-      .select(col("va"), col("vb"), col("ca"), col("cb"),
-        expr(Ann.cosineSpark("ea", "eb")).as("cos_sim"))
+        col("x.cdot").as("ca"), col("y.cdot").as("cb"),
+        expr(Ann.cosineSpark("x.embedding", "y.embedding")).as("cos_sim"))
       .filter(col("cos_sim") >= tau)
     // keep rule: of each redundant pair, DROP the member closer to
     // the centroid (higher cdot; vec_id breaks exact ties) — SemDeDup

@@ -313,6 +313,37 @@ class OperatorsSpec extends SparkTestBase {
         s"extras ${(victims -- planted.flatMap(p => Seq(p._1, p._2))).take(5)}")
   }
 
+  test("semantic dedup under trained k: pair budget collapses, planted recall holds") {
+    graft.functions.GraftFunctions.register(spark)
+    // the k ∝ n contract measured in §5: growing k must shrink the
+    // within-cluster pair budget Σ|c|² (the quadratic term) while the
+    // planted cosine ≈ 1 copies keep co-assigning and getting caught
+    val vecs = graft.dev.GenVecs.synthesize(spark, 4000, 0.35)
+      .localCheckpoint(true)
+    def pairBudget(cent: org.apache.spark.sql.DataFrame): Long =
+      operators.Dedup.semanticAssign(vecs, cent)
+        .groupBy("cl").count().collect()
+        .map(r => { val n = r.getAs[Long]("count"); n * (n - 1) / 2 }).sum
+    val budget10 = pairBudget(operators.Dedup.labelCentroids(vecs))
+    val (cents, _, _) = operators.Ann.trainCentroids(
+      vecs.select("vec_id", "embedding"), k = 40, maxIters = 8)
+    val cent40 = operators.Ann.seedsDF(spark, cents)
+      .select(col("seed_id").as("label"), col("i"), col("cv"))
+    val budget40 = pairBudget(cent40)
+    assert(budget40 * 2 < budget10,
+      s"k=40 pair budget $budget40 should be well under k=10's $budget10")
+    // recall: near-identical vectors co-assign (cluster-boundary ties
+    // are the only loss mode), so ≥ 90% of planted pairs must still
+    // surface a victim at the strict threshold
+    val victims = operators.Dedup.semanticVictimsFrom(vecs, cent40, tau = 0.95)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val planted = (30L until 4000L).filter(_ % 20 == 7).map(id => (id - 30, id))
+    val caught = planted.count { case (a, b) =>
+      victims.contains(a) || victims.contains(b) }
+    assert(caught >= (planted.size * 9) / 10,
+      s"trained-k recall $caught/${planted.size} below 90%")
+  }
+
   test("stupid-backoff LM: unseen bigrams back off with the 0.4 multiplier (hand-checked)") {
     import spark.implicits._
     // train doc 1: "a b a b" → c(a,b)=2, c(b,a)=1; uni a=2, b=2, N=4
