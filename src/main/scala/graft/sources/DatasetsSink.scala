@@ -133,6 +133,41 @@ object DatasetsSink {
     CompactionStats(files.length, after, bytes, skipped = false)
   }
 
+  /** h14 — the auto-compaction maintenance loop: i4's idempotent
+    * micro-batch landing composed with i8's compaction executor as ONE
+    * foreachBatch sink. Every micro-batch (a) lands by overwriting its
+    * own `batch_id=<id>` partition (exactly-once under retry, i4), and
+    * (b) sweeps partitions at least `horizon` batches OLD, compacting
+    * any whose small files exceed the target count — so the table's
+    * file population stays bounded while the stream runs, which is how
+    * a 100 TB continuous ingest avoids drowning its own scan planning.
+    *
+    * Why only old partitions: a batch within the retry horizon can
+    * still be REPLAYED (foreachBatch is at-least-once); replay
+    * overwrites its whole partition, so compacting it early would just
+    * be wasted work undone by the rewrite — correctness is unaffected
+    * either way (the partition stays the replay unit), which the spec
+    * proves by retrying an already-compacted batch. The sweep is
+    * idempotent: compactPartition no-ops on already-compact dirs, so
+    * each sweep touches only what the previous one left. */
+  def maintainedBatchSink(path: String, horizon: Long, targetBytes: Long,
+      sortCols: Seq[String], bloomCols: Seq[String])(
+      batch: DataFrame, batchId: Long): Unit = {
+    writeBatchIdempotent(batch, batchId, path)
+    val spark = batch.sparkSession
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath)
+      .filter { p =>
+        p.getName.startsWith("batch_id=") &&
+          p.getName.stripPrefix("batch_id=").toLong <= batchId - horizon
+      }
+      .foreach { p =>
+        compactPartition(spark, p.toString, targetBytes, sortCols, bloomCols)
+      }
+  }
+
   /** Read back one partition (one user's datasets) — partition pruning
     * keeps this O(selected data). */
   def readUser(spark: org.apache.spark.sql.SparkSession, path: String,

@@ -387,6 +387,47 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("h14: auto-compaction maintenance keeps old batch partitions compact while the stream runs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_maintained").toString
+    val input = MemoryStream[Int]
+    // scatter each micro-batch into many small files so the sweep has
+    // real work; horizon 2 keeps the newest two batches untouched
+    val sink = graft.sources.DatasetsSink.maintainedBatchSink(
+      out, horizon = 2, targetBytes = 64L * 1024 * 1024,
+      sortCols = Seq("value"), bloomCols = Seq()) _
+    val query = input.toDS().toDF()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        sink(b.repartition(6), id)
+      }
+      .start()
+    try {
+      (0 until 4).foreach { b =>
+        input.addData(b * 100 until b * 100 + 12: _*)
+        query.processAllAvailable()
+      }
+      def files(b: Int): Int = new java.io.File(s"$out/batch_id=$b")
+        .listFiles.count(_.getName.endsWith(".parquet"))
+      // batches 0/1 are beyond the horizon at batch 3 → compacted to 1
+      // file; batches 2/3 are inside the horizon → still scattered
+      assert(files(0) == 1 && files(1) == 1,
+        s"old partitions should be compacted, got ${files(0)}/${files(1)}")
+      assert(files(2) > 1 && files(3) > 1,
+        "in-horizon partitions must not be compacted yet")
+      val back = spark.read.parquet(out)
+      assert(back.count() == 48 && back.select("value").distinct().count() == 48)
+      // a late REPLAY of an already-compacted batch overwrites its own
+      // partition and stays exactly-once — compaction never changed the
+      // replay unit
+      sink((0 until 12).toDF("value").repartition(6), 0L)
+      val after = spark.read.parquet(out)
+      assert(after.count() == 48, "replay after compaction must replace, not append")
+      assert(after.where("batch_id = 0").count() == 12)
+    } finally query.stop()
+  }
+
   test("i1: graft-queue streams micro-batches through the h1 state machine into the partitioned sink") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
