@@ -824,63 +824,106 @@ object Dedup {
   private[graft] def semanticVictims(e: DataFrame, tau: Double = 0.4): DataFrame =
     semanticVictimsFrom(e, labelCentroids(e), tau)
 
-  /** The quantized position-exploded working set (e11's decimal(8,6)
-    * convention — every downstream sum is exact, order-insensitive). */
+  /** The position-exploded working set in INTEGER MICRO-UNITS:
+    * qm = round(v, 6)·10⁶ as a long (e11's decimal(8,6) quantization
+    * pushed all the way to integers). Everything downstream is exact
+    * 64-bit arithmetic — sums, squares, compares — so no engine's
+    * rounding or decimal→double cast can drift. (The first cut kept
+    * decimal(8,6) centroids built with round(double, 6); at sf0.1
+    * one centroid dim hit a half boundary where Spark's
+    * BigDecimal-of-shortest-string rounding and DuckDB's numeric
+    * rounding disagree — integer micros remove round() entirely.) */
   private def quantizedPe(e: DataFrame): DataFrame = e
     .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
     .select(col("vec_id"), col("i"),
-      round(col("v").cast("double"), 6).cast("decimal(8,6)").as("qv"))
+      (round(col("v").cast("double"), 6).cast("decimal(8,6)") * 1000000)
+        .cast("long").as("qm"))
 
-  /** Per-(label, dim) centroid, rounded to 6 dp: the exact decimal
-    * sum casts to double losslessly (|sum|·10⁶ < 2⁵³), the single
-    * division is IEEE-identical cross-engine, and the 6-dp round
-    * re-enters decimal so the distance math stays exact. The trained
-    * alternative is `Ann.seedsDF(trainCentroids(...))` renamed to the
-    * same (label, i, cv) shape — k is then a free knob. */
+  /** Per-(label, dim) centroid in micro-units: cm = floor(Σqm / n).
+    * Σqm is an exact long (< 2⁵³, so the double cast is exact), the
+    * division is one IEEE op, and floor() rounds toward -∞
+    * identically in both engines — no round(), no decimal division.
+    * The trained alternative is `Ann.seedsDF(trainCentroids(...))`
+    * mapped to the same (label, i, cm) shape — k is a free knob. */
   private[graft] def labelCentroids(e: DataFrame): DataFrame =
     e.select(col("vec_id"), col("label"))
       .join(quantizedPe(e), "vec_id")
       .groupBy(col("label"), col("i"))
-      .agg(round(sum(col("qv")).cast("double") / count(lit(1)), 6)
-        .cast("decimal(8,6)").as("cv"))
+      .agg(floor(sum(col("qm")).cast("double") / count(lit(1)))
+        .cast("long").as("cm"))
 
-  /** Nearest-centroid assignment against an explicit (label, i, cv)
-    * centroid frame: exact-decimal squared-L2 to EVERY centroid
-    * (k×dim broadcast) + the centroid dot the keep rule orders by;
-    * the argmin is a row_number over (d2, label) — deterministic,
-    * decimal compares. Returns (vec_id, cl, cdot). */
+  /** Nearest-centroid assignment against an explicit (label, i, cm)
+    * centroid frame: squared-L2 and the centroid dot in exact long
+    * micro² units (|qm−cm| ≤ 4·10⁶ ⇒ Σ of 64 squares ≤ 10¹⁵ — no
+    * overflow), argmin by row_number over (d2, label) — pure integer
+    * compares, bit-identical in any engine. Returns (vec_id, cl,
+    * cdot) with cdot in micro² units. */
   private[graft] def semanticAssign(e: DataFrame, cent: DataFrame): DataFrame = {
     val d2s = quantizedPe(e).join(broadcast(cent), "i")
       .groupBy("vec_id", "label")
-      .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv"))).as("d2"),
-        sum(col("qv") * col("cv")).as("cdot"))
+      .agg(sum((col("qm") - col("cm")) * (col("qm") - col("cm"))).as("d2"),
+        sum(col("qm") * col("cm")).as("cdot"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("d2"), col("label"))
     d2s.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("vec_id"), col("label").as("cl"), col("cdot"))
   }
 
+  /** Clusters larger than this generate pairs through d5's banded
+    * multi-index (members pair iff SOME of the 8 hyperplane bands
+    * agrees, within the cluster) instead of all-pairs — the
+    * over-dense-cluster escape hatch when k lags corpus growth. A
+    * cosine ≈ 1 pair disagrees on ALL 8 bands only with vanishing
+    * probability (one band-0 key alone measurably loses boundary
+    * pairs — caught by the hot-path spec while building this), so
+    * planted near-dups survive; sub-threshold cluster mates split
+    * across band buckets and the budget drops toward Σ per-bucket².
+    * The testdata clusters sit under the cap, so there the cold path
+    * runs and output is unchanged; the hot path is spec-gated on a
+    * corpus that crosses it. */
+  private[graft] val semClusterCap = 256L
+
   private[graft] def semanticVictimsFrom(e: DataFrame, cent: DataFrame,
       tau: Double): DataFrame = {
-    // checkpointed: the self-join below would otherwise re-run the
-    // whole explode + assignment pipeline for BOTH sides (d5's
+    // checkpointed: everything below reads these twice or more (d5's
     // pattern — at 100 TB this materialization is the persisted
     // assignment table every SemDeDup run writes anyway)
     val assigned = semanticAssign(e, cent).localCheckpoint(false)
-    // within-cluster candidate pairs: vectors ride ALONG the one
-    // cluster-keyed self-join (one n-row attach + one cl shuffle)
-    // instead of re-joining the pair stream against the corpus twice
-    // — the pair stream is the big side here, the vectors are not
     val withVec = assigned
       .join(e.select(col("vec_id"), col("embedding")), "vec_id")
       .localCheckpoint(false)
-    val pairs = withVec.as("x")
-      .join(withVec.as("y"),
+    // dense-cluster census: ≤ k rows, broadcast
+    val hot = assigned.groupBy("cl").agg(count(lit(1)).as("cn"))
+      .filter(col("cn") > semClusterCap).select("cl")
+    // cold clusters: full within-cluster pairing, vectors riding the
+    // one cl-keyed shuffle (the pair stream is the big side here —
+    // re-joining it against the corpus twice would shuffle it twice)
+    val cold = withVec.join(broadcast(hot), Seq("cl"), "left_anti")
+    val coldPairs = cold.as("x")
+      .join(cold.as("y"),
         col("x.cl") === col("y.cl") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"),
         col("x.cdot").as("ca"), col("y.cdot").as("cb"),
         expr(Ann.cosineSpark("x.embedding", "y.embedding")).as("cos_sim"))
-      .filter(col("cos_sim") >= tau)
+    // hot clusters: pairs from the banded multi-index (cl, band idx,
+    // band value) — 8 block rows per member, DISTINCT on the narrow
+    // pair BEFORE the vectors re-enter
+    val hotBlocks = withVec.join(broadcast(hot), Seq("cl"))
+      .select(col("cl"), col("vec_id"),
+        posexplode(expr("graft_hyperband(embedding)")).as(Seq("idx", "bval")))
+    val hotCand = hotBlocks.as("x")
+      .join(hotBlocks.as("y"),
+        col("x.cl") === col("y.cl") && col("x.idx") === col("y.idx") &&
+          col("x.bval") === col("y.bval") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb")).distinct()
+    val hotPairs = hotCand
+      .join(withVec.select(col("vec_id").as("va"), col("cdot").as("ca"),
+        col("embedding").as("ea")), "va")
+      .join(withVec.select(col("vec_id").as("vb"), col("cdot").as("cb"),
+        col("embedding").as("eb")), "vb")
+      .select(col("va"), col("vb"), col("ca"), col("cb"),
+        expr(Ann.cosineSpark("ea", "eb")).as("cos_sim"))
+    val pairs = coldPairs.union(hotPairs).filter(col("cos_sim") >= tau)
     // keep rule: of each redundant pair, DROP the member closer to
     // the centroid (higher cdot; vec_id breaks exact ties) — SemDeDup
     // keeps the lowest-centroid-similarity representative so cluster
@@ -899,7 +942,7 @@ object Dedup {
       .distinct()
     victims.join(assigned, "vec_id")
       .select(col("vec_id"), col("cl").as("cluster"),
-        col("cdot").cast("double").as("cent_dot"))
+        (col("cdot").cast("double") / 1e12).as("cent_dot"))
       .orderBy("vec_id")
   }
 
@@ -932,18 +975,29 @@ object Dedup {
       .select("vec_id", "embedding", "label"))
   }
 
+  /** d5's oracle band helpers, reused for the d11 hot path: per-vector
+    * band columns b0..b7 and the idx-selected band value. */
+  private def semBandsDuck: String =
+    (0 until Ann.embBands).map(b => s"${Ann.bandDuck(b)} AS b$b").mkString(",\n        ")
+  private def semBandCaseDuck(sel: String): String = {
+    val arms = (0 until Ann.embBands - 1).map(b => s"WHEN $b THEN s.b$b").mkString(" ")
+    s"CASE $sel $arms ELSE s.b${Ann.embBands - 1} END"
+  }
+
   val qDedupSemanticSql: String =
     s"""WITH qpe AS (
-        SELECT vec_id, i, CAST(round(CAST(embedding[i] AS DOUBLE), 6) AS DECIMAL(8,6)) AS qv
+        SELECT vec_id, i,
+          CAST(CAST(round(CAST(embedding[i] AS DOUBLE), 6) AS DECIMAL(8,6)) * 1000000 AS BIGINT) AS qm
         FROM embeddings, unnest(generate_series(1, 64)) AS t(i)),
       cent AS (
         SELECT e.label, q.i,
-          CAST(round(CAST(SUM(q.qv) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(8,6)) AS cv
+          CAST(FLOOR(CAST(SUM(q.qm) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cm
         FROM embeddings e JOIN qpe q USING (vec_id)
         GROUP BY e.label, q.i),
       d2s AS (
-        SELECT q.vec_id, c.label, SUM((q.qv - c.cv) * (q.qv - c.cv)) AS d2,
-               SUM(q.qv * c.cv) AS cdot
+        SELECT q.vec_id, c.label,
+          CAST(SUM((q.qm - c.cm) * (q.qm - c.cm)) AS BIGINT) AS d2,
+          CAST(SUM(q.qm * c.cm) AS BIGINT) AS cdot
         FROM qpe q JOIN cent c USING (i)
         GROUP BY q.vec_id, c.label),
       assigned AS (
@@ -951,17 +1005,40 @@ object Dedup {
           SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
           FROM d2s) r
         WHERE rn = 1),
-      pairs AS (
+      hot AS (
+        SELECT cl FROM assigned GROUP BY cl HAVING COUNT(*) > $semClusterCap),
+      wv AS (
+        SELECT a.vec_id, a.cl, a.cdot, embedding
+        FROM assigned a JOIN embeddings USING (vec_id)),
+      coldpairs AS (
         SELECT x.vec_id AS va, y.vec_id AS vb, x.cdot AS ca, y.cdot AS cb,
-          ${Ann.cosineDuck("ex.embedding", "ey.embedding")} AS cos_sim
-        FROM assigned x JOIN assigned y ON x.cl = y.cl AND x.vec_id < y.vec_id
-        JOIN embeddings ex ON ex.vec_id = x.vec_id
-        JOIN embeddings ey ON ey.vec_id = y.vec_id),
+          ${Ann.cosineDuck("x.embedding", "y.embedding")} AS cos_sim
+        FROM wv x JOIN wv y ON x.cl = y.cl AND x.vec_id < y.vec_id
+        WHERE x.cl NOT IN (SELECT cl FROM hot)),
+      sig AS (SELECT vec_id,
+        $semBandsDuck
+        FROM embeddings),
+      blocks AS (
+        SELECT w.vec_id, w.cl, t.idx, ${semBandCaseDuck("t.idx")} AS bval
+        FROM wv w JOIN sig s USING (vec_id),
+          unnest(generate_series(0, ${Ann.embBands - 1})) AS t(idx)
+        WHERE w.cl IN (SELECT cl FROM hot)),
+      hotcand AS (
+        SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+        FROM blocks x JOIN blocks y
+          ON x.cl = y.cl AND x.idx = y.idx AND x.bval = y.bval
+            AND x.vec_id < y.vec_id),
+      hotpairs AS (
+        SELECT va, vb, wa.cdot AS ca, wb.cdot AS cb,
+          ${Ann.cosineDuck("wa.embedding", "wb.embedding")} AS cos_sim
+        FROM hotcand JOIN wv wa ON wa.vec_id = va JOIN wv wb ON wb.vec_id = vb),
+      pairs AS (
+        SELECT * FROM coldpairs UNION ALL SELECT * FROM hotpairs),
       victims AS (
         SELECT DISTINCT CASE WHEN ca > cb OR (ca = cb AND va > vb)
           THEN va ELSE vb END AS vec_id
         FROM pairs WHERE cos_sim >= 0.4)
-      SELECT v.vec_id, a.cl AS cluster, CAST(a.cdot AS DOUBLE) AS cent_dot
+      SELECT v.vec_id, a.cl AS cluster, CAST(a.cdot AS DOUBLE) / 1e12 AS cent_dot
       FROM victims v JOIN assigned a ON a.vec_id = v.vec_id
       ORDER BY v.vec_id"""
 

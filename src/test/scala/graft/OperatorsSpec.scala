@@ -328,7 +328,8 @@ class OperatorsSpec extends SparkTestBase {
     val (cents, _, _) = operators.Ann.trainCentroids(
       vecs.select("vec_id", "embedding"), k = 40, maxIters = 8)
     val cent40 = operators.Ann.seedsDF(spark, cents)
-      .select(col("seed_id").as("label"), col("i"), col("cv"))
+      .select(col("seed_id").as("label"), col("i"),
+        (col("cv") * 1000000).cast("long").as("cm"))
     val budget40 = pairBudget(cent40)
     assert(budget40 * 2 < budget10,
       s"k=40 pair budget $budget40 should be well under k=10's $budget10")
@@ -342,6 +343,30 @@ class OperatorsSpec extends SparkTestBase {
       victims.contains(a) || victims.contains(b) }
     assert(caught >= (planted.size * 9) / 10,
       s"trained-k recall $caught/${planted.size} below 90%")
+  }
+
+  test("semantic dedup dense-cluster guard: band key splits hot clusters, planted pairs survive") {
+    graft.functions.GraftFunctions.register(spark)
+    // tight 10-cluster corpus at 4000 rows → every assigned cluster
+    // (~400 members) exceeds semClusterCap, so pair generation runs
+    // ENTIRELY through the band-key-widened hot path — the planted
+    // cosine ≈ 1 copies must agree on band 0 and still resolve to
+    // exactly one victim each
+    val vecs = graft.dev.GenVecs.synthesize(spark, 4000, 0.35)
+      .localCheckpoint(true)
+    val sizes = operators.Dedup.semanticAssign(vecs, operators.Dedup.labelCentroids(vecs))
+      .groupBy("cl").count().collect().map(_.getAs[Long]("count"))
+    assert(sizes.forall(_ > operators.Dedup.semClusterCap),
+      s"corpus must exercise the hot path everywhere, got sizes ${sizes.toSeq}")
+    val victims = operators.Dedup.semanticVictims(vecs, tau = 0.95).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val planted = (30L until 4000L).filter(_ % 20 == 7).map(id => (id - 30, id))
+    planted.foreach { case (a, b) =>
+      assert(victims.contains(a) || victims.contains(b),
+        s"planted pair ($a, $b) lost by the band refinement")
+      assert(!(victims.contains(a) && victims.contains(b)),
+        s"both members of ($a, $b) dropped")
+    }
   }
 
   test("stupid-backoff LM: unseen bigrams back off with the 0.4 multiplier (hand-checked)") {
