@@ -869,20 +869,6 @@ object Dedup {
       .select(col("vec_id"), col("label").as("cl"), col("cdot"))
   }
 
-  /** Clusters larger than this generate pairs through d5's banded
-    * multi-index (members pair iff SOME of the 8 hyperplane bands
-    * agrees, within the cluster) instead of all-pairs — the
-    * over-dense-cluster escape hatch when k lags corpus growth. A
-    * cosine ≈ 1 pair disagrees on ALL 8 bands only with vanishing
-    * probability (one band-0 key alone measurably loses boundary
-    * pairs — caught by the hot-path spec while building this), so
-    * planted near-dups survive; sub-threshold cluster mates split
-    * across band buckets and the budget drops toward Σ per-bucket².
-    * The testdata clusters sit under the cap, so there the cold path
-    * runs and output is unchanged; the hot path is spec-gated on a
-    * corpus that crosses it. */
-  private[graft] val semClusterCap = 256L
-
   private[graft] def semanticVictimsFrom(e: DataFrame, cent: DataFrame,
       tau: Double): DataFrame = {
     // checkpointed: everything below reads these twice or more (d5's
@@ -892,38 +878,24 @@ object Dedup {
     val withVec = assigned
       .join(e.select(col("vec_id"), col("embedding")), "vec_id")
       .localCheckpoint(false)
-    // dense-cluster census: ≤ k rows, broadcast
-    val hot = assigned.groupBy("cl").agg(count(lit(1)).as("cn"))
-      .filter(col("cn") > semClusterCap).select("cl")
-    // cold clusters: full within-cluster pairing, vectors riding the
-    // one cl-keyed shuffle (the pair stream is the big side here —
-    // re-joining it against the corpus twice would shuffle it twice)
-    val cold = withVec.join(broadcast(hot), Seq("cl"), "left_anti")
-    val coldPairs = cold.as("x")
-      .join(cold.as("y"),
+    // within-cluster pairing, vectors riding the one cl-keyed shuffle
+    // (the pair stream is the big side here — re-joining it against
+    // the corpus twice would shuffle it twice). Deliberately ALL
+    // pairs, no LSH blocking: a banded multi-index hot path was built
+    // and MEASURED 3.7× worse on tight over-dense clusters (20k
+    // corpus, 14.7 s → 54.9 s) — cluster members share hyperplane
+    // signs, so bands don't split them, they multiply the pair
+    // stream by the band count. The scale mechanism for over-dense
+    // clusters is the SemDeDup contract itself: k grows with the
+    // corpus (train more cells — the spec proves the pair budget
+    // collapses and planted recall holds under trained k).
+    val pairs = withVec.as("x")
+      .join(withVec.as("y"),
         col("x.cl") === col("y.cl") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"),
         col("x.cdot").as("ca"), col("y.cdot").as("cb"),
         expr(Ann.cosineSpark("x.embedding", "y.embedding")).as("cos_sim"))
-    // hot clusters: pairs from the banded multi-index (cl, band idx,
-    // band value) — 8 block rows per member, DISTINCT on the narrow
-    // pair BEFORE the vectors re-enter
-    val hotBlocks = withVec.join(broadcast(hot), Seq("cl"))
-      .select(col("cl"), col("vec_id"),
-        posexplode(expr("graft_hyperband(embedding)")).as(Seq("idx", "bval")))
-    val hotCand = hotBlocks.as("x")
-      .join(hotBlocks.as("y"),
-        col("x.cl") === col("y.cl") && col("x.idx") === col("y.idx") &&
-          col("x.bval") === col("y.bval") && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb")).distinct()
-    val hotPairs = hotCand
-      .join(withVec.select(col("vec_id").as("va"), col("cdot").as("ca"),
-        col("embedding").as("ea")), "va")
-      .join(withVec.select(col("vec_id").as("vb"), col("cdot").as("cb"),
-        col("embedding").as("eb")), "vb")
-      .select(col("va"), col("vb"), col("ca"), col("cb"),
-        expr(Ann.cosineSpark("ea", "eb")).as("cos_sim"))
-    val pairs = coldPairs.union(hotPairs).filter(col("cos_sim") >= tau)
+      .filter(col("cos_sim") >= tau)
     // keep rule: of each redundant pair, DROP the member closer to
     // the centroid (higher cdot; vec_id breaks exact ties) — SemDeDup
     // keeps the lowest-centroid-similarity representative so cluster
@@ -975,15 +947,6 @@ object Dedup {
       .select("vec_id", "embedding", "label"))
   }
 
-  /** d5's oracle band helpers, reused for the d11 hot path: per-vector
-    * band columns b0..b7 and the idx-selected band value. */
-  private def semBandsDuck: String =
-    (0 until Ann.embBands).map(b => s"${Ann.bandDuck(b)} AS b$b").mkString(",\n        ")
-  private def semBandCaseDuck(sel: String): String = {
-    val arms = (0 until Ann.embBands - 1).map(b => s"WHEN $b THEN s.b$b").mkString(" ")
-    s"CASE $sel $arms ELSE s.b${Ann.embBands - 1} END"
-  }
-
   val qDedupSemanticSql: String =
     s"""WITH qpe AS (
         SELECT vec_id, i,
@@ -1005,35 +968,13 @@ object Dedup {
           SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
           FROM d2s) r
         WHERE rn = 1),
-      hot AS (
-        SELECT cl FROM assigned GROUP BY cl HAVING COUNT(*) > $semClusterCap),
       wv AS (
         SELECT a.vec_id, a.cl, a.cdot, embedding
         FROM assigned a JOIN embeddings USING (vec_id)),
-      coldpairs AS (
+      pairs AS (
         SELECT x.vec_id AS va, y.vec_id AS vb, x.cdot AS ca, y.cdot AS cb,
           ${Ann.cosineDuck("x.embedding", "y.embedding")} AS cos_sim
-        FROM wv x JOIN wv y ON x.cl = y.cl AND x.vec_id < y.vec_id
-        WHERE x.cl NOT IN (SELECT cl FROM hot)),
-      sig AS (SELECT vec_id,
-        $semBandsDuck
-        FROM embeddings),
-      blocks AS (
-        SELECT w.vec_id, w.cl, t.idx, ${semBandCaseDuck("t.idx")} AS bval
-        FROM wv w JOIN sig s USING (vec_id),
-          unnest(generate_series(0, ${Ann.embBands - 1})) AS t(idx)
-        WHERE w.cl IN (SELECT cl FROM hot)),
-      hotcand AS (
-        SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
-        FROM blocks x JOIN blocks y
-          ON x.cl = y.cl AND x.idx = y.idx AND x.bval = y.bval
-            AND x.vec_id < y.vec_id),
-      hotpairs AS (
-        SELECT va, vb, wa.cdot AS ca, wb.cdot AS cb,
-          ${Ann.cosineDuck("wa.embedding", "wb.embedding")} AS cos_sim
-        FROM hotcand JOIN wv wa ON wa.vec_id = va JOIN wv wb ON wb.vec_id = vb),
-      pairs AS (
-        SELECT * FROM coldpairs UNION ALL SELECT * FROM hotpairs),
+        FROM wv x JOIN wv y ON x.cl = y.cl AND x.vec_id < y.vec_id),
       victims AS (
         SELECT DISTINCT CASE WHEN ca > cb OR (ca = cb AND va > vb)
           THEN va ELSE vb END AS vec_id

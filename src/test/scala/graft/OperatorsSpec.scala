@@ -345,25 +345,20 @@ class OperatorsSpec extends SparkTestBase {
       s"trained-k recall $caught/${planted.size} below 90%")
   }
 
-  test("semantic dedup dense-cluster guard: band key splits hot clusters, planted pairs survive") {
+  test("semantic dedup on tight clusters: planted pairs resolve to one victim each") {
     graft.functions.GraftFunctions.register(spark)
-    // tight 10-cluster corpus at 4000 rows → every assigned cluster
-    // (~400 members) exceeds semClusterCap, so pair generation runs
-    // ENTIRELY through the band-key-widened hot path — the planted
-    // cosine ≈ 1 copies must agree on band 0 and still resolve to
-    // exactly one victim each
+    // tight 10-cluster corpus (amp 0.35, ~400-member clusters): the
+    // regime where an LSH hot path was measured counterproductive
+    // (members share hyperplane signs) — plain within-cluster pairing
+    // must catch every planted cosine ≈ 1 copy exactly once
     val vecs = graft.dev.GenVecs.synthesize(spark, 4000, 0.35)
       .localCheckpoint(true)
-    val sizes = operators.Dedup.semanticAssign(vecs, operators.Dedup.labelCentroids(vecs))
-      .groupBy("cl").count().collect().map(_.getAs[Long]("count"))
-    assert(sizes.forall(_ > operators.Dedup.semClusterCap),
-      s"corpus must exercise the hot path everywhere, got sizes ${sizes.toSeq}")
     val victims = operators.Dedup.semanticVictims(vecs, tau = 0.95).collect()
       .map(_.getAs[Long]("vec_id")).toSet
     val planted = (30L until 4000L).filter(_ % 20 == 7).map(id => (id - 30, id))
     planted.foreach { case (a, b) =>
       assert(victims.contains(a) || victims.contains(b),
-        s"planted pair ($a, $b) lost by the band refinement")
+        s"planted pair ($a, $b) not deduplicated")
       assert(!(victims.contains(a) && victims.contains(b)),
         s"both members of ($a, $b) dropped")
     }
