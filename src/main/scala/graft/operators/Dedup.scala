@@ -947,6 +947,80 @@ object Dedup {
       .select("vec_id", "embedding", "label"))
   }
 
+  /** d12 — incremental semantic screen (d8's daily-ingest shape for
+    * the SemDeDup family): the arriving batch (vec_id % 50 = 0 — the
+    * f15 convention for a deterministic arrival set) is admitted or
+    * rejected against the STANDING corpus without re-deduplicating
+    * it. Centroids come from the standing corpus only (the persisted
+    * model a production run trains once per cycle — d11's scaladoc),
+    * one assignment pass covers both sides, and the screen is the
+    * broadcast-batch shape: the tiny batch broadcasts, standing
+    * members stream past it, and only same-cluster members pay a
+    * cosine. Returns one verdict row per batch vector (n_dups ≥ τ
+    * neighbors in its cluster, admitted = none). At 100 TB the
+    * standing side would read from d10's cluster-partitioned index
+    * layout so a batch touches only its clusters' partitions. */
+  def qDedupSemanticIncr(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val tau = 0.4
+    val e = Tables(spark, dir, "embeddings")
+      .select("vec_id", "embedding", "label")
+    val cent = labelCentroids(e.filter(col("vec_id") % 50 =!= 0))
+    val withVec = semanticAssign(e, cent)
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .localCheckpoint(false)
+    val b = withVec.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("b_id"), col("cl"), col("embedding").as("be"))
+    val s = withVec.filter(col("vec_id") % 50 =!= 0)
+      .select(col("cl"), col("embedding").as("se"))
+    val hits = broadcast(b).join(s, "cl")
+      .select(col("b_id"), expr(Ann.cosineSpark("be", "se")).as("c"))
+      .filter(col("c") >= tau)
+      .groupBy("b_id").agg(count(lit(1)).as("n_dups"))
+    b.select(col("b_id").as("vec_id"), col("cl").as("cluster"))
+      .join(hits.select(col("b_id").as("vec_id"), col("n_dups")), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        (coalesce(col("n_dups"), lit(0L)) === 0).as("admitted"))
+      .orderBy("vec_id")
+  }
+
+  val qDedupSemanticIncrSql: String =
+    s"""WITH qpe AS (
+        SELECT vec_id, i,
+          CAST(CAST(round(CAST(embedding[i] AS DOUBLE), 6) AS DECIMAL(8,6)) * 1000000 AS BIGINT) AS qm
+        FROM embeddings, unnest(generate_series(1, 64)) AS t(i)),
+      cent AS (
+        SELECT e.label, q.i,
+          CAST(FLOOR(CAST(SUM(q.qm) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cm
+        FROM embeddings e JOIN qpe q USING (vec_id)
+        WHERE e.vec_id % 50 <> 0
+        GROUP BY e.label, q.i),
+      d2s AS (
+        SELECT q.vec_id, c.label,
+          CAST(SUM((q.qm - c.cm) * (q.qm - c.cm)) AS BIGINT) AS d2
+        FROM qpe q JOIN cent c USING (i)
+        GROUP BY q.vec_id, c.label),
+      assigned AS (
+        SELECT vec_id, label AS cl FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+          FROM d2s) r
+        WHERE rn = 1),
+      hits AS (
+        SELECT b.vec_id, CAST(COUNT(*) AS BIGINT) AS n_dups
+        FROM assigned b JOIN assigned s ON b.cl = s.cl AND s.vec_id % 50 <> 0
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        JOIN embeddings es ON es.vec_id = s.vec_id
+        WHERE b.vec_id % 50 = 0
+          AND ${Ann.cosineDuck("eb.embedding", "es.embedding")} >= 0.4
+        GROUP BY b.vec_id),
+      batch AS (SELECT vec_id, cl FROM assigned WHERE vec_id % 50 = 0)
+      SELECT b.vec_id, b.cl AS cluster,
+        COALESCE(h.n_dups, 0) AS n_dups,
+        COALESCE(h.n_dups, 0) = 0 AS admitted
+      FROM batch b LEFT JOIN hits h USING (vec_id)
+      ORDER BY b.vec_id"""
+
   val qDedupSemanticSql: String =
     s"""WITH qpe AS (
         SELECT vec_id, i,
@@ -985,6 +1059,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_semantic" -> (qDedupSemantic _),
+    "q_dedup_semantic_incr" -> (qDedupSemanticIncr _),
     "q_dedup_recall" -> (qDedupRecall _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_keep_best" -> (qDedupKeepBest _),
@@ -999,6 +1074,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "q_dedup_semantic" -> qDedupSemanticSql,
+    "q_dedup_semantic_incr" -> qDedupSemanticIncrSql,
     "q_dedup_recall" -> qDedupRecallSql,
     "q_dedup_incremental" -> qDedupIncrementalSql,
     "q_dedup_keep_best" -> qDedupKeepBestSql,

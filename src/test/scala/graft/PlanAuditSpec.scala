@@ -352,6 +352,15 @@ class PlanAuditSpec extends SparkTestBase {
     assert(exchanges <= 1, s"tile assign should be map-only + sort, got $exchanges exchanges:\n$p")
   }
 
+  test("incremental semantic screen broadcasts the batch side") {
+    // d12's screen is the broadcast-batch shape: the arriving batch
+    // (tiny) broadcasts, standing cluster members stream past it —
+    // never a shuffle of the standing corpus keyed by the batch
+    val p = operators.Dedup.qDedupSemanticIncr(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"batch side not broadcast:\n$p")
+  }
+
   test("TPC-H completion shapes (c38-c43): pushed scans, broadcasts, single-pass aggs") {
     // q6: every predicate reaches the parquet scan, and the only
     // exchange is the 1-row global-agg gather — no data-row shuffle
