@@ -537,7 +537,150 @@ object AnalyticsExt {
          AND s_suppkey IN (SELECT l_suppkey FROM pq WHERE q97 * 5 > qall)
        ORDER BY s_name"""
 
+  // c44 — SCD2 dimension build from a change log (the warehouse
+  // pattern every ingest pipeline feeds: turn an event stream of
+  // attribute updates into versioned validity intervals). The change
+  // log is events' JSON payload attribute per user; consecutive
+  // no-op updates (same value) collapse BEFORE versioning, so version
+  // numbers count real changes. Two chained window passes share ONE
+  // (user_id)-partitioned sort — lag() for change detection, then
+  // row_number()/lead() over the survivors for version + [valid_from,
+  // valid_to) interval + is_current. At 100 TB: one shuffle on the
+  // dimension key, windows stream per key — no driver state, and the
+  // result is exactly the MERGE INTO-free SCD2 rebuild shape
+  // (incremental upkeep composes with c20's snapshot diff).
+  def qScd2Dim(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"),
+        get_json_object(col("props"), "$.k").cast("int").as("attr"))
+    val ord = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    e.withColumn("prev", lag(col("attr"), 1).over(ord))
+      .filter(col("prev").isNull || col("prev") =!= col("attr"))
+      .withColumn("version", row_number().over(ord))
+      .withColumn("valid_to_ms", lead(col("ms"), 1).over(ord))
+      .withColumn("is_current", col("valid_to_ms").isNull)
+      .select(col("user_id"), col("version"), col("attr"),
+        col("ms").as("valid_from_ms"), col("valid_to_ms"), col("is_current"))
+      .orderBy("user_id", "version")
+  }
+
+  val qScd2DimSql: String =
+    """WITH log AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+          CAST(json_extract(props, '$.k') AS INT) AS attr FROM events),
+      ch AS (SELECT *, lag(attr) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev FROM log),
+      kept AS (SELECT * FROM ch WHERE prev IS NULL OR prev <> attr)
+      SELECT user_id, CAST(row_number() OVER w AS INT) AS version, attr,
+        ms AS valid_from_ms, lead(ms) OVER w AS valid_to_ms,
+        (lead(ms) OVER w IS NULL) AS is_current
+      FROM kept WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+      ORDER BY user_id, version"""
+
+  // c45 — funnel analysis (view → click → purchase): per-user ordered
+  // step progression where each stage counts only if a PRIOR-stage
+  // event happened strictly earlier in the (ts, event_id) order. The
+  // strictly-before constraint is a ROWS BETWEEN UNBOUNDED PRECEDING
+  // AND 1 PRECEDING frame (no composite time keys, no self-joins):
+  // pass 1 marks clicks with a view before them, pass 2 marks
+  // purchases with a qualifying click before them — two Window nodes
+  // over the SAME (user, order) spec, so Catalyst plans one exchange
+  // + one sort for both, then one per-user aggregate finishes.
+  // At 100 TB: a single user-keyed shuffle; funnels of depth k are k
+  // chained frames over that same sort, never k scans.
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ms"), col("event_type"))
+    val before = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e.withColumn("pre_view_ms",
+        min(when(col("event_type") === "view", col("ms"))).over(before))
+      .withColumn("q2_ms",
+        when(col("event_type") === "click" && col("pre_view_ms").isNotNull, col("ms")))
+      .withColumn("pre_q2_ms", min(col("q2_ms")).over(before))
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("ms"))).as("t1_ms"),
+        min(col("q2_ms")).as("t2_ms"),
+        min(when(col("event_type") === "purchase" && col("pre_q2_ms").isNotNull,
+          col("ms"))).as("t3_ms"))
+      .withColumn("stage",
+        when(col("t3_ms").isNotNull, 3).when(col("t2_ms").isNotNull, 2)
+          .when(col("t1_ms").isNotNull, 1).otherwise(0))
+      .select("user_id", "stage", "t1_ms", "t2_ms", "t3_ms")
+      .orderBy("user_id")
+  }
+
+  val qFunnelSql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type FROM events),
+      s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ms END) OVER
+          (PARTITION BY user_id ORDER BY ms, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pre_view_ms FROM e),
+      s2 AS (SELECT *, CASE WHEN event_type = 'click' AND pre_view_ms IS NOT NULL
+          THEN ms END AS q2_ms FROM s1),
+      s3 AS (SELECT *, min(q2_ms) OVER
+          (PARTITION BY user_id ORDER BY ms, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pre_q2_ms FROM s2)
+      SELECT user_id,
+        CASE WHEN min(CASE WHEN event_type = 'purchase' AND pre_q2_ms IS NOT NULL THEN ms END) IS NOT NULL THEN 3
+             WHEN min(q2_ms) IS NOT NULL THEN 2
+             WHEN min(CASE WHEN event_type = 'view' THEN ms END) IS NOT NULL THEN 1
+             ELSE 0 END AS stage,
+        min(CASE WHEN event_type = 'view' THEN ms END) AS t1_ms,
+        min(q2_ms) AS t2_ms,
+        min(CASE WHEN event_type = 'purchase' AND pre_q2_ms IS NOT NULL THEN ms END) AS t3_ms
+      FROM s3 GROUP BY user_id ORDER BY user_id"""
+
+  // c46 — runtime bloom-filter join pruning, made explicit: the
+  // selective dim side (31 of 1500 customers) builds an 8 KB bloom
+  // bitmap (2^16 bits / 1024 longs, two xxhash64 probes) that is
+  // collected ONCE driver-side (a control decision, like f17's sketch
+  // and e12's probe) and re-enters the fact scan as a LITERAL array —
+  // the fact-side membership test is pure map-side bit math, no join,
+  // no shuffle, evaluated at the scan. Survivors (false positives
+  // included) then pay the exact broadcast join, so the RESULT is
+  // byte-identical to the plain join (the oracle) for ANY bloom
+  // quality — fp only costs, never corrupts. This is Spark's own
+  // injected runtime filter / DPP shape made deterministic and
+  // measurable: at 100 TB the 8 KB bitmap prunes ~98% of the fact
+  // BEFORE any exchange, and the bitmap size (not the dim size) is
+  // what ships to every task.
+  def qBloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val m = 1 << 16 // bits
+    val dim = Tables(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 9000)
+      .select(col("c_custkey"))
+    def h(k: Column, seed: Int): Column =
+      pmod(xxhash64(k, lit(seed)), lit(m.toLong)).cast("long")
+    // build: 1024 words, bit_or of the two probe bits per key
+    val words = new Array[Long](m / 64)
+    dim.select(explode(array(h(col("c_custkey"), 0), h(col("c_custkey"), 1))).as("bit"))
+      .groupBy((col("bit") / 64).cast("int").as("w"))
+      .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT))")).as("bits"))
+      .collect().foreach(r => words(r.getInt(0)) = r.getLong(1))
+    val bloom = array(words.toIndexedSeq.map(lit): _*)
+    val fact = Tables(spark, dir, "orders")
+    fact
+      .withColumn("_b0", h(col("o_custkey"), 0))
+      .withColumn("_b1", h(col("o_custkey"), 1))
+      .withColumn("_w0", element_at(bloom, (col("_b0") / 64).cast("int") + 1))
+      .withColumn("_w1", element_at(bloom, (col("_b1") / 64).cast("int") + 1))
+      .filter(expr("(shiftright(_w0, CAST(_b0 % 64 AS INT)) & 1) = 1") &&
+        expr("(shiftright(_w1, CAST(_b1 % 64 AS INT)) & 1) = 1"))
+      .drop("_b0", "_b1", "_w0", "_w1")
+      .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  val qBloomJoinSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000
+      ORDER BY o_orderkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2_dim" -> (qScd2Dim _),
+    "q_funnel" -> (qFunnel _),
+    "q_bloom_join" -> (qBloomJoin _),
     "q17_small_qty" -> (q17SmallQty _),
     "q13_cust_dist" -> (q13CustDist _),
     "q7_volume" -> (q7Volume _),
@@ -554,6 +697,9 @@ object AnalyticsExt {
     "q20_promo_suppliers" -> (q20PromoSuppliers _))
 
   val oracles: Map[String, String] = Map(
+    "q_scd2_dim" -> qScd2DimSql,
+    "q_funnel" -> qFunnelSql,
+    "q_bloom_join" -> qBloomJoinSql,
     "q17_small_qty" -> q17SmallQtySql,
     "q13_cust_dist" -> q13CustDistSql,
     "q7_volume" -> q7VolumeSql,

@@ -152,4 +152,83 @@ class AnalyticsExtSpec extends SparkTestBase {
     else assert(math.abs(got.getDouble(0) - want) < 1e-6 * math.max(1.0, want.abs),
       s"got ${got.getDouble(0)} want $want")
   }
+
+  test("c44 SCD2: one shuffle, contiguous non-overlapping versions, one current row per user") {
+    val df = AnalyticsExt.qScd2Dim(spark, sfDir)
+    // both windows + the change filter share ONE user_id hash exchange
+    // (the only other exchange is the final presentation orderBy)
+    val p = plan(df)
+    assert("hashpartitioning".r.findAllIn(p).size == 1,
+      s"SCD2 must build on a single dimension-key shuffle:\n$p")
+    val rows = df.collect()
+    rows.groupBy(_.getLong(0)).foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      // versions are dense from 1
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to sorted.length),
+        s"user $u versions not dense")
+      // intervals chain exactly: valid_to(v) == valid_from(v+1)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(!a.isNullAt(4) && a.getLong(4) == b.getLong(3),
+            s"user $u: interval break between v${a.getInt(1)} and v${b.getInt(1)}")
+          // change detection: consecutive versions differ in attr
+          assert(a.getInt(2) != b.getInt(2),
+            s"user $u: no-op change survived collapse")
+        case _ => ()
+      }
+      // exactly the last version is current (null valid_to)
+      assert(sorted.count(r => r.getBoolean(5)) == 1 && sorted.last.getBoolean(5),
+        s"user $u: is_current violated")
+    }
+  }
+
+  test("c45 funnel: both frames + the agg ride one user shuffle; stages are monotone") {
+    val df = AnalyticsExt.qFunnel(spark, sfDir)
+    val p = plan(df)
+    // two Window nodes (strictly-before view frame, strictly-before
+    // qualifying-click frame) but only ONE hash exchange — the
+    // per-user agg reuses the window partitioning too
+    assert("Window".r.findAllIn(p).size >= 2, s"expected two window passes:\n$p")
+    assert("hashpartitioning".r.findAllIn(p).size == 1,
+      s"funnel must not re-shuffle between frames/agg:\n$p")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val stage = r.getInt(1)
+      val t = (2 to 4).map(i => if (r.isNullAt(i)) None else Some(r.getLong(i)))
+      // stage k ⇒ t1..tk present and ordered strictly by construction
+      assert(t.take(stage).forall(_.isDefined), s"stage $stage missing ts: $r")
+      assert(t.drop(stage).forall(_.isEmpty), s"stage $stage extra ts: $r")
+      val ts = t.flatten
+      assert(ts == ts.sorted, s"funnel timestamps out of order: $r")
+      // strictly-before semantics: a later stage's ts is strictly
+      // after the earlier stage's EARLIEST qualifying ts
+      ts.sliding(2).foreach { case Seq(a, b) => assert(b > a, s"non-strict funnel: $r"); case _ => () }
+    }
+    // counts can only shrink down the funnel
+    val n = (1 to 3).map(k => rows.count(_.getInt(1) >= k))
+    assert(n == n.sorted.reverse, s"funnel counts not monotone: $n")
+  }
+
+  test("c46 bloom join: literal-bitmap prefilter at the fact scan, result exact") {
+    val df = AnalyticsExt.qBloomJoin(spark, sfDir)
+    val p = plan(df)
+    // the membership test is a map-side Filter (bit math over the
+    // constant-folded 1024-long literal) — NOT a join; the only join
+    // is the exact broadcast finisher
+    assert(p.contains("BroadcastHashJoin"), s"exact finisher missing:\n$p")
+    assert("(?i)shiftright".r.findAllIn(p).size >= 2,
+      s"bloom bit test not in the plan:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    // exactness for ANY bloom quality: equals the plain join
+    val dim = Tables(spark, sfDir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 9000)
+      .select("c_custkey")
+    val want = Tables(spark, sfDir, "orders")
+      .join(dim, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey").collect().toSeq
+    val got = df.collect().toSeq
+    assert(got == want, s"bloom-pruned join diverged: got ${got.length} want ${want.length}")
+  }
 }
