@@ -331,6 +331,58 @@ object IngestStream {
     * forever for no reason; this shape is the right default for any
     * dimension that fits in memory. Unmatched users pass through
     * (left join) — enrichment must never drop progress events. */
+  /** one behavioral event of the h15 funnel stream */
+  case class FunnelEvent(userId: Long, eventId: Long, tMs: Long, eventType: String)
+
+  /** per-user funnel progress — ONE row per seen user, forever; each
+    * reached stage remembers its (t, eventId) so the strictly-after
+    * rule is exact across batches */
+  case class FunnelState(stage: Int, t1: Long, id1: Long,
+      t2: Long, id2: Long, t3: Long, id3: Long)
+
+  /** emitted once per stage ADVANCE (at most 3 per user ever) */
+  case class FunnelUpdate(userId: Long, stage: Int, tMs: Long)
+
+  /** h15 — funnel analysis IN-STREAM, the streaming twin of the c45
+    * batch funnel: view → click → purchase per user, each stage
+    * counting only if strictly after the previous stage's earliest
+    * qualifying event in (t, eventId) order. State is one fixed-size
+    * row per seen user (stage + three (t, id) pairs) — bounded by
+    * user cardinality, NOT event volume, where an interval-join
+    * formulation would buffer event history inside a watermark.
+    * In-batch ordering is restored by the (t, eventId) sort (h10's
+    * discipline); cross-batch the per-key feed must be in order (the
+    * queue source's per-key delivery contract). Greedy first-match
+    * equals c45's min-over-qualifying semantics exactly BECAUSE the
+    * scan is in sorted order — FunnelStreamSpec proves batch/stream
+    * parity on the real events table. */
+  def streamingFunnel(events: Dataset[FunnelEvent]): Dataset[FunnelUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[FunnelState, FunnelUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (u: Long, it: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(0, 0L, 0L, 0L, 0L, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelUpdate]
+          it.toSeq.sortBy(e => (e.tMs, e.eventId)).foreach { e =>
+            def after(t: Long, id: Long) =
+              e.tMs > t || (e.tMs == t && e.eventId > id)
+            if (s.stage == 0 && e.eventType == "view") {
+              s = FunnelState(1, e.tMs, e.eventId, 0L, 0L, 0L, 0L)
+              out += FunnelUpdate(u, 1, e.tMs)
+            } else if (s.stage == 1 && e.eventType == "click" && after(s.t1, s.id1)) {
+              s = s.copy(stage = 2, t2 = e.tMs, id2 = e.eventId)
+              out += FunnelUpdate(u, 2, e.tMs)
+            } else if (s.stage == 2 && e.eventType == "purchase" && after(s.t2, s.id2)) {
+              s = s.copy(stage = 3, t3 = e.tMs, id3 = e.eventId)
+              out += FunnelUpdate(u, 3, e.tMs)
+            }
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   def enrichWithProfile(events: DataFrame, profile: DataFrame): DataFrame =
     events.join(
       org.apache.spark.sql.functions.broadcast(profile), Seq("user"), "left")
