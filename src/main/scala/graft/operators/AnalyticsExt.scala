@@ -677,7 +677,93 @@ object AnalyticsExt {
       WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000
       ORDER BY o_orderkey"""
 
+  // c47 — exact INTERPOLATED quartiles per group (percentile_cont
+  // type-7 semantics: h = (n−1)·q, value = v_lo + frac·(v_hi − v_lo))
+  // via c11's histogram-selection shape generalized to 6 order
+  // statistics. Sketch-free and engine-neutral: with q in quarters,
+  // frac = ((n−1)·k mod 4)/4, so the interpolation is the INTEGER
+  // combination v_lo_cents·(4−m) + v_hi_cents·m — exact in any
+  // engine; the only IEEE op is the final /400 presentation division.
+  // Scale shape (c11's): no full-table per-group sort — a 1024-bucket
+  // histogram (uniform (group, bucket) shuffle keys) locates the ≤6
+  // target buckets per group via cumulative ranks over the BOUNDED
+  // histogram, and only those buckets' rows (≈ n/1024) are sorted.
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+    val stats = o.groupBy("o_orderpriority")
+      .agg(min("o_totalprice").as("vmin"), max("o_totalprice").as("vmax"),
+        count(lit(1)).as("cnt"))
+    // per (group, k): target ranks rk_lo/rk_hi and the quarter weight m
+    val ranks = stats.select(col("o_orderpriority").as("rg"), col("cnt"),
+        explode(array(lit(1), lit(2), lit(3))).as("k"))
+      .withColumn("m", expr("(cnt - 1) * k % 4"))
+      .withColumn("rk_lo", expr("(cnt - 1) * k div 4 + 1"))
+      .withColumn("rk_hi", expr("rk_lo + (CASE WHEN m > 0 THEN 1 ELSE 0 END)"))
+    val needed = ranks.select(col("rg").as("ng"), explode(array(col("rk_lo"), col("rk_hi"))).as("r"))
+      .distinct()
+    val bucketed = o.join(broadcast(stats), "o_orderpriority")
+      .withColumn("b", least(lit(1023),
+        floor((col("o_totalprice") - col("vmin")) * 1024.0 /
+          (col("vmax") - col("vmin") + lit(1e-9))).cast("int")))
+    val hist = bucketed.groupBy(col("o_orderpriority"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val wc = Window.partitionBy("o_orderpriority").orderBy("b")
+    val cum = hist.withColumn("hi", sum("c").over(wc))
+      .withColumn("lo", col("hi") - col("c"))
+    val targets = cum.join(broadcast(needed),
+        col("o_orderpriority") === col("ng") &&
+          col("r") > col("lo") && col("r") <= col("hi"))
+      .select("o_orderpriority", "b", "lo").distinct()
+    val wsel = Window.partitionBy(col("o_orderpriority"), col("b"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val selected = bucketed.join(broadcast(targets), Seq("o_orderpriority", "b"))
+      .withColumn("rn", row_number().over(wsel).cast("long") + col("lo"))
+      .join(broadcast(needed),
+        col("o_orderpriority") === col("ng") && col("rn") === col("r"))
+      .select(col("o_orderpriority").as("grp"), col("rn"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .distinct() // a rank can be needed by several k's; select it once
+    // assemble: v_lo/v_hi per (group, k), integer quarter-combination
+    val q4 = selected.join(broadcast(ranks),
+        col("grp") === col("rg") &&
+          (col("rn") === col("rk_lo") || col("rn") === col("rk_hi")))
+      .groupBy(col("grp"), col("k"), col("m"), col("cnt"))
+      .agg(max(when(col("rn") === col("rk_lo"), col("cents"))).as("vlo_c"),
+        max(when(col("rn") === col("rk_hi"), col("cents"))).as("vhi_c"))
+      .withColumn("qc4", col("vlo_c") * (lit(4) - col("m")) + col("vhi_c") * col("m"))
+    q4.groupBy(col("grp").as("o_orderpriority"))
+      .agg(max(col("cnt")).as("n"),
+        (max(when(col("k") === 1, col("qc4"))).cast("double") / 400).as("p25"),
+        (max(when(col("k") === 2, col("qc4"))).cast("double") / 400).as("p50"),
+        (max(when(col("k") === 3, col("qc4"))).cast("double") / 400).as("p75"))
+      .orderBy("o_orderpriority")
+  }
+
+  val qPercentilesSql: String =
+    """WITH r AS (SELECT o_orderpriority AS grp,
+          CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+          row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn,
+          COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+        FROM orders),
+      kk AS (SELECT grp, cents, rn, cnt, k,
+          (cnt - 1) * k % 4 AS m,
+          (cnt - 1) * k // 4 + 1 AS rk_lo,
+          (cnt - 1) * k // 4 + 1 + (CASE WHEN (cnt - 1) * k % 4 > 0 THEN 1 ELSE 0 END) AS rk_hi
+        FROM r, (VALUES (1), (2), (3)) t(k)),
+      sel AS (SELECT grp, k, m, cnt,
+          MAX(CASE WHEN rn = rk_lo THEN cents END) AS vlo_c,
+          MAX(CASE WHEN rn = rk_hi THEN cents END) AS vhi_c
+        FROM kk GROUP BY grp, k, m, cnt),
+      q AS (SELECT grp, cnt, k, vlo_c * (4 - m) + vhi_c * m AS qc4 FROM sel)
+      SELECT grp AS o_orderpriority, MAX(cnt) AS n,
+        CAST(MAX(CASE WHEN k = 1 THEN qc4 END) AS DOUBLE) / 400 AS p25,
+        CAST(MAX(CASE WHEN k = 2 THEN qc4 END) AS DOUBLE) / 400 AS p50,
+        CAST(MAX(CASE WHEN k = 3 THEN qc4 END) AS DOUBLE) / 400 AS p75
+      FROM q GROUP BY grp ORDER BY grp"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_percentiles" -> (qPercentiles _),
     "q_scd2_dim" -> (qScd2Dim _),
     "q_funnel" -> (qFunnel _),
     "q_bloom_join" -> (qBloomJoin _),
@@ -697,6 +783,7 @@ object AnalyticsExt {
     "q20_promo_suppliers" -> (q20PromoSuppliers _))
 
   val oracles: Map[String, String] = Map(
+    "q_percentiles" -> qPercentilesSql,
     "q_scd2_dim" -> qScd2DimSql,
     "q_funnel" -> qFunnelSql,
     "q_bloom_join" -> qBloomJoinSql,

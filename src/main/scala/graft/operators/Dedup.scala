@@ -401,6 +401,56 @@ object Dedup {
       WHERE round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) >= 0.2
       ORDER BY doc_a, doc_b"""
 
+  /** d13 — CONTAINMENT-based near-dup detection: the case Jaccard
+    * structurally misses. When a short document is quoted wholesale
+    * inside a much longer one (boilerplate expansion, quote-farms,
+    * "article + appended comments"), the intersection is nearly all
+    * of the SHORT doc but a small fraction of the union — Jaccard
+    * stays low, MinHash bands rarely agree, yet for training-data
+    * purposes the pair IS a duplicate (the short doc adds nothing).
+    * Detection keys on containment C = |A∩B| / min(|A|, |B|) ≥ 0.8
+    * instead. The candidate machinery is d4's, unchanged and shared:
+    * df-capped posting lists → packed pair records → one aggregation
+    * yielding shared counts and per-doc kept-vocabulary sizes from
+    * the same shuffle; only the verification arithmetic differs, and
+    * the threshold is CROSS-MULTIPLIED (shared·10 ≥ min(na,nb)·8 —
+    * pure integer compare, no division in the predicate; the one
+    * IEEE division producing the reported ratio happens on survivor
+    * rows only). Same 100 TB shape as d4: every candidate bounded by
+    * the df cap, nothing quadratic in corpus size. */
+  def qDedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val st = ngramStages(spark, dir).toMap
+    val bsz = broadcast(st("sizes"))
+    st("cand")
+      .join(bsz.as("ka"), col("doc_a") === col("ka.doc_id"))
+      .join(bsz.as("kb"), col("doc_b") === col("kb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        col("ka.n").as("na"), col("kb.n").as("nb"))
+      .filter(col("shared") * 10 >= least(col("na"), col("nb")) * 8)
+      .withColumn("containment",
+        round(col("shared").cast("double") / least(col("na"), col("nb")), 6))
+      .select("doc_a", "doc_b", "shared", "na", "nb", "containment")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val qDedupContainmentSql: String =
+    s"""WITH s AS (SELECT doc_id, $shDuck AS sh FROM documents),
+      inv0 AS (
+        SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS sid
+        FROM (SELECT doc_id, unnest(sh) AS shingle FROM s) u),
+      keep AS (SELECT sid FROM inv0 GROUP BY sid HAVING COUNT(*) <= $ngramDfCap),
+      inv AS (SELECT doc_id, sid FROM inv0 JOIN keep USING (sid)),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM inv GROUP BY doc_id),
+      cand AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS shared
+        FROM inv x JOIN inv y ON x.sid = y.sid AND x.doc_id < y.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 6)
+      SELECT doc_a, doc_b, shared, sa.n AS na, sb.n AS nb,
+        round(CAST(shared AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
+      FROM cand JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE shared * 10 >= least(sa.n, sb.n) * 8
+      ORDER BY doc_a, doc_b"""
+
   /** Band buckets larger than this refine their join key with the
     * NEXT band's 8 bits before pairing. Real embedding corpora are
     * CLUSTERED — a dense region shares sign patterns on many
@@ -1063,6 +1113,7 @@ object Dedup {
     "q_dedup_recall" -> (qDedupRecall _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_keep_best" -> (qDedupKeepBest _),
+    "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_cc" -> (qDedupCc _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
@@ -1078,6 +1129,7 @@ object Dedup {
     "q_dedup_recall" -> qDedupRecallSql,
     "q_dedup_incremental" -> qDedupIncrementalSql,
     "q_dedup_keep_best" -> qDedupKeepBestSql,
+    "q_dedup_containment" -> qDedupContainmentSql,
     "q_dedup_cc" -> qDedupCcSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_minhash" -> qDedupMinhashSql,
