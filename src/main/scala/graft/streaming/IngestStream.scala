@@ -383,6 +383,51 @@ object IngestStream {
       }
   }
 
+  /** one document of the h16 weighted-sample stream */
+  case class WeightedDoc(docId: Long, lang: String, nChars: Long)
+
+  /** per-stratum reservoir: the k smallest E-S priorities seen so far
+    * — FIXED-SIZE state regardless of stream length */
+  case class ReservoirState(version: Long, prios: Seq[Long], ids: Seq[Long])
+
+  /** the stratum's current sample, re-emitted per batch that touches it */
+  case class ReservoirOut(lang: String, version: Long, ids: Seq[Long])
+
+  /** h16 — weighted sampling without replacement IN-STREAM, the
+    * streaming twin of the f23 batch sampler: per stratum (lang),
+    * keep the k docs with the smallest Efraimidis–Espirakis priority
+    * (−ln(u)/w as the same exact integer floor-division f23 uses, u
+    * from the deterministic md5 ticket). E-S priorities are
+    * prefix-stable — an item is in the final sample iff its priority
+    * is among the k smallest overall, regardless of arrival batching
+    * — so the streaming reservoir converges to EXACTLY the batch
+    * sample (spec-proven), while state is one fixed k-entry row per
+    * stratum forever. This is how a continuous ingest keeps a live
+    * training-mix sample without ever re-scanning the corpus.
+    * (The per-element re-sort is fine at k=25; a production k would
+    * use a bounded heap — same semantics.) */
+  def streamingWeightedSample(docs: Dataset[WeightedDoc], k: Int): Dataset[ReservoirOut] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.lang)
+      .mapGroupsWithState[ReservoirState, ReservoirOut](GroupStateTimeout.NoTimeout) {
+        (lang: String, it: Iterator[WeightedDoc], state: GroupState[ReservoirState]) =>
+          val cur = state.getOption.getOrElse(ReservoirState(0L, Nil, Nil))
+          var entries = cur.prios.zip(cur.ids).toVector
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.foreach { d =>
+            val hex = md.digest(d.docId.toString.getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString.take(4)
+            val t = Integer.parseInt(hex, 16)
+            val negln = Math.round(-Math.log((t + 1) / 65536.0) * 1e6)
+            val prio = Math.floorDiv(negln * 1000000000L, d.nChars)
+            entries = ((prio, d.docId) +: entries).distinct.sorted.take(k)
+          }
+          val ns = ReservoirState(cur.version + 1, entries.map(_._1), entries.map(_._2))
+          state.update(ns)
+          ReservoirOut(lang, ns.version, entries.map(_._2))
+      }
+  }
+
   def enrichWithProfile(events: DataFrame, profile: DataFrame): DataFrame =
     events.join(
       org.apache.spark.sql.functions.broadcast(profile), Seq("user"), "left")
