@@ -23,14 +23,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Analytics.queries ++ AnalyticsExt.queries ++ IngestOps.queries ++ GeoOps.queries ++
-      TextOps.queries ++ Dedup.queries ++ Ann.queries ++ Retrieval.queries ++ Bpe.queries ++
-      Asof.queries ++ Serving.queries ++ graft.multimodal.Media.queries
+    Analytics.queries ++ AnalyticsExt.queries ++ AnalyticsTs.queries ++ IngestOps.queries ++
+      GeoOps.queries ++ TextOps.queries ++ TextModels.queries ++ Dedup.queries ++ Ann.queries ++
+      Retrieval.queries ++ Bpe.queries ++ Asof.queries ++ Serving.queries ++
+      graft.multimodal.Media.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Analytics.oracles ++ AnalyticsExt.oracles ++ IngestOps.oracles ++ GeoOps.oracles ++
-      TextOps.oracles ++ Dedup.oracles ++ Ann.oracles ++ Retrieval.oracles ++ Bpe.oracles ++
-      Asof.oracles ++ Serving.oracles ++ graft.multimodal.Media.oracles
+    Analytics.oracles ++ AnalyticsExt.oracles ++ AnalyticsTs.oracles ++ IngestOps.oracles ++
+      GeoOps.oracles ++ TextOps.oracles ++ TextModels.oracles ++ Dedup.oracles ++ Ann.oracles ++
+      Retrieval.oracles ++ Bpe.oracles ++ Asof.oracles ++ Serving.oracles ++
+      graft.multimodal.Media.oracles
 }

@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** §2 C (time-series / product analytics) — c48-c50: the event-stream
+  * shapes a progress/telemetry table like the reference's ingest-event
+  * log (ingest.py stage events, azlog.py records) needs beyond plain
+  * windows: dense-grid forward fill, cohort retention, and transition
+  * matrices. Same oracle-compat rules as Analytics.scala: money/gauge
+  * doubles quantized to integer cents, at most one final IEEE
+  * division, total ORDER BY, no raw timestamps out (integer day
+  * indexes instead).
+  */
+object AnalyticsTs {
+
+  // c48 — gap fill + forward fill (the IoT/finance dense-grid shape):
+  // each user's 'view' events carry a gauge reading (`value`); per
+  // (user, day) the CLOSING reading is the last event of the day, and
+  // missing days between a user's first and last active day are
+  // filled with the prior closing reading plus a staleness counter.
+  // Plan: one events scan → per-(user, day) closing via row_number
+  // (total (ts, event_id) tiebreak, deterministic cross-engine) →
+  // per-user [min, max] day span → sequence/explode builds the dense
+  // grid MAP-ONLY off the 1-row-per-user span agg. Both grid and
+  // closing are repartitioned on user_id alone, so the grid join
+  // (user, day) AND the two forward-fill windows (user) ride ONE
+  // user-keyed exchange: HashPartitioning(user_id) satisfies the
+  // join's ClusteredDistribution(user_id, day) — plan-asserted in
+  // PlanAuditSpec. Gauge doubles become integer cents before any agg.
+  // At 100 TB: grid size is bounded by users × span-days (output-
+  // proportional, not event-proportional), the fill window's frame is
+  // running (no whole-partition buffering), and nothing is collected.
+  def qGapFill(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"),
+        (unix_millis(col("ts")) / 86400000L).cast("long").as("day"),
+        unix_millis(col("ts")).as("ts_ms"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v_cents"))
+    val byDayLast = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts_ms").desc, col("event_id").desc)
+    val closing = e.withColumn("rn", row_number().over(byDayLast))
+      .filter(col("rn") === 1)
+      .select("user_id", "day", "v_cents")
+      .repartition(col("user_id"))
+    val grid = e.groupBy("user_id")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      .repartition(col("user_id"))
+    val fill = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(closing, Seq("user_id", "day"), "left_outer")
+      .withColumn("observed", when(col("v_cents").isNotNull, 1).otherwise(0))
+      .withColumn("filled_cents", last(col("v_cents"), ignoreNulls = true).over(fill))
+      .withColumn("last_obs_day",
+        last(when(col("v_cents").isNotNull, col("day")), ignoreNulls = true).over(fill))
+      .select(col("user_id"), col("day"), col("filled_cents"), col("observed"),
+        (col("day") - col("last_obs_day")).as("days_stale"))
+      .orderBy("user_id", "day")
+  }
+
+  val qGapFillSql: String =
+    """WITH e AS (
+         SELECT user_id, epoch_ms(ts) // 86400000 AS day, epoch_ms(ts) AS ts_ms, event_id,
+           CAST(round(value * 100) AS BIGINT) AS v_cents
+         FROM events WHERE event_type = 'view'
+       ), closing AS (
+         SELECT user_id, day, v_cents FROM (
+           SELECT user_id, day, v_cents,
+             row_number() OVER (PARTITION BY user_id, day ORDER BY ts_ms DESC, event_id DESC) AS rn
+           FROM e) WHERE rn = 1
+       ), span AS (
+         SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM e GROUP BY user_id
+       ), grid AS (
+         SELECT user_id, UNNEST(generate_series(d0, d1)) AS day FROM span
+       )
+       SELECT g.user_id, g.day,
+         last_value(c.v_cents IGNORE NULLS) OVER w AS filled_cents,
+         CASE WHEN c.v_cents IS NOT NULL THEN 1 ELSE 0 END AS observed,
+         g.day - last_value(CASE WHEN c.v_cents IS NOT NULL THEN g.day END IGNORE NULLS) OVER w AS days_stale
+       FROM grid g LEFT JOIN closing c ON g.user_id = c.user_id AND g.day = c.day
+       WINDOW w AS (PARTITION BY g.user_id ORDER BY g.day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       ORDER BY g.user_id, g.day"""
+
+  // c49 — cohort retention matrix: users cohorted by FIRST-EVER event
+  // day, a cell (cohort_day, offset) counts distinct cohort members
+  // active offset days later, plus the share of the cohort that
+  // retains. Plan: first-seen and per-(user, day) activity are two
+  // aggs over one scan, both keyed on user_id — the activity agg
+  // groups on (user_id, day) and rides a user_id-only repartition, so
+  // the cohort attach join shares that same exchange; the final
+  // (cohort, offset) agg is the only other shuffle, bounded by
+  // span-days². count(distinct) collapses to a plain count because
+  // (user, day) rows are already distinct. The retention share is the
+  // one IEEE division, on the final bounded matrix.
+  // At 100 TB: nothing driver-side, matrix size is days², and the
+  // wide activity agg is map-side combined.
+  def qRetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), (unix_millis(col("ts")) / 86400000L).cast("long").as("day"))
+    val activity = e.groupBy("user_id", "day").agg(count(lit(1)).as("_n"))
+      .select("user_id", "day").repartition(col("user_id"))
+    val cohort = e.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      .repartition(col("user_id"))
+    val sizes = cohort.groupBy("cohort_day").agg(count(lit(1)).as("cohort_n"))
+    activity.join(cohort, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("offset_days"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cohort_day")
+      .select(col("cohort_day"), col("offset_days"), col("n_active"), col("cohort_n"),
+        (col("n_active").cast("double") / col("cohort_n")).as("retention"))
+      .orderBy("cohort_day", "offset_days")
+  }
+
+  val qRetentionCohortsSql: String =
+    """WITH e AS (
+         SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+       ), activity AS (
+         SELECT DISTINCT user_id, day FROM e
+       ), cohort AS (
+         SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id
+       ), sizes AS (
+         SELECT cohort_day, COUNT(*) AS cohort_n FROM cohort GROUP BY cohort_day
+       ), cells AS (
+         SELECT c.cohort_day, a.day - c.cohort_day AS offset_days, COUNT(*) AS n_active
+         FROM activity a JOIN cohort c USING (user_id)
+         GROUP BY 1, 2
+       )
+       SELECT cohort_day, offset_days, n_active, cohort_n,
+         CAST(n_active AS DOUBLE) / cohort_n AS retention
+       FROM cells JOIN sizes USING (cohort_day)
+       ORDER BY cohort_day, offset_days"""
+
+  // c50 — first-order Markov transition matrix over event types: per
+  // user, consecutive events (total (ts, event_id) order) form
+  // (from_type, to_type) transitions; the matrix row-normalizes to
+  // probabilities. Plan: ONE user-keyed exchange carries the lead()
+  // window; the pair agg and per-from totals both collapse to the
+  // 5×5 matrix before the single division each row pays. The per-from
+  // total re-enters by joining two BOUNDED aggs (|event_types|²),
+  // never re-scanning events.
+  // At 100 TB: the window is the only event-volume shuffle; the
+  // matrix is O(types²) regardless of volume.
+  def qNextEventMarkov(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"), col("event_id"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val pairs = e
+      .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type").agg(sum(col("n")).as("from_n"))
+    pairs.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"), col("from_n"),
+        (col("n").cast("double") / col("from_n")).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val qNextEventMarkovSql: String =
+    """WITH pairs AS (
+         SELECT event_type AS from_type,
+           lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS to_type
+         FROM events
+       ), cnt AS (
+         SELECT from_type, to_type, COUNT(*) AS n FROM pairs
+         WHERE to_type IS NOT NULL GROUP BY 1, 2
+       ), totals AS (
+         SELECT from_type, CAST(SUM(n) AS BIGINT) AS from_n FROM cnt GROUP BY 1
+       )
+       SELECT from_type, to_type, n, from_n, CAST(n AS DOUBLE) / from_n AS p
+       FROM cnt JOIN totals USING (from_type)
+       ORDER BY from_type, to_type"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gap_fill" -> (qGapFill _),
+    "q_retention_cohorts" -> (qRetentionCohorts _),
+    "q_next_event_markov" -> (qNextEventMarkov _))
+
+  val oracles: Map[String, String] = Map(
+    "q_gap_fill" -> qGapFillSql,
+    "q_retention_cohorts" -> qRetentionCohortsSql,
+    "q_next_event_markov" -> qNextEventMarkovSql)
+}

@@ -1,0 +1,222 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** §2 F (continued) — f25/f26: the two model-based corpus-selection
+  * passes every web-scale training pipeline runs between the rule
+  * filters (f2/f6/f14) and the mixers (f7/f23): a trained quality
+  * classifier and DSIR importance resampling. Both reuse f18's
+  * integer micro-nat quantization (per-token log terms become exact
+  * integers BEFORE any sum, so per-doc scores are associative,
+  * partition-order-independent, and bit-identical in the DuckDB
+  * oracle) and f7's md5-ticket determinism for anything random.
+  */
+object TextModels {
+
+  private def toks(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+
+  // f25 — trained quality classifier (the fastText-style gate of
+  // GPT-3/LLaMA data curation, as Naive Bayes log-odds — the
+  // closed-form member of the linear-classifier family, trainable in
+  // ONE aggregation): train on doc_id % 5 != 0 with label
+  // lang = 'en', score the held-out doc_id % 5 = 0 split. Token
+  // weight w(t) = ln((c⁺+1)/(N⁺+V)) − ln((c⁻+1)/(N⁻+V)) in integer
+  // micro-nats; a held-out doc's score = class-prior log-odds + Σ
+  // w(token), OOV tokens take the c=0 smoothed weight — every term an
+  // integer, one CASE at the end for the predicted label.
+  // Cost shape: one token explode feeds a single per-token
+  // conditional agg (map-side combined; the model is |train vocab|
+  // rows). Scoring joins tokens to the model ON TOKEN — a shuffle
+  // join BY DESIGN (f21's rule: a web-scale vocabulary is
+  // corpus-sized, broadcasting it would be wrong); the 1-row totals
+  // ride broadcasts. Per-doc agg is the only other shuffle.
+  // At 100 TB: prior/totals are 1-row, model is vocab-bounded,
+  // nothing driver-side; swap the trained model table for a
+  // pretrained one and the scoring pass is unchanged.
+  def qQualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val train = d.filter(col("doc_id") % 5 =!= 0)
+      .withColumn("pos", (col("lang") === "en").cast("long"))
+    val score = d.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text"), (col("lang") === "en").as("actual"))
+    nbClassify(train.select("doc_id", "text", "pos"), score)
+  }
+
+  /** f25's core over any (doc_id, text, pos) train / (doc_id, text,
+    * actual) score frames — the spec drives it with a planted
+    * separable corpus. */
+  private[graft] def nbClassify(train: DataFrame, score: DataFrame): DataFrame = {
+    val tt = train.select(col("pos"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val counts = tt.groupBy("tok")
+      .agg(sum(col("pos")).as("cp"), sum(lit(1) - col("pos")).as("cn"))
+    val tot = counts.agg(sum(col("cp")).as("np"), sum(col("cn")).as("nn"),
+      count(lit(1)).as("v"))
+    val priors = train.agg(sum(col("pos")).as("dp"), sum(lit(1) - col("pos")).as("dn"))
+    val model = counts.crossJoin(broadcast(tot))
+      .select(col("tok"), expr(
+        """CAST(round((ln((cp + 1) / CAST(np + v AS DOUBLE))
+           - ln((cn + 1) / CAST(nn + v AS DOUBLE))) * 1e6) AS BIGINT)""").as("w_micro"))
+    toks(score).join(model, Seq("tok"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("oov", col("w_micro").isNull)
+      .withColumn("w", coalesce(col("w_micro"), expr(
+        """CAST(round((ln(1 / CAST(np + v AS DOUBLE))
+           - ln(1 / CAST(nn + v AS DOUBLE))) * 1e6) AS BIGINT)""")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("oov"), 1L).otherwise(0L)).as("n_oov"),
+        sum(col("w")).as("sum_w"))
+      .crossJoin(broadcast(priors))
+      .join(score.select("doc_id", "actual"), "doc_id")
+      .select(col("doc_id"), col("n_tok"), col("n_oov"),
+        (col("sum_w") + expr("CAST(round(ln(dp / CAST(dn AS DOUBLE)) * 1e6) AS BIGINT)"))
+          .as("score_micro"),
+        (col("sum_w") + expr("CAST(round(ln(dp / CAST(dn AS DOUBLE)) * 1e6) AS BIGINT)") > 0)
+          .as("predicted"),
+        col("actual"))
+      .orderBy("doc_id")
+  }
+
+  val qQualityClassifierSql: String =
+    """WITH train AS (
+         SELECT doc_id, text, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+         FROM documents WHERE doc_id % 5 <> 0),
+       tt AS (
+         SELECT doc_id, t AS tok, pos FROM (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS t, pos FROM train) x
+         WHERE length(t) > 0),
+       counts AS (
+         SELECT tok, SUM(pos) AS cp, SUM(1 - pos) AS cn FROM tt GROUP BY tok),
+       tot AS (SELECT SUM(cp) AS np, SUM(cn) AS nn, COUNT(*) AS v FROM counts),
+       priors AS (SELECT SUM(pos) AS dp, SUM(1 - pos) AS dn FROM train),
+       model AS (
+         SELECT tok, CAST(round((ln((cp + 1) / CAST(np + v AS DOUBLE))
+             - ln((cn + 1) / CAST(nn + v AS DOUBLE))) * 1e6) AS BIGINT) AS w_micro
+         FROM counts, tot),
+       score AS (SELECT doc_id, text, lang = 'en' AS actual
+         FROM documents WHERE doc_id % 5 = 0),
+       st AS (
+         SELECT doc_id, t AS tok FROM (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM score) x
+         WHERE length(t) > 0),
+       sc AS (
+         SELECT s.doc_id, COUNT(*) AS n_tok,
+           CAST(SUM(CASE WHEN m.w_micro IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(SUM(COALESCE(m.w_micro,
+             CAST(round((ln(1 / CAST(tt2.np + tt2.v AS DOUBLE))
+               - ln(1 / CAST(tt2.nn + tt2.v AS DOUBLE))) * 1e6) AS BIGINT))) AS BIGINT) AS sum_w
+         FROM st s LEFT JOIN model m ON s.tok = m.tok, tot tt2
+         GROUP BY s.doc_id)
+       SELECT sc.doc_id, n_tok, n_oov,
+         sum_w + CAST(round(ln(dp / CAST(dn AS DOUBLE)) * 1e6) AS BIGINT) AS score_micro,
+         (sum_w + CAST(round(ln(dp / CAST(dn AS DOUBLE)) * 1e6) AS BIGINT)) > 0 AS predicted,
+         actual
+       FROM sc JOIN score USING (doc_id), priors
+       ORDER BY doc_id"""
+
+  // f26 — DSIR: Data Selection via Importance Resampling (Xie et al.
+  // 2023) — select pool documents that LOOK LIKE a small target
+  // corpus, by importance weight log p_target(x) − log p_raw(x) under
+  // hashed-unigram LMs, then Gumbel-top-k resampling. Target = the
+  // 'en' docs (standing in for the curated set), pool = everything
+  // else. Features hash to 256 buckets via 2 md5 hex digits
+  // (engine-neutral — DSIR's hashing trick is exactly what makes the
+  // LM table BOUNDED: 256 rows regardless of vocabulary, so it
+  // broadcasts at any scale, unlike f25's vocab-sized model). λ(b) =
+  // ln((c_t+1)/(N_t+256)) − ln((c_p+1)/(N_p+256)) in micro-nats;
+  // doc weight = Σ λ(bucket(tok)); the resample is the Gumbel-top-k
+  // trick — priority = weight + Gumbel(u), u from f7's md5 ticket
+  // over 65537 so u ∈ (0,1) strictly (the +1/65536 ticket hits u = 1
+  // where −ln(−ln u) = +∞) — deterministic, reproducible, and
+  // statistically a weighted sample ∝ p_t/p_p.
+  // Cost shape: two bounded 256-row aggs (map-side combined) + one
+  // map-only scoring pass against the BROADCAST λ table + one
+  // doc-keyed agg; the top-k is a TakeOrderedAndProject. Nothing
+  // scales with vocabulary.
+  def qDsir(spark: SparkSession, dir: String): DataFrame =
+    dsirSelect(Tables(spark, dir, "documents")
+      .withColumn("is_t", (col("lang") === "en").cast("long")), 50)
+
+  /** f26's core over any (doc_id, lang, text, is_t) frame — rows with
+    * is_t = 1 define the target LM, is_t = 0 rows are the pool being
+    * selected from. The spec drives it with a planted
+    * distribution-shifted corpus. */
+  private[graft] def dsirSelect(d: DataFrame, k: Int): DataFrame = {
+    def bucketOf(c: String) =
+      s"""(locate(substr(md5($c), 1, 1), '0123456789abcdef') - 1) * 16
+          + (locate(substr(md5($c), 2, 1), '0123456789abcdef') - 1)"""
+    val tks = d.select(col("is_t"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("b", expr(bucketOf("tok")).cast("int"))
+    val counts = tks.groupBy("b")
+      .agg(sum(col("is_t")).as("ct"), sum(lit(1) - col("is_t")).as("cp"))
+    val tot = counts.agg(sum(col("ct")).as("nt"), sum(col("cp")).as("npool"))
+    val lam = counts.crossJoin(broadcast(tot))
+      .select(col("b"), expr(
+        """CAST(round((ln((ct + 1) / CAST(nt + 256 AS DOUBLE))
+           - ln((cp + 1) / CAST(npool + 256 AS DOUBLE))) * 1e6) AS BIGINT)""").as("lam_micro"))
+    def digit(i: Int) =
+      s"(locate(substr(md5(CAST(doc_id AS STRING)), $i, 1), '0123456789abcdef') - 1)"
+    val ticket =
+      s"CAST(((${digit(1)} * 16 + ${digit(2)}) * 16 + ${digit(3)}) * 16 + ${digit(4)} AS INT)"
+    val pool = d.filter(col("is_t") === 0)
+    pool.select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("b", expr(bucketOf("tok")).cast("int"))
+      .join(broadcast(lam), "b")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tok"), sum(col("lam_micro")).as("w_micro"))
+      .withColumn("gumbel_micro", expr(
+        s"CAST(round(-ln(-ln(($ticket + 1) / 65537e0)) * 1e6) AS BIGINT)"))
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("w_micro"),
+        (col("w_micro") + col("gumbel_micro")).as("priority_micro"))
+      .orderBy(col("priority_micro").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  val qDsirSql: String = {
+    def digit(i: Int) =
+      s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
+    val ticket =
+      s"CAST(((${digit(1)} * 16 + ${digit(2)}) * 16 + ${digit(3)}) * 16 + ${digit(4)} AS INT)"
+    val bucket = """(strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1)"""
+    s"""WITH tks AS (
+         SELECT doc_id, t AS tok FROM (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) x
+         WHERE length(t) > 0),
+       tb AS (
+         SELECT tks.doc_id, CAST($bucket AS INT) AS b,
+           CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS is_t
+         FROM tks JOIN documents d ON tks.doc_id = d.doc_id),
+       counts AS (SELECT b, SUM(is_t) AS ct, SUM(1 - is_t) AS cp FROM tb GROUP BY b),
+       tot AS (SELECT SUM(ct) AS nt, SUM(cp) AS npool FROM counts),
+       lam AS (
+         SELECT b, CAST(round((ln((ct + 1) / CAST(nt + 256 AS DOUBLE))
+             - ln((cp + 1) / CAST(npool + 256 AS DOUBLE))) * 1e6) AS BIGINT) AS lam_micro
+         FROM counts, tot),
+       pool AS (SELECT doc_id, lang FROM documents WHERE lang <> 'en'),
+       scored AS (
+         SELECT tb.doc_id, COUNT(*) AS n_tok, CAST(SUM(lam_micro) AS BIGINT) AS w_micro
+         FROM tb JOIN pool USING (doc_id) JOIN lam USING (b)
+         GROUP BY tb.doc_id)
+       SELECT doc_id, lang, n_tok, w_micro,
+         w_micro + CAST(round(-ln(-ln(($ticket + 1) / 65537e0)) * 1e6) AS BIGINT) AS priority_micro
+       FROM scored JOIN pool USING (doc_id)
+       ORDER BY priority_micro DESC, doc_id LIMIT 50"""
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_classifier" -> (qQualityClassifier _),
+    "q_dsir" -> (qDsir _))
+
+  val oracles: Map[String, String] = Map(
+    "q_quality_classifier" -> qQualityClassifierSql,
+    "q_dsir" -> qDsirSql)
+}
