@@ -25,7 +25,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ AnalyticsExt.queries ++ AnalyticsTs.queries ++ IngestOps.queries ++
       GeoOps.queries ++ TextOps.queries ++ TextModels.queries ++ Dedup.queries ++ Ann.queries ++
-      Retrieval.queries ++ Bpe.queries ++ Asof.queries ++ Serving.queries ++
+      Retrieval.queries ++ Bpe.queries ++ Pca.queries ++ Asof.queries ++ Serving.queries ++
       graft.multimodal.Media.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -33,6 +33,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Analytics.oracles ++ AnalyticsExt.oracles ++ AnalyticsTs.oracles ++ IngestOps.oracles ++
       GeoOps.oracles ++ TextOps.oracles ++ TextModels.oracles ++ Dedup.oracles ++ Ann.oracles ++
-      Retrieval.oracles ++ Bpe.oracles ++ Asof.oracles ++ Serving.oracles ++
+      Retrieval.oracles ++ Bpe.oracles ++ Pca.oracles ++ Asof.oracles ++ Serving.oracles ++
       graft.multimodal.Media.oracles
 }
