@@ -1,0 +1,136 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import scala.util.Using
+
+/** i10 — snapshot-isolated, time-travelable table on plain parquet +
+  * manifest commits (the lakehouse transaction-log shape, built from
+  * the same primitives as i5's manifest-gated visibility and i8/i9's
+  * rename protocol):
+  *
+  *   <root>/data/<commitToken>-part*.parquet   immutable data files
+  *   <root>/_v<N>.manifest                     newline list of data
+  *                                             files visible at N
+  *
+  * - READERS never list data/: they read the latest (or a requested)
+  *   manifest and scan exactly the files it names — a half-written
+  *   commit is invisible, and an old version stays byte-stable
+  *   forever (until vacuumed), so time travel is just "read an older
+  *   manifest".
+  * - WRITERS are optimistic: data files land under a fresh unique
+  *   token (never clobbering anything), then the commit is ONE
+  *   atomic create-if-absent of `_v<latest+1>.manifest` — if another
+  *   writer took that version first, re-read the new latest and
+  *   retry THE MANIFEST ONLY (append: re-list base files; overwrite:
+  *   unchanged) — the already-landed data files are reused, nothing
+  *   re-writes.
+  * - VACUUM retains the last `keepLast` manifests, then deletes any
+  *   data file no kept manifest references — which also collects
+  *   files orphaned by crashed commits.
+  *
+  * At 100 TB: a commit is O(new files) data writes + one manifest
+  * create; a snapshot read plans from an O(files) name list with no
+  * directory listing of a giant data/ tree; concurrent writers
+  * serialize on the version counter without ever locking data.
+  */
+object VersionedTable {
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifest(root: String, v: Long) = new Path(root, f"_v$v%06d.manifest")
+
+  /** Versions present, ascending (empty for a fresh root). */
+  def versions(spark: SparkSession, path: String): Seq[Long] = {
+    val fs = fsOf(spark, path)
+    val root = new Path(path)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("_v") && n.endsWith(".manifest"))
+      .map(n => n.stripPrefix("_v").stripSuffix(".manifest").toLong)
+      .sorted
+  }
+
+  private def readManifest(spark: SparkSession, path: String, v: Long): Seq[String] = {
+    val fs = fsOf(spark, path)
+    Using.resource(fs.open(manifest(path, v))) { in =>
+      scala.io.Source.fromInputStream(in).getLines().toList
+    }.filter(_.nonEmpty)
+  }
+
+  /** Commit `df` as the next version. `overwrite = false` appends to
+    * the latest snapshot's file set; `true` replaces it. Returns the
+    * committed version. */
+  def commit(spark: SparkSession, path: String, df: DataFrame,
+      overwrite: Boolean = false): Long = {
+    val fs = fsOf(spark, path)
+    val dataDir = new Path(path, "data")
+    fs.mkdirs(dataDir)
+
+    // land the new files under a fresh token via a staged rename —
+    // uniqueness means no writer ever touches another's files
+    val token = java.util.UUID.randomUUID.toString.take(8)
+    val staging = new Path(path, s".staging-$token")
+    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val newFiles = fs.listStatus(staging).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map { f =>
+        val dst = new Path(dataDir, s"$token-${f.getPath.getName}")
+        if (!fs.rename(f.getPath, dst))
+          throw new IllegalStateException(s"landing ${f.getPath} failed")
+        s"data/${dst.getName}"
+      }
+    fs.delete(staging, true)
+
+    // optimistic manifest CAS: create-if-absent on the next version;
+    // lose the race ⇒ recompute the base file list and retry
+    var committed = -1L
+    while (committed < 0) {
+      val vs = versions(spark, path)
+      val next = vs.lastOption.getOrElse(0L) + 1
+      val base = if (overwrite || vs.isEmpty) Seq.empty
+        else readManifest(spark, path, vs.last)
+      val tmp = new Path(path, s".manifest-$token.tmp")
+      Using.resource(fs.create(tmp, true)) { out =>
+        out.write((base ++ newFiles).mkString("\n").getBytes("UTF-8"))
+      }
+      // rename onto an existing target returns false — that IS the CAS
+      if (fs.rename(tmp, manifest(path, next))) committed = next
+      else fs.delete(tmp, true)
+    }
+    committed
+  }
+
+  /** Snapshot read: the given version, or the latest. */
+  def read(spark: SparkSession, path: String, version: Option[Long] = None): DataFrame = {
+    val v = version.getOrElse {
+      val vs = versions(spark, path)
+      require(vs.nonEmpty, s"no committed version at $path")
+      vs.last
+    }
+    val files = readManifest(spark, path, v).map(f => s"$path/$f")
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(files: _*)
+  }
+
+  /** Drop all but the last `keepLast` manifests and delete every data
+    * file none of the kept manifests references (including files
+    * orphaned by crashed commits). Returns (manifests dropped, data
+    * files deleted). */
+  def vacuum(spark: SparkSession, path: String, keepLast: Int): (Int, Int) = {
+    val fs = fsOf(spark, path)
+    val vs = versions(spark, path)
+    val (drop, keep) = vs.splitAt(math.max(0, vs.length - keepLast))
+    val referenced = keep.flatMap(v => readManifest(spark, path, v))
+      .map(f => f.stripPrefix("data/")).toSet
+    drop.foreach(v => fs.delete(manifest(path, v), false))
+    val dataDir = new Path(path, "data")
+    val removed =
+      if (!fs.exists(dataDir)) 0
+      else fs.listStatus(dataDir).toSeq
+        .filter(f => f.isFile && !referenced.contains(f.getPath.getName))
+        .map { f => fs.delete(f.getPath, false); 1 }.sum
+    (drop.length, removed)
+  }
+}
