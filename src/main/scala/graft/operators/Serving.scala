@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.GraftFunctions
 import graft.functions.TextFns._
-import graft.sources.DatasetsSink
+import graft.sources.{DatasetsSink, VersionedTable}
 
 /** §2 E/D serving path — ANN and dedup answered from a PERSISTED
   * index instead of rebuilding signatures per query. e9 recomputes
@@ -419,6 +419,35 @@ object Serving {
         coalesce(col("m_exact"), col("m_near")).as("match_id"))
       .orderBy("doc_id")
   }
+
+  // ---------- i10 × e12: atomic index publication ----------
+
+  /** Serving cutover as a SNAPSHOT COMMIT: index builds land under
+    * uniquely-named immutable dirs, and the only thing a query
+    * resolves is a 1-row POINTER table committed through i10's
+    * versioned-manifest CAS. Publishing a rebuilt index is therefore
+    * one atomic manifest create (readers see the old index until the
+    * instant the commit lands, the new one after — never a
+    * half-switched mix), rollback is "resolve version N-1", and an
+    * abandoned build (dir written, never published) is invisible
+    * exactly like i10's crash orphans. This is the missing operational
+    * half of e12's fingerprint-keyed staleness guard: fingerprints
+    * prevent serving a WRONG index; the pointer commit makes serving a
+    * NEW one a transaction. */
+  private[graft] def publishAnnIndex(spark: SparkSession, e: DataFrame,
+      publishRoot: String, buildDir: String): Long = {
+    import spark.implicits._
+    buildAnnIndex(e, buildDir)
+    VersionedTable.commit(spark, publishRoot,
+      Seq(buildDir).toDF("index_dir"), overwrite = true)
+  }
+
+  /** Resolve the published index dir — latest, or a pinned version
+    * (rollback = pin N-1). */
+  private[graft] def servedIndexDir(spark: SparkSession, publishRoot: String,
+      version: Option[Long] = None): String =
+    VersionedTable.read(spark, publishRoot, version)
+      .select("index_dir").head().getString(0)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_ivfpq_indexed" -> (qAnnIvfPqIndexed _),

@@ -78,4 +78,40 @@ class ServingSpec extends SparkTestBase {
     val ix2 = Serving.annIndexDir(spark, dir)
     assert(ix2 != ix1, "changed corpus must not reuse the old index dir")
   }
+
+  test("i10 x e12: index cutover is one snapshot commit; pinned versions keep serving the old build") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables(spark, sfDir, "embeddings")
+    val pub = Files.createTempDirectory("graft_ix_pub").toString
+    val bRoot = Files.createTempDirectory("graft_ix_builds").toString
+
+    // v1: index over the full corpus
+    val v1 = Serving.publishAnnIndex(spark, emb, pub, s"$bRoot/build-a")
+    assert(v1 == 1L)
+    val servedA = Serving.qAnnIvfPqIndexedAt(spark, emb,
+      Serving.servedIndexDir(spark, pub), queryVecId = 0L).collect().toSeq
+    val top1 = servedA.head.getLong(0)
+    assert(top1 != 0L)
+
+    // the nightly rebuild: corpus lost its current top hit; the new
+    // index lands in its own dir and goes live in ONE commit
+    val emb2 = emb.filter(col("vec_id") =!= top1)
+    val v2 = Serving.publishAnnIndex(spark, emb2, pub, s"$bRoot/build-b")
+    assert(v2 == 2L)
+    assert(Serving.servedIndexDir(spark, pub) == s"$bRoot/build-b")
+    val servedB = Serving.qAnnIvfPqIndexedAt(spark, emb2,
+      Serving.servedIndexDir(spark, pub), queryVecId = 0L).collect().toSeq
+    assert(!servedB.exists(_.getLong(0) == top1),
+      "the rebuilt index still serves the removed vector")
+
+    // time travel: pinning v1 serves the OLD build byte-identically —
+    // rollback is a version pin, not a re-deploy
+    val pinned = Serving.qAnnIvfPqIndexedAt(spark, emb,
+      Serving.servedIndexDir(spark, pub, Some(1L)), queryVecId = 0L).collect().toSeq
+    assert(pinned == servedA, "pinned v1 diverged from the original serve")
+
+    // an abandoned build never published is invisible to resolution
+    Serving.buildAnnIndex(emb, s"$bRoot/build-orphan")
+    assert(Serving.servedIndexDir(spark, pub) == s"$bRoot/build-b")
+  }
 }
