@@ -481,7 +481,88 @@ object Media {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** One perceptually-hashed video frame. */
+  case class FrameHash(doc_id: Long, frame_idx: Int, frames: Int,
+    c0: Int, c1: Int, c2: Int, c3: Int)
+
+  /** g9's planted scene length (frames per shot). */
+  val ShotSceneLen = 6
+
+  /** g9 — shot-boundary detection: the video twin of g8. Every frame
+    * of each g3 video decodes through the REAL PNG codec to a 64-bit
+    * dHash; consecutive frames compare by Hamming distance over ONE
+    * video-keyed window (lag on the 4 hash chunks — no self-join, no
+    * frame buffering beyond the sort), and a distance ≥ 8 opens a new
+    * shot (running sum of boundary flags = shot id). Within a shot,
+    * frames repeat the still byte-exactly (distance 0); across shots
+    * the frame content changes outright (md5-mixed payloads ⇒
+    * uncorrelated hashes, observed distance ≥ 8, median ≈ 30), so the
+    * threshold sits in a clean margin. The corpus plants a
+    * deterministic scene structure (every [[ShotSceneLen]] frames) the
+    * spec recovers EXACTLY — boundaries, shot ids, and within-shot
+    * silence. Cost shape: decode is mapPartitions (codec per task),
+    * then one shuffle on doc_id; at 100 TB each video's frames sort
+    * within their group and nothing is quadratic. Rows-only (codec
+    * not SQL-expressible); ShotDetectSpec gates it. */
+  def qShotDetect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables(spark, dir, "documents")
+    val isVideo = ascii(substring(col("text"), 1, 1)).between(113, 120)
+    val vids = Tables.fanout(d.filter(isVideo)
+      .select(col("doc_id"), col("text"),
+        (col("n_chars") % 24 + 1).cast("int").as("frames")))
+      .as[(Long, String, Int)]
+    val hashed = vids.mapPartitions { it =>
+      it.flatMap { case (id, text, frames) =>
+        val bytes = text.getBytes("UTF-8")
+        (0 until frames).iterator.map { f =>
+          val scene = f / ShotSceneLen
+          // scene payload: md5-mixed (doc, scene) bytes — the synthetic
+          // texts repeat a tiny vocabulary, so raw slices of adjacent
+          // scenes can coincide (measured: cut hamming dipped to 2);
+          // hashing makes planted scenes pixel-independent. Within a
+          // scene one byte alternates by ±1 — g8's measured ≤ 3-bit
+          // sub-perceptual nudge.
+          // 41-byte payload: coprime to the pixel-row byte stride, so
+          // the cyclic tiling visits every phase (a 40-byte payload
+          // aliases with the 75/72-byte rows — gcd 8 leaves 5 phases
+          // and grid sums that barely depend on the payload; measured:
+          // scene cuts collapsed to hamming 0-6). Within a shot the
+          // generator repeats the still byte-exactly (dHash-stable —
+          // g8's hamming-0 guarantee); per-frame jitter belongs to g8,
+          // whose nudge bound is measured on the wide text images, not
+          // to these fully-mixed 25px stills where a one-byte nudge
+          // measurably bleeds into the cut band.
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val s1 = md.digest(s"$id:$scene:$text".getBytes("UTF-8"))
+          val s2 = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$id:$scene:b:$text".getBytes("UTF-8"))
+          val seed = s1 ++ s2
+          val base = Array.tabulate(41)(k => seed(k % seed.length))
+          val ch = ImageCodec.dhash(ImageCodec.encodePng(id, base))
+          FrameHash(id, f, frames, ch(0), ch(1), ch(2), ch(3))
+        }
+      }
+    }.toDF()
+    val byVid = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val withPrev = hashed.select(
+      Seq(col("doc_id"), col("frame_idx"), col("frames")) ++
+        (0 to 3).map(k => col(s"c$k")) ++
+        (0 to 3).map(k => lag(col(s"c$k"), 1).over(byVid).as(s"p$k")): _*)
+    withPrev
+      .withColumn("hamming", when(col("p0").isNull, lit(null))
+        .otherwise(expr("bit_count(c0 ^ p0) + bit_count(c1 ^ p1) + " +
+          "bit_count(c2 ^ p2) + bit_count(c3 ^ p3)").cast("int")))
+      .withColumn("boundary", coalesce(col("hamming") >= 8, lit(false)))
+      .withColumn("shot_id", sum(when(col("boundary"), 1L).otherwise(0L))
+        .over(byVid.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .select("doc_id", "frame_idx", "frames", "hamming", "boundary", "shot_id")
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_shot_detect" -> (qShotDetect _),
     "q_phash_dedup" -> (qPhashDedup _),
     "q_audio_frames" -> (qAudioFrames _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
@@ -491,11 +572,12 @@ object Media {
     "q_resize_plan" -> (qResizePlan _),
     "q_decode_batches" -> (qDecodeBatches _))
 
-  /** q_media_pipeline, q_media_batched and q_phash_dedup
-    * intentionally have no oracle (a PNG codec round-trip is not
-    * SQL-expressible) → driver records a rows-only check; the specs
-    * gate them with golden-pixel, g2-parity/g5-parity, golden-hash
-    * and exact-dup-recall assertions. */
+  /** q_media_pipeline, q_media_batched, q_phash_dedup and
+    * q_shot_detect intentionally have no oracle (a PNG codec
+    * round-trip is not SQL-expressible) → driver records a rows-only
+    * check; the specs gate them with golden-pixel,
+    * g2-parity/g5-parity, golden-hash, exact-dup-recall and
+    * planted-scene-recovery assertions. */
   val oracles: Map[String, String] = Map(
     "q_audio_frames" -> qAudioFramesSql,
     "q_multimodal_meta" -> qMultimodalMetaSql,
