@@ -59,6 +59,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.MisraGries].getCanonicalName, "graft_mg_topk"),
       (exprs: Seq[Expression]) => graft.functions.MisraGries(exprs(0), exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_kmv"),
+      new ExpressionInfo(classOf[graft.functions.Kmv].getCanonicalName, "graft_kmv"),
+      (exprs: Seq[Expression]) => graft.functions.Kmv(exprs(0), exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_intersect_count"),
       new ExpressionInfo(classOf[graft.functions.IntersectCount].getCanonicalName,
         "graft_intersect_count"),

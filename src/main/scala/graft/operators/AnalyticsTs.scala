@@ -177,12 +177,79 @@ object AnalyticsTs {
        FROM cnt JOIN totals USING (from_type)
        ORDER BY from_type, to_type"""
 
+  // c51 — audience overlap across event-type segments via the native
+  // KMV sketch (functions/Kmv.scala): per segment, graft_kmv keeps the
+  // k smallest distinct 60-bit user hashes (mergeable with NO loss —
+  // shuffle volume is k·partitions regardless of user cardinality);
+  // sketch ALGEBRA answers what HLL cannot: the union of two sketches
+  // is "k smallest of the merge" (itself an exact KMV of the union),
+  // and the intersection estimate is the Jaccard fraction of the union
+  // sketch both sides contain, times the union estimate. Everything
+  // after the 5-row sketch agg is arithmetic on ≤k-long arrays (the
+  // pair join is 5×5), so the query is fully ORACLE-GATED: DuckDB
+  // brute-forces the same k smallest distinct md5 hashes and must land
+  // on identical doubles (sketches smaller than k degrade to EXACT
+  // sets — the estimates then equal true counts, which the sf0.01
+  // corpus' 150 users exercise; sf0.1's 1500 users exercise genuine
+  // estimation).
+  def qSegmentOverlap(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val k = 256
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), expr("graft_sid60(CAST(user_id AS STRING))").as("h"))
+    val seg = e.groupBy("event_type").agg(expr(s"graft_kmv(h, $k)").as("sk"))
+    val a = seg.select(col("event_type").as("type_a"), col("sk").as("ska"))
+    val b = seg.select(col("event_type").as("type_b"), col("sk").as("skb"))
+    val two60 = "CAST(1152921504606846976 AS DOUBLE)"
+    def est(arr: String) =
+      s"""CASE WHEN size($arr) < $k THEN CAST(size($arr) AS DOUBLE)
+          ELSE ($k - 1) * $two60 / element_at($arr, $k) END"""
+    a.join(b, col("type_a") < col("type_b"))
+      .withColumn("u", expr(s"slice(array_sort(array_union(ska, skb)), 1, $k)"))
+      .withColumn("inter_k",
+        expr("size(filter(u, x -> array_contains(ska, x) AND array_contains(skb, x)))"))
+      .select(col("type_a"), col("type_b"),
+        expr(est("ska")).as("est_a"), expr(est("skb")).as("est_b"),
+        expr(est("u")).as("est_union"),
+        expr(s"""CASE WHEN size(u) < $k THEN CAST(inter_k AS DOUBLE)
+                 ELSE inter_k * (${est("u")}) / $k END""").as("est_inter"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val qSegmentOverlapSql: String = {
+    val est = (arr: String) =>
+      s"""CASE WHEN len($arr) < 256 THEN CAST(len($arr) AS DOUBLE)
+          ELSE 255 * CAST(1152921504606846976 AS DOUBLE) / $arr[256] END"""
+    s"""WITH h AS (
+         SELECT DISTINCT event_type,
+           CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         FROM events),
+       r AS (SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+       sk AS (SELECT event_type, list(h ORDER BY h) AS arr
+         FROM r WHERE rn <= 256 GROUP BY event_type),
+       p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+           a.arr AS ska, b.arr AS skb
+         FROM sk a JOIN sk b ON a.event_type < b.event_type),
+       uu AS (SELECT type_a, type_b, ska, skb,
+           (list_sort(list_distinct(list_concat(ska, skb))))[1:256] AS u FROM p),
+       ii AS (SELECT *, len(list_filter(u,
+           x -> list_contains(ska, x) AND list_contains(skb, x))) AS inter_k FROM uu)
+       SELECT type_a, type_b, ${est("ska")} AS est_a, ${est("skb")} AS est_b,
+         ${est("u")} AS est_union,
+         CASE WHEN len(u) < 256 THEN CAST(inter_k AS DOUBLE)
+              ELSE inter_k * (${est("u")}) / 256 END AS est_inter
+       FROM ii ORDER BY type_a, type_b"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_segment_overlap" -> (qSegmentOverlap _),
     "q_gap_fill" -> (qGapFill _),
     "q_retention_cohorts" -> (qRetentionCohorts _),
     "q_next_event_markov" -> (qNextEventMarkov _))
 
   val oracles: Map[String, String] = Map(
+    "q_segment_overlap" -> qSegmentOverlapSql,
     "q_gap_fill" -> qGapFillSql,
     "q_retention_cohorts" -> qRetentionCohortsSql,
     "q_next_event_markov" -> qNextEventMarkovSql)
