@@ -428,6 +428,43 @@ object IngestStream {
       }
   }
 
+  /** one segment-tagged hashed member arriving on the event stream */
+  case class SegMember(seg: String, h: Long)
+  case class KmvState(version: Long, mins: Seq[Long])
+  case class KmvOut(seg: String, version: Long, sketch: Seq[Long])
+
+  /** h18 — streaming KMV distinct sketch: c51's `graft_kmv` kept LIVE
+    * per segment via mapGroupsWithState. Like h16's E-S reservoir, the
+    * KMV sketch is PREFIX-STABLE — membership depends only on the k
+    * smallest distinct hashes overall — so the streaming state
+    * converges to EXACTLY the batch sketch under ANY batching
+    * (spec-proven against `graft_kmv` itself on adversarial splits),
+    * and the c51 overlap algebra (union / intersection estimates)
+    * reads straight off the live sketches. State = one fixed
+    * ≤k-entry row per segment FOREVER — a continuous ingest keeps
+    * live audience-overlap numbers with zero re-scans and state bound
+    * by segments·k, not by users. */
+  def streamingKmv(members: Dataset[SegMember], k: Int): Dataset[KmvOut] = {
+    import members.sparkSession.implicits._
+    members.groupByKey(_.seg)
+      .mapGroupsWithState[KmvState, KmvOut](GroupStateTimeout.NoTimeout) {
+        (seg: String, it: Iterator[SegMember], state: GroupState[KmvState]) =>
+          val cur = state.getOption.getOrElse(KmvState(0L, Nil))
+          val s = new java.util.TreeSet[java.lang.Long]()
+          cur.mins.foreach(s.add(_))
+          it.foreach { m =>
+            if (!s.contains(m.h)) {
+              if (s.size < k) s.add(m.h)
+              else if (m.h < s.last()) { s.add(m.h); s.remove(s.last()) }
+            }
+          }
+          val mins = { val b = Seq.newBuilder[Long]; s.forEach(b += _.longValue()); b.result() }
+          val ns = KmvState(cur.version + 1, mins)
+          state.update(ns)
+          KmvOut(seg, ns.version, mins)
+      }
+  }
+
   def enrichWithProfile(events: DataFrame, profile: DataFrame): DataFrame =
     events.join(
       org.apache.spark.sql.functions.broadcast(profile), Seq("user"), "left")

@@ -57,4 +57,46 @@ class StreamSampleSpec extends SparkTestBase {
       assert(vs == vs.distinct, s"stratum $l emitted duplicate versions")
     }
   }
+
+  test("h18: streaming KMV sketch equals the batch graft_kmv, any batching") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val k = 64
+    // segments with partial overlap, enough members to exceed k
+    def sid(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      var v = 0L
+      (0 until 8).foreach(i => v = (v << 8) | (d(i) & 0xffL))
+      v >>> 4
+    }
+    val members = (0 until 300).map(i => IngestStream.SegMember("x", sid(s"u$i"))) ++
+      (150 until 400).map(i => IngestStream.SegMember("y", sid(s"u$i")))
+    // adversarial batching: interleaved, shuffled, with duplicates
+    val mixed = (members ++ members.take(80))
+      .sortBy(m => Integer.rotateLeft(m.h.hashCode, 7))
+    val batches = Seq(mixed.take(37), mixed.slice(37, 41), mixed.drop(41))
+
+    val input = MemoryStream[IngestStream.SegMember]
+    val q = IngestStream.streamingKmv(input.toDS(), k)
+      .writeStream.format("memory").queryName("h18_kmv")
+      .outputMode(OutputMode.Update()).start()
+    val (outs, stateRows) =
+      try {
+        batches.foreach { b => input.addData(b); q.processAllAvailable() }
+        (spark.table("h18_kmv").as[IngestStream.KmvOut].collect().toSeq,
+          q.lastProgress.stateOperators.map(_.numRowsTotal).sum)
+      } finally q.stop()
+    assert(stateRows == 2L, s"state must be one row per segment, got $stateRows")
+
+    val live = outs.groupBy(_.seg).view
+      .mapValues(os => os.maxBy(_.version).sketch).toMap
+    members.toDF("seg", "h").createOrReplaceTempView("h18_batch")
+    val want = spark.sql(s"SELECT seg, graft_kmv(h, $k) FROM h18_batch GROUP BY seg")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    Seq("x", "y").foreach { s =>
+      assert(live(s) == want(s), s"segment $s diverged from batch sketch")
+      assert(live(s).length == k)
+    }
+  }
 }
