@@ -116,6 +116,36 @@ object AuxBench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // h17: CDC apply — nCdc upsert/delete rows over 8 micro-batch
+    // files merged into a 64-bucket table seeded with nCdc keys
+    val nCdc = math.max(8000, n / 10)
+    val cdcTable = tmp("cdc_table")
+    graft.sources.DatasetsSink.mergeInto(spark, cdcTable, 64,
+      spark.range(nCdc.toLong).select(col("id").as("key"),
+        (col("id") * 10).as("v"), lit("u").as("op")))
+    val cdcFeed = tmp("cdc_feed")
+    (0 until 8).foreach { b =>
+      spark.range(nCdc / 8).select(
+          ((col("id") * 8 + b) % (nCdc * 2)).as("key"),
+          (col("id") + b * 1000).as("v"),
+          when(col("id") % 10 === 0, "d").otherwise("u").as("op"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$cdcFeed/.s$b")
+      val fs = new org.apache.hadoop.fs.Path(cdcFeed)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$cdcFeed/.s$b"))
+        .filter(_.getPath.getName.endsWith(".parquet"))(0).getPath
+      fs.rename(part, new org.apache.hadoop.fs.Path(s"$cdcFeed/c$b.parquet"))
+      fs.delete(new org.apache.hadoop.fs.Path(s"$cdcFeed/.s$b"), true)
+    }
+    val cdcSec = {
+      val t0 = System.nanoTime()
+      val q = graft.streaming.CdcApply.run(spark, cdcFeed, cdcTable, 64, tmp("cdc_ckpt"))
+      if (!q.awaitTermination(600000L)) sys.error("cdc apply did not drain")
+      q.stop()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val cdcRps = math.rint(nCdc / cdcSec)
+
     // ---- index build vs serve ----
     def timeIt(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -140,6 +170,7 @@ object AuxBench {
       s""""h1_rows_per_sec":${rps(h1Sec)},"h8_rows_per_sec":${rps(h8Sec)},""" +
       s""""h11_rows_per_sec":${rps(h11Sec)},""" +
       s""""service_loop_msgs_per_sec":${math.rint(svcMessages / svcSec)},""" +
+      s""""cdc_apply_rows_per_sec":$cdcRps,""" +
       f""""ann_index_build_sec":$annBuild%.3f,"ann_serve_sec":$annServe%.3f,""" +
       f""""dedup_index_build_sec":$dedupBuild%.3f,"dedup_serve_sec":$dedupServe%.3f}""")
     spark.stop()

@@ -428,6 +428,59 @@ object IngestStream {
       }
   }
 
+  /** one attribute observation arriving on the dimension change feed */
+  case class Scd2Event(userId: Long, eventId: Long, ms: Long, attr: Int)
+  /** the single open version a key holds in state */
+  case class Scd2State(version: Int, attr: Int, validFromMs: Long)
+  /** one emitted dimension row — upsert on (userId, version): a later
+    * emission for the same version (the close) supersedes the open one */
+  case class Scd2Row(userId: Long, version: Int, attr: Int,
+      validFromMs: Long, validToMs: Option[Long], isCurrent: Boolean)
+
+  /** h19 — streaming SCD2 maintenance: c44's warehouse dimension
+    * rebuild as a CONTINUOUS query. State = exactly one row per
+    * dimension key (the open version: number, attribute, valid_from —
+    * bounded by key cardinality forever, never by change volume). Each
+    * batch's events sort in-batch on (ms, event_id) (c44's total
+    * order); a changed attribute closes the open version (emits it
+    * with valid_to + is_current=false) and opens the next; no-op
+    * updates collapse exactly like c44's lag() filter. Emissions are
+    * UPSERTS on (userId, version) — the close supersedes the open row
+    * — so the consumer (i9's MERGE or h7's idempotent landing) keeps
+    * the dimension table current without rebuild scans. Contract: per
+    * key, event time is monotone ACROSS batches (in-batch disorder is
+    * fine) — the standard CDC-feed guarantee; a late event would
+    * rewrite closed history, which is c20/c44 rebuild territory, not
+    * streaming upkeep. Scd2StreamSpec proves batch/stream parity on
+    * the REAL events table with versions straddling batch boundaries. */
+  def streamingScd2(changes: Dataset[Scd2Event]): Dataset[Scd2Row] = {
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_.userId)
+      .flatMapGroupsWithState[Scd2State, Scd2Row](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Scd2Event], state: GroupState[Scd2State]) =>
+          val out = Seq.newBuilder[Scd2Row]
+          var cur = state.getOption
+          it.toSeq.sortBy(e => (e.ms, e.eventId)).foreach { e =>
+            cur match {
+              case None =>
+                cur = Some(Scd2State(1, e.attr, e.ms))
+              case Some(s) if s.attr != e.attr =>
+                out += Scd2Row(user, s.version, s.attr, s.validFromMs,
+                  Some(e.ms), isCurrent = false)
+                cur = Some(Scd2State(s.version + 1, e.attr, e.ms))
+              case _ => () // no-op update collapses (c44's lag filter)
+            }
+          }
+          cur.foreach { s =>
+            state.update(s)
+            out += Scd2Row(user, s.version, s.attr, s.validFromMs, None,
+              isCurrent = true)
+          }
+          out.result().iterator
+      }
+  }
+
   /** one segment-tagged hashed member arriving on the event stream */
   case class SegMember(seg: String, h: Long)
   case class KmvState(version: Long, mins: Seq[Long])
