@@ -878,7 +878,77 @@ object GeoOps {
         AND (x1-x4)*(py-y4) - (y1-y4)*(px-x4) >= 0
       GROUP BY poly_id ORDER BY poly_id"""
 
+  /** b25 — exact polygon metrics over b24's deterministic convex
+    * quads: shoelace area (2A as an EXACT 64-bit integer in µdeg² —
+    * relative coords ≤ 1.2·10⁷ keep every cross term ≤ 3·10¹⁴),
+    * bounding-box area, the fill ratio area/bbox (tippecanoe's
+    * feature-density signal — shear-dependent, so it actually varies),
+    * and the polygon-centroid offset from the generator center by the
+    * standard Σ(xᵢ+xⱼ)·crossᵢⱼ / 3·2A formula in UNIT coordinates
+    * (the generator's offsets are 10⁶-µdeg multiples, so unit coords
+    * are ≤ 24 and the centroid numerators are exact tiny integers;
+    * one IEEE division each at the end). Map-only — the per-feature
+    * geometry pass a 100 TB tile pipeline runs before density
+    * decisions; no shuffle at all until the ORDER BY. */
+  def qPolygonMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables(spark, dir, "supplier")
+    val k = col("s_suppkey").cast("long")
+    val g = s.select(col("s_suppkey").as("poly_id"),
+      (k % 7L + 5L).as("au"), (k % 5L + 3L).as("bu"), (k % 9L - 4L).as("sxu"))
+    // relative unit vertices: (-au-sxu,-bu) (au-sxu,-bu) (au+sxu,bu) (-au+sxu,bu)
+    g.select(col("poly_id"),
+        expr("""(-au-sxu)*(-bu) - (au-sxu)*(-bu)
+              + (au-sxu)*bu - (au+sxu)*(-bu)
+              + (au+sxu)*bu - (-au+sxu)*bu
+              + (-au+sxu)*(-bu) - (-au-sxu)*bu""").as("area2_u"),
+        expr("(2*au + 2*abs(sxu)) * (2*bu)").as("bbox_u"),
+        expr("""((-au-sxu)+(au-sxu)) * ((-au-sxu)*(-bu) - (au-sxu)*(-bu))
+              + ((au-sxu)+(au+sxu)) * ((au-sxu)*bu - (au+sxu)*(-bu))
+              + ((au+sxu)+(-au+sxu)) * ((au+sxu)*bu - (-au+sxu)*bu)
+              + ((-au+sxu)+(-au-sxu)) * ((-au+sxu)*(-bu) - (-au-sxu)*bu)""").as("cnx"),
+        expr("""((-bu)+(-bu)) * ((-au-sxu)*(-bu) - (au-sxu)*(-bu))
+              + ((-bu)+bu) * ((au-sxu)*bu - (au+sxu)*(-bu))
+              + (bu+bu) * ((au+sxu)*bu - (-au+sxu)*bu)
+              + (bu+(-bu)) * ((-au+sxu)*(-bu) - (-au-sxu)*bu)""").as("cny"))
+      .select(col("poly_id"),
+        (col("area2_u") * 1000000000000L).as("area2_udeg2"),
+        (col("bbox_u") * 1000000000000L).as("bbox_udeg2"),
+        (col("area2_u").cast("double") / (col("bbox_u") * 2)).as("fill_ratio"),
+        (col("cnx").cast("double") / (col("area2_u") * 3)).as("centroid_dx_u"),
+        (col("cny").cast("double") / (col("area2_u") * 3)).as("centroid_dy_u"))
+      .orderBy("poly_id")
+  }
+
+  val qPolygonMetricsSql: String =
+    """WITH g AS (SELECT s_suppkey AS poly_id,
+          CAST(s_suppkey % 7 + 5 AS BIGINT) AS au,
+          CAST(s_suppkey % 5 + 3 AS BIGINT) AS bu,
+          CAST(s_suppkey % 9 - 4 AS BIGINT) AS sxu
+        FROM supplier),
+      m AS (SELECT poly_id,
+          (-au-sxu)*(-bu) - (au-sxu)*(-bu)
+            + (au-sxu)*bu - (au+sxu)*(-bu)
+            + (au+sxu)*bu - (-au+sxu)*bu
+            + (-au+sxu)*(-bu) - (-au-sxu)*bu AS area2_u,
+          (2*au + 2*abs(sxu)) * (2*bu) AS bbox_u,
+          ((-au-sxu)+(au-sxu)) * ((-au-sxu)*(-bu) - (au-sxu)*(-bu))
+            + ((au-sxu)+(au+sxu)) * ((au-sxu)*bu - (au+sxu)*(-bu))
+            + ((au+sxu)+(-au+sxu)) * ((au+sxu)*bu - (-au+sxu)*bu)
+            + ((-au+sxu)+(-au-sxu)) * ((-au+sxu)*(-bu) - (-au-sxu)*bu) AS cnx,
+          ((-bu)+(-bu)) * ((-au-sxu)*(-bu) - (au-sxu)*(-bu))
+            + ((-bu)+bu) * ((au-sxu)*bu - (au+sxu)*(-bu))
+            + (bu+bu) * ((au+sxu)*bu - (-au+sxu)*bu)
+            + (bu+(-bu)) * ((-au+sxu)*(-bu) - (-au-sxu)*bu) AS cny
+        FROM g)
+      SELECT poly_id, area2_u * 1000000000000 AS area2_udeg2,
+        bbox_u * 1000000000000 AS bbox_udeg2,
+        CAST(area2_u AS DOUBLE) / (bbox_u * 2) AS fill_ratio,
+        CAST(cnx AS DOUBLE) / (area2_u * 3) AS centroid_dx_u,
+        CAST(cny AS DOUBLE) / (area2_u * 3) AS centroid_dy_u
+      FROM m ORDER BY poly_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_polygon_metrics" -> (qPolygonMetrics _),
     "q_polygon_join" -> (qPolygonJoin _),
     "q_gdal_profile" -> (qGdalProfile _),
     "q_tilestats_valid" -> (qTilestatsValid _),
@@ -906,6 +976,7 @@ object GeoOps {
     "q_cog_layout" -> (qCogLayout _))
 
   val oracles: Map[String, String] = Map(
+    "q_polygon_metrics" -> qPolygonMetricsSql,
     "q_polygon_join" -> qPolygonJoinSql,
     "q_gdal_profile" -> qGdalProfileSql,
     "q_tilestats_valid" -> qTilestatsValidSql,

@@ -44,4 +44,25 @@ class GeoInvariantsSpec extends SparkTestBase {
       .filter(col("parent") =!= col("parent_expected")).count()
     assert(got == 0)
   }
+
+  test("b25: shoelace area equals the parallelogram closed form; centroid sits at the center") {
+    val rows = operators.GeoOps.qPolygonMetrics(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      val (au, bu) = (k % 7 + 5, k % 5 + 3)
+      // shear-invariant closed form: 2A = 8·au·bu, scaled to µdeg²
+      assert(r.getLong(1) == 8L * au * bu * 1000000000000L,
+        s"poly $k area2 ${r.getLong(1)}")
+      assert(r.getLong(1) > 0, "generator quads must be CCW")
+      // a sheared parallelogram never overfills its bbox; unsheared
+      // ones fill it exactly
+      val fill = r.getDouble(3)
+      assert(fill > 0 && fill <= 1.0, s"poly $k fill $fill")
+      if (k % 9 - 4 == 0) assert(fill == 1.0, s"unsheared poly $k fill $fill")
+      // point symmetry ⇒ polygon centroid = generator center
+      assert(r.getDouble(4) == 0.0 && r.getDouble(5) == 0.0,
+        s"poly $k centroid offset (${r.getDouble(4)}, ${r.getDouble(5)})")
+    }
+  }
 }
