@@ -242,13 +242,66 @@ object AnalyticsTs {
        FROM ii ORDER BY type_a, type_b"""
   }
 
+  // c53 — time-weighted average of an irregularly-sampled gauge (the
+  // TSDB staple a plain AVG gets wrong: a reading that HELD for an
+  // hour must weigh 60× one that held a minute): per user, each
+  // 'view' reading holds until the next (c48's step semantics), so
+  // TWA = Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_last−t_first). The weights come from
+  // ONE lead() over the same user-keyed exchange the final agg rides;
+  // numerator/denominator are exact integer sums (cents × ms deltas
+  // ≤ 2⁶³), one IEEE division per user at the end; single-sample
+  // users degrade to the sample itself (zero span). Map-only before
+  // the one exchange — the 100 TB shape.
+  def qTimeWeightedAvg(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v_cents"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+    e.withColumn("next_ms", lead(col("ms"), 1).over(byUser))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_samples"),
+        (max(col("ms")) - min(col("ms"))).as("span_ms"),
+        sum(when(col("next_ms").isNotNull,
+          col("v_cents") * (col("next_ms") - col("ms"))).otherwise(0L)).as("num"),
+        max(when(col("next_ms").isNull, col("v_cents"))).as("last_cents"))
+      .select(col("user_id"), col("n_samples"), col("span_ms"),
+        when(col("span_ms") === 0, col("last_cents").cast("double") / 100)
+          .otherwise(col("num").cast("double") / col("span_ms") / 100).as("twa"))
+      .orderBy("user_id")
+  }
+
+  val qTimeWeightedAvgSql: String =
+    """WITH e AS (
+         SELECT user_id, epoch_ms(ts) AS ms, event_id,
+           CAST(round(value * 100) AS BIGINT) AS v_cents
+         FROM events WHERE event_type = 'view'
+       ), w AS (
+         SELECT user_id, ms, v_cents,
+           lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS next_ms
+         FROM e
+       ), a AS (
+         SELECT user_id, COUNT(*) AS n_samples,
+           MAX(ms) - MIN(ms) AS span_ms,
+           CAST(SUM(CASE WHEN next_ms IS NOT NULL
+             THEN v_cents * (next_ms - ms) ELSE 0 END) AS BIGINT) AS num,
+           MAX(CASE WHEN next_ms IS NULL THEN v_cents END) AS last_cents
+         FROM w GROUP BY user_id
+       )
+       SELECT user_id, n_samples, span_ms,
+         CASE WHEN span_ms = 0 THEN CAST(last_cents AS DOUBLE) / 100
+              ELSE CAST(num AS DOUBLE) / span_ms / 100 END AS twa
+       FROM a ORDER BY user_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_time_weighted_avg" -> (qTimeWeightedAvg _),
     "q_segment_overlap" -> (qSegmentOverlap _),
     "q_gap_fill" -> (qGapFill _),
     "q_retention_cohorts" -> (qRetentionCohorts _),
     "q_next_event_markov" -> (qNextEventMarkov _))
 
   val oracles: Map[String, String] = Map(
+    "q_time_weighted_avg" -> qTimeWeightedAvgSql,
     "q_segment_overlap" -> qSegmentOverlapSql,
     "q_gap_fill" -> qGapFillSql,
     "q_retention_cohorts" -> qRetentionCohortsSql,

@@ -102,6 +102,27 @@ class TsModelsSpec extends SparkTestBase {
     }
   }
 
+  test("c53 time-weighted average matches the in-memory reference") {
+    val views = events.filter(_._4 == "view")
+      .map { case (u, ts, id, _, v) => (u, ts, id, roundHalfUp(v * 100)) }
+    val expected = views.groupBy(_._1).toSeq.map { case (u, vs) =>
+      val s = vs.sortBy(e => (e._2, e._3))
+      val span = s.last._2 - s.head._2
+      val twa =
+        if (span == 0) s.last._4.toDouble / 100
+        else {
+          val num = s.zip(s.drop(1)).map { case (a, b) => a._4 * (b._2 - a._2) }.sum
+          num.toDouble / span / 100
+        }
+      (u, s.size.toLong, span, twa)
+    }.sortBy(_._1)
+    val got = AnalyticsTs.qTimeWeightedAvg(spark, sfDir).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got == expected)
+    // a held high reading outweighs a blip: sanity on the semantics
+    got.foreach { r => assert(!r._4.isNaN && r._4 >= 0) }
+  }
+
   private lazy val docs: Seq[(Long, String, String)] =
     Tables(spark, sfDir, "documents").select("doc_id", "text", "lang")
       .collect().toSeq.map(r => (r.getLong(0), r.getString(1), r.getString(2)))
