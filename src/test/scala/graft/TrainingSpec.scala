@@ -101,4 +101,54 @@ class TrainingSpec extends SparkTestBase {
     assert(servedT > servedU,
       s"served recall@10: trained $servedT must beat untrained $servedU")
   }
+
+  test("e17: trained PQ codebooks cut every subspace's quantization error vs raw anchors") {
+    // clustered corpus: the regime where codebook training pays (the
+    // sf0.001 embeddings are near-uniform — both codebooks land at
+    // statistically flat recall there)
+    val vecs = GenVecs.synthesize(spark, 600, 0.7)
+      .select("vec_id", "embedding").localCheckpoint(true)
+    val trained = Ann.trainPqCodebooks(vecs, maxIters = 12)
+    val emb: Map[Long, Array[Float]] = vecs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // e6's untrained codebook: the sub-vectors of vec 1..4
+    def anchorBook(j: Int): Map[Int, IndexedSeq[Double]] =
+      (0 until 4).map { c =>
+        c -> (0 until 8).map(d =>
+          math.rint(emb((c + 1).toLong)(j * 8 + d).toDouble * 1e6) / 1e6).toIndexedSeq
+      }.toMap
+    (0 until 8).foreach { j =>
+      val subv = vecs.selectExpr("vec_id", s"slice(embedding, ${j * 8 + 1}, 8) AS embedding")
+      val iA = Ann.inertia(subv, anchorBook(j))
+      val iT = Ann.inertia(subv, trained(j))
+      assert(iT < iA, s"subspace $j: trained inertia $iT !< anchors $iA")
+    }
+    // end-to-end, the e9 serving shape: ADC shortlist (depth 30) →
+    // exact rerank → recall@10. A better codebook means a better
+    // SHORTLIST — that is what PQ training buys in production.
+    def code(v: Array[Float], book: Int => Map[Int, IndexedSeq[Double]]): IndexedSeq[Int] =
+      (0 until 8).map { j =>
+        book(j).minBy { case (c, w) =>
+          ((0 until 8).map(d => math.pow(v(j * 8 + d) - w(d), 2)).sum, c)
+        }._1
+      }
+    def adc(q: Array[Float], codes: IndexedSeq[Int], book: Int => Map[Int, IndexedSeq[Double]]): Double =
+      (0 until 8).map(j => (0 until 8).map(d => q(j * 8 + d) * book(j)(codes(j))(d)).sum).sum
+    def cosL(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((acc, d) => acc + a(d).toDouble * b(d).toDouble)
+    def recall(book: Int => Map[Int, IndexedSeq[Double]]): Double = {
+      val coded = emb.map { case (id, v) => id -> code(v, book) }
+      val rs = (0L until 20L).map { q =>
+        val exact = emb.keys.toSeq.sortBy(v => (-cosL(emb(q), emb(v)), v)).take(10).toSet
+        val short = emb.keys.toSeq.sortBy(v => (-adc(emb(q), coded(v), book), v)).take(30)
+        val got = short.sortBy(v => (-cosL(emb(q), emb(v)), v)).take(10).toSet
+        (exact & got).size / 10.0
+      }
+      rs.sum / rs.size
+    }
+    val rT = recall(trained)
+    val rA = recall(anchorBook)
+    assert(rT >= rA, s"shortlist recall@10: trained $rT regressed vs anchors $rA")
+    assert(rT > 0.5, s"trained shortlist recall implausibly low: $rT")
+  }
 }
