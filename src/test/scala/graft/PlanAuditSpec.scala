@@ -399,4 +399,14 @@ class PlanAuditSpec extends SparkTestBase {
       s"q20 must scan lineitem once (4 scans total):\n$q20")
     assert(q20.contains("LeftSemi"), s"q20 supplier admission not a semi join:\n$q20")
   }
+
+  test("training steps hash-aggregate their argmins (no SortAggregate fallback)") {
+    // min(struct(decimal, ...)) silently planned as SortAggregate +
+    // full Sort over the pair stream (measured 2x on e17) — the
+    // packed-long argmin must keep the plan hash-only
+    val p = operators.Ann.qPqTrainStep(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SortAggregate"),
+      s"q_pq_train_step fell back to SortAggregate:\n$p")
+  }
 }
