@@ -78,6 +78,41 @@ class PropertySpec extends SparkTestBase {
     }, n = 200)
   }
 
+  private def kmvRun(partitions: Seq[Seq[Long]], k: Int): Seq[Long] = {
+    import org.apache.spark.sql.types.LongType
+    val agg = graft.functions.Kmv(BoundReference(0, LongType, nullable = true), Literal(k))
+    val partials = partitions.map { part =>
+      val buf = agg.createAggregationBuffer()
+      val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      part.foreach { h => row.update(0, java.lang.Long.valueOf(h)); agg.update(buf, row) }
+      agg.deserialize(agg.serialize(buf))
+    }
+    val merged = partials.reduceLeft { (a, b) => agg.merge(a, b) }
+    val b = Seq.newBuilder[Long]
+    merged.set.forEach(b += _.longValue())
+    b.result()
+  }
+
+  test("KMV sketch IS the k smallest distinct values, under random streams, splits and k") {
+    val genStream = for {
+      n <- Gen.choose(1, 3000)
+      // duplicates common: draw from a domain comparable to n
+      items <- Gen.listOfN(n, Gen.choose(0L, math.max(1L, n.toLong)))
+      k <- Gen.choose(1, 300)
+      nParts <- Gen.choose(1, 8)
+      seed <- Gen.choose(0L, Long.MaxValue)
+    } yield (items, k, nParts, seed)
+    check(Prop.forAll(genStream) { case (items, k, nParts, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val parts = Array.fill(nParts)(Seq.newBuilder[Long])
+      items.foreach(h => parts(rnd.nextInt(nParts)) += h)
+      val sketch = kmvRun(parts.toSeq.map(_.result()), k)
+      // the sketch is EXACTLY the k smallest distinct values, sorted —
+      // lossless mergeability means no weaker statement is needed
+      sketch == items.distinct.sorted.take(k)
+    }, n = 200)
+  }
+
   test("native as-of join equals an in-memory reference model on random data") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
