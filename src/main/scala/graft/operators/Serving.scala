@@ -420,6 +420,43 @@ object Serving {
       .orderBy("doc_id")
   }
 
+  /** e18 — FILTERED serving from the persisted index (e8 × e12, the
+    * production RAG query): the metadata predicate admits doc ids,
+    * the probe decision comes from the PERSISTED centroids (collected
+    * — so the cell scan is a LITERAL partition filter, 1/nlist of the
+    * index), and the admission join lands BEFORE any cosine. The base
+    * table is consulted only for the query vector. Byte-identical to
+    * e8's rebuild-every-time twin (same exact-decimal centroids from
+    * the same cells), so it shares e8's oracle — the driver
+    * hash-verifies that filtered serving changes nothing
+    * semantically. */
+  def qAnnFilteredIndexed(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val ix = annIndexDir(spark, dir)
+    val e = Tables(spark, dir, "embeddings")
+    val admissible = Tables(spark, dir, "documents")
+      .filter(col("lang") === "en").select(col("doc_id").as("vec_id"))
+    val qe = e.filter(col("vec_id") === 0)
+      .select(posexplode(col("embedding")).as(Seq("i", "qv")))
+    val cent = spark.read.parquet(s"$ix/centroids")
+    val dots = cent.join(broadcast(qe), "i")
+      .groupBy("label")
+      .agg((sum(round(col("qv").cast("double"), 6).cast("decimal(8,6)") * col("s"))
+        .cast("double") / max(col("n"))).as("dot"))
+    val bestLabel = dots.orderBy(col("dot").desc, col("label")).limit(1)
+      .select(col("label").cast("int")).head().getInt(0)
+    val cells = spark.read.parquet(s"$ix/cells")
+      .filter(col("label") === lit(bestLabel))
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    cells.select(col("vec_id"), col("label"), col("embedding"))
+      .join(admissible, "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        expr(Ann.cosineSpark("embedding", "qv")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   // ---------- i10 × e12: atomic index publication ----------
 
   /** Serving cutover as a SNAPSHOT COMMIT: index builds land under
@@ -450,6 +487,7 @@ object Serving {
       .select("index_dir").head().getString(0)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_filtered_indexed" -> (qAnnFilteredIndexed _),
     "q_ann_ivfpq_indexed" -> (qAnnIvfPqIndexed _),
     "q_ann_batch_indexed" -> (qAnnBatchIndexed _),
     "q_dedup_served" -> (qDedupServed _))
@@ -458,6 +496,7 @@ object Serving {
     * so they share those oracles — the driver then hash-verifies that
     * the persisted-index architecture changes nothing semantically. */
   val oracles: Map[String, String] = Map(
+    "q_ann_filtered_indexed" -> Ann.qAnnFilteredIvfSql,
     "q_ann_ivfpq_indexed" -> Ann.qAnnIvfPqSql,
     "q_ann_batch_indexed" -> qAnnBatchIndexedSql,
     "q_dedup_served" -> Dedup.qDedupIncrementalSql)

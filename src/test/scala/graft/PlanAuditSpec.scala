@@ -318,6 +318,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("filtered serving prunes the index partition AND pushes the metadata predicate") {
+    val p = operators.Serving.qAnnFilteredIndexed(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[isnotnull\\(label#\\d+\\), \\(label#\\d+ = \\d+\\)\\]".r
+      .findFirstIn(p.replaceAll("\\s+", " ")).isDefined,
+      s"e18 cell scan not statically partition-pruned:\n$p")
+    // lang = en reaches the documents parquet scan
+    assert(p.contains("EqualTo(lang,en)"),
+      s"e18 metadata predicate not pushed to the documents scan:\n$p")
+    assert(p.contains("graft_index") && p.contains("/cells"))
+  }
+
   test("batch-indexed ANN scans the union of probed cells once, top-k group-limited") {
     val df = operators.Serving.qAnnBatchIndexed(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString

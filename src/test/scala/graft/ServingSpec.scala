@@ -18,6 +18,9 @@ class ServingSpec extends SparkTestBase {
     val ded = Serving.qDedupServed(spark, sfDir).collect().toSeq
     val dedTwin = operators.Dedup.qDedupIncremental(spark, sfDir).collect().toSeq
     assert(ded == dedTwin, "served dedup diverged from d8")
+    val fil = Serving.qAnnFilteredIndexed(spark, sfDir).collect().toSeq
+    val filTwin = operators.Ann.qAnnFilteredIvf(spark, sfDir).collect().toSeq
+    assert(fil == filTwin, "filtered serving diverged from e8")
   }
 
   test("daily cycle: absorbed keepers are caught as exact dups on re-screen, idempotently") {
