@@ -293,7 +293,69 @@ object AnalyticsTs {
               ELSE CAST(num AS DOUBLE) / span_ms / 100 END AS twa
        FROM a ORDER BY user_id"""
 
+  // c54 — top user journeys: c8's gap sessionization composed into
+  // path analysis (the "what do users actually do" product query):
+  // sessions cut at 30-min gaps, each session's first 5 event types
+  // join into a path string, paths count into a top-20. Plan: the
+  // session windows, the per-session rank, AND the session agg all
+  // ride ONE user-keyed exchange (session_id is per-user, so
+  // HashPartitioning(user) satisfies every downstream clustering);
+  // the path agg is the only other shuffle and carries one row per
+  // session. The 5-event cap bounds path cardinality — at 100 TB the
+  // path table is small regardless of event volume. Per-session
+  // ordering is the total (ts, event_id) order, deterministic
+  // cross-engine.
+  def qSessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val sess = e
+      .withColumn("new_sess",
+        when(col("ts_ms") - lag(col("ts_ms"), 1).over(byUser) > 1800000L, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("session_id"))
+          .orderBy(col("ts_ms"), col("event_id"))))
+      .filter(col("rn") <= 5)
+    sess.groupBy("user_id", "session_id")
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(struct(rn, event_type))), x -> x.event_type)"),
+        ">").as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+  }
+
+  val qSessionPathsSql: String =
+    """WITH e AS (
+         SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events
+       ), flagged AS (
+         SELECT *, CASE WHEN ms - LAG(ms, 1) OVER
+             (PARTITION BY user_id ORDER BY ms, event_id) > 1800000
+           THEN 1 ELSE 0 END AS new_sess
+         FROM e
+       ), sess AS (
+         SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         FROM flagged
+       ), ranked AS (
+         SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+             ORDER BY ms, event_id) AS rn
+         FROM sess
+       ), paths AS (
+         SELECT user_id, session_id,
+           string_agg(event_type, '>' ORDER BY rn) AS path
+         FROM ranked WHERE rn <= 5 GROUP BY user_id, session_id
+       )
+       SELECT path, COUNT(*) AS n_sessions
+       FROM paths GROUP BY path
+       ORDER BY n_sessions DESC, path LIMIT 20"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_session_paths" -> (qSessionPaths _),
     "q_time_weighted_avg" -> (qTimeWeightedAvg _),
     "q_segment_overlap" -> (qSegmentOverlap _),
     "q_gap_fill" -> (qGapFill _),
@@ -301,6 +363,7 @@ object AnalyticsTs {
     "q_next_event_markov" -> (qNextEventMarkov _))
 
   val oracles: Map[String, String] = Map(
+    "q_session_paths" -> qSessionPathsSql,
     "q_time_weighted_avg" -> qTimeWeightedAvgSql,
     "q_segment_overlap" -> qSegmentOverlapSql,
     "q_gap_fill" -> qGapFillSql,

@@ -114,6 +114,24 @@ object VersionedTable {
     else spark.read.parquet(files: _*)
   }
 
+  /** Incremental read: the rows ADDED between two snapshots — the
+    * files version `to` lists that version `from` does not (data
+    * files are immutable, so file-set difference IS the row delta for
+    * append commits; an overwrite's files are all new, so its delta
+    * is the full new snapshot — the consumer sees "everything
+    * replaced", which is the honest answer). This is the consumer
+    * side of the transaction log: an incremental pipeline checkpoints
+    * the version it has processed and reads only the delta — O(new
+    * data), never a table rescan. */
+  def readChanges(spark: SparkSession, path: String, fromV: Long, toV: Long): DataFrame = {
+    require(fromV <= toV, s"fromV $fromV > toV $toV")
+    val before = readManifest(spark, path, fromV).toSet
+    val files = readManifest(spark, path, toV).filterNot(before)
+      .map(f => s"$path/$f")
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(files: _*)
+  }
+
   /** Drop all but the last `keepLast` manifests and delete every data
     * file none of the kept manifests references (including files
     * orphaned by crashed commits). Returns (manifests dropped, data

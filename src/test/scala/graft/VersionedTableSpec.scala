@@ -44,6 +44,14 @@ class VersionedTableSpec extends SparkTestBase {
       "orphaned data file leaked into the snapshot")
     assert(rows(VersionedTable.read(spark, path, Some(2L))) == want2)
 
+    // i11: incremental reads — the delta between two snapshots is
+    // exactly the appended rows; an overwrite's delta is the full new
+    // snapshot (all files new)
+    assert(rows(VersionedTable.readChanges(spark, path, 1L, 2L)) == rows(d2))
+    assert(rows(VersionedTable.readChanges(spark, path, 2L, 3L)) == want3,
+      "overwrite delta must be the full new snapshot")
+    assert(VersionedTable.readChanges(spark, path, 2L, 2L).isEmpty)
+
     // CAS race: another writer already took version 4 — the commit
     // retries and lands at 5 without disturbing v4
     val rival = (900L until 910L).map(k => (k, s"r$k")).toDF("key", "val")
