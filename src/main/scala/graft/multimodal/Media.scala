@@ -561,7 +561,102 @@ object Media {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** doc_id offset marking g10's planted clip stream. */
+  val AudioClipOffset: Long = 1L << 41
+
+  /** g10 — audio fingerprint matching (the Shazam constellation,
+    * 2003): per-frame spectral peaks chain into 4-peak landmark
+    * hashes, and two recordings match when many hashes agree AT A
+    * CONSISTENT TIME OFFSET — which finds clips, not just byte-dups.
+    * Frame "energies" here are md5-derived integers keyed by
+    * (content, content-time, band) — deterministic stand-ins for the
+    * STFT magnitudes g7 frames (the constellation algebra, which is
+    * the operator, is identical on real spectra and is fully
+    * SQL-expressible, so unlike g2/g8/g9 this op is ORACLE-GATED).
+    * The corpus plants a clip stream: every 7th doc re-appears
+    * starting 5 frames in (same content key, shifted content time) —
+    * the offset histogram must land those at dt = −5, and the
+    * corpus' genuine duplicate texts (same content key) at dt = 0.
+    * Plan: peaks = one bounded argmax per (doc, frame) — packed-long
+    * max, no SortAggregate; the 3 chained lead()s ride ONE doc-keyed
+    * exchange; matching joins ON THE 4 096-value landmark hash (at
+    * 100 TB the hash is the blocking key — pairs are generated per
+    * landmark bucket, never all-pairs) and the offset histogram is
+    * one (a, b, dt) agg. */
+  def qAudioFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("ck"),
+        (col("n_chars") % 50 + 10).cast("int").as("nf"))
+    val base = d.select(col("doc_id"), col("ck"),
+        explode(sequence(lit(0), col("nf") - 1)).as("t"))
+      .withColumn("content_t", col("t"))
+    val clips = d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + AudioClipOffset).as("doc_id"), col("ck"),
+        explode(sequence(lit(0), col("nf") - 6)).as("t"))
+      .withColumn("content_t", col("t") + 5)
+    val frames = Tables.fanout(base.unionByName(clips))
+    // peak band per frame: argmax of the md5-derived energy, packed so
+    // a plain long max() carries the argmax (low-b wins ties)
+    val withBand = frames.withColumn("b", explode(sequence(lit(0), lit(7))))
+      .withColumn("e", expr(
+        "CAST(conv(substr(md5(concat(ck, ':', content_t, ':', b)), 1, 4), 16, 10) AS BIGINT)"))
+    val peaks = withBand
+      .groupBy("doc_id", "t")
+      .agg(max(col("e") * 8 + (lit(7) - col("b"))).as("pk"))
+      .select(col("doc_id"), col("t"), (lit(7) - col("pk") % 8).as("p"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("t"))
+    val chains = peaks
+      .withColumn("p1", lead(col("p"), 1).over(byDoc))
+      .withColumn("p2", lead(col("p"), 2).over(byDoc))
+      .withColumn("p3", lead(col("p"), 3).over(byDoc))
+      .filter(col("p3").isNotNull)
+      .select(col("doc_id"), col("t"),
+        (((col("p") * 8 + col("p1")) * 8 + col("p2")) * 8 + col("p3")).as("fp"))
+    chains.as("x").join(chains.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        (col("x.t") - col("y.t")).as("dt"))
+      .agg(count(lit(1)).as("n_matches"))
+      .filter(col("n_matches") >= 6)
+      .orderBy("doc_a", "doc_b", "dt")
+  }
+
+  val qAudioFingerprintSql: String =
+    s"""WITH d AS (
+        SELECT doc_id, md5(text) AS ck, CAST(n_chars % 50 + 10 AS INT) AS nf
+        FROM documents),
+      base AS (
+        SELECT doc_id, ck, CAST(unnest(generate_series(0, nf - 1)) AS INT) AS t,
+          CAST(unnest(generate_series(0, nf - 1)) AS INT) AS content_t
+        FROM d),
+      clips AS (
+        SELECT doc_id + ${AudioClipOffset} AS doc_id, ck,
+          CAST(unnest(generate_series(0, nf - 6)) AS INT) AS t,
+          CAST(unnest(generate_series(0, nf - 6)) AS INT) + 5 AS content_t
+        FROM d WHERE doc_id % 7 = 0),
+      frames AS (SELECT * FROM base UNION ALL SELECT * FROM clips),
+      wb AS (
+        SELECT doc_id, t,
+          CAST(('0x' || substr(md5(ck || ':' || content_t || ':' || b), 1, 4)) AS BIGINT) * 8
+            + (7 - b) AS pk
+        FROM frames, unnest(generate_series(0, 7)) AS bx(b)),
+      peaks AS (
+        SELECT doc_id, t, 7 - MAX(pk) % 8 AS p FROM wb GROUP BY doc_id, t),
+      chains AS (
+        SELECT doc_id, t,
+          ((p * 8 + lead(p, 1) OVER w) * 8 + lead(p, 2) OVER w) * 8
+            + lead(p, 3) OVER w AS fp
+        FROM peaks WINDOW w AS (PARTITION BY doc_id ORDER BY t)),
+      c AS (SELECT doc_id, t, fp FROM chains WHERE fp IS NOT NULL)
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.t - y.t AS dt,
+        COUNT(*) AS n_matches
+      FROM c x JOIN c y ON x.fp = y.fp AND x.doc_id < y.doc_id
+      GROUP BY 1, 2, 3 HAVING COUNT(*) >= 6
+      ORDER BY doc_a, doc_b, dt"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_audio_fingerprint" -> (qAudioFingerprint _),
     "q_shot_detect" -> (qShotDetect _),
     "q_phash_dedup" -> (qPhashDedup _),
     "q_audio_frames" -> (qAudioFrames _),
@@ -580,6 +675,7 @@ object Media {
     * planted-scene-recovery assertions. */
   val oracles: Map[String, String] = Map(
     "q_audio_frames" -> qAudioFramesSql,
+    "q_audio_fingerprint" -> qAudioFingerprintSql,
     "q_multimodal_meta" -> qMultimodalMetaSql,
     "q_frame_sample" -> qFrameSampleSql,
     "q_resize_plan" -> qResizePlanSql,
