@@ -613,9 +613,10 @@ object Media {
       .withColumn("p1", lead(col("p"), 1).over(byDoc))
       .withColumn("p2", lead(col("p"), 2).over(byDoc))
       .withColumn("p3", lead(col("p"), 3).over(byDoc))
-      .filter(col("p3").isNotNull)
+      .withColumn("p4", lead(col("p"), 4).over(byDoc))
+      .filter(col("p4").isNotNull)
       .select(col("doc_id"), col("t"),
-        (((col("p") * 8 + col("p1")) * 8 + col("p2")) * 8 + col("p3")).as("fp"))
+        ((((col("p") * 8 + col("p1")) * 8 + col("p2")) * 8 + col("p3")) * 8 + col("p4")).as("fp"))
       .localCheckpoint(false) // hash/peak once, not once per join side
     chains.as("x").join(chains.as("y"),
         col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
@@ -649,8 +650,8 @@ object Media {
         FROM wh),
       chains AS (
         SELECT doc_id, t,
-          ((p * 8 + lead(p, 1) OVER w) * 8 + lead(p, 2) OVER w) * 8
-            + lead(p, 3) OVER w AS fp
+          (((p * 8 + lead(p, 1) OVER w) * 8 + lead(p, 2) OVER w) * 8
+            + lead(p, 3) OVER w) * 8 + lead(p, 4) OVER w AS fp
         FROM peaks WINDOW w AS (PARTITION BY doc_id ORDER BY t)),
       c AS (SELECT doc_id, t, fp FROM chains WHERE fp IS NOT NULL)
       SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.t - y.t AS dt,

@@ -21,11 +21,11 @@ class AudioFpSpec extends SparkTestBase {
     // every planted clip long enough to clear the threshold is found,
     // at exactly its offset, with exactly its chain count
     docs.foreach { case (id, (_, nf)) =>
-      if (id % 7 == 0 && nf - 8 >= 6) {
+      if (id % 7 == 0 && nf - 9 >= 6) {
         val hit = rows.filter(r => r._1 == id && r._2 == id + Media.AudioClipOffset)
         assert(hit.length == 1, s"clip of doc $id not matched: ${hit.toSeq}")
-        assert(hit.head._3 == 5 && hit.head._4 == (nf - 8).toLong,
-          s"clip of doc $id: got dt=${hit.head._3} n=${hit.head._4}, want (5, ${nf - 8})")
+        assert(hit.head._3 == 5 && hit.head._4 == (nf - 9).toLong,
+          s"clip of doc $id: got dt=${hit.head._3} n=${hit.head._4}, want (5, ${nf - 9})")
       }
     }
 
@@ -42,7 +42,7 @@ class AudioFpSpec extends SparkTestBase {
     dupPairs.foreach { ds =>
       val sorted = ds.sortBy(_._1)
       sorted.combinations(2).foreach { case Seq((a, (_, nfa)), (b, (_, nfb))) =>
-        if (math.min(nfa, nfb) - 3 >= 6) {
+        if (math.min(nfa, nfb) - 4 >= 6) {
           val hit = rows.filter(r => r._1 == a && r._2 == b && r._3 == 0)
           assert(hit.length == 1, s"duplicate pair ($a, $b) not matched at dt=0")
         }
