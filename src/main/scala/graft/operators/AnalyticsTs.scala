@@ -354,7 +354,85 @@ object AnalyticsTs {
        FROM paths GROUP BY path
        ORDER BY n_sessions DESC, path LIMIT 20"""
 
+  // c56 — per-entity trend: closed-form least squares (slope,
+  // intercept, Pearson r) of each user's gauge readings over time —
+  // the "which metrics are drifting" query a fleet dashboard runs per
+  // asset. All five moments (Σx Σy Σxy Σx² Σy²) are EXACT integer
+  // sums: x = seconds since the user's first reading (a window min
+  // riding the same user exchange as the agg — centering is also what
+  // keeps x² inside 64 bits; raw epoch-ms squares overflow), y =
+  // gauge cents. The slope/intercept/r divisions and the one sqrt are
+  // IEEE ops on exact integers — deterministic cross-engine. Users
+  // with < 2 points or zero time-variance yield NULLs (CASE'd
+  // identically in both engines). One user-keyed exchange total;
+  // map-side combined moments.
+  def qTrend(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("y"))
+    val c = e.withColumn("x", expr("(ms - min(ms) OVER (PARTITION BY user_id)) div 1000"))
+    val m = c.groupBy("user_id").agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    m.select(col("user_id"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_n"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("varx_n"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("vary_n"),
+        col("sx"), col("sy"))
+      .withColumn("slope_cents_per_s",
+        when(col("varx_n") > 0, col("cov_n").cast("double") / col("varx_n")))
+      .select(col("user_id"), col("n"), col("slope_cents_per_s"),
+        // intercept = ȳ − slope·x̄, in doubles: the all-integer form's
+        // sy·varx term tops 10²³ — past Int64 in Spark while DuckDB
+        // silently promotes to HUGEINT, a cross-engine trap
+        when(col("varx_n") > 0,
+          col("sy").cast("double") / col("n")
+            - col("slope_cents_per_s") * (col("sx").cast("double") / col("n")))
+          .as("intercept_cents"),
+        when(col("varx_n") > 0 && col("vary_n") > 0,
+          col("cov_n").cast("double")
+            / sqrt(col("varx_n").cast("double") * col("vary_n").cast("double"))).as("r"))
+      .orderBy("user_id")
+  }
+
+  val qTrendSql: String =
+    """WITH e AS (
+         SELECT user_id, epoch_ms(ts) AS ms,
+           CAST(round(value * 100) AS BIGINT) AS y
+         FROM events WHERE event_type = 'view'
+       ), c AS (
+         SELECT user_id, (ms - MIN(ms) OVER (PARTITION BY user_id)) // 1000 AS x, y
+         FROM e
+       ), m AS (
+         SELECT user_id, COUNT(*) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(y * y) AS BIGINT) AS syy
+         FROM c GROUP BY user_id
+       ), d AS (
+         SELECT user_id, n,
+           n * sxy - sx * sy AS cov_n,
+           n * sxx - sx * sx AS varx_n,
+           n * syy - sy * sy AS vary_n, sx, sy
+         FROM m
+       )
+       , s AS (
+         SELECT *, CASE WHEN varx_n > 0
+           THEN CAST(cov_n AS DOUBLE) / varx_n END AS slope_cents_per_s
+         FROM d)
+       SELECT user_id, n, slope_cents_per_s,
+         CASE WHEN varx_n > 0 THEN CAST(sy AS DOUBLE) / n
+           - slope_cents_per_s * (CAST(sx AS DOUBLE) / n) END AS intercept_cents,
+         CASE WHEN varx_n > 0 AND vary_n > 0 THEN CAST(cov_n AS DOUBLE)
+           / sqrt(CAST(varx_n AS DOUBLE) * CAST(vary_n AS DOUBLE)) END AS r
+       FROM s ORDER BY user_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_trend" -> (qTrend _),
     "q_session_paths" -> (qSessionPaths _),
     "q_time_weighted_avg" -> (qTimeWeightedAvg _),
     "q_segment_overlap" -> (qSegmentOverlap _),
@@ -363,6 +441,7 @@ object AnalyticsTs {
     "q_next_event_markov" -> (qNextEventMarkov _))
 
   val oracles: Map[String, String] = Map(
+    "q_trend" -> qTrendSql,
     "q_session_paths" -> qSessionPathsSql,
     "q_time_weighted_avg" -> qTimeWeightedAvgSql,
     "q_segment_overlap" -> qSegmentOverlapSql,

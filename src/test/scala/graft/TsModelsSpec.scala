@@ -123,6 +123,34 @@ class TsModelsSpec extends SparkTestBase {
     got.foreach { r => assert(!r._4.isNaN && r._4 >= 0) }
   }
 
+  test("c56 per-entity trend matches the in-memory least-squares reference") {
+    val views = events.filter(_._4 == "view")
+      .map { case (u, ts, id, _, v) => (u, ts, roundHalfUp(v * 100)) }
+    val expected = views.groupBy(_._1).toSeq.map { case (u, vs) =>
+      val t0 = vs.map(_._2).min
+      val xy = vs.map(e => ((e._2 - t0) / 1000L, e._3))
+      val n = xy.size.toLong
+      val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+      val sxy = xy.map(e => e._1 * e._2).sum
+      val sxx = xy.map(e => e._1 * e._1).sum
+      val syy = xy.map(e => e._2 * e._2).sum
+      val covN = n * sxy - sx * sy
+      val varxN = n * sxx - sx * sx
+      val varyN = n * syy - sy * sy
+      val slope = if (varxN > 0) Some(covN.toDouble / varxN) else None
+      val icept = slope.map(s => sy.toDouble / n - s * (sx.toDouble / n))
+      val r = if (varxN > 0 && varyN > 0)
+        Some(covN.toDouble / math.sqrt(varxN.toDouble * varyN.toDouble)) else None
+      (u, n, slope, icept, r)
+    }.sortBy(_._1)
+    val got = AnalyticsTs.qTrend(spark, sfDir).collect().toSeq.map { r =>
+      def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+      (r.getLong(0), r.getLong(1), opt(2), opt(3), opt(4))
+    }
+    assert(got == expected)
+    got.flatMap(_._5).foreach(r => assert(r >= -1.0 && r <= 1.0))
+  }
+
   private lazy val docs: Seq[(Long, String, String)] =
     Tables(spark, sfDir, "documents").select("doc_id", "text", "lang")
       .collect().toSeq.map(r => (r.getLong(0), r.getString(1), r.getString(2)))
