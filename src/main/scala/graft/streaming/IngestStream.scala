@@ -481,6 +481,50 @@ object IngestStream {
       }
   }
 
+  /** one gauge reading arriving on the telemetry stream */
+  case class GaugeReading(userId: Long, ms: Long, cents: Long)
+  /** the five exact regression moments + the centering origin */
+  case class TrendState(t0Ms: Long, n: Long, sx: Long, sy: Long,
+      sxy: Long, sxx: Long, syy: Long)
+  case class TrendOut(userId: Long, n: Long,
+      slope: Option[Double], r: Option[Double])
+
+  /** h20 — streaming per-entity trend: c56's least squares kept LIVE
+    * via mapGroupsWithState. The five moments are EXACTLY mergeable
+    * integer sums, so state is ONE seven-long row per key forever and
+    * each batch folds its readings in O(batch); slope and Pearson r
+    * recompute from the moments on every emission — no window over
+    * history, no re-scan, ever. Centering: x = (ms − t0)/1000 with t0
+    * = the key's FIRST reading (held in state); under h19's
+    * per-key-monotone feed contract that IS the batch min, so the
+    * streaming trend equals c56's batch answer exactly (spec-proven
+    * with batches straddling users and in-batch disorder). */
+  def streamingTrend(readings: Dataset[GaugeReading]): Dataset[TrendOut] = {
+    import readings.sparkSession.implicits._
+    readings.groupByKey(_.userId)
+      .mapGroupsWithState[TrendState, TrendOut](GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[GaugeReading], state: GroupState[TrendState]) =>
+          val sorted = it.toSeq.sortBy(_.ms)
+          var s = state.getOption.getOrElse(
+            TrendState(sorted.head.ms, 0L, 0L, 0L, 0L, 0L, 0L))
+          sorted.foreach { g =>
+            val x = (g.ms - s.t0Ms) / 1000L
+            val y = g.cents
+            s = TrendState(s.t0Ms, s.n + 1, s.sx + x, s.sy + y,
+              s.sxy + x * y, s.sxx + x * x, s.syy + y * y)
+          }
+          state.update(s)
+          val covN = s.n * s.sxy - s.sx * s.sy
+          val varxN = s.n * s.sxx - s.sx * s.sx
+          val varyN = s.n * s.syy - s.sy * s.sy
+          TrendOut(user, s.n,
+            if (varxN > 0) Some(covN.toDouble / varxN) else None,
+            if (varxN > 0 && varyN > 0)
+              Some(covN.toDouble / math.sqrt(varxN.toDouble * varyN.toDouble))
+            else None)
+      }
+  }
+
   /** one segment-tagged hashed member arriving on the event stream */
   case class SegMember(seg: String, h: Long)
   case class KmvState(version: Long, mins: Seq[Long])

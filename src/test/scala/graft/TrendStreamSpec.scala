@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.IngestStream
+import graft.streaming.IngestStream.{GaugeReading, TrendOut}
+
+/** h20 — the streaming regression must equal c56's batch answer
+  * exactly: the five moments are mergeable integer sums and the
+  * centering origin is pinned by the first (= earliest, under the
+  * monotone-feed contract) reading, so no batching can perturb it.
+  */
+class TrendStreamSpec extends SparkTestBase {
+
+  test("h20: streaming trend equals the c56 batch regression, one state row per key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val readings = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .collect().map(r => GaugeReading(r.getLong(0), r.getLong(1), r.getLong(2)))
+    // monotone-feed contract: batches cut on global time order,
+    // shuffled within each batch
+    val sorted = readings.sortBy(_.ms)
+    val cuts = Seq(sorted.length / 4, sorted.length / 2, 3 * sorted.length / 4)
+    val batches = (Seq(0) ++ cuts ++ Seq(sorted.length)).sliding(2).map {
+      case Seq(a, b) => sorted.slice(a, b)
+        .sortBy(g => Integer.rotateLeft(g.cents.hashCode, 9)).toSeq
+    }.toSeq
+
+    val input = MemoryStream[GaugeReading]
+    val q = IngestStream.streamingTrend(input.toDS())
+      .writeStream.format("memory").queryName("h20_trend")
+      .outputMode(OutputMode.Update()).start()
+    val (outs, stateRows) =
+      try {
+        batches.foreach { b => input.addData(b); q.processAllAvailable() }
+        (spark.table("h20_trend").as[TrendOut].collect().toSeq,
+          q.lastProgress.stateOperators.map(_.numRowsTotal).sum)
+      } finally q.stop()
+
+    val nKeys = readings.map(_.userId).distinct.length
+    assert(stateRows == nKeys.toLong, s"state rows $stateRows != keys $nKeys")
+
+    // the latest emission per user (highest n) is the live trend
+    val live = outs.groupBy(_.userId).view
+      .mapValues(_.maxBy(_.n)).toMap
+    val want = operators.AnalyticsTs.qTrend(spark, sfDir).collect().toSeq.map { r =>
+      def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+      r.getLong(0) -> (r.getLong(1), opt(2), opt(4))
+    }.toMap
+    assert(live.keySet == want.keySet)
+    live.foreach { case (u, got) =>
+      val (n, slope, rr) = want(u)
+      assert((got.n, got.slope, got.r) == ((n, slope, rr)),
+        s"user $u diverged: stream ($got) vs batch ${want(u)}")
+    }
+  }
+}
