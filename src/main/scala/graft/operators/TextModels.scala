@@ -212,11 +212,102 @@ object TextModels {
        ORDER BY priority_micro DESC, doc_id LIMIT 50"""
   }
 
+  // f28 — the curation pipeline END-TO-END as ONE plan: f6's
+  // filter (dedup keeper ∧ quality bar) → f19's span dedup over the
+  // SURVIVORS → f13/f16's chunk + pack of the CLEANED text into
+  // 128-token training sequences, with per-doc provenance (score,
+  // spans kept/deduped, sequences, tokens) in the output. Every stage
+  // reuses the individually-oracle-gated component verbatim, and the
+  // COMPOSITION is itself oracle-gated — the point: a user runs the
+  // whole selection→dedup→packing flow as one declarative query and
+  // Catalyst pipelines it (the filter's keeper agg, the span keeper
+  // agg, and the packing prefix-sum are the only shuffles; no stage
+  // materializes to storage between steps).
+  def qPipelineE2e(spark: SparkSession, dir: String): DataFrame = {
+    val survivors = TextOps.qCorpusFilter(spark, dir)
+      .join(Tables(spark, dir, "documents").select("doc_id", "text"), "doc_id")
+    val cleaned = TextOps.spanDedup(survivors.select(col("doc_id"), col("text")))
+    val chunks = cleaned
+      .select(col("doc_id"), split(col("text_clean"), " ").as("toks"))
+      .select(col("doc_id"),
+        explode(expr("sequence(0, (size(toks) - 1) div 24)")).as("chunk_id"),
+        col("toks"))
+      .select(col("doc_id"), col("chunk_id"),
+        expr("size(slice(toks, chunk_id * 24 + 1, 32))").as("n_tok_chunk"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("chunk_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val packed = chunks
+      .withColumn("cum", sum(col("n_tok_chunk")).over(w))
+      .withColumn("seq_id", expr("int((cum - n_tok_chunk) div 128)"))
+      .groupBy("doc_id")
+      .agg((max(col("seq_id")) + 1).cast("int").as("n_seqs"),
+        sum(col("n_tok_chunk")).as("tok_total"))
+    survivors.select("doc_id", "lang", "score")
+      .join(cleaned.select("doc_id", "n_kept", "n_dup_kept"), "doc_id")
+      .join(packed, "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val qPipelineE2eSql: String = {
+    // f6's scoring block, verbatim
+    import graft.functions.TextFns.{normDuck, hitsDuck}
+    s"""WITH scored AS (
+        SELECT doc_id, lang, md5($normDuck) AS content_key,
+          CAST(${hitsDuck("en")} AS DOUBLE) / len(string_split(text, ' ')) * 0.5
+          + (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text)) * 0.3
+          + LEAST(CAST(length(regexp_replace(text, '[^a-z0-9]', '', 'g')) AS DOUBLE) / len(string_split(text, ' ')) / 10.0, 1.0) * 0.2 AS score
+        FROM documents),
+      kp AS (SELECT content_key, MIN(doc_id) AS keeper FROM scored GROUP BY content_key),
+      surv AS (
+        SELECT s.doc_id, s.lang, round(s.score, 6) AS score, d.text
+        FROM scored s JOIN kp ON s.doc_id = kp.keeper
+        JOIN documents d ON d.doc_id = s.doc_id
+        WHERE round(s.score, 6) >= 0.35),
+      t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM surv),
+      sx AS (SELECT doc_id, toks,
+          unnest(generate_series(0, CAST((len(toks) - 1) // 10 AS INT))) AS span_id
+        FROM t),
+      sp AS (SELECT doc_id, CAST(span_id AS INT) AS span_id,
+          array_to_string(toks[(span_id * 10 + 1):(span_id * 10 + 10)], ' ') AS span
+        FROM sx),
+      k AS (SELECT doc_id, span_id, span,
+          COUNT(*) OVER (PARTITION BY span) AS n_occ,
+          ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, span_id) AS rn
+        FROM sp),
+      cleaned AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+          CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_kept,
+          string_agg(span, ' ' ORDER BY span_id) AS text_clean
+        FROM k WHERE rn = 1 GROUP BY doc_id),
+      t2 AS (SELECT doc_id, string_split(text_clean, ' ') AS toks2 FROM cleaned),
+      c2 AS (SELECT doc_id, toks2,
+          unnest(generate_series(0, CAST((len(toks2) - 1) // 24 AS INT))) AS chunk_id
+        FROM t2),
+      ch AS (SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+          CAST(len(toks2[(chunk_id * 24 + 1):(chunk_id * 24 + 32)]) AS INT) AS n_tok_chunk
+        FROM c2),
+      pre AS (SELECT doc_id, chunk_id, n_tok_chunk,
+          SUM(n_tok_chunk) OVER (PARTITION BY doc_id ORDER BY chunk_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM ch),
+      packed AS (
+        SELECT doc_id, CAST(MAX((cum - n_tok_chunk) // 128) + 1 AS INT) AS n_seqs,
+          CAST(SUM(n_tok_chunk) AS BIGINT) AS tok_total
+        FROM pre GROUP BY doc_id)
+      SELECT surv.doc_id, lang, score, n_kept, n_dup_kept, n_seqs, tok_total
+      FROM surv JOIN cleaned ON surv.doc_id = cleaned.doc_id
+      JOIN packed ON surv.doc_id = packed.doc_id
+      ORDER BY surv.doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quality_classifier" -> (qQualityClassifier _),
-    "q_dsir" -> (qDsir _))
+    "q_dsir" -> (qDsir _),
+    "q_pipeline_e2e" -> (qPipelineE2e _))
 
   val oracles: Map[String, String] = Map(
     "q_quality_classifier" -> qQualityClassifierSql,
-    "q_dsir" -> qDsirSql)
+    "q_dsir" -> qDsirSql,
+    "q_pipeline_e2e" -> qPipelineE2eSql)
 }
