@@ -431,7 +431,78 @@ object AnalyticsTs {
            / sqrt(CAST(varx_n AS DOUBLE) * CAST(vary_n AS DOUBLE)) END AS r
        FROM s ORDER BY user_id"""
 
+  // c57 — robust per-entity anomaly detection (median + MAD, the
+  // outlier rule that mean/stddev z-scores get wrong BECAUSE the
+  // outliers they're hunting poison the mean and inflate σ; median/MAD
+  // have breakdown point 0.5): per user over the 'view' gauge stream,
+  // med = exact lower median of the cents values (rank (n+1) div 2
+  // under the total (v_cents, event_id) order), MAD = exact lower
+  // median of |v − med|, a reading is anomalous iff |v − med| > 3·MAD
+  // — every comparison is INTEGER cents, so the flag set is identical
+  // in any engine. Plan: ONE user-keyed exchange carries everything —
+  // two rank windows (value order, then deviation order), the two
+  // median extractions as full-partition conditional MAXes, and the
+  // final per-user agg; no joins, no sort of anything but the user's
+  // own rows. At 100 TB per-user cardinality is the partition grain
+  // (the c8/c48 contract); a degenerate half-constant user (MAD = 0)
+  // flags every nonzero deviation — the conventional MAD-collapse
+  // behavior, deterministic here.
+  def qAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v_cents"))
+    val wAll = Window.partitionBy("user_id")
+    val byV = Window.partitionBy("user_id").orderBy(col("v_cents"), col("event_id"))
+    val withMed = e
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("rv", row_number().over(byV))
+      .withColumn("med_cents",
+        max(when(col("rv") === expr("(n + 1) div 2"), col("v_cents"))).over(wAll))
+      .withColumn("dev", abs(col("v_cents") - col("med_cents")))
+    val byDev = Window.partitionBy("user_id").orderBy(col("dev"), col("event_id"))
+    withMed
+      .withColumn("rd", row_number().over(byDev))
+      .withColumn("mad_cents",
+        max(when(col("rd") === expr("(n + 1) div 2"), col("dev"))).over(wAll))
+      .groupBy("user_id")
+      .agg(max(col("n")).as("n"),
+        max(col("med_cents")).as("med_cents"),
+        max(col("mad_cents")).as("mad_cents"),
+        sum(when(col("dev") > lit(3) * col("mad_cents"), 1L).otherwise(0L)).as("n_anom"),
+        max(when(col("dev") > lit(3) * col("mad_cents"), col("dev"))).as("max_anom_dev"))
+      .orderBy("user_id")
+  }
+
+  val qAnomalySql: String =
+    """WITH e AS (
+         SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS v_cents
+         FROM events WHERE event_type = 'view'
+       ), m AS (
+         SELECT *, COUNT(*) OVER (PARTITION BY user_id) AS n,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY v_cents, event_id) AS rv
+         FROM e
+       ), m2 AS (
+         SELECT *, MAX(CASE WHEN rv = (n + 1) // 2 THEN v_cents END)
+             OVER (PARTITION BY user_id) AS med_cents
+         FROM m
+       ), d AS (
+         SELECT *, abs(v_cents - med_cents) AS dev,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY abs(v_cents - med_cents), event_id) AS rd
+         FROM m2
+       ), d2 AS (
+         SELECT *, MAX(CASE WHEN rd = (n + 1) // 2 THEN dev END)
+             OVER (PARTITION BY user_id) AS mad_cents
+         FROM d
+       )
+       SELECT user_id, MAX(n) AS n, MAX(med_cents) AS med_cents,
+         MAX(mad_cents) AS mad_cents,
+         CAST(SUM(CASE WHEN dev > 3 * mad_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_anom,
+         MAX(CASE WHEN dev > 3 * mad_cents THEN dev END) AS max_anom_dev
+       FROM d2 GROUP BY user_id ORDER BY user_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_anomaly" -> (qAnomaly _),
     "q_trend" -> (qTrend _),
     "q_session_paths" -> (qSessionPaths _),
     "q_time_weighted_avg" -> (qTimeWeightedAvg _),
@@ -441,6 +512,7 @@ object AnalyticsTs {
     "q_next_event_markov" -> (qNextEventMarkov _))
 
   val oracles: Map[String, String] = Map(
+    "q_anomaly" -> qAnomalySql,
     "q_trend" -> qTrendSql,
     "q_session_paths" -> qSessionPathsSql,
     "q_time_weighted_avg" -> qTimeWeightedAvgSql,

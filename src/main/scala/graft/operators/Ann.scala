@@ -899,7 +899,128 @@ object Ann {
       FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id, q
       ORDER BY cos_sim DESC, vec_id LIMIT 10"""
 
+  /** e19 — Matryoshka coarse-to-fine ANN (Kusupati et al. 2022,
+    * "Matryoshka Representation Learning"; the AdANNS serving shape):
+    * MRL-trained embeddings make every PREFIX of the vector a valid
+    * lower-dim embedding, so retrieval scores with the first 16 dims
+    * (¼ of the multiply-adds, and at 100 TB ¼ of the bytes when the
+    * layout stores dim-prefix column groups — unlike PQ/SQ8 there is
+    * no codebook to train or keep in sync), shortlists the top-50 by
+    * the coarse score, and exact-reranks only those with the full
+    * 64-dim cosine. Both cuts are (score DESC, vec_id) total orders
+    * planned as TakeOrderedAndProject — only k rows per task travel.
+    * Deterministic end to end (graft_dot's fixed fold + round(,6)),
+    * so the whole funnel is oracle-gated; recall vs brute is the
+    * corpus's prefix-informativeness, measured in the spec. */
+  def qAnnMrl(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    mrlTopK(Tables(spark, dir, "embeddings"), qId = 0)
+  }
+
+  /** e19 core over any (vec_id, embedding, label) frame — the spec
+    * drives the clustered GenVecs corpus and measures funnel recall
+    * vs brute force. */
+  private[graft] def mrlTopK(e: DataFrame, qId: Long): DataFrame = {
+    val q = e.filter(col("vec_id") === qId)
+      .select(col("embedding").as("qv"))
+    val coarse = e.crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"), col("embedding"), col("qv"),
+        expr(s"round(graft_dot(slice(embedding, 1, 16), slice(qv, 1, 16)), 6)")
+          .as("cos_coarse"))
+      .orderBy(col("cos_coarse").desc, col("vec_id"))
+      .limit(50)
+    coarse
+      .select(col("vec_id"), col("label"), col("cos_coarse"),
+        expr(cosineSpark("embedding", "qv")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val qAnnMrlSql: String =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      coarse AS (
+        SELECT vec_id, label, embedding, qv,
+          round(list_sum(list_transform(generate_series(1, 16),
+            i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))), 6) AS cos_coarse
+        FROM embeddings, q
+        ORDER BY cos_coarse DESC, vec_id LIMIT 50)
+      SELECT vec_id, label, cos_coarse, ${cosineDuck("embedding", "qv")} AS cos_sim
+      FROM coarse
+      ORDER BY cos_sim DESC, vec_id LIMIT 10"""
+
+  /** e20 — RANGE search ("every vector with cos ≥ τ", the dedup /
+    * recommendation twin of top-k) served through the IVF cells with a
+    * PROVABLY LOSSLESS cell prune: for unit-norm q and any x in a cell
+    * with centroid c, q·x = q·c + q·(x−c) ≤ q·c + ‖x−c‖ ≤ q·c +
+    * r_cell (Cauchy–Schwarz), so a cell with q·c + r_cell < τ cannot
+    * contain a qualifying vector and is never scanned. The index side
+    * (exact-decimal centroids — e3's math — plus one max-distance pass
+    * for r_cell) is built once at ingest; the probe compares 10 cells
+    * driver-free and the corpus join touches only surviving cells. A
+    * 1e-5 slack absorbs double rounding in the BOUND (pruning stays
+    * conservative); membership itself is the exact round(,6) cosine,
+    * so the result is byte-identical to the brute-force oracle no
+    * matter how many cells prune. On the driver's near-orthogonal
+    * corpus no cell prunes (r ≈ √2 — honest: random data has no
+    * geometry); the spec proves the prune fires on the clustered
+    * GenVecs corpus and still matches brute force exactly. */
+  def qAnnRange(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    rangeSearch(Tables(spark, dir, "embeddings"), tau = 0.3)
+  }
+
+  /** e20's prune decision: the cells that can possibly hold a
+    * qualifying vector — exposed so the spec can assert the prune
+    * actually FIRES on a clustered corpus while the result stays
+    * byte-identical to brute force. */
+  private[graft] def rangeLiveCells(e: DataFrame, tau: Double): DataFrame = {
+    // exact-decimal centroid numerators (e3's math) + per-cell radius
+    val pe = e.select(col("vec_id"), col("label"),
+      posexplode(col("embedding")).as(Seq("i", "v")))
+    val cent = pe.groupBy("label", "i")
+      .agg(sum(round(col("v").cast("double"), 6).cast("decimal(8,6)"))
+        .cast("decimal(12,6)").as("s"), count(lit(1)).as("n"))
+      .withColumn("m", (col("s") / col("n")).cast("double"))
+    val radius = pe.join(broadcast(cent.select("label", "i", "m")), Seq("label", "i"))
+      .groupBy("vec_id", "label")
+      .agg(sum((col("v").cast("double") - col("m")) *
+        (col("v").cast("double") - col("m"))).as("d2"))
+      .groupBy("label").agg(sqrt(max(col("d2"))).as("r"))
+    val qe = e.filter(col("vec_id") === 0)
+      .select(posexplode(col("embedding")).as(Seq("i", "qv")))
+    val dots = cent.join(broadcast(qe), "i")
+      .groupBy("label")
+      .agg((sum(round(col("qv").cast("double"), 6).cast("decimal(8,6)") * col("s"))
+        .cast("double") / max(col("n"))).as("dot"))
+    dots.join(radius, "label")
+      .filter(col("dot") + col("r") + lit(1e-5) >= tau)
+      .select("label")
+  }
+
+  /** e20 core over any (vec_id, embedding, label) frame — `label` is
+    * the cell id (ingest-time k-means cells in production; the spec
+    * feeds trained cells). */
+  private[graft] def rangeSearch(e: DataFrame, tau: Double): DataFrame = {
+    val live = rangeLiveCells(e, tau)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    e.join(broadcast(live), "label")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        expr(cosineSpark("embedding", "qv")).as("cos_sim"))
+      .filter(col("cos_sim") >= tau)
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+  }
+
+  val qAnnRangeSql: String =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id, label, ${cosineDuck("embedding", "qv")} AS cos_sim
+      FROM embeddings, q
+      WHERE ${cosineDuck("embedding", "qv")} >= 0.3
+      ORDER BY cos_sim DESC, vec_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_mrl" -> (qAnnMrl _),
+    "q_ann_range" -> (qAnnRange _),
     "q_ann_sq8" -> (qAnnSq8 _),
     "q_kmeans_step" -> (qKmeansStep _),
     "q_pq_train_step" -> (qPqTrainStep _),
@@ -915,6 +1036,8 @@ object Ann {
     "q_ann_batch" -> (qAnnBatch _))
 
   val oracles: Map[String, String] = Map(
+    "q_ann_mrl" -> qAnnMrlSql,
+    "q_ann_range" -> qAnnRangeSql,
     "q_ann_sq8" -> qAnnSq8Sql,
     "q_kmeans_step" -> qKmeansStepSql,
     "q_pq_train_step" -> qPqTrainStepSql,

@@ -1107,7 +1107,115 @@ object Dedup {
       FROM victims v JOIN assigned a ON a.vec_id = v.vec_id
       ORDER BY v.vec_id"""
 
+  /** d14 — EXACT-SUBSTRING dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — their ExactSubstr
+    * pass: any ≥L-token substring appearing twice anywhere in the
+    * corpus is removed from all but its first occurrence). Where f19
+    * cuts NON-overlapping spans (cheap, but a duplicate straddling a
+    * span boundary escapes), d14 slides an OVERLAPPING L-token window
+    * — every duplicated region is witnessed by some window — and
+    * removes MAXIMAL duplicated ranges: coverage intervals from all
+    * non-keeper window occurrences merge per document before any text
+    * is touched. Lee et al. do this with a corpus-wide suffix array;
+    * the Spark-first re-expression is three bounded shuffles:
+    *
+    *  1. window keeper/count agg on md5(window) — min(struct(doc_id,
+    *     pos)) + count are map-side-combinable, so million-fold
+    *     boilerplate windows partial-aggregate on every task (f19's
+    *     keeper argument, unchanged by the overlap);
+    *  2. the window stream re-joins the duplicated keys (equi-join on
+    *     the md5, AQE skew-eligible) — each non-keeper occurrence
+    *     emits two coverage DELTAS (+1 at pos, −1 at pos+L), never a
+    *     materialized token range;
+    *  3. one doc_id-keyed exchange: the token stream unions the
+    *     deltas, a running sum turns deltas into per-token coverage
+    *     (interval merge as prefix arithmetic — overlapping covers
+    *     stack instead of needing pairwise merging), and the per-doc
+    *     reassembly agg rides the same exchange.
+    *
+    * Output per doc: token counts kept/removed, the number of maximal
+    * removed ranges, and the reassembled clean text. Docs shorter than
+    * L tokens produce no windows and pass through untouched. Exact and
+    * order-free end to end ⇒ fully oracle-gated. */
+  def qDedupSubstring(spark: SparkSession, dir: String): DataFrame =
+    substringDedup(Tables(spark, dir, "documents").select("doc_id", "text"))
+
+  /** d14 core over any (doc_id, text) frame (spec drives planted
+    * corpora: straddling duplicates f19 misses, nested/overlapping
+    * covers, whole-doc dups). L = 10 tokens. */
+  private[graft] def substringDedup(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = 10
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val sh = toks.filter(size(col("toks")) >= L)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(toks) - $L), p -> md5(array_join(slice(toks, p + 1, $L), ' ')))"))
+        .as(Seq("p", "h")))
+    val dupKeys = sh.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("p"))).as("keep"), count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1)
+    val covered = sh.join(dupKeys, "h")
+      .filter(struct(col("doc_id"), col("p")) =!= col("keep"))
+      .select(col("doc_id"), col("p"))
+    val deltas = covered.select(col("doc_id"), col("p").as("i"),
+        lit(1).as("d"), lit(0).as("kind"), lit(null).cast("string").as("tok"))
+      .union(covered.select(col("doc_id"), (col("p") + L).as("i"),
+        lit(-1).as("d"), lit(0).as("kind"), lit(null).cast("string").as("tok")))
+    val tokStream = toks
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("i", "tok")))
+      .select(col("doc_id"), col("i"), lit(0).as("d"), lit(1).as("kind"), col("tok"))
+    // deltas sort before the token at the same position ((i,0) < (i,1)):
+    // a cover opening AT i hides token i; one closing at i+L frees token i+L
+    val wRun = Window.partitionBy("doc_id").orderBy("i", "kind")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTok = Window.partitionBy("doc_id").orderBy("i")
+    tokStream.union(deltas)
+      .withColumn("cov", sum(col("d")).over(wRun))
+      .filter(col("kind") === 1)
+      .withColumn("prev_cov", lag(col("cov"), 1, 0L).over(wTok))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("cov") > 0, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("cov") > 0 && col("prev_cov") <= 0, 1L).otherwise(0L)).as("n_ranges"),
+        expr("array_join(transform(filter(array_sort(collect_list(struct(i, tok, cov))), s -> s.cov = 0), s -> s.tok), ' ')")
+          .as("text_clean"))
+      .orderBy("doc_id")
+  }
+
+  val qDedupSubstringSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      s AS (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 10)) AS p0 FROM t),
+      sh AS (SELECT doc_id, CAST(p0 AS INT) AS p,
+          md5(array_to_string(toks[(p0 + 1):(p0 + 10)], ' ')) AS h
+        FROM s),
+      k AS (SELECT doc_id, p,
+          COUNT(*) OVER (PARTITION BY h) AS n_occ,
+          ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
+        FROM sh),
+      cov0 AS (SELECT doc_id, p FROM k WHERE n_occ > 1 AND rn > 1),
+      deltas AS (
+        SELECT doc_id, p AS i, 1 AS d, 0 AS kind, CAST(NULL AS VARCHAR) AS tok FROM cov0
+        UNION ALL
+        SELECT doc_id, p + 10, -1, 0, NULL FROM cov0),
+      ts AS (SELECT doc_id, CAST(i0 - 1 AS INT) AS i, 0 AS d, 1 AS kind, tok FROM (
+          SELECT doc_id, unnest(toks) AS tok, unnest(generate_series(1, len(toks))) AS i0
+          FROM t) x),
+      allr AS (SELECT * FROM ts UNION ALL SELECT * FROM deltas),
+      c AS (SELECT doc_id, i, kind, tok,
+          SUM(d) OVER (PARTITION BY doc_id ORDER BY i, kind
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cov
+        FROM allr),
+      tc AS (SELECT doc_id, i, tok, cov,
+          COALESCE(LAG(cov) OVER (PARTITION BY doc_id ORDER BY i), 0) AS prev_cov
+        FROM c WHERE kind = 1)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        CAST(SUM(CASE WHEN cov > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        CAST(SUM(CASE WHEN cov > 0 AND prev_cov <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ranges,
+        COALESCE(string_agg(CASE WHEN cov = 0 THEN tok END, ' ' ORDER BY i), '') AS text_clean
+      FROM tc GROUP BY doc_id ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_substring" -> (qDedupSubstring _),
     "q_dedup_semantic" -> (qDedupSemantic _),
     "q_dedup_semantic_incr" -> (qDedupSemanticIncr _),
     "q_dedup_recall" -> (qDedupRecall _),
@@ -1124,6 +1232,7 @@ object Dedup {
     "q_dedup_embedding" -> (qDedupEmbedding _))
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_substring" -> qDedupSubstringSql,
     "q_dedup_semantic" -> qDedupSemanticSql,
     "q_dedup_semantic_incr" -> qDedupSemanticIncrSql,
     "q_dedup_recall" -> qDedupRecallSql,

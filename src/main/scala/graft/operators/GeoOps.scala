@@ -947,7 +947,72 @@ object GeoOps {
         CAST(cny AS DOUBLE) / (area2_u * 3) AS centroid_dy_u
       FROM m ORDER BY poly_id"""
 
+  /** b26 — hexagonal binning (the density-map aggregation tippecanoe's
+    * square tiles approximate; hexes are the cartographer's choice —
+    * near-equal center distances, no 4-vs-8 neighbor anisotropy). The
+    * two-lattice construction (matplotlib's hexbin): lattice A centers
+    * at (i·sx, j·sy), lattice B offset by (sx/2, sy/2), sy/sx ≈ √3;
+    * each point takes the nearer of its two candidate centers and the
+    * plane partitions into hexagons. EVERYTHING is integer
+    * millidegrees — Synth's lon/lat are integer-derived, candidate
+    * centers come from floor division on non-negative offsets, and
+    * nearest is a squared-distance compare in int64 (≤ 3.3e10) with
+    * tie → lattice A — so the assignment is EXACT and engine-free (no
+    * √3 ever materializes; the irrational aspect lives only in the
+    * choice sy = 34640 ≈ 20000·√3). Map-only assignment + ONE
+    * (cx, cy)-keyed agg with map-side combine: the canonical heatmap
+    * plan at any scale. */
+  def qHexBin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .select(col("event_id"),
+        (col("event_id") * 2654435761L % 360000L).as("xm"),
+        (col("event_id") * 1327217873L % 170000L).as("ym"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v_cents"))
+    val sx = 20000L; val sy = 34640L
+    val hexed = e
+      .withColumn("cxa", expr(s"((xm + ${sx / 2}) div $sx) * $sx"))
+      .withColumn("cya", expr(s"((ym + ${sy / 2}) div $sy) * $sy"))
+      .withColumn("cxb", expr(s"(xm div $sx) * $sx + ${sx / 2}"))
+      .withColumn("cyb", expr(s"(ym div $sy) * $sy + ${sy / 2}"))
+      .withColumn("da2", expr("(xm - cxa) * (xm - cxa) + (ym - cya) * (ym - cya)"))
+      .withColumn("db2", expr("(xm - cxb) * (xm - cxb) + (ym - cyb) * (ym - cyb)"))
+      .withColumn("cx_mdeg",
+        when(col("da2") <= col("db2"), col("cxa")).otherwise(col("cxb")) - 180000L)
+      .withColumn("cy_mdeg",
+        when(col("da2") <= col("db2"), col("cya")).otherwise(col("cyb")) - 85000L)
+    hexed.groupBy("cx_mdeg", "cy_mdeg")
+      .agg(count(lit(1)).as("n_points"), sum(col("v_cents")).as("sum_val_cents"))
+      .orderBy("cx_mdeg", "cy_mdeg")
+  }
+
+  val qHexBinSql: String =
+    """WITH e AS (
+         SELECT event_id,
+           event_id * 2654435761 % 360000 AS xm,
+           event_id * 1327217873 % 170000 AS ym,
+           CAST(round(value * 100) AS BIGINT) AS v_cents
+         FROM events
+       ), h AS (
+         SELECT *,
+           ((xm + 10000) // 20000) * 20000 AS cxa,
+           ((ym + 17320) // 34640) * 34640 AS cya,
+           (xm // 20000) * 20000 + 10000 AS cxb,
+           (ym // 34640) * 34640 + 17320 AS cyb
+         FROM e
+       ), p AS (
+         SELECT *,
+           (xm - cxa) * (xm - cxa) + (ym - cya) * (ym - cya) AS da2,
+           (xm - cxb) * (xm - cxb) + (ym - cyb) * (ym - cyb) AS db2
+         FROM h
+       )
+       SELECT CASE WHEN da2 <= db2 THEN cxa ELSE cxb END - 180000 AS cx_mdeg,
+         CASE WHEN da2 <= db2 THEN cya ELSE cyb END - 85000 AS cy_mdeg,
+         CAST(COUNT(*) AS BIGINT) AS n_points,
+         CAST(SUM(v_cents) AS BIGINT) AS sum_val_cents
+       FROM p GROUP BY 1, 2 ORDER BY cx_mdeg, cy_mdeg"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hex_bin" -> (qHexBin _),
     "q_polygon_metrics" -> (qPolygonMetrics _),
     "q_polygon_join" -> (qPolygonJoin _),
     "q_gdal_profile" -> (qGdalProfile _),
@@ -976,6 +1041,7 @@ object GeoOps {
     "q_cog_layout" -> (qCogLayout _))
 
   val oracles: Map[String, String] = Map(
+    "q_hex_bin" -> qHexBinSql,
     "q_polygon_metrics" -> qPolygonMetricsSql,
     "q_polygon_join" -> qPolygonJoinSql,
     "q_gdal_profile" -> qGdalProfileSql,

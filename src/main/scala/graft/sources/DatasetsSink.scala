@@ -57,6 +57,36 @@ object DatasetsSink {
     w.partitionBy(partitionCols: _*).parquet(path)
   }
 
+  /** i12 — Z-ORDER clustered rewrite (lakehouse `OPTIMIZE ZORDER BY`,
+    * from primitives already here + b18's Morton key): interleave the
+    * bits of two integer dimension columns, RANGE-partition on the
+    * interleaved key (each output file owns a compact z-curve segment
+    * ≈ a small rectangle of the 2-d space) and sort within files, so
+    * parquet row-group/page min-max stats are TIGHT on BOTH dimensions
+    * at once — a single-column sort gives tight stats on one dimension
+    * and useless ones on the other, which is exactly when 2-d box
+    * queries (tile viewport reads, time×key scans) degrade to full
+    * scans. A box predicate then prunes most row groups INSIDE the
+    * scan: the reader consults footer stats before decoding — the
+    * 100 TB effect is "read the three files whose curve segment
+    * crosses the box", spec-measured via records-read on clustered vs
+    * scattered layouts of identical data. */
+  def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
+      bits: Int = 8, files: Int = 32): Unit = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val morton = (0 until bits).map { j =>
+      expr(s"((($xCol div ${1 << j}) % 2) * ${1L << (2 * j)}) + " +
+        s"((($yCol div ${1 << j}) % 2) * ${1L << (2 * j + 1)})")
+    }.reduce(_ + _)
+    df.withColumn("_zkey", morton.cast("long"))
+      .repartitionByRange(files, col("_zkey"))
+      .sortWithinPartitions(col("_zkey"))
+      .drop("_zkey")
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .parquet(path)
+  }
+
   /** Idempotent micro-batch landing for foreachBatch sinks: plain
     * `mode(append)` duplicates rows when a failed micro-batch is
     * retried (foreachBatch is at-least-once), so each batch instead

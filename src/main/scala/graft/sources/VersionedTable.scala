@@ -151,4 +151,56 @@ object VersionedTable {
         .map { f => fs.delete(f.getPath, false); 1 }.sum
     (drop.length, removed)
   }
+
+  // ---- i13: the table's change feed as an exactly-once consumer ----
+
+  /** Last fully-processed version at this checkpoint (0 = nothing). */
+  def cursorVersion(spark: SparkSession, ckptDir: String): Long = {
+    val fs = fsOf(spark, ckptDir)
+    val f = new Path(ckptDir, "_cursor")
+    if (!fs.exists(f)) 0L
+    else Using.resource(fs.open(f)) { in =>
+      scala.io.Source.fromInputStream(in).getLines().next().trim.toLong
+    }
+  }
+
+  private def writeCursor(spark: SparkSession, ckptDir: String, v: Long): Unit = {
+    val fs = fsOf(spark, ckptDir)
+    fs.mkdirs(new Path(ckptDir))
+    val tmp = new Path(ckptDir, s"._cursor.$v.tmp")
+    Using.resource(fs.create(tmp, true))(_.write(v.toString.getBytes("UTF-8")))
+    fs.delete(new Path(ckptDir, "_cursor"), false)
+    if (!fs.rename(tmp, new Path(ckptDir, "_cursor")))
+      throw new IllegalStateException(s"cursor commit for v$v failed")
+  }
+
+  /** i13 — the CONSUMER loop of the transaction log, exactly-once: every
+    * version committed past this checkpoint's cursor is handed to
+    * `process` as its row DELTA (file-set difference vs the previous
+    * manifest — i11's readChanges; the first version's delta is its
+    * full snapshot), in version order, and the cursor advances ONLY
+    * after `process` returns — so a crash mid-version replays exactly
+    * that version. Exactly-once therefore needs `process` to land
+    * idempotently (overwrite-by-version — i4's batch_id pattern, i9's
+    * merge convergence); at-least-once delivery + idempotent apply is
+    * the same contract Structured Streaming's foreachBatch gives, here
+    * over table VERSIONS instead of micro-batches, with the
+    * checkpoint surviving process restarts. Returns the versions
+    * processed this drain. At 100 TB each drain reads O(new files) —
+    * the incremental-pipeline shape (downstream aggregates, index
+    * absorbs, replication) without ever rescanning the table. */
+  def drainChanges(spark: SparkSession, tablePath: String, ckptDir: String)
+      (process: (DataFrame, Long) => Unit): Seq[Long] = {
+    val vs = versions(spark, tablePath)
+    val from = cursorVersion(spark, ckptDir)
+    val todo = vs.filter(_ > from)
+    todo.foreach { v =>
+      val delta =
+        if (vs.headOption.contains(v)) read(spark, tablePath, Some(v))
+        else readChanges(spark, tablePath, v - 1, v)
+      process(delta, v)
+      writeCursor(spark, ckptDir, v)
+    }
+    todo
+  }
 }

@@ -525,6 +525,47 @@ object IngestStream {
       }
   }
 
+  case class AnomalyState(n: Long, sy: Long, syy: Long)
+  case class AnomalyAlert(userId: Long, ms: Long, cents: Long, nBefore: Long)
+
+  /** h21 — streaming anomaly guard (the live companion to c57's batch
+    * median/MAD sweep): per-key mean/variance moments held as ONE
+    * 3-long state row forever, each arriving reading judged against
+    * the moments of everything BEFORE it — the reading never
+    * contaminates its own threshold (the streaming stand-in for the
+    * robustness c57 buys with the median; an exact streaming median
+    * would need unbounded state) — then folded in. The flag is exact
+    * integer arithmetic, (y·n − sy)² > 9·(n·syy − sy²) ⇔ |y − μ| >
+    * 3σ, evaluated in BigInt so no reading count or gauge magnitude
+    * can overflow it. Readings fold in total (ms, cents) order inside
+    * each batch, and because every reading is judged against the full
+    * prior prefix, the alert stream is IDENTICAL under any batching
+    * of the same feed (h16/h18's prefix-stability argument, here for
+    * a fold rather than a sketch) — spec-proven against an in-memory
+    * sequential reference on adversarially re-batched feeds. Warm-up:
+    * keys with fewer than 8 prior readings never alert. */
+  def streamingAnomaly(readings: Dataset[GaugeReading]): Dataset[AnomalyAlert] = {
+    import readings.sparkSession.implicits._
+    readings.groupByKey(_.userId)
+      .flatMapGroupsWithState[AnomalyState, AnomalyAlert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[GaugeReading], state: GroupState[AnomalyState]) =>
+          var s = state.getOption.getOrElse(AnomalyState(0L, 0L, 0L))
+          val alerts = Seq.newBuilder[AnomalyAlert]
+          it.toSeq.sortBy(g => (g.ms, g.cents)).foreach { g =>
+            val y = g.cents
+            if (s.n >= 8) {
+              val dev = BigInt(y) * s.n - s.sy
+              val varN = BigInt(s.n) * s.syy - BigInt(s.sy) * s.sy
+              if (dev * dev > varN * 9) alerts += AnomalyAlert(user, g.ms, y, s.n)
+            }
+            s = AnomalyState(s.n + 1, s.sy + y, s.syy + y * y)
+          }
+          state.update(s)
+          alerts.result().iterator
+      }
+  }
+
   /** one segment-tagged hashed member arriving on the event stream */
   case class SegMember(seg: String, h: Long)
   case class KmvState(version: Long, mins: Seq[Long])

@@ -65,4 +65,35 @@ class GeoInvariantsSpec extends SparkTestBase {
         s"poly $k centroid offset (${r.getDouble(4)}, ${r.getDouble(5)})")
     }
   }
+
+  test("b26: the two-candidate hex assignment achieves the GLOBAL nearest-center distance") {
+    // The query only ever compares two candidate centers (one per
+    // lattice). The geometric claim behind that shortcut: those two
+    // candidates always include a globally nearest center. Brute-force
+    // the 4×4 center neighborhood of both lattices per point and
+    // assert the query's chosen center is never beaten (ties allowed —
+    // the deterministic tie RULE is the oracle's job, the geometry is
+    // this spec's).
+    val sx = 20000L; val sy = 34640L
+    val rows = operators.GeoOps.qHexBin(spark, sfDir).collect()
+    val events = Tables(spark, sfDir, "events").select("event_id").collect().map(_.getLong(0))
+    assert(rows.map(_.getLong(2)).sum == events.length, "hex counts must partition the points")
+    var worst = 0L
+    events.foreach { id =>
+      val x = id * 2654435761L % 360000L
+      val y = id * 1327217873L % 170000L
+      def d2(cx: Long, cy: Long) = (x - cx) * (x - cx) + (y - cy) * (y - cy)
+      // the query's two candidates
+      val dA = d2(((x + sx / 2) / sx) * sx, ((y + sy / 2) / sy) * sy)
+      val dB = d2((x / sx) * sx + sx / 2, (y / sy) * sy + sy / 2)
+      val chosen = math.min(dA, dB)
+      val best = (for (i <- -1L to 2L; j <- -1L to 2L; off <- Seq(0L, 1L)) yield
+        d2((x / sx + i) * sx + off * sx / 2, (y / sy + j) * sy + off * sy / 2)).min
+      assert(chosen == best, s"event $id: candidate distance $chosen, true nearest $best")
+      worst = math.max(worst, chosen)
+    }
+    // sanity: the partition is non-degenerate (points spread across
+    // many hexes, max point-to-center distance below one hex diameter)
+    assert(rows.length > 20 && worst < (sx * sx + sy * sy))
+  }
 }

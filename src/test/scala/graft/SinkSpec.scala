@@ -161,4 +161,48 @@ class SinkSpec extends SparkTestBase {
     assert(recovered.skipped, "recovered partition is already compact")
     assert(spark.read.parquet(part).count() == 10, "crashed commit must recover losslessly")
   }
+
+  test("i12 writeZOrdered: a 2-d box query reads a fraction of what the scattered layout reads") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    // 256×256 grid, 4 points per cell — identical data written two
+    // ways; only row-group stats differ
+    val n = 262144L
+    val pts = spark.range(n).selectExpr("id % 256 AS xt", "(id div 256) % 256 AS yt", "id AS payload")
+    val zdir = Files.createTempDirectory("graft_zorder").toString
+    val sdir = Files.createTempDirectory("graft_scatter").toString
+    DatasetsSink.writeZOrdered(pts, zdir, "xt", "yt", bits = 8, files = 32)
+    pts.repartition(32).write.mode("overwrite").parquet(sdir)
+
+    def recordsReadFor(path: String): (Long, Long) = {
+      val read = new java.util.concurrent.atomic.AtomicLong
+      val listener = new SparkListener {
+        override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null)
+            read.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val rows = spark.read.parquet(path)
+          .filter(col("xt").between(16, 31) && col("yt").between(16, 31))
+          .count()
+        // metrics settle asynchronously; poll until stable
+        val deadline = System.nanoTime() + 10e9.toLong
+        var last = -1L
+        while (System.nanoTime() < deadline && read.get() != last) {
+          last = read.get(); Thread.sleep(200)
+        }
+        (rows, read.get())
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+
+    val (zRows, zRead) = recordsReadFor(zdir)
+    val (sRows, sRead) = recordsReadFor(sdir)
+    assert(zRows == 1024L && sRows == 1024L, "both layouts must answer identically")
+    // scattered: every file's min/max spans the whole grid — nothing
+    // prunes; clustered: the box is one aligned z-curve segment, so
+    // only the file(s) whose segment crosses it decode
+    assert(sRead >= n / 2, s"scattered layout read only $sRead — scenario not adversarial")
+    assert(zRead * 8 <= sRead,
+      s"z-order read $zRead vs scattered $sRead — row-group pruning not engaging")
+  }
 }

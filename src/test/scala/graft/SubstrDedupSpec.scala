@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextOps}
+
+/** d14 exact-substring dedup (Lee et al. 2022's ExactSubstr semantics,
+  * re-expressed as overlapping-window coverage deltas): planted corpora
+  * prove the three behaviors the oracle's equality check can't isolate
+  * — boundary-straddling duplicates that f19's non-overlapping spans
+  * structurally MISS, overlapping covers merging into one maximal
+  * range, and whole-document duplication collapsing to empty text
+  * while the first occurrence stays intact.
+  */
+class SubstrDedupSpec extends SparkTestBase {
+
+  private val t = (0 until 20).map(i => s"t$i")
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      // doc 0: the source — all its windows are keepers
+      (0L, t.mkString(" ")),
+      // doc 1: 10-token run t4..t13 embedded at position 4 — straddles
+      // BOTH of f19's span boundaries (its spans are [0,10) and [10,18))
+      (1L, (Seq("x1", "x2", "x3", "x4") ++ t.slice(4, 14) ++ Seq("y1", "y2", "y3", "y4")).mkString(" ")),
+      // doc 2: byte-identical copy of doc 0
+      (2L, t.mkString(" ")),
+      // doc 3: unique — must pass through untouched
+      (3L, (0 until 15).map(i => s"u$i").mkString(" "))
+    ).toDF("doc_id", "text")
+  }
+
+  private lazy val result =
+    Dedup.substringDedup(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+
+  test("first occurrence keeps all its text") {
+    assert(result(0L) == ((20L, 0L, 0L, t.mkString(" "))))
+  }
+
+  test("a straddling duplicate is removed as ONE maximal range (and f19 misses it)") {
+    val (nTok, nRem, nRanges, clean) = result(1L)
+    assert(nTok == 18L && nRem == 10L && nRanges == 1L)
+    assert(clean == "x1 x2 x3 x4 y1 y2 y3 y4")
+    // f19's non-overlapping spans leave doc 1 untouched: no span of
+    // doc 1 equals any span of doc 0 because the shared run straddles
+    // the 10-token grid — the exact miss d14 exists to close.
+    val f19 = TextOps.spanDedup(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(f19(1L) == docs.filter(col("doc_id") === 1).head().getString(1))
+  }
+
+  test("a whole-document duplicate collapses to empty text via merged overlapping covers") {
+    // 11 overlapping covered windows ([0,10) ... [10,20)) merge into
+    // one maximal range spanning the whole doc
+    assert(result(2L) == ((20L, 20L, 1L, "")))
+  }
+
+  test("a unique document passes through untouched") {
+    assert(result(3L) == ((15L, 0L, 0L, (0 until 15).map(i => s"u$i").mkString(" "))))
+  }
+
+  test("driver corpus: totals are conserved and clean text re-splits to the kept count") {
+    val out = Dedup.qDedupSubstring(spark, sfDir)
+      .withColumn("resplit",
+        when(col("text_clean") === "", 0L)
+          .otherwise(size(split(col("text_clean"), " ")).cast("long")))
+    val bad = out.filter(col("n_tokens") =!= col("n_removed") + col("resplit")).count()
+    assert(bad == 0, s"$bad docs lost tokens in reassembly")
+  }
+}

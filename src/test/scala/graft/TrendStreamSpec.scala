@@ -58,4 +58,53 @@ class TrendStreamSpec extends SparkTestBase {
         s"user $u diverged: stream ($got) vs batch ${want(u)}")
     }
   }
+
+  test("h21: streaming anomaly alerts equal the sequential reference under any batching") {
+    import spark.implicits._
+    import IngestStream.{AnomalyAlert}
+    implicit val sqlCtx = spark.sqlContext
+    val readings = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .collect().map(r => GaugeReading(r.getLong(0), r.getLong(1), r.getLong(2)))
+    // in-memory sequential reference: judge each reading against the
+    // prior prefix's exact moments, then fold it in
+    val expected = readings.groupBy(_.userId).toSeq.flatMap { case (u, rs) =>
+      var (n, sy, syy) = (0L, 0L, 0L)
+      rs.sortBy(g => (g.ms, g.cents)).flatMap { g =>
+        val alert =
+          if (n >= 8 && {
+            val dev = BigInt(g.cents) * n - sy
+            dev * dev > (BigInt(n) * syy - BigInt(sy) * sy) * 9
+          }) Some(AnomalyAlert(u, g.ms, g.cents, n)) else None
+        n += 1; sy += g.cents; syy += g.cents * g.cents
+        alert
+      }
+    }.toSet
+    assert(expected.nonEmpty, "corpus never alerts — vacuous scenario")
+
+    // adversarial batching: uneven cuts on global (ms, cents) order
+    // (the monotone-feed contract), shuffled inside each batch
+    val sorted = readings.sortBy(g => (g.ms, g.cents))
+    val cuts = Seq(7, sorted.length / 5, sorted.length / 2,
+      sorted.length / 2 + 1, 4 * sorted.length / 5)
+    val batches = (Seq(0) ++ cuts ++ Seq(sorted.length)).sliding(2).map {
+      case Seq(a, b) => sorted.slice(a, b)
+        .sortBy(g => Integer.rotateLeft(g.hashCode, 13)).toSeq
+    }.toSeq
+    val input = MemoryStream[GaugeReading]
+    val q = IngestStream.streamingAnomaly(input.toDS())
+      .writeStream.format("memory").queryName("h21_anomaly")
+      .outputMode(OutputMode.Append()).start()
+    val (got, stateRows) =
+      try {
+        batches.foreach { b => input.addData(b); q.processAllAvailable() }
+        (spark.table("h21_anomaly").as[AnomalyAlert].collect().toSet,
+          q.lastProgress.stateOperators.map(_.numRowsTotal).sum)
+      } finally q.stop()
+    assert(got == expected, "streamed alerts diverged from the sequential reference")
+    assert(stateRows == readings.map(_.userId).distinct.length.toLong,
+      "state must be one moments row per key")
+  }
 }

@@ -255,4 +255,29 @@ class TsModelsSpec extends SparkTestBase {
     val xs = got.count(_.getString(1) == "x")
     assert(xs >= 8, s"expected the target-like group to dominate, got $xs/10")
   }
+
+  test("c57 median/MAD anomaly detection matches the in-memory reference fold") {
+    val views = events.filter(_._4 == "view")
+      .map { case (u, _, id, _, v) => (u, id, roundHalfUp(v * 100)) }
+    def lowerMedianBy(xs: Seq[(Long, Long)]): Long = {
+      // xs = (sortValue, event_id); lower median = rank (n+1)/2 under
+      // the total (value, event_id) order — exactly the query's rule
+      val sorted = xs.sortBy(identity)
+      sorted(((sorted.size + 1) / 2) - 1)._1
+    }
+    val expected = views.groupBy(_._1).toSeq.map { case (u, es) =>
+      val med = lowerMedianBy(es.map(e => (e._3, e._2)))
+      val devs = es.map(e => (math.abs(e._3 - med), e._2))
+      val mad = lowerMedianBy(devs)
+      val anom = devs.map(_._1).filter(_ > 3 * mad)
+      (u, es.size.toLong, med, mad, anom.size.toLong,
+        if (anom.isEmpty) None else Some(anom.max))
+    }.sortBy(_._1)
+    val got = AnalyticsTs.qAnomaly(spark, sfDir).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5))))
+    assert(got == expected)
+    // the corpus must actually exercise the rule: some user flags
+    assert(expected.map(_._5).sum > 0, "no anomalies anywhere — vacuous corpus")
+  }
 }

@@ -83,4 +83,49 @@ class VersionedTableSpec extends SparkTestBase {
     assert(dataAfter == dataBefore - droppedF)
     intercept[Exception] { VersionedTable.read(spark, path, Some(2L)).collect() }
   }
+
+  test("i13: drainChanges delivers every version's delta exactly once across a crash") {
+    import spark.implicits._
+    import graft.sources.DatasetsSink
+    val path = java.nio.file.Files.createTempDirectory("vtable_feed").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("vtable_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("vtable_out").toString
+
+    def land(delta: org.apache.spark.sql.DataFrame, v: Long): Unit =
+      DatasetsSink.writeBatchIdempotent(delta, v, out)
+    def landed: Set[(Long, String)] =
+      spark.read.parquet(out).select("key", "val").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+
+    VersionedTable.commit(spark, path,
+      (0L until 40L).map(k => (k, s"a$k")).toDF("key", "val"))
+    VersionedTable.commit(spark, path,
+      (40L until 60L).map(k => (k, s"b$k")).toDF("key", "val"))
+    // first drain: both versions, in order, cursor lands at 2
+    assert(VersionedTable.drainChanges(spark, path, ckpt)(land) == Seq(1L, 2L))
+    assert(landed == rows(VersionedTable.read(spark, path)))
+    // idle drain: nothing to do, nothing rewritten
+    assert(VersionedTable.drainChanges(spark, path, ckpt)(land).isEmpty)
+
+    // v3 commits; the consumer CRASHES after landing but before the
+    // cursor advances — the replay must hand v3 again and the
+    // idempotent landing must absorb it without duplicating
+    VersionedTable.commit(spark, path,
+      (60L until 70L).map(k => (k, s"c$k")).toDF("key", "val"))
+    var calls = 0
+    intercept[RuntimeException] {
+      VersionedTable.drainChanges(spark, path, ckpt) { (d, v) =>
+        land(d, v); calls += 1; throw new RuntimeException("crash after landing")
+      }
+    }
+    assert(calls == 1 && VersionedTable.cursorVersion(spark, ckpt) == 2L,
+      "cursor must not advance past a failed version")
+    val replayed = VersionedTable.drainChanges(spark, path, ckpt) { (d, v) =>
+      assert(d.count() == 10L, "replayed delta must be v3's rows only, not a rescan")
+      land(d, v)
+    }
+    assert(replayed == Seq(3L))
+    assert(landed == rows(VersionedTable.read(spark, path)),
+      "post-crash replay must converge to the exact table content")
+  }
 }
