@@ -1107,6 +1107,72 @@ object Dedup {
       FROM victims v JOIN assigned a ON a.vec_id = v.vec_id
       ORDER BY v.vec_id"""
 
+  /** d15 — URL-canonicalization dedup (the crawl pipeline's FIRST
+    * dedup pass, upstream of any content hashing: the same resource
+    * is referenced under scheme-case variants, trailing slashes,
+    * fragments, and tracking parameters, and fetching each variant
+    * multiplies crawl cost before content dedup can even see the
+    * copies). The reference's own path algebra (utils.py chop_blob,
+    * ingest.py url routing) is the A-family ancestor of this op. The
+    * synthetic reference stream derives deterministic variants from
+    * event keys (scheme upper-casing, trailing '/', utm_* tracking
+    * params, '#' fragments — mirrored arithmetic in the oracle); the
+    * canonicalizer lowercases the scheme, strips the fragment, drops
+    * the utm_ tracking param, and removes the trailing slash — a
+    * MAP-ONLY normalization chain (codegen'd string fns) followed by
+    * ONE canonical-key agg (count + min-event keeper, map-side
+    * combined: a million-refs hot URL never concentrates). */
+  def qDedupUrl(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"))
+      .withColumn("base", graft.functions.Synth.userUrl(col("user_id")))
+      .withColumn("raw", concat(
+        when(col("event_id") % 3 === 0,
+          concat(lit("HTTPS"), expr("substring(base, 6)"))).otherwise(col("base")),
+        when(col("event_id") % 5 === 1, lit("/"))
+          .when(col("event_id") % 5 === 2,
+            concat(lit("?utm_source=email&id="), (col("event_id") % 7).cast("string")))
+          .when(col("event_id") % 5 === 3,
+            concat(lit("?id="), (col("event_id") % 7).cast("string")))
+          .when(col("event_id") % 5 === 4, lit("#sec2"))
+          .otherwise(lit(""))))
+      .withColumn("canon",
+        regexp_replace(
+          expr("replace(regexp_replace(concat(lower(substring(raw, 1, 5)), substring(raw, 6)), '#.*$', ''), '?utm_source=email&', '?')"),
+          "/$", ""))
+    e.groupBy("canon")
+      .agg(count(lit(1)).as("n_refs"),
+        countDistinct(col("raw")).as("n_raw_forms"),
+        min(col("event_id")).as("keeper_event"))
+      .orderBy("canon")
+  }
+
+  val qDedupUrlSql: String = {
+    val base = graft.functions.Synth.userUrlSql
+    s"""WITH e AS (
+        SELECT event_id, ($base) AS base FROM events),
+      r AS (
+        SELECT event_id,
+          (CASE WHEN event_id % 3 = 0 THEN 'HTTPS' || substr(base, 6) ELSE base END) ||
+          (CASE WHEN event_id % 5 = 1 THEN '/'
+                WHEN event_id % 5 = 2 THEN '?utm_source=email&id=' || CAST(event_id % 7 AS VARCHAR)
+                WHEN event_id % 5 = 3 THEN '?id=' || CAST(event_id % 7 AS VARCHAR)
+                WHEN event_id % 5 = 4 THEN '#sec2'
+                ELSE '' END) AS raw
+        FROM e),
+      c AS (
+        SELECT event_id, raw,
+          regexp_replace(
+            replace(regexp_replace(lower(substr(raw, 1, 5)) || substr(raw, 6), '#.*$$', ''),
+              '?utm_source=email&', '?'),
+            '/$$', '') AS canon
+        FROM r)
+      SELECT canon, CAST(COUNT(*) AS BIGINT) AS n_refs,
+        CAST(COUNT(DISTINCT raw) AS BIGINT) AS n_raw_forms,
+        MIN(event_id) AS keeper_event
+      FROM c GROUP BY canon ORDER BY canon"""
+  }
+
   /** d14 — EXACT-SUBSTRING dedup (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better" — their ExactSubstr
     * pass: any ≥L-token substring appearing twice anywhere in the
@@ -1215,6 +1281,7 @@ object Dedup {
       FROM tc GROUP BY doc_id ORDER BY doc_id"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_url" -> (qDedupUrl _),
     "q_dedup_substring" -> (qDedupSubstring _),
     "q_dedup_semantic" -> (qDedupSemantic _),
     "q_dedup_semantic_incr" -> (qDedupSemanticIncr _),
@@ -1232,6 +1299,7 @@ object Dedup {
     "q_dedup_embedding" -> (qDedupEmbedding _))
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_url" -> qDedupUrlSql,
     "q_dedup_substring" -> qDedupSubstringSql,
     "q_dedup_semantic" -> qDedupSemanticSql,
     "q_dedup_semantic_incr" -> qDedupSemanticIncrSql,

@@ -947,6 +947,54 @@ object GeoOps {
         CAST(cny AS DOUBLE) / (area2_u * 3) AS centroid_dy_u
       FROM m ORDER BY poly_id"""
 
+  /** b27 — CHANGED-TILE planning (incremental re-tiling): after an
+    * ingest batch deletes some features (event_id % 97) and moves
+    * others (event_id % 89 → 3 tiles east, integer tile-space move so
+    * no new float math enters), which z=8 tiles must re-render? The
+    * reference re-runs tippecanoe on the whole file per upload
+    * (processing.py:216-402); at 100 TB you re-cut ONLY tiles whose
+    * feature set changed. ONE scan: each feature emits its old and
+    * new (side, x, y) legs via explode (deletes emit no new leg), one
+    * (x, y) agg counts both sides, changed = counts differ. Map-only
+    * before the single tile-keyed shuffle — the b4 tilestats shape
+    * with a side axis. At real scale the old side reads b4's
+    * persisted per-tile counts instead of rescanning history; the
+    * changed-tile list is the work queue b17's tippecanoe plan
+    * consumes. */
+  def qTileDiff(spark: SparkSession, dir: String): DataFrame = {
+    val n = 256
+    val legs = tiled(spark, dir, 8)
+      .select(col("event_id"), explode(array(
+        struct(lit("old").as("side"), col("xt").as("x"), col("yt").as("y"),
+          lit(true).as("alive")),
+        struct(lit("new").as("side"),
+          when(col("event_id") % 89 === 0, (col("xt") + 3) % n).otherwise(col("xt")).as("x"),
+          col("yt").as("y"),
+          (col("event_id") % 97 =!= 0).as("alive")))).as("s"))
+      .select(col("s.side"), col("s.x"), col("s.y"))
+      .where(col("s.alive"))
+    legs.groupBy("x", "y")
+      .agg(sum(when(col("side") === "old", 1L).otherwise(0L)).as("old_n"),
+        sum(when(col("side") === "new", 1L).otherwise(0L)).as("new_n"))
+      .filter(col("old_n") =!= col("new_n"))
+      .orderBy("x", "y")
+  }
+
+  val qTileDiffSql: String =
+    s"""WITH t AS (${tiledSql(8)}),
+      legs AS (
+        SELECT 'old' AS side, xt AS x, yt AS y FROM t
+        UNION ALL
+        SELECT 'new', CASE WHEN event_id % 89 = 0 THEN (xt + 3) % 256 ELSE xt END, yt
+        FROM t WHERE event_id % 97 <> 0)
+      SELECT x, y,
+        CAST(SUM(CASE WHEN side = 'old' THEN 1 ELSE 0 END) AS BIGINT) AS old_n,
+        CAST(SUM(CASE WHEN side = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS new_n
+      FROM legs GROUP BY x, y
+      HAVING SUM(CASE WHEN side = 'old' THEN 1 ELSE 0 END)
+        <> SUM(CASE WHEN side = 'new' THEN 1 ELSE 0 END)
+      ORDER BY x, y"""
+
   /** b26 — hexagonal binning (the density-map aggregation tippecanoe's
     * square tiles approximate; hexes are the cartographer's choice —
     * near-equal center distances, no 4-vs-8 neighbor anisotropy). The
@@ -1012,6 +1060,7 @@ object GeoOps {
        FROM p GROUP BY 1, 2 ORDER BY cx_mdeg, cy_mdeg"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tile_diff" -> (qTileDiff _),
     "q_hex_bin" -> (qHexBin _),
     "q_polygon_metrics" -> (qPolygonMetrics _),
     "q_polygon_join" -> (qPolygonJoin _),
@@ -1041,6 +1090,7 @@ object GeoOps {
     "q_cog_layout" -> (qCogLayout _))
 
   val oracles: Map[String, String] = Map(
+    "q_tile_diff" -> qTileDiffSql,
     "q_hex_bin" -> qHexBinSql,
     "q_polygon_metrics" -> qPolygonMetricsSql,
     "q_polygon_join" -> qPolygonJoinSql,

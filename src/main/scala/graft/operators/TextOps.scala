@@ -881,7 +881,49 @@ object TextOps {
         round(-CAST(SUM(CAST(round(ln(s) * 1e6) AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1e6), 6) AS score
       FROM scored GROUP BY doc_id ORDER BY doc_id"""
 
+  /** f27 — per-document n-gram NOVELTY: the fraction of a document's
+    * distinct 3-gram shingles not seen in any EARLIER document (by
+    * doc_id — ingest order) — the running "how much new content does
+    * this doc add" curation diagnostic (novelty ≈ 0 ⇒ recombined
+    * boilerplate even when no single pair-dup fires; the corpus-level
+    * twin of f14's within-doc repetition). Machinery is d4's index
+    * minus the pair stage: one fused native shingle→sid pass
+    * (graft_shingle_sids — 60-bit md5-derived ids, 8-byte shuffle
+    * keys), first-occurrence per sid = min(doc_id) — map-side
+    * combinable, so million-fold boilerplate shingles partial-agg on
+    * every task — one sid-keyed join back (AQE skew-eligible), one
+    * per-doc agg. Novelty is the single IEEE division, rounded.
+    * Docs with < 3 tokens have no shingles and emit no row (both
+    * engines). */
+  def qNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val src = Tables.fanout(
+      Tables(spark, dir, "documents").select(col("doc_id"), col("text")))
+    val inv = src.select(col("doc_id"),
+      explode(expr(s"graft_shingle_sids($toksSpark)")).as("sid"))
+    val first = inv.groupBy("sid").agg(min("doc_id").as("first_doc"))
+    inv.join(first, "sid")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_shingles"), 6))
+      .orderBy("doc_id")
+  }
+
+  val qNgramNoveltySql: String =
+    s"""WITH s AS (SELECT doc_id, $shDuck AS sh FROM documents),
+      inv AS (
+        SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS sid
+        FROM (SELECT doc_id, unnest(sh) AS shingle FROM s) u),
+      f AS (SELECT sid, MIN(doc_id) AS first_doc FROM inv GROUP BY sid)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        round(CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS novelty
+      FROM inv JOIN f USING (sid) GROUP BY doc_id ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ngram_novelty" -> (qNgramNovelty _),
     "q_lm_backoff" -> (qLmBackoff _),
     "q_tfidf" -> (qTfidf _),
     "q_span_dedup" -> (qSpanDedup _),
@@ -905,6 +947,7 @@ object TextOps {
     "q_fingerprint" -> (qFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q_ngram_novelty" -> qNgramNoveltySql,
     "q_lm_backoff" -> qLmBackoffSql,
     "q_tfidf" -> qTfidfSql,
     "q_span_dedup" -> qSpanDedupSql,

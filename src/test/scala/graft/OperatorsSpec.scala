@@ -671,6 +671,70 @@ class OperatorsSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("f27 novelty: the first doc is all-novel and novel counts partition the shingle space") {
+    val rows = TextOps.qNgramNovelty(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // ingest order: the lowest doc_id with any shingles introduces
+    // every one of them
+    val first = rows.minBy(_.getLong(0))
+    assert(first.getLong(1) == first.getLong(2) && first.getDouble(3) == 1.0,
+      s"first doc must be fully novel, got $first")
+    // every distinct shingle is novel in exactly one doc
+    val totalNovel = rows.map(_.getLong(2)).sum
+    val distinctSids = {
+      graft.functions.GraftFunctions.register(spark)
+      Tables(spark, sfDir, "documents")
+        .select(explode(expr("graft_shingle_sids(split(text, ' '))")).as("sid"))
+        .distinct().count()
+    }
+    assert(totalNovel == distinctSids,
+      s"novel counts $totalNovel must partition the $distinctSids distinct shingles")
+  }
+
+  test("d15 URL dedup matches an in-memory canonicalization fold") {
+    val events = Tables(spark, sfDir, "events")
+      .select("event_id", "user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def canonOf(id: Long, u: Long): (String, String) = {
+      val base = s"https://acct.blob.core.windows.net/userdata/user$u/raw/file_${u % 7}.gpkg"
+      val schemed = if (id % 3 == 0) "HTTPS" + base.substring(5) else base
+      val raw = schemed + ((id % 5) match {
+        case 1 => "/"
+        case 2 => s"?utm_source=email&id=${id % 7}"
+        case 3 => s"?id=${id % 7}"
+        case 4 => "#sec2"
+        case _ => ""
+      })
+      val canon = (raw.substring(0, 5).toLowerCase + raw.substring(5))
+        .replaceAll("#.*$", "")
+        .replace("?utm_source=email&", "?")
+        .replaceAll("/$", "")
+      (raw, canon)
+    }
+    val expected = events.map { case (id, u) => val (raw, c) = canonOf(id, u); (c, raw, id) }
+      .groupBy(_._1).map { case (c, g) =>
+        (c, g.length.toLong, g.map(_._2).distinct.length.toLong, g.map(_._3).min)
+      }.toSeq.sortBy(_._1)
+    val got = Dedup.qDedupUrl(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    // the corpus must actually exercise collapsing: somewhere several
+    // raw forms share one canonical URL
+    assert(expected.exists(_._3 > 1), "no canon group with >1 raw form — vacuous")
+  }
+
+  test("b27 tile diff: deletes drain their old tile, moves shift 3 tiles east") {
+    val changed = GeoOps.qTileDiff(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(changed.nonEmpty)
+    // every changed tile genuinely differs, and both directions occur
+    assert(changed.values.forall { case (o, n) => o != n })
+    assert(changed.values.exists { case (o, n) => n < o },
+      "no tile lost features — deletes/moves-out missing")
+    assert(changed.values.exists { case (o, n) => n > o },
+      "no tile gained features — moves-in missing")
+  }
+
   test("f20 TF-IDF: per-doc top-5, exact integer weights, bounded window") {
     val rows = TextOps.qTfidf(spark, sfDir).collect()
     assert(rows.nonEmpty)
