@@ -117,8 +117,11 @@ object GraftFunctions {
     // session has the graft surface; graft_repstats is the sentinel
     // (last name registered below, and also present when the session
     // was built with GraftExtensions)
+    // sentinel = the newest-registered function: adding a function and
+    // forgetting to bump this would silently skip it in any session
+    // that registered the older set first
     if (spark.sessionState.functionRegistry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_repstats")))
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_window_sids")))
       return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
@@ -138,6 +141,9 @@ object GraftFunctions {
       "graft_shingle_sids", exprs => ShingleSids(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_posting_records", exprs => PostingRecords(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_window_sids", exprs => WindowSids(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_capped_list", exprs => CappedList(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

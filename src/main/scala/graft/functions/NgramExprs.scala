@@ -187,3 +187,62 @@ object PostingRecords {
   val helper = new PostingRecordsHelper
   def compute(a: ArrayData): ArrayData = helper.compute(a)
 }
+
+/** Native Catalyst expression: the OVERLAPPING L-token window ids of a
+  * token array, in POSITION order (index i = window starting at token
+  * i) — d14's sliding-window stream fused into one pass. Each id is
+  * the [[Sid60]] of the space-joined window, bit-identical to the
+  * oracle's `CAST('0x' || substr(md5(window), 1, 15) AS BIGINT)`; the
+  * interpreted alternative (transform(sequence) → slice → array_join →
+  * md5 per position) re-materializes an L-element array and a 32-char
+  * hex string per token — measured 3.7× slower at 50k docs. NOT
+  * distinct (unlike [[ShingleSids]]): d14 needs every occurrence with
+  * its position, posexplode supplies (p, sid). */
+case class WindowSids(child: Expression, width: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(width >= 1, s"window width $width")
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_window_sids"
+
+  override def nullSafeEval(input: Any): Any =
+    WindowSids.compute(input.asInstanceOf[ArrayData], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = classOf[WindowSidsHelper].getName
+    val ref = ctx.addReferenceObj("windowSids", WindowSids.helper, helper)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a, $width);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WindowSids =
+    copy(child = newChild)
+}
+
+/** Java-callable helper so generated code invokes one method. */
+class WindowSidsHelper extends Serializable {
+  private val sep = UTF8String.fromString(" ")
+
+  def compute(a: ArrayData, width: Int): ArrayData = {
+    val n = a.numElements()
+    val m = n - width + 1
+    if (m <= 0) return new GenericArrayData(new Array[Any](0))
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { toks(i) = a.getUTF8String(i); i += 1 }
+    val out = new Array[Long](m)
+    val win = new Array[UTF8String](width)
+    var p = 0
+    while (p < m) {
+      System.arraycopy(toks, p, win, 0, width)
+      out(p) = Sid60.compute(UTF8String.concatWs(sep, win: _*))
+      p += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+object WindowSids {
+  val helper = new WindowSidsHelper
+  def compute(a: ArrayData, width: Int): ArrayData = helper.compute(a, width)
+}

@@ -501,7 +501,78 @@ object AnalyticsTs {
          MAX(CASE WHEN dev > 3 * mad_cents THEN dev END) AS max_anom_dev
        FROM d2 GROUP BY user_id ORDER BY user_id"""
 
+  // c58 — last-touch revenue attribution (the marketing-analytics
+  // staple): each purchase credits the user's most recent PRIOR click
+  // (strictly before, under the total (ts, event_id) order), but only
+  // within a 7-day attribution window — older clicks and click-less
+  // purchases credit 'direct'. Channel is a deterministic derivation
+  // of the click's JSON props (k % 4 — a11's get_json_object twin on
+  // both engines). ONE user-keyed exchange: the two carry-forward
+  // windows (last qualifying channel, its timestamp — frames end at
+  // 1 PRECEDING so a click never attributes a purchase at its own
+  // instant) ride the same partitioning, purchases filter AFTER the
+  // carry so the window sees the full event stream, and the final
+  // channel rollup is a bounded agg. Revenue stays integer cents.
+  // At 100 TB: event-volume work is the one user partition sort —
+  // c8/c54's grain; the attribution state per row is two columns, not
+  // a join against a click table (the naive click×purchase interval
+  // join is quadratic in hot users and loses the within-window
+  // LATEST-click rule to ties).
+  def qAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v_cents"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+    val channel = when(col("k") % 4 === 0, "organic")
+      .when(col("k") % 4 === 1, "email")
+      .when(col("k") % 4 === 2, "social")
+      .otherwise("ads")
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e.withColumn("click_channel",
+        last(when(col("event_type") === "click", channel), ignoreNulls = true).over(w))
+      .withColumn("click_ts",
+        last(when(col("event_type") === "click", col("ts_ms")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("channel",
+        when(col("click_channel").isNull, "direct")
+          .when(col("ts_ms") - col("click_ts") > 7L * 86400000L, "direct")
+          .otherwise(col("click_channel")))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"), sum(col("v_cents")).as("revenue_cents"))
+      .orderBy("channel")
+  }
+
+  val qAttributionSql: String =
+    """WITH e AS (
+         SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
+           CAST(round(value * 100) AS BIGINT) AS v_cents,
+           CAST(json_extract(props, '$.k') AS INT) AS k
+         FROM events
+       ), c AS (
+         SELECT *,
+           last_value(CASE WHEN event_type = 'click' THEN
+               CASE WHEN k % 4 = 0 THEN 'organic' WHEN k % 4 = 1 THEN 'email'
+                    WHEN k % 4 = 2 THEN 'social' ELSE 'ads' END END IGNORE NULLS)
+             OVER w AS click_channel,
+           last_value(CASE WHEN event_type = 'click' THEN ts_ms END IGNORE NULLS)
+             OVER w AS click_ts
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       ), p AS (
+         SELECT CASE WHEN click_channel IS NULL THEN 'direct'
+                     WHEN ts_ms - click_ts > 604800000 THEN 'direct'
+                     ELSE click_channel END AS channel, v_cents
+         FROM c WHERE event_type = 'purchase'
+       )
+       SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+         CAST(SUM(v_cents) AS BIGINT) AS revenue_cents
+       FROM p GROUP BY channel ORDER BY channel"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attribution" -> (qAttribution _),
     "q_anomaly" -> (qAnomaly _),
     "q_trend" -> (qTrend _),
     "q_session_paths" -> (qSessionPaths _),
@@ -512,6 +583,7 @@ object AnalyticsTs {
     "q_next_event_markov" -> (qNextEventMarkov _))
 
   val oracles: Map[String, String] = Map(
+    "q_attribution" -> qAttributionSql,
     "q_anomaly" -> qAnomalySql,
     "q_trend" -> qTrendSql,
     "q_session_paths" -> qSessionPathsSql,

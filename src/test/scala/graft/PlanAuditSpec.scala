@@ -412,6 +412,37 @@ class PlanAuditSpec extends SparkTestBase {
     assert(q20.contains("LeftSemi"), s"q20 supplier admission not a semi join:\n$q20")
   }
 
+  test("round-11 additions: bounded funnels, map-only binning, one-exchange event ops") {
+    // e19: both MRL cuts must be TakeOrderedAndProject (only k rows
+    // per task travel through each funnel stage)
+    val mrl = operators.Ann.qAnnMrl(spark, sfDir).queryExecution.executedPlan.toString
+    assert("TakeOrderedAndProject".r.findAllIn(mrl).size == 2,
+      s"MRL funnel cuts not bounded:\n$mrl")
+    // b26: hex binning is map-only before its single agg — no
+    // CartesianProduct, no join, at most the agg + orderBy exchanges
+    val hex = operators.GeoOps.qHexBin(spark, sfDir).queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(hex).size <= 2 && !hex.contains("Join"),
+      s"hex bin should be map + one agg:\n$hex")
+    // c57/c58: the event-volume work rides ONE user-keyed hash
+    // exchange (windows + agg share it); the only other exchanges are
+    // on the bounded per-user/per-channel output
+    for ((name, p) <- Seq(
+        "q_anomaly" -> operators.AnalyticsTs.qAnomaly(spark, sfDir),
+        "q_attribution" -> operators.AnalyticsTs.qAttribution(spark, sfDir))) {
+      val s = p.queryExecution.executedPlan.toString
+      val userEx = "hashpartitioning\\(user_id".r.findAllIn(s).size
+      assert(userEx >= 1, s"$name lost its user-keyed exchange:\n$s")
+      assert(!s.contains("Join"), s"$name should be join-free:\n$s")
+    }
+    // d14: the window keeper agg partially aggregates (map-side
+    // combine) and nothing plans a cartesian
+    val sub = operators.Dedup.qDedupSubstring(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!sub.contains("CartesianProduct"), s"d14 cartesian:\n$sub")
+    assert(sub.contains("partial_min") || sub.contains("partial_count"),
+      s"d14 keeper agg must combine map-side:\n$sub")
+  }
+
   test("training steps hash-aggregate their argmins (no SortAggregate fallback)") {
     // min(struct(decimal, ...)) silently planned as SortAggregate +
     // full Sort over the pair stream (measured 2x on e17) — the

@@ -280,4 +280,35 @@ class TsModelsSpec extends SparkTestBase {
     // the corpus must actually exercise the rule: some user flags
     assert(expected.map(_._5).sum > 0, "no anomalies anywhere — vacuous corpus")
   }
+
+  test("c58 last-touch attribution matches the in-memory reference fold") {
+    val ks = Tables.events(spark, sfDir)
+      .selectExpr("event_id", "CAST(get_json_object(props, '$.k') AS INT) AS k")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def channelOf(k: Int) = (k % 4) match {
+      case 0 => "organic"; case 1 => "email"; case 2 => "social"; case _ => "ads"
+    }
+    val expected = events.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val ordered = es.sortBy(e => (e._2, e._3))
+      var lastClick: Option[(String, Long)] = None
+      ordered.flatMap { case (_, ts, id, typ, v) =>
+        val out = if (typ == "purchase") {
+          val ch = lastClick match {
+            case Some((c, cts)) if ts - cts <= 7L * 86400000L => c
+            case _ => "direct"
+          }
+          Some((ch, roundHalfUp(v * 100)))
+        } else None
+        if (typ == "click") lastClick = Some((channelOf(ks(id)), ts))
+        out
+      }
+    }.groupBy(_._1).map { case (c, g) => (c, g.length.toLong, g.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+    val got = AnalyticsTs.qAttribution(spark, sfDir).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got == expected)
+    // both the window rule and the fallback must actually fire
+    assert(expected.exists(_._1 == "direct") && expected.exists(_._1 != "direct"),
+      "corpus exercises only one attribution path — vacuous")
+  }
 }
