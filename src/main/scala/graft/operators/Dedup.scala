@@ -1122,6 +1122,19 @@ object Dedup {
     * MAP-ONLY normalization chain (codegen'd string fns) followed by
     * ONE canonical-key agg (count + min-event keeper, map-side
     * combined: a million-refs hot URL never concentrates). */
+  /** d15's canonicalization chain as a reusable Column (lowercase
+    * scheme, strip fragment, drop utm_ tracking param, trim trailing
+    * slash) — shared by the batch dedup and the h22 streaming
+    * frontier guard. Codegen'd string functions, map-only. */
+  private[graft] def canonicalUrl(raw: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val lowered = concat(lower(substring(raw, 1, 5)), raw.substr(lit(6), length(raw)))
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(lowered, "#.*$", ""),
+        "\\?utm_source=email&", "?"),
+      "/$", "")
+  }
+
   def qDedupUrl(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "events")
       .select(col("event_id"), col("user_id"))
@@ -1136,10 +1149,7 @@ object Dedup {
             concat(lit("?id="), (col("event_id") % 7).cast("string")))
           .when(col("event_id") % 5 === 4, lit("#sec2"))
           .otherwise(lit(""))))
-      .withColumn("canon",
-        regexp_replace(
-          expr("replace(regexp_replace(concat(lower(substring(raw, 1, 5)), substring(raw, 6)), '#.*$', ''), '?utm_source=email&', '?')"),
-          "/$", ""))
+      .withColumn("canon", canonicalUrl(col("raw")))
     e.groupBy("canon")
       .agg(count(lit(1)).as("n_refs"),
         countDistinct(col("raw")).as("n_raw_forms"),

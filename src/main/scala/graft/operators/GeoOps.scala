@@ -95,12 +95,14 @@ object GeoOps {
     val yt = greatest(least(
       floor((lit(1.0) - log(tan(radians(latc)) + lit(1.0) / cos(radians(latc))) / math.Pi) / 2.0 * n),
       lit(n - 1)), lit(0)).cast("int")
-    e.select(col("event_id"), col("event_type"), xt.as("xt"), yt.as("yt"))
+    e.select(col("event_id"), col("event_type"), col("user_id"),
+      lon.as("lon"), lat.as("lat"), xt.as("xt"), yt.as("yt"))
   }
 
   private def tiledSql(z: Int): String = {
     val n = math.pow(2, z).toInt
-    s"""SELECT event_id, event_type,
+    s"""SELECT event_id, event_type, user_id,
+        (${Synth.lonSql}) AS lon, (${Synth.latSql}) AS lat,
         CAST(LEAST(FLOOR(((${Synth.lonSql}) + 180.0) / 360.0 * $n), ${n - 1}) AS INT) AS xt,
         CAST(GREATEST(LEAST(FLOOR((1.0 - ln(tan(radians(GREATEST(LEAST(${Synth.latSql}, 85.05112878), -85.05112878)))
           + 1.0 / cos(radians(GREATEST(LEAST(${Synth.latSql}, 85.05112878), -85.05112878)))) / pi()) / 2.0 * $n),
@@ -947,6 +949,67 @@ object GeoOps {
         CAST(cny AS DOUBLE) / (area2_u * 3) AS centroid_dy_u
       FROM m ORDER BY poly_id"""
 
+  /** b28 — the reference's VECTOR PATH end-to-end as ONE declarative
+    * plan (the B-family twin of f28's curation capstone): route the
+    * upload backlog (a2's format CASE — only vector formats proceed,
+    * ingest.py:244-247), tile every surviving feature (b3, z=8),
+    * build per-layer tilestats (b4), extent (b6), and the -zg zoom
+    * guess (b5), and emit one manifest row per layer with its
+    * datasets/ destination (a4's rewrite) — what processing.py does
+    * with ogr2ogr + tippecanoe per file, here for the whole backlog
+    * in one Catalyst plan. Every stage reuses its individually
+    * oracle-gated component's arithmetic verbatim, and the
+    * composition itself is oracle-gated. Shape: routing and tiling
+    * are map-only over one events scan; the tile agg shuffles on
+    * (layer, x, y) and the layer rollup re-shuffles the BOUNDED tile
+    * summary on layer — two shuffles, the second over data whose size
+    * is the tile count, not the feature count. */
+  def qGeoE2e(spark: SparkSession, dir: String): DataFrame = {
+    val ext = Synth.ext(col("event_id"))
+    val vec = tiled(spark, dir, 8)
+      .withColumn("route",
+        when(ext.isin(".gpkg", ".geojson", ".gdb", ".fgb", ".shp", ".mbtiles"),
+          "pmtiles").otherwise("other"))
+      .filter(col("route") === "pmtiles")
+    val tileStats = vec.groupBy("user_id", "xt", "yt")
+      .agg(count(lit(1)).as("cnt"),
+        min("lon").as("mnlon"), max("lon").as("mxlon"),
+        min("lat").as("mnlat"), max("lat").as("mxlat"))
+    tileStats.groupBy("user_id")
+      .agg(sum("cnt").as("n_features"),
+        count(lit(1)).as("n_tiles"),
+        max("cnt").as("max_tile_features"),
+        min("mnlon").as("min_lon"), max("mxlon").as("max_lon"),
+        min("mnlat").as("min_lat"), max("mxlat").as("max_lat"))
+      .withColumn("zoom_guess",
+        expr("least(22, (length(bin(n_features)) + 1) div 2)").cast("int"))
+      .withColumn("dst_path",
+        concat(lit("datasets/user"), col("user_id").cast("string"),
+          lit("/layer.pmtiles")))
+      .orderBy("user_id")
+  }
+
+  val qGeoE2eSql: String = {
+    val ext = Synth.extSql
+    s"""WITH t AS (${tiledSql(8)}),
+      vec AS (
+        SELECT * FROM t
+        WHERE ($ext) IN ('.gpkg','.geojson','.gdb','.fgb','.shp','.mbtiles')),
+      ts AS (
+        SELECT user_id, xt, yt, COUNT(*) AS cnt,
+          MIN(lon) AS mnlon, MAX(lon) AS mxlon,
+          MIN(lat) AS mnlat, MAX(lat) AS mxlat
+        FROM vec GROUP BY user_id, xt, yt)
+      SELECT user_id, CAST(SUM(cnt) AS BIGINT) AS n_features,
+        CAST(COUNT(*) AS BIGINT) AS n_tiles,
+        MAX(cnt) AS max_tile_features,
+        MIN(mnlon) AS min_lon, MAX(mxlon) AS max_lon,
+        MIN(mnlat) AS min_lat, MAX(mxlat) AS max_lat,
+        CAST(LEAST(22, (length(bin(CAST(SUM(cnt) AS BIGINT))) + 1) // 2) AS INT) AS zoom_guess,
+        'datasets/user' || CAST(user_id AS VARCHAR) || '/layer.pmtiles' AS dst_path
+      FROM ts GROUP BY user_id ORDER BY user_id"""
+  }
+
   /** b27 — CHANGED-TILE planning (incremental re-tiling): after an
     * ingest batch deletes some features (event_id % 97) and moves
     * others (event_id % 89 → 3 tiles east, integer tile-space move so
@@ -1060,6 +1123,7 @@ object GeoOps {
        FROM p GROUP BY 1, 2 ORDER BY cx_mdeg, cy_mdeg"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_geo_e2e" -> (qGeoE2e _),
     "q_tile_diff" -> (qTileDiff _),
     "q_hex_bin" -> (qHexBin _),
     "q_polygon_metrics" -> (qPolygonMetrics _),
@@ -1090,6 +1154,7 @@ object GeoOps {
     "q_cog_layout" -> (qCogLayout _))
 
   val oracles: Map[String, String] = Map(
+    "q_geo_e2e" -> qGeoE2eSql,
     "q_tile_diff" -> qTileDiffSql,
     "q_hex_bin" -> qHexBinSql,
     "q_polygon_metrics" -> qPolygonMetricsSql,

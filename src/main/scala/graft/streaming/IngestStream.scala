@@ -214,6 +214,26 @@ object IngestStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("contentKey")
 
+  /** h22 — streaming crawl-frontier URL guard: d15's canonicalizer
+    * composed IN-STREAM with the h5 bounded-state dedup. Arriving URL
+    * references (`raw`, event-time ms) canonicalize MAP-SIDE (the
+    * same codegen'd chain as the batch d15 — scheme case, fragments,
+    * utm_ params, trailing slash), then
+    * `dropDuplicatesWithinWatermark` on the canonical key admits only
+    * the FIRST reference per resource within the event-time horizon —
+    * variant spellings of one URL arriving across micro-batches never
+    * reach the fetcher twice, state stays bounded by the watermark,
+    * and beyond the horizon the batch d15 owns dedup (h11's division
+    * of labor). Output keeps both forms: the admitted raw spelling
+    * plus its canonical key, which is what the frontier stores. */
+  def streamingUrlGuard(refs: DataFrame): DataFrame =
+    refs
+      .withColumn("canon", graft.operators.Dedup.canonicalUrl(col("raw")))
+      .withColumn("ts", timestamp_millis(col("eventTimeMs")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("canon")
+      .select(col("canon"), col("raw"), col("ts"))
+
   /** h6 — native session windows: gap-based sessions (30 min
     * inactivity closes a session) via session_window — the streaming
     * twin of the batch c8 lag+cumsum sessionize. Sessions finalize

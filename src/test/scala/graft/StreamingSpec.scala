@@ -241,6 +241,38 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("h22: the streaming URL guard admits one spelling per canonical resource") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val query = IngestStream.streamingUrlGuard(
+        input.toDF().toDF("raw", "eventTimeMs"))
+      .writeStream.format("memory").queryName("url_guard")
+      .outputMode(OutputMode.Append()).start()
+    val u = "https://acct.blob.core.windows.net/userdata/user7/raw/file_0.gpkg"
+    try {
+      // four spellings of ONE resource across two micro-batches + one
+      // genuinely different resource
+      input.addData((u, 1000L), (u + "/", 2000L))
+      query.processAllAvailable()
+      input.addData(("HTTPS" + u.substring(5) + "#sec2", 3000L),
+        (u + "?utm_source=email&id=3", 4000L),
+        (u + "?id=9", 5000L))
+      query.processAllAvailable()
+      val got = spark.table("url_guard").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      // canon groups: u (3 spellings -> first raw admitted), u?id=3
+      // (the tracking-param variant canonicalizes onto the clean
+      // param form), u?id=9 (distinct resource)
+      assert(got.length == 3, got.mkString("; "))
+      val byCanon = got.toMap
+      assert(byCanon(u) == u, "first spelling must be the admitted one")
+      assert(byCanon(u + "?id=3") == u + "?utm_source=email&id=3",
+        "tracking variant must be admitted under its canonical key")
+      assert(byCanon.contains(u + "?id=9"))
+    } finally query.stop()
+  }
+
   test("h1 on RocksDB: the state machine runs unchanged on the production state store") {
     // local tests default to the in-memory HDFS-backed store; a 100 TB
     // stream keys state by asset url and MUST run on RocksDB (state
