@@ -571,7 +571,57 @@ object AnalyticsTs {
          CAST(SUM(v_cents) AS BIGINT) AS revenue_cents
        FROM p GROUP BY channel ORDER BY channel"""
 
+  // c59 — rolling 7-day active users + stickiness (DAU / rolling MAU,
+  // the product-analytics health metric): activity collapses to
+  // DISTINCT (user, day) first (event volume exits immediately), each
+  // activity day then CONTRIBUTES to the 7 windows ending on
+  // day..day+6 via a map-only explode, and a second distinct over
+  // (user, window-day) counts each user once per window no matter how
+  // many active days fall inside it. EXACT rolling distinct — a
+  // windowed SUM of daily counts would double-count multi-day users;
+  // this is the explode-×7 formulation whose cost is 7× the ACTIVITY
+  // table (users × active days), never 7× events. Stickiness = one
+  // rounded division per output day; days with rolling coverage but
+  // no direct activity emit dau = 0. At extreme user cardinality the
+  // same rolling union reads off c51's mergeable KMV sketches
+  // (k-smallest-of-merge) instead of the exact distinct — the
+  // documented swap, not needed at exactness-feasible scales.
+  def qRollingActive(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.events(spark, dir)
+      .select(col("user_id"),
+        (unix_millis(col("ts")) / 86400000L).cast("long").as("day"))
+      .distinct()
+    val maxDay = a.agg(max(col("day")).as("maxd"))
+    val windows = a
+      .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("wd"))
+      .distinct()
+      .crossJoin(broadcast(maxDay))
+      .filter(col("wd") <= col("maxd"))
+    val mau = windows.groupBy("wd").agg(count(lit(1)).as("mau7"))
+    val dau = a.groupBy("day").agg(count(lit(1)).as("dau"))
+    mau.join(dau, mau("wd") === dau("day"), "left_outer")
+      .select(col("wd").as("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"), col("mau7"))
+      .withColumn("stickiness",
+        round(col("dau").cast("double") / col("mau7"), 6))
+      .orderBy("day")
+  }
+
+  val qRollingActiveSql: String =
+    """WITH a AS (
+         SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+       ), off AS (SELECT unnest(generate_series(0, 6)) AS o),
+       w AS (SELECT DISTINCT user_id, day + o AS wd FROM a, off),
+       mx AS (SELECT MAX(day) AS maxd FROM a),
+       mau AS (SELECT wd, COUNT(*) AS mau7 FROM w, mx WHERE wd <= maxd GROUP BY wd),
+       dau AS (SELECT day AS dday, COUNT(*) AS dau FROM a GROUP BY day)
+       SELECT wd AS day, CAST(COALESCE(dau, 0) AS BIGINT) AS dau,
+         CAST(mau7 AS BIGINT) AS mau7,
+         round(CAST(COALESCE(dau, 0) AS DOUBLE) / mau7, 6) AS stickiness
+       FROM mau LEFT JOIN dau ON dday = wd ORDER BY day"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rolling_active" -> (qRollingActive _),
     "q_attribution" -> (qAttribution _),
     "q_anomaly" -> (qAnomaly _),
     "q_trend" -> (qTrend _),
@@ -583,6 +633,7 @@ object AnalyticsTs {
     "q_next_event_markov" -> (qNextEventMarkov _))
 
   val oracles: Map[String, String] = Map(
+    "q_rolling_active" -> qRollingActiveSql,
     "q_attribution" -> qAttributionSql,
     "q_anomaly" -> qAnomalySql,
     "q_trend" -> qTrendSql,

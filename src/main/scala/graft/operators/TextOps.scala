@@ -922,7 +922,54 @@ object TextOps {
         round(CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS novelty
       FROM inv JOIN f USING (sid) GROUP BY doc_id ORDER BY doc_id"""
 
+  /** f29 — temperature-resampled language mixing (the mT5/XLM-R
+    * recipe: sample language l with probability ∝ p_l^α, α < 1, so
+    * low-resource languages are up-weighted without drowning the head
+    * — Conneau et al. 2020 §3.1, Xue et al. 2021 §3.2). α = 1/2 here,
+    * deliberately: p^0.5 is ONE IEEE sqrt — correctly rounded on
+    * every platform — where a general pow(x, 0.3) is not guaranteed
+    * bit-identical across engines (the same class of trap as the
+    * Spark-vs-DuckDB round() divergence d11 hit). Cost shape: one
+    * map-only token count, one bounded per-lang agg, a 1-row total
+    * broadcast, one rounded division per language; the 1M-token
+    * budget allocation is floor(budget·rate) — integer output. */
+  def qLangMix(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+    // w quantizes to integer micro-units BEFORE the total: a double
+    // Σ√n is summation-order-dependent (engines may differ in the
+    // last ulp, and floor(budget·w/tw) sits on that edge); integer
+    // sums are order-free, and wq/tw is then one deterministic
+    // division of two exact integers
+    val perLang = d.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .withColumn("wq",
+        floor(sqrt(col("n_tokens").cast("double")) * lit(1e6)).cast("long"))
+    val total = perLang.agg(sum(col("wq")).as("tw"))
+    perLang.crossJoin(broadcast(total))
+      .withColumn("rate", round(col("wq").cast("double") / col("tw"), 6))
+      .withColumn("sample_tokens",
+        floor(lit(1000000.0) * col("wq") / col("tw")).cast("long"))
+      .select("lang", "n_docs", "n_tokens", "rate", "sample_tokens")
+      .orderBy("lang")
+  }
+
+  val qLangMixSql: String =
+    """WITH d AS (
+         SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         FROM documents
+       ), pl AS (
+         SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(FLOOR(sqrt(CAST(SUM(n_tok) AS DOUBLE)) * 1e6) AS BIGINT) AS wq
+         FROM d GROUP BY lang
+       ), t AS (SELECT CAST(SUM(wq) AS BIGINT) AS tw FROM pl)
+       SELECT lang, n_docs, n_tokens, round(CAST(wq AS DOUBLE) / tw, 6) AS rate,
+         CAST(FLOOR(1000000.0 * wq / tw) AS BIGINT) AS sample_tokens
+       FROM pl, t ORDER BY lang"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lang_mix" -> (qLangMix _),
     "q_ngram_novelty" -> (qNgramNovelty _),
     "q_lm_backoff" -> (qLmBackoff _),
     "q_tfidf" -> (qTfidf _),
@@ -947,6 +994,7 @@ object TextOps {
     "q_fingerprint" -> (qFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q_lang_mix" -> qLangMixSql,
     "q_ngram_novelty" -> qNgramNoveltySql,
     "q_lm_backoff" -> qLmBackoffSql,
     "q_tfidf" -> qTfidfSql,

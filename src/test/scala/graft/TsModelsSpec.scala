@@ -311,4 +311,40 @@ class TsModelsSpec extends SparkTestBase {
     assert(expected.exists(_._1 == "direct") && expected.exists(_._1 != "direct"),
       "corpus exercises only one attribution path — vacuous")
   }
+
+  test("c59 rolling active users match the in-memory 7-day-window reference") {
+    val activity = events.map { case (u, ts, _, _, _) => (u, ts / 86400000L) }.distinct
+    val maxd = activity.map(_._2).max
+    val expected = activity.flatMap { case (u, d) => (d to math.min(d + 6, maxd)).map(wd => (u, wd)) }
+      .distinct.groupBy(_._2).toSeq.map { case (wd, g) =>
+        val dau = activity.count(_._2 == wd).toLong
+        (wd, dau, g.length.toLong)
+      }.sortBy(_._1)
+    val got = AnalyticsTs.qRollingActive(spark, sfDir).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got == expected)
+    assert(expected.forall { case (_, dau, mau) => mau >= dau },
+      "a rolling window can never hold fewer users than its last day")
+  }
+
+  test("f29 temperature mix upweights the tail and respects the budget") {
+    val rows = operators.TextOps.qLangMix(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(rows.length >= 2)
+    assert(rows.map(_._4).sum <= 1000000L, "budget allocation must not exceed the budget")
+    // α = 1/2 flattens RATIOS, not absolute shares: ordering by tokens
+    // is preserved, and any pair's sampling ratio is the square root
+    // of its token ratio — so the tail:head ratio strictly improves
+    val byTok = rows.sortBy(_._2)
+    assert(byTok.map(_._1).toSeq == rows.sortBy(_._3).map(_._1).toSeq,
+      "temperature resampling must preserve the language ordering")
+    val (tail, head) = (byTok.head, byTok.last)
+    if (tail._2 < head._2) {
+      val rawRatio = tail._2.toDouble / head._2
+      val rateRatio = tail._3 / head._3
+      assert(rateRatio > rawRatio + 1e-9 &&
+          math.abs(rateRatio - math.sqrt(rawRatio)) < 1e-3,
+        s"tail:head went $rawRatio -> $rateRatio, want ≈ sqrt = ${math.sqrt(rawRatio)}")
+    }
+  }
 }
