@@ -1107,6 +1107,67 @@ object Dedup {
       FROM victims v JOIN assigned a ON a.vec_id = v.vec_id
       ORDER BY v.vec_id"""
 
+  /** d16 — PageRank over the verified near-dup graph (the authority
+    * signal for canonical selection: in a link-free corpus the
+    * near-dup GRAPH is the only structure, and a highly-ranked node —
+    * one many near-copies point at, directly or through chains — is
+    * the natural keep; d7 keys on per-doc quality, d16 on graph
+    * centrality, production dedup uses both). 8 damped iterations
+    * (d = 0.85) ENTIRELY in integer micro-units: ranks start at 10⁶,
+    * each step is r' = 150000 + (850000·Σ⌊r(u)/deg(u)⌋) div 10⁶ —
+    * every division floors, so the fixed iteration count yields
+    * bit-identical ranks in any engine (e16's exact-integer
+    * power-chain argument; the DuckDB oracle replays the same 8 steps
+    * as MATERIALIZED CTEs). Driver loop is control-only (d6's CC
+    * pattern): per iteration ONE join + ONE agg over the edge list,
+    * lineage checkpointed every 4 rounds; at 100 TB the edge list is
+    * the d2 pair graph you already persisted. Undirected ⇒ no
+    * dangling nodes. */
+  def qDedupPagerank(spark: SparkSession, dir: String): DataFrame =
+    pagerankOf(minhashPairs(spark, dir).select("doc_a", "doc_b"))
+
+  /** d16 core over any (doc_a, doc_b) undirected pair frame — the
+    * spec drives hand-built graphs against an in-memory replay of the
+    * same integer recurrence. */
+  private[graft] def pagerankOf(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val out = edges.join(deg, "src")
+    var rank = deg.select(col("src").as("id"), lit(1000000L).as("r"))
+    for (i <- 1 to 8) {
+      rank = out.join(rank, out("src") === rank("id"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("s"))
+        .select(col("dst").as("id"),
+          (lit(150000L) + expr("(850000 * s) div 1000000")).as("r"))
+      if (i % 4 == 0) rank = rank.localCheckpoint(true)
+    }
+    rank.join(deg, rank("id") === deg("src"))
+      .select(col("id").as("doc_id"), col("r").as("rank_micro"), col("deg"))
+      .orderBy(col("rank_micro").desc, col("doc_id"))
+  }
+
+  val qDedupPagerankSql: String = {
+    val iters = (1 to 8).map { i =>
+      s"""r$i AS MATERIALIZED (
+        SELECT e.dst AS id,
+          CAST(150000 + (850000 * CAST(SUM(r.r // d.deg) AS BIGINT)) // 1000000 AS BIGINT) AS r
+        FROM edges e JOIN r${i - 1} r ON e.src = r.id JOIN deg d ON d.src = e.src
+        GROUP BY e.dst)"""
+    }.mkString(",\n      ")
+    s"""WITH mp AS MATERIALIZED (SELECT doc_a, doc_b FROM ($qDedupMinhashSql) q),
+      edges AS MATERIALIZED (
+        SELECT doc_a AS src, doc_b AS dst FROM mp
+        UNION ALL SELECT doc_b, doc_a FROM mp),
+      deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+      r0 AS MATERIALIZED (SELECT src AS id, CAST(1000000 AS BIGINT) AS r FROM deg),
+      $iters
+      SELECT r8.id AS doc_id, r8.r AS rank_micro, d.deg AS deg
+      FROM r8 JOIN deg d ON d.src = r8.id
+      ORDER BY rank_micro DESC, doc_id"""
+  }
+
   /** d15 — URL-canonicalization dedup (the crawl pipeline's FIRST
     * dedup pass, upstream of any content hashing: the same resource
     * is referenced under scheme-case variants, trailing slashes,
@@ -1297,6 +1358,7 @@ object Dedup {
       FROM tc GROUP BY doc_id ORDER BY doc_id"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_pagerank" -> (qDedupPagerank _),
     "q_dedup_url" -> (qDedupUrl _),
     "q_dedup_substring" -> (qDedupSubstring _),
     "q_dedup_semantic" -> (qDedupSemantic _),
@@ -1315,6 +1377,7 @@ object Dedup {
     "q_dedup_embedding" -> (qDedupEmbedding _))
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_pagerank" -> qDedupPagerankSql,
     "q_dedup_url" -> qDedupUrlSql,
     "q_dedup_substring" -> qDedupSubstringSql,
     "q_dedup_semantic" -> qDedupSemanticSql,

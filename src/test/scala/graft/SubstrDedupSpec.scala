@@ -68,4 +68,30 @@ class SubstrDedupSpec extends SparkTestBase {
     val bad = out.filter(col("n_tokens") =!= col("n_removed") + col("resplit")).count()
     assert(bad == 0, s"$bad docs lost tokens in reassembly")
   }
+
+  test("d16 pagerank: the distributed ranks replay the integer recurrence exactly") {
+    import spark.implicits._
+    // barbell: two triangles bridged through node 3-4 — bridge nodes
+    // have degree 3, others 2, so ranks must separate deterministically
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val got = Dedup.pagerankOf(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // in-memory replay of the same recurrence
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L))
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.length.toLong }
+    var r = deg.map { case (n, _) => n -> 1000000L }
+    for (_ <- 1 to 8) {
+      val contrib = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => r(u) / deg(u) }.sum
+      }
+      r = r.map { case (n, _) => n -> (150000L + 850000L * contrib(n) / 1000000L) }
+    }
+    assert(got.view.mapValues(_._1).toMap == r, "distributed ranks diverged from the replay")
+    // centrality: the bridge nodes (3, 4) outrank every degree-2 node
+    val bridge = math.min(r(3L), r(4L))
+    assert(Seq(1L, 2L, 5L, 6L).forall(n => r(n) < bridge),
+      "bridge nodes must carry the highest authority")
+  }
 }

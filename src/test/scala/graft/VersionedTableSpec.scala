@@ -84,6 +84,33 @@ class VersionedTableSpec extends SparkTestBase {
     intercept[Exception] { VersionedTable.read(spark, path, Some(2L)).collect() }
   }
 
+  test("i10 under contention: 8 racing writers all land, in distinct versions, losing no rows") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("vtable_race").toString
+    // 8 threads append concurrently; every CAS loser must retry the
+    // MANIFEST ONLY and still land its already-written data files
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val results = (0 until 8).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = VersionedTable.commit(spark, path,
+          (0L until 10L).map(k => (i * 100L + k, s"w$i-$k")).toDF("key", "val"))
+      })
+    }
+    val versions = results.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(versions.sorted == (1L to 8L), s"versions collided: $versions")
+    val finalRows = rows(VersionedTable.read(spark, path))
+    val want = (0 until 8).flatMap(i =>
+      (0L until 10L).map(k => (i * 100L + k, s"w$i-$k"))).toSet
+    assert(finalRows == want, "a racing writer's rows were lost")
+    // every intermediate snapshot is a strict superset chain
+    (1L to 7L).foreach { v =>
+      assert(rows(VersionedTable.read(spark, path, Some(v)))
+        .subsetOf(rows(VersionedTable.read(spark, path, Some(v + 1)))),
+        s"v$v is not contained in v${v + 1}")
+    }
+  }
+
   test("i13: drainChanges delivers every version's delta exactly once across a crash") {
     import spark.implicits._
     import graft.sources.DatasetsSink
