@@ -481,6 +481,99 @@ object Media {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** One decoded + perceptually-hashed image with its batch context. */
+  case class DecodedHashed(doc_id: Long, batch_id: Long, batch_items: Int,
+    width: Int, height: Int, c0: Int, c1: Int, c2: Int, c3: Int)
+
+  /** g11 — the MEDIA INGEST PATH end-to-end as one pipeline (the
+    * G-family capstone next to f28/b28/h13): route images by mime
+    * (g1's sniff class) → the re-upload stream arrives (g8's planted
+    * byte-copies and pixel nudges — the scenario media dedup exists
+    * for) → g5's bounded-byte batch plan over the ARRIVED stream →
+    * one decoder session per planned batch (g6's consecutive-run
+    * mapPartitions contract) → 64-bit dHash at decode time → g8's
+    * pigeonhole block join → a per-image VERDICT: keeper, or dup of
+    * the earliest perceptual match. Every stage is the gated
+    * component's machinery verbatim; what g11 adds is the
+    * composition — hashes come out of the SAME decode pass that
+    * produced the features (decode once, never re-decode for dedup),
+    * and the dedup verdict joins back to batch provenance. Rows-only
+    * (real codec); MediaE2eSpec gates pair parity with g8, planted
+    * copies flagged, and batch sizes within budget. */
+  def qMediaE2e(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val budget = 4096L
+    val d = Tables(spark, dir, "documents")
+    val isImage = ascii(substring(col("text"), 1, 1)).between(97, 104)
+    // arrival stream: originals + g8's deterministic re-uploads
+    val arrivals = Tables.fanout(d.filter(isImage).select(col("doc_id"), col("text")))
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        val orig = (id, id, payload)
+        if (id % 5 == 0) orig :: ((id + PhashVariantOffset, id, payload)) :: Nil
+        else if (id % 5 == 1 && payload.length > 0) {
+          val nudged = payload.clone()
+          val i = 20 % nudged.length
+          nudged(i) = (nudged(i) + 1).toByte
+          orig :: ((id + PhashVariantOffset, id, nudged)) :: Nil
+        } else orig :: Nil
+      }.toDF("doc_id", "src_id", "payload")
+    // g5's packing window over the arrived stream
+    val w = Window.partitionBy("mime").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val planned = arrivals
+      .withColumn("mime", lit("image/fake-png"))
+      .withColumn("nbytes", length(col("payload")).cast("long"))
+      .withColumn("cum", sum(col("nbytes")).over(w))
+      .withColumn("batch_id", expr(s"(cum - 1) div $budget").cast("long"))
+    val decoded = planned.repartition(col("batch_id"))
+      .sortWithinPartitions("batch_id", "doc_id")
+      .select(col("batch_id"), col("doc_id"), col("src_id"), col("payload"))
+      .as[(Long, Long, Long, Array[Byte])]
+      .mapPartitions { it =>
+        val buf = it.buffered
+        val batches = new Iterator[Seq[(Long, Long, Long, Array[Byte])]] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): Seq[(Long, Long, Long, Array[Byte])] = {
+            val bid = buf.head._1
+            val b = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Array[Byte])]
+            while (buf.hasNext && buf.head._1 == bid) b += buf.next()
+            b.toSeq
+          }
+        }
+        batches.flatMap { batch =>
+          batch.map { case (bid, id, srcId, payload) =>
+            // one codec session per batch; the PNG is encoded from the
+            // SOURCE image id so a re-upload is pixel-identical
+            val png = ImageCodec.encodePng(srcId, payload)
+            val (wid, hei, _) = ImageCodec.decode(png)
+            val ch = ImageCodec.dhash(png)
+            DecodedHashed(id, bid, batch.size, wid, hei, ch(0), ch(1), ch(2), ch(3))
+          }
+        }
+      }.toDF().localCheckpoint(false)
+    // g8's pigeonhole dedup over the decode output
+    val blocks = decoded.withColumn("idx", explode(sequence(lit(0), lit(3))))
+      .withColumn("chunk",
+        element_at(array(col("c0"), col("c1"), col("c2"), col("c3")), col("idx") + 1))
+      .select("doc_id", "idx", "chunk", "c0", "c1", "c2", "c3")
+    val pairs = blocks.as("x").join(blocks.as("y"),
+        col("x.idx") === col("y.idx") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .filter(expr("bit_count(x.c0 ^ y.c0) + bit_count(x.c1 ^ y.c1) + " +
+        "bit_count(x.c2 ^ y.c2) + bit_count(x.c3 ^ y.c3)") <= 3)
+      .select(col("x.doc_id").as("dup_of"), col("y.doc_id").as("doc_id"))
+      .groupBy("doc_id").agg(min(col("dup_of")).as("dup_of"))
+    decoded.join(pairs, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("batch_id"), col("batch_items"),
+        col("width"), col("height"),
+        col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
+      .orderBy("doc_id")
+  }
+
   /** One perceptually-hashed video frame. */
   case class FrameHash(doc_id: Long, frame_idx: Int, frames: Int,
     c0: Int, c1: Int, c2: Int, c3: Int)
@@ -661,6 +754,7 @@ object Media {
       ORDER BY doc_a, doc_b, dt"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_media_e2e" -> (qMediaE2e _),
     "q_audio_fingerprint" -> (qAudioFingerprint _),
     "q_shot_detect" -> (qShotDetect _),
     "q_phash_dedup" -> (qPhashDedup _),
@@ -672,12 +766,12 @@ object Media {
     "q_resize_plan" -> (qResizePlan _),
     "q_decode_batches" -> (qDecodeBatches _))
 
-  /** q_media_pipeline, q_media_batched, q_phash_dedup and
-    * q_shot_detect intentionally have no oracle (a PNG codec
+  /** q_media_pipeline, q_media_batched, q_phash_dedup, q_shot_detect
+    * and q_media_e2e intentionally have no oracle (a PNG codec
     * round-trip is not SQL-expressible) → driver records a rows-only
     * check; the specs gate them with golden-pixel,
-    * g2-parity/g5-parity, golden-hash, exact-dup-recall and
-    * planted-scene-recovery assertions. */
+    * g2-parity/g5-parity, golden-hash, exact-dup-recall,
+    * planted-scene-recovery and g8-pair-parity assertions. */
   val oracles: Map[String, String] = Map(
     "q_audio_frames" -> qAudioFramesSql,
     "q_audio_fingerprint" -> qAudioFingerprintSql,

