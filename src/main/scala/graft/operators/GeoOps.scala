@@ -1010,6 +1010,115 @@ object GeoOps {
       FROM ts GROUP BY user_id ORDER BY user_id"""
   }
 
+  /** b29 — the reference's RASTER PATH end-to-end as ONE declarative
+    * plan (b28's vector twin; together they cover both sides of
+    * ingest.py's double-open): route COG-bound formats (a2's CASE on
+    * the extension class) → b14's colorinterp probe decides multiband
+    * vs per-band fan-out → one output per band (or one RGB composite)
+    * with a4's COG naming → b11's 256-px block grid / BIGTIFF /
+    * overview-count layout per OUTPUT → b9's pyramid accounting
+    * (blocks per 2× level, summed over the bounded level explode).
+    * Every derivation is the gated component's integer arithmetic
+    * verbatim; the composition is itself oracle-gated. Shape: map +
+    * two bounded explodes (bands, levels ≤ 7) + one agg — per-file
+    * work is O(bands + levels), the whole backlog plans in one pass
+    * (processing.py:469-553 does this file-at-a-time under GDAL). */
+  def qRasterE2e(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir, "part")
+      .filter(col("p_partkey") % 10 <= 2) // a2: .tif/.tiff/.nc → cog route
+      .select(col("p_partkey"),
+        ((col("p_partkey") * 7919L) % 20000L + 256L).as("width"),
+        ((col("p_partkey") * 104729L) % 20000L + 256L).as("height"),
+        (col("p_size") % 6 + 1).as("nbands"),
+        (col("p_partkey") % 5 === 0).as("has_photometric"))
+    val probed = p
+      .withColumn("b", explode(sequence(lit(1), col("nbands"))))
+      .withColumn("ci", (col("p_partkey") * 13 + col("b")) % 17)
+      .groupBy("p_partkey", "width", "height", "nbands", "has_photometric")
+      .agg(max(col("ci")).as("max_ci"))
+      .withColumn("plan",
+        when(col("max_ci") >= 3 || col("has_photometric"), "multiband")
+          .otherwise("per-band"))
+      .withColumn("n_outputs",
+        when(col("plan") === "multiband", 1).otherwise(col("nbands")))
+    val outputs = probed
+      .withColumn("out_idx", explode(sequence(lit(1), col("n_outputs"))))
+      .withColumn("dst_name",
+        when(col("plan") === "multiband",
+          concat(lit("cog_"), col("p_partkey").cast("string"), lit(".tif")))
+        .otherwise(concat(lit("cog_"), col("p_partkey").cast("string"),
+          lit("_band"), col("out_idx").cast("string"), lit(".tif"))))
+      .withColumn("bands_in_output",
+        when(col("plan") === "multiband", col("nbands")).otherwise(lit(1)))
+      .withColumn("blocks_x", expr("(width + 255) div 256"))
+      .withColumn("blocks_y", expr("(height + 255) div 256"))
+      .withColumn("nbytes",
+        col("width") * col("height") * col("bands_in_output") * 2L)
+      .withColumn("bigtiff", col("nbytes") > 4294967296L)
+      .withColumn("overviews",
+        length(expr("bin(greatest(width, height) div 256)")).cast("int"))
+    outputs
+      .withColumn("lvl", explode(sequence(lit(1), col("overviews"))))
+      .withColumn("lb",
+        expr("((blocks_x + shiftleft(1, lvl) - 1) div shiftleft(1, lvl)) * " +
+          "((blocks_y + shiftleft(1, lvl) - 1) div shiftleft(1, lvl))"))
+      .groupBy("p_partkey", "out_idx", "dst_name", "plan", "bands_in_output",
+        "blocks_x", "blocks_y", "bigtiff", "overviews")
+      .agg(sum(col("lb")).as("overview_blocks"))
+      .select(col("p_partkey"), col("out_idx"), col("dst_name"), col("plan"),
+        col("bands_in_output"),
+        (col("blocks_x") * col("blocks_y")).as("base_blocks"),
+        col("overviews"), col("overview_blocks"), col("bigtiff"))
+      .orderBy("p_partkey", "out_idx")
+  }
+
+  val qRasterE2eSql: String =
+    """WITH p AS (
+        SELECT p_partkey,
+          (p_partkey * 7919) % 20000 + 256 AS width,
+          (p_partkey * 104729) % 20000 + 256 AS height,
+          p_size % 6 + 1 AS nbands,
+          p_partkey % 5 = 0 AS has_photometric
+        FROM part WHERE p_partkey % 10 <= 2),
+      bands AS (
+        SELECT *, unnest(generate_series(1, nbands)) AS b FROM p),
+      probed AS (
+        SELECT p_partkey, width, height, nbands, has_photometric,
+          MAX((p_partkey * 13 + b) % 17) AS max_ci
+        FROM bands GROUP BY 1, 2, 3, 4, 5),
+      planned AS (
+        SELECT *,
+          CASE WHEN max_ci >= 3 OR has_photometric THEN 'multiband' ELSE 'per-band' END AS plan,
+          CASE WHEN max_ci >= 3 OR has_photometric THEN 1 ELSE nbands END AS n_outputs
+        FROM probed),
+      outputs AS (
+        SELECT *, unnest(generate_series(1, n_outputs)) AS out_idx FROM planned),
+      laid AS (
+        SELECT p_partkey, CAST(out_idx AS INT) AS out_idx,
+          CASE WHEN plan = 'multiband'
+            THEN 'cog_' || CAST(p_partkey AS VARCHAR) || '.tif'
+            ELSE 'cog_' || CAST(p_partkey AS VARCHAR) || '_band' || CAST(out_idx AS VARCHAR) || '.tif'
+          END AS dst_name,
+          plan,
+          CAST(CASE WHEN plan = 'multiband' THEN nbands ELSE 1 END AS INT) AS bands_in_output,
+          (width + 255) // 256 AS blocks_x, (height + 255) // 256 AS blocks_y,
+          width * height * (CASE WHEN plan = 'multiband' THEN nbands ELSE 1 END) * 2 > 4294967296 AS bigtiff,
+          CAST(length(bin(GREATEST(width, height) // 256)) AS INT) AS overviews
+        FROM outputs),
+      pyr AS (
+        SELECT *, unnest(generate_series(1, overviews)) AS lvl FROM laid),
+      lb AS (
+        SELECT *, ((blocks_x + (1 << lvl) - 1) // (1 << lvl)) *
+          ((blocks_y + (1 << lvl) - 1) // (1 << lvl)) AS lb
+        FROM pyr)
+      SELECT p_partkey, out_idx, dst_name, plan, bands_in_output,
+        blocks_x * blocks_y AS base_blocks, overviews,
+        CAST(SUM(lb) AS BIGINT) AS overview_blocks, bigtiff
+      FROM lb
+      GROUP BY p_partkey, out_idx, dst_name, plan, bands_in_output,
+        blocks_x, blocks_y, bigtiff, overviews
+      ORDER BY p_partkey, out_idx"""
+
   /** b27 — CHANGED-TILE planning (incremental re-tiling): after an
     * ingest batch deletes some features (event_id % 97) and moves
     * others (event_id % 89 → 3 tiles east, integer tile-space move so
@@ -1123,6 +1232,7 @@ object GeoOps {
        FROM p GROUP BY 1, 2 ORDER BY cx_mdeg, cy_mdeg"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_raster_e2e" -> (qRasterE2e _),
     "q_geo_e2e" -> (qGeoE2e _),
     "q_tile_diff" -> (qTileDiff _),
     "q_hex_bin" -> (qHexBin _),
@@ -1154,6 +1264,7 @@ object GeoOps {
     "q_cog_layout" -> (qCogLayout _))
 
   val oracles: Map[String, String] = Map(
+    "q_raster_e2e" -> qRasterE2eSql,
     "q_geo_e2e" -> qGeoE2eSql,
     "q_tile_diff" -> qTileDiffSql,
     "q_hex_bin" -> qHexBinSql,
