@@ -968,7 +968,74 @@ object TextOps {
          CAST(FLOOR(1000000.0 * wq / tw) AS BIGINT) AS sample_tokens
        FROM pl, t ORDER BY lang"""
 
+  /** f31 — PMI co-occurrence pairs (the word2vec/GloVe count pass:
+    * which token pairs co-occur within a ±4 window far beyond chance —
+    * collocations, multi-word entities, the distributional signal
+    * embedding trainers consume). Pairs come from FOUR lead() columns
+    * over one doc-keyed window exchange (never a position self-join);
+    * each unordered pair canonicalizes (least, greatest) so both
+    * directions aggregate together. PMI = ln C(a,b) + 2·ln N − ln P −
+    * ln C(a) − ln C(b), with EVERY ln quantized to integer micro-nats
+    * SEPARATELY (f18's trick, taken further: each ln's argument is an
+    * exact small integer, so each term is engine-free and the SUM is
+    * pure integer math — computing the ratio first would push the
+    * argument past 2⁵³ at corpus scale and let the last ulp drift
+    * cross-engine). Counts attach by token key — vocabulary-sized
+    * joins shuffle BY DESIGN (f21's rule); output is the bounded
+    * top-100 by (pmi, a, b) with a ≥ 5 count floor. */
+  def qPmiPairs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "w")))
+    val win = Window.partitionBy("doc_id").orderBy("i")
+    val pairs = toks
+      .withColumn("ls", array((1 to 4).map(k => lead(col("w"), k).over(win)): _*))
+      .select(col("w"), explode(expr("filter(ls, x -> x IS NOT NULL)")).as("v"))
+      .filter(col("w") =!= col("v"))
+      .select(least(col("w"), col("v")).as("a"), greatest(col("w"), col("v")).as("b"))
+    val pc = pairs.groupBy("a", "b").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= 5)
+    val uni = toks.groupBy("w").agg(count(lit(1)).as("cu"))
+    val totals = toks.agg(count(lit(1)).as("n"))
+      .crossJoin(pairs.agg(count(lit(1)).as("p")))
+    def mnats(c: org.apache.spark.sql.Column) =
+      round(log(c.cast("double")) * 1e6).cast("long")
+    pc.join(uni.select(col("w").as("a"), col("cu").as("ca")), "a")
+      .join(uni.select(col("w").as("b"), col("cu").as("cb")), "b")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi_micro",
+        mnats(col("n_pair")) + lit(2L) * mnats(col("n")) - mnats(col("p"))
+          - mnats(col("ca")) - mnats(col("cb")))
+      .select("a", "b", "n_pair", "pmi_micro")
+      .orderBy(col("pmi_micro").desc, col("a"), col("b"))
+      .limit(100)
+  }
+
+  val qPmiPairsSql: String =
+    """WITH t0 AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+          unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+        FROM documents),
+      leads AS (
+        SELECT w, lead(w, 1) OVER win AS l1, lead(w, 2) OVER win AS l2,
+          lead(w, 3) OVER win AS l3, lead(w, 4) OVER win AS l4
+        FROM t0 WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+      pairs AS (
+        SELECT LEAST(w, v) AS a, GREATEST(w, v) AS b FROM (
+          SELECT w, unnest([l1, l2, l3, l4]) AS v FROM leads) x
+        WHERE v IS NOT NULL AND w <> v),
+      pc AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_pair
+        FROM pairs GROUP BY a, b HAVING COUNT(*) >= 5),
+      uni AS (SELECT w, COUNT(*) AS cu FROM t0 GROUP BY w),
+      tot AS (SELECT (SELECT COUNT(*) FROM t0) AS n, (SELECT COUNT(*) FROM pairs) AS p)
+      SELECT a, b, n_pair,
+        CAST(round(ln(n_pair) * 1e6) + 2 * round(ln(n) * 1e6) - round(ln(p) * 1e6)
+          - round(ln(ua.cu) * 1e6) - round(ln(ub.cu) * 1e6) AS BIGINT) AS pmi_micro
+      FROM pc JOIN uni ua ON ua.w = a JOIN uni ub ON ub.w = b, tot
+      ORDER BY pmi_micro DESC, a, b LIMIT 100"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pmi_pairs" -> (qPmiPairs _),
     "q_lang_mix" -> (qLangMix _),
     "q_ngram_novelty" -> (qNgramNovelty _),
     "q_lm_backoff" -> (qLmBackoff _),
@@ -994,6 +1061,7 @@ object TextOps {
     "q_fingerprint" -> (qFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q_pmi_pairs" -> qPmiPairsSql,
     "q_lang_mix" -> qLangMixSql,
     "q_ngram_novelty" -> qNgramNoveltySql,
     "q_lm_backoff" -> qLmBackoffSql,

@@ -84,23 +84,46 @@ object VersionedTable {
     fs.delete(staging, true)
 
     // optimistic manifest CAS: create-if-absent on the next version;
-    // lose the race ⇒ recompute the base file list and retry
+    // lose the race ⇒ recompute the base file list and retry.
+    //
+    // Atomicity contract: rename-onto-existing-fails is atomic on the
+    // stores a production table lives on (HDFS rename, ABFS ETag
+    // If-None-Match, GCS generation preconditions). POSIX rename()
+    // REPLACES the target, and Hadoop's local ChecksumFileSystem only
+    // approximates check-and-act — so two CONCURRENT local-FS writers
+    // could both believe they won (observed once under the 8-writer
+    // stress spec). Two local guards close it: in-process committers
+    // serialize on a JVM lock (covers every multi-threaded driver,
+    // which is how concurrent local commits actually happen), and the
+    // winner re-reads the manifest it just renamed — if the content
+    // is not byte-for-byte its own, somebody replaced it and the
+    // commit retries at the next version (the unique data-file token
+    // makes every writer's content distinct).
     var committed = -1L
     while (committed < 0) {
-      val vs = versions(spark, path)
-      val next = vs.lastOption.getOrElse(0L) + 1
-      val base = if (overwrite || vs.isEmpty) Seq.empty
-        else readManifest(spark, path, vs.last)
-      val tmp = new Path(path, s".manifest-$token.tmp")
-      Using.resource(fs.create(tmp, true)) { out =>
-        out.write((base ++ newFiles).mkString("\n").getBytes("UTF-8"))
+      val attempt: Long = VersionedTable.commitLock.synchronized {
+        val vs = versions(spark, path)
+        val next = vs.lastOption.getOrElse(0L) + 1
+        val base = if (overwrite || vs.isEmpty) Seq.empty
+          else readManifest(spark, path, vs.last)
+        val content = (base ++ newFiles).mkString("\n")
+        val tmp = new Path(path, s".manifest-$token.tmp")
+        Using.resource(fs.create(tmp, true)) { out =>
+          out.write(content.getBytes("UTF-8"))
+        }
+        if (fs.rename(tmp, manifest(path, next)) &&
+            readManifest(spark, path, next).mkString("\n") == content) next
+        else { fs.delete(tmp, true); -1L }
       }
-      // rename onto an existing target returns false — that IS the CAS
-      if (fs.rename(tmp, manifest(path, next))) committed = next
-      else fs.delete(tmp, true)
+      committed = attempt
     }
     committed
   }
+
+  /** Serializes same-process commit attempts (see the atomicity
+    * contract in [[commit]]); cross-process safety is the store's
+    * atomic create-if-absent. */
+  private val commitLock = new Object
 
   /** Snapshot read: the given version, or the latest. */
   def read(spark: SparkSession, path: String, version: Option[Long] = None): DataFrame = {
