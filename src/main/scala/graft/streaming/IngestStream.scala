@@ -545,6 +545,47 @@ object IngestStream {
       }
   }
 
+  /** one interaction event on the attribution stream */
+  case class TouchEvent(userId: Long, ms: Long, eventId: Long,
+      kind: String, channel: String, cents: Long)
+  case class TouchState(clickMs: Long, clickChannel: String)
+  case class Attributed(userId: Long, ms: Long, eventId: Long,
+      channel: String, cents: Long)
+
+  /** h23 — streaming last-touch attribution: c58's rule kept LIVE.
+    * State per user = the single most recent qualifying click (ONE
+    * 2-field row per key forever — never the click history an
+    * interval join would buffer); each purchase credits the stored
+    * click if it is strictly earlier under the (ms, eventId) total
+    * order and within the 7-day window, else 'direct', then clicks
+    * fold forward. In-batch events replay in total order and the
+    * state IS the order-prefix summary, so under h19's per-key
+    * monotone feed contract the attribution stream equals c58's batch
+    * answer exactly (spec: adversarially re-batched real feed, every
+    * purchase identically credited). */
+  def streamingAttribution(events: Dataset[TouchEvent]): Dataset[Attributed] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[TouchState, Attributed](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[TouchEvent], state: GroupState[TouchState]) =>
+          var s = state.getOption.getOrElse(TouchState(Long.MinValue, null))
+          val out = Seq.newBuilder[Attributed]
+          it.toSeq.sortBy(e => (e.ms, e.eventId)).foreach { e =>
+            if (e.kind == "purchase") {
+              val ch =
+                if (s.clickChannel != null && e.ms - s.clickMs <= 7L * 86400000L)
+                  s.clickChannel
+                else "direct"
+              out += Attributed(user, e.ms, e.eventId, ch, e.cents)
+            }
+            if (e.kind == "click") s = TouchState(e.ms, e.channel)
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
+
   case class AnomalyState(n: Long, sy: Long, syy: Long)
   case class AnomalyAlert(userId: Long, ms: Long, cents: Long, nBefore: Long)
 

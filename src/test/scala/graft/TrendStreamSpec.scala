@@ -59,6 +59,46 @@ class TrendStreamSpec extends SparkTestBase {
     }
   }
 
+  test("h23: streaming attribution aggregates to exactly c58's batch answer") {
+    import spark.implicits._
+    import IngestStream.{TouchEvent, Attributed}
+    implicit val sqlCtx = spark.sqlContext
+    val raw = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "unix_millis(ts) AS ms", "event_id", "event_type",
+        "CAST(round(value * 100) AS BIGINT) AS cents",
+        "CAST(get_json_object(props, '$.k') AS INT) % 4 AS k4")
+      .collect().map { r =>
+        val ch = r.getInt(5) match {
+          case 0 => "organic"; case 1 => "email"; case 2 => "social"; case _ => "ads"
+        }
+        TouchEvent(r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), ch, r.getLong(4))
+      }
+    // monotone-feed contract: batches cut on global (ms, eventId)
+    // order, shuffled within each batch
+    val sorted = raw.sortBy(e => (e.ms, e.eventId))
+    val cuts = Seq(11, sorted.length / 3, sorted.length / 2, 2 * sorted.length / 3)
+    val batches = (Seq(0) ++ cuts ++ Seq(sorted.length)).sliding(2).map {
+      case Seq(a, b) => sorted.slice(a, b)
+        .sortBy(e => Integer.rotateLeft(e.hashCode, 7)).toSeq
+    }.toSeq
+    val input = MemoryStream[TouchEvent]
+    val q = IngestStream.streamingAttribution(input.toDS())
+      .writeStream.format("memory").queryName("h23_attr")
+      .outputMode(OutputMode.Append()).start()
+    val got =
+      try {
+        batches.foreach { b => input.addData(b); q.processAllAvailable() }
+        spark.table("h23_attr").as[Attributed].collect().toSeq
+      } finally q.stop()
+    val streamAgg = got.groupBy(_.channel).map { case (c, g) =>
+      (c, g.length.toLong, g.map(_.cents).sum)
+    }.toSeq.sortBy(_._1)
+    val want = operators.AnalyticsTs.qAttribution(spark, sfDir).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(streamAgg == want, "streamed attribution diverged from the c58 batch rollup")
+    assert(got.map(_.eventId).distinct.length == got.length, "a purchase was credited twice")
+  }
+
   test("h21: streaming anomaly alerts equal the sequential reference under any batching") {
     import spark.implicits._
     import IngestStream.{AnomalyAlert}
