@@ -620,7 +620,88 @@ object AnalyticsTs {
          round(CAST(COALESCE(dau, 0) AS DOUBLE) / mau7, 6) AS stickiness
        FROM mau LEFT JOIN dau ON dday = wd ORDER BY day"""
 
+  // c60 — peak concurrency (interval stabbing: "how many sessions were
+  // live at once, and when" — capacity planning's first question):
+  // c8's gap sessions become [start, end] intervals, each emits +1 at
+  // start and −1 at end+1 (d14's coverage-delta trick at the session
+  // grain), deltas COLLAPSE per millisecond (one bounded shuffle — the
+  // stream shrinks to distinct timestamps), and one ordered prefix sum
+  // turns deltas into the live-session level; the global maximum is
+  // always attained at a +1 point, so point-sampling is exact for
+  // peaks. Output per day: starts, ends, the peak level among the
+  // day's delta points and the earliest ms attaining it. The prefix
+  // sum runs over the COLLAPSED stream in one task (like any final
+  // ORDER BY); at volumes where even distinct timestamps overwhelm
+  // one task, the standard two-phase split (per-range partials +
+  // broadcast prefix offsets) applies — the collapse is what makes
+  // that rare.
+  def qConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val sess = e.withColumn("new_sess",
+        when(col("ts_ms") - lag(col("ts_ms"), 1).over(byUser) > 1800000L, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_sess"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ts_ms")).as("s"), max(col("ts_ms")).as("t"))
+    val deltas = sess.select(col("s").as("ms"), lit(1L).as("d"))
+      .union(sess.select((col("t") + 1L).as("ms"), lit(-1L).as("d")))
+      .groupBy("ms").agg(sum(col("d")).as("d"))
+    val wAll = Window.orderBy(col("ms"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("level", sum(col("d")).over(wAll))
+      .withColumn("day", expr("ms div 86400000"))
+      .withColumn("day_peak", max(col("level")).over(Window.partitionBy(col("day"))))
+      .groupBy("day")
+      .agg(sum(when(col("d") > 0, col("d")).otherwise(0L)).as("n_starts"),
+        sum(when(col("d") < 0, -col("d")).otherwise(0L)).as("n_ends"),
+        max(col("level")).as("peak_level"),
+        min(when(col("level") === col("day_peak"), col("ms"))).as("peak_ms"))
+      .orderBy("day")
+  }
+
+  val qConcurrencySql: String =
+    """WITH e AS (
+         SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events
+       ), flagged AS (
+         SELECT user_id, ts_ms,
+           CASE WHEN ts_ms - LAG(ts_ms, 1) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) > 1800000
+                THEN 1 ELSE 0 END AS new_sess,
+           event_id
+         FROM e
+       ), sess AS (
+         SELECT user_id,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id,
+           ts_ms
+         FROM flagged
+       ), iv AS (
+         SELECT user_id, session_id, MIN(ts_ms) AS s, MAX(ts_ms) AS t
+         FROM sess GROUP BY user_id, session_id
+       ), deltas AS (
+         SELECT ms, CAST(SUM(d) AS BIGINT) AS d FROM (
+           SELECT s AS ms, 1 AS d FROM iv
+           UNION ALL SELECT t + 1, -1 FROM iv) x
+         GROUP BY ms
+       ), lv AS (
+         SELECT ms, d,
+           SUM(d) OVER (ORDER BY ms ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS level,
+           ms // 86400000 AS day
+         FROM deltas
+       ), pk AS (
+         SELECT *, MAX(level) OVER (PARTITION BY day) AS day_peak FROM lv
+       )
+       SELECT day,
+         CAST(SUM(CASE WHEN d > 0 THEN d ELSE 0 END) AS BIGINT) AS n_starts,
+         CAST(SUM(CASE WHEN d < 0 THEN -d ELSE 0 END) AS BIGINT) AS n_ends,
+         CAST(MAX(level) AS BIGINT) AS peak_level,
+         MIN(CASE WHEN level = day_peak THEN ms END) AS peak_ms
+       FROM pk GROUP BY day ORDER BY day"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_concurrency" -> (qConcurrency _),
     "q_rolling_active" -> (qRollingActive _),
     "q_attribution" -> (qAttribution _),
     "q_anomaly" -> (qAnomaly _),
@@ -633,6 +714,7 @@ object AnalyticsTs {
     "q_next_event_markov" -> (qNextEventMarkov _))
 
   val oracles: Map[String, String] = Map(
+    "q_concurrency" -> qConcurrencySql,
     "q_rolling_active" -> qRollingActiveSql,
     "q_attribution" -> qAttributionSql,
     "q_anomaly" -> qAnomalySql,
