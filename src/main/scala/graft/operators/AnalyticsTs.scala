@@ -700,7 +700,73 @@ object AnalyticsTs {
          MIN(CASE WHEN level = day_peak THEN ms END) AS peak_ms
        FROM pk GROUP BY day ORDER BY day"""
 
+  // c61 — CUSUM drift detection (Page 1954, the SPC change-point
+  // test: "did this gauge's level SHIFT, and when" — c57 flags point
+  // outliers, c61 flags sustained drifts a 3σ rule never sees). The
+  // textbook recursion s_i = max(0, s_{i-1} + (x_i − μ0 − A)) looks
+  // sequential, but it has the prefix-min closed form s_i = P_i −
+  // min_{j≤i} P_j with P the running sum of (x − μ0 − A) — so the
+  // whole statistic is TWO running windows over the same user-keyed
+  // exchange that also computes μ0 (the user's exact lower median,
+  // c57's rank machinery) — everything integer cents, engine-free.
+  // Allowance A = 50¢, alarm threshold h = 20000¢ (the corpus-calibrated
+  // mid-distribution cut: per-user max CUSUM medians ≈ 21k at every sf); output per user: med, max CUSUM, points
+  // above h, first alarm ms.
+  def qCusum(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v_cents"))
+    val wAll = Window.partitionBy("user_id")
+    val byV = Window.partitionBy("user_id").orderBy(col("v_cents"), col("event_id"))
+    val byT = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("rv", row_number().over(byV))
+      .withColumn("med", max(when(col("rv") === expr("(n + 1) div 2"), col("v_cents"))).over(wAll))
+      .withColumn("p", sum(col("v_cents") - col("med") - 50L).over(byT))
+      .withColumn("s", col("p") - min(least(col("p"), lit(0L))).over(byT))
+      .groupBy("user_id")
+      .agg(max(col("n")).as("n"),
+        max(col("med")).as("med_cents"),
+        max(col("s")).as("max_cusum"),
+        sum(when(col("s") > 20000L, 1L).otherwise(0L)).as("n_over"),
+        min(when(col("s") > 20000L, col("ts_ms"))).as("first_alarm_ms"))
+      .orderBy("user_id")
+  }
+
+  val qCusumSql: String =
+    """WITH e AS (
+         SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+           CAST(round(value * 100) AS BIGINT) AS v_cents
+         FROM events WHERE event_type = 'view'
+       ), m AS (
+         SELECT *, COUNT(*) OVER (PARTITION BY user_id) AS n,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY v_cents, event_id) AS rv
+         FROM e
+       ), m2 AS (
+         SELECT *, MAX(CASE WHEN rv = (n + 1) // 2 THEN v_cents END)
+             OVER (PARTITION BY user_id) AS med
+         FROM m
+       ), pp AS (
+         SELECT *, SUM(v_cents - med - 50) OVER w AS p
+         FROM m2
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       ), c AS (
+         SELECT *, p - MIN(LEAST(p, 0)) OVER w AS s
+         FROM pp
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       )
+       SELECT user_id, MAX(n) AS n, MAX(med) AS med_cents,
+         CAST(MAX(s) AS BIGINT) AS max_cusum,
+         CAST(SUM(CASE WHEN s > 20000 THEN 1 ELSE 0 END) AS BIGINT) AS n_over,
+         MIN(CASE WHEN s > 20000 THEN ts_ms END) AS first_alarm_ms
+       FROM c GROUP BY user_id ORDER BY user_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cusum" -> (qCusum _),
     "q_concurrency" -> (qConcurrency _),
     "q_rolling_active" -> (qRollingActive _),
     "q_attribution" -> (qAttribution _),
@@ -714,6 +780,7 @@ object AnalyticsTs {
     "q_next_event_markov" -> (qNextEventMarkov _))
 
   val oracles: Map[String, String] = Map(
+    "q_cusum" -> qCusumSql,
     "q_concurrency" -> qConcurrencySql,
     "q_rolling_active" -> qRollingActiveSql,
     "q_attribution" -> qAttributionSql,

@@ -327,6 +327,32 @@ class TsModelsSpec extends SparkTestBase {
       "a rolling window can never hold fewer users than its last day")
   }
 
+  test("c61 CUSUM: the windowed closed form equals Page's recursion exactly") {
+    val views = events.filter(_._4 == "view")
+      .map { case (u, ts, id, _, v) => (u, ts, id, roundHalfUp(v * 100)) }
+    def lowerMedian(xs: Seq[(Long, Long)]): Long = {
+      val s = xs.sortBy(identity); s(((s.size + 1) / 2) - 1)._1
+    }
+    val expected = views.groupBy(_._1).toSeq.map { case (u, es) =>
+      val med = lowerMedian(es.map(e => (e._4, e._3)))
+      var s = 0L
+      var maxS = 0L; var nOver = 0L; var firstAlarm: Option[Long] = None
+      es.sortBy(e => (e._2, e._3)).foreach { e =>
+        s = math.max(0L, s + (e._4 - med - 50L)) // Page's recursion
+        maxS = math.max(maxS, s)
+        if (s > 20000L) { nOver += 1; if (firstAlarm.isEmpty) firstAlarm = Some(e._2) }
+      }
+      (u, es.size.toLong, med, maxS, nOver, firstAlarm)
+    }.sortBy(_._1)
+    val got = AnalyticsTs.qCusum(spark, sfDir).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5))))
+    assert(got == expected)
+    // the corpus must exercise both regimes
+    assert(expected.exists(_._5 > 0) && expected.exists(_._5 == 0),
+      "corpus never (or always) alarms — vacuous")
+  }
+
   test("f29 temperature mix upweights the tail and respects the budget") {
     val rows = operators.TextOps.qLangMix(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(2), r.getDouble(3), r.getLong(4)))
