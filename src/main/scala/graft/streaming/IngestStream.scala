@@ -586,6 +586,48 @@ object IngestStream {
       }
   }
 
+  case class CusumState(warmup: Seq[Long], trained: Boolean, mu0: Long, s: Long)
+  case class CusumAlarm(userId: Long, ms: Long, cents: Long, s: Long)
+
+  /** h24 — streaming CUSUM monitor (c61's test in the shape production
+    * SPC actually runs: batch c61 baselines on the FULL history —
+    * unavailable live — so the stream trains μ0 on a warm-up window
+    * and then MONITORS): state = the ≤8-reading warm-up buffer until
+    * full, then the frozen (μ0 = warm-up lower median, running s) —
+    * bounded either way; each subsequent reading folds Page's
+    * recursion s = max(0, s + (x − μ0 − A)) and alarms while s > h.
+    * The fold is sequential by construction and readings replay in
+    * total (ms, cents) order, so under the monotone feed contract the
+    * alarm stream is identical under any batching — spec-proven
+    * against an in-memory replay of the same rule on adversarially
+    * re-batched feeds, one bounded state row per key. */
+  def streamingCusum(readings: Dataset[GaugeReading],
+      allowance: Long = 50L, h: Long = 20000L): Dataset[CusumAlarm] = {
+    import readings.sparkSession.implicits._
+    readings.groupByKey(_.userId)
+      .flatMapGroupsWithState[CusumState, CusumAlarm](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[GaugeReading], state: GroupState[CusumState]) =>
+          var st = state.getOption.getOrElse(CusumState(Seq.empty, false, 0L, 0L))
+          val alarms = Seq.newBuilder[CusumAlarm]
+          it.toSeq.sortBy(g => (g.ms, g.cents)).foreach { g =>
+            if (!st.trained) {
+              val w = st.warmup :+ g.cents
+              st =
+                if (w.length < 8) CusumState(w, false, 0L, 0L)
+                else CusumState(Seq.empty, true,
+                  w.sorted.apply(((w.length + 1) / 2) - 1), 0L)
+            } else {
+              val s2 = math.max(0L, st.s + (g.cents - st.mu0 - allowance))
+              if (s2 > h) alarms += CusumAlarm(user, g.ms, g.cents, s2)
+              st = CusumState(Seq.empty, true, st.mu0, s2)
+            }
+          }
+          state.update(st)
+          alarms.result().iterator
+      }
+  }
+
   case class AnomalyState(n: Long, sy: Long, syy: Long)
   case class AnomalyAlert(userId: Long, ms: Long, cents: Long, nBefore: Long)
 

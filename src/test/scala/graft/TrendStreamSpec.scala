@@ -99,6 +99,48 @@ class TrendStreamSpec extends SparkTestBase {
     assert(got.map(_.eventId).distinct.length == got.length, "a purchase was credited twice")
   }
 
+  test("h24: streaming CUSUM alarms equal the warm-up/monitor reference under any batching") {
+    import spark.implicits._
+    import IngestStream.CusumAlarm
+    implicit val sqlCtx = spark.sqlContext
+    val readings = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .collect().map(r => GaugeReading(r.getLong(0), r.getLong(1), r.getLong(2)))
+    // in-memory replay of the exact streaming rule
+    val expected = readings.groupBy(_.userId).toSeq.flatMap { case (u, rs) =>
+      val ordered = rs.sortBy(g => (g.ms, g.cents))
+      val (warm, monitor) = ordered.splitAt(8)
+      if (warm.length < 8) Nil
+      else {
+        val mu0 = warm.map(_.cents).sorted.apply(((warm.length + 1) / 2) - 1)
+        var s = 0L
+        monitor.flatMap { g =>
+          s = math.max(0L, s + (g.cents - mu0 - 50L))
+          if (s > 20000L) Some(CusumAlarm(u, g.ms, g.cents, s)) else None
+        }
+      }
+    }.toSet
+    assert(expected.nonEmpty, "no user ever alarms — vacuous")
+    val sorted = readings.sortBy(g => (g.ms, g.cents))
+    val cuts = Seq(5, sorted.length / 4, sorted.length / 2, 3 * sorted.length / 4)
+    val batches = (Seq(0) ++ cuts ++ Seq(sorted.length)).sliding(2).map {
+      case Seq(a, b) => sorted.slice(a, b)
+        .sortBy(g => Integer.rotateLeft(g.hashCode, 5)).toSeq
+    }.toSeq
+    val input = MemoryStream[GaugeReading]
+    val q = IngestStream.streamingCusum(input.toDS())
+      .writeStream.format("memory").queryName("h24_cusum")
+      .outputMode(OutputMode.Append()).start()
+    val got =
+      try {
+        batches.foreach { b => input.addData(b); q.processAllAvailable() }
+        spark.table("h24_cusum").as[CusumAlarm].collect().toSet
+      } finally q.stop()
+    assert(got == expected, "streamed CUSUM alarms diverged from the reference replay")
+  }
+
   test("h21: streaming anomaly alerts equal the sequential reference under any batching") {
     import spark.implicits._
     import IngestStream.{AnomalyAlert}
