@@ -1018,7 +1018,73 @@ object Ann {
       WHERE ${cosineDuck("embedding", "qv")} >= 0.3
       ORDER BY cos_sim DESC, vec_id"""
 
+  /** e21 — ANN index HEALTH stats (the ops query a serving fleet runs
+    * nightly: is the index still worth its latency promises?): per
+    * cell, the population share (imbalance — a hot cell serves slow,
+    * an empty cell wastes a probe) and the WORST-FIT vector (max
+    * quantized squared distance to the cell mean — rising distortion
+    * means the cells no longer describe the corpus and e11's training
+    * loop should re-run). EVERYTHING integer-exact, engine-free: v
+    * quantizes to a 2¹²-grid FIRST (floor — exact in any engine), the
+    * cell mean enters scaled by n (qv·n − S avoids the division), so
+    * d²·n² is a 64-bit integer (≤ 4·10¹⁵ at these dims) and max/argmin
+    * are order-free; share is an integer micro-unit floor division.
+    * One posexplode pass, two bounded aggs, one broadcast join —
+    * index-sized work, corpus-scan-free beyond the one pass. */
+  def qAnnIndexStats(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val pe = e.select(col("vec_id"), col("label"),
+      posexplode(expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 4096) AS BIGINT))"))
+        .as(Seq("i", "qv")))
+    val cent = pe.groupBy("label", "i")
+      .agg(sum(col("qv")).as("s"), count(lit(1)).as("n"))
+    val d2 = pe.join(broadcast(cent), Seq("label", "i"))
+      .groupBy("vec_id", "label")
+      .agg(sum((col("qv") * col("n") - col("s")) * (col("qv") * col("n") - col("s")))
+        .as("d2n2"), max(col("n")).as("n"))
+    val total = e.agg(count(lit(1)).as("total"))
+    val withMax = d2.withColumn("cell_max",
+      max(col("d2n2")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("label")))
+    withMax.groupBy("label")
+      .agg(max(col("n")).as("n_vecs"),
+        max(col("d2n2")).as("max_d2n2"),
+        min(when(col("d2n2") === col("cell_max"), col("vec_id"))).as("worst_vec"))
+      .crossJoin(broadcast(total))
+      .withColumn("share_micro", expr("(n_vecs * 1000000) div total"))
+      .select("label", "n_vecs", "share_micro", "max_d2n2", "worst_vec")
+      .orderBy("label")
+  }
+
+  val qAnnIndexStatsSql: String =
+    """WITH pe AS (
+        SELECT vec_id, label,
+          unnest(generate_series(1, len(embedding))) AS i,
+          unnest(list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 4096) AS BIGINT))) AS qv
+        FROM embeddings),
+      cent AS (
+        SELECT label, i, CAST(SUM(qv) AS BIGINT) AS s, COUNT(*) AS n
+        FROM pe GROUP BY label, i),
+      d2 AS (
+        SELECT vec_id, pe.label AS label,
+          CAST(SUM((qv * n - s) * (qv * n - s)) AS BIGINT) AS d2n2,
+          MAX(n) AS n
+        FROM pe JOIN cent ON cent.label = pe.label AND cent.i = pe.i
+        GROUP BY vec_id, pe.label),
+      mx AS (
+        SELECT label, MAX(n) AS n_vecs, MAX(d2n2) AS max_d2n2
+        FROM d2 GROUP BY label),
+      tot AS (SELECT COUNT(*) AS total FROM embeddings)
+      SELECT m.label AS label, CAST(n_vecs AS BIGINT) AS n_vecs,
+        (n_vecs * 1000000) // total AS share_micro,
+        max_d2n2,
+        MIN(CASE WHEN d.d2n2 = m.max_d2n2 THEN d.vec_id END) AS worst_vec
+      FROM mx m JOIN d2 d ON d.label = m.label, tot
+      GROUP BY m.label, n_vecs, max_d2n2, total
+      ORDER BY label"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_index_stats" -> (qAnnIndexStats _),
     "q_ann_mrl" -> (qAnnMrl _),
     "q_ann_range" -> (qAnnRange _),
     "q_ann_sq8" -> (qAnnSq8 _),
@@ -1036,6 +1102,7 @@ object Ann {
     "q_ann_batch" -> (qAnnBatch _))
 
   val oracles: Map[String, String] = Map(
+    "q_ann_index_stats" -> qAnnIndexStatsSql,
     "q_ann_mrl" -> qAnnMrlSql,
     "q_ann_range" -> qAnnRangeSql,
     "q_ann_sq8" -> qAnnSq8Sql,
