@@ -1107,6 +1107,110 @@ object Dedup {
       FROM victims v JOIN assigned a ON a.vec_id = v.vec_id
       ORDER BY v.vec_id"""
 
+  /** d17 — the DEDUP PIPELINE end-to-end as ONE declarative plan (the
+    * D-family capstone next to f28/b28/b29/g11/h13): the three passes
+    * a production corpus actually runs, in order — (1) EXACT dedup
+    * (d1's md5 content key, min-id keeper), (2) NEAR-dup collapse over
+    * the exact keepers (d2's verified pair graph → d6's connected
+    * components → d7's keep-BEST-quality canonical selection), (3)
+    * EXACT-SUBSTRING cleaning (d14) of the surviving canonicals —
+    * each document leaves with a verdict: `exact_dup` (and its
+    * keeper), `near_dup` (and its component's canonical), or `kept`
+    * (with its token counts after substring cleaning). Every stage is
+    * the gated component verbatim (shared memoized pair graph, d7's
+    * exact quality ranking, d14's coverage-delta machinery); the
+    * composition is itself oracle-gated at both scales — the oracle
+    * replays exact keying, the recursive-CTE components, the quality
+    * rank and the substring chain over the SURVIVOR set. Stage order
+    * is the cost argument: exact dedup is the cheapest pass and
+    * shrinks the pair-graph input; near-dup collapse shrinks the
+    * substring pass's token volume; d14 (the most expensive per
+    * token) runs last on the least data. */
+  def qDedupE2e(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val keyed = d.withColumn("ck", md5(expr(normSpark)))
+    val exactKeep = keyed.groupBy("ck").agg(min(col("doc_id")).as("ek"))
+    val s1 = keyed.join(exactKeep, "ck")
+    val exactDups = s1.filter(col("doc_id") =!= col("ek"))
+      .select(col("doc_id"), lit("exact_dup").as("verdict"), col("ek").as("dup_of"),
+        lit(null).cast("long").as("n_tokens"), lit(null).cast("long").as("n_removed"))
+    val keepers1 = s1.filter(col("doc_id") === col("ek")).select("doc_id", "text")
+    val labels = ccLabels(spark, dir).select(col("id").as("doc_id"), col("label"))
+    val scores = TextOps.qQualityScore(spark, dir).select(col("doc_id"), col("score"))
+    val w = Window.partitionBy("component").orderBy(col("score").desc, col("doc_id"))
+    val ranked = keepers1.join(labels, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("label"), col("doc_id")))
+      .join(scores, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .withColumn("best", first(col("doc_id")).over(w))
+    val nearDups = ranked.filter(col("rk") > 1)
+      .select(col("doc_id"), lit("near_dup").as("verdict"), col("best").as("dup_of"),
+        lit(null).cast("long").as("n_tokens"), lit(null).cast("long").as("n_removed"))
+    val kept = substringDedup(ranked.filter(col("rk") === 1).select("doc_id", "text"))
+      .select(col("doc_id"), lit("kept").as("verdict"),
+        lit(null).cast("long").as("dup_of"), col("n_tokens"), col("n_removed"))
+    exactDups.union(nearDups).union(kept).orderBy("doc_id")
+  }
+
+  val qDedupE2eSql: String = {
+    val cc = qDedupCcSql
+    val idx = cc.indexOf("SELECT MIN(label)")
+    val ctes = cc.substring(0, idx).trim
+    s"""$ctes,
+      labels AS (SELECT id AS doc_id, MIN(label) AS label FROM reach GROUP BY id),
+      keyed AS (SELECT doc_id, text, md5($normDuck) AS ck FROM documents),
+      ekt AS (SELECT ck, MIN(doc_id) AS ek FROM keyed GROUP BY ck),
+      s1 AS (SELECT k.doc_id, k.text, e.ek FROM keyed k JOIN ekt e USING (ck)),
+      scores AS (SELECT doc_id, score FROM ($qQualityScoreInner) qs),
+      rkd AS (
+        SELECT c.doc_id, c.text,
+          ROW_NUMBER() OVER w AS rk,
+          FIRST_VALUE(c.doc_id) OVER w AS best
+        FROM (
+          SELECT s1.doc_id, s1.text, COALESCE(l.label, s1.doc_id) AS component, sc.score
+          FROM s1 LEFT JOIN labels l ON l.doc_id = s1.doc_id
+          JOIN scores sc ON sc.doc_id = s1.doc_id
+          WHERE s1.doc_id = s1.ek) c
+        WINDOW w AS (PARTITION BY component ORDER BY score DESC, doc_id)),
+      surv AS (SELECT doc_id, text FROM rkd WHERE rk = 1),
+      st AS (SELECT doc_id, string_split(text, ' ') AS toks FROM surv),
+      ss AS (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 10)) AS p0 FROM st),
+      ssh AS (SELECT doc_id, CAST(p0 AS INT) AS p,
+          CAST('0x' || substr(md5(array_to_string(toks[(p0 + 1):(p0 + 10)], ' ')), 1, 15) AS BIGINT) AS h
+        FROM ss),
+      sk AS (SELECT doc_id, p,
+          COUNT(*) OVER (PARTITION BY h) AS n_occ,
+          ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
+        FROM ssh),
+      scov AS (SELECT doc_id, p FROM sk WHERE n_occ > 1 AND rn > 1),
+      sdel AS (
+        SELECT doc_id, p AS i, 1 AS dd FROM scov
+        UNION ALL SELECT doc_id, p + 10, -1 FROM scov),
+      sts AS (SELECT doc_id, CAST(i0 - 1 AS INT) AS i, 0 AS dd, 1 AS kind FROM (
+          SELECT doc_id, unnest(generate_series(1, len(toks))) AS i0 FROM st) x),
+      sallr AS (
+        SELECT doc_id, i, dd, kind FROM sts
+        UNION ALL SELECT doc_id, i, dd, 0 FROM sdel),
+      sc2 AS (SELECT doc_id, i, kind,
+          SUM(dd) OVER (PARTITION BY doc_id ORDER BY i, kind
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cov
+        FROM sallr),
+      keptagg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          CAST(SUM(CASE WHEN cov > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+        FROM sc2 WHERE kind = 1 GROUP BY doc_id)
+      SELECT * FROM (
+        SELECT doc_id, 'exact_dup' AS verdict, ek AS dup_of,
+          CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS BIGINT) AS n_removed
+        FROM s1 WHERE doc_id <> ek
+        UNION ALL
+        SELECT doc_id, 'near_dup', best, NULL, NULL FROM rkd WHERE rk > 1
+        UNION ALL
+        SELECT doc_id, 'kept', NULL, n_tokens, n_removed FROM keptagg)
+      ORDER BY doc_id"""
+  }
+
   /** d16 — PageRank over the verified near-dup graph (the authority
     * signal for canonical selection: in a link-free corpus the
     * near-dup GRAPH is the only structure, and a highly-ranked node —
@@ -1358,6 +1462,7 @@ object Dedup {
       FROM tc GROUP BY doc_id ORDER BY doc_id"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_e2e" -> (qDedupE2e _),
     "q_dedup_pagerank" -> (qDedupPagerank _),
     "q_dedup_url" -> (qDedupUrl _),
     "q_dedup_substring" -> (qDedupSubstring _),
@@ -1377,6 +1482,7 @@ object Dedup {
     "q_dedup_embedding" -> (qDedupEmbedding _))
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_e2e" -> qDedupE2eSql,
     "q_dedup_pagerank" -> qDedupPagerankSql,
     "q_dedup_url" -> qDedupUrlSql,
     "q_dedup_substring" -> qDedupSubstringSql,
