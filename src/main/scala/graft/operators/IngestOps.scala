@@ -313,6 +313,50 @@ object IngestOps {
   /** a13 — chunked-download plan: the reference downloads each blob in
     * 5 ranged chunks (offset/length per chunk, remainder on the last).
     * ref azblob.py:302 (download_blob nchunks=5), write_chunked. */
+  /** a25 — per-user storage-quota ledger: the accounting the
+    * reference's per-user blob prefixes imply but never compute
+    * (datasets/<user>/ grows until someone asks "who is over quota,
+    * since when, and how much of their ingest landed past the line").
+    * Each upload event carries a13's deterministic blob size; the
+    * running per-user usage is ONE cumsum window under the total
+    * (ts, event_id) order, the 500 MB line is integer bytes, and the
+    * per-user rollup rides the same exchange: totals, the first
+    * breach instant, and how many uploads landed at-or-past the line.
+    * Map-only before the single user-keyed exchange. */
+  def qStorageQuota(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quota = 500000000L
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"),
+        (col("event_id") * 131071L % 50000000L + 1024L).as("nbytes"))
+    val run = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("usage", sum(col("nbytes")).over(run))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_uploads"),
+        max(col("usage")).as("total_bytes"),
+        (max(col("usage")) > quota).as("over_quota"),
+        min(when(col("usage") > quota, col("ts_ms"))).as("first_over_ms"),
+        sum(when(col("usage") > quota, 1L).otherwise(0L)).as("n_uploads_over"))
+      .orderBy("user_id")
+  }
+
+  val qStorageQuotaSql: String =
+    """WITH e AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+          event_id * 131071 % 50000000 + 1024 AS nbytes
+        FROM events),
+      r AS (
+        SELECT *, SUM(nbytes) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS usage
+        FROM e)
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_uploads,
+        CAST(MAX(usage) AS BIGINT) AS total_bytes,
+        MAX(usage) > 500000000 AS over_quota,
+        MIN(CASE WHEN usage > 500000000 THEN ts_ms END) AS first_over_ms,
+        CAST(SUM(CASE WHEN usage > 500000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_uploads_over
+      FROM r GROUP BY user_id ORDER BY user_id"""
+
   def qDownloadChunks(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables(spark, dir, "part")
     val size = (col("p_partkey") * 131071L % 50000000L + 1024L)
@@ -858,6 +902,7 @@ object IngestOps {
       FROM y ORDER BY event_id, attempt"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_storage_quota" -> (qStorageQuota _),
     "q_retry_backoff" -> (qRetryBackoff _),
     "q_pubsub_token" -> (qPubsubToken _),
     "q_user_folder_sweep" -> (qUserFolderSweep _),
@@ -884,6 +929,7 @@ object IngestOps {
     "q_deadletter_stats" -> (qDeadletterStats _))
 
   val oracles: Map[String, String] = Map(
+    "q_storage_quota" -> qStorageQuotaSql,
     "q_retry_backoff" -> qRetryBackoffSql,
     "q_pubsub_token" -> qPubsubTokenSql,
     "q_user_folder_sweep" -> qUserFolderSweepSql,
