@@ -62,6 +62,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_kmv"),
       new ExpressionInfo(classOf[graft.functions.Kmv].getCanonicalName, "graft_kmv"),
       (exprs: Seq[Expression]) => graft.functions.Kmv(exprs(0), exprs(1))))
+    // graft_window_sids is GraftFunctions.register's idempotence
+    // sentinel — extension-built sessions must carry it too, or the
+    // sentinel never fires and register() re-registers on every call
+    ext.injectFunction((
+      FunctionIdentifier("graft_window_sids"),
+      new ExpressionInfo(classOf[graft.functions.WindowSids].getCanonicalName,
+        "graft_window_sids"),
+      (exprs: Seq[Expression]) => graft.functions.WindowSids(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())))
     ext.injectFunction((
       FunctionIdentifier("graft_intersect_count"),
       new ExpressionInfo(classOf[graft.functions.IntersectCount].getCanonicalName,

@@ -1026,9 +1026,12 @@ object Ann {
     * means the cells no longer describe the corpus and e11's training
     * loop should re-run). EVERYTHING integer-exact, engine-free: v
     * quantizes to a 2¹²-grid FIRST (floor — exact in any engine), the
-    * cell mean enters scaled by n (qv·n − S avoids the division), so
-    * d²·n² is a 64-bit integer (≤ 4·10¹⁵ at these dims) and max/argmin
-    * are order-free; share is an integer micro-unit floor division.
+    * cell mean enters scaled by n (qv·n − S avoids the division), and
+    * d²·n² accumulates in decimal(38,0) (HUGEINT on the oracle side) —
+    * the per-dim deviation fits int64 to n ≈ 2·10¹⁵ vectors/cell but
+    * its square does not, so the squaring is lifted to 128-bit exact
+    * on both engines; max/argmin stay order-free; share is an integer
+    * micro-unit floor division.
     * One posexplode pass, two bounded aggs, one broadcast join —
     * index-sized work, corpus-scan-free beyond the one pass. */
   def qAnnIndexStats(spark: SparkSession, dir: String): DataFrame = {
@@ -1038,9 +1041,14 @@ object Ann {
         .as(Seq("i", "qv")))
     val cent = pe.groupBy("label", "i")
       .agg(sum(col("qv")).as("s"), count(lit(1)).as("n"))
+    // qv·n − s fits int64 up to n ≈ 2·10¹⁵ vectors/cell, but its SQUARE
+    // overflows past ~5·10⁴ — and Spark wraps silently while DuckDB
+    // raises. Square in decimal(38,0) (DuckDB side: HUGEINT) so the
+    // accumulator is exact at any cell size the corpus can produce.
+    val dev = (col("qv") * col("n") - col("s")).cast("decimal(20,0)")
     val d2 = pe.join(broadcast(cent), Seq("label", "i"))
       .groupBy("vec_id", "label")
-      .agg(sum((col("qv") * col("n") - col("s")) * (col("qv") * col("n") - col("s")))
+      .agg(sum(dev * dev).cast("decimal(38,0)")
         .as("d2n2"), max(col("n")).as("n"))
     val total = e.agg(count(lit(1)).as("total"))
     val withMax = d2.withColumn("cell_max",
@@ -1067,7 +1075,8 @@ object Ann {
         FROM pe GROUP BY label, i),
       d2 AS (
         SELECT vec_id, pe.label AS label,
-          CAST(SUM((qv * n - s) * (qv * n - s)) AS BIGINT) AS d2n2,
+          CAST(SUM(CAST(qv * n - s AS HUGEINT) * CAST(qv * n - s AS HUGEINT))
+            AS DECIMAL(38,0)) AS d2n2,
           MAX(n) AS n
         FROM pe JOIN cent ON cent.label = pe.label AND cent.i = pe.i
         GROUP BY vec_id, pe.label),

@@ -177,14 +177,23 @@ object VersionedTable {
 
   // ---- i13: the table's change feed as an exactly-once consumer ----
 
-  /** Last fully-processed version at this checkpoint (0 = nothing). */
+  /** Last fully-processed version at this checkpoint (0 = nothing).
+    * Cursors are VERSIONED files (`_cursor.<v>`) and the read takes
+    * the max, so commit never passes through a cursor-less window: a
+    * crash anywhere in writeCursor leaves either the old max or both
+    * old and new (max still correct) — never a state that replays
+    * more than the one in-flight version. (Reads the legacy unsuffixed
+    * `_cursor` too, for checkpoints written before this scheme.) */
   def cursorVersion(spark: SparkSession, ckptDir: String): Long = {
     val fs = fsOf(spark, ckptDir)
-    val f = new Path(ckptDir, "_cursor")
-    if (!fs.exists(f)) 0L
-    else Using.resource(fs.open(f)) { in =>
+    val dir = new Path(ckptDir)
+    if (!fs.exists(dir)) return 0L
+    val readOne = (p: Path) => Using.resource(fs.open(p)) { in =>
       scala.io.Source.fromInputStream(in).getLines().next().trim.toLong
     }
+    val named = fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("_cursor"))
+    if (named.isEmpty) 0L else named.map(readOne).max
   }
 
   private def writeCursor(spark: SparkSession, ckptDir: String, v: Long): Unit = {
@@ -192,9 +201,13 @@ object VersionedTable {
     fs.mkdirs(new Path(ckptDir))
     val tmp = new Path(ckptDir, s"._cursor.$v.tmp")
     Using.resource(fs.create(tmp, true))(_.write(v.toString.getBytes("UTF-8")))
-    fs.delete(new Path(ckptDir, "_cursor"), false)
-    if (!fs.rename(tmp, new Path(ckptDir, "_cursor")))
+    // land the NEW cursor first; only then drop superseded ones.
+    // A crash in between leaves multiple cursors and max-on-read wins.
+    if (!fs.rename(tmp, new Path(ckptDir, s"_cursor.$v")))
       throw new IllegalStateException(s"cursor commit for v$v failed")
+    fs.listStatus(new Path(ckptDir)).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("_cursor") && p.getName != s"_cursor.$v")
+      .foreach(p => fs.delete(p, false))
   }
 
   /** i13 — the CONSUMER loop of the transaction log, exactly-once: every

@@ -628,7 +628,15 @@ object IngestStream {
       }
   }
 
-  case class AnomalyState(n: Long, sy: Long, syy: Long)
+  /** sy/syy carried as BigInt (serialized in decimal-string fields —
+    * Spark has no BigInt encoder) so the FOLD itself can't overflow:
+    * syy grows as n·y², which for 1e6-cent gauges passes Long.MaxValue
+    * near 9·10⁶ readings per key — well inside a long-lived stream's
+    * life. The strings stay ≤ ~25 chars for any realistic feed. */
+  case class AnomalyState(n: Long, syStr: String, syyStr: String) {
+    def sy: BigInt = BigInt(syStr)
+    def syy: BigInt = BigInt(syyStr)
+  }
   case class AnomalyAlert(userId: Long, ms: Long, cents: Long, nBefore: Long)
 
   /** h21 — streaming anomaly guard (the live companion to c57's batch
@@ -639,8 +647,10 @@ object IngestStream {
     * robustness c57 buys with the median; an exact streaming median
     * would need unbounded state) — then folded in. The flag is exact
     * integer arithmetic, (y·n − sy)² > 9·(n·syy − sy²) ⇔ |y − μ| >
-    * 3σ, evaluated in BigInt so no reading count or gauge magnitude
-    * can overflow it. Readings fold in total (ms, cents) order inside
+    * 3σ — and BOTH the comparison AND the state fold run in BigInt
+    * (sy/syy live in the state as decimal strings), so no reading
+    * count or gauge magnitude can overflow either the flag or the
+    * accumulated moments. Readings fold in total (ms, cents) order inside
     * each batch, and because every reading is judged against the full
     * prior prefix, the alert stream is IDENTICAL under any batching
     * of the same feed (h16/h18's prefix-stability argument, here for
@@ -653,16 +663,17 @@ object IngestStream {
       .flatMapGroupsWithState[AnomalyState, AnomalyAlert](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (user: Long, it: Iterator[GaugeReading], state: GroupState[AnomalyState]) =>
-          var s = state.getOption.getOrElse(AnomalyState(0L, 0L, 0L))
+          var s = state.getOption.getOrElse(AnomalyState(0L, "0", "0"))
           val alerts = Seq.newBuilder[AnomalyAlert]
           it.toSeq.sortBy(g => (g.ms, g.cents)).foreach { g =>
             val y = g.cents
             if (s.n >= 8) {
               val dev = BigInt(y) * s.n - s.sy
-              val varN = BigInt(s.n) * s.syy - BigInt(s.sy) * s.sy
+              val varN = BigInt(s.n) * s.syy - s.sy * s.sy
               if (dev * dev > varN * 9) alerts += AnomalyAlert(user, g.ms, y, s.n)
             }
-            s = AnomalyState(s.n + 1, s.sy + y, s.syy + y * y)
+            s = AnomalyState(s.n + 1, (s.sy + y).toString,
+              (s.syy + BigInt(y) * y).toString)
           }
           state.update(s)
           alerts.result().iterator
