@@ -26,7 +26,7 @@ object SparkEntry {
     Analytics.queries ++ AnalyticsExt.queries ++ AnalyticsTs.queries ++ IngestOps.queries ++
       GeoOps.queries ++ TextOps.queries ++ TextModels.queries ++ Dedup.queries ++ Ann.queries ++
       Retrieval.queries ++ Bpe.queries ++ Pca.queries ++ Asof.queries ++ Serving.queries ++
-      graft.multimodal.Media.queries
+      OpsAudit.queries ++ graft.multimodal.Media.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +34,5 @@ object SparkEntry {
     Analytics.oracles ++ AnalyticsExt.oracles ++ AnalyticsTs.oracles ++ IngestOps.oracles ++
       GeoOps.oracles ++ TextOps.oracles ++ TextModels.oracles ++ Dedup.oracles ++ Ann.oracles ++
       Retrieval.oracles ++ Bpe.oracles ++ Pca.oracles ++ Asof.oracles ++ Serving.oracles ++
-      graft.multimodal.Media.oracles
+      OpsAudit.oracles ++ graft.multimodal.Media.oracles
 }

@@ -443,6 +443,30 @@ class PlanAuditSpec extends SparkTestBase {
       s"d14 keeper agg must combine map-side:\n$sub")
   }
 
+  test("audit ops: single-scan Expand profile, broadcast FK probes, no cartesian triangles") {
+    // c64: the 6 count-distincts ride ONE scan through ONE Expand —
+    // per-column rescans would multiply the 100 TB pass count
+    val prof = operators.OpsAudit.qProfile(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(prof).size == 1,
+      s"q_profile must profile every column off one scan:\n$prof")
+    assert(prof.contains("Expand"),
+      s"q_profile lost its multi-distinct Expand:\n$prof")
+    // c62: every dim-parent FK probe is a broadcast left join — the
+    // child never shuffles to check a dimension
+    val fk = operators.OpsAudit.qFkAudit(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin \\[[^\\]]*\\], \\[[^\\]]*\\], LeftOuter".r.findAllIn(fk).size >= 6,
+      s"q_fk_audit dim probes must broadcast:\n$fk")
+    // d18: orientation keeps the wedge join keyed — no cartesian, and
+    // the oriented edge set materializes once (ExistingRDD), not once
+    // per join side
+    val tri = operators.OpsAudit.qTriangles(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!tri.contains("CartesianProduct") && !tri.contains("BroadcastNestedLoop"),
+      s"q_triangles must stay keyed:\n$tri")
+  }
+
   test("training steps hash-aggregate their argmins (no SortAggregate fallback)") {
     // min(struct(decimal, ...)) silently planned as SortAggregate +
     // full Sort over the pair stream (measured 2x on e17) — the
