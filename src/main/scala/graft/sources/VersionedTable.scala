@@ -52,12 +52,24 @@ object VersionedTable {
       .sorted
   }
 
-  private def readManifest(spark: SparkSession, path: String, v: Long): Seq[String] = {
+  /** First manifest line of a compaction commit (i14): the version
+    * rewrites FILES, not rows — change consumers must see an empty
+    * delta. '#'-prefixed lines are metadata, never file names. */
+  private val CompactionMarker = "#compaction"
+
+  private def rawManifest(spark: SparkSession, path: String, v: Long): Seq[String] = {
     val fs = fsOf(spark, path)
     Using.resource(fs.open(manifest(path, v))) { in =>
       scala.io.Source.fromInputStream(in).getLines().toList
     }.filter(_.nonEmpty)
   }
+
+  private def readManifest(spark: SparkSession, path: String, v: Long): Seq[String] =
+    rawManifest(spark, path, v).filterNot(_.startsWith("#"))
+
+  /** True iff version `v` is a compaction commit (no row delta). */
+  def isCompaction(spark: SparkSession, path: String, v: Long): Boolean =
+    rawManifest(spark, path, v).headOption.contains(CompactionMarker)
 
   /** Commit `df` as the next version. `overwrite = false` appends to
     * the latest snapshot's file set; `true` replaces it. Returns the
@@ -149,10 +161,80 @@ object VersionedTable {
   def readChanges(spark: SparkSession, path: String, fromV: Long, toV: Long): DataFrame = {
     require(fromV <= toV, s"fromV $fromV > toV $toV")
     val before = readManifest(spark, path, fromV).toSet
+    // files a compaction in (fromV, toV] introduced hold only
+    // already-delivered rows — excluding them keeps the delta = rows
+    // APPENDED in the range, compaction-transparent
+    val compacted = versions(spark, path)
+      .filter(v => v > fromV && v <= toV && isCompaction(spark, path, v))
+      .flatMap { v =>
+        val prev = readManifest(spark, path, v - 1).toSet
+        readManifest(spark, path, v).filterNot(prev)
+      }.toSet
     val files = readManifest(spark, path, toV).filterNot(before)
+      .filterNot(compacted)
       .map(f => s"$path/$f")
     if (files.isEmpty) spark.emptyDataFrame
     else spark.read.parquet(files: _*)
+  }
+
+  /** i14 — COMPACTION (the lakehouse OPTIMIZE): rewrite the latest
+    * snapshot into `targetFiles` consolidated data files and commit
+    * the result as a new version whose manifest carries the
+    * [[CompactionMarker]] — same rows, fewer files, NO row delta.
+    * Everything the table already guarantees is preserved:
+    * - old versions stay byte-stable (their small files are untouched
+    *   until [[vacuum]] drops the manifests that reference them), so
+    *   time travel across a compaction reads the pre-compaction bytes;
+    * - change consumers ([[readChanges]]/[[drainChanges]]) see an
+    *   EMPTY delta for the compaction version — the Delta-Lake
+    *   dataChange=false semantic, carried by the marker line;
+    * - concurrency: the manifest CAS only accepts the compaction if
+    *   the base it rewrote is still the latest — a concurrent append
+    *   winning the version race aborts this attempt, the landed files
+    *   are deleted, and the compaction re-reads and re-lands from the
+    *   new latest (appends are never lost, compaction just re-runs).
+    * At 100 TB this is the small-file maintenance a streaming-ingested
+    * table needs nightly: read O(live files), write O(targetFiles),
+    * one manifest create; readers never block. */
+  def compact(spark: SparkSession, path: String, targetFiles: Int = 1): Long = {
+    val fs = fsOf(spark, path)
+    val dataDir = new Path(path, "data")
+    var committed = -1L
+    while (committed < 0) {
+      val vs = versions(spark, path)
+      require(vs.nonEmpty, s"nothing to compact at $path")
+      val base = vs.last
+      val token = java.util.UUID.randomUUID.toString.take(8)
+      val staging = new Path(path, s".staging-$token")
+      read(spark, path, Some(base)).repartition(targetFiles)
+        .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      val newFiles = fs.listStatus(staging).toSeq
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map { f =>
+          val dst = new Path(dataDir, s"$token-${f.getPath.getName}")
+          if (!fs.rename(f.getPath, dst))
+            throw new IllegalStateException(s"landing ${f.getPath} failed")
+          s"data/${dst.getName}"
+        }
+      fs.delete(staging, true)
+      val content = (CompactionMarker +: newFiles).mkString("\n")
+      val attempt: Long = VersionedTable.commitLock.synchronized {
+        val now = versions(spark, path)
+        if (now.last != base) -1L // lost to a concurrent commit
+        else {
+          val next = base + 1
+          val tmp = new Path(path, s".manifest-$token.tmp")
+          Using.resource(fs.create(tmp, true))(_.write(content.getBytes("UTF-8")))
+          if (fs.rename(tmp, manifest(path, next)) &&
+              rawManifest(spark, path, next).mkString("\n") == content) next
+          else { fs.delete(tmp, true); -1L }
+        }
+      }
+      if (attempt < 0) // roll back this attempt's files before retrying
+        newFiles.foreach(f => fs.delete(new Path(path, f), false))
+      committed = attempt
+    }
+    committed
   }
 
   /** Drop all but the last `keepLast` manifests and delete every data
@@ -231,10 +313,14 @@ object VersionedTable {
     val from = cursorVersion(spark, ckptDir)
     val todo = vs.filter(_ > from)
     todo.foreach { v =>
-      val delta =
-        if (vs.headOption.contains(v)) read(spark, tablePath, Some(v))
-        else readChanges(spark, tablePath, v - 1, v)
-      process(delta, v)
+      // compaction versions (i14) carry no row delta — the cursor
+      // advances past them without invoking the consumer
+      if (!isCompaction(spark, tablePath, v)) {
+        val delta =
+          if (vs.headOption.contains(v)) read(spark, tablePath, Some(v))
+          else readChanges(spark, tablePath, v - 1, v)
+        process(delta, v)
+      }
       writeCursor(spark, ckptDir, v)
     }
     todo

@@ -111,6 +111,65 @@ class VersionedTableSpec extends SparkTestBase {
     }
   }
 
+  test("i14: compact rewrites files not rows — time travel, change feed and vacuum all transparent") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("vtable_opt").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("vtable_opt_ck").toString
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(v: Long): Int = {
+      // count via a snapshot read's input files — readers never list data/
+      VersionedTable.read(spark, path, Some(v)).inputFiles.length
+    }
+
+    // 5 small append commits, each fragmented across 2 files
+    (0 until 5).foreach { i =>
+      VersionedTable.commit(spark, path,
+        (0L until 20L).map(k => (i * 100L + k, s"w$i-$k")).toDF("key", "val")
+          .repartition(2))
+    }
+    val want = rows(VersionedTable.read(spark, path))
+    assert(dataFiles(5L) == 10, "precondition: fragmented table")
+
+    // a consumer drains the appends BEFORE compaction
+    var drained = Set.empty[(Long, String)]
+    VersionedTable.drainChanges(spark, path, ckpt) { (d, _) => drained ++= rows(d) }
+    assert(drained == want)
+
+    // compact to 2 files: same rows, fewer files, new version
+    val cv = VersionedTable.compact(spark, path, targetFiles = 2)
+    assert(cv == 6L && VersionedTable.isCompaction(spark, path, cv))
+    assert(rows(VersionedTable.read(spark, path)) == want, "compaction changed rows")
+    assert(dataFiles(6L) == 2, "compaction must consolidate to targetFiles")
+    assert(dataFiles(5L) == 10, "pre-compaction snapshot must keep its bytes")
+
+    // change feed across the compaction: v6 contributes NOTHING; a
+    // later append is delivered alone
+    assert(VersionedTable.readChanges(spark, path, 5L, 6L).isEmpty,
+      "compaction must have an empty row delta")
+    VersionedTable.commit(spark, path,
+      (900L until 910L).map(k => (k, s"z$k")).toDF("key", "val"))
+    var calls = 0
+    var delta = Set.empty[(Long, String)]
+    VersionedTable.drainChanges(spark, path, ckpt) { (d, _) => calls += 1; delta ++= rows(d) }
+    assert(calls == 1, "the compaction version must not invoke the consumer")
+    assert(delta == (900L until 910L).map(k => (k, s"z$k")).toSet,
+      "post-compaction drain must deliver only the append")
+    assert(VersionedTable.cursorVersion(spark, ckpt) == 7L)
+    // and a 2-version-range readChanges spanning the compaction sees
+    // only the appended rows, never the rewritten old ones
+    assert(rows(VersionedTable.readChanges(spark, path, 5L, 7L)) ==
+      (900L until 910L).map(k => (k, s"z$k")).toSet)
+
+    // vacuum to the last 2 versions: the 10 small pre-compaction files
+    // are unreferenced by v6/v7 and get collected; both stay readable
+    val (_, droppedF) = VersionedTable.vacuum(spark, path, keepLast = 2)
+    assert(droppedF >= 10, s"small files must be collected, dropped $droppedF")
+    assert(rows(VersionedTable.read(spark, path)) ==
+      want ++ (900L until 910L).map(k => (k, s"z$k")).toSet)
+    assert(rows(VersionedTable.read(spark, path, Some(6L))) == want)
+  }
+
   test("i13: drainChanges delivers every version's delta exactly once across a crash") {
     import spark.implicits._
     import graft.sources.DatasetsSink
