@@ -776,6 +776,58 @@ object IngestStream {
       .dropDuplicatesWithinWatermark("doc_a", "doc_b")
   }
 
+  /** one profiled field sample on the payload stream: `isNull` marks a
+    * present-but-null value, `h` is the caller-computed 60-bit value
+    * hash (sid60 convention — same hash the batch `graft_kmv` sees). */
+  case class FieldSample(field: String, ms: Long, isNull: Boolean, v: Long, h: Long)
+  case class ProfileState(version: Long, n: Long, nNull: Long,
+      lo: Long, hi: Long, mins: Seq[Long])
+  case class FieldProfile(field: String, version: Long, n: Long, nNull: Long,
+      lo: Long, hi: Long, mins: Seq[Long])
+
+  /** h25 — streaming PROFILE / schema-drift monitor (c64's live twin:
+    * the nightly column profile, maintained continuously): per payload
+    * FIELD, one bounded state row holding n / null count / lo / hi and
+    * a k=32 KMV distinct sketch — every fold is PREFIX-STABLE (count,
+    * min, max, null count, and the KMV k-smallest all depend only on
+    * the set of samples seen), so the live profile converges to
+    * EXACTLY the batch profile under ANY batching — spec-proven
+    * against the batch `graft_kmv` aggregate itself plus exact
+    * min/max/count references on adversarially re-batched feeds.
+    * `version` counts the batches that touched the field: version 1 on
+    * a never-seen field IS the schema-drift alert (a new field
+    * appeared in the payload stream); a null-rate jump reads off
+    * consecutive emissions. State: |fields| rows forever, each ≤ k
+    * longs — a 100 TB/day payload stream profiles in kilobytes. */
+  def streamingProfile(samples: Dataset[FieldSample], k: Int = 32): Dataset[FieldProfile] = {
+    import samples.sparkSession.implicits._
+    samples.groupByKey(_.field)
+      .mapGroupsWithState[ProfileState, FieldProfile](GroupStateTimeout.NoTimeout) {
+        (field: String, it: Iterator[FieldSample], state: GroupState[ProfileState]) =>
+          val cur = state.getOption.getOrElse(
+            ProfileState(0L, 0L, 0L, Long.MaxValue, Long.MinValue, Nil))
+          val s = new java.util.TreeSet[java.lang.Long]()
+          cur.mins.foreach(s.add(_))
+          var (n, nNull, lo, hi) = (cur.n, cur.nNull, cur.lo, cur.hi)
+          it.foreach { f =>
+            n += 1
+            if (f.isNull) nNull += 1
+            else {
+              if (f.v < lo) lo = f.v
+              if (f.v > hi) hi = f.v
+              if (!s.contains(f.h)) {
+                if (s.size < k) s.add(f.h)
+                else if (f.h < s.last()) { s.add(f.h); s.remove(s.last()) }
+              }
+            }
+          }
+          val mins = { val b = Seq.newBuilder[Long]; s.forEach(b += _.longValue()); b.result() }
+          val ns = ProfileState(cur.version + 1, n, nNull, lo, hi, mins)
+          state.update(ns)
+          FieldProfile(field, ns.version, n, nNull, lo, hi, mins)
+      }
+  }
+
   /** h2 — watermarked tumbling-window ingest throughput (streaming twin
     * of c7 q_events_window). */
   def windowedCounts(events: DataFrame): DataFrame =

@@ -189,4 +189,72 @@ class TrendStreamSpec extends SparkTestBase {
     assert(stateRows == readings.map(_.userId).distinct.length.toLong,
       "state must be one moments row per key")
   }
+
+  test("h25: live profile converges to the batch profile (incl. the batch graft_kmv) under any batching") {
+    import spark.implicits._
+    import graft.streaming.IngestStream.{FieldSample, FieldProfile}
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+
+    // payload fields from the events stream: `k` (json prop), `value`
+    // (cents), plus a late-appearing `beta` field (schema drift) and
+    // injected nulls on `k`
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .collect()
+    def h(v: Long): Long = graft.functions.Sid60.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(v.toString))
+    val samples = base.flatMap { r =>
+      val id = r.getLong(0)
+      val kNull = id % 17 == 0 // injected null-rate on one field
+      Seq(
+        FieldSample("k", id, kNull, if (kNull) 0L else r.getLong(1),
+          if (kNull) 0L else h(r.getLong(1))),
+        FieldSample("cents", id, isNull = false, r.getLong(2), h(r.getLong(2)))) ++
+        (if (id % 3 == 0) Seq(FieldSample("beta", id, isNull = false, id % 7, h(id % 7)))
+         else Nil)
+    }.toSeq
+
+    // batch reference: exact n/null/lo/hi + the batch KMV sketch from
+    // the very aggregate c51 trusts
+    val nonNull = samples.filter(!_.isNull)
+    val ref = samples.groupBy(_.field).map { case (f, ss) =>
+      val vs = ss.filter(!_.isNull)
+      f -> ((ss.size.toLong, ss.count(_.isNull).toLong, vs.map(_.v).min, vs.map(_.v).max))
+    }
+    val kmvRef = nonNull.map(s => (s.field, s.h)).toDF("field", "h")
+      .groupBy("field").agg(expr("graft_kmv(h, 32)").as("mins"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).sorted).toMap
+
+    // adversarial batching: uneven cuts, shuffled inside each batch —
+    // every profile fold is prefix-stable so the FINAL emission per
+    // field must be identical to the batch answer
+    val cuts = Seq(3, samples.length / 5, samples.length / 2, 4 * samples.length / 5)
+    val batches = (Seq(0) ++ cuts ++ Seq(samples.length)).sliding(2).map {
+      case Seq(a, b) => samples.slice(a, b)
+        .sortBy(s => Integer.rotateLeft(s.hashCode, 11))
+    }.toSeq
+    val input = MemoryStream[FieldSample]
+    val q = IngestStream.streamingProfile(input.toDS())
+      .writeStream.format("memory").queryName("h25_profile")
+      .outputMode(OutputMode.Update()).start()
+    val (rows, stateRows) =
+      try {
+        batches.foreach { b => input.addData(b); q.processAllAvailable() }
+        (spark.table("h25_profile").as[FieldProfile].collect(),
+          q.lastProgress.stateOperators.map(_.numRowsTotal).sum)
+      } finally q.stop()
+    val last = rows.groupBy(_.field).map { case (f, rs) => f -> rs.maxBy(_.version) }
+    ref.foreach { case (f, (n, nNull, lo, hi)) =>
+      val p = last(f)
+      assert((p.n, p.nNull, p.lo, p.hi) == ((n, nNull, lo, hi)),
+        s"field $f profile diverged from batch")
+      assert(p.mins.sorted == kmvRef(f), s"field $f live KMV != batch graft_kmv")
+    }
+    assert(stateRows == 3L, "state must be one bounded row per field")
+    // schema drift: the late field's FIRST emission carries version 1
+    assert(rows.filter(_.field == "beta").minBy(_.version).version == 1L)
+  }
 }
