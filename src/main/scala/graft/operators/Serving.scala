@@ -141,7 +141,8 @@ object Serving {
     * e9-oracle shape; evaluation reranks deeper so cell quality, not
     * 4-anchor ADC coarseness, is what recall measures. */
   private[graft] def qAnnIvfPqIndexedAt(spark: SparkSession, e: DataFrame,
-      ix: String, queryVecId: Long, rerankDepth: Int = 10): DataFrame = {
+      ix: String, queryVecId: Long, rerankDepth: Int = 10,
+      deltaDirs: Seq[String] = Nil): DataFrame = {
     GraftFunctions.register(spark)
     val q = e.filter(col("vec_id") === queryVecId).select(col("embedding").as("qv"))
     val qe = e.filter(col("vec_id") === queryVecId)
@@ -155,8 +156,13 @@ object Serving {
     // the cell scan below prunes statically (visible PartitionFilters)
     val bestLabel = dots.orderBy(col("dot").desc, col("label")).limit(1)
       .select(col("label").cast("int")).head().getInt(0)
-    val cells = spark.read.parquet(s"$ix/cells")
-      .filter(col("label") === lit(bestLabel))
+    // base cells ∪ any absorbed deltas (e22) — each source is its own
+    // label-partitioned layout, so the literal probe filter prunes
+    // every one of them to a single partition directory
+    val cellsBase = spark.read.parquet(s"$ix/cells")
+    val cells = deltaDirs.foldLeft(cellsBase) { (acc, d) =>
+        acc.unionByName(spark.read.parquet(d).select(cellsBase.columns.map(col): _*))
+      }.filter(col("label") === lit(bestLabel))
     val cl = cells.select(col("vec_id"),
       posexplode(array((0 until 8).map(j => col(s"c$j")): _*)).as(Seq("j", "code")))
     val codebook = spark.read.parquet(s"$ix/codebook")
@@ -486,7 +492,122 @@ object Serving {
     VersionedTable.read(spark, publishRoot, version)
       .select("index_dir").head().getString(0)
 
+  // ---------- e22: ANN index maintenance (the i7 twin for vectors) ----------
+
+  /** e22 — q_ann_absorb: the ANN index MAINTENANCE step, as a query
+    * (i7's daily cycle for vectors — an IVF index that never absorbs
+    * decays: every vector ingested since the build is unfindable).
+    * Arriving vectors (vec_id % 10 == 7, d8's batch convention) are
+    * assigned to the standing cells by the ROUTER'S OWN rule — argmax
+    * over cells of v·c_l − ‖c_l‖²/2 (the exact-L2 argmin, rewritten so
+    * the only IEEE operations are two final divisions of EXACT decimal
+    * sums: v·S_l and S_l·S_l stay decimal, n_l divides last) — so an
+    * absorbed vector lands in exactly the cell a query near it would
+    * probe; ties break to the lower label. Output: per cell, standing
+    * population and absorbed count. Plan: centroids are k×dim rows
+    * (broadcast), the batch pays one posexplode + two combined aggs —
+    * at 100 TB the absorb touches the BATCH and the centroid table,
+    * never the standing corpus. */
+  def qAnnAbsorb(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val dq = round(col("v").cast("double"), 6).cast("decimal(8,6)")
+    val pe = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .select(col("vec_id"), col("i"), dq.as("qv"))
+    val cent = pe.filter(col("vec_id") % 10 =!= 7)
+      .join(e.select("vec_id", "label"), "vec_id")
+      .groupBy("label", "i").agg(sum(col("qv")).as("s"), count(lit(1)).as("n"))
+    val norm = cent.groupBy("label")
+      .agg(sum(col("s") * col("s")).as("ss"), max(col("n")).as("n"))
+    val dots = pe.filter(col("vec_id") % 10 === 7)
+      .join(broadcast(cent.select("i", "label", "s")), "i")
+      .groupBy("vec_id", "label").agg(sum(col("qv") * col("s")).as("vs"))
+    val scores = dots.join(broadcast(norm), "label")
+      .withColumn("score", col("vs").cast("double") / col("n")
+        - col("ss").cast("double") / (col("n") * col("n") * 2))
+    val assign = scores.groupBy("vec_id")
+      .agg(min(struct(negate(col("score")), col("label"))).as("b"))
+      .select(col("vec_id"), col("b.label").as("label"))
+    val before = e.filter(col("vec_id") % 10 =!= 7)
+      .groupBy("label").agg(count(lit(1)).as("n_before"))
+    val added = assign.groupBy("label").agg(count(lit(1)).as("n_added"))
+    before.join(added, Seq("label"), "left")
+      .select(col("label"), col("n_before"),
+        coalesce(col("n_added"), lit(0L)).as("n_added"))
+      .orderBy("label")
+  }
+
+  val qAnnAbsorbSql: String =
+    """WITH pe AS (
+        SELECT vec_id, label, unnest(generate_series(1, len(embedding))) AS i,
+          CAST(round(CAST(unnest(embedding) AS DOUBLE), 6) AS DECIMAL(8,6)) AS qv
+        FROM embeddings),
+      cent AS (
+        SELECT label, i, SUM(qv) AS s, COUNT(*) AS n
+        FROM pe WHERE vec_id % 10 != 7 GROUP BY label, i),
+      norm AS (SELECT label, SUM(s * s) AS ss, MAX(n) AS n FROM cent GROUP BY label),
+      dots AS (
+        SELECT p.vec_id, c.label, SUM(p.qv * c.s) AS vs
+        FROM pe p JOIN cent c USING (i) WHERE p.vec_id % 10 = 7
+        GROUP BY p.vec_id, c.label),
+      scores AS (
+        SELECT d.vec_id, d.label,
+          CAST(vs AS DOUBLE) / n.n - CAST(ss AS DOUBLE) / (2 * n.n * n.n) AS score
+        FROM dots d JOIN norm n ON n.label = d.label),
+      assign AS (
+        SELECT vec_id, label FROM (
+          SELECT vec_id, label,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, label) AS rn
+          FROM scores) x WHERE rn = 1),
+      bef AS (SELECT label, COUNT(*) AS n_before FROM embeddings
+              WHERE vec_id % 10 != 7 GROUP BY label),
+      added AS (SELECT label, COUNT(*) AS n_added FROM assign GROUP BY label)
+      SELECT b.label AS label, b.n_before, COALESCE(a.n_added, 0) AS n_added
+      FROM bef b LEFT JOIN added a ON a.label = b.label ORDER BY label"""
+
+  /** The WRITE half of e22: encode the arriving batch against the
+    * PERSISTED codebook, assign each vector with [[qAnnAbsorb]]'s
+    * router rule applied to the PERSISTED centroids, and land the new
+    * cell rows under `cells_delta/batch_id=<id>` (i4's
+    * overwrite-by-batch-id — a retried absorb replaces itself),
+    * partitioned by label like the base cells so serving stays
+    * partition-pruned. The serve path reads base ∪ deltas
+    * ([[qAnnIvfPqIndexedAt]]'s `deltaDirs`). */
+  def absorbAnnBatch(spark: SparkSession, dir: String, ix: String, batchId: Long): Unit = {
+    GraftFunctions.register(spark)
+    val e = Tables(spark, dir, "embeddings")
+    val batch = e.filter(col("vec_id") % 10 === 7)
+    val cent = spark.read.parquet(s"$ix/centroids")
+    val dq = round(col("v").cast("double"), 6).cast("decimal(8,6)")
+    val pe = batch.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .select(col("vec_id"), col("i"), dq.as("qv"))
+    val norm = cent.groupBy("label")
+      .agg(sum(col("s") * col("s")).as("ss"), max(col("n")).as("n"))
+    val dots = pe.join(broadcast(cent.select("i", "label", "s")), "i")
+      .groupBy("vec_id", "label").agg(sum(col("qv") * col("s")).as("vs"))
+    val assign = dots.join(broadcast(norm), "label")
+      .withColumn("score", col("vs").cast("double") / col("n")
+        - col("ss").cast("double") / (col("n") * col("n") * 2))
+      .groupBy("vec_id")
+      .agg(min(struct(negate(col("score")), col("label"))).as("b"))
+      .select(col("vec_id"), col("b.label").as("label"))
+    val codebook = spark.read.parquet(s"$ix/codebook")
+      .select(col("a_id"), col("a"))
+    val ks = (0 until 8).map { j =>
+      expr(s"CAST(round(round(${Ann.subDotSpark("a", "a", j)} - 2 * ${Ann.subDotSpark("embedding", "a", j)}, 6) * 1000000, 0) AS BIGINT) * 16 + a_id")
+        .as(s"k$j")
+    }
+    val scored = batch.crossJoin(broadcast(codebook)).select(col("vec_id") +: ks: _*)
+    val codeAggs = (0 until 8).map(j => pmod(min(col(s"k$j")), lit(16L)).as(s"c$j"))
+    val codes = scored.groupBy("vec_id").agg(codeAggs.head, codeAggs.tail: _*)
+    val cells = codes
+      .join(batch.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(assign, "vec_id")
+    DatasetsSink.writeIndexed(cells, s"$ix/cells_delta/batch_id=$batchId",
+      partitionCols = Seq("label"), sortCols = Seq("vec_id"), bloomCols = Seq("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_absorb" -> (qAnnAbsorb _),
     "q_ann_filtered_indexed" -> (qAnnFilteredIndexed _),
     "q_ann_ivfpq_indexed" -> (qAnnIvfPqIndexed _),
     "q_ann_batch_indexed" -> (qAnnBatchIndexed _),
@@ -496,6 +617,7 @@ object Serving {
     * so they share those oracles — the driver then hash-verifies that
     * the persisted-index architecture changes nothing semantically. */
   val oracles: Map[String, String] = Map(
+    "q_ann_absorb" -> qAnnAbsorbSql,
     "q_ann_filtered_indexed" -> Ann.qAnnFilteredIvfSql,
     "q_ann_ivfpq_indexed" -> Ann.qAnnIvfPqSql,
     "q_ann_batch_indexed" -> qAnnBatchIndexedSql,

@@ -57,6 +57,44 @@ class ServingSpec extends SparkTestBase {
     assert(rescreen() == screen2, "retried absorb changed the screen result")
   }
 
+  test("e22 cycle: an absorbed vector becomes servable from its router-assigned cell, idempotently") {
+    import org.apache.spark.sql.functions.col
+    // standing-only index (vec_id % 10 != 7 — the batch is NOT built
+    // in); own copy so the shared fingerprint-keyed dir stays pristine
+    val ix = Files.createTempDirectory("graft_ann_absorb_ix").toString
+    val standing = Tables(spark, sfDir, "embeddings").filter(col("vec_id") % 10 =!= 7)
+    Serving.buildAnnIndex(standing, ix)
+    val e = Tables(spark, sfDir, "embeddings")
+    // query = vector 7's own embedding (7 % 10 == 7 ⇒ in the batch):
+    // before absorb it is unfindable — the index has never seen it
+    val before = Serving.qAnnIvfPqIndexedAt(spark, e, ix, queryVecId = 7L)
+      .collect().map(_.getLong(0)).toSet
+    assert(!before.contains(7L), "vector 7 served before it was absorbed")
+    // absorb the batch; serving with the delta must now return vec 7
+    // as the exact match (cos_sim 1.0 ranks it into the rerank set)
+    Serving.absorbAnnBatch(spark, sfDir, ix, batchId = 1L)
+    val delta = s"$ix/cells_delta/batch_id=1"
+    val after = Serving.qAnnIvfPqIndexedAt(spark, e, ix, queryVecId = 7L,
+      deltaDirs = Seq(delta)).collect()
+    assert(after.count(_.getLong(0) == 7L) == 1,
+      s"absorbed vector 7 not served exactly once: ${after.map(_.getLong(0)).toSeq}")
+    val self = after.find(_.getLong(0) == 7L).get
+    assert(math.abs(self.getDouble(2) - 1.0) < 1e-6,
+      s"self-match cosine should be 1.0, got ${self.getDouble(2)}")
+    // the absorbed assignment equals the router's probe decision for
+    // the same vector — the cell a near-7 query probes IS 7's cell
+    // (qAnnAbsorb's argmax rule, persisted-centroid flavor)
+    // idempotence: a retried absorb replaces its batch partition
+    val rowsBefore = spark.read.parquet(delta).count()
+    Serving.absorbAnnBatch(spark, sfDir, ix, batchId = 1L)
+    assert(spark.read.parquet(delta).count() == rowsBefore,
+      "retried absorb duplicated cell rows")
+    val again = Serving.qAnnIvfPqIndexedAt(spark, e, ix, queryVecId = 7L,
+      deltaDirs = Seq(delta)).collect()
+    assert(again.toSeq.map(_.toSeq) == after.toSeq.map(_.toSeq),
+      "retried absorb changed the served result")
+  }
+
   test("index builds once and is reused; a changed corpus gets a fresh index") {
     // copy the corpus so we can mutate it without touching testdata
     val work = Files.createTempDirectory("graft_serving_corpus")
