@@ -304,6 +304,70 @@ object GeoOps {
         CAST(length(bin(GREATEST(width, height) // 256)) AS INT) AS overviews
       FROM d ORDER BY p_partkey"""
 
+  /** b30 — bbox WINDOWED-READ planning over b11's COG layout: for a
+    * tile-server request (here the deterministic central-quarter bbox
+    * of each raster), which 256-px blocks intersect, how many ranged
+    * reads they collapse to, and the read amplification the block
+    * alignment costs. All CLOSED-FORM integer algebra — block
+    * coordinates are floor divisions of the pixel bbox, blocks within
+    * a row are contiguous in the row-major COG tile stream so ranges
+    * merge to one per touched block-row (and to ONE total when the
+    * bbox spans every block column — whole rows are then adjacent),
+    * amplification is fetched-bytes vs exact-bbox-bytes in micro
+    * units. This is the planning loop a raster endpoint runs per
+    * request (ref processing.py windowed GDAL reads; azblob.py:302's
+    * ranged download is the transport it feeds): map-only, no joins,
+    * no explode — at 100 TB the plan is one pass over the catalog,
+    * never the pixels. */
+  def qCogReadPlan(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir, "part")
+    p.select(col("p_partkey"),
+        ((col("p_partkey") * 7919L) % 20000L + 256L).as("w"),
+        ((col("p_partkey") * 104729L) % 20000L + 256L).as("h"),
+        (col("p_size") % 6 + 1).cast("long").as("nbands"))
+      .withColumn("blocks_x", expr("(w + 255) div 256"))
+      // central-quarter bbox: pixels [w/4, 3w/4) × [h/4, 3h/4) —
+      // every division is an integer floor (div), mirroring the
+      // oracle's // exactly
+      .withColumn("bx0", expr("w div 4 div 256"))
+      .withColumn("bx1", expr("(w * 3 div 4 - 1) div 256"))
+      .withColumn("by0", expr("h div 4 div 256"))
+      .withColumn("by1", expr("(h * 3 div 4 - 1) div 256"))
+      .withColumn("nbx", col("bx1") - col("bx0") + 1)
+      .withColumn("nby", col("by1") - col("by0") + 1)
+      .withColumn("n_blocks", col("nbx") * col("nby"))
+      .withColumn("n_ranges",
+        when(col("nbx") === col("blocks_x"), 1L).otherwise(col("nby")))
+      .withColumn("bytes_read", col("n_blocks") * 131072L * col("nbands"))
+      .withColumn("bbox_bytes",
+        expr("(w * 3 div 4 - w div 4) * (h * 3 div 4 - h div 4)") * col("nbands") * 2L)
+      .withColumn("amp_micro", expr("bytes_read * 1000000 div bbox_bytes"))
+      .select("p_partkey", "n_blocks", "n_ranges", "bytes_read", "amp_micro")
+      .orderBy("p_partkey")
+  }
+
+  val qCogReadPlanSql: String =
+    """WITH d AS (
+        SELECT p_partkey, (p_partkey * 7919) % 20000 + 256 AS w,
+          (p_partkey * 104729) % 20000 + 256 AS h,
+          CAST(p_size % 6 + 1 AS BIGINT) AS nbands
+        FROM part),
+      g AS (
+        SELECT p_partkey, nbands, (w + 255) // 256 AS blocks_x,
+          (w // 4) // 256 AS bx0, ((w * 3 // 4) - 1) // 256 AS bx1,
+          (h // 4) // 256 AS by0, ((h * 3 // 4) - 1) // 256 AS by1,
+          (w * 3 // 4 - w // 4) * (h * 3 // 4 - h // 4) * nbands * 2 AS bbox_bytes
+        FROM d),
+      m AS (
+        SELECT p_partkey, nbands, blocks_x, bbox_bytes,
+          bx1 - bx0 + 1 AS nbx, by1 - by0 + 1 AS nby
+        FROM g)
+      SELECT p_partkey, nbx * nby AS n_blocks,
+        CASE WHEN nbx = blocks_x THEN 1 ELSE nby END AS n_ranges,
+        nbx * nby * 131072 * nbands AS bytes_read,
+        (nbx * nby * 131072 * nbands) * 1000000 // bbox_bytes AS amp_micro
+      FROM m ORDER BY p_partkey"""
+
   /** b12 — multilayer PMTiles manifest (join_vector_tiles=true path):
     * one PMTiles file per dataset with all its layers; description is
     * the comma-joined layer list. ref processing.py:314-376
@@ -1261,7 +1325,8 @@ object GeoOps {
     "q_feature_count_check" -> (qFeatureCountCheck _),
     "q_overview_pyramid" -> (qOverviewPyramid _),
     "q_band_stats" -> (qBandStats _),
-    "q_cog_layout" -> (qCogLayout _))
+    "q_cog_layout" -> (qCogLayout _),
+    "q_cog_read_plan" -> (qCogReadPlan _))
 
   val oracles: Map[String, String] = Map(
     "q_raster_e2e" -> qRasterE2eSql,
@@ -1293,5 +1358,6 @@ object GeoOps {
     "q_feature_count_check" -> qFeatureCountCheckSql,
     "q_overview_pyramid" -> qOverviewPyramidSql,
     "q_band_stats" -> qBandStatsSql,
-    "q_cog_layout" -> qCogLayoutSql)
+    "q_cog_layout" -> qCogLayoutSql,
+    "q_cog_read_plan" -> qCogReadPlanSql)
 }

@@ -324,4 +324,21 @@ object DatasetsSink {
   def readEvolved(spark: org.apache.spark.sql.SparkSession, path: String,
       canonical: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(canonical).parquet(path)
+
+  /** i15 — BUCKETED co-located write: hash-bucket the table on its
+    * join key at WRITE time (`bucketBy` + in-bucket sort), so every
+    * subsequent equi-join or aggregation on that key plans with NO
+    * Exchange on this side — the shuffle a fact-to-fact join would
+    * pay per query is paid ONCE at ingest. Two tables bucketed on
+    * their join keys with the same bucket count co-locate: the join
+    * is map-side, per-bucket (SinkSpec proves the exchange-free plan
+    * and its byte-parity with the shuffled join). At 100 TB this is
+    * the difference between re-shuffling 100 TB on every
+    * lineitem⋈orders and never shuffling either — the bucketed layout
+    * IS the exchange. Bucketed tables live in the session catalog
+    * (saveAsTable — Spark's bucketing metadata is catalog-carried). */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
 }

@@ -205,4 +205,34 @@ class SinkSpec extends SparkTestBase {
     assert(zRead * 8 <= sRead,
       s"z-order read $zRead vs scattered $sRead — row-group pruning not engaging")
   }
+
+  test("i15 writeBucketed: bucketed tables join with ZERO exchanges, byte-equal to the shuffled join") {
+    val o = Tables(spark, sfDir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    val c = Tables(spark, sfDir, "customer").select("c_custkey", "c_name")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the shuffle shape (customer would broadcast at this sf
+      // and hide the exchange question entirely)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      DatasetsSink.writeBucketed(o, "i15_orders", "o_custkey", 8)
+      DatasetsSink.writeBucketed(c, "i15_cust", "c_custkey", 8)
+      val bucketed = spark.table("i15_orders")
+        .join(spark.table("i15_cust"), col("o_custkey") === col("c_custkey"))
+      val plan = bucketed.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed co-located join must not shuffle either side:\n$plan")
+      // the plain parquet join pays two exchanges for the same answer
+      val shuffled = o.join(c, col("o_custkey") === col("c_custkey"))
+      val shuffledPlan = shuffled.queryExecution.executedPlan.toString
+      assert("Exchange".r.findAllIn(shuffledPlan).size >= 2,
+        s"control join should shuffle both sides:\n$shuffledPlan")
+      val a = bucketed.collect().map(_.toString).sorted.toSeq
+      val b = shuffled.collect().map(_.toString).sorted.toSeq
+      assert(a == b, "bucketed join result diverged from the shuffled join")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS i15_orders")
+      spark.sql("DROP TABLE IF EXISTS i15_cust")
+    }
+  }
 }
