@@ -584,8 +584,14 @@ object Dedup {
   private[graft] def ccLabels(spark: SparkSession, dir: String): DataFrame =
     memo(spark, dir, "cc_labels") { ccLabelsPlan(spark, dir) }
 
-  private def ccLabelsPlan(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashPairs(spark, dir).select("doc_a", "doc_b")
+  private def ccLabelsPlan(spark: SparkSession, dir: String): DataFrame =
+    ccOver(minhashPairs(spark, dir).select("doc_a", "doc_b"))._1
+
+  /** d6's min-label propagation over an arbitrary (doc_a, doc_b) pair
+    * frame — returns (labels, rounds run). Shared by the cold pass
+    * (d6) and the standing-side seed of the incremental pass (d19). */
+  private[graft] def ccOver(pairs0: DataFrame): (DataFrame, Int) = {
+    val pairs = pairs0
     // symmetric edge set, pre-partitioned on the per-round join key so
     // the checkpointed LogicalRDD carries HashPartitioning(dst) and
     // every round's message join reuses it instead of re-shuffling the
@@ -634,11 +640,92 @@ object Dedup {
       throw new IllegalStateException(
         s"CC min-label propagation did not converge in $maxRounds rounds " +
           s"($changed labels still changing) — component diameter exceeds the cap")
-    labels
+    (labels, rounds)
   }
 
   def qDedupCc(spark: SparkSession, dir: String): DataFrame =
     ccLabels(spark, dir)
+      .groupBy(col("label").as("component"))
+      .agg(count(lit(1)).as("n_docs"), max("id").as("max_doc"))
+      .orderBy("component")
+
+  /** d19 core — INCREMENTAL connected components with FRONTIER
+    * propagation (the daily graph-maintenance twin of d8: yesterday's
+    * components are paid for; today's batch must not re-run CC over
+    * the whole history). Seeds: the standing subgraph's converged
+    * labels (batch-free pairs), own-id for everything else. The
+    * frontier starts as the endpoints of NEW (batch-incident) edges
+    * only, and each round ONLY nodes whose label just improved send
+    * messages — so per-round message volume is O(affected subgraph)
+    * (the components the batch actually touches or merges), not
+    * O(all edges) like the cold pass. Min-label propagation from any
+    * node-wise upper bound converges to the same fixpoint as the cold
+    * start, so the result is IDENTICAL to d6 on the full graph —
+    * which is why d19 shares d6's oracle. Returns (labels, rounds,
+    * total frontier size across rounds — the measured "affected"
+    * volume). */
+  private[graft] def incrLabels(spark: SparkSession, dir: String)
+      : (DataFrame, Int, Long) = {
+    val pairs = minhashPairs(spark, dir).select("doc_a", "doc_b")
+    val isBatch = (c: org.apache.spark.sql.Column) => c % 10 === 7
+    val standingPairs = pairs.filter(!isBatch(col("doc_a")) && !isBatch(col("doc_b")))
+    val newPairs = pairs.filter(isBatch(col("doc_a")) || isBatch(col("doc_b")))
+      .localCheckpoint(false)
+    val standing = ccOver(standingPairs)._1 // yesterday's converged labels
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+      .repartition(col("dst"))
+      .localCheckpoint(false)
+    var labels = edges.select(col("dst").as("id")).distinct()
+      .join(standing.select(col("id"), col("label").as("seed")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("seed"), col("id")).as("label"))
+      .repartition(col("id"))
+      .localCheckpoint(false)
+    var frontier = newPairs.select(col("doc_a").as("id"))
+      .union(newPairs.select(col("doc_b").as("id")))
+      .distinct()
+      .join(labels, "id")
+      .localCheckpoint(false)
+    val maxRounds = 50
+    var rounds = 0
+    var cur = frontier.count()
+    var totalFrontier = cur
+    while (cur > 0 && rounds < maxRounds) {
+      // one round: ONLY frontier nodes message their neighbors (edges
+      // side exchange-free on the pre-partitioned dst), improvements
+      // fold into the label table, the improved nodes BECOME the next
+      // frontier
+      val msgs = edges
+        .join(frontier.select(col("id").as("dst"), col("label")), "dst")
+        .select(col("src").as("id"), col("label"))
+      val upd = msgs.groupBy("id").agg(min("label").as("cand"))
+      val next = labels.join(upd, Seq("id"), "left").localCheckpoint(false)
+      frontier = next.filter(col("cand") < col("label"))
+        .select(col("id"), col("cand").as("label"))
+        .localCheckpoint(false)
+      labels = next
+        .select(col("id"),
+          when(col("cand") < col("label"), col("cand"))
+            .otherwise(col("label")).as("label"))
+        .repartition(col("id"))
+        .localCheckpoint(false)
+      cur = frontier.count()
+      totalFrontier += cur
+      rounds += 1
+    }
+    if (cur > 0)
+      throw new IllegalStateException(
+        s"incremental CC did not converge in $maxRounds rounds")
+    (labels, rounds, totalFrontier)
+  }
+
+  /** d19 — q_dedup_cc_incr: d6's component table produced INCREMENTALLY
+    * (see [[incrLabels]]) — same fixpoint, so it shares d6's oracle;
+    * the spec additionally proves the affected-subgraph bound (total
+    * frontier ≪ graph) and convergence in ≤ the cold pass' rounds. */
+  def qDedupCcIncr(spark: SparkSession, dir: String): DataFrame =
+    incrLabels(spark, dir)._1
       .groupBy(col("label").as("component"))
       .agg(count(lit(1)).as("n_docs"), max("id").as("max_doc"))
       .orderBy("component")
@@ -1473,6 +1560,7 @@ object Dedup {
     "q_dedup_keep_best" -> (qDedupKeepBest _),
     "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_cc" -> (qDedupCc _),
+    "q_dedup_cc_incr" -> (qDedupCcIncr _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
@@ -1493,6 +1581,9 @@ object Dedup {
     "q_dedup_keep_best" -> qDedupKeepBestSql,
     "q_dedup_containment" -> qDedupContainmentSql,
     "q_dedup_cc" -> qDedupCcSql,
+    // d19 is an ARCHITECTURE change (incremental, frontier-bounded),
+    // not a semantics change — same fixpoint, same oracle as d6
+    "q_dedup_cc_incr" -> qDedupCcSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_minhash" -> qDedupMinhashSql,
     "q_dedup_simhash" -> qDedupSimhashSql,

@@ -142,7 +142,7 @@ object Serving {
     * 4-anchor ADC coarseness, is what recall measures. */
   private[graft] def qAnnIvfPqIndexedAt(spark: SparkSession, e: DataFrame,
       ix: String, queryVecId: Long, rerankDepth: Int = 10,
-      deltaDirs: Seq[String] = Nil): DataFrame = {
+      deltaDirs: Seq[String] = Nil, tombstoneDirs: Seq[String] = Nil): DataFrame = {
     GraftFunctions.register(spark)
     val q = e.filter(col("vec_id") === queryVecId).select(col("embedding").as("qv"))
     val qe = e.filter(col("vec_id") === queryVecId)
@@ -160,9 +160,16 @@ object Serving {
     // label-partitioned layout, so the literal probe filter prunes
     // every one of them to a single partition directory
     val cellsBase = spark.read.parquet(s"$ix/cells")
-    val cells = deltaDirs.foldLeft(cellsBase) { (acc, d) =>
+    val cellsLive = deltaDirs.foldLeft(cellsBase) { (acc, d) =>
         acc.unionByName(spark.read.parquet(d).select(cellsBase.columns.map(col): _*))
       }.filter(col("label") === lit(bestLabel))
+    // e23: tombstoned vectors drop out BEFORE any scoring — the
+    // tombstone set is tiny (recent deletes, vacuumed away at the
+    // next rebuild) and broadcasts against the already-pruned cell
+    val cells = tombstoneDirs.foldLeft(cellsLive) { (acc, t) =>
+        acc.join(broadcast(spark.read.parquet(t).select("vec_id")),
+          Seq("vec_id"), "left_anti")
+      }
     val cl = cells.select(col("vec_id"),
       posexplode(array((0 until 8).map(j => col(s"c$j")): _*)).as(Seq("j", "code")))
     val codebook = spark.read.parquet(s"$ix/codebook")
@@ -604,6 +611,22 @@ object Serving {
       .join(assign, "vec_id")
     DatasetsSink.writeIndexed(cells, s"$ix/cells_delta/batch_id=$batchId",
       partitionCols = Seq("label"), sortCols = Seq("vec_id"), bloomCols = Seq("vec_id"))
+  }
+
+  /** e23 — the DELETE half of index maintenance (e22 absorbs, this
+    * forgets: GDPR erasure, retracted documents, corrupted vectors):
+    * tombstones land as one overwrite-by-batch-id partition of bare
+    * vec_ids — O(deletes) bytes, the index files are NEVER rewritten
+    * (immutable, shared with time travel) — and the serve path
+    * anti-joins the broadcast tombstone set against the
+    * already-pruned probe cell, so a delete is visible at the NEXT
+    * query with zero rebuild cost. The next full rebuild (or a
+    * compaction) naturally vacuums tombstoned rows out. */
+  def tombstoneAnnBatch(spark: SparkSession, ix: String, vecIds: Seq[Long],
+      batchId: Long): Unit = {
+    import spark.implicits._
+    DatasetsSink.writeOptimized(vecIds.toDF("vec_id"),
+      s"$ix/tombstones/batch_id=$batchId", Seq("vec_id"), Seq("vec_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -760,4 +760,19 @@ class OperatorsSpec extends SparkTestBase {
     val p = TextOps.qTfidf(spark, sfDir).queryExecution.executedPlan.toString
     assert(p.contains("WindowGroupLimit"), s"top-5 filter not pushed:\n$p")
   }
+
+  test("d19: incremental CC equals the cold pass; frontier stays affected-subgraph-sized") {
+    val cold = operators.Dedup.qDedupCc(spark, sfDir).collect().map(_.toSeq).toSeq
+    val incr = operators.Dedup.qDedupCcIncr(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(incr == cold, "incremental CC diverged from the cold fixpoint")
+    val (labels, rounds, totalFrontier) = operators.Dedup.incrLabels(spark, sfDir)
+    val nodes = labels.count()
+    assert(rounds <= 50 && nodes > 0)
+    // the measured incremental claim: total message-SENDING nodes
+    // across every round stays below the graph size — the cold pass
+    // by contrast has every node messaging every round
+    assert(totalFrontier < nodes,
+      s"frontier total $totalFrontier should be < $nodes graph nodes " +
+        "(batch-incident components only)")
+  }
 }

@@ -93,6 +93,27 @@ class ServingSpec extends SparkTestBase {
       deltaDirs = Seq(delta)).collect()
     assert(again.toSeq.map(_.toSeq) == after.toSeq.map(_.toSeq),
       "retried absorb changed the served result")
+
+    // e23: tombstoning every absorbed vector makes the serve result
+    // EXACTLY the pre-absorb answer — deletes are visible next query,
+    // no index file rewritten
+    val absorbed = spark.read.parquet(delta).select("vec_id")
+      .collect().map(_.getLong(0)).toSeq
+    Serving.tombstoneAnnBatch(spark, ix, absorbed, batchId = 1L)
+    val tomb = s"$ix/tombstones/batch_id=1"
+    val erased = Serving.qAnnIvfPqIndexedAt(spark, e, ix, queryVecId = 7L,
+      deltaDirs = Seq(delta), tombstoneDirs = Seq(tomb)).collect()
+    val beforeRows = Serving.qAnnIvfPqIndexedAt(spark, e, ix, queryVecId = 7L)
+      .collect()
+    assert(erased.toSeq.map(_.toSeq) == beforeRows.toSeq.map(_.toSeq),
+      "tombstoned delta must serve exactly the pre-absorb answer")
+    // and a partial delete: tombstone ONLY vec 7 — the rest of the
+    // batch keeps serving
+    Serving.tombstoneAnnBatch(spark, ix, Seq(7L), batchId = 2L)
+    val partial = Serving.qAnnIvfPqIndexedAt(spark, e, ix, queryVecId = 7L,
+      deltaDirs = Seq(delta), tombstoneDirs = Seq(s"$ix/tombstones/batch_id=2"))
+      .collect().map(_.getLong(0)).toSet
+    assert(!partial.contains(7L), "tombstoned vector still served")
   }
 
   test("index builds once and is reused; a changed corpus gets a fresh index") {
