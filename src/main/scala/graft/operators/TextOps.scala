@@ -1034,7 +1034,86 @@ object TextOps {
       FROM pc JOIN uni ua ON ua.w = a JOIN uni ub ON ub.w = b, tot
       ORDER BY pmi_micro DESC, a, b LIMIT 100"""
 
+  /** f33 — tokenizer-vocab COVERAGE / OOV-rate report (the number that
+    * drives tokenizer choice for an LLM corpus: what share of token
+    * OCCURRENCES does a fixed vocab cover, and which sources drift
+    * out-of-vocabulary?): vocab = top-50 corpus tokens under the total
+    * (freq desc, token) order (f5's convention, deterministic at the
+    * boundary), per source the total occurrences, OOV occurrences,
+    * and the OOV share in micro-units. Plan: ONE explode scan folds to
+    * (source, token) counts; the vocab derives from those counts
+    * (bounded re-agg, never a second corpus pass) and re-enters as a
+    * broadcast left join; the final agg is |sources| rows. At 100 TB:
+    * one pass over text, everything after is vocab-sized. */
+  def qOovRate(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val counts = d.select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
+    val vocab = counts.groupBy("token").agg(sum(col("n")).as("freq"))
+      .orderBy(col("freq").desc, col("token")).limit(50)
+      .select(col("token"), lit(1).as("in_vocab"))
+    counts.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("source")
+      .agg(sum(col("n")).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("n")).otherwise(0L)).as("oov_tokens"))
+      .withColumn("oov_micro", expr("oov_tokens * 1000000 div n_tokens"))
+      .orderBy("source")
+  }
+
+  val qOovRateSql: String =
+    """WITH counts AS (
+        SELECT source, token, COUNT(*) AS n FROM (
+          SELECT source, unnest(string_split(text, ' ')) AS token FROM documents) t
+        GROUP BY source, token),
+      vocab AS (
+        SELECT token FROM (
+          SELECT token, CAST(SUM(n) AS BIGINT) AS freq FROM counts GROUP BY token
+          ORDER BY freq DESC, token LIMIT 50) v)
+      SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens,
+        CAST(SUM(CASE WHEN vocab.token IS NULL THEN n ELSE 0 END) AS BIGINT) AS oov_tokens,
+        CAST(SUM(CASE WHEN vocab.token IS NULL THEN n ELSE 0 END) * 1000000
+          // SUM(n) AS BIGINT) AS oov_micro
+      FROM counts LEFT JOIN vocab ON counts.token = vocab.token
+      GROUP BY source ORDER BY source"""
+
+  /** f34 — quality-threshold ABLATION sweep (the curation knob curve:
+    * every filtering decision is "pick t on this table"): for each
+    * threshold decile t/10, documents surviving `score ≥ t/10`, their
+    * share, and the token volume they carry — f2's scores crossed
+    * with a broadcast 10-row threshold dimension and folded in ONE
+    * bounded agg (the scores frame is per-doc, the output is 10
+    * rows). Thresholds compare as j/10.0 doubles against f2's
+    * round(,6) scores — identical IEEE values in both engines. */
+  def qQualitySweep(spark: SparkSession, dir: String): DataFrame = {
+    val s = qQualityScore(spark, dir).select(col("doc_id"), col("n_tok"), col("score"))
+    val total = s.count() // bounded driver scalar: |docs| for the share
+    val thr = spark.range(10).select(col("id").cast("int").as("decile"))
+    s.crossJoin(broadcast(thr))
+      .groupBy("decile")
+      .agg(sum(when(col("score") >= col("decile") / 10.0, 1L).otherwise(0L)).as("n_docs"),
+        sum(when(col("score") >= col("decile") / 10.0, col("n_tok").cast("long"))
+          .otherwise(0L)).as("n_tokens"))
+      .withColumn("share_micro", expr(s"n_docs * 1000000 div ${total}L"))
+      .select("decile", "n_docs", "n_tokens", "share_micro")
+      .orderBy("decile")
+  }
+
+  val qQualitySweepSql: String =
+    s"""WITH s AS (SELECT doc_id, n_tok, score FROM ($qQualityScoreSql) q),
+      thr AS (SELECT unnest(generate_series(0, 9)) AS decile),
+      tot AS (SELECT COUNT(*) AS total FROM s)
+      SELECT CAST(decile AS INT) AS decile,
+        CAST(SUM(CASE WHEN score >= decile / 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN score >= decile / 10.0 THEN n_tok ELSE 0 END) AS BIGINT) AS n_tokens,
+        CAST(SUM(CASE WHEN score >= decile / 10.0 THEN 1 ELSE 0 END) * 1000000
+          // MAX(total) AS BIGINT) AS share_micro
+      FROM s CROSS JOIN thr CROSS JOIN tot
+      GROUP BY decile ORDER BY decile"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_oov_rate" -> (qOovRate _),
+    "q_quality_sweep" -> (qQualitySweep _),
     "q_pmi_pairs" -> (qPmiPairs _),
     "q_lang_mix" -> (qLangMix _),
     "q_ngram_novelty" -> (qNgramNovelty _),
@@ -1061,6 +1140,8 @@ object TextOps {
     "q_fingerprint" -> (qFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q_oov_rate" -> qOovRateSql,
+    "q_quality_sweep" -> qQualitySweepSql,
     "q_pmi_pairs" -> qPmiPairsSql,
     "q_lang_mix" -> qLangMixSql,
     "q_ngram_novelty" -> qNgramNoveltySql,
