@@ -104,6 +104,27 @@ object AuxBench {
         .trigger(Trigger.AvailableNow()).start()
     }
 
+    // h25: live profile monitor — n field samples over 3 fields with
+    // ~6% nulls, KMV k=32 per field
+    val profDir = tmp("prof")
+    spark.range(n.toLong).select(
+        element_at(array(lit("k"), lit("cents"), lit("beta")),
+          (col("id") % 3 + 1).cast("int")).as("field"),
+        col("id").as("ms"),
+        (col("id") % 17 === 0).as("isNull"),
+        (col("id") % 100000).as("v"),
+        ((col("id") * 2654435761L) % 1152921504606846976L).as("h"))
+      .write.mode("overwrite").parquet(profDir)
+    val profSchema = spark.read.parquet(profDir).schema
+    val h25Sec = drain("h25") { ckpt =>
+      IngestStream.streamingProfile(
+          spark.readStream.schema(profSchema).parquet(profDir)
+            .as[IngestStream.FieldSample])
+        .writeStream.format("noop").outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+    }
+
     // composed service loop: i1 queue → h1 event-time machine → i5
     // pub/sub sink, messages/sec end to end
     val svcMessages = math.max(1000, n / 5)
@@ -168,7 +189,7 @@ object AuxBench {
 
     println(s"""{"n_events":$n,"sf":"$sfDir",""" +
       s""""h1_rows_per_sec":${rps(h1Sec)},"h8_rows_per_sec":${rps(h8Sec)},""" +
-      s""""h11_rows_per_sec":${rps(h11Sec)},""" +
+      s""""h11_rows_per_sec":${rps(h11Sec)},"h25_rows_per_sec":${rps(h25Sec)},""" +
       s""""service_loop_msgs_per_sec":${math.rint(svcMessages / svcSec)},""" +
       s""""cdc_apply_rows_per_sec":$cdcRps,""" +
       f""""ann_index_build_sec":$annBuild%.3f,"ann_serve_sec":$annServe%.3f,""" +
