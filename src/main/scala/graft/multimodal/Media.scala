@@ -753,7 +753,50 @@ object Media {
       GROUP BY 1, 2, 3 HAVING COUNT(*) >= 6
       ORDER BY doc_a, doc_b, dt"""
 
+  /** one catalog-vs-bytes verdict of the g12 audit */
+  case class MediaAuditRow(doc_id: Long, decl_w: Int, act_w: Int,
+      decl_h: Int, act_h: Int)
+
+  /** g12 — media CATALOG-CONSISTENCY audit (c62's twin for the binary
+    * modality: at 100 TB the catalog and the bytes drift — stale
+    * re-encodes, truncated uploads, wrong-variant overwrites — and
+    * the only way to know is to DECODE and compare): declared
+    * dimensions come from the ingest-time formula over (doc_id,
+    * n_bytes) — the metadata path, NO decode — with a deterministic
+    * stale-entry plant (doc_id % 13 == 0 declares width one too
+    * large); actual dimensions come from the REAL JDK codec decode of
+    * the stored bytes (one mapPartitions decoder session per task,
+    * g2's shape). Output: ONLY the mismatch rows (bounded by the
+    * corruption rate, not the corpus). Rows-only by design (codec
+    * round-trip); MediaE2eSpec proves the flagged set is EXACTLY the
+    * planted set and that every unflagged doc's decoded dims equal
+    * the formula. At 100 TB: one decode pass (the audit's honest
+    * irreducible cost), map-only until the bounded mismatch output. */
+  def qMediaAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables(spark, dir, "documents")
+    val catalog = d.select(col("doc_id"),
+      (length(encode(col("text"), "UTF-8")) % 24 + 8
+        + when(col("doc_id") % 13 === 0, 1).otherwise(0)).cast("int").as("decl_w"),
+      (col("doc_id") % 16 + 8).cast("int").as("decl_h"))
+    val src = Tables.fanout(d.select(col("doc_id"), col("text")))
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+    val actual = src.mapPartitions { it =>
+      it.map { case (id, payload) =>
+        val (w, h, _) = ImageCodec.decode(ImageCodec.encodePng(id, payload))
+        (id, w, h)
+      }
+    }.toDF("doc_id", "act_w", "act_h")
+    catalog.join(actual, "doc_id")
+      .filter(col("decl_w") =!= col("act_w") || col("decl_h") =!= col("act_h"))
+      .select("doc_id", "decl_w", "act_w", "decl_h", "act_h")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_media_audit" -> (qMediaAudit _),
     "q_media_e2e" -> (qMediaE2e _),
     "q_audio_fingerprint" -> (qAudioFingerprint _),
     "q_shot_detect" -> (qShotDetect _),
@@ -766,12 +809,13 @@ object Media {
     "q_resize_plan" -> (qResizePlan _),
     "q_decode_batches" -> (qDecodeBatches _))
 
-  /** q_media_pipeline, q_media_batched, q_phash_dedup, q_shot_detect
-    * and q_media_e2e intentionally have no oracle (a PNG codec
-    * round-trip is not SQL-expressible) → driver records a rows-only
-    * check; the specs gate them with golden-pixel,
+  /** q_media_pipeline, q_media_batched, q_phash_dedup, q_shot_detect,
+    * q_media_e2e and q_media_audit intentionally have no oracle (a
+    * PNG codec round-trip is not SQL-expressible) → driver records a
+    * rows-only check; the specs gate them with golden-pixel,
     * g2-parity/g5-parity, golden-hash, exact-dup-recall,
-    * planted-scene-recovery and g8-pair-parity assertions. */
+    * planted-scene-recovery, g8-pair-parity and exact-planted-flag-set
+    * assertions. */
   val oracles: Map[String, String] = Map(
     "q_audio_frames" -> qAudioFramesSql,
     "q_audio_fingerprint" -> qAudioFingerprintSql,

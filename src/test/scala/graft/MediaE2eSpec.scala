@@ -53,6 +53,22 @@ class MediaE2eSpec extends SparkTestBase {
       "a g8 duplicate escaped the composed verdict")
   }
 
+  test("g12: the audit flags EXACTLY the planted stale-catalog rows, nothing else") {
+    import org.apache.spark.sql.functions.col
+    val flagged = graft.multimodal.Media.qMediaAudit(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toList
+    val planted = Tables(spark, sfDir, "documents")
+      .filter(col("doc_id") % 13 === 0).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toList
+    assert(flagged.map(_._1) == planted,
+      s"flag set ${flagged.map(_._1)} != planted $planted")
+    // the flagged mismatch is the declared-width off-by-one, and the
+    // actual decode equals the un-corrupted formula
+    flagged.foreach { case (_, declW, actW) =>
+      assert(declW == actW + 1, s"expected the +1 plant, got $declW vs $actW")
+    }
+  }
+
   test("batch packing respects the byte budget contract and covers every arrival") {
     // same contract as g5/g6: per-batch payload bytes stay within
     // budget unless the batch is a single oversized item
