@@ -1087,14 +1087,16 @@ object TextOps {
     * round(,6) scores — identical IEEE values in both engines. */
   def qQualitySweep(spark: SparkSession, dir: String): DataFrame = {
     val s = qQualityScore(spark, dir).select(col("doc_id"), col("n_tok"), col("score"))
-    val total = s.count() // bounded driver scalar: |docs| for the share
     val thr = spark.range(10).select(col("id").cast("int").as("decile"))
+    // every decile group sees ALL docs after the broadcast cross, so
+    // the denominator rides the same agg — one pass, no driver count
     s.crossJoin(broadcast(thr))
       .groupBy("decile")
       .agg(sum(when(col("score") >= col("decile") / 10.0, 1L).otherwise(0L)).as("n_docs"),
         sum(when(col("score") >= col("decile") / 10.0, col("n_tok").cast("long"))
-          .otherwise(0L)).as("n_tokens"))
-      .withColumn("share_micro", expr(s"n_docs * 1000000 div ${total}L"))
+          .otherwise(0L)).as("n_tokens"),
+        count(lit(1)).as("total"))
+      .withColumn("share_micro", expr("n_docs * 1000000 div total"))
       .select("decile", "n_docs", "n_tokens", "share_micro")
       .orderBy("decile")
   }
