@@ -166,6 +166,70 @@ object OpsAudit {
     ).mkString("", " UNION ALL ", " ORDER BY key_name")
   }
 
+  // ---- c65: audit-driven adaptive salting ----------------------------
+
+  /** Adaptively salted equi-join: per-key salt factors DERIVED from the
+    * measured counts (c63's exchange), entirely in-plan. A key gets
+    * factor ⌈cnt/T⌉ (capped 64) only if cnt > T = total/targetChunks —
+    * by pigeonhole at most targetChunks keys qualify, so the factor
+    * table always broadcasts. Light keys pay NOTHING (factor 1, no
+    * extra dim rows); heavy keys split into ~T-row chunks. Contrast
+    * c10's uniform salting, which replicates EVERY dim row nSalt
+    * times to protect against a hot key that may not exist.
+    * `saltOf` must be a deterministic per-row column (row identity —
+    * it only spreads rows, never changes the join result). */
+  private[graft] def saltedAutoJoin(fact: DataFrame, key: String, saltOf:
+      org.apache.spark.sql.Column, dim: DataFrame, targetChunks: Int): DataFrame = {
+    val counts = fact.groupBy(key).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val tot = counts.agg(sum(col("cnt")).as("tot"))
+    val factors = counts.crossJoin(broadcast(tot))
+      .filter(col("cnt") * targetChunks > col("tot"))
+      .select(col(key),
+        expr(s"least(cnt * $targetChunks div tot + 1, 64L)").as("factor"))
+    val f = fact.join(broadcast(factors), Seq(key), "left")
+      .withColumn("_salt", pmod(saltOf, coalesce(col("factor"), lit(1L))))
+      .drop("factor")
+    val d = dim.join(broadcast(factors), Seq(key), "left")
+      .withColumn("_salt", explode(sequence(lit(0L),
+        coalesce(col("factor"), lit(1L)) - 1)))
+      .drop("factor")
+    f.join(d, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** c65 — the skew audit CLOSING ITS LOOP (c63 measures, c65 acts):
+    * the same events⋈weights join c10 protects with uniform 8×
+    * salting, salted ADAPTIVELY from measured per-key counts — heavy
+    * keys (> total/32) split into bounded chunks, light keys pay no
+    * replication at all, and the factor table is provably ≤ 32 rows
+    * (pigeonhole), so it always broadcasts. Same result as the plain
+    * join — salting is pure architecture — so the oracle is the plain
+    * join; SkewJoinSpec plants a 200k-copy hot key and proves ONLY it
+    * gets a factor > 1, with the result byte-equal to the unsalted
+    * join. At 100 TB this is what an auto-tuning join wrapper does
+    * with exactly the c63 statistics. */
+  def qSaltedAuto(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("event_id"), col("event_type"))
+    val dim = Tables.events(spark, dir).select(col("event_type")).distinct()
+      .withColumn("weight",
+        when(col("event_type") === "purchase", 10)
+          .when(col("event_type") === "error", 5).otherwise(1))
+    saltedAutoJoin(e, "event_type", col("event_id"), dim, targetChunks = 32)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("weight")).as("weighted"))
+      .orderBy("event_type")
+  }
+
+  val qSaltedAutoSql: String =
+    """WITH dim AS (
+         SELECT DISTINCT event_type,
+           CASE WHEN event_type = 'purchase' THEN 10
+                WHEN event_type = 'error' THEN 5 ELSE 1 END AS weight
+         FROM events)
+       SELECT e.event_type, COUNT(*) AS n, CAST(SUM(d.weight) AS BIGINT) AS weighted
+       FROM events e JOIN dim d ON e.event_type = d.event_type
+       GROUP BY e.event_type ORDER BY e.event_type"""
+
   // ---- c64: column profile -------------------------------------------
 
   /** c64 — column profiling of `orders` (the nightly data-quality
@@ -397,6 +461,7 @@ object OpsAudit {
       GROUP BY user_id ORDER BY user_id"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_salted_auto" -> (qSaltedAuto _),
     "q_fk_audit" -> (qFkAudit _),
     "q_skew_audit" -> (qSkewAudit _),
     "q_profile" -> (qProfile _),
@@ -404,6 +469,7 @@ object OpsAudit {
     "q_triangles" -> (qTriangles _))
 
   val oracles: Map[String, String] = Map(
+    "q_salted_auto" -> qSaltedAutoSql,
     "q_fk_audit" -> qFkAuditSql,
     "q_skew_audit" -> qSkewAuditSql,
     "q_profile" -> qProfileSql,

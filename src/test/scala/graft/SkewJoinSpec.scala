@@ -43,6 +43,34 @@ class SkewJoinSpec extends SparkTestBase {
     }
   }
 
+  test("c65 auto-salting: only the planted hot key gets a factor, result equals the plain join") {
+    import spark.implicits._
+    // 200k rows on ONE key, 1k rows spread over 100 light keys
+    val fact = spark.range(201000)
+      .select(when(col("id") < 200000, 777L).otherwise(col("id") % 100L).as("key"),
+        col("id").as("rid"))
+    val dim = spark.range(1000).select(col("id").as("key"),
+      (col("id") * 3).as("weight"))
+    val salted = operators.OpsAudit.saltedAutoJoin(
+        fact, "key", col("rid"), dim, targetChunks = 32)
+      .groupBy("key").agg(count(lit(1)).as("n"), sum(col("weight")).as("w"))
+    val plain = fact.join(dim, Seq("key"))
+      .groupBy("key").agg(count(lit(1)).as("n"), sum(col("weight")).as("w"))
+    val a = salted.collect().map(_.toSeq).sortBy(_.head.toString)
+    val b = plain.collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(a.toSeq == b.toSeq, "adaptive salting changed the join result")
+    // the factor table: exactly the hot key, split into bounded chunks,
+    // every light key absent (zero replication cost)
+    val counts = fact.groupBy("key").agg(count(lit(1)).as("cnt"))
+    val tot = 201000L
+    val factors = counts.filter(col("cnt") * 32 > tot)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(factors.keySet == Set(777L),
+      s"only the planted hot key should exceed total/32: $factors")
+    // pigeonhole: the factor table can never exceed targetChunks rows
+    assert(factors.size <= 32)
+  }
+
   test("span-dedup keeper agg combines hot spans map-side (shuffle stays small)") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
     import org.apache.spark.sql.functions._
