@@ -779,7 +779,82 @@ object AnalyticsTs {
          MIN(CASE WHEN s > 20000 THEN ts_ms END) AS first_alarm_ms
        FROM c GROUP BY user_id ORDER BY user_id"""
 
+  // c66 — A/B conversion test (the experimentation readout every
+  // product pipeline ends in): deterministic variant assignment
+  // (user_id % 2), exposure = the user's FIRST view, conversion = any
+  // purchase within 7 days after it — both EXACT distinct-user
+  // counts; the two-proportion z-score is the one IEEE block
+  // (divisions + a correctly-rounded sqrt over exact integer inputs —
+  // deterministic in both engines, f29's argument), rounded to 6 dp.
+  // Plan: one view-filtered user agg (first view), one purchase join
+  // back on user_id (the same exchange), a 2-row variant agg, and the
+  // z folds from a 1-row broadcast — nothing scales with events past
+  // the two keyed shuffles. At 100 TB: the exposed/converted sets
+  // never materialize as rows, only counts.
+  def qAbTest(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+    val exposed = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ms")).as("fv"))
+    val converted = e.filter(col("event_type") === "purchase")
+      .join(exposed, "user_id")
+      .filter(col("ms") > col("fv") && col("ms") <= col("fv") + 604800000L)
+      .select("user_id").distinct()
+    val stats = exposed.select(col("user_id"), (col("user_id") % 2).as("variant"))
+      .join(converted.withColumn("conv", lit(1L)), Seq("user_id"), "left")
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n_exposed"),
+        sum(coalesce(col("conv"), lit(0L))).as("n_converted"))
+    val z = stats.agg(
+        max(when(col("variant") === 0, col("n_exposed"))).as("n0"),
+        max(when(col("variant") === 0, col("n_converted"))).as("c0"),
+        max(when(col("variant") === 1, col("n_exposed"))).as("n1"),
+        max(when(col("variant") === 1, col("n_converted"))).as("c1"))
+      .select(round(expr(
+        """(CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1) /
+           sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1)) *
+                (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1)) *
+                (1.0 / n0 + 1.0 / n1))"""), 6).as("z"))
+    stats
+      .withColumn("cr_micro", expr("n_converted * 1000000 div n_exposed"))
+      .crossJoin(broadcast(z))
+      .select("variant", "n_exposed", "n_converted", "cr_micro", "z")
+      .orderBy("variant")
+  }
+
+  val qAbTestSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+      exposed AS (
+        SELECT user_id, MIN(ms) AS fv FROM e WHERE event_type = 'view'
+        GROUP BY user_id),
+      conv AS (
+        SELECT DISTINCT e.user_id FROM e JOIN exposed x USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ms > x.fv
+          AND e.ms <= x.fv + 604800000),
+      stats AS (
+        SELECT x.user_id % 2 AS variant, COUNT(*) AS n_exposed,
+          CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_converted
+        FROM exposed x LEFT JOIN conv c ON c.user_id = x.user_id
+        GROUP BY 1),
+      zrow AS (
+        SELECT round(
+          (CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1) /
+          sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1)) *
+               (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1)) *
+               (1.0 / n0 + 1.0 / n1)), 6) AS z
+        FROM (SELECT
+          MAX(CASE WHEN variant = 0 THEN n_exposed END) AS n0,
+          MAX(CASE WHEN variant = 0 THEN n_converted END) AS c0,
+          MAX(CASE WHEN variant = 1 THEN n_exposed END) AS n1,
+          MAX(CASE WHEN variant = 1 THEN n_converted END) AS c1
+        FROM stats) w)
+      SELECT variant, n_exposed, n_converted,
+        CAST(n_converted * 1000000 // n_exposed AS BIGINT) AS cr_micro, z
+      FROM stats CROSS JOIN zrow ORDER BY variant"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ab_test" -> (qAbTest _),
     "q_cusum" -> (qCusum _),
     "q_concurrency" -> (qConcurrency _),
     "q_rolling_active" -> (qRollingActive _),
@@ -794,6 +869,7 @@ object AnalyticsTs {
     "q_next_event_markov" -> (qNextEventMarkov _))
 
   val oracles: Map[String, String] = Map(
+    "q_ab_test" -> qAbTestSql,
     "q_cusum" -> qCusumSql,
     "q_concurrency" -> qConcurrencySql,
     "q_rolling_active" -> qRollingActiveSql,
