@@ -828,6 +828,51 @@ object IngestStream {
       }
   }
 
+  /** one behavioral event on the experiment stream */
+  case class AbEvent(userId: Long, ms: Long, eventType: String)
+  case class AbState(fv: Long, converted: Boolean)
+  /** one per-user experiment transition: emitted when the user first
+    * exposes (dExposed=1) or first converts (dConverted=1) */
+  case class AbDelta(userId: Long, variant: Long, dExposed: Long, dConverted: Long)
+
+  /** h26 — the A/B readout LIVE (c66's streaming twin: the dashboard
+    * the experiment owner watches, not the nightly batch): one 2-field
+    * state row per user (first-view ms + converted flag — bounded
+    * forever), events fold in total (ms, eventType) order, and the
+    * operator emits a TRANSITION delta exactly when a user first
+    * exposes or first converts inside the 7-day window. Per-variant
+    * conversion totals are then a trivial downstream sum of the
+    * deltas — each user contributes its exposure exactly once and its
+    * conversion at most once, so the summed deltas equal c66's exact
+    * distinct-user counts under ANY batching of the monotone feed
+    * (equal-ms purchase/view ties are conversion-neutral in both
+    * formulations: conversion requires ms strictly after the first
+    * view). Spec-proven delta-sum parity against the batch counts on
+    * adversarially re-batched feeds. */
+  def streamingAbTest(events: Dataset[AbEvent],
+      windowMs: Long = 604800000L): Dataset[AbDelta] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[AbState, AbDelta](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[AbEvent], state: GroupState[AbState]) =>
+          var s = state.getOption.getOrElse(AbState(-1L, converted = false))
+          val out = Seq.newBuilder[AbDelta]
+          it.toSeq.sortBy(e => (e.ms, e.eventType)).foreach { e =>
+            if (e.eventType == "view" && s.fv < 0) {
+              s = AbState(e.ms, s.converted)
+              out += AbDelta(user, user % 2, 1L, 0L)
+            } else if (e.eventType == "purchase" && s.fv >= 0 && !s.converted &&
+                e.ms > s.fv && e.ms <= s.fv + windowMs) {
+              s = AbState(s.fv, converted = true)
+              out += AbDelta(user, user % 2, 0L, 1L)
+            }
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
+
   /** h2 — watermarked tumbling-window ingest throughput (streaming twin
     * of c7 q_events_window). */
   def windowedCounts(events: DataFrame): DataFrame =

@@ -190,6 +190,47 @@ class TrendStreamSpec extends SparkTestBase {
       "state must be one moments row per key")
   }
 
+  test("h26: streamed A/B deltas sum to exactly c66's batch exposure/conversion counts") {
+    import spark.implicits._
+    import graft.streaming.IngestStream.{AbEvent, AbDelta}
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("event_type"))
+      .collect().map(r => AbEvent(r.getLong(0), r.getLong(1), r.getString(2)))
+    // batch truth: c66's stats columns (variant, n_exposed, n_converted)
+    val batch = operators.AnalyticsTs.qAbTest(spark, sfDir)
+      .select("variant", "n_exposed", "n_converted")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // monotone feed, adversarial cuts, shuffled within batches
+    val sorted = events.sortBy(e => (e.ms, e.eventType))
+    val cuts = Seq(5, sorted.length / 3, sorted.length / 2, 5 * sorted.length / 6)
+    val batches = (Seq(0) ++ cuts ++ Seq(sorted.length)).sliding(2).map {
+      case Seq(a, b) => sorted.slice(a, b)
+        .sortBy(e => Integer.rotateLeft(e.hashCode, 7)).toSeq
+    }.toSeq
+    val input = MemoryStream[AbEvent]
+    val q = IngestStream.streamingAbTest(input.toDS())
+      .writeStream.format("memory").queryName("h26_ab")
+      .outputMode(OutputMode.Append()).start()
+    val deltas =
+      try {
+        batches.foreach { b => input.addData(b); q.processAllAvailable() }
+        spark.table("h26_ab").as[AbDelta].collect()
+      } finally q.stop()
+    val streamed = deltas.groupBy(_.variant).map { case (v, ds) =>
+      v -> ((ds.map(_.dExposed).sum, ds.map(_.dConverted).sum))
+    }
+    assert(streamed == batch,
+      s"streamed totals $streamed != batch counts $batch")
+    // transition semantics: at most one exposure and one conversion
+    // delta per user, ever
+    deltas.groupBy(_.userId).foreach { case (u, ds) =>
+      assert(ds.map(_.dExposed).sum <= 1 && ds.map(_.dConverted).sum <= 1,
+        s"user $u emitted duplicate transitions")
+    }
+  }
+
   test("h25: live profile converges to the batch profile (incl. the batch graft_kmv) under any batching") {
     import spark.implicits._
     import graft.streaming.IngestStream.{FieldSample, FieldProfile}
