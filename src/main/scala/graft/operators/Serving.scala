@@ -518,14 +518,18 @@ object Serving {
   def qAnnAbsorb(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "embeddings")
     val dq = round(col("v").cast("double"), 6).cast("decimal(8,6)")
-    val pe = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
-      .select(col("vec_id"), col("i"), dq.as("qv"))
+    // label rides the posexplode projection — a join-back on vec_id
+    // would shuffle 64×N rows to recover a column the scan already has
+    val pe = e.select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("i", "v")))
+      .select(col("vec_id"), col("label"), col("i"), dq.as("qv"))
     val cent = pe.filter(col("vec_id") % 10 =!= 7)
-      .join(e.select("vec_id", "label"), "vec_id")
       .groupBy("label", "i").agg(sum(col("qv")).as("s"), count(lit(1)).as("n"))
     val norm = cent.groupBy("label")
       .agg(sum(col("s") * col("s")).as("ss"), max(col("n")).as("n"))
-    val dots = pe.filter(col("vec_id") % 10 === 7)
+    // the batch side sheds its OWN corpus label before meeting the
+    // cell table — `label` below is always the CELL's
+    val dots = pe.filter(col("vec_id") % 10 === 7).select("vec_id", "i", "qv")
       .join(broadcast(cent.select("i", "label", "s")), "i")
       .groupBy("vec_id", "label").agg(sum(col("qv") * col("s")).as("vs"))
     val scores = dots.join(broadcast(norm), "label")
