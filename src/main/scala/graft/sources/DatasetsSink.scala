@@ -325,6 +325,31 @@ object DatasetsSink {
       canonical: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(canonical).parquet(path)
 
+  /** i16 — RANGE-ORDERED write (the totally ordered lake layout):
+    * `repartitionByRange` splits the data into contiguous,
+    * NON-OVERLAPPING key ranges (one per output file) and each file is
+    * sorted inside — so every file's parquet min/max footer describes
+    * a disjoint interval and ANY range or point predicate on the key
+    * prunes to the few files whose interval intersects it, before a
+    * single row group decodes. This is the layout for data served by
+    * range (time-ordered logs, id-ordered snapshots) — the
+    * complement of [[writeBucketed]] (equi-join co-location) and
+    * i12's z-order (multi-dim box queries). The range boundaries come
+    * from Spark's reservoir sampling of the key — at 100 TB the
+    * sample, not a global sort, is what determines the split points,
+    * and the full sort is per-partition. SinkSpec proves the file
+    * intervals are pairwise disjoint and a point lookup's matching
+    * interval is unique. */
+  def writeRangeOrdered(df: DataFrame, path: String, key: String,
+      files: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartitionByRange(files, col(key))
+      .sortWithinPartitions(col(key))
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .parquet(path)
+  }
+
   /** i15 — BUCKETED co-located write: hash-bucket the table on its
     * join key at WRITE time (`bucketBy` + in-bucket sort), so every
     * subsequent equi-join or aggregation on that key plans with NO

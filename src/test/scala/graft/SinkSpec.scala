@@ -206,6 +206,44 @@ class SinkSpec extends SparkTestBase {
       s"z-order read $zRead vs scattered $sRead — row-group pruning not engaging")
   }
 
+  test("i16 writeRangeOrdered: file key intervals are pairwise disjoint, a point prunes to one file") {
+    val out = Files.createTempDirectory("graft_range").toString
+    val df = Tables(spark, sfDir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+    DatasetsSink.writeRangeOrdered(df, out, "o_totalprice", files = 8)
+    val files = new File(out).listFiles.filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 4, s"expected several range files, got ${files.length}")
+    // read each file's min/max footer stats for the key column
+    val ranges = files.toSeq.map { f =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(f.getPath), new Configuration()))
+      try {
+        val blocks = reader.getFooter.getBlocks
+        val stats = (0 until blocks.size()).map { b =>
+          val cols = blocks.get(b).getColumns
+          (0 until cols.size()).map(cols.get)
+            .find(_.getPath.toDotString == "o_totalprice").get.getStatistics
+        }
+        (stats.map(_.genericGetMin.asInstanceOf[java.lang.Double].doubleValue).min,
+          stats.map(_.genericGetMax.asInstanceOf[java.lang.Double].doubleValue).max)
+      } finally reader.close()
+    }.sortBy(_._1)
+    // disjoint, ordered intervals: each file's min is >= the previous
+    // file's max (range partitioning puts boundary duplicates in one
+    // side, so >= not >)
+    ranges.sliding(2).foreach {
+      case Seq((_, hiA), (loB, _)) =>
+        assert(loB >= hiA, s"file ranges overlap: $ranges")
+      case _ =>
+    }
+    // a point predicate's value falls inside exactly one interval
+    // (boundary-equal values can touch two; probe an interior point)
+    val probe = df.agg(expr("percentile_approx(o_totalprice, 0.5)")).head().getDouble(0)
+    val containing = ranges.count { case (lo, hi) => probe > lo && probe < hi }
+    assert(containing <= 1, s"interior point $probe inside $containing intervals")
+    // round trip intact
+    assert(spark.read.parquet(out).count() == df.count())
+  }
+
   test("i15 writeBucketed: bucketed tables join with ZERO exchanges, byte-equal to the shuffled join") {
     val o = Tables(spark, sfDir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
     val c = Tables(spark, sfDir, "customer").select("c_custkey", "c_name")
