@@ -762,7 +762,54 @@ object AnalyticsExt {
         CAST(MAX(CASE WHEN k = 3 THEN qc4 END) AS DOUBLE) / 400 AS p75
       FROM q GROUP BY grp ORDER BY grp"""
 
+  // c69 — per-brand skyline (Pareto frontier): the parts no same-brand
+  // part dominates on (price low, size high) — the classic
+  // multi-criteria shortlist operator (Börzsönyi et al., ICDE 2001)
+  // the relational substrate lacks. Dominance: d beats q iff
+  // price ≤, size ≥, one strict; equal (price, size) points never
+  // dominate each other, so exact duplicates all survive. The O(n²)
+  // dominance test collapses to ONE sorted window pass per brand:
+  // survive iff size = max(size | same price) AND size > max(size |
+  // strictly lower price) — both maxima from range frames over one
+  // price-ordered sort, so the plan is scan → brand-keyed exchange →
+  // one sort → two range-frame windows on it. At 100 TB: fully
+  // parallel across brands (no single-partition window anywhere);
+  // for a group-free skyline the same condition runs twice —
+  // per-partition pre-prune (skyline(S) ⊆ ∪ skyline(Sᵢ)), then the
+  // tiny survivor set — the standard two-phase distributed skyline.
+  // Oracle: the genuinely different NOT EXISTS dominance anti-join.
+  def qSkyline(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir, "part")
+      .select(col("p_brand"), col("p_partkey"),
+        expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("price_cents"),
+        col("p_size"))
+    val wLt = Window.partitionBy("p_brand").orderBy("price_cents")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wEq = Window.partitionBy("p_brand").orderBy("price_cents")
+      .rangeBetween(0, 0)
+    p.withColumn("rmax_lt", max(col("p_size")).over(wLt))
+      .withColumn("rmax_eq", max(col("p_size")).over(wEq))
+      .filter(col("p_size") === col("rmax_eq") &&
+        (col("rmax_lt").isNull || col("p_size") > col("rmax_lt")))
+      .select("p_brand", "p_partkey", "price_cents", "p_size")
+      .orderBy("p_brand", "price_cents", "p_partkey")
+  }
+
+  val qSkylineSql: String =
+    """WITH p AS (
+        SELECT p_brand, p_partkey,
+          CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents, p_size
+        FROM part)
+      SELECT p_brand, p_partkey, price_cents, p_size
+      FROM p q WHERE NOT EXISTS (
+        SELECT 1 FROM p d
+        WHERE d.p_brand = q.p_brand AND d.price_cents <= q.price_cents
+          AND d.p_size >= q.p_size
+          AND (d.price_cents < q.price_cents OR d.p_size > q.p_size))
+      ORDER BY p_brand, price_cents, p_partkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skyline" -> (qSkyline _),
     "q_percentiles" -> (qPercentiles _),
     "q_scd2_dim" -> (qScd2Dim _),
     "q_funnel" -> (qFunnel _),
@@ -783,6 +830,7 @@ object AnalyticsExt {
     "q20_promo_suppliers" -> (q20PromoSuppliers _))
 
   val oracles: Map[String, String] = Map(
+    "q_skyline" -> qSkylineSql,
     "q_percentiles" -> qPercentilesSql,
     "q_scd2_dim" -> qScd2DimSql,
     "q_funnel" -> qFunnelSql,

@@ -853,7 +853,139 @@ object AnalyticsTs {
         CAST(n_converted * 1000000 // n_exposed AS BIGINT) AS cr_micro, z
       FROM stats CROSS JOIN zrow ORDER BY variant"""
 
+  // c67 — Poisson-bootstrap CI for the A/B conversion delta (the
+  // scale-canonical bootstrap: resampling n users B times is an n×B
+  // blow-up nobody runs at 100 TB — instead each user independently
+  // gets a Poisson(1) multiplicity per replicate, which is exactly
+  // what "sample n of n with replacement" converges to as n grows,
+  // and it needs ONE pass). Determinism: the multiplicity is the
+  // inverse-CDF bucket of a 60-bit md5 ticket (graft_sid60 on
+  // 'bs:<user>:<rep>'), thresholds = floor(Poisson(1) CDF · 2^60)
+  // hardcoded identically in both engines, truncated at w=8
+  // (CDF ≈ 1 - 1e-5; the truncation is part of the spec'd estimator,
+  // identical both sides). Replicate rates stay in exact integers
+  // (micro-unit floor division), so the CI bounds are order
+  // statistics of 64 exact longs — no IEEE anywhere.
+  // Plan: the per-user (variant, conv) table is c66's two keyed
+  // shuffles; the ×64 replicate explode is MAP-SIDE and collapses in
+  // the same stage's partial agg to ≤128 (b, variant) groups per
+  // partition, so the bootstrap's exchange carries ~128 rows per
+  // partition REGARDLESS of user count — that is the whole point of
+  // the Poisson form. The 64-row order-statistics window is a single
+  // partition of 64 rows. At 100 TB: one extra map pass over exposed
+  // users, constant-size everything after.
+  def qBootstrapPoisson(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val reps = 64
+    // floor(CDF_Poisson(1)(k) * 2^60), k = 0..7
+    val thresholds = Seq(
+      424136118829305329L, 848272237658610659L, 1060340297073263324L,
+      1131029650211480879L, 1148701988496035267L, 1152236456152946145L,
+      1152825534095764625L, 1152909688087595836L)
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+    val exposed = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ms")).as("fv"))
+    val converted = e.filter(col("event_type") === "purchase")
+      .join(exposed, "user_id")
+      .filter(col("ms") > col("fv") && col("ms") <= col("fv") + 604800000L)
+      .select("user_id").distinct()
+    val users = exposed.select(col("user_id"), (col("user_id") % 2).as("variant"))
+      .join(converted.withColumn("conv", lit(1L)), Seq("user_id"), "left")
+      .select(col("user_id"), col("variant"),
+        coalesce(col("conv"), lit(0L)).as("conv"))
+    val tArr = thresholds.mkString("array(", ", ", ")")
+    val repStats = users
+      .select(col("user_id"), col("variant"), col("conv"),
+        explode(expr(s"sequence(0, ${reps - 1})")).as("b"))
+      .withColumn("w", expr(
+        s"""size(filter($tArr, t -> t <=
+           graft_sid60(concat('bs:', CAST(user_id AS STRING), ':', CAST(b AS STRING)))))"""))
+      .groupBy("b", "variant")
+      .agg(sum(col("w")).as("sw"), sum(expr("w * conv")).as("swc"))
+    val deltas = repStats.groupBy("b")
+      .agg(max(when(col("variant") === 0, col("sw"))).as("sw0"),
+        max(when(col("variant") === 0, col("swc"))).as("swc0"),
+        max(when(col("variant") === 1, col("sw"))).as("sw1"),
+        max(when(col("variant") === 1, col("swc"))).as("swc1"))
+      .select(col("b"), expr(
+        """CASE WHEN sw0 IS NULL OR sw0 = 0 THEN 0 ELSE swc0 * 1000000 div sw0 END -
+           CASE WHEN sw1 IS NULL OR sw1 = 0 THEN 0 ELSE swc1 * 1000000 div sw1 END""")
+        .as("delta_micro"))
+    val point = users.groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+      .agg(max(when(col("variant") === 0, col("n"))).as("n0"),
+        max(when(col("variant") === 0, col("c"))).as("c0"),
+        max(when(col("variant") === 1, col("n"))).as("n1"),
+        max(when(col("variant") === 1, col("c"))).as("c1"))
+      .select(expr("c0 * 1000000 div n0 - c1 * 1000000 div n1")
+        .as("delta_point_micro"))
+    deltas
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("delta_micro"), col("b"))))
+      .agg(count(lit(1)).as("n_reps"),
+        max(when(col("rk") === 2, col("delta_micro"))).as("ci_lo_micro"),
+        max(when(col("rk") === 32, col("delta_micro"))).as("ci_med_micro"),
+        max(when(col("rk") === 63, col("delta_micro"))).as("ci_hi_micro"))
+      .crossJoin(broadcast(point))
+      .select("n_reps", "delta_point_micro", "ci_lo_micro", "ci_med_micro",
+        "ci_hi_micro")
+  }
+
+  val qBootstrapPoissonSql: String = {
+    val tList = Seq(
+      "424136118829305329", "848272237658610659", "1060340297073263324",
+      "1131029650211480879", "1148701988496035267", "1152236456152946145",
+      "1152825534095764625", "1152909688087595836").mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+      exposed AS (
+        SELECT user_id, MIN(ms) AS fv FROM e WHERE event_type = 'view'
+        GROUP BY user_id),
+      conv AS (
+        SELECT DISTINCT e.user_id FROM e JOIN exposed x USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ms > x.fv
+          AND e.ms <= x.fv + 604800000),
+      users AS (
+        SELECT x.user_id, x.user_id % 2 AS variant,
+          CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END AS conv
+        FROM exposed x LEFT JOIN conv c ON c.user_id = x.user_id),
+      rep AS (
+        SELECT u.variant, u.conv, r.b,
+          len(list_filter($tList, t -> t <=
+            CAST('0x' || substr(md5('bs:' || CAST(u.user_id AS VARCHAR)
+              || ':' || CAST(r.b AS VARCHAR)), 1, 15) AS BIGINT))) AS w
+        FROM users u CROSS JOIN (SELECT unnest(range(0, 64)) AS b) r),
+      rs AS (
+        SELECT b, variant, SUM(w) AS sw, SUM(w * conv) AS swc
+        FROM rep GROUP BY b, variant),
+      d AS (
+        SELECT b,
+          CAST(COALESCE(MAX(CASE WHEN variant = 0 THEN swc END) * 1000000
+              // NULLIF(MAX(CASE WHEN variant = 0 THEN sw END), 0), 0)
+            - COALESCE(MAX(CASE WHEN variant = 1 THEN swc END) * 1000000
+              // NULLIF(MAX(CASE WHEN variant = 1 THEN sw END), 0), 0)
+            AS BIGINT) AS delta_micro
+        FROM rs GROUP BY b),
+      r2 AS (
+        SELECT delta_micro,
+          row_number() OVER (ORDER BY delta_micro, b) AS rk FROM d),
+      pt AS (
+        SELECT CAST(MAX(CASE WHEN variant = 0 THEN c END) * 1000000
+              // MAX(CASE WHEN variant = 0 THEN n END)
+            - MAX(CASE WHEN variant = 1 THEN c END) * 1000000
+              // MAX(CASE WHEN variant = 1 THEN n END) AS BIGINT)
+          AS delta_point_micro
+        FROM (SELECT variant, COUNT(*) AS n, SUM(conv) AS c
+              FROM users GROUP BY variant) s)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_reps, delta_point_micro,
+        CAST(MAX(CASE WHEN rk = 2 THEN delta_micro END) AS BIGINT) AS ci_lo_micro,
+        CAST(MAX(CASE WHEN rk = 32 THEN delta_micro END) AS BIGINT) AS ci_med_micro,
+        CAST(MAX(CASE WHEN rk = 63 THEN delta_micro END) AS BIGINT) AS ci_hi_micro
+      FROM r2 CROSS JOIN pt GROUP BY delta_point_micro"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bootstrap_poisson" -> (qBootstrapPoisson _),
     "q_ab_test" -> (qAbTest _),
     "q_cusum" -> (qCusum _),
     "q_concurrency" -> (qConcurrency _),
@@ -869,6 +1001,7 @@ object AnalyticsTs {
     "q_next_event_markov" -> (qNextEventMarkov _))
 
   val oracles: Map[String, String] = Map(
+    "q_bootstrap_poisson" -> qBootstrapPoissonSql,
     "q_ab_test" -> qAbTestSql,
     "q_cusum" -> qCusumSql,
     "q_concurrency" -> qConcurrencySql,

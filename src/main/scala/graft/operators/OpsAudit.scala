@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -460,7 +461,86 @@ object OpsAudit {
         UNION ALL SELECT c FROM tri)
       GROUP BY user_id ORDER BY user_id"""
 
+  // ---- c68: distribution-drift audit (exact two-sample KS) -----------
+
+  /** c68 — exact two-sample Kolmogorov–Smirnov distance between the
+    * first and second half of the event-time range (the canonical
+    * "did this metric's distribution drift?" audit; the halves stand
+    * in for yesterday-vs-today). Everything is integer-exact: the
+    * gauge is quantized to cents (the c49 convention), the split
+    * boundary is `(min_ms + max_ms) div 2`, and the KS statistic is
+    * computed as max |cumA·nB − cumB·nA| over the VALUE HISTOGRAM —
+    * never over raw rows — with the cross products widened to
+    * decimal(38,0) (HUGEINT on the oracle side) so no count magnitude
+    * can overflow. Reported in micro-units via floor division; the
+    * arg-max value (min such value on ties) comes from the same pass.
+    * Plan: one scan → distributed (value → cntA, cntB) histogram agg
+    * → ordered cumsum window over the HISTOGRAM. The window is a
+    * single sorted partition, but its input is one row per DISTINCT
+    * quantized value — bounded by the gauge's dynamic range (cents),
+    * not by row count — the same boundedness argument as c11's
+    * histogram median. At 100 TB the per-value agg carries the volume;
+    * the window sees thousands of rows.
+    */
+  def qKsDrift(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("event_type") === "view")
+      .select(unix_millis(col("ts")).as("ms"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+    val mid = e.agg(min(col("ms")).as("lo"), max(col("ms")).as("hi"))
+      .select(expr("(lo + hi) div 2").as("mid"))
+    val hist = e.crossJoin(broadcast(mid))
+      .groupBy("v")
+      .agg(sum(when(col("ms") <= col("mid"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("ms") > col("mid"), 1L).otherwise(0L)).as("cb"))
+    val totals = hist.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    val wCum = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist
+      .withColumn("cuma", sum(col("ca")).over(wCum))
+      .withColumn("cumb", sum(col("cb")).over(wCum))
+      .crossJoin(broadcast(totals))
+      .withColumn("dev", expr(
+        "abs(CAST(cuma AS DECIMAL(38,0)) * n_b - CAST(cumb AS DECIMAL(38,0)) * n_a)"))
+      .withColumn("dmax", max(col("dev")).over(wAll))
+      .filter(col("dev") === col("dmax"))
+      .groupBy("n_a", "n_b")
+      .agg(min(col("v")).as("v_at"), max(col("dev")).as("d"))
+      .select(col("n_a"), col("n_b"), col("v_at"),
+        expr("CAST((d * 1000000) div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)")
+          .as("ks_micro"))
+  }
+
+  val qKsDriftSql: String =
+    """WITH e AS (
+        SELECT epoch_ms(ts) AS ms, CAST(round(value * 100) AS BIGINT) AS v
+        FROM events WHERE event_type = 'view'),
+      m AS (SELECT (MIN(ms) + MAX(ms)) // 2 AS mid FROM e),
+      hist AS (
+        SELECT v,
+          SUM(CASE WHEN ms <= mid THEN 1 ELSE 0 END) AS ca,
+          SUM(CASE WHEN ms > mid THEN 1 ELSE 0 END) AS cb
+        FROM e CROSS JOIN m GROUP BY v),
+      t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+                   CAST(SUM(cb) AS BIGINT) AS n_b FROM hist),
+      c AS (
+        SELECT v,
+          SUM(ca) OVER w AS cuma, SUM(cb) OVER w AS cumb
+        FROM hist
+        WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      dv AS (
+        SELECT v, abs(CAST(cuma AS HUGEINT) * n_b - CAST(cumb AS HUGEINT) * n_a) AS dev,
+          n_a, n_b
+        FROM c CROSS JOIN t),
+      mx AS (SELECT MAX(dev) AS dmax FROM dv)
+      SELECT n_a, n_b, MIN(v) AS v_at,
+        CAST((MAX(dev) * 1000000) // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS ks_micro
+      FROM dv CROSS JOIN mx WHERE dev = dmax GROUP BY n_a, n_b"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ks_drift" -> (qKsDrift _),
     "q_salted_auto" -> (qSaltedAuto _),
     "q_fk_audit" -> (qFkAudit _),
     "q_skew_audit" -> (qSkewAudit _),
@@ -469,6 +549,7 @@ object OpsAudit {
     "q_triangles" -> (qTriangles _))
 
   val oracles: Map[String, String] = Map(
+    "q_ks_drift" -> qKsDriftSql,
     "q_salted_auto" -> qSaltedAutoSql,
     "q_fk_audit" -> qFkAuditSql,
     "q_skew_audit" -> qSkewAuditSql,

@@ -301,12 +301,92 @@ object TextModels {
       ORDER BY surv.doc_id"""
   }
 
+  // f35 — classifier calibration & discrimination readout (the eval
+  // every quality-filter deployment needs BEFORE its threshold is
+  // trusted): f25's scored eval split → 10 score-deciles (observed
+  // positive rate vs mean score per decile — the reliability table,
+  // in logit space so no sigmoid/transcendental enters the gate) +
+  // exact AUC via the midrank Mann–Whitney U, duplicated onto every
+  // row from a 1-row broadcast (c66's z pattern). All integer: ranks
+  // are row_number over the total (score, doc_id) order, tied scores
+  // contribute min_rank+max_rank (= 2·midrank, always integral), and
+  // AUC_micro = (Σ_pos 2·midrank − npos(npos+1))·10⁶ div (2·npos·nneg)
+  // with the products widened to decimal(38,0) so no eval-set size
+  // overflows. Plan: the classifier's one model join + doc agg, then
+  // rank windows over the EVAL SPLIT (n/5 docs — the f32/e10 harness
+  // shape; a corpus-scale rank would ride c51's two-phase prefix sum
+  // instead) and a 10-group agg. Calibration reads: pos_rate should
+  // rise monotonically with decile iff the scores rank well.
+  def qCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val scored = qQualityClassifier(spark, dir)
+      .select(col("doc_id"), col("score_micro"),
+        col("actual").cast("long").as("pos"))
+    val wRk = Window.orderBy("score_micro", "doc_id")
+    val wScore = Window.partitionBy("score_micro")
+    val ranked = scored
+      .withColumn("rk", row_number().over(wRk))
+      .withColumn("mr2", min(col("rk")).over(wScore) + max(col("rk")).over(wScore))
+    val auc = ranked.agg(
+        sum(when(col("pos") === 1, col("mr2"))).as("sr2"),
+        sum(col("pos")).as("npos"),
+        sum(lit(1L) - col("pos")).as("nneg"))
+      .select(expr(
+        """CAST((CAST(sr2 AS DECIMAL(38,0)) - CAST(npos AS DECIMAL(38,0)) * (npos + 1))
+           * 1000000 div (2 * CAST(npos AS DECIMAL(38,0)) * nneg) AS BIGINT)""")
+        .as("auc_micro"))
+    ranked
+      .withColumn("n", count(lit(1)).over(
+        Window.orderBy("score_micro", "doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("decile", expr("((rk - 1) * 10) div n"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), sum(col("pos")).as("n_pos"),
+        sum(col("score_micro")).as("sum_score"))
+      .crossJoin(broadcast(auc))
+      .select(col("decile"), col("n_docs"), col("n_pos"),
+        expr("n_pos * 1000000 div n_docs").as("pos_rate_micro"),
+        expr("sum_score div n_docs").as("mean_score_micro"),
+        col("auc_micro"))
+      .orderBy("decile")
+  }
+
+  val qCalibrationSql: String =
+    s"""WITH scored AS (
+        SELECT doc_id, score_micro,
+          CASE WHEN actual THEN 1 ELSE 0 END AS pos
+        FROM ($qQualityClassifierSql) qc),
+      ranked AS (
+        SELECT doc_id, score_micro, pos,
+          row_number() OVER (ORDER BY score_micro, doc_id) AS rk
+        FROM scored),
+      mr AS (
+        SELECT *, MIN(rk) OVER (PARTITION BY score_micro)
+            + MAX(rk) OVER (PARTITION BY score_micro) AS mr2,
+          COUNT(*) OVER () AS n
+        FROM ranked),
+      auc AS (
+        SELECT CAST((CAST(SUM(CASE WHEN pos = 1 THEN mr2 END) AS HUGEINT)
+            - CAST(SUM(pos) AS HUGEINT) * (SUM(pos) + 1)) * 1000000
+            // (2 * CAST(SUM(pos) AS HUGEINT) * SUM(1 - pos)) AS BIGINT)
+          AS auc_micro
+        FROM mr)
+      SELECT ((rk - 1) * 10) // n AS decile,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(pos) AS BIGINT) AS n_pos,
+        CAST(SUM(pos) * 1000000 // COUNT(*) AS BIGINT) AS pos_rate_micro,
+        CAST(SUM(score_micro) // COUNT(*) AS BIGINT) AS mean_score_micro,
+        auc_micro
+      FROM mr CROSS JOIN auc
+      GROUP BY decile, auc_micro ORDER BY decile"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_calibration" -> (qCalibration _),
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_dsir" -> (qDsir _),
     "q_pipeline_e2e" -> (qPipelineE2e _))
 
   val oracles: Map[String, String] = Map(
+    "q_calibration" -> qCalibrationSql,
     "q_quality_classifier" -> qQualityClassifierSql,
     "q_dsir" -> qDsirSql,
     "q_pipeline_e2e" -> qPipelineE2eSql)

@@ -873,6 +873,72 @@ object IngestStream {
       }
   }
 
+  // ---- h27: live distribution-drift monitor (c68's streaming twin) ---
+
+  case class DriftSample(metric: String, v: Long)
+  /** Bounded per-metric state: the live histogram over fixed-width
+    * buckets (|state| ≤ value range / bucketWidth, independent of row
+    * count) plus the emission version. */
+  case class DriftState(version: Long, buckets: Map[Long, Long])
+  case class DriftStat(metric: String, version: Long, nLive: Long,
+      ksMicro: Long, bucketAt: Long)
+
+  /** h27 — the drift audit LIVE (c68's streaming twin: the dashboard
+    * that fires while the batch audit would still be queued): per
+    * metric, fold incoming quantized gauge readings into a bounded
+    * fixed-width-bucket histogram and emit, once per trigger that saw
+    * data, the exact bucketed two-sample KS statistic against a static
+    * BASELINE histogram (yesterday's profile, shipped as a plain
+    * bounded map — the stream-static pattern of h9, not a join). The
+    * KS fold mirrors c68 exactly: max |cumLive·nBase − cumBase·nLive|
+    * over the ordered union of bucket keys, cross products in BigInt
+    * so no count magnitude overflows, micro-units by floor division,
+    * first (= smallest) arg-max bucket on ties — so the final emission
+    * after the backlog drains equals the batch statistic on the same
+    * bucketing under ANY batching of the feed (spec-proven against an
+    * independent recomputation). Keyed by metric: a global statistic
+    * needs its histogram in one place, so the per-metric reduction is
+    * the shuffle — the histogram is what travels to state, never raw
+    * history; at 100 TB the monitored metrics are bounded (h25's
+    * argument) and each trigger's work is O(batch + buckets). */
+  def streamingDrift(samples: Dataset[DriftSample],
+      baseline: Map[String, Map[Long, Long]],
+      bucketWidth: Long = 500L): Dataset[DriftStat] = {
+    import samples.sparkSession.implicits._
+    samples.groupByKey(_.metric)
+      .flatMapGroupsWithState[DriftState, DriftStat](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (metric: String, it: Iterator[DriftSample], state: GroupState[DriftState]) =>
+          val s = state.getOption.getOrElse(DriftState(0L, Map.empty))
+          var b = s.buckets
+          var added = 0L
+          it.foreach { x =>
+            val k = Math.floorDiv(x.v, bucketWidth)
+            b = b.updated(k, b.getOrElse(k, 0L) + 1L)
+            added += 1
+          }
+          if (added == 0) Iterator.empty
+          else {
+            val base = baseline.getOrElse(metric, Map.empty)
+            val nL = b.valuesIterator.sum
+            val nB = base.valuesIterator.sum
+            val keys = (b.keySet ++ base.keySet).toSeq.sorted
+            var cumL = 0L; var cumB = 0L
+            var best = BigInt(0); var bestAt = keys.headOption.getOrElse(0L)
+            keys.foreach { k =>
+              cumL += b.getOrElse(k, 0L); cumB += base.getOrElse(k, 0L)
+              val dev = (BigInt(cumL) * nB - BigInt(cumB) * nL).abs
+              if (dev > best) { best = dev; bestAt = k }
+            }
+            val ks = if (nL == 0L || nB == 0L) 0L
+              else (best * 1000000 / (BigInt(nL) * nB)).toLong
+            val v2 = s.version + 1
+            state.update(DriftState(v2, b))
+            Iterator(DriftStat(metric, v2, nL, ks, bestAt))
+          }
+      }
+  }
+
   /** h2 — watermarked tumbling-window ingest throughput (streaming twin
     * of c7 q_events_window). */
   def windowedCounts(events: DataFrame): DataFrame =

@@ -476,4 +476,34 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("SortAggregate"),
       s"q_pq_train_step fell back to SortAggregate:\n$p")
   }
+
+  test("c67 bootstrap: the x64 replicate explode collapses map-side before any exchange") {
+    // the whole point of the Poisson form — the exchange after the
+    // explode carries <=128 (b, variant) partial groups per partition,
+    // never the replicated user rows
+    val p = operators.AnalyticsTs.qBootstrapPoisson(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("HashAggregate\\(keys=\\[b#\\d+, variant#\\d+L?\\], functions=\\[partial_sum".r
+      .findFirstIn(p).isDefined,
+      s"no map-side partial agg on (b, variant) after the explode:\n$p")
+  }
+
+  test("c68 KS: the single-partition window reads the value histogram, not raw rows") {
+    val p = operators.OpsAudit.qKsDrift(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("HashAggregate\\(keys=\\[v#\\d+L?\\]".r.findFirstIn(p).isDefined,
+      s"KS must pre-aggregate per distinct value before its window:\n$p")
+    assert(p.contains("Exchange SinglePartition"),
+      s"expected the histogram-sized ordered window pass:\n$p")
+  }
+
+  test("c69 skyline: every window is brand-partitioned (no global sort window)") {
+    val p = operators.AnalyticsExt.qSkyline(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val specs = "windowspecdefinition\\(([^,]*)".r.findAllMatchIn(p)
+      .map(_.group(1)).toSeq
+    assert(specs.nonEmpty, s"expected range-frame windows:\n$p")
+    specs.foreach(s => assert(s.contains("p_brand#"),
+      s"skyline window not partitioned by brand: $s\n$p"))
+  }
 }

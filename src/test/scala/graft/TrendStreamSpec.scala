@@ -298,4 +298,66 @@ class TrendStreamSpec extends SparkTestBase {
     // schema drift: the late field's FIRST emission carries version 1
     assert(rows.filter(_.field == "beta").minBy(_.version).version == 1L)
   }
+
+  test("h27: live KS drift converges to the batch bucketed statistic under any batching") {
+    import spark.implicits._
+    import graft.streaming.IngestStream.{DriftSample, DriftStat}
+    implicit val sqlCtx = spark.sqlContext
+    val width = 500L
+    // c68's split: 'view' gauge cents, first half of the time range is
+    // the static baseline, the second half arrives as the live stream
+    val vs = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "view")
+      .select(unix_millis(col("ts")).as("ms"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val mid = (vs.map(_._1).min + vs.map(_._1).max) / 2
+    val (baseRows, liveRows) = vs.partition(_._1 <= mid)
+    val baseline = Map("gauge" ->
+      baseRows.groupBy(x => Math.floorDiv(x._2, width))
+        .map { case (k, xs) => k -> xs.length.toLong })
+    // adversarial batching: uneven cuts, shuffled within batches
+    val live = liveRows.map(_._2)
+    val cuts = Seq(3, live.length / 5, live.length / 2, 9 * live.length / 10)
+    val batches = (Seq(0) ++ cuts ++ Seq(live.length)).sliding(2).map {
+      case Seq(a, b) => live.slice(a, b)
+        .sortBy(v => Integer.rotateLeft(v.hashCode, 11))
+        .map(v => DriftSample("gauge", v)).toSeq
+    }.toSeq
+
+    val input = MemoryStream[DriftSample]
+    val q = IngestStream.streamingDrift(input.toDS(), baseline, width)
+      .writeStream.format("memory").queryName("h27_drift")
+      .outputMode(OutputMode.Append()).start()
+    val stats =
+      try {
+        batches.foreach { b => input.addData(b); q.processAllAvailable() }
+        spark.table("h27_drift").as[DriftStat].collect().toSeq
+      } finally q.stop()
+
+    // one emission per non-empty batch, versions strictly increasing
+    assert(stats.map(_.version).sorted == (1 to batches.count(_.nonEmpty)).map(_.toLong))
+    // independent recomputation of the final bucketed KS (different
+    // code shape: exhaustive scan over the dense bucket range)
+    val liveHist = live.groupBy(v => Math.floorDiv(v, width))
+      .map { case (k, xs) => k -> xs.length.toLong }
+    val baseHist = baseline("gauge")
+    val nL = live.length.toLong
+    val nB = baseHist.values.sum
+    val lo = (liveHist.keySet ++ baseHist.keySet).min
+    val hi = (liveHist.keySet ++ baseHist.keySet).max
+    var bestDev = BigInt(-1); var bestAt = lo
+    (lo to hi).foreach { k =>
+      val cl = liveHist.filter(_._1 <= k).values.sum
+      val cb = baseHist.filter(_._1 <= k).values.sum
+      val dev = (BigInt(cl) * nB - BigInt(cb) * nL).abs
+      if (dev > bestDev) { bestDev = dev; bestAt = k }
+    }
+    val wantKs = (bestDev * 1000000 / (BigInt(nL) * nB)).toLong
+    val fin = stats.maxBy(_.version)
+    assert(fin.nLive == nL, s"live count ${fin.nLive} != $nL")
+    assert(fin.ksMicro == wantKs, s"live KS ${fin.ksMicro} != batch $wantKs")
+    assert(fin.bucketAt == bestAt, s"arg-max bucket ${fin.bucketAt} != $bestAt")
+    assert(fin.ksMicro >= 0L && fin.ksMicro <= 1000000L)
+  }
 }
