@@ -984,7 +984,227 @@ object AnalyticsTs {
       FROM r2 CROSS JOIN pt GROUP BY delta_point_micro"""
   }
 
+  // c70 — Spearman rank correlation between per-user engagement
+  // (view count) and spend (purchase cents): the robust "are these
+  // two metrics related" readout (Pearson on RANKS — monotone-
+  // invariant, outlier-immune; c56's per-entity Pearson is its
+  // parametric sibling). Ties use midranks; to stay integer the
+  // doubled midrank 2·mid = min(rank) + max(rank) over the tied value
+  // group is always integral (f35's trick), and the doubling cancels
+  // in ρ. All five moments are exact decimal(38,0) sums (HUGEINT on
+  // the oracle side — n·Σrs ≈ 4n⁴ stays under 10³⁸ for n < 2·10⁹
+  // users); ρ is the single IEEE block (two sqrts + one division over
+  // exact integers, identical expression shape both engines, c66's
+  // argument), rounded 6 dp. Plan: ONE user-keyed agg folds events to
+  // a row per user; the rank windows ride a single-partition pass over
+  // the USER AGGREGATE — bounded by user count, not events (f35's
+  // eval-split grain; at extreme user cardinality the ranks would ride
+  // c60's two-phase prefix sum instead). Zero-variance sides → NULL.
+  def qSpearman(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val perUser = e.groupBy("user_id")
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", col("cents"))
+          .otherwise(0L)).as("y"))
+    val rkX = Window.orderBy(col("x"), col("user_id"))
+    val rkY = Window.orderBy(col("y"), col("user_id"))
+    val ranked = perUser
+      .withColumn("rx", row_number().over(rkX))
+      .withColumn("ry", row_number().over(rkY))
+      .withColumn("mrx", min(col("rx")).over(Window.partitionBy("x"))
+        + max(col("rx")).over(Window.partitionBy("x")))
+      .withColumn("mry", min(col("ry")).over(Window.partitionBy("y"))
+        + max(col("ry")).over(Window.partitionBy("y")))
+    ranked.agg(
+        count(lit(1)).as("n_users"),
+        sum(expr("CAST(mrx AS DECIMAL(38,0))")).as("sr"),
+        sum(expr("CAST(mry AS DECIMAL(38,0))")).as("ss"),
+        sum(expr("CAST(mrx AS DECIMAL(38,0)) * mrx")).as("srr"),
+        sum(expr("CAST(mry AS DECIMAL(38,0)) * mry")).as("sss"),
+        sum(expr("CAST(mrx AS DECIMAL(38,0)) * mry")).as("srs"))
+      .select(col("n_users"), round(expr(
+        """CAST(CAST(n_users AS DECIMAL(38,0)) * srs - sr * ss AS DOUBLE) /
+           (sqrt(CAST(CAST(n_users AS DECIMAL(38,0)) * srr - sr * sr AS DOUBLE)) *
+            sqrt(CAST(CAST(n_users AS DECIMAL(38,0)) * sss - ss * ss AS DOUBLE)))"""), 6)
+        .as("rho"))
+  }
+
+  val qSpearmanSql: String =
+    """WITH e AS (
+        SELECT user_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events),
+      u AS (
+        SELECT user_id,
+          SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x,
+          SUM(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END) AS y
+        FROM e GROUP BY user_id),
+      r AS (
+        SELECT user_id, x, y,
+          row_number() OVER (ORDER BY x, user_id) AS rx,
+          row_number() OVER (ORDER BY y, user_id) AS ry
+        FROM u),
+      mr AS (
+        SELECT *,
+          MIN(rx) OVER (PARTITION BY x) + MAX(rx) OVER (PARTITION BY x) AS mrx,
+          MIN(ry) OVER (PARTITION BY y) + MAX(ry) OVER (PARTITION BY y) AS mry
+        FROM r),
+      s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+          SUM(CAST(mrx AS HUGEINT)) AS sr, SUM(CAST(mry AS HUGEINT)) AS ss,
+          SUM(CAST(mrx AS HUGEINT) * mrx) AS srr,
+          SUM(CAST(mry AS HUGEINT) * mry) AS sss,
+          SUM(CAST(mrx AS HUGEINT) * mry) AS srs
+        FROM mr)
+      SELECT n_users, round(
+        CAST(CAST(n_users AS HUGEINT) * srs - sr * ss AS DOUBLE) /
+        (sqrt(CAST(CAST(n_users AS HUGEINT) * srr - sr * sr AS DOUBLE)) *
+         sqrt(CAST(CAST(n_users AS HUGEINT) * sss - ss * ss AS DOUBLE))), 6)
+        AS rho
+      FROM s"""
+
+  // c71 — chi-squared test of independence on c66's 2×2 experiment
+  // table (variant × converted): the categorical companion to c66's
+  // z (for 2×2 they're the same test — χ² = z² on pooled variance —
+  // but χ² generalizes to k×m and ships as the standard readout).
+  // The 2×2 closed form χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) never
+  // forms fractional expected counts, so the WHOLE statistic is exact
+  // integer arithmetic in decimal(38,0)/HUGEINT (counts ≤ 10⁶ keep
+  // N·(ad−bc)²·10⁶ under 10³⁸), reported in micro-units by floor
+  // division — no IEEE anywhere, unlike c66's z block. Plan: c66's
+  // two keyed shuffles fold to one 4-count row; the statistic is
+  // driver-free scalar math on it.
+  def qChi2(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+    val exposed = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ms")).as("fv"))
+    val converted = e.filter(col("event_type") === "purchase")
+      .join(exposed, "user_id")
+      .filter(col("ms") > col("fv") && col("ms") <= col("fv") + 604800000L)
+      .select("user_id").distinct()
+    exposed.select(col("user_id"), (col("user_id") % 2).as("variant"))
+      .join(converted.withColumn("conv", lit(1L)), Seq("user_id"), "left")
+      .agg(
+        sum(when(col("variant") === 0 && col("conv").isNotNull, 1L).otherwise(0L)).as("a"),
+        sum(when(col("variant") === 0 && col("conv").isNull, 1L).otherwise(0L)).as("b"),
+        sum(when(col("variant") === 1 && col("conv").isNotNull, 1L).otherwise(0L)).as("c"),
+        sum(when(col("variant") === 1 && col("conv").isNull, 1L).otherwise(0L)).as("d"))
+      .select(col("a"), col("b"), col("c"), col("d"), expr(
+        """CAST((CAST(a + b + c + d AS DECIMAL(38,0))
+             * (CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c)
+             * (CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c)
+             * 1000000)
+           div (CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c) * (b + d))
+           AS BIGINT)""").as("chi2_micro"))
+  }
+
+  val qChi2Sql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+      exposed AS (
+        SELECT user_id, MIN(ms) AS fv FROM e WHERE event_type = 'view'
+        GROUP BY user_id),
+      conv AS (
+        SELECT DISTINCT e.user_id FROM e JOIN exposed x USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ms > x.fv
+          AND e.ms <= x.fv + 604800000),
+      cells AS (
+        SELECT
+          SUM(CASE WHEN x.user_id % 2 = 0 AND c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS a,
+          SUM(CASE WHEN x.user_id % 2 = 0 AND c.user_id IS NULL THEN 1 ELSE 0 END) AS b,
+          SUM(CASE WHEN x.user_id % 2 = 1 AND c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS c,
+          SUM(CASE WHEN x.user_id % 2 = 1 AND c.user_id IS NULL THEN 1 ELSE 0 END) AS d
+        FROM exposed x LEFT JOIN conv c ON c.user_id = x.user_id)
+      SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+        CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+        CAST((CAST(a + b + c + d AS HUGEINT)
+            * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+            * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+            * 1000000)
+          // (CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d))
+          AS BIGINT) AS chi2_micro
+      FROM cells"""
+
+  // c72 — autocorrelation function of the daily revenue series at
+  // lags 1..7 (the seasonality probe run before any forecast is
+  // trusted — a weekly cycle shows as an ACF spike at lag 7). The
+  // series is the DENSE daily purchase total (missing days are real
+  // zeros — skipping them would splice non-adjacent days together,
+  // c48's grid argument). Exactness: with d_t = n·x_t − S (deviations
+  // scaled by n so the mean never becomes fractional),
+  // acf_k = Σ d_t·d_{t+k} · 10⁶ div Σ d_t² — all decimal(38,0)
+  // products (n·x up to 10¹⁵ cents-days squares to 10³⁰; safe under
+  // 10³⁸ to ~300k days), floor division, no IEEE. Plan: one scan →
+  // per-day agg (bounded by span) → dense grid off the 1-row span agg
+  // → 7 lead() columns + the unpivot over ONE day-ordered window whose
+  // input is one row per DAY — bounded by calendar span, never rows
+  // (c68's boundedness argument).
+  def qAcf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select((unix_millis(col("ts")) / 86400000L).cast("long").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val daily = e.groupBy("day").agg(sum(col("cents")).as("x"))
+    val grid = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val series = grid.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("x"), lit(0L)).as("x"))
+    val tot = series.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val w = Window.orderBy("day")
+    val dev = series.crossJoin(broadcast(tot))
+      .withColumn("d", expr("CAST(n AS DECIMAL(38,0)) * x - s"))
+    val withLeads = (1 to 7).foldLeft(dev)((df, k) =>
+      df.withColumn(s"lead_d$k", lead(col("d"), k).over(w)))
+    val prods = (1 to 7).foldLeft(withLeads)((df, k) =>
+      df.withColumn(s"p$k", col("d") * col(s"lead_d$k")))
+    val denom = prods.agg(sum(expr("d * d")).as("dd"))
+    prods.select(explode(expr(
+        "map(1, p1, 2, p2, 3, p3, 4, p4, 5, p5, 6, p6, 7, p7)"))
+        .as(Seq("lag", "p")))
+      .groupBy("lag").agg(sum(col("p")).as("num"))
+      .crossJoin(broadcast(denom))
+      .select(col("lag").cast("int").as("lag"),
+        expr("CAST((num * 1000000) div dd AS BIGINT)").as("acf_micro"))
+      .orderBy("lag")
+  }
+
+  val qAcfSql: String =
+    """WITH e AS (
+        SELECT epoch_ms(ts) // 86400000 AS day,
+          CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'),
+      daily AS (SELECT day, SUM(cents) AS x FROM e GROUP BY day),
+      grid AS (
+        SELECT unnest(range(MIN(day), MAX(day) + 1)) AS day FROM daily),
+      series AS (
+        SELECT g.day, COALESCE(d.x, 0) AS x
+        FROM grid g LEFT JOIN daily d ON d.day = g.day),
+      t AS (SELECT COUNT(*) AS n, SUM(x) AS s FROM series),
+      dev AS (
+        SELECT day, CAST(n AS HUGEINT) * x - s AS d
+        FROM series CROSS JOIN t),
+      led AS (
+        SELECT d,
+          lead(d, 1) OVER w AS l1, lead(d, 2) OVER w AS l2,
+          lead(d, 3) OVER w AS l3, lead(d, 4) OVER w AS l4,
+          lead(d, 5) OVER w AS l5, lead(d, 6) OVER w AS l6,
+          lead(d, 7) OVER w AS l7
+        FROM dev WINDOW w AS (ORDER BY day)),
+      dd AS (SELECT SUM(d * d) AS dd FROM led),
+      up AS (
+        SELECT lag, p FROM led
+        CROSS JOIN LATERAL (VALUES
+          (1, d * l1), (2, d * l2), (3, d * l3), (4, d * l4),
+          (5, d * l5), (6, d * l6), (7, d * l7)) AS v(lag, p))
+      SELECT CAST(lag AS INTEGER) AS lag,
+        CAST((SUM(p) * 1000000) // MAX(dd.dd) AS BIGINT) AS acf_micro
+      FROM up CROSS JOIN dd GROUP BY lag ORDER BY lag"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_spearman" -> (qSpearman _),
+    "q_chi2" -> (qChi2 _),
+    "q_acf" -> (qAcf _),
     "q_bootstrap_poisson" -> (qBootstrapPoisson _),
     "q_ab_test" -> (qAbTest _),
     "q_cusum" -> (qCusum _),
@@ -1001,6 +1221,9 @@ object AnalyticsTs {
     "q_next_event_markov" -> (qNextEventMarkov _))
 
   val oracles: Map[String, String] = Map(
+    "q_spearman" -> qSpearmanSql,
+    "q_chi2" -> qChi2Sql,
+    "q_acf" -> qAcfSql,
     "q_bootstrap_poisson" -> qBootstrapPoissonSql,
     "q_ab_test" -> qAbTestSql,
     "q_cusum" -> qCusumSql,

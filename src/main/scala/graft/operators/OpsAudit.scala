@@ -539,7 +539,87 @@ object OpsAudit {
         CAST((MAX(dev) * 1000000) // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS ks_micro
       FROM dv CROSS JOIN mx WHERE dev = dmax GROUP BY n_a, n_b"""
 
+  // ---- c73: equi-depth histogram (the ANALYZE-statistics primitive) --
+
+  /** c73 — exact equi-depth histogram of `o_totalprice` (8 buckets):
+    * boundary_i = the smallest price whose cumulative row count
+    * reaches ⌈i·n/8⌉ — the optimizer statistic every engine's ANALYZE
+    * collects, and the one a naive global sort computes with a single
+    * O(n log n) task. Here it's c11's histogram-median prune
+    * generalized to B simultaneous targets: one scan builds a 1024-cell
+    * COARSE fixed-width histogram (bounded rows, map-side combined),
+    * the bounded cumsum locates which coarse cell each target rank
+    * falls in, and only those ≤8 cells' raw values are re-scanned
+    * (broadcast semi-join on the cell id) and ranked WITHIN the cell —
+    * the per-cell refine windows partition by target, so nothing
+    * global touches raw rows. Exactness: global rank of v = cum(cells
+    * below) + rank within cell, because equal values always share a
+    * cell. All integer cents; targets are ⌈i·n/8⌉ by integer ceiling
+    * division. At 100 TB: 2 scans + a ≤1024-row single-partition
+    * window + per-cell bounded refines; a hot single-value cell has
+    * ONE distinct value, so its refine is 1 row — skew-proof by
+    * construction. Oracle: the genuinely different direct form (global
+    * per-value cumsum, min v with cum ≥ target).
+    */
+  def qEquidepth(spark: SparkSession, dir: String): DataFrame = {
+    val nb = 1024L
+    val vals = Tables(spark, dir, "orders")
+      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+    val stats = vals.agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+      count(lit(1)).as("n"))
+      .select(col("lo"), col("n"),
+        greatest(lit(1L), expr(s"(hi - lo) div $nb + 1")).as("width"))
+    val coarse = vals.crossJoin(broadcast(stats))
+      .groupBy(expr("(v - lo) div width").as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.orderBy("cell")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = coarse.withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("prev", col("cum") - col("cnt"))
+    val targets = stats
+      .select(col("lo"), col("width"), col("n"),
+        explode(expr("sequence(1, 8)")).as("i"))
+      .select(col("lo"), col("width"), col("i"),
+        expr("(i * n + 7) div 8").as("target"))
+    val located = targets.join(broadcast(cum),
+        col("prev") < col("target") && col("cum") >= col("target"))
+      .select(col("i"), col("target"), col("cell"),
+        (col("target") - col("prev")).as("need"),
+        col("lo"), col("width"))
+    val wFine = Window.partitionBy("i").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vals.join(broadcast(located),
+        expr("(v - lo) div width") === col("cell"))
+      .groupBy("i", "target", "need", "v")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("fcum", sum(col("c")).over(wFine))
+      .filter(col("fcum") >= col("need"))
+      .groupBy("i", "target")
+      .agg(min(col("v")).as("boundary_cents"))
+      .select(col("i").cast("int").as("quantile"), col("target").as("target_rank"),
+        col("boundary_cents"))
+      .orderBy("quantile")
+  }
+
+  val qEquidepthSql: String =
+    """WITH v AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+      t AS (SELECT COUNT(*) AS n FROM v),
+      h AS (SELECT v, COUNT(*) AS c FROM v GROUP BY v),
+      cu AS (
+        SELECT v, SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+          AND CURRENT ROW) AS cum FROM h),
+      tt AS (
+        SELECT i, (i * n + 7) // 8 AS target
+        FROM (SELECT unnest(range(1, 9)) AS i) q CROSS JOIN t)
+      SELECT CAST(i AS INTEGER) AS quantile,
+        CAST(target AS BIGINT) AS target_rank,
+        MIN(cu.v) AS boundary_cents
+      FROM tt JOIN cu ON cu.cum >= tt.target
+      GROUP BY i, target ORDER BY quantile"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_equidepth" -> (qEquidepth _),
     "q_ks_drift" -> (qKsDrift _),
     "q_salted_auto" -> (qSaltedAuto _),
     "q_fk_audit" -> (qFkAudit _),
@@ -549,6 +629,7 @@ object OpsAudit {
     "q_triangles" -> (qTriangles _))
 
   val oracles: Map[String, String] = Map(
+    "q_equidepth" -> qEquidepthSql,
     "q_ks_drift" -> qKsDriftSql,
     "q_salted_auto" -> qSaltedAutoSql,
     "q_fk_audit" -> qFkAuditSql,

@@ -1113,7 +1113,59 @@ object TextOps {
       FROM s CROSS JOIN thr CROSS JOIN tot
       GROUP BY decile ORDER BY decile"""
 
+  // f36 — head-mass coverage curve (the Zipf health check WITHOUT
+  // transcendentals — a log-log slope fit would drag IEEE ln through
+  // the gate, d11's round() trap): what share of all token
+  // OCCURRENCES do the top 1 / 10 / 100 / 1000 types cover? A natural
+  // corpus follows Zipf (top-10 ≈ 20-30%, top-1000 ≈ 70-90%); a
+  // boilerplate-flooded or template-generated corpus shows a grossly
+  // fat head, a tokenizer-mangled one a flat head — the f33 vocab
+  // decision and the f12 domain-cap decision both read off this
+  // curve. Plan: ONE explode scan folds to (token, cnt) — map-side
+  // combined, event-volume exits immediately — the type ranking rides
+  // a vocab-bounded single-partition window (f33's argument), and the
+  // 4-threshold readout is one bounded agg off a tiny cross with the
+  // threshold dimension (f34's pattern). Integer micro shares by
+  // floor division; rank ties broken (cnt desc, token) — total and
+  // deterministic both engines.
+  def qHeadMass(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val counts = d.select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val ranked = counts.withColumn("rk",
+      row_number().over(Window.orderBy(col("cnt").desc, col("token"))))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val ks = spark.range(1).select(
+      explode(array(lit(1), lit(10), lit(100), lit(1000))).as("k"))
+    ranked.crossJoin(broadcast(ks))
+      .groupBy("k")
+      .agg(sum(when(col("rk") <= col("k"), 1L).otherwise(0L)).as("n_types"),
+        sum(when(col("rk") <= col("k"), col("cnt")).otherwise(0L)).as("head_mass"))
+      .crossJoin(broadcast(total))
+      .select(col("k").cast("int").as("k"), col("n_types"), col("head_mass"),
+        expr("head_mass * 1000000 div total").as("share_micro"))
+      .orderBy("k")
+  }
+
+  val qHeadMassSql: String =
+    """WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      counts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+      ranked AS (
+        SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rk
+        FROM counts),
+      tot AS (SELECT SUM(cnt) AS total FROM counts),
+      ks AS (SELECT unnest([1, 10, 100, 1000]) AS k)
+      SELECT CAST(k AS INT) AS k,
+        CAST(SUM(CASE WHEN rk <= k THEN 1 ELSE 0 END) AS BIGINT) AS n_types,
+        CAST(SUM(CASE WHEN rk <= k THEN cnt ELSE 0 END) AS BIGINT) AS head_mass,
+        CAST(SUM(CASE WHEN rk <= k THEN cnt ELSE 0 END) * 1000000
+          // MAX(total) AS BIGINT) AS share_micro
+      FROM ranked CROSS JOIN ks CROSS JOIN tot
+      GROUP BY k ORDER BY k"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_head_mass" -> (qHeadMass _),
     "q_oov_rate" -> (qOovRate _),
     "q_quality_sweep" -> (qQualitySweep _),
     "q_pmi_pairs" -> (qPmiPairs _),
@@ -1142,6 +1194,7 @@ object TextOps {
     "q_fingerprint" -> (qFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q_head_mass" -> qHeadMassSql,
     "q_oov_rate" -> qOovRateSql,
     "q_quality_sweep" -> qQualitySweepSql,
     "q_pmi_pairs" -> qPmiPairsSql,

@@ -506,4 +506,34 @@ class PlanAuditSpec extends SparkTestBase {
     specs.foreach(s => assert(s.contains("p_brand#"),
       s"skyline window not partitioned by brand: $s\n$p"))
   }
+
+  test("c70 spearman: rank windows read the user aggregate, never raw events") {
+    val p = operators.AnalyticsTs.qSpearman(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // events fold to one row per user BEFORE any window touches them
+    assert("HashAggregate\\(keys=\\[user_id#\\d+L?\\]".r.findFirstIn(p).isDefined,
+      s"spearman must pre-aggregate per user before ranking:\n$p")
+    assert(p.contains("Exchange SinglePartition"),
+      s"expected the user-bounded rank pass:\n$p")
+  }
+
+  test("c72 acf: the lag windows read the daily series, never raw events") {
+    val p = operators.AnalyticsTs.qAcf(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("HashAggregate\\(keys=\\[day#\\d+L?\\]".r.findFirstIn(p).isDefined,
+      s"acf must pre-aggregate per day before its lead() windows:\n$p")
+  }
+
+  test("c73 equidepth: coarse histogram agg + target-partitioned refine windows") {
+    val p = operators.OpsAudit.qEquidepth(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the coarse 1024-cell histogram is a keyed agg with map-side partials
+    assert("HashAggregate\\(keys=\\[(cell|_groupingexpression)#\\d+L?\\], functions=\\[partial_count".r
+      .findFirstIn(p).isDefined,
+      s"no map-side-combined coarse histogram agg:\n$p")
+    // the refine window partitions by target index i (parallel across
+    // targets), never a global window over raw values
+    val fineSpecs = "windowspecdefinition\\(i#\\d+".r.findAllMatchIn(p).toSeq
+    assert(fineSpecs.nonEmpty, s"refine window not partitioned by target:\n$p")
+  }
 }
