@@ -1295,7 +1295,66 @@ object GeoOps {
          CAST(SUM(v_cents) AS BIGINT) AS sum_val_cents
        FROM p GROUP BY 1, 2 ORDER BY cx_mdeg, cy_mdeg"""
 
+  // b31 — geohash encode (precision 8) + the precision-4 cell rollup:
+  // the third spatial key next to b18's z-order (XY morton over tiles)
+  // and b19's quadkey (the tile-tree path) — geohash is the
+  // interoperable one (Redis/Elastic/HBase row keys speak it), base32
+  // over a 40-bit lon-first bit interleave of the EQUIRECTANGULAR
+  // quantization (lon/360, lat/180 — unlike the mercator tile pair).
+  // Quantization reuses b3's exact floor((c + off) / span * 2^20)
+  // double shape (each op correctly rounded, identical text both
+  // engines); the interleave and base32 chars are pure integer bit
+  // math off the quantized pair — engine-free. A geohash PREFIX is a
+  // rectangle, so the 4-char rollup is the standard coarse spatial
+  // index/DP-aggregation cell; prefix = substring, no re-encode.
+  // Plan: map-only encode (the synthetic coords derive from event_id),
+  // one bounded cell agg for the rollup side. At 100 TB: the encode
+  // column is what i16's range-ordered write would lay files out by —
+  // prefix-range scans then prune at the footer.
+  private val GeohashB32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  def qGeohash(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val lon = Synth.lon(col("event_id"))
+    val lat = Synth.lat(col("event_id"))
+    val xq = least(floor((lon + 180.0) / 360.0 * 1048576), lit(1048575.0)).cast("long")
+    val yq = least(floor((lat + 90.0) / 180.0 * 1048576), lit(1048575.0)).cast("long")
+    val base = e.select(col("event_id"), xq.as("xq"), yq.as("yq"))
+    // lon bits on odd positions (bit 39 = lon MSB), lat on even
+    val code = (0 until 20).map { j =>
+      expr(s"(((xq div ${1L << j}) % 2) * ${1L << (2 * j + 1)}) + " +
+        s"(((yq div ${1L << j}) % 2) * ${1L << (2 * j)})")
+    }.reduce(_ + _)
+    val coded = base.withColumn("code", code)
+    val gh8 = (0 until 8).map { i =>
+      expr(s"substring('$GeohashB32', CAST((code div ${1L << (35 - 5 * i)}) % 32 AS INT) + 1, 1)")
+    }.reduce(concat(_, _))
+    coded.withColumn("gh8", gh8)
+      .withColumn("gh4", expr("substring(gh8, 1, 4)"))
+      .select("event_id", "gh8", "gh4")
+      .orderBy("event_id")
+  }
+
+  val qGeohashSql: String = {
+    val code = (0 until 20).map { j =>
+      s"(((xq // ${1L << j}) % 2) * ${1L << (2 * j + 1)}) + (((yq // ${1L << j}) % 2) * ${1L << (2 * j)})"
+    }.mkString(" + ")
+    val gh8 = (0 until 8).map { i =>
+      s"substring('$GeohashB32', CAST((code // ${1L << (35 - 5 * i)}) % 32 AS INT) + 1, 1)"
+    }.mkString(" || ")
+    s"""WITH q AS (
+        SELECT event_id,
+          CAST(LEAST(FLOOR(((${Synth.lonSql}) + 180.0) / 360.0 * 1048576), 1048575.0) AS BIGINT) AS xq,
+          CAST(LEAST(FLOOR(((${Synth.latSql}) + 90.0) / 180.0 * 1048576), 1048575.0) AS BIGINT) AS yq
+        FROM events),
+      c AS (SELECT event_id, $code AS code FROM q),
+      g AS (SELECT event_id, $gh8 AS gh8 FROM c)
+      SELECT event_id, gh8, substring(gh8, 1, 4) AS gh4
+      FROM g ORDER BY event_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_geohash" -> (qGeohash _),
     "q_raster_e2e" -> (qRasterE2e _),
     "q_geo_e2e" -> (qGeoE2e _),
     "q_tile_diff" -> (qTileDiff _),
@@ -1344,6 +1403,7 @@ object GeoOps {
     "q_pmtiles_manifest" -> qPmtilesManifestSql,
     "q_pmtiles_single" -> qPmtilesSingleSql,
     "q_tippecanoe_plan" -> qTippecanoePlanSql,
+    "q_geohash" -> qGeohashSql,
     "q_zorder_key" -> qZorderKeySql,
     "q_quadkey" -> qQuadkeySql,
     "q_quadkey_subtree" -> qQuadkeySubtreeSql,

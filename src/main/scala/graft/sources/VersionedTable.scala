@@ -76,6 +76,57 @@ object VersionedTable {
     * committed version. */
   def commit(spark: SparkSession, path: String, df: DataFrame,
       overwrite: Boolean = false): Long = {
+    val newFiles = land(spark, path, df)
+    casCommit(spark, path, newFiles, overwrite)
+  }
+
+  /** i17 — write-audit-publish (the deployment gate a 100 TB lake
+    * runs every batch through: Iceberg's WAP / dbt's build-then-swap,
+    * expressed on this table's own log): the batch's files LAND
+    * invisibly (no manifest references them — readers cannot observe
+    * a half-validated batch even mid-audit), the audits run against
+    * the CANDIDATE snapshot (base-at-audit + batch — exactly what the
+    * table would serve if published, so cross-batch invariants like
+    * FK integrity or row-count monotonicity are checkable, not just
+    * batch-local ones), and only if every audit passes does the
+    * manifest CAS make the version visible — the same atomic
+    * create-if-absent as [[commit]], so publication is all-or-nothing
+    * even against racing writers. A failed audit deletes the landed
+    * files and returns the failing audit names: the table's version
+    * history, every existing snapshot, and the data directory's
+    * referenced set are byte-identical to if the batch never arrived.
+    * Cost: O(batch) writes + the audit queries + one manifest create —
+    * the publish step never rewrites data.
+    *
+    * Concurrency contract: audits validate against the base visible
+    * at audit time; a commit racing between audit and publish is
+    * composed by the CAS retry (the batch appends to the newer base).
+    * Serializable-strict pipelines re-run WAP instead of retrying.
+    */
+  def writeAuditPublish(spark: SparkSession, path: String, df: DataFrame,
+      audits: Seq[(String, DataFrame => Boolean)],
+      overwrite: Boolean = false): Either[Seq[String], Long] = {
+    val fs = fsOf(spark, path)
+    val newFiles = land(spark, path, df)
+    val vs = versions(spark, path)
+    val base = if (overwrite || vs.isEmpty) Seq.empty
+      else readManifest(spark, path, vs.last)
+    val candidateFiles = (base ++ newFiles).map(f => s"$path/$f")
+    val candidate =
+      if (candidateFiles.isEmpty) spark.emptyDataFrame
+      else spark.read.parquet(candidateFiles: _*)
+    val failed = audits.collect { case (name, check) if !check(candidate) => name }
+    if (failed.nonEmpty) {
+      newFiles.foreach(f => fs.delete(new Path(path, f), false))
+      Left(failed)
+    } else Right(casCommit(spark, path, newFiles, overwrite))
+  }
+
+  /** Lands `df`'s files into data/ under a fresh unique token WITHOUT
+    * writing any manifest — the files are invisible to every reader
+    * until a later manifest lists them (the write half of i17's
+    * write-audit-publish, and commit's own first half). */
+  private def land(spark: SparkSession, path: String, df: DataFrame): Seq[String] = {
     val fs = fsOf(spark, path)
     val dataDir = new Path(path, "data")
     fs.mkdirs(dataDir)
@@ -94,7 +145,15 @@ object VersionedTable {
         s"data/${dst.getName}"
       }
     fs.delete(staging, true)
+    newFiles
+  }
 
+  /** Publishes already-landed files as the next version (commit's
+    * second half). */
+  private def casCommit(spark: SparkSession, path: String,
+      newFiles: Seq[String], overwrite: Boolean): Long = {
+    val fs = fsOf(spark, path)
+    val token = java.util.UUID.randomUUID.toString.take(8)
     // optimistic manifest CAS: create-if-absent on the next version;
     // lose the race ⇒ recompute the base file list and retry.
     //

@@ -873,6 +873,68 @@ object IngestStream {
       }
   }
 
+  // ---- h28: exponentially-decayed trending scores -------------------
+
+  case class TrendHit(key: String, ms: Long)
+  /** Bounded per-key state: the decayed score + its clock — 3 fields
+    * per key forever, never event history. */
+  case class TrendScore(version: Long, lastMs: Long, scoreMicro: Long)
+  case class TrendEmit(key: String, version: Long, lastMs: Long, scoreMicro: Long)
+
+  /** Fixed-point decay factor d^exp in micro-units (d given in
+    * micro-units, e.g. 999989 ≈ a 60 s half-life per-ms decay) via
+    * binary exponentiation with a floor after every multiply — every
+    * step is exact integer math (operands ≤ 10⁶ so products ≤ 10¹²),
+    * so the factor is bit-identical on every engine and every replay.
+    * The truncation IS the spec'd decay curve, not an approximation
+    * of IEEE pow. */
+  def decayFactorMicro(dMicro: Long, exp: Long): Long = {
+    var result = 1000000L; var base = dMicro; var e = exp
+    while (e > 0) {
+      if ((e & 1L) == 1L) result = result * base / 1000000L
+      base = base * base / 1000000L
+      e >>= 1
+    }
+    result
+  }
+
+  /** h28 — live trending scores (the decayed heavy-hitters dashboard:
+    * "what is hot NOW" — h8's Misra–Gries counts ALL time, h28
+    * forgets at a half-life): per key, score' = score·d^Δms + 1 on
+    * each hit, folded in total (ms, key) order; the decay power is
+    * [[decayFactorMicro]]'s exact fixed-point form, so the score is a
+    * deterministic function of the hit sequence — under the per-key
+    * monotone feed contract (h19/h23's) the emission after any
+    * batching equals the sequential fold exactly (spec-proven against
+    * an independent per-event reference). State = 3 longs per key
+    * forever; at 100 TB the keyed shuffle carries the batch, state
+    * the key space, and the top-k readout is a bounded sort over
+    * keys, not events. Score magnitudes: 10⁶ per hit, safe to ~9·10¹²
+    * same-instant hits per key. */
+  def streamingTrending(hits: Dataset[TrendHit],
+      dMicro: Long = 999989L): Dataset[TrendEmit] = {
+    import hits.sparkSession.implicits._
+    hits.groupByKey(_.key)
+      .flatMapGroupsWithState[TrendScore, TrendEmit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[TrendHit], state: GroupState[TrendScore]) =>
+          val sorted = it.toSeq.sortBy(_.ms)
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            var s = state.getOption.getOrElse(TrendScore(0L, sorted.head.ms, 0L))
+            var last = s.lastMs; var score = s.scoreMicro
+            sorted.foreach { h =>
+              val dt = Math.max(0L, h.ms - last)
+              score = score * decayFactorMicro(dMicro, dt) / 1000000L + 1000000L
+              last = h.ms
+            }
+            val v2 = s.version + 1
+            state.update(TrendScore(v2, last, score))
+            Iterator(TrendEmit(key, v2, last, score))
+          }
+      }
+  }
+
   // ---- h27: live distribution-drift monitor (c68's streaming twin) ---
 
   case class DriftSample(metric: String, v: Long)

@@ -360,4 +360,61 @@ class TrendStreamSpec extends SparkTestBase {
     assert(fin.bucketAt == bestAt, s"arg-max bucket ${fin.bucketAt} != $bestAt")
     assert(fin.ksMicro >= 0L && fin.ksMicro <= 1000000L)
   }
+
+  test("h28: decayed trending scores equal the sequential fold under any batching") {
+    import spark.implicits._
+    import graft.streaming.IngestStream.{TrendHit, TrendEmit}
+    implicit val sqlCtx = spark.sqlContext
+    val d = 999989L
+    // hits = the real event stream keyed by event_type
+    val hits = Tables.events(spark, sfDir)
+      .select(col("event_type"), unix_millis(col("ts")).as("ms"))
+      .collect().map(r => TrendHit(r.getString(0), r.getLong(1)))
+    // monotone-feed contract: batches cut on global time order,
+    // shuffled within each batch (uneven cuts)
+    val sorted = hits.sortBy(h => (h.ms, h.key))
+    val cuts = Seq(7, sorted.length / 5, sorted.length / 2, 9 * sorted.length / 10)
+    val batches = (Seq(0) ++ cuts ++ Seq(sorted.length)).sliding(2).map {
+      case Seq(a, b) => sorted.slice(a, b)
+        .sortBy(h => Integer.rotateLeft(h.ms.hashCode, 7)).toSeq
+    }.toSeq
+
+    val input = MemoryStream[TrendHit]
+    val q = IngestStream.streamingTrending(input.toDS(), d)
+      .writeStream.format("memory").queryName("h28_trending")
+      .outputMode(OutputMode.Append()).start()
+    val emits =
+      try {
+        batches.foreach { b => input.addData(b); q.processAllAvailable() }
+        spark.table("h28_trending").as[TrendEmit].collect().toSeq
+      } finally q.stop()
+
+    // independent reference: one sequential per-event fold over the
+    // totally-ordered hit stream (no batching, no state machine)
+    var ref = Map.empty[String, (Long, Long)] // key -> (lastMs, score)
+    sorted.foreach { h =>
+      val (last, sc) = ref.getOrElse(h.key, (h.ms, 0L))
+      val dt = Math.max(0L, h.ms - last)
+      val sc2 = sc * IngestStream.decayFactorMicro(d, dt) / 1000000L + 1000000L
+      ref = ref.updated(h.key, (h.ms, sc2))
+    }
+    val finals = emits.groupBy(_.key).map { case (k, es) => k -> es.maxBy(_.version) }
+    assert(finals.keySet == ref.keySet)
+    finals.foreach { case (k, e) =>
+      assert(e.scoreMicro == ref(k)._2, s"key $k: live ${e.scoreMicro} != ref ${ref(k)._2}")
+      assert(e.lastMs == ref(k)._1)
+    }
+    // decay sanity: a same-size burst half a half-life ago outranks an
+    // equal burst two half-lives ago (the whole point vs h8's counts)
+    val now = sorted.last.ms
+    def burstScore(agoMs: Long, n: Int): Long = {
+      var sc = 0L
+      (1 to n).foreach { _ => sc = sc + 1000000L }
+      sc * IngestStream.decayFactorMicro(d, agoMs) / 1000000L
+    }
+    assert(burstScore(30000L, 100) > burstScore(120000L, 100))
+    // top-k readout is deterministic: (score desc, key) total order
+    val top = finals.toSeq.sortBy { case (k, e) => (-e.scoreMicro, k) }.take(3)
+    assert(top.size == math.min(3, finals.size))
+  }
 }

@@ -214,4 +214,52 @@ class VersionedTableSpec extends SparkTestBase {
     assert(landed == rows(VersionedTable.read(spark, path)),
       "post-crash replay must converge to the exact table content")
   }
+
+  test("i17: write-audit-publish — failing audits are never visible, passing ones publish atomically") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = java.nio.file.Files.createTempDirectory("wap").toString
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataDir = new org.apache.hadoop.fs.Path(path, "data")
+    def dataFiles(): Set[String] =
+      fs.listStatus(dataDir).map(_.getPath.getName).toSet
+
+    val d1 = (0L until 100L).map(k => (k, s"a$k")).toDF("key", "val")
+    assert(VersionedTable.commit(spark, path, d1) == 1L)
+
+    val noNullKeys = "no_null_keys" ->
+      ((df: org.apache.spark.sql.DataFrame) => df.filter(col("key").isNull).isEmpty)
+    var auditSaw = -1L
+    val captureN = "capture_candidate_rows" ->
+      ((df: org.apache.spark.sql.DataFrame) => { auditSaw = df.count(); true })
+
+    // good batch: publishes as v2, and the audit ran against the
+    // CANDIDATE (base + batch), not the batch alone
+    val good = (100L until 150L).map(k => (k, s"b$k")).toDF("key", "val")
+    assert(VersionedTable.writeAuditPublish(spark, path, good,
+      Seq(noNullKeys, captureN)) == Right(2L))
+    assert(auditSaw == 150L, "audit must see base + batch, not the batch alone")
+    assert(rows(VersionedTable.read(spark, path)) == rows(d1) ++ rows(good))
+
+    // bad batch: a planted null key — audit rejects, and the table is
+    // bit-for-bit as if the batch never arrived
+    val filesBefore = dataFiles()
+    val versionsBefore = VersionedTable.versions(spark, path)
+    val contentBefore = rows(VersionedTable.read(spark, path))
+    val bad = Seq((Option(200L), "x"), (Option.empty[Long], "boom"))
+      .toDF("key", "val")
+    assert(VersionedTable.writeAuditPublish(spark, path, bad,
+      Seq(noNullKeys)) == Left(Seq("no_null_keys")))
+    assert(VersionedTable.versions(spark, path) == versionsBefore,
+      "a failed audit must not mint a version")
+    assert(rows(VersionedTable.read(spark, path)) == contentBefore,
+      "the served snapshot must be untouched")
+    assert(dataFiles() == filesBefore,
+      "the rejected batch's landed files must be cleaned up — no junk accumulates")
+
+    // numbering continues undisturbed for the next writer
+    assert(VersionedTable.commit(spark, path,
+      Seq((300L, "z")).toDF("key", "val")) == 3L)
+  }
 }
