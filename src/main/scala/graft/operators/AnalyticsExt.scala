@@ -808,7 +808,144 @@ object AnalyticsExt {
           AND (d.price_cents < q.price_cents OR d.p_size > q.p_size))
       ORDER BY p_brand, price_cents, p_partkey"""
 
+  // c74 — market-basket association rules over (order × brand) items
+  // (the Apriori/FP-growth count pass at pair depth — "customers who
+  // bought A also bought B", the retail staple the relational
+  // substrate lacks): support / confidence(both directions) / lift
+  // per unordered brand pair co-occurring in an order. The pair
+  // generator NEVER self-joins the item table: items fold to one
+  // sorted per-order brand SET (one orderkey-keyed agg — the only
+  // row-scale exchange), pairs explode map-side from each set, and a
+  // basket holds ≤ min(lines, |brands|) items so the fan-out is
+  // bounded by basket size squared, never corpus size (d4's
+  // df-cap argument at the basket grain — a degenerate mega-basket
+  // would be capped the same way; order baskets are naturally ≤7).
+  // Everything after the explode is vocabulary-bounded: ≤ |brands|²/2
+  // pair groups, |brands| item counts re-derived from the SAME sets
+  // (no second item scan), N from the same agg. Confidence and lift
+  // are integer micro-units by floor division with decimal(38,0)/
+  // HUGEINT products (lift's n_ab·N ≤ 10¹⁹ overflows int64 at real
+  // order counts — the c71 overflow discipline). Support floor ≥ 5.
+  // Oracle: the genuinely different distinct-items SELF-JOIN.
+  def qBasket(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem").select("l_orderkey", "l_partkey")
+    val p = Tables(spark, dir, "part").select("p_partkey", "p_brand")
+    val baskets = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
+    // baskets feeds three consumers in ONE plan — Catalyst's
+    // ReuseExchange dedups the orderkey exchange, no cache needed
+    val n = baskets.agg(count(lit(1)).as("n_orders"))
+    val itemCnt = baskets
+      .select(explode(col("bs")).as("brand"))
+      .groupBy("brand").agg(count(lit(1)).as("n_item"))
+    val pairs = baskets.select(explode(expr(
+        """flatten(transform(bs, (x, i) ->
+             transform(slice(bs, i + 2, size(bs)), y ->
+               struct(x AS a, y AS b))))""")).as("p"))
+      .groupBy(col("p.a").as("brand_a"), col("p.b").as("brand_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 5)
+    pairs
+      .join(broadcast(itemCnt.withColumnRenamed("brand", "brand_a")
+        .withColumnRenamed("n_item", "n_a")), Seq("brand_a"))
+      .join(broadcast(itemCnt.withColumnRenamed("brand", "brand_b")
+        .withColumnRenamed("n_item", "n_b")), Seq("brand_b"))
+      .crossJoin(broadcast(n))
+      .select(col("brand_a"), col("brand_b"), col("support"),
+        expr("CAST(CAST(support AS DECIMAL(38,0)) * 1000000 DIV n_a AS BIGINT)")
+          .as("conf_ab_micro"),
+        expr("CAST(CAST(support AS DECIMAL(38,0)) * 1000000 DIV n_b AS BIGINT)")
+          .as("conf_ba_micro"),
+        expr("""CAST(CAST(support AS DECIMAL(38,0)) * n_orders * 1000000
+                DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)""")
+          .as("lift_micro"))
+      .orderBy(col("support").desc, col("brand_a"), col("brand_b"))
+  }
+
+  val qBasketSql: String =
+    """WITH items AS (
+        SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+        FROM lineitem JOIN part ON l_partkey = p_partkey),
+      n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM items),
+      ic AS (SELECT b, COUNT(*) AS n_item FROM items GROUP BY b),
+      pr AS (
+        SELECT i1.b AS brand_a, i2.b AS brand_b, COUNT(*) AS support
+        FROM items i1 JOIN items i2 ON i1.ok = i2.ok AND i1.b < i2.b
+        GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+      SELECT brand_a, brand_b, support,
+        CAST(CAST(support AS HUGEINT) * 1000000 // ia.n_item AS BIGINT) AS conf_ab_micro,
+        CAST(CAST(support AS HUGEINT) * 1000000 // ib.n_item AS BIGINT) AS conf_ba_micro,
+        CAST(CAST(support AS HUGEINT) * n.n_orders * 1000000
+          // (CAST(ia.n_item AS HUGEINT) * ib.n_item) AS BIGINT) AS lift_micro
+      FROM pr
+      JOIN ic ia ON ia.b = pr.brand_a
+      JOIN ic ib ON ib.b = pr.brand_b
+      CROSS JOIN n
+      ORDER BY support DESC, brand_a, brand_b"""
+
+  // c75 — revenue concentration: exact Gini coefficient + top-decile
+  // mass share over per-customer revenue (the inequality readout
+  // behind every "whales" conversation, and the f36 head-mass curve's
+  // continuous sibling). Gini from the sorted form G = (2·Σi·xᵢ −
+  // (n+1)·Σx) / (n·Σx) with i = row_number under the total (x,
+  // custkey) order — within a tied value group Σi·x is permutation-
+  // invariant (x constant), so the statistic is deterministic both
+  // engines; all products in decimal(38,0)/HUGEINT (Σi·x ≈ n·total
+  // ≈ 10¹⁹ at real scale — past int64), micro-units by floor
+  // division, no IEEE anywhere. Top-decile share = mass of the
+  // ⌈n/10⌉ highest-revenue customers by the same rank. Plan: ONE
+  // custkey agg folds orders; the rank window rides the CUSTOMER
+  // aggregate — bounded by customers, never orders (c70's grain; at
+  // extreme customer cardinality the rank would ride c60's two-phase
+  // prefix sum — the documented swap).
+  def qGini(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val perCust = o.groupBy("o_custkey").agg(sum(col("cents")).as("x"))
+    val ord = Window.orderBy(col("x"), col("o_custkey"))
+    val ranked = perCust
+      .withColumn("i", row_number().over(ord))
+      .withColumn("n", count(lit(1)).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    ranked.agg(
+        count(lit(1)).as("n_cust"),
+        sum(col("x")).as("total_cents"),
+        sum(expr("CAST(i AS DECIMAL(38,0)) * x")).as("six"),
+        sum(expr("CASE WHEN i > n - (n + 9) DIV 10 THEN x ELSE 0 END")).as("top10"))
+      .select(col("n_cust"), col("total_cents"),
+        expr("""CAST((2 * six - (CAST(n_cust AS DECIMAL(38,0)) + 1) * total_cents)
+                * 1000000 DIV (CAST(n_cust AS DECIMAL(38,0)) * total_cents)
+                AS BIGINT)""").as("gini_micro"),
+        expr("CAST(CAST(top10 AS DECIMAL(38,0)) * 1000000 DIV total_cents AS BIGINT)")
+          .as("top10_share_micro"))
+  }
+
+  val qGiniSql: String =
+    """WITH o AS (
+        SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      u AS (SELECT o_custkey, SUM(cents) AS x FROM o GROUP BY o_custkey),
+      r AS (
+        SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i,
+          COUNT(*) OVER () AS n
+        FROM u),
+      s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cust,
+          CAST(SUM(x) AS BIGINT) AS total_cents,
+          SUM(CAST(i AS HUGEINT) * x) AS six,
+          CAST(SUM(CASE WHEN i > n - (n + 9) // 10 THEN x ELSE 0 END) AS BIGINT) AS top10
+        FROM r)
+      SELECT n_cust, total_cents,
+        CAST((2 * six - (CAST(n_cust AS HUGEINT) + 1) * total_cents) * 1000000
+          // (CAST(n_cust AS HUGEINT) * total_cents) AS BIGINT) AS gini_micro,
+        CAST(CAST(top10 AS HUGEINT) * 1000000 // total_cents AS BIGINT) AS top10_share_micro
+      FROM s"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_basket" -> (qBasket _),
+    "q_gini" -> (qGini _),
     "q_skyline" -> (qSkyline _),
     "q_percentiles" -> (qPercentiles _),
     "q_scd2_dim" -> (qScd2Dim _),
@@ -830,6 +967,8 @@ object AnalyticsExt {
     "q20_promo_suppliers" -> (q20PromoSuppliers _))
 
   val oracles: Map[String, String] = Map(
+    "q_basket" -> qBasketSql,
+    "q_gini" -> qGiniSql,
     "q_skyline" -> qSkylineSql,
     "q_percentiles" -> qPercentilesSql,
     "q_scd2_dim" -> qScd2DimSql,

@@ -1201,7 +1201,64 @@ object AnalyticsTs {
         CAST((SUM(p) * 1000000) // MAX(dd.dd) AS BIGINT) AS acf_micro
       FROM up CROSS JOIN dd GROUP BY lag ORDER BY lag"""
 
+  // c76 — behavioral-mix entropy per user segment (Shannon H of the
+  // event-type distribution — the "is this cohort's behavior diverse
+  // or monocultural" readout; near-zero H flags bot-like segments, a
+  // drop vs yesterday is a mix-shift alarm c68's KS would need a
+  // numeric gauge for). Exactness: H = ln N − (Σ c·ln c)/N, with
+  // EVERY ln quantized to integer micro-nats SEPARATELY (round(ln·1e6)
+  // of an exact small integer — f31's engine-free argument), so
+  // h_micro = lnN_micro − Σ c·lnc_micro div N is pure integer math;
+  // also emitted normalized by the ln of the type count (0..1-ish
+  // evenness) and the segment's modal type (deterministic min-on-ties).
+  // Plan: ONE (segment, event_type) agg over one scan — map-side
+  // combined, event volume exits immediately — then a segment-level
+  // fold over the BOUNDED (≤ 8·|types|) mix table; no windows over raw
+  // rows, no joins.
+  def qEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(expr("user_id % 8").as("segment"), col("event_type"))
+    val mix = e.groupBy("segment", "event_type").agg(count(lit(1)).as("c"))
+      .withColumn("cmax", max(col("c")).over(Window.partitionBy("segment")))
+    mix.groupBy("segment")
+      .agg(
+        sum(col("c")).as("n"),
+        count(lit(1)).as("n_types"),
+        sum(expr("c * CAST(round(ln(c) * 1e6) AS BIGINT)")).as("clnc"),
+        min(when(col("c") === col("cmax"), col("event_type"))).as("modal_type"))
+      .select(col("segment"), col("n"), col("n_types"), col("modal_type"),
+        expr("CAST(round(ln(n) * 1e6) AS BIGINT) - clnc div n").as("h_micro"),
+        expr("""CASE WHEN n_types = 1 THEN CAST(0 AS BIGINT) ELSE
+                (CAST(round(ln(n) * 1e6) AS BIGINT) - clnc div n) * 1000000
+                  div CAST(round(ln(n_types) * 1e6) AS BIGINT) END""")
+          .as("evenness_micro"))
+      .orderBy("segment")
+  }
+
+  val qEntropySql: String =
+    """WITH e AS (
+        SELECT user_id % 8 AS segment, event_type FROM events),
+      mix AS (
+        SELECT segment, event_type, COUNT(*) AS c
+        FROM e GROUP BY segment, event_type),
+      m2 AS (
+        SELECT *, MAX(c) OVER (PARTITION BY segment) AS cmax FROM mix),
+      s AS (
+        SELECT segment,
+          CAST(SUM(c) AS BIGINT) AS n,
+          CAST(COUNT(*) AS BIGINT) AS n_types,
+          CAST(SUM(c * CAST(round(ln(c) * 1e6) AS BIGINT)) AS BIGINT) AS clnc,
+          MIN(CASE WHEN c = cmax THEN event_type END) AS modal_type
+        FROM m2 GROUP BY segment)
+      SELECT segment, n, n_types, modal_type,
+        CAST(round(ln(n) * 1e6) AS BIGINT) - clnc // n AS h_micro,
+        CASE WHEN n_types = 1 THEN CAST(0 AS BIGINT) ELSE
+          (CAST(round(ln(n) * 1e6) AS BIGINT) - clnc // n) * 1000000
+            // CAST(round(ln(n_types) * 1e6) AS BIGINT) END AS evenness_micro
+      FROM s ORDER BY segment"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_entropy" -> (qEntropy _),
     "q_spearman" -> (qSpearman _),
     "q_chi2" -> (qChi2 _),
     "q_acf" -> (qAcf _),
@@ -1221,6 +1278,7 @@ object AnalyticsTs {
     "q_next_event_markov" -> (qNextEventMarkov _))
 
   val oracles: Map[String, String] = Map(
+    "q_entropy" -> qEntropySql,
     "q_spearman" -> qSpearmanSql,
     "q_chi2" -> qChi2Sql,
     "q_acf" -> qAcfSql,

@@ -1092,7 +1092,115 @@ object Ann {
       GROUP BY m.label, n_vecs, max_d2n2, total
       ORDER BY label"""
 
+  /** e24 — index REBALANCE plan (e21's health stats closing their
+    * loop, the e-family twin of c63→c65 and a17→i8: measure, then
+    * decide): from the per-cell population and exact integer
+    * centroids, plan which cells to SPLIT (population > 2× the mean —
+    * hot cells serve slow because a probe scans the whole cell), which
+    * to MERGE into their nearest surviving neighbor (population·4 <
+    * mean — near-empty cells waste probe fan-out and router entries),
+    * and where each merge lands (argmin exact integer squared centroid
+    * distance among keep/split cells, smallest label on ties). All
+    * comparisons are cross-multiplied integer predicates (n·ncells vs
+    * k·total — no division), centroids quantize to cq = s div n on the
+    * 2¹² grid (engine-identical truncating division), and the
+    * candidate-target distance table is |cells|² rows of BOUNDED
+    * arithmetic — the plan never touches a vector after the one
+    * centroid pass. At 100 TB: one corpus scan for centroids (e11's
+    * exchange), then driver-free planning over the cell table; the
+    * EXECUTOR of this plan is e11's Lloyd step re-run on the split
+    * cells + e22's absorb/tombstone cycle for the moves. */
+  def qAnnRebalance(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    // Plan over a DRIFTED cell map, not the balanced training labels:
+    // labels 0-4 collapse into one hot mega-cell and labels 8-9
+    // shatter into 20 near-empty slivers (the two failure modes a
+    // served index accumulates as the corpus drifts away from its
+    // centroids). The real labels would yield all-keep — this map
+    // exercises every action branch under the oracle.
+    val cellExpr = "CAST(CASE WHEN label < 5 THEN 0 WHEN label < 8 THEN label " +
+      "ELSE 70 + vec_id % 20 END AS BIGINT)"
+    val pe = e.select(col("vec_id"), expr(cellExpr).as("cell"),
+      posexplode(expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 4096) AS BIGINT))"))
+        .as(Seq("i", "qv")))
+    val cent = pe.groupBy("cell", "i")
+      .agg(sum(col("qv")).as("s"), count(lit(1)).as("n"))
+      .withColumn("cq", expr("s div n"))
+    val cells = cent.groupBy("cell").agg(max(col("n")).as("n_vecs"))
+    val sizes = cells.agg(sum(col("n_vecs")).as("total"),
+      count(lit(1)).as("ncells"))
+    val judged = cells.crossJoin(broadcast(sizes))
+      .withColumn("action",
+        when(col("n_vecs") * col("ncells") > col("total") * 2, "split")
+          .when(col("n_vecs") * col("ncells") * 4 < col("total"), "merge")
+          .otherwise("keep"))
+    val mergers = judged.filter(col("action") === "merge").select(col("cell"))
+    val targets = judged.filter(col("action") =!= "merge")
+      .select(col("cell").as("t_cell"))
+    val dist = mergers
+      .join(cent.select(col("cell"), col("i"), col("cq")), "cell")
+      .join(broadcast(targets
+          .join(cent.select(col("cell").as("t_cell"), col("i"),
+            col("cq").as("t_cq")), "t_cell")),
+        Seq("i"))
+      .groupBy("cell", "t_cell")
+      .agg(sum(expr("CAST((cq - t_cq) AS DECIMAL(38,0)) * (cq - t_cq)")).as("d2"))
+    val best = dist.withColumn("min_d2",
+        min(col("d2")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("cell")))
+      .filter(col("d2") === col("min_d2"))
+      .groupBy("cell").agg(min(col("t_cell")).as("target_cell"),
+        max(col("min_d2")).as("d2_to_target"))
+    judged.join(best, Seq("cell"), "left")
+      .select(col("cell"), col("n_vecs"), col("action"),
+        col("target_cell"), col("d2_to_target"))
+      .orderBy("cell")
+  }
+
+  val qAnnRebalanceSql: String =
+    """WITH pe AS (
+        SELECT vec_id,
+          CAST(CASE WHEN label < 5 THEN 0 WHEN label < 8 THEN label
+            ELSE 70 + vec_id % 20 END AS BIGINT) AS cell,
+          unnest(generate_series(1, len(embedding))) AS i,
+          unnest(list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 4096) AS BIGINT))) AS qv
+        FROM embeddings),
+      cent AS (
+        SELECT cell, i, CAST(SUM(qv) AS BIGINT) AS s,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM pe GROUP BY cell, i),
+      cq AS (SELECT cell, i, s // n AS cq FROM cent),
+      cells AS (SELECT cell, MAX(n) AS n_vecs FROM cent GROUP BY cell),
+      sizes AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS total,
+        CAST(COUNT(*) AS BIGINT) AS ncells FROM cells),
+      judged AS (
+        SELECT cell, n_vecs,
+          CASE WHEN n_vecs * ncells > 2 * total THEN 'split'
+               WHEN n_vecs * ncells * 4 < total THEN 'merge'
+               ELSE 'keep' END AS action
+        FROM cells CROSS JOIN sizes),
+      dist AS (
+        SELECT m.cell, t.cell AS t_cell,
+          SUM(CAST((a.cq - b.cq) AS HUGEINT) * (a.cq - b.cq)) AS d2
+        FROM judged m JOIN judged t ON t.action <> 'merge'
+        JOIN cq a ON a.cell = m.cell JOIN cq b ON b.cell = t.cell AND b.i = a.i
+        WHERE m.action = 'merge'
+        GROUP BY m.cell, t.cell),
+      best AS (
+        SELECT cell, t_cell, d2,
+          MIN(d2) OVER (PARTITION BY cell) AS min_d2
+        FROM dist),
+      pick AS (
+        SELECT cell, MIN(t_cell) AS target_cell,
+          MAX(min_d2) AS d2_to_target
+        FROM best WHERE d2 = min_d2 GROUP BY cell)
+      SELECT j.cell, j.n_vecs, j.action, p.target_cell,
+        CAST(p.d2_to_target AS DECIMAL(38,0)) AS d2_to_target
+      FROM judged j LEFT JOIN pick p ON p.cell = j.cell
+      ORDER BY j.cell"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_rebalance" -> (qAnnRebalance _),
     "q_ann_index_stats" -> (qAnnIndexStats _),
     "q_ann_mrl" -> (qAnnMrl _),
     "q_ann_range" -> (qAnnRange _),
@@ -1111,6 +1219,7 @@ object Ann {
     "q_ann_batch" -> (qAnnBatch _))
 
   val oracles: Map[String, String] = Map(
+    "q_ann_rebalance" -> qAnnRebalanceSql,
     "q_ann_index_stats" -> qAnnIndexStatsSql,
     "q_ann_mrl" -> qAnnMrlSql,
     "q_ann_range" -> qAnnRangeSql,

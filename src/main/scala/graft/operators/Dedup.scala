@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFns._
@@ -1548,7 +1548,71 @@ object Dedup {
         COALESCE(string_agg(CASE WHEN cov = 0 THEN tok END, ' ' ORDER BY i), '') AS text_clean
       FROM tc GROUP BY doc_id ORDER BY doc_id"""
 
+  /** d20 — bloom-prescreened incremental EXACT dedup (c46's runtime
+    * bloom at the dedup grain, closing d8's cost asymmetry): d8
+    * screens today's batch against the standing corpus by joining
+    * content keys — at 100 TB the INDEX side of that join is the whole
+    * corpus, and even broadcast-batch hashing pays an exchange-side
+    * hash probe per index row. Here the batch's content keys collapse
+    * to an 8 KB bloom (2¹⁶ bits, two xxhash64 probes over the md5
+    * content key) collected ONCE driver-side and constant-folded into
+    * the INDEX SCAN's filter as a literal 1024-long array — membership
+    * is map-side bit math, so ~all of the corpus exits at the scan and
+    * only possible-collision rows (true matches + fp) reach the exact
+    * broadcast-batch join that makes the result byte-identical to the
+    * plain join for ANY fp rate. The bloom build collects O(batch)
+    * words, never corpus rows. Verdict table mirrors d8's exact half
+    * (drop_exact / keep, min-index match). Oracle: the plain key join
+    * — the bloom is architecture, invisible in results. */
+  def qDedupBloom(spark: SparkSession, dir: String): DataFrame = {
+    val m = 1 << 16
+    val d = Tables(spark, dir, "documents")
+    val isNew = col("doc_id") % 10 === 7
+    val keys = d.select(col("doc_id"), md5(expr(normSpark)).as("ck"))
+    def h(k: Column, seed: Int): Column =
+      pmod(xxhash64(k, lit(seed)), lit(m.toLong)).cast("long")
+    val words = new Array[Long](m / 64)
+    keys.filter(isNew)
+      .select(explode(array(h(col("ck"), 0), h(col("ck"), 1))).as("bit"))
+      .groupBy((col("bit") / 64).cast("int").as("w"))
+      .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT))")).as("bits"))
+      .collect().foreach(r => words(r.getInt(0)) = r.getLong(1))
+    val bloom = array(words.toIndexedSeq.map(lit): _*)
+    val batch = keys.filter(isNew)
+    val survivors = keys.filter(!isNew)
+      .withColumn("_b0", h(col("ck"), 0))
+      .withColumn("_b1", h(col("ck"), 1))
+      .withColumn("_w0", element_at(bloom, (col("_b0") / 64).cast("int") + 1))
+      .withColumn("_w1", element_at(bloom, (col("_b1") / 64).cast("int") + 1))
+      .filter(expr("(shiftright(_w0, CAST(_b0 % 64 AS INT)) & 1) = 1") &&
+        expr("(shiftright(_w1, CAST(_b1 % 64 AS INT)) & 1) = 1"))
+      .select(col("doc_id").as("idx_id"), col("ck"))
+    val matches = survivors
+      .join(broadcast(batch), "ck")
+      .groupBy("doc_id").agg(min("idx_id").as("match_id"))
+    batch.select(col("doc_id"))
+      .join(broadcast(matches), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("match_id").isNotNull, "drop_exact").otherwise("keep")
+          .as("verdict"),
+        col("match_id"))
+      .orderBy("doc_id")
+  }
+
+  val qDedupBloomSql: String =
+    s"""WITH keys AS (SELECT doc_id, md5($normDuck) AS ck FROM documents),
+      m AS (
+        SELECT n.doc_id, MIN(i.doc_id) AS match_id
+        FROM keys n JOIN keys i ON n.ck = i.ck
+        WHERE n.doc_id % 10 = 7 AND i.doc_id % 10 <> 7 GROUP BY 1)
+      SELECT k.doc_id,
+        CASE WHEN m.match_id IS NOT NULL THEN 'drop_exact' ELSE 'keep' END AS verdict,
+        m.match_id
+      FROM keys k LEFT JOIN m ON m.doc_id = k.doc_id
+      WHERE k.doc_id % 10 = 7 ORDER BY k.doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_bloom" -> (qDedupBloom _),
     "q_dedup_e2e" -> (qDedupE2e _),
     "q_dedup_pagerank" -> (qDedupPagerank _),
     "q_dedup_url" -> (qDedupUrl _),
@@ -1570,6 +1634,7 @@ object Dedup {
     "q_dedup_embedding" -> (qDedupEmbedding _))
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_bloom" -> qDedupBloomSql,
     "q_dedup_e2e" -> qDedupE2eSql,
     "q_dedup_pagerank" -> qDedupPagerankSql,
     "q_dedup_url" -> qDedupUrlSql,

@@ -1164,7 +1164,93 @@ object TextOps {
       FROM ranked CROSS JOIN ks CROSS JOIN tot
       GROUP BY k ORDER BY k"""
 
+  // f37 — type-token ratio (lexical diversity, the third leg of the
+  // within-doc quality triad next to f2's ratios and f14's repetition:
+  // low TTR = vocabulary-poor template/spam text even when no n-gram
+  // literally repeats; MTLD/MATTR are windowed refinements of this
+  // number). n_types = |distinct whitespace tokens| computed MAP-ONLY
+  // via array_distinct on the token array — no explode, no shuffle,
+  // nothing leaves the row; ttr in integer micro-units by floor
+  // division. At 100 TB this is the cheapest possible shape: one
+  // projection over the text scan, the ORDER BY is the only exchange
+  // (and production would write unsorted).
+  def qTtr(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    d.select(col("doc_id"), col("source"),
+        expr(s"size($toksSpark)").as("n_tok"),
+        expr(s"size(array_distinct($toksSpark))").as("n_types"))
+      .withColumn("ttr_micro",
+        expr("CAST(n_types AS BIGINT) * 1000000 div n_tok"))
+      .orderBy("doc_id")
+  }
+
+  val qTtrSql: String =
+    s"""SELECT doc_id, source,
+        CAST(len($toksDuck) AS INT) AS n_tok,
+        CAST(len(list_distinct($toksDuck)) AS INT) AS n_types,
+        CAST(len(list_distinct($toksDuck)) AS BIGINT) * 1000000
+          // len($toksDuck) AS ttr_micro
+      FROM documents ORDER BY doc_id"""
+
+  // f38 — within-doc bigram entropy (the predictability readout: a
+  // templated/recombined doc has LOW bigram entropy even at high TTR —
+  // few transitions dominate; c76's entropy machinery at the document
+  // grain, and the information-theoretic sibling of f14's literal
+  // dup-ngram fractions). H_d = ln m − (Σ c·ln c)/m over the doc's
+  // bigram counts, every ln quantized to integer micro-nats separately
+  // (f31's engine-free argument), evenness normalized by ln(distinct).
+  // Plan: bigrams via one map-side zip_with (no position self-join),
+  // explode → ONE (doc, bigram)-keyed agg (map-side combinable — a
+  // boilerplate bigram repeated 10⁶× in a doc still combines before
+  // the exchange) → per-doc fold over the bounded count table. The
+  // doc-keyed shuffle carries distinct-bigram partials, never the
+  // token stream.
+  def qBigramEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val bg = d.select(col("doc_id"), expr(
+        s"""explode(zip_with(
+              slice($toksSpark, 1, size($toksSpark) - 1),
+              slice($toksSpark, 2, size($toksSpark) - 1),
+              (a, b) -> concat(a, ' ', b)))""").as("bg"))
+    bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("m"),
+        count(lit(1)).as("n_distinct"),
+        sum(expr("c * CAST(round(ln(c) * 1e6) AS BIGINT)")).as("clnc"))
+      .select(col("doc_id"), col("m"), col("n_distinct"),
+        expr("CAST(round(ln(m) * 1e6) AS BIGINT) - clnc div m").as("h_micro"),
+        expr("""CASE WHEN n_distinct = 1 THEN CAST(0 AS BIGINT) ELSE
+                (CAST(round(ln(m) * 1e6) AS BIGINT) - clnc div m) * 1000000
+                  div CAST(round(ln(n_distinct) * 1e6) AS BIGINT) END""")
+          .as("evenness_micro"))
+      .orderBy("doc_id")
+  }
+
+  val qBigramEntropySql: String =
+    s"""WITH t AS (
+        SELECT doc_id, $toksDuck AS toks FROM documents),
+      bg AS (
+        SELECT doc_id, unnest(list_transform(
+          generate_series(1, len(toks) - 1),
+          i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        FROM t),
+      cnt AS (
+        SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg),
+      s AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS m,
+          CAST(COUNT(*) AS BIGINT) AS n_distinct,
+          CAST(SUM(c * CAST(round(ln(c) * 1e6) AS BIGINT)) AS BIGINT) AS clnc
+        FROM cnt GROUP BY doc_id)
+      SELECT doc_id, m, n_distinct,
+        CAST(round(ln(m) * 1e6) AS BIGINT) - clnc // m AS h_micro,
+        CASE WHEN n_distinct = 1 THEN CAST(0 AS BIGINT) ELSE
+          (CAST(round(ln(m) * 1e6) AS BIGINT) - clnc // m) * 1000000
+            // CAST(round(ln(n_distinct) * 1e6) AS BIGINT) END AS evenness_micro
+      FROM s ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ttr" -> (qTtr _),
+    "q_bigram_entropy" -> (qBigramEntropy _),
     "q_head_mass" -> (qHeadMass _),
     "q_oov_rate" -> (qOovRate _),
     "q_quality_sweep" -> (qQualitySweep _),
@@ -1194,6 +1280,8 @@ object TextOps {
     "q_fingerprint" -> (qFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q_ttr" -> qTtrSql,
+    "q_bigram_entropy" -> qBigramEntropySql,
     "q_head_mass" -> qHeadMassSql,
     "q_oov_rate" -> qOovRateSql,
     "q_quality_sweep" -> qQualitySweepSql,

@@ -524,6 +524,43 @@ class PlanAuditSpec extends SparkTestBase {
       s"acf must pre-aggregate per day before its lead() windows:\n$p")
   }
 
+  test("d20 dedup bloom: literal-bitmap prefilter on the index scan, verdicts exact") {
+    val df = operators.Dedup.qDedupBloom(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // the batch-key membership test is map-side bit math over a
+    // constant-folded literal word array — no join does the screening
+    assert("(?i)shiftright".r.findAllIn(p).size >= 2,
+      s"bloom bit test not in the plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"exact finisher missing:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    // exact for ANY fp rate: verdicts equal the plain-join screen
+    import org.apache.spark.sql.functions._
+    val keys = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), md5(expr(graft.functions.TextFns.normSpark)).as("ck"))
+    val isNew = col("doc_id") % 10 === 7
+    val want = keys.filter(isNew).as("n")
+      .join(keys.filter(!isNew).select(col("doc_id").as("idx_id"), col("ck")),
+        Seq("ck"), "left")
+      .groupBy(col("doc_id")).agg(min("idx_id").as("match_id"))
+      .select(col("doc_id"),
+        when(col("match_id").isNotNull, "drop_exact").otherwise("keep").as("verdict"),
+        col("match_id"))
+      .orderBy("doc_id").collect().toSeq
+    assert(df.collect().toSeq == want, "bloom-screened verdicts diverged")
+  }
+
+  test("c74 basket: pairs explode from per-order sets, everything after is vocabulary-bounded") {
+    val p = operators.AnalyticsExt.qBasket(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // one orderkey-keyed set agg feeds the pair explode — no items
+    // self-join ever forms (the naive pair generator)
+    assert("HashAggregate\\(keys=\\[l_orderkey#\\d+L?\\]".r.findFirstIn(p).isDefined ||
+      "ObjectHashAggregate\\(keys=\\[l_orderkey#\\d+L?\\]".r.findFirstIn(p).isDefined,
+      s"no per-order set agg:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"basket pairs must not come from a row-scale join:\n$p")
+  }
+
   test("c73 equidepth: coarse histogram agg + target-partitioned refine windows") {
     val p = operators.OpsAudit.qEquidepth(spark, sfDir)
       .queryExecution.executedPlan.toString
