@@ -296,15 +296,189 @@ object VersionedTable {
     committed
   }
 
+  // ---- i18: branches (dev/main isolation + fast-forward publish) ----
+
+  private def branchManifest(root: String, name: String, v: Long) =
+    new Path(root, f"_branch-$name-v$v%06d.manifest")
+
+  private val BranchBasePrefix = "#base:"
+
+  private def requireBranchName(name: String): Unit =
+    require(name.matches("[A-Za-z0-9_]+"), s"bad branch name '$name'")
+
+  /** Versions present on a branch, ascending (empty = no such branch). */
+  def branchVersions(spark: SparkSession, path: String, name: String): Seq[Long] = {
+    requireBranchName(name)
+    val fs = fsOf(spark, path)
+    val root = new Path(path)
+    val prefix = s"_branch-$name-v"
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith(prefix) && n.endsWith(".manifest"))
+      .map(n => n.stripPrefix(prefix).stripSuffix(".manifest").toLong)
+      .sorted
+  }
+
+  private def readBranchManifest(spark: SparkSession, path: String,
+      name: String, v: Long): Seq[String] = {
+    val fs = fsOf(spark, path)
+    Using.resource(fs.open(branchManifest(path, name, v))) { in =>
+      scala.io.Source.fromInputStream(in).getLines().toList
+    }.filter(l => l.nonEmpty && !l.startsWith("#"))
+  }
+
+  /** The main version this branch forked from (recorded in its v1
+    * manifest as a `#base:` metadata line). */
+  def branchBase(spark: SparkSession, path: String, name: String): Long = {
+    val fs = fsOf(spark, path)
+    Using.resource(fs.open(branchManifest(path, name, 1))) { in =>
+      scala.io.Source.fromInputStream(in).getLines().toList
+    }.collectFirst { case l if l.startsWith(BranchBasePrefix) =>
+      l.stripPrefix(BranchBasePrefix).trim.toLong
+    }.getOrElse(throw new IllegalStateException(s"branch $name has no base line"))
+  }
+
+  /** i18 — fork a BRANCH off a main version (Iceberg branch / git
+    * branch semantics on this table's own log): branch v1 is a
+    * manifest listing exactly the base version's files — ZERO data is
+    * copied, the fork is one small file create; the base version is
+    * recorded as a `#base:` metadata line for [[fastForward]]'s
+    * ancestry check. Branch manifests live in their own name space
+    * (`_branch-<name>-vN.manifest`), so [[versions]]/[[read]]/change
+    * consumers never see branch work — a reader of main cannot
+    * observe a branch commit even mid-write, which is what makes the
+    * branch the natural home for i17's write-audit-publish (land +
+    * audit on the branch, publish by fast-forward). */
+  def createBranch(spark: SparkSession, path: String, name: String,
+      from: Option[Long] = None): Long = {
+    requireBranchName(name)
+    val fs = fsOf(spark, path)
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"cannot branch an empty table at $path")
+    val base = from.getOrElse(vs.last)
+    require(vs.contains(base), s"no version $base to branch from")
+    require(branchVersions(spark, path, name).isEmpty,
+      s"branch $name already exists")
+    val files = readManifest(spark, path, base)
+    val content = (s"$BranchBasePrefix$base" +: files).mkString("\n")
+    val tmp = new Path(path, s".branch-$name.tmp")
+    Using.resource(fs.create(tmp, true))(_.write(content.getBytes("UTF-8")))
+    if (!fs.rename(tmp, branchManifest(path, name, 1)))
+      throw new IllegalStateException(s"branch $name create lost a race")
+    1L
+  }
+
+  /** Commit `df` as the branch's next version (the branch-side twin of
+    * [[commit]]): files land in the SHARED data/ directory under a
+    * fresh token, the manifest CAS runs against the branch's own name
+    * space. Main is never touched. */
+  def commitToBranch(spark: SparkSession, path: String, name: String,
+      df: DataFrame, overwrite: Boolean = false): Long = {
+    requireBranchName(name)
+    require(branchVersions(spark, path, name).nonEmpty, s"no branch $name")
+    val fs = fsOf(spark, path)
+    val newFiles = land(spark, path, df)
+    val token = java.util.UUID.randomUUID.toString.take(8)
+    var committed = -1L
+    while (committed < 0) {
+      val attempt: Long = VersionedTable.commitLock.synchronized {
+        val vs = branchVersions(spark, path, name)
+        val next = vs.last + 1
+        val base = if (overwrite) Seq.empty
+          else readBranchManifest(spark, path, name, vs.last)
+        val content = (base ++ newFiles).mkString("\n")
+        val tmp = new Path(path, s".manifest-$token.tmp")
+        Using.resource(fs.create(tmp, true))(_.write(content.getBytes("UTF-8")))
+        if (fs.rename(tmp, branchManifest(path, name, next)) &&
+            readBranchManifest(spark, path, name, next).mkString("\n") == content)
+          next
+        else { fs.delete(tmp, true); -1L }
+      }
+      committed = attempt
+    }
+    committed
+  }
+
+  /** Snapshot read of a branch (its latest version by default). */
+  def readBranch(spark: SparkSession, path: String, name: String,
+      version: Option[Long] = None): DataFrame = {
+    val vs = branchVersions(spark, path, name)
+    require(vs.nonEmpty, s"no branch $name at $path")
+    val files = readBranchManifest(spark, path, name, version.getOrElse(vs.last))
+      .map(f => s"$path/$f")
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(files: _*)
+  }
+
+  /** i18 — FAST-FORWARD publish: make main's next version the branch's
+    * latest snapshot — one manifest create, zero data movement (the
+    * branch's files are already in data/). Publishes ONLY if main is
+    * still exactly the branch's fork base (the git fast-forward
+    * condition): a main commit since the fork returns Left — the
+    * caller re-runs its pipeline on a fresh branch (rebase) rather
+    * than silently dropping the concurrent commit's rows. The check
+    * and the manifest CAS run under the same commit discipline as
+    * [[commit]], so racing publishers/committers serialize; losing a
+    * race to a NON-main-moving attempt retries, losing to a real main
+    * commit aborts with Left. */
+  def fastForward(spark: SparkSession, path: String,
+      name: String): Either[String, Long] = {
+    requireBranchName(name)
+    val fs = fsOf(spark, path)
+    val base = branchBase(spark, path, name)
+    val bvs = branchVersions(spark, path, name)
+    require(bvs.nonEmpty, s"no branch $name")
+    val content = readBranchManifest(spark, path, name, bvs.last).mkString("\n")
+    val token = java.util.UUID.randomUUID.toString.take(8)
+    var out: Either[String, Long] = null
+    while (out == null) {
+      val attempt: Either[String, Long] = VersionedTable.commitLock.synchronized {
+        val vs = versions(spark, path)
+        if (vs.last != base)
+          Left(s"main moved to v${vs.last} past fork base v$base — rebase")
+        else {
+          val next = base + 1
+          val tmp = new Path(path, s".manifest-$token.tmp")
+          Using.resource(fs.create(tmp, true))(_.write(content.getBytes("UTF-8")))
+          if (fs.rename(tmp, manifest(path, next)) &&
+              readManifest(spark, path, next).mkString("\n") == content)
+            Right(next)
+          else { fs.delete(tmp, true); null }
+        }
+      }
+      out = attempt
+    }
+    out
+  }
+
+  /** Drop a branch's manifests. Shared data files stay; [[vacuum]]
+    * collects any the remaining manifests no longer reference. */
+  def deleteBranch(spark: SparkSession, path: String, name: String): Int = {
+    requireBranchName(name)
+    val fs = fsOf(spark, path)
+    val vs = branchVersions(spark, path, name)
+    vs.foreach(v => fs.delete(branchManifest(path, name, v), false))
+    vs.length
+  }
+
   /** Drop all but the last `keepLast` manifests and delete every data
     * file none of the kept manifests references (including files
-    * orphaned by crashed commits). Returns (manifests dropped, data
-    * files deleted). */
+    * orphaned by crashed commits). Live BRANCH manifests count as
+    * references — a branch's snapshot stays byte-stable across a main
+    * vacuum (delete the branch first to reclaim its files). Returns
+    * (manifests dropped, data files deleted). */
   def vacuum(spark: SparkSession, path: String, keepLast: Int): (Int, Int) = {
     val fs = fsOf(spark, path)
     val vs = versions(spark, path)
     val (drop, keep) = vs.splitAt(math.max(0, vs.length - keepLast))
-    val referenced = keep.flatMap(v => readManifest(spark, path, v))
+    val branchRefs = fs.listStatus(new Path(path)).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("_branch-") && n.endsWith(".manifest"))
+      .flatMap { n =>
+        Using.resource(fs.open(new Path(path, n))) { in =>
+          scala.io.Source.fromInputStream(in).getLines().toList
+        }.filter(l => l.nonEmpty && !l.startsWith("#"))
+      }
+    val referenced = (keep.flatMap(v => readManifest(spark, path, v)) ++ branchRefs)
       .map(f => f.stripPrefix("data/")).toSet
     drop.foreach(v => fs.delete(manifest(path, v), false))
     val dataDir = new Path(path, "data")

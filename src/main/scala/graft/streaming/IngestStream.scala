@@ -873,6 +873,52 @@ object IngestStream {
       }
   }
 
+  // ---- h29: live co-occurrence (c74's basket counts, streaming) -----
+
+  case class BasketItem(basket: Long, item: String, ms: Long)
+  /** Bounded per-basket state: the distinct items seen so far —
+    * bounded by the item VOCABULARY (and in practice by basket size),
+    * never by event volume; repeats of an item add nothing. */
+  case class BasketState(items: Seq[String])
+  case class PairDelta(a: String, b: String, basket: Long)
+
+  /** h29 — live co-occurrence counting (c74's market-basket support
+    * kept current as baskets build up): state per basket is its
+    * distinct item set; when an item JOINS the set (first sighting —
+    * replays and in-batch repeats are no-ops), one [[PairDelta]] emits
+    * per (existing item, new item) pair, canonicalized (min, max). An
+    * item enters the set exactly once over the stream, so every
+    * unordered pair in a basket is emitted EXACTLY ONCE under any
+    * batching — summed deltas per (a, b) equal the batch support
+    * counts with no dedup pass downstream (h26's transition-delta
+    * argument, here over set growth instead of a scalar stage).
+    * In-batch items fold in total (ms, item) order, so the emission
+    * stream itself is deterministic, not just its sum. At 100 TB the
+    * basket-keyed shuffle carries the batch, state the live baskets,
+    * and the pair aggregation downstream is vocabulary-bounded —
+    * the same boundedness c74 gets from its per-order sets. */
+  def streamingBasket(items: Dataset[BasketItem]): Dataset[PairDelta] = {
+    import items.sparkSession.implicits._
+    items.groupByKey(_.basket)
+      .flatMapGroupsWithState[BasketState, PairDelta](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (basket: Long, it: Iterator[BasketItem], state: GroupState[BasketState]) =>
+          val arriving = it.toSeq.sortBy(b => (b.ms, b.item)).map(_.item)
+          var have = state.getOption.map(_.items.toSet).getOrElse(Set.empty)
+          val out = Seq.newBuilder[PairDelta]
+          arriving.foreach { x =>
+            if (!have.contains(x)) {
+              have.foreach { y =>
+                out += (if (x < y) PairDelta(x, y, basket) else PairDelta(y, x, basket))
+              }
+              have += x
+            }
+          }
+          state.update(BasketState(have.toSeq.sorted))
+          out.result().iterator
+      }
+  }
+
   // ---- h28: exponentially-decayed trending scores -------------------
 
   case class TrendHit(key: String, ms: Long)

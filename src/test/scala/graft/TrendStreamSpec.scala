@@ -417,4 +417,49 @@ class TrendStreamSpec extends SparkTestBase {
     val top = finals.toSeq.sortBy { case (k, e) => (-e.scoreMicro, k) }.take(3)
     assert(top.size == math.min(3, finals.size))
   }
+
+  test("h29: live co-occurrence emits every basket pair exactly once under ANY batching") {
+    import spark.implicits._
+    import graft.streaming.IngestStream.{BasketItem, PairDelta}
+    implicit val sqlCtx = spark.sqlContext
+    // c74's item derivation: distinct (order, brand) off lineitem x part
+    val items = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "part"), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("basket"), col("p_brand").as("item")).distinct()
+      .collect().map(r => BasketItem(r.getLong(0), r.getString(1), r.getLong(0) % 977))
+    // adversarial batching: baskets straddle batches, plus a replay
+    // tail re-feeding a slice already delivered (must be a no-op)
+    val shuffled = items.sortBy(b => Integer.rotateLeft(b.hashCode, 11)).toSeq
+    val n = shuffled.length
+    val batches = Seq(shuffled.slice(0, n / 3), shuffled.slice(n / 3, n / 2),
+      shuffled.slice(n / 2, n), shuffled.slice(n / 4, n / 3 + 5))
+
+    val input = MemoryStream[BasketItem]
+    val q = IngestStream.streamingBasket(input.toDS())
+      .writeStream.format("memory").queryName("h29_basket")
+      .outputMode(OutputMode.Append()).start()
+    val emitted =
+      try {
+        batches.foreach { b => input.addData(b); q.processAllAvailable() }
+        spark.table("h29_basket").as[PairDelta].collect().toSeq
+      } finally q.stop()
+
+    // reference: every unordered item pair per basket, exactly once
+    val want = items.groupBy(_.basket).toSeq.flatMap { case (bk, its) =>
+      val s = its.map(_.item).distinct.sorted
+      for (i <- s.indices; j <- i + 1 until s.length) yield PairDelta(s(i), s(j), bk)
+    }.toSet
+    assert(emitted.size == want.size,
+      s"pair emitted ${emitted.size}× vs ${want.size} expected — not exactly-once")
+    assert(emitted.toSet == want)
+    // summed supports equal c74's (above its >= 5 floor)
+    val live = emitted.groupBy(p => (p.a, p.b)).map { case (k, v) => k -> v.size.toLong }
+    val basket = graft.operators.AnalyticsExt.qBasket(spark, sfDir)
+      .select("brand_a", "brand_b", "support").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    basket.foreach { case (k, sup) =>
+      assert(live.getOrElse(k, 0L) == sup, s"pair $k: live ${live.get(k)} != batch $sup")
+    }
+    assert(basket.nonEmpty)
+  }
 }

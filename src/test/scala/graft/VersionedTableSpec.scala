@@ -262,4 +262,54 @@ class VersionedTableSpec extends SparkTestBase {
     assert(VersionedTable.commit(spark, path,
       Seq((300L, "z")).toDF("key", "val")) == 3L)
   }
+
+  test("i18: branches — isolated commits, fast-forward publish, divergence refusal, vacuum safety") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("vbranch").toString
+
+    val d1 = (0L until 100L).map(k => (k, s"a$k")).toDF("key", "val")
+    assert(VersionedTable.commit(spark, path, d1) == 1L)
+
+    // fork + two branch commits: main never moves, branch accumulates
+    assert(VersionedTable.createBranch(spark, path, "dev") == 1L)
+    val b1 = (100L until 120L).map(k => (k, s"b$k")).toDF("key", "val")
+    val b2 = (120L until 130L).map(k => (k, s"c$k")).toDF("key", "val")
+    assert(VersionedTable.commitToBranch(spark, path, "dev", b1) == 2L)
+    assert(VersionedTable.commitToBranch(spark, path, "dev", b2) == 3L)
+    assert(VersionedTable.versions(spark, path) == Seq(1L),
+      "branch commits must be invisible to main")
+    assert(rows(VersionedTable.read(spark, path)) == rows(d1))
+    assert(rows(VersionedTable.readBranch(spark, path, "dev")) ==
+      rows(d1) ++ rows(b1) ++ rows(b2))
+
+    // fast-forward: main v2 = branch tip, one manifest, no data moved
+    assert(VersionedTable.fastForward(spark, path, "dev") == Right(2L))
+    assert(rows(VersionedTable.read(spark, path)) ==
+      rows(d1) ++ rows(b1) ++ rows(b2))
+
+    // divergence: main commits past the fork base ⇒ publish refuses
+    assert(VersionedTable.createBranch(spark, path, "risky") == 1L)
+    val m3 = Seq((500L, "m")).toDF("key", "val")
+    assert(VersionedTable.commit(spark, path, m3) == 3L)
+    val bx = Seq((600L, "x")).toDF("key", "val")
+    VersionedTable.commitToBranch(spark, path, "risky", bx)
+    val ff = VersionedTable.fastForward(spark, path, "risky")
+    assert(ff.isLeft, s"diverged fast-forward must refuse, got $ff")
+    assert(rows(VersionedTable.read(spark, path)) ==
+      rows(d1) ++ rows(b1) ++ rows(b2) ++ rows(m3),
+      "a refused publish must leave main untouched")
+
+    // vacuum: live branch manifests protect their files...
+    val (_, removed) = VersionedTable.vacuum(spark, path, keepLast = 1)
+    assert(rows(VersionedTable.readBranch(spark, path, "risky")) ==
+      rows(d1) ++ rows(b1) ++ rows(b2) ++ rows(bx),
+      s"vacuum (removed $removed) must not collect branch-referenced files")
+    // ...and deleting the branch releases them
+    assert(VersionedTable.deleteBranch(spark, path, "risky") == 2)
+    val (_, removed2) = VersionedTable.vacuum(spark, path, keepLast = 1)
+    assert(removed2 >= 1, "the branch-only batch's files should be reclaimed")
+    assert(rows(VersionedTable.read(spark, path)) ==
+      rows(d1) ++ rows(b1) ++ rows(b2) ++ rows(m3),
+      "main is byte-stable through branch deletion + vacuum")
+  }
 }
