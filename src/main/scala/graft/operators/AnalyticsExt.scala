@@ -884,6 +884,48 @@ object AnalyticsExt {
       CROSS JOIN n
       ORDER BY support DESC, brand_a, brand_b"""
 
+  // c77 — "customers also bought": per-brand top-3 recommendations off
+  // c74's association table (the consumer of the basket pass — what a
+  // serving layer materializes nightly; item-item collaborative
+  // filtering at the co-occurrence grain, Linden et al.'s Amazon
+  // item-item shape). Candidates = both directions of every
+  // support ≥ 5 pair; ranked per brand by (lift desc, support desc,
+  // rec) — lift ranks affinity, support breaks specificity ties, the
+  // name makes the order total (deterministic both engines). The rank
+  // window rides the VOCABULARY-BOUNDED pair table (≤ |brands|² rows
+  // after c74's one row-scale exchange) — nothing here re-touches an
+  // order. Lift in micro-units, same decimal discipline as c74.
+  def qRecommend(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = qBasket(spark, dir)
+    val both = pairs.select(col("brand_a").as("brand"), col("brand_b").as("rec"),
+        col("support"), col("lift_micro"))
+      .unionAll(pairs.select(col("brand_b").as("brand"), col("brand_a").as("rec"),
+        col("support"), col("lift_micro")))
+    val w = Window.partitionBy("brand")
+      .orderBy(col("lift_micro").desc, col("support").desc, col("rec"))
+    both.withColumn("rec_rank", row_number().over(w))
+      .filter(col("rec_rank") <= 3)
+      .select("brand", "rec_rank", "rec", "support", "lift_micro")
+      .orderBy("brand", "rec_rank")
+  }
+
+  val qRecommendSql: String = {
+    // c74's pair table re-derived, then both directions ranked
+    val inner = qBasketSql.replace("ORDER BY support DESC, brand_a, brand_b", "")
+    s"""WITH pairs AS ($inner),
+      both_dirs AS (
+        SELECT brand_a AS brand, brand_b AS rec, support, lift_micro FROM pairs
+        UNION ALL
+        SELECT brand_b AS brand, brand_a AS rec, support, lift_micro FROM pairs),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY brand
+          ORDER BY lift_micro DESC, support DESC, rec) AS rec_rank
+        FROM both_dirs)
+      SELECT brand, CAST(rec_rank AS INTEGER) AS rec_rank, rec, support, lift_micro
+      FROM ranked WHERE rec_rank <= 3
+      ORDER BY brand, rec_rank"""
+  }
+
   // c75 — revenue concentration: exact Gini coefficient + top-decile
   // mass share over per-customer revenue (the inequality readout
   // behind every "whales" conversation, and the f36 head-mass curve's
@@ -945,6 +987,7 @@ object AnalyticsExt {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_basket" -> (qBasket _),
+    "q_recommend" -> (qRecommend _),
     "q_gini" -> (qGini _),
     "q_skyline" -> (qSkyline _),
     "q_percentiles" -> (qPercentiles _),
@@ -968,6 +1011,7 @@ object AnalyticsExt {
 
   val oracles: Map[String, String] = Map(
     "q_basket" -> qBasketSql,
+    "q_recommend" -> qRecommendSql,
     "q_gini" -> qGiniSql,
     "q_skyline" -> qSkylineSql,
     "q_percentiles" -> qPercentilesSql,

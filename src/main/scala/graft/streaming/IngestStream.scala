@@ -873,6 +873,57 @@ object IngestStream {
       }
   }
 
+  // ---- h30: live storage-quota guard (a25's ledger, streaming) ------
+
+  case class UploadEvent(user: Long, eventId: Long, ms: Long, nbytes: Long)
+  /** Bounded per-user ledger state: 4 longs forever (the running
+    * ledger summary), never upload history. firstOverMs = 0 ⇒ never
+    * breached. */
+  case class QuotaState(usage: Long, nUploads: Long, firstOverMs: Long,
+    nOver: Long)
+  case class QuotaEmit(user: Long, version: Long, totalBytes: Long,
+    nUploads: Long, firstOverMs: Long, nUploadsOver: Long, breachNow: Boolean)
+
+  /** h30 — the storage-quota ledger LIVE (a25's batch cumsum as
+    * bounded state — the guard that rejects an upload the moment a
+    * user crosses quota instead of in tomorrow's sweep): per user the
+    * state is the running (usage, uploads, first-over, over-count)
+    * summary; uploads fold in total (ms, eventId) order, so under the
+    * per-key monotone feed contract (h19/h23's) state is the exact
+    * order-prefix of a25's window and the final emission equals the
+    * batch ledger row EXACTLY. `breachNow` is a TRANSITION flag
+    * (h26's delta argument): true on the one emission where the user
+    * first crosses, so the alert stream needs no dedup downstream.
+    * At 100 TB the user-keyed exchange carries the batch, state the
+    * user space — the ledger never re-reads history. */
+  def streamingQuota(uploads: Dataset[UploadEvent],
+      quota: Long = 500000000L): Dataset[QuotaEmit] = {
+    import uploads.sparkSession.implicits._
+    uploads.groupByKey(_.user)
+      .flatMapGroupsWithState[QuotaState, QuotaEmit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[UploadEvent], state: GroupState[QuotaState]) =>
+          val batch = it.toSeq.sortBy(u => (u.ms, u.eventId))
+          if (batch.isEmpty) Iterator.empty
+          else {
+            var s = state.getOption.getOrElse(QuotaState(0L, 0L, 0L, 0L))
+            val wasOver = s.firstOverMs != 0L
+            batch.foreach { u =>
+              val usage = s.usage + u.nbytes
+              val over = usage > quota
+              s = QuotaState(usage, s.nUploads + 1,
+                if (s.firstOverMs != 0L) s.firstOverMs
+                else if (over) u.ms else 0L,
+                s.nOver + (if (over) 1L else 0L))
+            }
+            state.update(s)
+            val version = s.nUploads // monotone per user: uploads seen
+            Iterator(QuotaEmit(user, version, s.usage, s.nUploads,
+              s.firstOverMs, s.nOver, breachNow = !wasOver && s.firstOverMs != 0L))
+          }
+      }
+  }
+
   // ---- h29: live co-occurrence (c74's basket counts, streaming) -----
 
   case class BasketItem(basket: Long, item: String, ms: Long)

@@ -418,6 +418,54 @@ class TrendStreamSpec extends SparkTestBase {
     assert(top.size == math.min(3, finals.size))
   }
 
+  test("h30: live quota ledger equals a25's batch ledger, breach alert fires exactly once") {
+    import spark.implicits._
+    import graft.streaming.IngestStream.{UploadEvent, QuotaEmit}
+    implicit val sqlCtx = spark.sqlContext
+    // a25's upload stream: same synthetic nbytes formula
+    val ups = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"),
+        (col("event_id") * 131071L % 50000000L + 1024L).as("nbytes"))
+      .collect().map(r => UploadEvent(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // monotone-feed contract: batches cut on the global (ms, event_id)
+    // order, shuffled within each batch
+    val sorted = ups.sortBy(u => (u.ms, u.eventId))
+    val n = sorted.length
+    val batches = Seq(0, 11, n / 4, n / 2, 5 * n / 6, n).sliding(2).map {
+      case Seq(a, b) => sorted.slice(a, b)
+        .sortBy(u => Integer.rotateLeft(u.eventId.hashCode, 9)).toSeq
+    }.toSeq
+
+    val input = MemoryStream[UploadEvent]
+    val q = IngestStream.streamingQuota(input.toDS())
+      .writeStream.format("memory").queryName("h30_quota")
+      .outputMode(OutputMode.Append()).start()
+    val emits =
+      try {
+        batches.foreach { b => input.addData(b); q.processAllAvailable() }
+        spark.table("h30_quota").as[QuotaEmit].collect().toSeq
+      } finally q.stop()
+
+    val want = graft.operators.IngestOps.qStorageQuota(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3),
+        if (r.isNullAt(4)) 0L else r.getLong(4), r.getLong(5))).toMap
+    val finals = emits.groupBy(_.user).map { case (u, es) => u -> es.maxBy(_.version) }
+    assert(finals.keySet == want.keySet)
+    finals.foreach { case (u, e) =>
+      val (nUp, total, over, firstMs, nOver) = want(u)
+      assert(e.nUploads == nUp && e.totalBytes == total, s"user $u ledger diverged")
+      assert((e.firstOverMs != 0L) == over, s"user $u over_quota diverged")
+      assert(e.firstOverMs == firstMs, s"user $u first_over_ms diverged")
+      assert(e.nUploadsOver == nOver, s"user $u n_uploads_over diverged")
+    }
+    // the breach alert is a transition: exactly once, for exactly the
+    // over-quota users
+    val breaches = emits.filter(_.breachNow)
+    assert(breaches.map(_.user).distinct.size == breaches.size,
+      "a user breached more than once")
+    assert(breaches.map(_.user).toSet == want.collect { case (u, w) if w._3 => u }.toSet)
+  }
+
   test("h29: live co-occurrence emits every basket pair exactly once under ANY batching") {
     import spark.implicits._
     import graft.streaming.IngestStream.{BasketItem, PairDelta}

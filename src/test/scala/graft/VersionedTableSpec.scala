@@ -312,4 +312,42 @@ class VersionedTableSpec extends SparkTestBase {
       rows(d1) ++ rows(b1) ++ rows(b2) ++ rows(m3),
       "main is byte-stable through branch deletion + vacuum")
   }
+
+  test("i17+i18: write-audit-publish ON A BRANCH — audit the branch snapshot, publish by fast-forward") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = java.nio.file.Files.createTempDirectory("wapbranch").toString
+
+    val d1 = (0L until 100L).map(k => (k, s"a$k")).toDF("key", "val")
+    assert(VersionedTable.commit(spark, path, d1) == 1L)
+    def noNullKeys(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.filter(col("key").isNull).isEmpty
+
+    // rejected cycle: bad batch lands on a scratch branch, the audit
+    // reads the BRANCH SNAPSHOT (= candidate: base + batch), fails,
+    // and the branch is torn down — main never saw anything, and
+    // vacuum reclaims the landed bytes
+    VersionedTable.createBranch(spark, path, "audit1")
+    val bad = Seq((Option(200L), "x"), (Option.empty[Long], "boom"))
+      .toDF("key", "val")
+    VersionedTable.commitToBranch(spark, path, "audit1", bad)
+    val candidate = VersionedTable.readBranch(spark, path, "audit1")
+    assert(candidate.count() == 102L, "audit must see base + batch")
+    assert(!noNullKeys(candidate), "the audit should catch the planted null")
+    VersionedTable.deleteBranch(spark, path, "audit1")
+    val (_, reclaimed) = VersionedTable.vacuum(spark, path, keepLast = 10)
+    assert(reclaimed >= 1, "the rejected batch's landed files are vacuumable")
+    assert(VersionedTable.versions(spark, path) == Seq(1L))
+    assert(rows(VersionedTable.read(spark, path)) == rows(d1))
+
+    // accepted cycle: good batch audits green on its branch and
+    // publishes as ONE fast-forward — main goes base -> candidate
+    // atomically, no data rewritten
+    VersionedTable.createBranch(spark, path, "audit2")
+    val good = (100L until 130L).map(k => (k, s"g$k")).toDF("key", "val")
+    VersionedTable.commitToBranch(spark, path, "audit2", good)
+    assert(noNullKeys(VersionedTable.readBranch(spark, path, "audit2")))
+    assert(VersionedTable.fastForward(spark, path, "audit2") == Right(2L))
+    assert(rows(VersionedTable.read(spark, path)) == rows(d1) ++ rows(good))
+  }
 }
