@@ -125,6 +125,37 @@ object AuxBench {
         .trigger(Trigger.AvailableNow()).start()
     }
 
+    // h28: decayed trending scores — n hits over 1000 keys
+    val trendDir = tmp("trend")
+    spark.range(n.toLong).select(
+        concat(lit("k"), (col("id") % 1000).cast("string")).as("key"),
+        (col("id") + 1).as("ms"))
+      .write.mode("overwrite").parquet(trendDir)
+    val trendSchema = spark.read.parquet(trendDir).schema
+    val h28Sec = drain("h28") { ckpt =>
+      IngestStream.streamingTrending(
+          spark.readStream.schema(trendSchema).parquet(trendDir)
+            .as[IngestStream.TrendHit])
+        .writeStream.format("noop").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+    }
+
+    // h30: quota ledger — n uploads over 1500 users
+    val quotaDir = tmp("quota")
+    spark.range(n.toLong).select(
+        (col("id") % 1500).as("user"), col("id").as("eventId"),
+        (col("id") + 1).as("ms"),
+        (col("id") * 131071L % 50000000L + 1024L).as("nbytes"))
+      .write.mode("overwrite").parquet(quotaDir)
+    val quotaSchema = spark.read.parquet(quotaDir).schema
+    val h30Sec = drain("h30") { ckpt =>
+      IngestStream.streamingQuota(
+          spark.readStream.schema(quotaSchema).parquet(quotaDir)
+            .as[IngestStream.UploadEvent])
+        .writeStream.format("noop").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+    }
+
     // composed service loop: i1 queue → h1 event-time machine → i5
     // pub/sub sink, messages/sec end to end
     val svcMessages = math.max(1000, n / 5)
@@ -190,6 +221,7 @@ object AuxBench {
     println(s"""{"n_events":$n,"sf":"$sfDir",""" +
       s""""h1_rows_per_sec":${rps(h1Sec)},"h8_rows_per_sec":${rps(h8Sec)},""" +
       s""""h11_rows_per_sec":${rps(h11Sec)},"h25_rows_per_sec":${rps(h25Sec)},""" +
+      s""""h28_rows_per_sec":${rps(h28Sec)},"h30_rows_per_sec":${rps(h30Sec)},""" +
       s""""service_loop_msgs_per_sec":${math.rint(svcMessages / svcSec)},""" +
       s""""cdc_apply_rows_per_sec":$cdcRps,""" +
       f""""ann_index_build_sec":$annBuild%.3f,"ann_serve_sec":$annServe%.3f,""" +

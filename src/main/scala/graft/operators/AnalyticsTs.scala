@@ -1257,7 +1257,66 @@ object AnalyticsTs {
             // CAST(round(ln(n_types) * 1e6) AS BIGINT) END AS evenness_micro
       FROM s ORDER BY segment"""
 
+  // c78 — EWMA forecast backtest on the daily revenue series (the
+  // baseline every fancier forecast must beat, and the c61/c68 drift
+  // monitors' natural expectation input): α = 1/2 DELIBERATELY — the
+  // recursion s_t = (x_t + s_{t-1})/2 makes every weight a power of
+  // two, so the 16-term truncated form f_t = Σ_{j=0..15}
+  // x_{t-1-j}·2^(15-j) div 2^16 is EXACT integer arithmetic (weights
+  // sum to 1 − 2⁻¹⁶; the truncation is part of the spec'd estimator,
+  // f29's α=1/2 argument — a general α drags IEEE pow through the
+  // gate). Series = the DENSE daily grid (missing days are real
+  // zeros, c48/c72's argument); daily totals ≤ 10¹³ cents keep
+  // x·2¹⁵ far inside int64. Plan: one scan → per-day agg (bounded by
+  // span) → dense grid off the 1-row span agg → 16 lag() columns over
+  // ONE day-ordered window whose input is one row per DAY — bounded
+  // by calendar span, never rows (c72's boundedness); emitted only
+  // for days with a full 16-day history, abs error alongside for the
+  // backtest readout.
+  def qEwma(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select((unix_millis(col("ts")) / 86400000L).cast("long").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val daily = e.groupBy("day").agg(sum(col("cents")).as("x"))
+    val grid = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val series = grid.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("x"), lit(0L)).as("x"))
+    val w = Window.orderBy("day")
+    val withLags = (1 to 16).foldLeft(series)((df, j) =>
+      df.withColumn(s"l$j", lag(col("x"), j).over(w)))
+    val num = (1 to 16).map(j => s"l$j * ${1L << (16 - j)}").mkString(" + ")
+    withLags.filter(col("l16").isNotNull)
+      .withColumn("forecast", expr(s"($num) div 65536"))
+      .select(col("day"), col("x").as("x_cents"),
+        col("forecast").as("forecast_cents"),
+        abs(col("x") - col("forecast")).as("abs_err_cents"))
+      .orderBy("day")
+  }
+
+  val qEwmaSql: String = {
+    val lags = (1 to 16).map(j => s"lag(x, $j) OVER (ORDER BY day) AS l$j").mkString(", ")
+    val num = (1 to 16).map(j => s"l$j * ${1L << (16 - j)}").mkString(" + ")
+    s"""WITH e AS (
+        SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+          CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'),
+      daily AS (SELECT day, CAST(SUM(cents) AS BIGINT) AS x FROM e GROUP BY day),
+      span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+      grid AS (SELECT unnest(generate_series(d0, d1)) AS day FROM span),
+      series AS (
+        SELECT g.day, COALESCE(daily.x, 0) AS x
+        FROM grid g LEFT JOIN daily ON daily.day = g.day),
+      lagged AS (SELECT day, x, $lags FROM series)
+      SELECT day, x AS x_cents,
+        ($num) // 65536 AS forecast_cents,
+        abs(x - (($num) // 65536)) AS abs_err_cents
+      FROM lagged WHERE l16 IS NOT NULL ORDER BY day"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ewma" -> (qEwma _),
     "q_entropy" -> (qEntropy _),
     "q_spearman" -> (qSpearman _),
     "q_chi2" -> (qChi2 _),
@@ -1278,6 +1337,7 @@ object AnalyticsTs {
     "q_next_event_markov" -> (qNextEventMarkov _))
 
   val oracles: Map[String, String] = Map(
+    "q_ewma" -> qEwmaSql,
     "q_entropy" -> qEntropySql,
     "q_spearman" -> qSpearmanSql,
     "q_chi2" -> qChi2Sql,

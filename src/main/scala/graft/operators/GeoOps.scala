@@ -1353,7 +1353,67 @@ object GeoOps {
       FROM g ORDER BY event_id"""
   }
 
+  // b32 — nearest-POI assignment (the geo join every location product
+  // runs: which store/depot/antenna does each event belong to): 64
+  // fixed POIs on an 8×8 grid over the synthetic coordinate space,
+  // each event takes the argmin squared distance in INTEGER
+  // millidegrees (coords are integer-derived pre-division — b26's
+  // trick — so d² ≤ 2·360000² fits int64 exactly, no IEEE, no
+  // epsilon), ties broken (d², poi_id). The assignment is a MAP-ONLY
+  // `aggregate` fold over a 64-element literal POI array — no explode,
+  // no join, no shuffle before the ORDER BY: at 100 TB each task
+  // holds the POI table in the instruction stream (c46's literal-fold
+  // argument; a 10⁶-POI version would switch to b26's grid-blocked
+  // two-candidate form). Oracle: the genuinely different naive
+  // cross-join + rank.
+  def qNearestPoi(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val poiArr = (0 until 64).map { p =>
+      val px = p % 8 * 45000 + 22500
+      val py = p / 8 * 21250 + 10625
+      s"named_struct('px', ${px}L, 'py', ${py}L, 'pid', $p)"
+    }.mkString("array(", ", ", ")")
+    e.select(col("event_id"),
+        expr("event_id * 2654435761 % 360000").as("xm"),
+        expr("event_id * 1327217873 % 170000").as("ym"))
+      .withColumn("best", expr(
+        s"""aggregate($poiArr,
+              named_struct('d2', CAST(9223372036854775807 AS BIGINT), 'pid', -1),
+              (acc, p) -> CASE WHEN
+                  (xm - p.px) * (xm - p.px) + (ym - p.py) * (ym - p.py) < acc.d2
+                  OR ((xm - p.px) * (xm - p.px) + (ym - p.py) * (ym - p.py) = acc.d2
+                      AND p.pid < acc.pid)
+                THEN named_struct('d2',
+                  (xm - p.px) * (xm - p.px) + (ym - p.py) * (ym - p.py),
+                  'pid', p.pid)
+                ELSE acc END)"""))
+      .select(col("event_id"), col("best.pid").as("poi_id"),
+        col("best.d2").as("d2_mdeg2"))
+      .orderBy("event_id")
+  }
+
+  val qNearestPoiSql: String =
+    """WITH pois AS (
+        SELECT p, CAST(p % 8 * 45000 + 22500 AS BIGINT) AS px,
+          CAST(p // 8 * 21250 + 10625 AS BIGINT) AS py
+        FROM (SELECT unnest(generate_series(0, 63)) AS p)),
+      e AS (
+        SELECT event_id,
+          CAST(event_id * 2654435761 % 360000 AS BIGINT) AS xm,
+          CAST(event_id * 1327217873 % 170000 AS BIGINT) AS ym
+        FROM events),
+      d AS (
+        SELECT event_id,
+          CAST(p AS INTEGER) AS poi_id,
+          (xm - px) * (xm - px) + (ym - py) * (ym - py) AS d2_mdeg2,
+          row_number() OVER (PARTITION BY event_id
+            ORDER BY (xm - px) * (xm - px) + (ym - py) * (ym - py), p) AS rk
+        FROM e CROSS JOIN pois)
+      SELECT event_id, poi_id, d2_mdeg2 FROM d WHERE rk = 1
+      ORDER BY event_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_nearest_poi" -> (qNearestPoi _),
     "q_geohash" -> (qGeohash _),
     "q_raster_e2e" -> (qRasterE2e _),
     "q_geo_e2e" -> (qGeoE2e _),
@@ -1404,6 +1464,7 @@ object GeoOps {
     "q_pmtiles_single" -> qPmtilesSingleSql,
     "q_tippecanoe_plan" -> qTippecanoePlanSql,
     "q_geohash" -> qGeohashSql,
+    "q_nearest_poi" -> qNearestPoiSql,
     "q_zorder_key" -> qZorderKeySql,
     "q_quadkey" -> qQuadkeySql,
     "q_quadkey_subtree" -> qQuadkeySubtreeSql,

@@ -561,6 +561,23 @@ class PlanAuditSpec extends SparkTestBase {
       s"basket pairs must not come from a row-scale join:\n$p")
   }
 
+  test("b32 nearest-poi: the argmin is a map-only literal fold — no join, no explode, one sort exchange") {
+    val p = operators.GeoOps.qNearestPoi(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"POI assignment must not join:\n$p")
+    assert(!p.contains("Generate"), s"no explode — the fold is in-row:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"only the ORDER BY may shuffle, saw $exchanges:\n$p")
+  }
+
+  test("c78 ewma: the lag window reads the daily series, never raw events") {
+    val p = operators.AnalyticsTs.qEwma(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("HashAggregate\\(keys=\\[day#\\d+L?\\]".r.findFirstIn(p).isDefined,
+      s"ewma must pre-aggregate per day before its lag() window:\n$p")
+  }
+
   test("c73 equidepth: coarse histogram agg + target-partitioned refine windows") {
     val p = operators.OpsAudit.qEquidepth(spark, sfDir)
       .queryExecution.executedPlan.toString
