@@ -1315,7 +1315,67 @@ object AnalyticsTs {
       FROM lagged WHERE l16 IS NOT NULL ORDER BY day"""
   }
 
+  // c79 — cohort LTV curves (the revenue half of c55's retention
+  // matrix — "how much has the day-d cohort spent by age a", the
+  // payback-period readout every acquisition budget is set against):
+  // cohort = first-seen day (any event — c55's definition verbatim),
+  // revenue = purchase cents at age = day − cohort_day, and the CURVE
+  // is the running cumulative: ltv(a) = Σ_{a'≤a} rev(a') per cohort,
+  // emitted per observed (cohort, age) cell with per-user
+  // normalization in micro-cents. Plan: ONE user-keyed exchange
+  // carries both the cohort min and the revenue fold (AQE reuses it),
+  // the cumsum window rides the BOUNDED (cohort × age) matrix —
+  // days², never rows (c55's boundedness argument); integer cents
+  // and floor division throughout.
+  def qCohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), (unix_millis(col("ts")) / 86400000L).cast("long").as("day"),
+        col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val cohort = e.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      .repartition(col("user_id"))
+    val sizes = cohort.groupBy("cohort_day").agg(count(lit(1)).as("cohort_n"))
+    val rev = e.filter(col("event_type") === "purchase")
+      .repartition(col("user_id"))
+      .join(cohort, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("age_days"))
+      .agg(sum(col("cents")).as("rev_cents"))
+    val cum = Window.partitionBy("cohort_day").orderBy("age_days")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.withColumn("ltv_cents", sum(col("rev_cents")).over(cum))
+      .join(sizes, "cohort_day")
+      .select(col("cohort_day"), col("age_days"), col("rev_cents"),
+        col("ltv_cents"),
+        expr("ltv_cents * 1000000 div cohort_n").as("ltv_per_user_micro"))
+      .orderBy("cohort_day", "age_days")
+  }
+
+  val qCohortLtvSql: String =
+    """WITH e AS (
+        SELECT user_id, epoch_ms(ts) // 86400000 AS day, event_type,
+          CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events),
+      cohort AS (
+        SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id),
+      sizes AS (
+        SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_n
+        FROM cohort GROUP BY cohort_day),
+      rev AS (
+        SELECT c.cohort_day, e.day - c.cohort_day AS age_days,
+          CAST(SUM(e.cents) AS BIGINT) AS rev_cents
+        FROM e JOIN cohort c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1, 2),
+      cum AS (
+        SELECT *, CAST(SUM(rev_cents) OVER (PARTITION BY cohort_day
+          ORDER BY age_days ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ltv_cents
+        FROM rev)
+      SELECT cohort_day, age_days, rev_cents, ltv_cents,
+        ltv_cents * 1000000 // cohort_n AS ltv_per_user_micro
+      FROM cum JOIN sizes USING (cohort_day)
+      ORDER BY cohort_day, age_days"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cohort_ltv" -> (qCohortLtv _),
     "q_ewma" -> (qEwma _),
     "q_entropy" -> (qEntropy _),
     "q_spearman" -> (qSpearman _),
@@ -1337,6 +1397,7 @@ object AnalyticsTs {
     "q_next_event_markov" -> (qNextEventMarkov _))
 
   val oracles: Map[String, String] = Map(
+    "q_cohort_ltv" -> qCohortLtvSql,
     "q_ewma" -> qEwmaSql,
     "q_entropy" -> qEntropySql,
     "q_spearman" -> qSpearmanSql,

@@ -1611,7 +1611,71 @@ object Dedup {
       FROM keys k LEFT JOIN m ON m.doc_id = k.doc_id
       WHERE k.doc_id % 10 = 7 ORDER BY k.doc_id"""
 
+  /** d21 — the dedup SAVINGS report (what every dedup deployment
+    * publishes before it's allowed to delete anything: how much of the
+    * corpus is duplicated, in how large clusters, and what storage/
+    * token mass dedup would reclaim): per CLUSTER SIZE, the cluster
+    * count, doc count, total char mass, and the DUPLICATE char mass
+    * (everything but each cluster's keeper — d6/d7's min-doc keeper
+    * convention), with the reclaim share in micro-units of the whole
+    * corpus. Keeper chars ride the same agg as the size (min(struct
+    * (doc_id, n_chars)) — no second scan, no join-back); the
+    * histogram fold is component-bounded, the corpus total a 1-row
+    * broadcast. Shares d6's component fixpoint (and its oracle CTE
+    * chain verbatim), so the report can never disagree with the
+    * dedup it describes. */
+  def qDedupReport(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents").select(col("doc_id"), col("n_chars"))
+    val labels = ccLabels(spark, dir)
+      .select(col("id").as("doc_id"), col("label"))
+    val comp = d.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("component"), col("n_chars"))
+    val per = comp.groupBy("component")
+      .agg(count(lit(1)).as("sz"), sum(col("n_chars")).as("chars"),
+        min(struct(col("doc_id"), col("n_chars"))).as("k"))
+      .select(col("component"), col("sz"), col("chars"),
+        col("k.n_chars").as("keeper_chars"))
+    val tot = comp.agg(sum(col("n_chars")).as("corpus_chars"))
+    per.groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("sz")).as("n_docs"),
+        sum(col("chars")).as("total_chars"),
+        sum(col("chars") - col("keeper_chars")).as("dup_chars"))
+      .crossJoin(broadcast(tot))
+      .withColumn("reclaim_share_micro",
+        expr("dup_chars * 1000000 div corpus_chars"))
+      .drop("corpus_chars")
+      .orderBy("cluster_size")
+  }
+
+  val qDedupReportSql: String = {
+    val cc = qDedupCcSql
+    val idx = cc.indexOf("SELECT MIN(label)")
+    val ctes = cc.substring(0, idx).trim
+    s"""$ctes,
+      lbl AS (SELECT id AS doc_id, MIN(label) AS label FROM reach GROUP BY id),
+      comp AS (
+        SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS component, d.n_chars
+        FROM documents d LEFT JOIN lbl l ON l.doc_id = d.doc_id),
+      per AS (
+        SELECT component, CAST(COUNT(*) AS BIGINT) AS sz,
+          CAST(SUM(n_chars) AS BIGINT) AS chars,
+          arg_min(n_chars, doc_id) AS keeper_chars
+        FROM comp GROUP BY component),
+      tot AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS corpus_chars FROM comp)
+      SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        CAST(SUM(sz) AS BIGINT) AS n_docs,
+        CAST(SUM(chars) AS BIGINT) AS total_chars,
+        CAST(SUM(chars - keeper_chars) AS BIGINT) AS dup_chars,
+        CAST(SUM(chars - keeper_chars) AS BIGINT) * 1000000
+          // MAX(corpus_chars) AS reclaim_share_micro
+      FROM per CROSS JOIN tot
+      GROUP BY sz ORDER BY cluster_size"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_report" -> (qDedupReport _),
     "q_dedup_bloom" -> (qDedupBloom _),
     "q_dedup_e2e" -> (qDedupE2e _),
     "q_dedup_pagerank" -> (qDedupPagerank _),
@@ -1634,6 +1698,7 @@ object Dedup {
     "q_dedup_embedding" -> (qDedupEmbedding _))
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_report" -> qDedupReportSql,
     "q_dedup_bloom" -> qDedupBloomSql,
     "q_dedup_e2e" -> qDedupE2eSql,
     "q_dedup_pagerank" -> qDedupPagerankSql,

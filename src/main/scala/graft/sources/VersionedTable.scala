@@ -80,6 +80,70 @@ object VersionedTable {
     casCommit(spark, path, newFiles, overwrite)
   }
 
+  // ---- i19: incremental view maintenance off the change feed --------
+
+  private val SourceMarkerPrefix = "#source:"
+
+  /** The source-table version the matview at `matPath` reflects
+    * (0 = never refreshed). Read from the latest manifest's in-band
+    * `#source:` marker — the marker travels WITH the snapshot commit,
+    * so the answer can never disagree with the data a reader sees. */
+  def matViewSourceVersion(spark: SparkSession, matPath: String): Long = {
+    val vs = versions(spark, matPath)
+    if (vs.isEmpty) 0L
+    else rawManifest(spark, matPath, vs.last)
+      .collectFirst { case l if l.startsWith(SourceMarkerPrefix) =>
+        l.stripPrefix(SourceMarkerPrefix).trim.toLong
+      }.getOrElse(0L)
+  }
+
+  /** i19 — INCREMENTAL VIEW MAINTENANCE: keep a keyed-sum aggregate
+    * (`SELECT key, SUM(val) GROUP BY key`) of a versioned source
+    * table current WITHOUT ever rescanning the source. Each drained
+    * version's row delta merges into the standing matview by a
+    * full-outer sum (old ⊎ delta — sums are the canonical mergeable
+    * aggregate; count/min/max ride the same shape), and the matview
+    * commits as ONE versioned snapshot whose manifest carries the
+    * source version in-band (`#source:v`). Exactly-once without
+    * idempotent-ADD gymnastics: addition is NOT idempotent, so replay
+    * safety comes from the marker — a crash between the matview
+    * commit and the change-feed cursor replays the version, sees
+    * `#source >= v`, and SKIPS the merge (the marker travels with the
+    * snapshot, so it cannot disagree with the data). An overwrite of
+    * the source degrades to recompute (readChanges' honest answer:
+    * delta = full snapshot — merged against an EMPTIED matview).
+    * At 100 TB: each refresh reads O(delta) + O(matview keys), never
+    * the source table — the Materialized View contract every
+    * downstream dashboard actually wants from a lakehouse. Returns
+    * the source versions the cursor advanced past this call (each
+    * merged, or marker-skipped on a replay). */
+  def refreshMatView(spark: SparkSession, srcPath: String, ckptDir: String,
+      matPath: String, keyCol: String, valCol: String): Seq[Long] = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, sum}
+    drainChanges(spark, srcPath, ckptDir) { (delta, v) =>
+      if (matViewSourceVersion(spark, matPath) < v) {
+        val dAgg = delta.groupBy(keyCol).agg(sum(col(valCol)).as("_dsum"))
+        val sourceOverwritten = {
+          // delta == full snapshot ⇒ the source was overwritten at v:
+          // start the matview over instead of double-counting survivors
+          val mfs = readManifest(spark, srcPath, v).toSet
+          v > 1 && readManifest(spark, srcPath, v - 1).forall(f => !mfs.contains(f))
+        }
+        val old =
+          if (sourceOverwritten || versions(spark, matPath).isEmpty)
+            spark.range(0).select(col("id").as(keyCol), col("id").as("total"))
+          else read(spark, matPath)
+        val merged = old.join(dAgg, Seq(keyCol), "full_outer")
+          .select(col(keyCol),
+            (coalesce(col("total"), lit(0L)) + coalesce(col("_dsum"), lit(0L)))
+              .as("total"))
+        val newFiles = land(spark, matPath, merged)
+        casCommitWithHeaders(spark, matPath, newFiles, overwrite = true,
+          headers = Seq(s"$SourceMarkerPrefix$v"))
+      }
+    }
+  }
+
   /** i17 — write-audit-publish (the deployment gate a 100 TB lake
     * runs every batch through: Iceberg's WAP / dbt's build-then-swap,
     * expressed on this table's own log): the batch's files LAND
@@ -151,7 +215,12 @@ object VersionedTable {
   /** Publishes already-landed files as the next version (commit's
     * second half). */
   private def casCommit(spark: SparkSession, path: String,
-      newFiles: Seq[String], overwrite: Boolean): Long = {
+      newFiles: Seq[String], overwrite: Boolean): Long =
+    casCommitWithHeaders(spark, path, newFiles, overwrite, Seq.empty)
+
+  private def casCommitWithHeaders(spark: SparkSession, path: String,
+      newFiles: Seq[String], overwrite: Boolean,
+      headers: Seq[String]): Long = {
     val fs = fsOf(spark, path)
     val token = java.util.UUID.randomUUID.toString.take(8)
     // optimistic manifest CAS: create-if-absent on the next version;
@@ -177,13 +246,13 @@ object VersionedTable {
         val next = vs.lastOption.getOrElse(0L) + 1
         val base = if (overwrite || vs.isEmpty) Seq.empty
           else readManifest(spark, path, vs.last)
-        val content = (base ++ newFiles).mkString("\n")
+        val content = (headers ++ base ++ newFiles).mkString("\n")
         val tmp = new Path(path, s".manifest-$token.tmp")
         Using.resource(fs.create(tmp, true)) { out =>
           out.write(content.getBytes("UTF-8"))
         }
         if (fs.rename(tmp, manifest(path, next)) &&
-            readManifest(spark, path, next).mkString("\n") == content) next
+            rawManifest(spark, path, next).mkString("\n") == content) next
         else { fs.delete(tmp, true); -1L }
       }
       committed = attempt

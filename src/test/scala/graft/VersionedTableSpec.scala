@@ -313,6 +313,54 @@ class VersionedTableSpec extends SparkTestBase {
       "main is byte-stable through branch deletion + vacuum")
   }
 
+  test("i19: incremental matview — merges deltas only, replay-safe via the in-band source marker") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, sum}
+    val src = java.nio.file.Files.createTempDirectory("mv_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("mv_ckpt").toString
+    val mat = java.nio.file.Files.createTempDirectory("mv_mat").toString
+    def matRows(): Map[Long, Long] =
+      VersionedTable.read(spark, mat).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def wantNow(): Map[Long, Long] =
+      VersionedTable.read(spark, src).groupBy("key").agg(sum(col("v")).as("t"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    VersionedTable.commit(spark, src,
+      (0L until 10L).map(k => (k, k)).toDF("key", "v"))
+    VersionedTable.commit(spark, src,
+      (5L until 15L).map(k => (k, 100L)).toDF("key", "v"))
+    assert(VersionedTable.refreshMatView(spark, src, ckpt, mat, "key", "v")
+      == Seq(1L, 2L))
+    assert(matRows() == wantNow(), "matview must equal the full recompute")
+    assert(VersionedTable.matViewSourceVersion(spark, mat) == 2L)
+
+    // incremental step: one more append, one more merge
+    VersionedTable.commit(spark, src, Seq((5L, 1000L)).toDF("key", "v"))
+    VersionedTable.refreshMatView(spark, src, ckpt, mat, "key", "v")
+    assert(matRows() == wantNow())
+    assert(matRows()(5L) == 5L + 100L + 1000L)
+
+    // replay: crash "between matview commit and cursor" — force a full
+    // replay by wiping the cursor; every version must marker-skip
+    // (addition is not idempotent, the in-band #source gate is)
+    val fs = new org.apache.hadoop.fs.Path(ckpt)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(ckpt)).toSeq
+      .filter(_.getPath.getName.startsWith("_cursor"))
+      .foreach(p => fs.delete(p.getPath, false))
+    val before = matRows()
+    VersionedTable.refreshMatView(spark, src, ckpt, mat, "key", "v")
+    assert(matRows() == before, "a replayed delta must never double-add")
+
+    // source overwrite: the matview starts over from the new snapshot
+    VersionedTable.commit(spark, src,
+      Seq((1L, 7L), (2L, 8L)).toDF("key", "v"), overwrite = true)
+    VersionedTable.refreshMatView(spark, src, ckpt, mat, "key", "v")
+    assert(matRows() == Map(1L -> 7L, 2L -> 8L),
+      "an overwritten source must reset the matview, not double-count")
+  }
+
   test("i17+i18: write-audit-publish ON A BRANCH — audit the branch snapshot, publish by fast-forward") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
