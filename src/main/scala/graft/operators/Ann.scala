@@ -1199,6 +1199,53 @@ object Ann {
       FROM judged j LEFT JOIN pick p ON p.cell = j.cell
       ORDER BY j.cell"""
 
+  /** e25 — rebalance EXECUTOR (e24's plan carried out — the complete
+    * measure→decide→act maintenance cycle, like c63→c65 and a17→i8):
+    * every vector gets a NEW cell in a fresh id space — keep cells
+    * map to 2c, a SPLIT cell divides by one exact 2-seed assignment
+    * step (seeds = the cell's min- and max-vec_id vectors —
+    * deterministic, no RNG; each vector takes the nearer seed by
+    * integer quantized d², ties to the low seed — e11's Lloyd
+    * assignment specialized to k=2, which is exactly what a real
+    * split runs as its first iteration) into {2c, 2c+1}, and a MERGE
+    * cell forwards its vectors to 2·target. Everything joins through
+    * the BOUNDED plan/seed tables broadcast against one vector scan;
+    * the seed-vector fetch is a 2-rows-per-split-cell semi-join. The
+    * spec proves the cycle's point: every vector lands exactly once,
+    * slivers are gone, each split half is non-empty, and the max
+    * cell share strictly drops. */
+  def rebalanceExecute(spark: SparkSession, dir: String): DataFrame = {
+    val plan = qAnnRebalance(spark, dir)
+      .select(col("cell"), col("action"), col("target_cell"))
+    val e = Tables(spark, dir, "embeddings")
+    val cellExpr = "CAST(CASE WHEN label < 5 THEN 0 WHEN label < 8 THEN label " +
+      "ELSE 70 + vec_id % 20 END AS BIGINT)"
+    val vecs = e.select(col("vec_id"), expr(cellExpr).as("cell"),
+      expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 4096) AS BIGINT))")
+        .as("qv"))
+    val withPlan = vecs.join(broadcast(plan), Seq("cell"))
+    // split seeds: the min- and max-vec_id vector of each split cell
+    val splitCells = plan.filter(col("action") === "split").select("cell")
+    val seedIds = vecs.join(broadcast(splitCells), Seq("cell"))
+      .groupBy("cell").agg(min("vec_id").as("sa"), max("vec_id").as("sb"))
+    val seeds = seedIds
+      .join(vecs.select(col("vec_id").as("sa"), col("qv").as("qa")), "sa")
+      .join(vecs.select(col("vec_id").as("sb"), col("qv").as("qb")), "sb")
+      .select("cell", "qa", "qb")
+    withPlan.join(broadcast(seeds), Seq("cell"), "left")
+      .select(col("vec_id"), col("cell").as("old_cell"),
+        when(col("action") === "merge", col("target_cell") * 2)
+          .when(col("action") === "keep", col("cell") * 2)
+          .otherwise(col("cell") * 2 + expr(
+            """CASE WHEN
+                 aggregate(zip_with(qv, qa, (x, s) -> (x - s) * (x - s)),
+                   CAST(0 AS BIGINT), (acc, t) -> acc + t) <=
+                 aggregate(zip_with(qv, qb, (x, s) -> (x - s) * (x - s)),
+                   CAST(0 AS BIGINT), (acc, t) -> acc + t)
+               THEN 0 ELSE 1 END"""))
+          .as("new_cell"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_rebalance" -> (qAnnRebalance _),
     "q_ann_index_stats" -> (qAnnIndexStats _),

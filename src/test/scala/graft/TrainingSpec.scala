@@ -102,6 +102,41 @@ class TrainingSpec extends SparkTestBase {
       s"served recall@10: trained $servedT must beat untrained $servedU")
   }
 
+  test("e25: rebalance executor — slivers absorbed, hot cells split non-trivially, balance strictly improves") {
+    import org.apache.spark.sql.functions.col
+    val plan = graft.operators.Ann.qAnnRebalance(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(plan.values.exists(_._2 == "split") && plan.values.exists(_._2 == "merge"),
+      "the drifted map must exercise both actions")
+    val out = graft.operators.Ann.rebalanceExecute(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nVecs = Tables(spark, sfDir, "embeddings").count()
+    assert(out.length == nVecs, "every vector must land")
+    assert(out.map(_._1).distinct.length == out.length, "each exactly once")
+    out.foreach { case (_, old, nu) =>
+      plan(old)._2 match {
+        case "merge" => assert(nu == plan(old)._3 * 2, s"merge cell $old must forward to its target")
+        case "keep"  => assert(nu == old * 2)
+        case "split" => assert(nu == old * 2 || nu == old * 2 + 1)
+      }
+    }
+    // each split half non-empty
+    val byNew = out.groupBy(_._3).map { case (c, vs) => c -> vs.length.toLong }
+    plan.collect { case (c, (_, "split", _)) => c }.foreach { c =>
+      assert(byNew.getOrElse(2 * c, 0L) > 0 && byNew.getOrElse(2 * c + 1, 0L) > 0,
+        s"split cell $c must produce two non-empty halves")
+    }
+    // balance strictly improves: max cell share drops
+    val beforeMax = plan.values.map(_._1).max
+    val afterMax = byNew.values.max
+    assert(afterMax < beforeMax,
+      s"max cell population must drop: $beforeMax -> $afterMax")
+    // no slivers left at the old threshold: merged mass landed on targets
+    assert(byNew.size < plan.size + plan.count(_._2._2 == "split"),
+      "cell count must shrink vs split-only (merges absorbed)")
+  }
+
   test("e17: trained PQ codebooks cut every subspace's quantization error vs raw anchors") {
     // clustered corpus: the regime where codebook training pays (the
     // sf0.001 embeddings are near-uniform — both codebooks land at
