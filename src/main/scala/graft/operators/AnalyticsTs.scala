@@ -1374,7 +1374,62 @@ object AnalyticsTs {
       FROM cum JOIN sizes USING (cohort_day)
       ORDER BY cohort_day, age_days"""
 
+  // c80 — RFM segmentation (recency / frequency / monetary — the
+  // classic customer-base cut every CRM ships; c79 prices cohorts by
+  // AGE, c80 segments the live base by BEHAVIOR): per purchasing
+  // user, R = days since last purchase (vs the corpus max day — a
+  // fixed "today"), F = purchase count, M = total cents; each scored
+  // into quintiles by ntile(5) under a TOTAL order (metric, user_id —
+  // ties deterministic both engines; R ascending so quintile 1 = most
+  // recent, F/M descending so 1 = best, the marketing convention);
+  // output = the segment rollup (≤125 rows) with per-segment size
+  // and value mass. Plan: ONE user-keyed agg folds purchases; the
+  // three ntile windows ride the USER AGGREGATE single-partition pass
+  // (bounded by users — c70's grain, c60's two-phase rank the
+  // documented swap at extreme cardinality); the rollup is bounded.
+  def qRfm(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), (unix_millis(col("ts")) / 86400000L).cast("long").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val perUser = e.groupBy("user_id")
+      .agg(max(col("day")).as("last_day"), count(lit(1)).as("f"),
+        sum(col("cents")).as("m"))
+    val today = e.agg(max(col("day")).as("today"))
+    val scored = perUser.crossJoin(broadcast(today))
+      .withColumn("r", col("today") - col("last_day"))
+      .withColumn("rq", ntile(5).over(Window.orderBy(col("r"), col("user_id"))))
+      .withColumn("fq", ntile(5).over(Window.orderBy(col("f").desc, col("user_id"))))
+      .withColumn("mq", ntile(5).over(Window.orderBy(col("m").desc, col("user_id"))))
+    scored.groupBy("rq", "fq", "mq")
+      .agg(count(lit(1)).as("n_users"), sum(col("m")).as("cents"))
+      .orderBy("rq", "fq", "mq")
+  }
+
+  val qRfmSql: String =
+    """WITH e AS (
+        SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+          CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'),
+      u AS (
+        SELECT user_id, MAX(day) AS last_day,
+          CAST(COUNT(*) AS BIGINT) AS f, CAST(SUM(cents) AS BIGINT) AS m
+        FROM e GROUP BY user_id),
+      t AS (SELECT MAX(day) AS today FROM e),
+      s AS (
+        SELECT user_id, today - last_day AS r, f, m FROM u CROSS JOIN t),
+      q AS (
+        SELECT user_id, m,
+          CAST(ntile(5) OVER (ORDER BY r, user_id) AS INTEGER) AS rq,
+          CAST(ntile(5) OVER (ORDER BY f DESC, user_id) AS INTEGER) AS fq,
+          CAST(ntile(5) OVER (ORDER BY m DESC, user_id) AS INTEGER) AS mq
+        FROM s)
+      SELECT rq, fq, mq, CAST(COUNT(*) AS BIGINT) AS n_users,
+        CAST(SUM(m) AS BIGINT) AS cents
+      FROM q GROUP BY rq, fq, mq ORDER BY rq, fq, mq"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rfm" -> (qRfm _),
     "q_cohort_ltv" -> (qCohortLtv _),
     "q_ewma" -> (qEwma _),
     "q_entropy" -> (qEntropy _),
@@ -1397,6 +1452,7 @@ object AnalyticsTs {
     "q_next_event_markov" -> (qNextEventMarkov _))
 
   val oracles: Map[String, String] = Map(
+    "q_rfm" -> qRfmSql,
     "q_cohort_ltv" -> qCohortLtvSql,
     "q_ewma" -> qEwmaSql,
     "q_entropy" -> qEntropySql,
