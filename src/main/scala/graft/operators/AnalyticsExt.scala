@@ -926,6 +926,82 @@ object AnalyticsExt {
       ORDER BY brand, rec_rank"""
   }
 
+  // c81 — association-rule SIGNIFICANCE screen (the statistical rigor
+  // c74's raw lift lacks: at 25 brands there are 300 pairs, and a few
+  // will show lift > 1 by chance — Bonferroni-era practice filters
+  // rules on a χ² independence test before anyone acts on them;
+  // c71's 2×2 closed form per PAIR): for each c74 pair, the
+  // contingency is (n_ab, n_a−n_ab, n_b−n_ab, N−n_a−n_b+n_ab) and
+  // χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) — exact integer in
+  // decimal(38,0)/HUGEINT, micro-units by floor division, no IEEE
+  // (c71's discipline); verdict 'significant' at χ² ≥ 3.841 (the
+  // 95% critical value, compared as an integer micro threshold).
+  // Plan: c74's machinery verbatim (one row-scale exchange), the χ²
+  // columns are scalar math on the vocabulary-bounded pair table.
+  def qBasketSig(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = qBasket(spark, dir)
+    // re-attach the raw counts the χ² needs (qBasket outputs only the
+    // derived ratios) — recompute the bounded item/total counts
+    val li = Tables(spark, dir, "lineitem").select("l_orderkey", "l_partkey")
+    val p = Tables(spark, dir, "part").select("p_partkey", "p_brand")
+    val baskets = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
+    val n = baskets.agg(count(lit(1)).as("n_orders"))
+    val itemCnt = baskets.select(explode(col("bs")).as("brand"))
+      .groupBy("brand").agg(count(lit(1)).as("n_item"))
+    pairs
+      .join(broadcast(itemCnt.withColumnRenamed("brand", "brand_a")
+        .withColumnRenamed("n_item", "n_a")), Seq("brand_a"))
+      .join(broadcast(itemCnt.withColumnRenamed("brand", "brand_b")
+        .withColumnRenamed("n_item", "n_b")), Seq("brand_b"))
+      .crossJoin(broadcast(n))
+      .withColumn("a", col("support"))
+      .withColumn("b", col("n_a") - col("support"))
+      .withColumn("c", col("n_b") - col("support"))
+      .withColumn("d", col("n_orders") - col("n_a") - col("n_b") + col("support"))
+      .withColumn("chi2_micro", expr(
+        """CAST(CAST(n_orders AS DECIMAL(38,0))
+             * (CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c)
+             * (CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c)
+             * 1000000
+           div (CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c) * (b + d))
+           AS BIGINT)"""))
+      .select(col("brand_a"), col("brand_b"), col("support"),
+        col("lift_micro"), col("chi2_micro"),
+        (col("chi2_micro") >= 3841000L).as("significant"))
+      .orderBy(col("chi2_micro").desc, col("brand_a"), col("brand_b"))
+  }
+
+  val qBasketSigSql: String = {
+    val inner = qBasketSql.replace("ORDER BY support DESC, brand_a, brand_b", "")
+    s"""WITH pr AS ($inner),
+      items AS (
+        SELECT DISTINCT l_orderkey AS ok, p_brand AS bb
+        FROM lineitem JOIN part ON l_partkey = p_partkey),
+      n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM items),
+      ic AS (SELECT bb, COUNT(*) AS n_item FROM items GROUP BY bb),
+      ct AS (
+        SELECT pr.brand_a, pr.brand_b, pr.support, pr.lift_micro,
+          pr.support AS a, ia.n_item - pr.support AS b,
+          ib.n_item - pr.support AS c,
+          n.n_orders - ia.n_item - ib.n_item + pr.support AS d,
+          n.n_orders AS n_orders
+        FROM pr JOIN ic ia ON ia.bb = pr.brand_a
+        JOIN ic ib ON ib.bb = pr.brand_b CROSS JOIN n),
+      x AS (
+        SELECT *, CAST(CAST(n_orders AS HUGEINT)
+            * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+            * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+            * 1000000
+          // (CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d))
+          AS BIGINT) AS chi2_micro
+        FROM ct)
+      SELECT brand_a, brand_b, support, lift_micro, chi2_micro,
+        chi2_micro >= 3841000 AS significant
+      FROM x ORDER BY chi2_micro DESC, brand_a, brand_b"""
+  }
+
   // c75 — revenue concentration: exact Gini coefficient + top-decile
   // mass share over per-customer revenue (the inequality readout
   // behind every "whales" conversation, and the f36 head-mass curve's
@@ -988,6 +1064,7 @@ object AnalyticsExt {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_basket" -> (qBasket _),
     "q_recommend" -> (qRecommend _),
+    "q_basket_sig" -> (qBasketSig _),
     "q_gini" -> (qGini _),
     "q_skyline" -> (qSkyline _),
     "q_percentiles" -> (qPercentiles _),
@@ -1012,6 +1089,7 @@ object AnalyticsExt {
   val oracles: Map[String, String] = Map(
     "q_basket" -> qBasketSql,
     "q_recommend" -> qRecommendSql,
+    "q_basket_sig" -> qBasketSigSql,
     "q_gini" -> qGiniSql,
     "q_skyline" -> qSkylineSql,
     "q_percentiles" -> qPercentilesSql,

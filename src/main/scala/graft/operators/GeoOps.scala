@@ -1412,7 +1412,112 @@ object GeoOps {
       SELECT event_id, poi_id, d2_mdeg2 FROM d WHERE rk = 1
       ORDER BY event_id"""
 
+  // b33 — geohash prefix COVER for a bbox read (the query side of
+  // b31 + i16: a spatial predicate becomes a set of gh2 prefix
+  // ranges, which is exactly what prunes a geohash-range-ordered
+  // lake's files before any row decodes — b30's read planning with
+  // geohash cells instead of COG blocks). The bbox is the central
+  // quarter of the coordinate space (b30's convention); candidate
+  // gh2 cells (10 bits: 5 lon + 5 lat = a 32×32 grid) enumerate from
+  // the CLOSED-FORM integer cell ranges the bbox corners quantize to
+  // (two bounded sequences, never a scan), each cell classifies
+  // full/partial by pure integer bounds comparison, and the events
+  // table aggregates per cell (one bounded agg) to prove the cover's
+  // accounting in-query: full cells need no row filter, partial
+  // cells count both in-cell and in-bbox rows — Σ in_bbox over the
+  // cover IS the bbox answer (spec-assertable from the output).
+  // At 100 TB: prefixes → i16 file pruning, the per-cell counts are
+  // the cost estimate a planner reads.
+  def qGeohashCover(spark: SparkSession, dir: String): DataFrame = {
+    // bbox in quantized 2^20 grid units: central quarter
+    // deliberately NOT cell-aligned, so the cover has both full
+    // interior cells and partial edge cells needing a row filter
+    val (bx0, bx1) = (250000L, 800000L)
+    val (by0, by1) = (260000L, 790000L)
+    // gh2 cell = (cx, cy) on the 32x32 grid; cell spans 2^15 x 2^15
+    val (cx0, cx1) = (bx0 >> 15, bx1 >> 15)
+    val (cy0, cy1) = (by0 >> 15, by1 >> 15)
+    val cells = spark.range(cx0, cx1 + 1).select(col("id").as("cx"))
+      .crossJoin(spark.range(cy0, cy1 + 1).select(col("id").as("cy")))
+      .withColumn("x_lo", col("cx") * 32768)
+      .withColumn("x_hi", col("cx") * 32768 + 32767)
+      .withColumn("y_lo", col("cy") * 32768)
+      .withColumn("y_hi", col("cy") * 32768 + 32767)
+      .withColumn("full_cell",
+        col("x_lo") >= bx0 && col("x_hi") <= bx1 &&
+        col("y_lo") >= by0 && col("y_hi") <= by1)
+    // gh2 prefix chars from the 10-bit lon-first interleave of (cx, cy)
+    val code2 = (0 until 5).map { j =>
+      expr(s"(((cx div ${1L << j}) % 2) * ${1L << (2 * j + 1)}) + " +
+        s"(((cy div ${1L << j}) % 2) * ${1L << (2 * j)})")
+    }.reduce(_ + _)
+    val withPrefix = cells.withColumn("code2", code2)
+      .withColumn("gh2", expr(
+        s"concat(substring('$GeohashB32', CAST((code2 div 32) % 32 AS INT) + 1, 1), " +
+        s"substring('$GeohashB32', CAST(code2 % 32 AS INT) + 1, 1))"))
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"),
+        least(floor((Synth.lon(col("event_id")) + 180.0) / 360.0 * 1048576),
+          lit(1048575.0)).cast("long").as("xq"),
+        least(floor((Synth.lat(col("event_id")) + 90.0) / 180.0 * 1048576),
+          lit(1048575.0)).cast("long").as("yq"))
+      .select(col("event_id"), col("xq"), col("yq"),
+        expr("xq div 32768").as("cx"),
+        expr("yq div 32768").as("cy"),
+        (col("xq").between(bx0, bx1) && col("yq").between(by0, by1))
+          .as("in_bbox"))
+    val perCell = e.groupBy("cx", "cy")
+      .agg(count(lit(1)).as("n_in_cell"),
+        sum(when(col("in_bbox"), 1L).otherwise(0L)).as("n_in_bbox"))
+    withPrefix.join(perCell, Seq("cx", "cy"), "left")
+      .select(col("gh2"), col("cx"), col("cy"), col("full_cell"),
+        coalesce(col("n_in_cell"), lit(0L)).as("n_in_cell"),
+        coalesce(col("n_in_bbox"), lit(0L)).as("n_in_bbox"))
+      .orderBy("cx", "cy")
+  }
+
+  val qGeohashCoverSql: String = {
+    val code2 = (0 until 5).map { j =>
+      s"(((cx // ${1L << j}) % 2) * ${1L << (2 * j + 1)}) + (((cy // ${1L << j}) % 2) * ${1L << (2 * j)})"
+    }.mkString(" + ")
+    s"""WITH cells AS (
+        SELECT cx.x AS cx, cy.y AS cy
+        FROM (SELECT unnest(generate_series(7, 24)) AS x) cx
+        CROSS JOIN (SELECT unnest(generate_series(7, 24)) AS y) cy),
+      cb AS (
+        SELECT cx, cy, cx * 32768 AS x_lo, cx * 32768 + 32767 AS x_hi,
+          cy * 32768 AS y_lo, cy * 32768 + 32767 AS y_hi,
+          $code2 AS code2
+        FROM cells),
+      pfx AS (
+        SELECT cx, cy,
+          x_lo >= 250000 AND x_hi <= 800000 AND
+          y_lo >= 260000 AND y_hi <= 790000 AS full_cell,
+          substring('$GeohashB32', CAST((code2 // 32) % 32 AS INT) + 1, 1) ||
+          substring('$GeohashB32', CAST(code2 % 32 AS INT) + 1, 1) AS gh2
+        FROM cb),
+      e AS (
+        SELECT event_id,
+          CAST(LEAST(FLOOR(((${Synth.lonSql}) + 180.0) / 360.0 * 1048576), 1048575.0) AS BIGINT) AS xq,
+          CAST(LEAST(FLOOR(((${Synth.latSql}) + 90.0) / 180.0 * 1048576), 1048575.0) AS BIGINT) AS yq
+        FROM events),
+      e2 AS (
+        SELECT event_id, xq // 32768 AS cx, yq // 32768 AS cy,
+          xq BETWEEN 250000 AND 800000 AND yq BETWEEN 260000 AND 790000 AS in_bbox
+        FROM e),
+      per AS (
+        SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS n_in_cell,
+          CAST(SUM(CASE WHEN in_bbox THEN 1 ELSE 0 END) AS BIGINT) AS n_in_bbox
+        FROM e2 GROUP BY cx, cy)
+      SELECT gh2, pfx.cx, pfx.cy, full_cell,
+        COALESCE(per.n_in_cell, 0) AS n_in_cell,
+        COALESCE(per.n_in_bbox, 0) AS n_in_bbox
+      FROM pfx LEFT JOIN per ON per.cx = pfx.cx AND per.cy = pfx.cy
+      ORDER BY pfx.cx, pfx.cy"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_geohash_cover" -> (qGeohashCover _),
     "q_nearest_poi" -> (qNearestPoi _),
     "q_geohash" -> (qGeohash _),
     "q_raster_e2e" -> (qRasterE2e _),
@@ -1464,6 +1569,7 @@ object GeoOps {
     "q_pmtiles_single" -> qPmtilesSingleSql,
     "q_tippecanoe_plan" -> qTippecanoePlanSql,
     "q_geohash" -> qGeohashSql,
+    "q_geohash_cover" -> qGeohashCoverSql,
     "q_nearest_poi" -> qNearestPoiSql,
     "q_zorder_key" -> qZorderKeySql,
     "q_quadkey" -> qQuadkeySql,
