@@ -1359,36 +1359,33 @@ object GeoOps {
   // each event takes the argmin squared distance in INTEGER
   // millidegrees (coords are integer-derived pre-division — b26's
   // trick — so d² ≤ 2·360000² fits int64 exactly, no IEEE, no
-  // epsilon), ties broken (d², poi_id). The assignment is a MAP-ONLY
-  // `aggregate` fold over a 64-element literal POI array — no explode,
-  // no join, no shuffle before the ORDER BY: at 100 TB each task
-  // holds the POI table in the instruction stream (c46's literal-fold
-  // argument; a 10⁶-POI version would switch to b26's grid-blocked
-  // two-candidate form). Oracle: the genuinely different naive
-  // cross-join + rank.
+  // epsilon), ties broken (d², poi_id). Because the POIs form a
+  // UNIFORM grid, the argmin over 64 candidates has an exact CLOSED
+  // FORM — nearest column index = (xm − 1) div 45000 (half-down
+  // rounding to the nearest center, which lands boundary ties on the
+  // LOWER index = the lower pid, exactly the (d², pid) tie rule; the
+  // truncating div maps xm = 0 correctly too) — so the whole
+  // assignment is O(1) per row, map-only, inside whole-stage codegen.
+  // The evolution is itself the scale lesson, measured in §5: a
+  // higher-order `aggregate` lambda over the 64 POIs was interpreted
+  // (6.4 s at sf0.1), `least()` over 64 inline structs codegens but
+  // still pays 64 distances (2.5 s), the closed form pays one (the
+  // b26 two-lattice argmin specialized to one lattice). A non-grid
+  // POI set falls back to the least()-fold; a 10⁶-POI set to b26's
+  // grid-blocked two-candidate form. Oracle: the genuinely different
+  // naive cross-join + rank over all 64.
   def qNearestPoi(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
-    val poiArr = (0 until 64).map { p =>
-      val px = p % 8 * 45000 + 22500
-      val py = p / 8 * 21250 + 10625
-      s"named_struct('px', ${px}L, 'py', ${py}L, 'pid', $p)"
-    }.mkString("array(", ", ", ")")
     e.select(col("event_id"),
         expr("event_id * 2654435761 % 360000").as("xm"),
         expr("event_id * 1327217873 % 170000").as("ym"))
-      .withColumn("best", expr(
-        s"""aggregate($poiArr,
-              named_struct('d2', CAST(9223372036854775807 AS BIGINT), 'pid', -1),
-              (acc, p) -> CASE WHEN
-                  (xm - p.px) * (xm - p.px) + (ym - p.py) * (ym - p.py) < acc.d2
-                  OR ((xm - p.px) * (xm - p.px) + (ym - p.py) * (ym - p.py) = acc.d2
-                      AND p.pid < acc.pid)
-                THEN named_struct('d2',
-                  (xm - p.px) * (xm - p.px) + (ym - p.py) * (ym - p.py),
-                  'pid', p.pid)
-                ELSE acc END)"""))
-      .select(col("event_id"), col("best.pid").as("poi_id"),
-        col("best.d2").as("d2_mdeg2"))
+      .withColumn("ix", expr("(xm - 1) div 45000"))
+      .withColumn("iy", expr("(ym - 1) div 21250"))
+      .select(col("event_id"),
+        (col("iy") * 8 + col("ix")).cast("int").as("poi_id"),
+        expr("""(xm - (ix * 45000 + 22500)) * (xm - (ix * 45000 + 22500))
+              + (ym - (iy * 21250 + 10625)) * (ym - (iy * 21250 + 10625))""")
+          .as("d2_mdeg2"))
       .orderBy("event_id")
   }
 
