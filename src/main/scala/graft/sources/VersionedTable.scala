@@ -41,6 +41,11 @@ object VersionedTable {
 
   private def manifest(root: String, v: Long) = new Path(root, f"_v$v%06d.manifest")
 
+  /** Manifest entries are root-relative (`data/...`) except a shallow
+    * clone's absolute source references — resolve accordingly. */
+  private def resolve(root: String, f: String): String =
+    if (f.startsWith("/") || f.contains(":/")) f else s"$root/$f"
+
   /** Versions present, ascending (empty for a fresh root). */
   def versions(spark: SparkSession, path: String): Seq[Long] = {
     val fs = fsOf(spark, path)
@@ -175,7 +180,7 @@ object VersionedTable {
     val vs = versions(spark, path)
     val base = if (overwrite || vs.isEmpty) Seq.empty
       else readManifest(spark, path, vs.last)
-    val candidateFiles = (base ++ newFiles).map(f => s"$path/$f")
+    val candidateFiles = (base ++ newFiles).map(f => resolve(path, f))
     val candidate =
       if (candidateFiles.isEmpty) spark.emptyDataFrame
       else spark.read.parquet(candidateFiles: _*)
@@ -272,7 +277,7 @@ object VersionedTable {
       require(vs.nonEmpty, s"no committed version at $path")
       vs.last
     }
-    val files = readManifest(spark, path, v).map(f => s"$path/$f")
+    val files = readManifest(spark, path, v).map(f => resolve(path, f))
     if (files.isEmpty) spark.emptyDataFrame
     else spark.read.parquet(files: _*)
   }
@@ -300,7 +305,7 @@ object VersionedTable {
       }.toSet
     val files = readManifest(spark, path, toV).filterNot(before)
       .filterNot(compacted)
-      .map(f => s"$path/$f")
+      .map(f => resolve(path, f))
     if (files.isEmpty) spark.emptyDataFrame
     else spark.read.parquet(files: _*)
   }
@@ -474,7 +479,7 @@ object VersionedTable {
     val vs = branchVersions(spark, path, name)
     require(vs.nonEmpty, s"no branch $name at $path")
     val files = readBranchManifest(spark, path, name, version.getOrElse(vs.last))
-      .map(f => s"$path/$f")
+      .map(f => resolve(path, f))
     if (files.isEmpty) spark.emptyDataFrame
     else spark.read.parquet(files: _*)
   }
@@ -519,6 +524,45 @@ object VersionedTable {
     }
     out
   }
+
+  // ---- i20: table clones (zero-copy shallow / independent deep) -----
+
+  /** i20 — SHALLOW CLONE (Delta/Iceberg shallow clone semantics): a
+    * new table root whose v1 manifest lists the SOURCE's files by
+    * absolute reference — zero data copied, one manifest create, so
+    * cloning a 100 TB table costs one small file. The clone then
+    * evolves independently (its own commits land in its own data/
+    * and its own manifest line); the source never sees clone work.
+    * The documented hazard is real and kept: a source [[vacuum]] can
+    * collect files a shallow clone references (the source does not
+    * know its clones) — a clone meant to outlive source retention
+    * uses [[deepClone]]. Returns the clone's v1. */
+  def shallowClone(spark: SparkSession, srcPath: String,
+      dstPath: String): Long = {
+    val fs = fsOf(spark, dstPath)
+    val vs = versions(spark, srcPath)
+    require(vs.nonEmpty, s"nothing to clone at $srcPath")
+    require(versions(spark, dstPath).isEmpty, s"clone target $dstPath not empty")
+    fs.mkdirs(new Path(dstPath))
+    // absolute references: lines that don't start with data/ are
+    // resolved as-is by readers (read() prefixes dstPath only for
+    // relative entries)
+    val srcAbs = new Path(srcPath).makeQualified(
+      fs.getUri, fs.getWorkingDirectory).toString
+    val content = readManifest(spark, srcPath, vs.last)
+      .map(f => s"$srcAbs/$f").mkString("\n")
+    val tmp = new Path(dstPath, ".clone.tmp")
+    Using.resource(fs.create(tmp, true))(_.write(content.getBytes("UTF-8")))
+    if (!fs.rename(tmp, manifest(dstPath, 1)))
+      throw new IllegalStateException(s"clone create at $dstPath lost a race")
+    1L
+  }
+
+  /** i20 — DEEP CLONE: the source snapshot's rows re-land as the
+    * clone's own files (cost O(data), paid once); the clone is fully
+    * independent — source vacuum/retention cannot touch it. */
+  def deepClone(spark: SparkSession, srcPath: String, dstPath: String): Long =
+    commit(spark, dstPath, read(spark, srcPath))
 
   /** Drop a branch's manifests. Shared data files stay; [[vacuum]]
     * collects any the remaining manifests no longer reference. */

@@ -361,6 +361,42 @@ class VersionedTableSpec extends SparkTestBase {
       "an overwritten source must reset the matview, not double-count")
   }
 
+  test("i20: clones — zero-copy shallow, independent evolution, deep survives source vacuum") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("cl_src").toString
+    val sh = java.nio.file.Files.createTempDirectory("cl_sh").toString
+    val dp = java.nio.file.Files.createTempDirectory("cl_dp").toString
+    val fs = new org.apache.hadoop.fs.Path(sh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    val d1 = (0L until 100L).map(k => (k, s"a$k")).toDF("key", "val")
+    VersionedTable.commit(spark, src, d1)
+
+    // shallow: one manifest, zero data files in the clone's root
+    assert(VersionedTable.shallowClone(spark, src, sh) == 1L)
+    assert(rows(VersionedTable.read(spark, sh)) == rows(d1))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(sh, "data")) ||
+      fs.listStatus(new org.apache.hadoop.fs.Path(sh, "data")).isEmpty,
+      "a shallow clone must copy no data")
+
+    // independent evolution, both directions invisible to each other
+    val cOnly = Seq((500L, "c")).toDF("key", "val")
+    VersionedTable.commit(spark, sh, cOnly)
+    val sOnly = Seq((600L, "s")).toDF("key", "val")
+    VersionedTable.commit(spark, src, sOnly)
+    assert(rows(VersionedTable.read(spark, sh)) == rows(d1) ++ rows(cOnly))
+    assert(rows(VersionedTable.read(spark, src)) == rows(d1) ++ rows(sOnly))
+
+    // deep clone: fully independent — survives the source vacuuming
+    // down past the cloned snapshot's files
+    assert(VersionedTable.deepClone(spark, src, dp) == 1L)
+    VersionedTable.commit(spark, src,
+      Seq((700L, "z")).toDF("key", "val"), overwrite = true)
+    VersionedTable.vacuum(spark, src, keepLast = 1)
+    assert(rows(VersionedTable.read(spark, dp)) == rows(d1) ++ rows(sOnly),
+      "a deep clone must be untouchable by source retention")
+  }
+
   test("i17+i18: write-audit-publish ON A BRANCH — audit the branch snapshot, publish by fast-forward") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
