@@ -72,6 +72,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => graft.functions.WindowSids(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue())))
     ext.injectFunction((
+      FunctionIdentifier("graft_geohash8"),
+      new ExpressionInfo(classOf[graft.functions.Geohash8].getCanonicalName,
+        "graft_geohash8"),
+      (exprs: Seq[Expression]) => graft.functions.Geohash8(exprs(0), exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_intersect_count"),
       new ExpressionInfo(classOf[graft.functions.IntersectCount].getCanonicalName,
         "graft_intersect_count"),

@@ -114,14 +114,14 @@ object GraftFunctions {
     // fast idempotence: operators call this defensively from query
     // builders, so skip the 12 createOrReplace calls (and their
     // "replaced a previously registered function" warn spam) once the
-    // session has the graft surface; graft_repstats is the sentinel
+    // session has the graft surface; graft_geohash8 is the sentinel
     // (last name registered below, and also present when the session
     // was built with GraftExtensions)
     // sentinel = the newest-registered function: adding a function and
     // forgetting to bump this would silently skip it in any session
     // that registered the older set first
     if (spark.sessionState.functionRegistry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_window_sids")))
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_geohash8")))
       return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
@@ -152,6 +152,10 @@ object GraftFunctions {
       "graft_kmv", exprs => Kmv(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_repstats", exprs => RepStats(exprs(0)), "built-in")
+    // graft_geohash8 is the registration sentinel (newest function) —
+    // keep it LAST here and mirrored in GraftExtensions
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_geohash8", exprs => Geohash8(exprs(0), exprs(1)), "built-in")
     if (!spark.experimental.extraOptimizations.contains(graft.plans.IntersectCountRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.IntersectCountRewrite
