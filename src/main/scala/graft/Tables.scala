@@ -14,6 +14,19 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Register the whole suite as temp views (events ts-normalized),
+    * plus the graft-native functions — after this one call,
+    * `spark.sql("SELECT ... FROM lineitem JOIN part ...")` and every
+    * `graft_*` function work against the lake with no further setup:
+    * the SQL-first front door for users coming from the reference. */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    all.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else apply(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
+  }
+
   /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
     * reader only accepts as a raw long (`legacy.parquet.nanosAsLong`,
     * set in Verify/Bench/test sessions). Normalize to a microsecond

@@ -121,6 +121,32 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("registerViews: one call makes the suite + graft functions SQL-visible") {
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-views-test").getOrCreate()
+    try {
+      graft.Tables.registerViews(spark, "/root/testdata/sf0.001")
+      // plain SQL over two views
+      val joined = spark.sql(
+        """SELECT p_brand, COUNT(*) AS n FROM lineitem
+           JOIN part ON l_partkey = p_partkey GROUP BY p_brand""").count()
+      assert(joined > 0)
+      // events view is ts-normalized: timestamp functions just work
+      val days = spark.sql(
+        "SELECT COUNT(DISTINCT CAST(ts AS DATE)) FROM events").head().getLong(0)
+      assert(days > 1)
+      // graft-native functions are SQL-callable in the same session
+      val gh = spark.sql(
+        "SELECT graft_geohash8(CAST(524288 AS BIGINT), CAST(524288 AS BIGINT)) AS g")
+        .head().getString(0)
+      assert(gh.length == 8 && gh == "s0000000")
+    } finally spark.stop()
+  }
+
   test("DatasetsSink partitioned roundtrip with partition pruning") {
     val spark = SparkSession.builder().master("local[2]")
       .config("spark.sql.shuffle.partitions", "2")
