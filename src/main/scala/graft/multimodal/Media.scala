@@ -297,6 +297,56 @@ object Media {
     * rational arithmetic only (scale = 224/max(w,h) applied as
     * multiply-then-div) so both engines agree exactly; pad centers
     * the short side. */
+  /** g13 — scrub-preview STORYBOARD plan (the sprite sheet every
+    * video platform pre-renders so the player can scrub without
+    * decoding: g3's sampled frames laid out on a fixed-tile grid):
+    * per video, each of g3's ≤8 sampled frames (same step/timestamp
+    * algebra verbatim) takes a 160×90 tile at (col = k % 4 · 160,
+    * row = k div 4 · 90) on a 4-wide sheet whose height is
+    * ceil(n_samples / 4) rows — all closed-form integer floors off
+    * the bounded per-video sample explode (≤8 rows per video, b11's
+    * layout-planning shape for media); `k` is the SAMPLE ordinal
+    * (frame_idx div step), so the layout is independent of which
+    * frames the sampler picked. Map + bounded explode, no joins. */
+  def qStoryboard(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val isVideo = ascii(substring(col("text"), 1, 1)).between(113, 120)
+    d.filter(isVideo)
+      .select(col("doc_id"), (col("n_chars") % 24 + 1).cast("int").as("frames"))
+      .withColumn("step", expr("(frames + 7) div 8").cast("int"))
+      .withColumn("n_samples", expr("(frames + step - 1) div step").cast("int"))
+      .withColumn("frame_idx", explode(expr("sequence(0, frames - 1, step)")))
+      .withColumn("k", expr("frame_idx div step").cast("int"))
+      .select(col("doc_id"), col("n_samples"), col("frame_idx"),
+        expr("(CAST(frame_idx AS BIGINT) * 1000) div 24").as("ts_ms"),
+        expr("CAST(k % 4 * 160 AS INT)").as("x_off"),
+        expr("CAST(k div 4 * 90 AS INT)").as("y_off"),
+        lit(640).as("sheet_w"),
+        expr("CAST(((n_samples + 3) div 4) * 90 AS INT)").as("sheet_h"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val qStoryboardSql: String =
+    """WITH v AS (
+        SELECT doc_id, CAST(n_chars % 24 + 1 AS INT) AS frames
+        FROM documents WHERE ascii(substr(text, 1, 1)) BETWEEN 113 AND 120),
+      s AS (
+        SELECT doc_id, frames, CAST((frames + 7) // 8 AS INT) AS step,
+          CAST((frames + (frames + 7) // 8 - 1) // ((frames + 7) // 8) AS INT) AS n_samples
+        FROM v),
+      f AS (
+        SELECT doc_id, n_samples, step,
+          unnest(generate_series(0, frames - 1, step)) AS frame_idx
+        FROM s),
+      k AS (SELECT *, CAST(frame_idx // step AS INT) AS k FROM f)
+      SELECT doc_id, n_samples, CAST(frame_idx AS INT) AS frame_idx,
+        CAST(frame_idx AS BIGINT) * 1000 // 24 AS ts_ms,
+        CAST(k % 4 * 160 AS INT) AS x_off,
+        CAST(k // 4 * 90 AS INT) AS y_off,
+        CAST(640 AS INT) AS sheet_w,
+        CAST((n_samples + 3) // 4 * 90 AS INT) AS sheet_h
+      FROM k ORDER BY doc_id, frame_idx"""
+
   def qResizePlan(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir, "documents")
     val isImage = ascii(substring(col("text"), 1, 1)).between(97, 104)
@@ -796,6 +846,7 @@ object Media {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_storyboard" -> (qStoryboard _),
     "q_media_audit" -> (qMediaAudit _),
     "q_media_e2e" -> (qMediaE2e _),
     "q_audio_fingerprint" -> (qAudioFingerprint _),
@@ -817,6 +868,7 @@ object Media {
     * planted-scene-recovery, g8-pair-parity and exact-planted-flag-set
     * assertions. */
   val oracles: Map[String, String] = Map(
+    "q_storyboard" -> qStoryboardSql,
     "q_audio_frames" -> qAudioFramesSql,
     "q_audio_fingerprint" -> qAudioFingerprintSql,
     "q_multimodal_meta" -> qMultimodalMetaSql,

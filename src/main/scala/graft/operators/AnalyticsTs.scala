@@ -1428,7 +1428,91 @@ object AnalyticsTs {
         CAST(SUM(m) AS BIGINT) AS cents
       FROM q GROUP BY rq, fq, mq ORDER BY rq, fq, mq"""
 
+  // c82 — the ONE-ROW KPI dashboard (the C-family capstone next to
+  // b28/b29/d17/g11: the numbers a product review actually opens
+  // with, composed from the family's own proven shapes): view/
+  // purchase user counts and user-level conversion (c66's distinct-
+  // user grain), total revenue / AOV / ARPU in integer cents and
+  // micro-units (floor division), and the EXACT median purchase
+  // value via c11/c68's bounded value-histogram prune — the cumsum
+  // window reads one row per DISTINCT CENT VALUE, never per
+  // purchase. Plan: ONE events scan fans into the user agg (views/
+  // purchases per user → 1-row fold) and the value histogram
+  // (bounded agg → single-partition cumsum over the value domain);
+  // the final row is a broadcast join of three 1-row/bounded
+  // tables. Every number is deterministic integer arithmetic.
+  def qKpiDashboard(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val perUser = e.groupBy("user_id")
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("nv"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"),
+        sum(when(col("event_type") === "purchase", col("cents"))
+          .otherwise(0L)).as("rev"))
+    val kpi = perUser.agg(
+      count(lit(1)).as("n_users"),
+      sum(expr("CASE WHEN nv > 0 THEN 1 ELSE 0 END")).as("view_users"),
+      sum(expr("CASE WHEN np > 0 THEN 1 ELSE 0 END")).as("purchase_users"),
+      sum(col("np")).as("n_purchases"),
+      sum(col("rev")).as("rev_cents"))
+    // exact median purchase value off the bounded value histogram
+    val hist = e.filter(col("event_type") === "purchase")
+      .groupBy("cents").agg(count(lit(1)).as("c"))
+    val wv = Window.orderBy("cents")
+    val med = hist
+      .withColumn("cum", sum(col("c")).over(
+        wv.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(
+        wv.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("cum") * 2 >= col("n"))
+      .agg(min(col("cents")).as("median_purchase_cents"))
+    kpi.crossJoin(broadcast(med))
+      .select(col("n_users"), col("view_users"), col("purchase_users"),
+        expr("purchase_users * 1000000 div view_users").as("conversion_micro"),
+        col("n_purchases"), col("rev_cents"),
+        expr("rev_cents div n_purchases").as("aov_cents"),
+        expr("rev_cents * 1000000 div n_users").as("arpu_micro"),
+        col("median_purchase_cents"))
+  }
+
+  val qKpiDashboardSql: String =
+    """WITH e AS (
+        SELECT user_id, event_type,
+          CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events),
+      u AS (
+        SELECT user_id,
+          SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS nv,
+          SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np,
+          SUM(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END) AS rev
+        FROM e GROUP BY user_id),
+      kpi AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+          CAST(SUM(CASE WHEN nv > 0 THEN 1 ELSE 0 END) AS BIGINT) AS view_users,
+          CAST(SUM(CASE WHEN np > 0 THEN 1 ELSE 0 END) AS BIGINT) AS purchase_users,
+          CAST(SUM(np) AS BIGINT) AS n_purchases,
+          CAST(SUM(rev) AS BIGINT) AS rev_cents
+        FROM u),
+      hist AS (
+        SELECT cents, COUNT(*) AS c FROM e
+        WHERE event_type = 'purchase' GROUP BY cents),
+      med AS (
+        SELECT CAST(MIN(cents) AS BIGINT) AS median_purchase_cents FROM (
+          SELECT cents,
+            SUM(c) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum,
+            SUM(c) OVER () AS n
+          FROM hist) WHERE cum * 2 >= n)
+      SELECT n_users, view_users, purchase_users,
+        purchase_users * 1000000 // view_users AS conversion_micro,
+        n_purchases, rev_cents,
+        rev_cents // n_purchases AS aov_cents,
+        rev_cents * 1000000 // n_users AS arpu_micro,
+        median_purchase_cents
+      FROM kpi CROSS JOIN med"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kpi_dashboard" -> (qKpiDashboard _),
     "q_rfm" -> (qRfm _),
     "q_cohort_ltv" -> (qCohortLtv _),
     "q_ewma" -> (qEwma _),
@@ -1452,6 +1536,7 @@ object AnalyticsTs {
     "q_next_event_markov" -> (qNextEventMarkov _))
 
   val oracles: Map[String, String] = Map(
+    "q_kpi_dashboard" -> qKpiDashboardSql,
     "q_rfm" -> qRfmSql,
     "q_cohort_ltv" -> qCohortLtvSql,
     "q_ewma" -> qEwmaSql,
