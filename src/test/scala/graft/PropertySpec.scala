@@ -221,4 +221,54 @@ class PropertySpec extends SparkTestBase {
       true
     }, n = 15)
   }
+
+  test("native geohash equals the per-bit reference; prefixes quantize cells") {
+    val coord = Gen.chooseNum(0L, (1L << 20) - 1)
+    check(Prop.forAll(coord, coord) { (xq, yq) =>
+      // independent reference: interleave then base32, digit by digit
+      var code = 0L
+      (0 until 20).foreach { j =>
+        code |= ((xq >> j) & 1L) << (2 * j + 1)
+        code |= ((yq >> j) & 1L) << (2 * j)
+      }
+      val b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+      val want = (0 until 8).map(i => b32(((code >>> (35 - 5 * i)) & 31L).toInt)).mkString
+      val got = graft.functions.Geohash8.compute(xq, yq).toString
+      assert(got == want, s"geohash8($xq, $yq): $got != $want")
+      // prefix property: gh4 is a pure function of the top-10 bits of
+      // each coordinate — any two points in the same 2^10-cell share it
+      val (x2, y2) = ((xq & ~1023L) | (yq & 1023L), (yq & ~1023L) | (xq & 1023L))
+      val gotCell = graft.functions.Geohash8.compute(x2, y2).toString
+      assert(gotCell.take(4) == got.take(4),
+        s"gh4 must depend only on the cell: $got vs $gotCell")
+      true
+    }, n = 200)
+  }
+
+  test("geohash cover classification: full iff every point of the cell is in the bbox") {
+    val q = Gen.chooseNum(0L, (1L << 20) - 1)
+    check(Prop.forAll(q, q, q, q, Gen.chooseNum(0L, 32767L), Gen.chooseNum(0L, 32767L)) {
+      (a, b, c, d, ox, oy) =>
+        val (bx0, bx1) = (math.min(a, b), math.max(a, b))
+        val (by0, by1) = (math.min(c, d), math.max(c, d))
+        // b33's cell algebra over the enumerated range
+        (bx0 >> 15 to bx1 >> 15).foreach { cx =>
+          (by0 >> 15 to by1 >> 15).foreach { cy =>
+            val (xl, xh) = (cx * 32768, cx * 32768 + 32767)
+            val (yl, yh) = (cy * 32768, cy * 32768 + 32767)
+            val full = xl >= bx0 && xh <= bx1 && yl >= by0 && yh <= by1
+            // a random in-cell probe point
+            val (px, py) = (xl + ox, yl + oy)
+            val inBbox = px >= bx0 && px <= bx1 && py >= by0 && py <= by1
+            if (full) assert(inBbox,
+              s"full cell ($cx,$cy) of bbox [$bx0,$bx1]x[$by0,$by1] leaked ($px,$py)")
+          }
+        }
+        // completeness: any in-bbox point's cell is inside the range
+        val (px, py) = (bx0 + (ox % (bx1 - bx0 + 1)), by0 + (oy % (by1 - by0 + 1)))
+        assert((px >> 15) >= (bx0 >> 15) && (px >> 15) <= (bx1 >> 15))
+        assert((py >> 15) >= (by0 >> 15) && (py >> 15) <= (by1 >> 15))
+        true
+    }, n = 100)
+  }
 }
