@@ -816,10 +816,12 @@ object AnalyticsExt {
   // generator NEVER self-joins the item table: items fold to one
   // sorted per-order brand SET (one orderkey-keyed agg — the only
   // row-scale exchange), pairs explode map-side from each set, and a
-  // basket holds ≤ min(lines, |brands|) items so the fan-out is
-  // bounded by basket size squared, never corpus size (d4's
-  // df-cap argument at the basket grain — a degenerate mega-basket
-  // would be capped the same way; order baskets are naturally ≤7).
+  // basket holds ≤ min(lines, |brands|) DISTINCT items (collect_set —
+  // the item VOCABULARY hard-bounds every set, |brands| = 25 here) so
+  // the fan-out is bounded by basket size squared, never corpus size.
+  // An UNBOUNDED item vocabulary would need an explicit cap on the
+  // set before the explode (slice after sort_array — d4's df-cap
+  // shape); with a catalog-bounded item dimension, none is needed.
   // Everything after the explode is vocabulary-bounded: ≤ |brands|²/2
   // pair groups, |brands| item counts re-derived from the SAME sets
   // (no second item scan), N from the same agg. Confidence and lift
