@@ -1004,6 +1004,72 @@ object AnalyticsExt {
       FROM x ORDER BY chi2_micro DESC, brand_a, brand_b"""
   }
 
+  // c83 — price elasticity of demand (the econometrics readout behind
+  // every pricing decision: the OLS slope of ln(quantity) on
+  // ln(price) — elasticity ≈ that slope, < −1 elastic): parts bucket
+  // into 10 price deciles (ntile over the PART dimension — bounded,
+  // c80's quintile discipline), each decile contributes one (x, y)
+  // point with x = ln(Σ price_cents) − ln(n_parts) and y =
+  // ln(Σ qty·100) − ln(n_parts) — the log of a MEAN as a DIFFERENCE
+  // of micro-nat lns of exact integers (f31's engine-free argument;
+  // ln of a rational mean directly would not quantize identically),
+  // so both coordinates are exact integers. The slope is c70's moment
+  // algebra over TEN points: (nΣxy − ΣxΣy)·10⁶ div (nΣxx − (Σx)²),
+  // decimal(38,0)/HUGEINT products, floor division, no IEEE anywhere.
+  // Plan: broadcast part-decile dim joins the lineitem scan, one
+  // bounded (decile) agg, scalar math on a 10-row fold.
+  def qElasticity(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir, "part")
+      .select(col("p_partkey"),
+        expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("price_cents"))
+      .withColumn("decile",
+        ntile(10).over(Window.orderBy(col("price_cents"), col("p_partkey"))))
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_partkey"), expr("CAST(round(l_quantity * 100) AS BIGINT)").as("q100"))
+    val pts = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("price_cents")).as("sum_price"),
+        sum(col("q100")).as("sum_q"))
+      .select(col("decile"),
+        expr("CAST(round(ln(sum_price) * 1e6) AS BIGINT) - CAST(round(ln(n_items) * 1e6) AS BIGINT)").as("x"),
+        expr("CAST(round(ln(sum_q) * 1e6) AS BIGINT) - CAST(round(ln(n_items) * 1e6) AS BIGINT)").as("y"))
+    pts.agg(count(lit(1)).as("n"),
+        sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
+        sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+      .select(col("n").cast("long").as("n_deciles"),
+        expr("""CAST((CAST(n AS DECIMAL(38,0)) * sxy - sx * sy) * 1000000
+                div (CAST(n AS DECIMAL(38,0)) * sxx - sx * sx) AS BIGINT)""")
+          .as("elasticity_micro"))
+  }
+
+  val qElasticitySql: String =
+    """WITH p AS (
+        SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+          CAST(ntile(10) OVER (ORDER BY CAST(round(p_retailprice * 100) AS BIGINT), p_partkey) AS INT) AS decile
+        FROM part),
+      j AS (
+        SELECT decile, price_cents, CAST(round(l_quantity * 100) AS BIGINT) AS q100
+        FROM lineitem JOIN p ON l_partkey = p_partkey),
+      pts AS (
+        SELECT decile,
+          CAST(round(ln(SUM(price_cents)) * 1e6) AS BIGINT)
+            - CAST(round(ln(COUNT(*)) * 1e6) AS BIGINT) AS x,
+          CAST(round(ln(SUM(q100)) * 1e6) AS BIGINT)
+            - CAST(round(ln(COUNT(*)) * 1e6) AS BIGINT) AS y
+        FROM j GROUP BY decile),
+      s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+          SUM(CAST(x AS HUGEINT) * y) AS sxy, SUM(CAST(x AS HUGEINT) * x) AS sxx
+        FROM pts)
+      SELECT n AS n_deciles,
+        CAST((CAST(n AS HUGEINT) * sxy - sx * sy) * 1000000
+          // (CAST(n AS HUGEINT) * sxx - sx * sx) AS BIGINT) AS elasticity_micro
+      FROM s"""
+
   // c75 — revenue concentration: exact Gini coefficient + top-decile
   // mass share over per-customer revenue (the inequality readout
   // behind every "whales" conversation, and the f36 head-mass curve's
@@ -1067,6 +1133,7 @@ object AnalyticsExt {
     "q_basket" -> (qBasket _),
     "q_recommend" -> (qRecommend _),
     "q_basket_sig" -> (qBasketSig _),
+    "q_elasticity" -> (qElasticity _),
     "q_gini" -> (qGini _),
     "q_skyline" -> (qSkyline _),
     "q_percentiles" -> (qPercentiles _),
@@ -1092,6 +1159,7 @@ object AnalyticsExt {
     "q_basket" -> qBasketSql,
     "q_recommend" -> qRecommendSql,
     "q_basket_sig" -> qBasketSigSql,
+    "q_elasticity" -> qElasticitySql,
     "q_gini" -> qGiniSql,
     "q_skyline" -> qSkylineSql,
     "q_percentiles" -> qPercentilesSql,
