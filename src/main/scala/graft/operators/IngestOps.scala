@@ -901,7 +901,78 @@ object IngestOps {
              ELSE 'dead_letter' END AS outcome
       FROM y ORDER BY event_id, attempt"""
 
+  /** a26 — per-transition STAGE-LATENCY SLA (the ops dashboard of the
+    * ingest service: how long do assets sit between downloaded →
+    * processing → processed, at the median and the p95 the SLA is
+    * written against): per asset, consecutive stage events pair up
+    * under the total (ts, event_id) order (ONE asset-keyed lead
+    * window — no self-join), durations quantize to whole seconds, and
+    * each (from, to) transition's EXACT p50/p95 read off the bounded
+    * duration-value histogram — the cumsum window's input is one row
+    * per DISTINCT SECOND per transition, bounded by the duration
+    * dynamic range, never by event count (c11/c68's histogram-prune
+    * argument; the raw-rank alternative would window over every
+    * event). Transition keys are ≤ |stages|² = 16. Percentile rank
+    * targets use ceiling division — exact, engine-free. */
+  def qStageLatency(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val stage = when(col("event_type") === "signup", "downloaded")
+      .when(col("event_type").isin("view", "click"), "processing")
+      .when(col("event_type") === "purchase", "processed")
+      .otherwise("Cancelled")
+    val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    val legs = e.select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ms"), stage.as("stage"))
+      .withColumn("next_stage", lead(col("stage"), 1).over(w))
+      .withColumn("next_ms", lead(col("ms"), 1).over(w))
+      .filter(col("next_stage").isNotNull)
+      .select(col("stage").as("from_stage"), col("next_stage").as("to_stage"),
+        expr("(next_ms - ms) div 1000").as("dur_s"))
+    val hist = legs.groupBy("from_stage", "to_stage", "dur_s")
+      .agg(count(lit(1)).as("c"))
+    val wt = Window.partitionBy("from_stage", "to_stage").orderBy("dur_s")
+    hist
+      .withColumn("cum", sum(col("c")).over(
+        wt.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(
+        wt.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .groupBy("from_stage", "to_stage")
+      .agg(max(col("n")).as("n"),
+        min(when(col("cum") * 2 >= col("n"), col("dur_s"))).as("p50_s"),
+        min(when(col("cum") * 20 >= col("n") * 19, col("dur_s"))).as("p95_s"))
+      .orderBy("from_stage", "to_stage")
+  }
+
+  val qStageLatencySql: String =
+    """WITH s AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS ms,
+          CASE WHEN event_type = 'signup' THEN 'downloaded'
+               WHEN event_type IN ('view','click') THEN 'processing'
+               WHEN event_type = 'purchase' THEN 'processed'
+               ELSE 'Cancelled' END AS stage
+        FROM events),
+      legs AS (
+        SELECT stage AS from_stage,
+          lead(stage) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS to_stage,
+          (lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) - ms) // 1000 AS dur_s
+        FROM s),
+      hist AS (
+        SELECT from_stage, to_stage, dur_s, COUNT(*) AS c
+        FROM legs WHERE to_stage IS NOT NULL
+        GROUP BY from_stage, to_stage, dur_s),
+      cum AS (
+        SELECT *, SUM(c) OVER (PARTITION BY from_stage, to_stage
+            ORDER BY dur_s ROWS UNBOUNDED PRECEDING) AS cum,
+          SUM(c) OVER (PARTITION BY from_stage, to_stage) AS n
+        FROM hist)
+      SELECT from_stage, to_stage, CAST(MAX(n) AS BIGINT) AS n,
+        CAST(MIN(CASE WHEN cum * 2 >= n THEN dur_s END) AS BIGINT) AS p50_s,
+        CAST(MIN(CASE WHEN cum * 20 >= n * 19 THEN dur_s END) AS BIGINT) AS p95_s
+      FROM cum GROUP BY from_stage, to_stage
+      ORDER BY from_stage, to_stage"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stage_latency" -> (qStageLatency _),
     "q_storage_quota" -> (qStorageQuota _),
     "q_retry_backoff" -> (qRetryBackoff _),
     "q_pubsub_token" -> (qPubsubToken _),
@@ -929,6 +1000,7 @@ object IngestOps {
     "q_deadletter_stats" -> (qDeadletterStats _))
 
   val oracles: Map[String, String] = Map(
+    "q_stage_latency" -> qStageLatencySql,
     "q_storage_quota" -> qStorageQuotaSql,
     "q_retry_backoff" -> qRetryBackoffSql,
     "q_pubsub_token" -> qPubsubTokenSql,
