@@ -1674,7 +1674,42 @@ object Dedup {
       GROUP BY sz ORDER BY cluster_size"""
   }
 
+  /** d22 — near-dup THRESHOLD ablation (f34's sweep shape for the
+    * dedup decision itself: "pick t" is the call every dedup
+    * deployment makes, and this is the table it's made from): per
+    * threshold t ∈ {0.2 .. 0.9}, the surviving pair count and the
+    * docs the greedy lower-id-wins screen would drop (distinct doc_b
+    * over pairs ≥ t — d1's keeper convention at pair grain). Sweep
+    * floor = 0.2 DELIBERATELY: that is d2's verify floor, below it
+    * candidate recall is the LSH band config's, not the threshold's
+    * (d9 measures that axis). Thresholds compare as j/10.0 doubles
+    * against the round(,6) jaccards — identical IEEE values both
+    * engines (f34's argument). Plan: the memoized verified pair table
+    * (bounded) crossed with a broadcast 8-row threshold dim, two
+    * bounded aggs — nothing re-touches shingles. */
+  def qDedupSweep(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(spark, dir)
+    val ts = spark.range(2, 10).select((col("id") / 10.0).as("t"))
+    pairs.crossJoin(broadcast(ts))
+      .filter(col("jaccard") >= col("t"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_b")).as("n_docs_dropped"))
+      .orderBy("t")
+  }
+
+  val qDedupSweepSql: String = {
+    val inner = qDedupMinhashSql.replace("ORDER BY doc_a, doc_b", "")
+    s"""WITH pairs AS ($inner),
+      ts AS (SELECT unnest(generate_series(2, 9)) / 10.0 AS t)
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        CAST(COUNT(DISTINCT doc_b) AS BIGINT) AS n_docs_dropped
+      FROM pairs JOIN ts ON jaccard >= t
+      GROUP BY t ORDER BY t"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_sweep" -> (qDedupSweep _),
     "q_dedup_report" -> (qDedupReport _),
     "q_dedup_bloom" -> (qDedupBloom _),
     "q_dedup_e2e" -> (qDedupE2e _),
@@ -1698,6 +1733,7 @@ object Dedup {
     "q_dedup_embedding" -> (qDedupEmbedding _))
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_sweep" -> qDedupSweepSql,
     "q_dedup_report" -> qDedupReportSql,
     "q_dedup_bloom" -> qDedupBloomSql,
     "q_dedup_e2e" -> qDedupE2eSql,
