@@ -140,6 +140,22 @@ object AuxBench {
         .trigger(Trigger.AvailableNow()).start()
     }
 
+    // h29: live co-occurrence — n items over n/50 baskets, 64-item vocab
+    val basketDir = tmp("basket")
+    spark.range(n.toLong).select(
+        (col("id") % (n / 50)).as("basket"),
+        concat(lit("i"), (col("id") * 7 % 64).cast("string")).as("item"),
+        (col("id") + 1).as("ms"))
+      .write.mode("overwrite").parquet(basketDir)
+    val basketSchema = spark.read.parquet(basketDir).schema
+    val h29Sec = drain("h29") { ckpt =>
+      IngestStream.streamingBasket(
+          spark.readStream.schema(basketSchema).parquet(basketDir)
+            .as[IngestStream.BasketItem])
+        .writeStream.format("noop").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+    }
+
     // h30: quota ledger — n uploads over 1500 users
     val quotaDir = tmp("quota")
     spark.range(n.toLong).select(
@@ -221,7 +237,8 @@ object AuxBench {
     println(s"""{"n_events":$n,"sf":"$sfDir",""" +
       s""""h1_rows_per_sec":${rps(h1Sec)},"h8_rows_per_sec":${rps(h8Sec)},""" +
       s""""h11_rows_per_sec":${rps(h11Sec)},"h25_rows_per_sec":${rps(h25Sec)},""" +
-      s""""h28_rows_per_sec":${rps(h28Sec)},"h30_rows_per_sec":${rps(h30Sec)},""" +
+      s""""h28_rows_per_sec":${rps(h28Sec)},"h29_rows_per_sec":${rps(h29Sec)},""" +
+      s""""h30_rows_per_sec":${rps(h30Sec)},""" +
       s""""service_loop_msgs_per_sec":${math.rint(svcMessages / svcSec)},""" +
       s""""cdc_apply_rows_per_sec":$cdcRps,""" +
       f""""ann_index_build_sec":$annBuild%.3f,"ann_serve_sec":$annServe%.3f,""" +
