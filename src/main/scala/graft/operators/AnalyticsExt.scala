@@ -962,12 +962,16 @@ object AnalyticsExt {
       .withColumn("b", col("n_a") - col("support"))
       .withColumn("c", col("n_b") - col("support"))
       .withColumn("d", col("n_orders") - col("n_a") - col("n_b") + col("support"))
+      // divisor guarded: a brand co-occurring in EVERY basket makes
+      // c+d = 0 (degenerate margin — the test is undefined there);
+      // NULLIF keeps Spark's div-NULL and DuckDB's //-error aligned
+      // on NULL for that row instead of diverging.
       .withColumn("chi2_micro", expr(
         """CAST(CAST(n_orders AS DECIMAL(38,0))
              * (CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c)
              * (CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c)
              * 1000000
-           div (CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c) * (b + d))
+           div NULLIF(CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c) * (b + d), 0)
            AS BIGINT)"""))
       .select(col("brand_a"), col("brand_b"), col("support"),
         col("lift_micro"), col("chi2_micro"),
@@ -996,7 +1000,7 @@ object AnalyticsExt {
             * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
             * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
             * 1000000
-          // (CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d))
+          // NULLIF(CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d), 0)
           AS BIGINT) AS chi2_micro
         FROM ct)
       SELECT brand_a, brand_b, support, lift_micro, chi2_micro,
@@ -1017,13 +1021,18 @@ object AnalyticsExt {
   // algebra over TEN points: (nΣxy − ΣxΣy)·10⁶ div (nΣxx − (Σx)²),
   // decimal(38,0)/HUGEINT products, floor division, no IEEE anywhere.
   // Plan: broadcast part-decile dim joins the lineitem scan, one
-  // bounded (decile) agg, scalar math on a 10-row fold.
+  // bounded (decile) agg, scalar math on a 10-row fold. The decile
+  // itself is [[TwoPhase]]'s bucketed global rank (2¹²-cent price
+  // slices) + the closed-form ntile rule — the part DIMENSION never
+  // single-tasks, matching ntile(10) OVER (ORDER BY ...) exactly.
   def qElasticity(spark: SparkSession, dir: String): DataFrame = {
-    val p = Tables(spark, dir, "part")
+    val p0 = Tables(spark, dir, "part")
       .select(col("p_partkey"),
         expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("price_cents"))
-      .withColumn("decile",
-        ntile(10).over(Window.orderBy(col("price_cents"), col("p_partkey"))))
+    val p = TwoPhase.globalRowNumber(p0, expr("price_cents div 4096"),
+        Seq(col("price_cents"), col("p_partkey")), "prk", total = Some("np"))
+      .withColumn("decile", expr(TwoPhase.ntileFromRank("prk", "np", 10)))
+      .drop("prk", "np")
     val li = Tables(spark, dir, "lineitem")
       .select(col("l_partkey"), expr("CAST(round(l_quantity * 100) AS BIGINT)").as("q100"))
     val pts = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
@@ -1081,20 +1090,20 @@ object AnalyticsExt {
   // ≈ 10¹⁹ at real scale — past int64), micro-units by floor
   // division, no IEEE anywhere. Top-decile share = mass of the
   // ⌈n/10⌉ highest-revenue customers by the same rank. Plan: ONE
-  // custkey agg folds orders; the rank window rides the CUSTOMER
-  // aggregate — bounded by customers, never orders (c70's grain; at
-  // extreme customer cardinality the rank would ride c60's two-phase
-  // prefix sum — the documented swap).
+  // custkey agg folds orders; the global rank is [[TwoPhase]]'s
+  // bucketed split (2²⁴-cent revenue slices — bucket count follows
+  // the per-customer revenue RANGE, not the customer count), so the
+  // customer aggregate ranks in parallel partitions and NO stage puts
+  // the whole customer table in one task; n broadcasts as a 1-row agg
+  // instead of an unbounded count window.
   def qGini(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables(spark, dir, "orders")
       .select(col("o_custkey"),
         expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
     val perCust = o.groupBy("o_custkey").agg(sum(col("cents")).as("x"))
-    val ord = Window.orderBy(col("x"), col("o_custkey"))
-    val ranked = perCust
-      .withColumn("i", row_number().over(ord))
-      .withColumn("n", count(lit(1)).over(
-        ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val ranked = TwoPhase.globalRowNumber(perCust,
+      expr("x div 16777216"), Seq(col("x"), col("o_custkey")), "i",
+      total = Some("n"))
     ranked.agg(
         count(lit(1)).as("n_cust"),
         sum(col("x")).as("total_cents"),

@@ -996,10 +996,12 @@ object AnalyticsTs {
   // users); ρ is the single IEEE block (two sqrts + one division over
   // exact integers, identical expression shape both engines, c66's
   // argument), rounded 6 dp. Plan: ONE user-keyed agg folds events to
-  // a row per user; the rank windows ride a single-partition pass over
-  // the USER AGGREGATE — bounded by user count, not events (f35's
-  // eval-split grain; at extreme user cardinality the ranks would ride
-  // c60's two-phase prefix sum instead). Zero-variance sides → NULL.
+  // a row per user; both global ranks ride [[TwoPhase]]'s bucketed
+  // split (x buckets = the view-count value itself — distribution-
+  // bounded; y buckets = 2¹⁶-cent spend slices), so the user aggregate
+  // ranks in parallel partitions — no single-task pass at any user
+  // cardinality. The midrank min/max windows stay PARTITIONED (by the
+  // tied value). Zero-variance sides → NULL.
   def qSpearman(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"),
@@ -1008,11 +1010,10 @@ object AnalyticsTs {
       .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
         sum(when(col("event_type") === "purchase", col("cents"))
           .otherwise(0L)).as("y"))
-    val rkX = Window.orderBy(col("x"), col("user_id"))
-    val rkY = Window.orderBy(col("y"), col("user_id"))
-    val ranked = perUser
-      .withColumn("rx", row_number().over(rkX))
-      .withColumn("ry", row_number().over(rkY))
+    val rankedX = TwoPhase.globalRowNumber(perUser, col("x"),
+      Seq(col("x"), col("user_id")), "rx")
+    val ranked = TwoPhase.globalRowNumber(rankedX, expr("y div 65536"),
+        Seq(col("y"), col("user_id")), "ry")
       .withColumn("mrx", min(col("rx")).over(Window.partitionBy("x"))
         + max(col("rx")).over(Window.partitionBy("x")))
       .withColumn("mry", min(col("ry")).over(Window.partitionBy("y"))
@@ -1096,7 +1097,7 @@ object AnalyticsTs {
              * (CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c)
              * (CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c)
              * 1000000)
-           div (CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c) * (b + d))
+           div NULLIF(CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c) * (b + d), 0)
            AS BIGINT)""").as("chi2_micro"))
   }
 
@@ -1122,7 +1123,7 @@ object AnalyticsTs {
             * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
             * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
             * 1000000)
-          // (CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d))
+          // NULLIF(CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d), 0)
           AS BIGINT) AS chi2_micro
       FROM cells"""
 
@@ -1383,10 +1384,13 @@ object AnalyticsTs {
   // ties deterministic both engines; R ascending so quintile 1 = most
   // recent, F/M descending so 1 = best, the marketing convention);
   // output = the segment rollup (≤125 rows) with per-segment size
-  // and value mass. Plan: ONE user-keyed agg folds purchases; the
-  // three ntile windows ride the USER AGGREGATE single-partition pass
-  // (bounded by users — c70's grain, c60's two-phase rank the
-  // documented swap at extreme cardinality); the rollup is bounded.
+  // and value mass. Plan: ONE user-keyed agg folds purchases; each
+  // quintile is [[TwoPhase]]'s bucketed global rank (R/F buckets =
+  // the day-count/purchase-count value itself — distribution-bounded;
+  // M = 2¹⁶-cent slices, NEGATED so the bucket stays monotone along
+  // the descending order) + the closed-form ntile rule, so the user
+  // aggregate ranks in parallel partitions at any user cardinality;
+  // the rollup is bounded.
   def qRfm(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
       .filter(col("event_type") === "purchase")
@@ -1396,11 +1400,18 @@ object AnalyticsTs {
       .agg(max(col("day")).as("last_day"), count(lit(1)).as("f"),
         sum(col("cents")).as("m"))
     val today = e.agg(max(col("day")).as("today"))
-    val scored = perUser.crossJoin(broadcast(today))
+    val base = perUser.crossJoin(broadcast(today))
       .withColumn("r", col("today") - col("last_day"))
-      .withColumn("rq", ntile(5).over(Window.orderBy(col("r"), col("user_id"))))
-      .withColumn("fq", ntile(5).over(Window.orderBy(col("f").desc, col("user_id"))))
-      .withColumn("mq", ntile(5).over(Window.orderBy(col("m").desc, col("user_id"))))
+    val rankedR = TwoPhase.globalRowNumber(base, col("r"),
+      Seq(col("r"), col("user_id")), "rrk", total = Some("nu"))
+    val rankedF = TwoPhase.globalRowNumber(rankedR, -col("f"),
+      Seq(col("f").desc, col("user_id")), "frk")
+    val rankedM = TwoPhase.globalRowNumber(rankedF, -expr("m div 65536"),
+      Seq(col("m").desc, col("user_id")), "mrk")
+    val scored = rankedM
+      .withColumn("rq", expr(TwoPhase.ntileFromRank("rrk", "nu", 5)))
+      .withColumn("fq", expr(TwoPhase.ntileFromRank("frk", "nu", 5)))
+      .withColumn("mq", expr(TwoPhase.ntileFromRank("mrk", "nu", 5)))
     scored.groupBy("rq", "fq", "mq")
       .agg(count(lit(1)).as("n_users"), sum(col("m")).as("cents"))
       .orderBy("rq", "fq", "mq")
@@ -1468,11 +1479,14 @@ object AnalyticsTs {
       .filter(col("cum") * 2 >= col("n"))
       .agg(min(col("cents")).as("median_purchase_cents"))
     kpi.crossJoin(broadcast(med))
+      // NULLIF guards: a corpus with zero viewers / zero purchases
+      // must yield NULL KPIs on BOTH engines (DuckDB's // raises on
+      // zero, Spark's div returns NULL — align on NULL).
       .select(col("n_users"), col("view_users"), col("purchase_users"),
-        expr("purchase_users * 1000000 div view_users").as("conversion_micro"),
+        expr("purchase_users * 1000000 div NULLIF(view_users, 0)").as("conversion_micro"),
         col("n_purchases"), col("rev_cents"),
-        expr("rev_cents div n_purchases").as("aov_cents"),
-        expr("rev_cents * 1000000 div n_users").as("arpu_micro"),
+        expr("rev_cents div NULLIF(n_purchases, 0)").as("aov_cents"),
+        expr("rev_cents * 1000000 div NULLIF(n_users, 0)").as("arpu_micro"),
         col("median_purchase_cents"))
   }
 
@@ -1504,10 +1518,10 @@ object AnalyticsTs {
             SUM(c) OVER () AS n
           FROM hist) WHERE cum * 2 >= n)
       SELECT n_users, view_users, purchase_users,
-        purchase_users * 1000000 // view_users AS conversion_micro,
+        purchase_users * 1000000 // NULLIF(view_users, 0) AS conversion_micro,
         n_purchases, rev_cents,
-        rev_cents // n_purchases AS aov_cents,
-        rev_cents * 1000000 // n_users AS arpu_micro,
+        rev_cents // NULLIF(n_purchases, 0) AS aov_cents,
+        rev_cents * 1000000 // NULLIF(n_users, 0) AS arpu_micro,
         median_purchase_cents
       FROM kpi CROSS JOIN med"""
 

@@ -1056,7 +1056,12 @@ object Ann {
         org.apache.spark.sql.expressions.Window.partitionBy("label")))
     withMax.groupBy("label")
       .agg(max(col("n")).as("n_vecs"),
-        max(col("d2n2")).as("max_d2n2"),
+        // Present as BIGINT: the ACCUMULATION is 128-bit exact above,
+        // but the final max is bounded by dims·(4096·n)² per cell —
+        // ≈ 10¹² at sf0.1 and ≪ 2⁶³ for any cell under ~7·10⁶ vectors
+        // on the 2¹² grid — so the published column is int64 on both
+        // engines (raw DECIMAL(38,0) hashes differently driver-side).
+        max(col("d2n2")).cast("bigint").as("max_d2n2"),
         min(when(col("d2n2") === col("cell_max"), col("vec_id"))).as("worst_vec"))
       .crossJoin(broadcast(total))
       .withColumn("share_micro", expr("(n_vecs * 1000000) div total"))
@@ -1086,7 +1091,7 @@ object Ann {
       tot AS (SELECT COUNT(*) AS total FROM embeddings)
       SELECT m.label AS label, CAST(n_vecs AS BIGINT) AS n_vecs,
         (n_vecs * 1000000) // total AS share_micro,
-        max_d2n2,
+        CAST(max_d2n2 AS BIGINT) AS max_d2n2,
         MIN(CASE WHEN d.d2n2 = m.max_d2n2 THEN d.vec_id END) AS worst_vec
       FROM mx m JOIN d2 d ON d.label = m.label, tot
       GROUP BY m.label, n_vecs, max_d2n2, total
@@ -1150,7 +1155,9 @@ object Ann {
           org.apache.spark.sql.expressions.Window.partitionBy("cell")))
       .filter(col("d2") === col("min_d2"))
       .groupBy("cell").agg(min(col("t_cell")).as("target_cell"),
-        max(col("min_d2")).as("d2_to_target"))
+        // Same presentation bound as e21's max_d2n2: centroid deltas
+        // live on the 2¹² grid so d2 ≤ dims·4096² ≈ 2³⁹ — int64-safe.
+        max(col("min_d2")).cast("bigint").as("d2_to_target"))
     judged.join(best, Seq("cell"), "left")
       .select(col("cell"), col("n_vecs"), col("action"),
         col("target_cell"), col("d2_to_target"))
@@ -1195,7 +1202,7 @@ object Ann {
           MAX(min_d2) AS d2_to_target
         FROM best WHERE d2 = min_d2 GROUP BY cell)
       SELECT j.cell, j.n_vecs, j.action, p.target_cell,
-        CAST(p.d2_to_target AS DECIMAL(38,0)) AS d2_to_target
+        CAST(p.d2_to_target AS BIGINT) AS d2_to_target
       FROM judged j LEFT JOIN pick p ON p.cell = j.cell
       ORDER BY j.cell"""
 
@@ -1246,8 +1253,48 @@ object Ann {
           .as("new_cell"))
   }
 
+  /** e25's query face: the executor's full per-vector assignment,
+    * vec_id-ordered so the DuckDB twin (same plan CTE, same 2-seed
+    * integer-d² split with list_sum/list_transform element math — all
+    * BIGINT, engine-free) replays it row for row. */
+  def qAnnRebalanceExec(spark: SparkSession, dir: String): DataFrame =
+    rebalanceExecute(spark, dir).orderBy("vec_id")
+
+  val qAnnRebalanceExecSql: String = {
+    val plan = qAnnRebalanceSql
+    s"""WITH plan AS ($plan),
+      vecs AS (
+        SELECT vec_id,
+          CAST(CASE WHEN label < 5 THEN 0 WHEN label < 8 THEN label
+            ELSE 70 + vec_id % 20 END AS BIGINT) AS cell,
+          list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 4096) AS BIGINT)) AS qv
+        FROM embeddings),
+      seedids AS (
+        SELECT v.cell, MIN(v.vec_id) AS sa, MAX(v.vec_id) AS sb
+        FROM vecs v JOIN plan p ON p.cell = v.cell
+        WHERE p.action = 'split' GROUP BY v.cell),
+      seeds AS (
+        SELECT i.cell, a.qv AS qa, b.qv AS qb
+        FROM seedids i JOIN vecs a ON a.vec_id = i.sa
+        JOIN vecs b ON b.vec_id = i.sb)
+      SELECT v.vec_id, v.cell AS old_cell,
+        CASE WHEN p.action = 'merge' THEN p.target_cell * 2
+             WHEN p.action = 'keep' THEN v.cell * 2
+             ELSE v.cell * 2 + (CASE WHEN
+                 list_sum(list_transform(generate_series(1, len(v.qv)),
+                   i -> (v.qv[i] - s.qa[i]) * (v.qv[i] - s.qa[i]))) <=
+                 list_sum(list_transform(generate_series(1, len(v.qv)),
+                   i -> (v.qv[i] - s.qb[i]) * (v.qv[i] - s.qb[i])))
+               THEN 0 ELSE 1 END)
+        END AS new_cell
+      FROM vecs v JOIN plan p ON p.cell = v.cell
+      LEFT JOIN seeds s ON s.cell = v.cell
+      ORDER BY v.vec_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_rebalance" -> (qAnnRebalance _),
+    "q_ann_rebalance_exec" -> (qAnnRebalanceExec _),
     "q_ann_index_stats" -> (qAnnIndexStats _),
     "q_ann_mrl" -> (qAnnMrl _),
     "q_ann_range" -> (qAnnRange _),
@@ -1267,6 +1314,7 @@ object Ann {
 
   val oracles: Map[String, String] = Map(
     "q_ann_rebalance" -> qAnnRebalanceSql,
+    "q_ann_rebalance_exec" -> qAnnRebalanceExecSql,
     "q_ann_index_stats" -> qAnnIndexStatsSql,
     "q_ann_mrl" -> qAnnMrlSql,
     "q_ann_range" -> qAnnRangeSql,

@@ -313,18 +313,21 @@ object TextModels {
   // AUC_micro = (Σ_pos 2·midrank − npos(npos+1))·10⁶ div (2·npos·nneg)
   // with the products widened to decimal(38,0) so no eval-set size
   // overflows. Plan: the classifier's one model join + doc agg, then
-  // rank windows over the EVAL SPLIT (n/5 docs — the f32/e10 harness
-  // shape; a corpus-scale rank would ride c51's two-phase prefix sum
-  // instead) and a 10-group agg. Calibration reads: pos_rate should
-  // rise monotonically with decile iff the scores rank well.
+  // the global rank rides [[graft.operators.TwoPhase]]'s bucketed
+  // split (2²⁰-micro logit slices — trunc-div stays monotone through
+  // negative logits), so the eval split ranks in parallel partitions
+  // at ANY eval size; the midrank min/max windows stay PARTITIONED
+  // (by tied score) and n broadcasts as a 1-row agg. Calibration
+  // reads: pos_rate should rise monotonically with decile iff the
+  // scores rank well.
   def qCalibration(spark: SparkSession, dir: String): DataFrame = {
     val scored = qQualityClassifier(spark, dir)
       .select(col("doc_id"), col("score_micro"),
         col("actual").cast("long").as("pos"))
-    val wRk = Window.orderBy("score_micro", "doc_id")
     val wScore = Window.partitionBy("score_micro")
-    val ranked = scored
-      .withColumn("rk", row_number().over(wRk))
+    val ranked = graft.operators.TwoPhase.globalRowNumber(scored,
+        expr("score_micro div 1048576"),
+        Seq(col("score_micro"), col("doc_id")), "rk", total = Some("n"))
       .withColumn("mr2", min(col("rk")).over(wScore) + max(col("rk")).over(wScore))
     val auc = ranked.agg(
         sum(when(col("pos") === 1, col("mr2"))).as("sr2"),
@@ -335,9 +338,6 @@ object TextModels {
            * 1000000 div (2 * CAST(npos AS DECIMAL(38,0)) * nneg) AS BIGINT)""")
         .as("auc_micro"))
     ranked
-      .withColumn("n", count(lit(1)).over(
-        Window.orderBy("score_micro", "doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .withColumn("decile", expr("((rk - 1) * 10) div n"))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_docs"), sum(col("pos")).as("n_pos"),

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-phase GLOBAL ranks without a single-partition window — c60's
+  * measured prefix-sum split (AnalyticsTs.scala qConcurrency),
+  * generalized so every corpus-proportional `row_number() OVER
+  * (ORDER BY ...)` / `ntile(k) OVER (ORDER BY ...)` in the library can
+  * ride it. The naive form moves ALL rows to ONE task (Spark's
+  * "WindowExec: No Partition Defined" degradation — at 100 TB that
+  * task simply never finishes); the split keeps every row-scale stage
+  * parallel:
+  *
+  *  - phase 1: rows hash-shuffle to RANGE BUCKETS of the sort key
+  *    (caller supplies a bucket expression monotone non-decreasing
+  *    along the intended total order — value-width slices, so the
+  *    bucket COUNT is distribution-bounded, not corpus-bounded);
+  *  - the carry-in offset of each bucket = Σ counts of lower buckets,
+  *    computed on the BUCKET SUMMARY (one row per bucket) via a
+  *    bounded triangular self-join — deliberately NOT a window, so
+  *    the whole query plan carries zero unpartitioned WindowExecs;
+  *  - phase 2: `row_number` per bucket partition (parallel across
+  *    buckets) + the broadcast offset = the exact global rank.
+  *
+  * Determinism: identical to the single-partition window whenever
+  * `order` is a total order (callers tie-break on a key), because
+  * bucket monotonicity makes bucket-local order concatenate to the
+  * global order.
+  */
+object TwoPhase {
+
+  /** `df` plus column `out` = 1-based global row_number under `order`.
+    * `bucket` MUST be a monotone non-decreasing function of the
+    * leading sort key(s) — all rows of a lower bucket sort before all
+    * rows of a higher one. When `total` is set, a column of that name
+    * carries the GLOBAL row count on every row — it falls out of the
+    * bucket summary for free (Σ bucket counts ≤ the carry-in's own
+    * arithmetic), where a separate `df.agg(count)` would re-execute
+    * df's whole lineage (measured 3.5× on the classifier-fed f35).
+    */
+  def globalRowNumber(df: DataFrame, bucket: Column, order: Seq[Column],
+      out: String, total: Option[String] = None): DataFrame = {
+    val b = df.withColumn("__tp_bkt", bucket)
+    val counts = b.groupBy("__tp_bkt").agg(count(lit(1)).as("__tp_cnt"))
+    // carry-in per bucket: triangular join on the bucket summary
+    // (buckets² rows of bounded arithmetic — no window, no warning)
+    val lower = counts.select(col("__tp_bkt").as("__tp_b2"),
+      col("__tp_cnt").as("__tp_cnt2"))
+    val offsets = counts.join(broadcast(lower),
+        col("__tp_b2") < col("__tp_bkt"), "left")
+      .groupBy("__tp_bkt")
+      .agg(coalesce(sum(col("__tp_cnt2")), lit(0L)).as("__tp_off"))
+    // the global total folds off the SAME bucket summary (its shuffle
+    // is exchange-reused), never re-executing df's lineage
+    val grand = counts.agg(sum(col("__tp_cnt")).as("__tp_n"))
+    val joined = b.join(broadcast(offsets), "__tp_bkt")
+      .withColumn(out, col("__tp_off") +
+        row_number().over(Window.partitionBy(col("__tp_bkt")).orderBy(order: _*)))
+      .drop("__tp_bkt", "__tp_off")
+    total match {
+      case Some(n) => joined.crossJoin(broadcast(grand))
+        .withColumnRenamed("__tp_n", n)
+      case None => joined
+    }
+  }
+
+  /** SQL expression computing `ntile(k)` from a global 1-based rank
+    * and the row count — the ANSI bucket rule both engines implement
+    * (base = n div k rows per bucket, the first n mod k buckets take
+    * one extra), so a two-phase rank replaces the ntile window
+    * bit-identically. The ELSE branch is unreachable when n < k
+    * (every rank lands in the WHEN), so its div-by-zero never fires.
+    */
+  def ntileFromRank(rank: String, n: String, k: Int): String =
+    s"""CAST(CASE WHEN ($rank - 1) DIV (($n DIV $k) + 1) < ($n % $k)
+          THEN ($rank - 1) DIV (($n DIV $k) + 1) + 1
+          ELSE ($n % $k) + (($rank - 1) - ($n % $k) * (($n DIV $k) + 1)) DIV ($n DIV $k) + 1
+        END AS INT)"""
+}

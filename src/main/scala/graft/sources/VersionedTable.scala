@@ -293,18 +293,25 @@ object VersionedTable {
     * data), never a table rescan. */
   def readChanges(spark: SparkSession, path: String, fromV: Long, toV: Long): DataFrame = {
     require(fromV <= toV, s"fromV $fromV > toV $toV")
-    val before = readManifest(spark, path, fromV).toSet
-    // files a compaction in (fromV, toV] introduced hold only
-    // already-delivered rows — excluding them keeps the delta = rows
-    // APPENDED in the range, compaction-transparent
-    val compacted = versions(spark, path)
-      .filter(v => v > fromV && v <= toV && isCompaction(spark, path, v))
+    // Union of per-version single-step diffs, SKIPPING compaction
+    // versions (their new files hold only already-delivered rows —
+    // the dataChange=false semantic). A plain manifest(toV) ∖
+    // manifest(fromV) set-difference is WRONG across a compaction:
+    // an append at vA < vC inside the range lands files that the
+    // compaction at vC rewrites away, so they are absent from
+    // manifest(toV) and the appended rows would silently vanish.
+    // Per-step diffs read each append's files from the manifest that
+    // introduced them — old versions are byte-stable until [[vacuum]],
+    // so the files are still present even after a later compaction.
+    val files = versions(spark, path)
+      .filter(v => v > fromV && v <= toV)
+      .filterNot(v => isCompaction(spark, path, v))
       .flatMap { v =>
-        val prev = readManifest(spark, path, v - 1).toSet
+        // v = 1 has no predecessor: its delta is its full snapshot
+        val prev = if (v <= 1) Set.empty[String]
+          else readManifest(spark, path, v - 1).toSet
         readManifest(spark, path, v).filterNot(prev)
-      }.toSet
-    val files = readManifest(spark, path, toV).filterNot(before)
-      .filterNot(compacted)
+      }.distinct
       .map(f => resolve(path, f))
     if (files.isEmpty) spark.emptyDataFrame
     else spark.read.parquet(files: _*)

@@ -877,8 +877,9 @@ object IngestStream {
 
   case class UploadEvent(user: Long, eventId: Long, ms: Long, nbytes: Long)
   /** Bounded per-user ledger state: 4 longs forever (the running
-    * ledger summary), never upload history. firstOverMs = 0 ⇒ never
-    * breached. */
+    * ledger summary), never upload history. firstOverMs = -1 ⇒ never
+    * breached (-1 is unrepresentable as an event time, unlike 0 —
+    * epoch-0 uploads must not read as never-breached). */
   case class QuotaState(usage: Long, nUploads: Long, firstOverMs: Long,
     nOver: Long)
   case class QuotaEmit(user: Long, version: Long, totalBytes: Long,
@@ -906,20 +907,20 @@ object IngestStream {
           val batch = it.toSeq.sortBy(u => (u.ms, u.eventId))
           if (batch.isEmpty) Iterator.empty
           else {
-            var s = state.getOption.getOrElse(QuotaState(0L, 0L, 0L, 0L))
-            val wasOver = s.firstOverMs != 0L
+            var s = state.getOption.getOrElse(QuotaState(0L, 0L, -1L, 0L))
+            val wasOver = s.firstOverMs >= 0L
             batch.foreach { u =>
               val usage = s.usage + u.nbytes
               val over = usage > quota
               s = QuotaState(usage, s.nUploads + 1,
-                if (s.firstOverMs != 0L) s.firstOverMs
-                else if (over) u.ms else 0L,
+                if (s.firstOverMs >= 0L) s.firstOverMs
+                else if (over) u.ms else -1L,
                 s.nOver + (if (over) 1L else 0L))
             }
             state.update(s)
             val version = s.nUploads // monotone per user: uploads seen
             Iterator(QuotaEmit(user, version, s.usage, s.nUploads,
-              s.firstOverMs, s.nOver, breachNow = !wasOver && s.firstOverMs != 0L))
+              s.firstOverMs, s.nOver, breachNow = !wasOver && s.firstOverMs >= 0L))
           }
       }
   }

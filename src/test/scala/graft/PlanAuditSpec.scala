@@ -513,8 +513,28 @@ class PlanAuditSpec extends SparkTestBase {
     // events fold to one row per user BEFORE any window touches them
     assert("HashAggregate\\(keys=\\[user_id#\\d+L?\\]".r.findFirstIn(p).isDefined,
       s"spearman must pre-aggregate per user before ranking:\n$p")
-    assert(p.contains("Exchange SinglePartition"),
-      s"expected the user-bounded rank pass:\n$p")
+  }
+
+  test("two-phase global ranks (c70/c75/c80/c83/f35): zero unpartitioned windows") {
+    // the five corpus-proportional rank/ntile queries ride TwoPhase's
+    // bucketed split — every WindowExec must carry a partitionSpec
+    // (the bucket or the tied value), and the bucket carry-in is a
+    // bounded triangular JOIN, not a window, so nothing ever plans
+    // "WindowExec: No Partition Defined" (= all rows to one task)
+    import org.apache.spark.sql.execution.window.WindowExec
+    val five: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "c70 q_spearman" -> operators.AnalyticsTs.qSpearman(spark, sfDir),
+      "c75 q_gini" -> operators.AnalyticsExt.qGini(spark, sfDir),
+      "c80 q_rfm" -> operators.AnalyticsTs.qRfm(spark, sfDir),
+      "c83 q_elasticity" -> operators.AnalyticsExt.qElasticity(spark, sfDir),
+      "f35 q_calibration" -> operators.TextModels.qCalibration(spark, sfDir))
+    five.foreach { case (name, df) =>
+      val unpart = df.queryExecution.executedPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(unpart.isEmpty,
+        s"$name plans ${unpart.size} single-partition window(s):\n${unpart.mkString("\n")}")
+    }
   }
 
   test("c72 acf: the lag windows read the daily series, never raw events") {

@@ -162,6 +162,95 @@ class SinkSpec extends SparkTestBase {
     assert(spark.read.parquet(part).count() == 10, "crashed commit must recover losslessly")
   }
 
+  test("i16+b33: a gh8-range-ordered lake reads only the cover's files under the bbox predicate") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    // END-TO-END file pruning: events land range-ordered on the gh8
+    // key (b31), the b33 gh2 cover turns the bbox into a prefix
+    // IN-list, and the parquet footer stats must confine the read to
+    // the files whose gh2 interval intersects the COVER — the other
+    // files' rows never decode. This is the read path the two ops
+    // exist for: spatial predicate → prefix cover → footer pruning.
+    val out = Files.createTempDirectory("graft_ghrange").toString
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_id"),
+        least(floor((functions.Synth.lon(col("event_id")) + 180.0) / 360.0 * 1048576),
+          lit(1048575.0)).cast("long").as("xq"),
+        least(floor((functions.Synth.lat(col("event_id")) + 90.0) / 180.0 * 1048576),
+          lit(1048575.0)).cast("long").as("yq"))
+      .withColumn("gh8", expr("graft_geohash8(xq, yq)"))
+      .withColumn("gh2", expr("substring(gh8, 1, 2)"))
+    // 64 range files: narrow enough gh2 intervals that the fragmented
+    // z-curve cover (324 of 1024 cells) leaves whole files untouched
+    // (probed: 42/64 files overlap, holding ~2/3 of the rows)
+    DatasetsSink.writeRangeOrdered(e, out, "gh8", files = 64)
+
+    // the b33 cover: every gh2 cell of the bbox's candidate rectangle
+    // (full cells need no row filter; partial ones do — both need
+    // their FILES), with the per-cell counts as the oracle
+    val coverDf = operators.GeoOps.qGeohashCover(spark, sfDir)
+    val cover = coverDf.select("gh2").collect().map(_.getString(0)).toSet
+    val wantRows = coverDf.agg(sum("n_in_cell")).head().getLong(0)
+
+    // footer gh2 intervals per file → which files CAN hold cover rows
+    val files = new File(out).listFiles.filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 32, s"expected a multi-file layout, got ${files.length}")
+    val fileStats = files.toSeq.map { f =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(f.getPath), new Configuration()))
+      try {
+        val blocks = reader.getFooter.getBlocks
+        val stats = (0 until blocks.size()).map { b =>
+          val cols = blocks.get(b).getColumns
+          (0 until cols.size()).map(cols.get)
+            .find(_.getPath.toDotString == "gh2").get.getStatistics
+        }
+        val rows = (0 until blocks.size()).map(blocks.get(_).getRowCount).sum
+        (stats.map(_.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+            .toStringUsingUTF8).min,
+          stats.map(_.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
+            .toStringUsingUTF8).max, rows)
+      } finally reader.close()
+    }
+    val overlapping = fileStats.filter { case (lo, hi, _) =>
+      cover.exists(p => lo <= p && p <= hi) }
+    assert(overlapping.size < fileStats.size,
+      s"cover must NOT touch every file (${overlapping.size}/${fileStats.size}) — " +
+        "otherwise the scenario proves nothing")
+
+    // drive the scan with the cover predicate; rows READ must be
+    // bounded by the overlapping files' rows (pruned files contribute
+    // zero), and the answer must equal b33's own per-cell accounting
+    val read = new java.util.concurrent.atomic.AtomicLong
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          read.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    val thresholdKey = "spark.sql.parquet.pushdown.inFilterThreshold"
+    val prev = spark.conf.get(thresholdKey)
+    spark.conf.set(thresholdKey, "1024") // keep the 324-prefix IN pushable as-is
+    spark.sparkContext.addSparkListener(listener)
+    val got =
+      try {
+        val rows = spark.read.parquet(out)
+          .filter(col("gh2").isin(cover.toSeq: _*)).count()
+        val deadline = System.nanoTime() + 10e9.toLong
+        var last = -1L
+        while (System.nanoTime() < deadline && read.get() != last) {
+          last = read.get(); Thread.sleep(200)
+        }
+        rows
+      } finally {
+        spark.sparkContext.removeSparkListener(listener)
+        spark.conf.set(thresholdKey, prev)
+      }
+    assert(got == wantRows, s"cover scan answered $got, b33 accounts $wantRows")
+    val ceiling = overlapping.map(_._3).sum
+    assert(read.get() <= ceiling,
+      s"read ${read.get()} rows but only $ceiling live in cover-overlapping files — " +
+        "footer pruning did not engage")
+  }
+
   test("i12 writeZOrdered: a 2-d box query reads a fraction of what the scattered layout reads") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
     // 256×256 grid, 4 points per cell — identical data written two

@@ -488,13 +488,13 @@ class TrendStreamSpec extends SparkTestBase {
 
     val want = graft.operators.IngestOps.qStorageQuota(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3),
-        if (r.isNullAt(4)) 0L else r.getLong(4), r.getLong(5))).toMap
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getLong(5))).toMap
     val finals = emits.groupBy(_.user).map { case (u, es) => u -> es.maxBy(_.version) }
     assert(finals.keySet == want.keySet)
     finals.foreach { case (u, e) =>
       val (nUp, total, over, firstMs, nOver) = want(u)
       assert(e.nUploads == nUp && e.totalBytes == total, s"user $u ledger diverged")
-      assert((e.firstOverMs != 0L) == over, s"user $u over_quota diverged")
+      assert((e.firstOverMs >= 0L) == over, s"user $u over_quota diverged")
       assert(e.firstOverMs == firstMs, s"user $u first_over_ms diverged")
       assert(e.nUploadsOver == nOver, s"user $u n_uploads_over diverged")
     }

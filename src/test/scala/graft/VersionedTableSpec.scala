@@ -170,6 +170,30 @@ class VersionedTableSpec extends SparkTestBase {
     assert(rows(VersionedTable.read(spark, path, Some(6L))) == want)
   }
 
+  test("i11: catch-up readChanges across an interior compaction keeps the pre-compaction append") {
+    import spark.implicits._
+    // The round-10 ADVICE data-loss case: fromV < vA (append) < vC
+    // (compaction) <= toV. The compaction rewrites vA's files out of
+    // manifest(toV) and its own files carry no delta, so a plain
+    // manifest set-difference returns NOTHING for vA's rows — the
+    // union-of-single-step-diffs read must still deliver them.
+    val path = java.nio.file.Files.createTempDirectory("vtable_catchup").toString
+    val base = (0L until 10L).map(k => (k, s"b$k"))
+    val appA = (100L until 110L).map(k => (k, s"a$k"))
+    val appB = (200L until 210L).map(k => (k, s"c$k"))
+    VersionedTable.commit(spark, path, base.toDF("key", "val"))        // v1
+    VersionedTable.commit(spark, path, appA.toDF("key", "val"))        // v2 (append)
+    val cv = VersionedTable.compact(spark, path, targetFiles = 1)      // v3 (compaction)
+    assert(cv == 3L)
+    VersionedTable.commit(spark, path, appB.toDF("key", "val"))        // v4 (append)
+    assert(rows(VersionedTable.readChanges(spark, path, 1L, 3L)) == appA.toSet,
+      "the append preceding the in-range compaction must not vanish")
+    assert(rows(VersionedTable.readChanges(spark, path, 1L, 4L)) ==
+      (appA ++ appB).toSet, "catch-up across the compaction must union both appends")
+    // and the first version's delta is its full snapshot
+    assert(rows(VersionedTable.readChanges(spark, path, 0L, 1L)) == base.toSet)
+  }
+
   test("i13: drainChanges delivers every version's delta exactly once across a crash") {
     import spark.implicits._
     import graft.sources.DatasetsSink
