@@ -6,14 +6,55 @@ parquet tables and compares with the parquet dumped by graft.Verify.
 Usage: python3 dev/check.py [sfDir] [verifyOut]
 (run `sbt "runMain graft.Verify <sfDir> <verifyOut>"` first)
 """
-import sys, json, glob, os
+import sys, json, glob, os, tempfile
 import duckdb
+
+STRICT = "--strict" in sys.argv
+ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
+
+
+def strict_type_diff(spark_parquet, oracle_sql, con, scratch):
+    """Compare PARQUET-LEVEL logical types (via arrow schemas), not
+    pandas dtypes: pandas renders both DECIMAL(38,0) and BIGINT as
+    object/int64-ish frames, so a presentation-type divergence (the
+    e21 driver-hash red) slips through the lax compare. Strict mode
+    dumps the oracle result to parquet through DuckDB and diffs the
+    two files' arrow types per column name."""
+    import pyarrow.parquet as pq
+    want_path = os.path.join(scratch, "want.parquet")
+    con.execute(f"COPY ({oracle_sql}) TO '{want_path}' (FORMAT PARQUET)")
+    def norm(t):
+        s = str(t)
+        return {"large_string": "string"}.get(s, s)
+    gs = {f.name: norm(f.type) for f in pq.read_schema(spark_parquet)}
+    ws = {f.name: norm(f.type) for f in pq.read_schema(want_path)}
+    return {c: (gs.get(c), ws.get(c))
+            for c in sorted(set(gs) | set(ws)) if gs.get(c) != ws.get(c)}
+
+
+def strict_selftest():
+    """Planted twin: DECIMAL(38,0) vs BIGINT must be red in strict mode."""
+    con = duckdb.connect()
+    with tempfile.TemporaryDirectory() as d:
+        a = os.path.join(d, "a.parquet")
+        con.execute(f"COPY (SELECT CAST(42 AS DECIMAL(38,0)) AS x) TO '{a}' (FORMAT PARQUET)")
+        diff = strict_type_diff(a, "SELECT CAST(42 AS BIGINT) AS x", con, d)
+        assert diff == {"x": ("decimal128(38, 0)", "int64")}, diff
+        same = strict_type_diff(a, "SELECT CAST(42 AS DECIMAL(38,0)) AS x", con, d)
+        assert same == {}, same
+    print("strict selftest: planted decimal-vs-bigint twin is red, identical twin green")
+
+
+if "--selftest" in sys.argv:
+    strict_selftest()
+    sys.exit(0)
 
 # NOTE: run Verify into a FRESH outDir (rm -rf first) — a failed query
 # leaves the previous run's parquet behind and silently compares stale.
 
-sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+sf = ARGS[0] if len(ARGS) > 0 else "/root/testdata/sf0.01"
+out = ARGS[1] if len(ARGS) > 1 else "/tmp/verify_out"
+scratch = tempfile.mkdtemp(prefix="check_strict_")
 
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
@@ -40,6 +81,12 @@ for name in sorted(oracle):
           if str(got[c].dtype) != str(want[c].dtype)}
     if dt:
         print(f"FAIL {name}: dtype mismatch {dt}"); fails += 1; continue
+    if STRICT:
+        tdiff = strict_type_diff(files[0], oracle[name], con, scratch)
+        if tdiff:
+            print(f"FAIL {name}: parquet logical-type mismatch {tdiff}")
+            fails += 1
+            continue
     if len(got) != len(want):
         print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); fails += 1; continue
     g = got.sort_values(list(got.columns)).reset_index(drop=True)

@@ -287,6 +287,58 @@ object OpsAudit {
       .orderBy("col_name")
   }
 
+  /** c64b — the documented 100 TB swap of c64, DEMONSTRATED: the same
+    * 6-column profile with `approx_count_distinct` (HLL++, rsd 0.05)
+    * in place of the exact distincts. The plan difference is the
+    * point: c64's exact form runs the 6 count-distincts through one
+    * Expand — 6× the rows through the exchange; here the HLL sketches
+    * fold as ordinary partial aggregates, Expand DROPS OUT, and the
+    * exchange carries 6 sketch buffers per partition instead of 6×
+    * rows (benched beside c64 — the Expand tax made visible).
+    * Rows-only by design (sketch estimates have no DuckDB twin);
+    * the error-bound spec gates each nd within 10% of c64's exact. */
+  def qProfileApprox(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val agg = o.agg(
+      count(lit(1)).as("n"),
+      count(col("o_orderkey")).as("nn_orderkey"),
+      approx_count_distinct(col("o_orderkey")).as("nd_orderkey"),
+      min(col("o_orderkey")).cast("string").as("lo_orderkey"),
+      max(col("o_orderkey")).cast("string").as("hi_orderkey"),
+      count(col("o_custkey")).as("nn_custkey"),
+      approx_count_distinct(col("o_custkey")).as("nd_custkey"),
+      min(col("o_custkey")).cast("string").as("lo_custkey"),
+      max(col("o_custkey")).cast("string").as("hi_custkey"),
+      count(col("o_orderstatus")).as("nn_status"),
+      approx_count_distinct(col("o_orderstatus")).as("nd_status"),
+      min(col("o_orderstatus")).as("lo_status"),
+      max(col("o_orderstatus")).as("hi_status"),
+      count(col("o_totalprice")).as("nn_price"),
+      approx_count_distinct(col("o_totalprice")).as("nd_price"),
+      min(col("o_totalprice").cast("decimal(18,2)")).cast("string").as("lo_price"),
+      max(col("o_totalprice").cast("decimal(18,2)")).cast("string").as("hi_price"),
+      count(col("o_orderdate")).as("nn_date"),
+      approx_count_distinct(col("o_orderdate")).as("nd_date"),
+      unix_millis(min(col("o_orderdate")).cast("timestamp")).cast("string").as("lo_date"),
+      unix_millis(max(col("o_orderdate")).cast("timestamp")).cast("string").as("hi_date"),
+      count(col("o_orderpriority")).as("nn_prio"),
+      approx_count_distinct(col("o_orderpriority")).as("nd_prio"),
+      min(col("o_orderpriority")).as("lo_prio"),
+      max(col("o_orderpriority")).as("hi_prio"))
+    agg.select(expr(
+      """stack(6,
+        'o_custkey',      n - nn_custkey,  nd_custkey,  lo_custkey,  hi_custkey,
+        'o_orderdate',    n - nn_date,     nd_date,     lo_date,     hi_date,
+        'o_orderkey',     n - nn_orderkey, nd_orderkey, lo_orderkey, hi_orderkey,
+        'o_orderpriority',n - nn_prio,     nd_prio,     lo_prio,     hi_prio,
+        'o_orderstatus',  n - nn_status,   nd_status,   lo_status,   hi_status,
+        'o_totalprice',   n - nn_price,    nd_price,    lo_price,    hi_price)
+        AS (col_name, n_null, n_distinct, lo, hi)"""),
+      col("n").as("n_rows"))
+      .select("col_name", "n_rows", "n_null", "n_distinct", "lo", "hi")
+      .orderBy("col_name")
+  }
+
   val qProfileSql: String = {
     def row(name: String, c: String, lo: String, hi: String) =
       s"""SELECT '$name' AS col_name, COUNT(*) AS n_rows,
@@ -625,6 +677,7 @@ object OpsAudit {
     "q_fk_audit" -> (qFkAudit _),
     "q_skew_audit" -> (qSkewAudit _),
     "q_profile" -> (qProfile _),
+    "q_profile_approx" -> (qProfileApprox _), // rows-only: sketch estimates (spec-gated ±10%)
     "q_lang_id_eval" -> (qLangIdEval _),
     "q_triangles" -> (qTriangles _))
 

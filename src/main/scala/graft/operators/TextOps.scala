@@ -1122,18 +1122,25 @@ object TextOps {
   // fat head, a tokenizer-mangled one a flat head — the f33 vocab
   // decision and the f12 domain-cap decision both read off this
   // curve. Plan: ONE explode scan folds to (token, cnt) — map-side
-  // combined, event-volume exits immediately — the type ranking rides
-  // a vocab-bounded single-partition window (f33's argument), and the
-  // 4-threshold readout is one bounded agg off a tiny cross with the
-  // threshold dimension (f34's pattern). Integer micro shares by
+  // combined, event-volume exits immediately — and because no
+  // threshold exceeds k = 1000, the ranking first CUTS to the top
+  // 1000 types via orderBy+limit (TakeOrderedAndProject: per-
+  // partition partial top-k, only 1000 rows ever travel), so the
+  // rank window reads a CONSTANT-bounded input at any vocabulary —
+  // the RRF/ndcg discipline, replacing the earlier vocab-bounded
+  // single-partition pass (Heaps-sublinear but still corpus-
+  // dependent). The 4-threshold readout is one bounded agg off a
+  // tiny cross with the threshold dimension (f34's pattern); total
+  // mass still folds over the FULL counts. Integer micro shares by
   // floor division; rank ties broken (cnt desc, token) — total and
   // deterministic both engines.
   def qHeadMass(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir, "documents")
     val counts = d.select(explode(split(col("text"), " ")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
-    val ranked = counts.withColumn("rk",
-      row_number().over(Window.orderBy(col("cnt").desc, col("token"))))
+    val ranked = counts.orderBy(col("cnt").desc, col("token")).limit(1000)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("cnt").desc, col("token"))))
     val total = counts.agg(sum(col("cnt")).as("total"))
     val ks = spark.range(1).select(
       explode(array(lit(1), lit(10), lit(100), lit(1000))).as("k"))

@@ -35,10 +35,11 @@ object TwoPhase {
     * `bucket` MUST be a monotone non-decreasing function of the
     * leading sort key(s) — all rows of a lower bucket sort before all
     * rows of a higher one. When `total` is set, a column of that name
-    * carries the GLOBAL row count on every row — it falls out of the
-    * bucket summary for free (Σ bucket counts ≤ the carry-in's own
-    * arithmetic), where a separate `df.agg(count)` would re-execute
-    * df's whole lineage (measured 3.5× on the classifier-fed f35).
+    * carries the GLOBAL row count on every row — it folds off the
+    * bucket summary (whose shuffle is exchange-reused), where a
+    * separate `df.agg(count)` would re-execute df's lineage from its
+    * last exchange (expensive when df ends map-side, e.g. f35's
+    * classifier join).
     */
   def globalRowNumber(df: DataFrame, bucket: Column, order: Seq[Column],
       out: String, total: Option[String] = None): DataFrame = {

@@ -630,6 +630,27 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("c64b profile-approx: each nd within 10% of the exact profile, and Expand drops out") {
+    val exact = OpsAudit.qProfile(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_distinct")).toMap
+    OpsAudit.qProfileApprox(spark, sfDir).collect().foreach { r =>
+      val c = r.getString(0)
+      val approx = r.getAs[Long]("n_distinct").toDouble
+      assert(math.abs(approx - exact(c)) / exact(c).max(1L) <= 0.1,
+        s"$c: approx $approx vs exact ${exact(c)}")
+    }
+    // the 100 TB point: the exact profile pays a 6× Expand through its
+    // exchange; the sketch profile must NOT (HLL buffers fold as plain
+    // partial aggregates)
+    val pExact = OpsAudit.qProfile(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val pApprox = OpsAudit.qProfileApprox(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(pExact.contains("Expand"), s"exact profile lost its Expand?\n$pExact")
+    assert(!pApprox.contains("Expand"),
+      s"approx profile still plans an Expand — the swap buys nothing:\n$pApprox")
+  }
+
   test("route format covers every extension class") {
     val routes = IngestOps.qRouteFormat(spark, sfDir)
       .select("route").distinct().collect().map(_.getString(0)).toSet

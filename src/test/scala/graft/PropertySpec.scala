@@ -271,4 +271,35 @@ class PropertySpec extends SparkTestBase {
         true
     }, n = 100)
   }
+
+  test("TwoPhase.globalRowNumber equals the single-partition window on random multisets") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // random value multisets with heavy ties, random bucket widths —
+    // the helper must be bit-identical to row_number() OVER (ORDER BY
+    // v, id) for ANY monotone bucketing (incl. degenerate 1-bucket and
+    // bucket-per-value), and the ntile closed form must match ntile()
+    val gen = for {
+      n <- Gen.choose(1, 400)
+      vals <- Gen.listOfN(n, Gen.choose(-50L, 50L)) // negatives: trunc-div buckets
+      width <- Gen.oneOf(1L, 3L, 7L, 1000L) // 1000 ⇒ a single bucket
+      k <- Gen.choose(2, 7)
+    } yield (vals, width, k)
+    check(Prop.forAll(gen) { case (vals, width, k) =>
+      val df = vals.zipWithIndex.map { case (v, i) => (v, i.toLong) }.toDF("v", "id")
+      val got = graft.operators.TwoPhase.globalRowNumber(df,
+          expr(s"v div $width"), Seq(col("v"), col("id")), "rk", total = Some("n"))
+        .withColumn("q", expr(graft.operators.TwoPhase.ntileFromRank("rk", "n", k)))
+        .select("id", "rk", "q").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"), col("id"))
+      val want = df
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("q", ntile(k).over(w))
+        .select("id", "rk", "q").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+      assert(got == want, s"two-phase diverged (width=$width, k=$k)")
+      true
+    }, n = 30)
+  }
 }
