@@ -263,6 +263,136 @@ object TextOps {
       WHERE ticket * 1000 < ($rate) * 65536 ORDER BY doc_id"""
   }
 
+  /** f39 — TEMPERATURE-balanced mixture sampling (the multilingual
+    * rebalancing recipe XLM-R/mT5 train with: sample languages
+    * ∝ n_s^α, α = 0.7, so head languages shrink and tail languages
+    * grow relative to raw frequency — f7's fixed per-mille table is
+    * the hand-tuned version of this; f39 DERIVES the mix from the
+    * measured pool). All in LOG space so no exp/softmax ever runs
+    * (f26's Gumbel-top-k trick): a doc of language s needs weight
+    * ∝ n_s^(α−1) for the lang mass to come out ∝ n_s^α, so its
+    * log-weight is (α−1)·ln n_s — computed as −((x·3) div 10) with
+    * x = round(ln(n_s)·10⁶) (c83/f31's micro-nat ln of an exact
+    * integer, engine-identical), plus the Gumbel key from f7's md5
+    * ticket over 65537 (f26's open-interval guard). Global top-k =
+    * one TakeOrderedAndProject. Output: the per-language audit the
+    * mix review reads — pool/selected doc counts and micro shares
+    * before vs after (after is provably flatter on a skewed pool —
+    * spec-gated). Plan: one token-count agg per lang (bounded),
+    * broadcast back, map-only priorities, top-k, bounded rollup. */
+  def qTemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val perDoc = d.select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val perLang = perDoc.groupBy("lang")
+      .agg(count(lit(1)).as("n_pool"), sum(col("n_tok")).as("tok_s"))
+      .withColumn("x", expr("CAST(round(ln(CAST(tok_s AS DOUBLE)) * 1e6) AS BIGINT)"))
+      .withColumn("lw_micro", expr("-((x * 3) div 10)"))
+    def digit(i: Int) =
+      s"(locate(substr(md5(CAST(doc_id AS STRING)), $i, 1), '0123456789abcdef') - 1)"
+    val ticket =
+      s"CAST(((${digit(1)} * 16 + ${digit(2)}) * 16 + ${digit(3)}) * 16 + ${digit(4)} AS INT)"
+    val sel = perDoc
+      .join(broadcast(perLang.select("lang", "lw_micro")), "lang")
+      .withColumn("priority_micro", expr(
+        s"lw_micro + CAST(round(-ln(-ln(($ticket + 1) / 65537e0)) * 1e6) AS BIGINT)"))
+      .orderBy(col("priority_micro").desc, col("doc_id"))
+      .limit(200)
+    val tot = perLang.agg(sum(col("n_pool")).as("pool_total"))
+    sel.groupBy("lang").agg(count(lit(1)).as("n_sel"))
+      .join(perLang.select("lang", "n_pool"), "lang")
+      .crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_pool"), col("n_sel"),
+        expr("n_pool * 1000000 div pool_total").as("share_before_micro"),
+        expr("n_sel * 1000000 div 200").as("share_after_micro"))
+      .orderBy("lang")
+  }
+
+  val qTemperatureMixSql: String = {
+    def digit(i: Int) =
+      s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
+    val ticket =
+      s"CAST(((${digit(1)} * 16 + ${digit(2)}) * 16 + ${digit(3)}) * 16 + ${digit(4)} AS INT)"
+    s"""WITH pd AS (
+        SELECT doc_id, lang,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      pl AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_pool,
+          CAST(SUM(n_tok) AS BIGINT) AS tok_s
+        FROM pd GROUP BY lang),
+      lw AS (
+        SELECT lang, n_pool,
+          -((CAST(round(ln(CAST(tok_s AS DOUBLE)) * 1e6) AS BIGINT) * 3) // 10)
+            AS lw_micro
+        FROM pl),
+      pri AS (
+        SELECT pd.doc_id, pd.lang,
+          lw_micro + CAST(round(-ln(-ln(($ticket + 1) / 65537e0)) * 1e6) AS BIGINT)
+            AS priority_micro
+        FROM pd JOIN lw ON pd.lang = lw.lang),
+      sel AS (
+        SELECT doc_id, lang FROM pri
+        ORDER BY priority_micro DESC, doc_id LIMIT 200),
+      tot AS (SELECT SUM(n_pool) AS pool_total FROM pl)
+      SELECT s.lang, lw.n_pool, CAST(COUNT(*) AS BIGINT) AS n_sel,
+        CAST(lw.n_pool * 1000000 // MAX(pool_total) AS BIGINT) AS share_before_micro,
+        CAST(COUNT(*) * 1000000 // 200 AS BIGINT) AS share_after_micro
+      FROM sel s JOIN lw ON s.lang = lw.lang CROSS JOIN tot
+      GROUP BY s.lang, lw.n_pool ORDER BY s.lang"""
+  }
+
+  /** f40 — EPOCH planning under a repetition cap (the data-constrained
+    * scaling readout — Muennighoff et al. 2023 put the useful-repeat
+    * ceiling near 4 epochs; every mix review asks "can the tail
+    * languages even FILL their target, and at how many passes?"):
+    * budget B = 2× the corpus (a deliberate data-constrained setting),
+    * split uniformly across languages (the equal-per-language target
+    * f39's temperature mix approaches as α → 0); each language
+    * contributes min(cap·tok_s, target) tokens, reported with its
+    * pass count in exact milli-epochs (alloc·1000 div tok_s) and the
+    * UNFILLED budget the cap leaves on the table — the number that
+    * triggers either a cap raise or more tail data collection.
+    * Everything integer (floor division), one bounded per-lang agg +
+    * scalar math on a languages-sized table. */
+  def qEpochPlan(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val perLang = d.select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_s"))
+    val tot = perLang.agg(sum(col("tok_s")).as("tok_total"),
+      count(lit(1)).as("n_langs"))
+    perLang.crossJoin(broadcast(tot))
+      .withColumn("target_tok", expr("(2 * tok_total) div n_langs"))
+      .withColumn("alloc_tok", least(expr("4 * tok_s"), col("target_tok")))
+      .select(col("lang"), col("n_docs"), col("tok_s"), col("target_tok"),
+        col("alloc_tok"),
+        expr("alloc_tok * 1000 div tok_s").as("epochs_milli"),
+        (col("target_tok") - col("alloc_tok")).as("unfilled_tok"),
+        (col("target_tok") > col("alloc_tok")).as("capped"))
+      .orderBy("lang")
+  }
+
+  val qEpochPlanSql: String =
+    """WITH pl AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tok_s
+        FROM documents GROUP BY lang),
+      tot AS (
+        SELECT CAST(SUM(tok_s) AS BIGINT) AS tok_total,
+          CAST(COUNT(*) AS BIGINT) AS n_langs
+        FROM pl),
+      pt AS (
+        SELECT pl.*, (2 * tok_total) // n_langs AS target_tok
+        FROM pl CROSS JOIN tot),
+      al AS (
+        SELECT *, LEAST(4 * tok_s, target_tok) AS alloc_tok FROM pt)
+      SELECT lang, n_docs, tok_s, target_tok, alloc_tok,
+        alloc_tok * 1000 // tok_s AS epochs_milli,
+        target_tok - alloc_tok AS unfilled_tok,
+        target_tok > alloc_tok AS capped
+      FROM al ORDER BY lang"""
+
   /** f8 — PII-style redaction pass: numbers and @-handles replaced by
     * placeholder tokens before training; per-doc redaction counts plus
     * an md5 fingerprint of the redacted text (the text itself stays in
@@ -1278,6 +1408,8 @@ object TextOps {
     "q_bm25" -> (qBm25 _),
     "q_length_histogram" -> (qLengthHistogram _),
     "q_sample_mix" -> (qSampleMix _),
+    "q_temperature_mix" -> (qTemperatureMix _),
+    "q_epoch_plan" -> (qEpochPlan _),
     "q_redact_pii" -> (qRedactPii _),
     "q_vocab" -> (qVocab _),
     "q_corpus_filter" -> (qCorpusFilter _),
@@ -1309,6 +1441,8 @@ object TextOps {
     "q_bm25" -> qBm25Sql,
     "q_length_histogram" -> qLengthHistogramSql,
     "q_sample_mix" -> qSampleMixSql,
+    "q_temperature_mix" -> qTemperatureMixSql,
+    "q_epoch_plan" -> qEpochPlanSql,
     "q_redact_pii" -> qRedactPiiSql,
     "q_vocab" -> qVocabSql,
     "q_corpus_filter" -> qCorpusFilterSql,

@@ -630,6 +630,40 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("f39 temperature mix: α=0.7 provably flattens the language distribution") {
+    val rows = TextOps.qTemperatureMix(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSet.size == rows.length, "one row per language")
+    // temperature < 1 must pull the head DOWN and flatten the whole
+    // distribution (per-lang checks would be sampling-noise-flaky at
+    // k=200: tail-share σ ≈ 2.7%; the L1 distance to uniform is the
+    // robust flattening readout)
+    val head = rows.maxBy(_._2)
+    assert(head._3 < head._2,
+      s"head lang ${head._1} share must shrink: before ${head._2} after ${head._3}")
+    val uniform = 1000000L / rows.length
+    def l1(shares: Seq[Long]) = shares.map(s => math.abs(s - uniform)).sum
+    assert(l1(rows.map(_._3).toSeq) < l1(rows.map(_._2).toSeq),
+      s"after-shares must sit closer to uniform: $rows")
+    // the selection is exactly k docs and shares account for them
+    val sel = TextOps.qTemperatureMix(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.sum("n_sel")).head().getLong(0)
+    assert(sel == 200L, s"selected $sel of the 200-doc budget")
+  }
+
+  test("f40 epoch plan: caps bind at exactly 4 passes, budgets account to the token") {
+    val rows = TextOps.qEpochPlan(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tok, target, alloc, em, unfilled, capped) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7))
+      assert(alloc == math.min(4 * tok, target), s"$r allocation rule broken")
+      assert(unfilled == target - alloc, s"$r budget does not account")
+      if (capped) assert(em == 4000L, s"$r capped language must run exactly 4 passes")
+      else assert(em <= 4000L && alloc == target, s"$r uncapped language must fill its target")
+    }
+  }
+
   test("c64b profile-approx: each nd within 10% of the exact profile, and Expand drops out") {
     val exact = OpsAudit.qProfile(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getAs[Long]("n_distinct")).toMap
