@@ -537,6 +537,22 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("f39/f40 mix planning: bounded lang dims broadcast, top-k bounded, no global sort") {
+    val mix = operators.TextOps.qTemperatureMix(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the 200-doc cut must be a per-partition partial top-k, not a sort
+    assert(mix.contains("TakeOrderedAndProject"),
+      s"temperature mix must top-k via TakeOrderedAndProject:\n$mix")
+    assert(mix.contains("BroadcastExchange"),
+      s"the languages-sized weight dim must broadcast:\n$mix")
+    val plan = operators.TextOps.qEpochPlan(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"the 1-row totals must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"epoch plan must never shuffle-join its bounded tables:\n$plan")
+  }
+
   test("c72 acf: the lag windows read the daily series, never raw events") {
     val p = operators.AnalyticsTs.qAcf(spark, sfDir)
       .queryExecution.executedPlan.toString
