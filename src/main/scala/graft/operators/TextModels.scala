@@ -324,6 +324,7 @@ object TextModels {
     val scored = qQualityClassifier(spark, dir)
       .select(col("doc_id"), col("score_micro"),
         col("actual").cast("long").as("pos"))
+      .localCheckpoint(true) // eval-split-bounded model join; TwoPhase caller note
     val wScore = Window.partitionBy("score_micro")
     val ranked = graft.operators.TwoPhase.globalRowNumber(scored,
         expr("score_micro div 1048576"),
