@@ -45,13 +45,21 @@ object Bench {
     // runs disagree by more than 2× the machine was stalling (shared
     // hosts hiccup for seconds at a time); one extra run keeps a
     // transient stall from defining the query's number.
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       // each timed run stands alone: evict the shared dedup pair-graph
       // memo so d2/d6/d7 measure their whole pipeline, not a cache hit
       graft.operators.Dedup.clearShared()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+      catch { case e: Throwable =>
+        // a throwing query MUST NOT masquerade as a fast one: its
+        // time-to-failure is not a throughput number (observed: a
+        // crashed 100x dedup run reporting 0.04s). Record the name;
+        // the JSON carries it and the history fold skips it.
+        failed += name
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       (System.nanoTime() - t0) / 1e9
     }
     // regression tracking: bench_history.json (committed to the repo)
@@ -104,7 +112,12 @@ object Bench {
       prior.get(k).map(p => f""""$k":${v - p}%.3f""")
     }.mkString("{", ",", "}")
     if (only.isEmpty) {
-      val folded = results.map { case (k, v) => k -> math.min(v, prior.getOrElse(k, v)) }
+      // failed queries keep their prior history entry (a crash's
+      // elapsed time is not a best-observed number)
+      val folded = results.map { case (k, v) =>
+        if (failed.contains(k)) k -> prior.getOrElse(k, v)
+        else k -> math.min(v, prior.getOrElse(k, v))
+      }
       val foldedJson = folded.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       java.nio.file.Files.writeString(histPath, foldedJson + "\n")
@@ -112,9 +125,10 @@ object Bench {
     // full per-query detail goes to the file; stdout gets a SHORT line —
     // the driver keeps only the tail of the output, and the ~3.5 KB
     // per-query map was truncating the stdout JSON from the front
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""prior":$priorJson,"delta":$deltaJson,"sf":"$sfDir"}"""
-    val short = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","detail":"$benchOut"}"""
+      s""""prior":$priorJson,"delta":$deltaJson,"failed":$failedJson,"sf":"$sfDir"}"""
+    val short = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"sf":"$sfDir","detail":"$benchOut"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(benchOut), full + "\n")
     // silence shutdown-path logging (EventLoop interrupt stacks at
     // stop() previously corrupted the output tail), stop Spark FIRST,
