@@ -1292,9 +1292,120 @@ object Ann {
       ORDER BY v.vec_id"""
   }
 
+  /** e26 — nprobe RECALL/COST sweep (the tuning curve every IVF
+    * deployment reads before pinning its serving config — d22's
+    * threshold-ablation shape for the e-family's own knob: more
+    * probed cells buy recall with candidate-scan cost, and THIS table
+    * is where the elbow shows): for nprobe ∈ {1, 2, 4, 8}, probe the
+    * top-nprobe cells by exact centroid dot (e3's decimal-exact
+    * centroid algebra), score the candidates, take cosine top-5, and
+    * report n_cells / n_candidates (the cost axis) / hits against the
+    * brute-force top-5 truth / recall. ONE corpus join does all four
+    * sweep points: every vector joins the broadcast 10-row cell-rank
+    * dim once, keeps its cell's rank, and the nprobe dimension is a
+    * bounded cross — rank ≤ 8 bounds the candidate table by the top-8
+    * cells' population, never the corpus. The per-nprobe top-5 is a
+    * rank window PARTITIONED by sweep point (WindowGroupLimit); truth
+    * is the one exact-scan component, which is exactly why this is a
+    * batch eval and not an online check (e10's argument). */
+  def qAnnNprobeSweep(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val e = Tables(spark, dir, "embeddings")
+    val pe = e.select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
+    val cent = pe.groupBy("label", "i")
+      .agg(sum(round(col("v").cast("double"), 6).cast("decimal(8,6)"))
+        .cast("decimal(12,6)").as("s"), count(lit(1)).as("n"))
+    val qe = e.filter(col("vec_id") === 0)
+      .select(posexplode(col("embedding")).as(Seq("i", "qv")))
+    val dots = cent.join(broadcast(qe), "i")
+      .groupBy("label")
+      .agg((sum(round(col("qv").cast("double"), 6).cast("decimal(8,6)") * col("s"))
+        .cast("double") / max(col("n"))).as("dot"))
+    // cells are index-bounded (10 here): the rank window is a dim op
+    val cellRank = dots.withColumn("cell_rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("dot").desc, col("label"))))
+      .select(col("label"), col("cell_rank")).filter(col("cell_rank") <= 8)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val cand = e.join(broadcast(cellRank), "label")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("cell_rank"),
+        expr(cosineSpark("embedding", "qv")).as("cos_sim"))
+    val probes = spark.range(4)
+      .select(expr("CAST(pow(2, id) AS INT)").as("np"))
+    val swept = cand.crossJoin(broadcast(probes))
+      .filter(col("cell_rank") <= col("np"))
+    val top = swept.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("np")
+          .orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("rk") <= 5)
+    val exact = e.crossJoin(broadcast(q))
+      .select(col("vec_id"), expr(cosineSpark("embedding", "qv")).as("cs"))
+      .orderBy(col("cs").desc, col("vec_id")).limit(5).select("vec_id")
+    val cost = swept.groupBy("np")
+      .agg(countDistinct(col("cell_rank")).as("n_cells"),
+        count(lit(1)).as("n_candidates"))
+    top.join(exact, Seq("vec_id"), "left_semi")
+      .groupBy("np").agg(count(lit(1)).as("n_hits"))
+      .join(cost, Seq("np"), "right")
+      .select(col("np").as("nprobe"), col("n_cells"), col("n_candidates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / 5.0, 6).as("recall"))
+      .orderBy("nprobe")
+  }
+
+  val qAnnNprobeSweepSql: String =
+    s"""WITH pe AS (
+        SELECT label, unnest(generate_series(1, len(embedding))) AS i, unnest(embedding) AS v
+        FROM embeddings),
+      cent AS (
+        SELECT label, i,
+          CAST(SUM(CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(8,6))) AS DECIMAL(12,6)) AS s,
+          COUNT(*) AS n
+        FROM pe GROUP BY label, i),
+      qe AS (
+        SELECT unnest(generate_series(1, len(embedding))) AS i, unnest(embedding) AS qv
+        FROM embeddings WHERE vec_id = 0),
+      dots AS (
+        SELECT label,
+          CAST(SUM(CAST(round(CAST(qv AS DOUBLE), 6) AS DECIMAL(8,6)) * s) AS DOUBLE) / MAX(n) AS dot
+        FROM cent JOIN qe USING (i) GROUP BY label),
+      cr AS (
+        SELECT label, row_number() OVER (ORDER BY dot DESC, label) AS cell_rank
+        FROM dots QUALIFY cell_rank <= 8),
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      cand AS (
+        SELECT e.vec_id, cr.cell_rank, ${cosineDuck("e.embedding", "qv")} AS cos_sim
+        FROM embeddings e JOIN cr ON e.label = cr.label, q),
+      probes AS (SELECT CAST(unnest([1, 2, 4, 8]) AS INT) AS np),
+      swept AS (
+        SELECT * FROM cand CROSS JOIN probes WHERE cell_rank <= np),
+      top AS (
+        SELECT np, vec_id FROM (
+          SELECT np, vec_id, row_number() OVER (PARTITION BY np
+            ORDER BY cos_sim DESC, vec_id) AS rk
+          FROM swept) t WHERE rk <= 5),
+      exact AS (
+        SELECT vec_id FROM (
+          SELECT e.vec_id, ${cosineDuck("e.embedding", "qv")} AS cs
+          FROM embeddings e, q ORDER BY cs DESC, vec_id LIMIT 5) x),
+      cost AS (
+        SELECT np, CAST(COUNT(DISTINCT cell_rank) AS BIGINT) AS n_cells,
+          CAST(COUNT(*) AS BIGINT) AS n_candidates
+        FROM swept GROUP BY np),
+      hits AS (
+        SELECT np, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM top WHERE vec_id IN (SELECT vec_id FROM exact) GROUP BY np)
+      SELECT cost.np AS nprobe, n_cells, n_candidates,
+        COALESCE(n_hits, 0) AS n_hits,
+        round(COALESCE(n_hits, 0) / 5.0, 6) AS recall
+      FROM cost LEFT JOIN hits ON hits.np = cost.np
+      ORDER BY nprobe"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_rebalance" -> (qAnnRebalance _),
     "q_ann_rebalance_exec" -> (qAnnRebalanceExec _),
+    "q_ann_nprobe_sweep" -> (qAnnNprobeSweep _),
     "q_ann_index_stats" -> (qAnnIndexStats _),
     "q_ann_mrl" -> (qAnnMrl _),
     "q_ann_range" -> (qAnnRange _),
@@ -1315,6 +1426,7 @@ object Ann {
   val oracles: Map[String, String] = Map(
     "q_ann_rebalance" -> qAnnRebalanceSql,
     "q_ann_rebalance_exec" -> qAnnRebalanceExecSql,
+    "q_ann_nprobe_sweep" -> qAnnNprobeSweepSql,
     "q_ann_index_stats" -> qAnnIndexStatsSql,
     "q_ann_mrl" -> qAnnMrlSql,
     "q_ann_range" -> qAnnRangeSql,

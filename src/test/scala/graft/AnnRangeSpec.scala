@@ -64,4 +64,24 @@ class AnnRangeSpec extends SparkTestBase {
     assert(want.nonEmpty, "degenerate scenario: no vector qualifies at tau")
     assert(got.toSeq == want, "pruned range search diverged from brute force")
   }
+
+  test("e26 nprobe sweep: recall monotone in probes, cost strictly growing, full recall reachable") {
+    val rows = Ann.qAnnNprobeSweep(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 4, 8))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 > a._3, s"candidate cost must strictly grow with nprobe: $a -> $b")
+      assert(b._5 >= a._5, s"recall must be monotone in nprobe: $a -> $b")
+      // more probes can only ADD candidates — hits never regress
+      assert(b._4 >= a._4, s"hits must be monotone: $a -> $b")
+    }
+    // full recall is NOT guaranteed below nprobe = ncells (a truth
+    // vector can live in an unprobed tail cell — that's the trade the
+    // sweep exists to price); demand the curve actually climbs
+    assert(rows.last._5 > rows.head._5 && rows.last._5 >= 0.6,
+      s"the sweep must show recall bought by probes: ${rows.toSeq}")
+    rows.foreach { case t @ (np, nc, _, _, _) =>
+      assert(nc <= np, s"cannot probe more cells than nprobe: $t")
+    }
+  }
 }
