@@ -553,6 +553,19 @@ class PlanAuditSpec extends SparkTestBase {
       s"epoch plan must never shuffle-join its bounded tables:\n$plan")
   }
 
+  test("e26 nprobe sweep: one corpus join against a broadcast cell dim, top-5 group-limited") {
+    val p = operators.Ann.qAnnNprobeSweep(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the vector table joins the 10-row cell-rank dim by broadcast —
+    // never a shuffle of the corpus on label
+    assert(p.contains("BroadcastHashJoin"),
+      s"cell-rank dim must broadcast-join the corpus:\n$p")
+    // the per-sweep-point top-5 pushes its limit into the rank window
+    assert(p.contains("WindowGroupLimit"),
+      s"per-nprobe top-5 must plan a WindowGroupLimit:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
   test("c72 acf: the lag windows read the daily series, never raw events") {
     val p = operators.AnalyticsTs.qAcf(spark, sfDir)
       .queryExecution.executedPlan.toString
