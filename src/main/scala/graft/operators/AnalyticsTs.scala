@@ -1012,7 +1012,10 @@ object AnalyticsTs {
           .otherwise(0L)).as("y"))
     val rankedX = TwoPhase.globalRowNumber(perUser, col("x"),
       Seq(col("x"), col("user_id")), "rx")
-    val ranked = TwoPhase.globalRowNumber(rankedX, expr("y div 65536"),
+    // y (lifetime spend) has no structural domain bound — ride the
+    // distribution-free range variant (hard 32-bucket carry-in for ANY
+    // whale distribution) instead of value-width slices
+    val ranked = TwoPhase.globalRowNumberByRange(rankedX,
         Seq(col("y"), col("user_id")), "ry")
       .withColumn("mrx", min(col("rx")).over(Window.partitionBy("x"))
         + max(col("rx")).over(Window.partitionBy("x")))

@@ -80,6 +80,45 @@ object TwoPhase {
     }
   }
 
+  /** Distribution-FREE variant: instead of caller-supplied value-width
+    * buckets (whose count is only bounded when the key's domain is —
+    * an adversarially spread key could mint one bucket per row and
+    * blow the broadcast), ride Spark's own range partitioner: sample
+    * the sort key, split into exactly `partitions` ranges, and use the
+    * physical partition id as the bucket. Costs ONE extra sampling
+    * pass over df (the reservoir job repartitionByRange always runs);
+    * buys a HARD bound of `partitions` carry-in rows for any
+    * distribution. Output ranks are deterministic even though the
+    * partition boundaries come from sampling: the rank depends only on
+    * the total `order`, and concatenating range partitions in pid
+    * order IS that order wherever the sampler happens to cut.
+    * Choose by domain knowledge: value buckets when the key's range is
+    * structurally bounded (day counts, cent slices of a known revenue
+    * scale — no sampling pass), this variant when it is not.
+    */
+  def globalRowNumberByRange(df: DataFrame, order: Seq[Column],
+      out: String, partitions: Int = 32, total: Option[String] = None): DataFrame = {
+    val b = df.repartitionByRange(partitions, order: _*)
+      .withColumn("__tp_bkt", spark_partition_id())
+    val counts = b.groupBy("__tp_bkt").agg(count(lit(1)).as("__tp_cnt"))
+    val lower = counts.select(col("__tp_bkt").as("__tp_b2"),
+      col("__tp_cnt").as("__tp_cnt2"))
+    val offsets = counts.join(broadcast(lower),
+        col("__tp_b2") < col("__tp_bkt"), "left")
+      .groupBy("__tp_bkt")
+      .agg(coalesce(sum(col("__tp_cnt2")), lit(0L)).as("__tp_off"))
+    val grand = counts.agg(sum(col("__tp_cnt")).as("__tp_n"))
+    val joined = b.join(broadcast(offsets), "__tp_bkt")
+      .withColumn(out, col("__tp_off") +
+        row_number().over(Window.partitionBy(col("__tp_bkt")).orderBy(order: _*)))
+      .drop("__tp_bkt", "__tp_off")
+    total match {
+      case Some(n) => joined.crossJoin(broadcast(grand))
+        .withColumnRenamed("__tp_n", n)
+      case None => joined
+    }
+  }
+
   /** SQL expression computing `ntile(k)` from a global 1-based rank
     * and the row count — the ANSI bucket rule both engines implement
     * (base = n div k rows per bucket, the first n mod k buckets take

@@ -299,6 +299,14 @@ class PropertySpec extends SparkTestBase {
         .select("id", "rk", "q").collect()
         .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
       assert(got == want, s"two-phase diverged (width=$width, k=$k)")
+      // the distribution-free range variant must agree too — sampled
+      // boundaries may cut anywhere, ranks must not care
+      val gotR = graft.operators.TwoPhase.globalRowNumberByRange(df,
+          Seq(col("v"), col("id")), "rk", partitions = 5, total = Some("n"))
+        .withColumn("q", expr(graft.operators.TwoPhase.ntileFromRank("rk", "n", k)))
+        .select("id", "rk", "q").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+      assert(gotR == want, s"range variant diverged (k=$k)")
       true
     }, n = 30)
   }
