@@ -22,6 +22,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Silence the `No Partition Defined for Window operation!` warning
+    // ONLY: every remaining global-order window in the library reads a
+    // BOUNDED input (top-1000 TakeOrderedAndProject cuts, value-range
+    // histograms, ≤64-row bootstrap tables — the round-11 audit;
+    // corpus-proportional ranks go through TwoPhase.globalRowNumber
+    // instead). With hundreds of benign repeats drowned out, a REAL
+    // unbounded-window regression in the log tail stays visible.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
     // JVM/codegen/FS warmup so the alphabetically-first query doesn't
     // absorb session init cost (~5s) into its measurement; deterministic
     // picks covering the two big fact tables (lineitem + documents)
@@ -113,10 +123,13 @@ object Bench {
     }.mkString("{", ",", "}")
     if (only.isEmpty) {
       // failed queries keep their prior history entry (a crash's
-      // elapsed time is not a best-observed number)
-      val folded = results.map { case (k, v) =>
-        if (failed.contains(k)) k -> prior.getOrElse(k, v)
-        else k -> math.min(v, prior.getOrElse(k, v))
+      // elapsed time is not a best-observed number); a failed query
+      // with NO prior entry is dropped entirely — recording its
+      // time-to-failure would seed the min-fold with a bogus fast
+      // number that survives forever
+      val folded = results.flatMap { case (k, v) =>
+        if (failed.contains(k)) prior.get(k).map(k -> _)
+        else Some(k -> math.min(v, prior.getOrElse(k, v)))
       }
       val foldedJson = folded.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")

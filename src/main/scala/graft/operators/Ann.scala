@@ -734,7 +734,7 @@ object Ann {
     * one materialization, then each iteration reads blocks instead of
     * re-scanning parquet (at 100 TB you'd persist this projection the
     * same way; it is 64 small rows per vector, no raw text/media). */
-  private def quantized(vectors: DataFrame): DataFrame =
+  private[graft] def quantized(vectors: DataFrame): DataFrame =
     vectors
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
       .select(col("vec_id"), col("i"),
@@ -814,17 +814,6 @@ object Ann {
     val spark = vectors.sparkSession
     assignTo(quantized(vectors), seedsDF(spark, cents))
       .agg(sum(col("d2")).cast("double")).head().getDouble(0)
-  }
-
-  /** Cell assignment for a centroid set, collected — the spec's
-    * serving-side input (cells + centroids are what e3/e9-style
-    * probes search; recall eval runs locally over them). */
-  private[graft] def cellsFor(vectors: DataFrame,
-      cents: Map[Int, IndexedSeq[Double]]): Map[Long, Int] = {
-    val spark = vectors.sparkSession
-    assignTo(quantized(vectors), seedsDF(spark, cents))
-      .select("vec_id", "seed_id").collect()
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
   }
 
   /** e14 — scalar-quantization ANN (SQ8, the FAISS SQ shape — the

@@ -95,11 +95,23 @@ object TwoPhase {
     * Choose by domain knowledge: value buckets when the key's range is
     * structurally bounded (day counts, cent slices of a known revenue
     * scale — no sampling pass), this variant when it is not.
+    *
+    * The bucketed input is MATERIALIZED (eager localCheckpoint) before
+    * it is referenced twice (bucket counts, rank join): the sampler's
+    * range boundaries depend on upstream row order, which is
+    * nondeterministic after a shuffle, so without materialization the
+    * two plan branches would only agree because Spark happens to reuse
+    * the single range exchange — with exchange reuse disabled or a
+    * plan divergence they could see DIFFERENT boundaries and silently
+    * duplicate/skip ranks. The checkpoint pins one set of boundaries
+    * for both branches (and is why the value-bucket variant above,
+    * whose buckets are pure functions of the row, needs none).
     */
   def globalRowNumberByRange(df: DataFrame, order: Seq[Column],
       out: String, partitions: Int = 32, total: Option[String] = None): DataFrame = {
     val b = df.repartitionByRange(partitions, order: _*)
       .withColumn("__tp_bkt", spark_partition_id())
+      .localCheckpoint(true)
     val counts = b.groupBy("__tp_bkt").agg(count(lit(1)).as("__tp_cnt"))
     val lower = counts.select(col("__tp_bkt").as("__tp_b2"),
       col("__tp_cnt").as("__tp_cnt2"))

@@ -282,15 +282,17 @@ object VersionedTable {
     else spark.read.parquet(files: _*)
   }
 
-  /** Incremental read: the rows ADDED between two snapshots — the
-    * files version `to` lists that version `from` does not (data
-    * files are immutable, so file-set difference IS the row delta for
-    * append commits; an overwrite's files are all new, so its delta
-    * is the full new snapshot — the consumer sees "everything
-    * replaced", which is the honest answer). This is the consumer
-    * side of the transaction log: an incremental pipeline checkpoints
-    * the version it has processed and reads only the delta — O(new
-    * data), never a table rescan. */
+  /** Incremental read: the rows a catch-up consumer at snapshot
+    * `fromV` needs to reach snapshot `toV`. For append-only ranges
+    * this is the union of per-commit file deltas (data files are
+    * immutable, so per-step file-set difference IS the row delta).
+    * If the range contains an overwrite, everything delivered before
+    * it was replaced: the union RESTARTS at the latest in-range
+    * overwrite — the consumer sees that overwrite's full snapshot
+    * plus the appends after it, and none of the replaced rows. This
+    * is the consumer side of the transaction log: an incremental
+    * pipeline checkpoints the version it has processed and reads only
+    * the delta — O(new data), never a table rescan. */
   def readChanges(spark: SparkSession, path: String, fromV: Long, toV: Long): DataFrame = {
     require(fromV <= toV, s"fromV $fromV > toV $toV")
     // Union of per-version single-step diffs, SKIPPING compaction
@@ -303,13 +305,27 @@ object VersionedTable {
     // Per-step diffs read each append's files from the manifest that
     // introduced them — old versions are byte-stable until [[vacuum]],
     // so the files are still present even after a later compaction.
-    val files = versions(spark, path)
+    val stepVs = versions(spark, path)
       .filter(v => v > fromV && v <= toV)
       .filterNot(v => isCompaction(spark, path, v))
+    def prevManifest(v: Long): Seq[String] =
+      if (v <= 1) Seq.empty else readManifest(spark, path, v - 1)
+    // An overwrite step replaces the whole prior snapshot: its
+    // manifest shares no files with its predecessor's (landed file
+    // names are token-unique, so disjointness is decisive — the same
+    // detection refreshMatView uses). Rows delivered by steps BEFORE
+    // the latest in-range overwrite are not in snapshot toV; restart
+    // the union there so the consumer never receives replaced rows.
+    def isOverwriteStep(v: Long): Boolean = {
+      val prev = prevManifest(v)
+      val cur = readManifest(spark, path, v).toSet
+      prev.nonEmpty && prev.forall(f => !cur.contains(f))
+    }
+    val restartAt = stepVs.filter(isOverwriteStep).lastOption
+    val files = restartAt.fold(stepVs)(r => stepVs.filter(_ >= r))
       .flatMap { v =>
         // v = 1 has no predecessor: its delta is its full snapshot
-        val prev = if (v <= 1) Set.empty[String]
-          else readManifest(spark, path, v - 1).toSet
+        val prev = prevManifest(v).toSet
         readManifest(spark, path, v).filterNot(prev)
       }.distinct
       .map(f => resolve(path, f))

@@ -896,7 +896,15 @@ object IngestStream {
     * (h26's delta argument): true on the one emission where the user
     * first crosses, so the alert stream needs no dedup downstream.
     * At 100 TB the user-keyed exchange carries the batch, state the
-    * user space — the ledger never re-reads history. */
+    * user space — the ledger never re-reads history.
+    *
+    * COMPATIBILITY NOTE: the never-breached sentinel for `firstOverMs`
+    * changed 0 → -1 (0 is a legal breach epoch; -1 is not a legal
+    * timestamp). A checkpoint written by the 0-sentinel build would be
+    * REINTERPRETED by this one (persisted firstOverMs=0, previously
+    * "never breached", reads as "breached at epoch 0" and suppresses
+    * the user's future breachNow transition) — resume such a stream
+    * under a fresh checkpoint directory, never the old one. */
   def streamingQuota(uploads: Dataset[UploadEvent],
       quota: Long = 500000000L): Dataset[QuotaEmit] = {
     import uploads.sparkSession.implicits._

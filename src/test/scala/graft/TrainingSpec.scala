@@ -12,6 +12,17 @@ import graft.operators.Ann
   */
 class TrainingSpec extends SparkTestBase {
 
+  /** Cell assignment for a centroid set, collected — spec-side serving
+    * input (cells + centroids are what e3/e9-style probes search;
+    * recall eval runs locally over them). Lives in the TEST tree
+    * because the per-vector collect is corpus-proportional: the main
+    * tree stays free of unbounded `.collect()`s. */
+  private def cellsFor(vecs: org.apache.spark.sql.DataFrame,
+      cents: Map[Int, IndexedSeq[Double]]): Map[Long, Int] =
+    Ann.assignTo(Ann.quantized(vecs), Ann.seedsDF(vecs.sparkSession, cents))
+      .select("vec_id", "seed_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+
   test("Lloyd loop converges; trained cells beat untrained seeds on inertia and recall") {
     // k < true cluster count (10): cell boundaries must fall BETWEEN
     // clusters for whole-cluster recall, which raw seed positions get
@@ -59,8 +70,8 @@ class TrainingSpec extends SparkTestBase {
       }
       rs.sum / rs.size
     }
-    val cellsT = Ann.cellsFor(vecs, trained)
-    val cellsU = Ann.cellsFor(vecs, untrained)
+    val cellsT = cellsFor(vecs, trained)
+    val cellsU = cellsFor(vecs, untrained)
     val rT = recallFor(cellsT, trained)
     val rU = recallFor(cellsU, untrained)
     assert(rT > rU, s"trained recall $rT must beat untrained $rU")

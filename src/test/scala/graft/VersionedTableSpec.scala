@@ -194,6 +194,38 @@ class VersionedTableSpec extends SparkTestBase {
     assert(rows(VersionedTable.readChanges(spark, path, 0L, 1L)) == base.toSet)
   }
 
+  test("i11: catch-up readChanges across an interior overwrite restarts at the overwrite") {
+    import spark.implicits._
+    // The round-11 ADVICE over-delivery case: fromV < vA (append) < vO
+    // (overwrite) <= toV. The overwrite replaced vA's rows, so a
+    // catch-up consumer must receive ONLY the overwrite's snapshot
+    // plus later appends — never vA's replaced rows (which are not in
+    // snapshot toV).
+    val path = java.nio.file.Files.createTempDirectory("vtable_ow").toString
+    val base = (0L until 10L).map(k => (k, s"b$k"))
+    val appA = (100L until 110L).map(k => (k, s"a$k"))
+    val ow   = (500L until 505L).map(k => (k, s"o$k"))
+    val appB = (200L until 210L).map(k => (k, s"c$k"))
+    VersionedTable.commit(spark, path, base.toDF("key", "val"))               // v1
+    VersionedTable.commit(spark, path, appA.toDF("key", "val"))               // v2 (append)
+    VersionedTable.commit(spark, path, ow.toDF("key", "val"), overwrite = true) // v3 (overwrite)
+    VersionedTable.commit(spark, path, appB.toDF("key", "val"))               // v4 (append)
+    assert(rows(VersionedTable.readChanges(spark, path, 1L, 3L)) == ow.toSet,
+      "catch-up across an overwrite must not deliver replaced rows")
+    assert(rows(VersionedTable.readChanges(spark, path, 1L, 4L)) ==
+      (ow ++ appB).toSet, "catch-up = overwrite snapshot + later appends")
+    // delivered set matches the snapshot a full read of toV would see
+    assert(rows(VersionedTable.readChanges(spark, path, 0L, 4L)) ==
+      rows(VersionedTable.read(spark, path, Some(4L))),
+      "from-zero catch-up must equal the target snapshot")
+    // and a compaction AFTER the overwrite stays an empty delta while
+    // the restart point is preserved
+    val cv = VersionedTable.compact(spark, path, targetFiles = 1)             // v5
+    assert(cv == 5L)
+    assert(rows(VersionedTable.readChanges(spark, path, 1L, 5L)) ==
+      (ow ++ appB).toSet, "compaction after the overwrite must not change the delta")
+  }
+
   test("i13: drainChanges delivers every version's delta exactly once across a crash") {
     import spark.implicits._
     import graft.sources.DatasetsSink
