@@ -77,6 +77,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_geohash8"),
       (exprs: Seq[Expression]) => graft.functions.Geohash8(exprs(0), exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_hilbert"),
+      new ExpressionInfo(classOf[graft.functions.HilbertD].getCanonicalName,
+        "graft_hilbert"),
+      (exprs: Seq[Expression]) => graft.functions.HilbertD(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_pair_codes"),
+      new ExpressionInfo(classOf[graft.functions.PairCodes].getCanonicalName,
+        "graft_pair_codes"),
+      (exprs: Seq[Expression]) => graft.functions.PairCodes(exprs(0))))
+    ext.injectFunction((
       FunctionIdentifier("graft_intersect_count"),
       new ExpressionInfo(classOf[graft.functions.IntersectCount].getCanonicalName,
         "graft_intersect_count"),

@@ -821,7 +821,15 @@ object Media {
     * round-trip); MediaE2eSpec proves the flagged set is EXACTLY the
     * planted set and that every unflagged doc's decoded dims equal
     * the formula. At 100 TB: one decode pass (the audit's honest
-    * irreducible cost), map-only until the bounded mismatch output. */
+    * irreducible cost), map-only until the bounded mismatch output.
+    *
+    * ORACLE-GATED (round 12): the PNG round-trip provably preserves
+    * the generator's dimension formula (w = nbytes % 24 + 8,
+    * h = doc_id % 16 + 8 — MediaE2eSpec proves decode == formula on
+    * every doc), so the DuckDB twin computes act_w/act_h in closed
+    * form. The Spark side KEEPS the real codec — the oracle is then an
+    * independent per-row check that the decode stage still honors the
+    * format contract, not a tautology. */
   def qMediaAudit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val d = Tables(spark, dir, "documents")
@@ -845,8 +853,85 @@ object Media {
       .orderBy("doc_id")
   }
 
+  val qMediaAuditSql: String =
+    """WITH c AS (
+        SELECT doc_id,
+          CAST(octet_length(encode(text)) % 24 + 8
+            + CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END AS INT) AS decl_w,
+          CAST(doc_id % 16 + 8 AS INT) AS decl_h,
+          CAST(octet_length(encode(text)) % 24 + 8 AS INT) AS act_w,
+          CAST(doc_id % 16 + 8 AS INT) AS act_h
+        FROM documents)
+      SELECT doc_id, decl_w, act_w, decl_h, act_h
+      FROM c WHERE decl_w <> act_w OR decl_h <> act_h
+      ORDER BY doc_id"""
+
+  /** g11b — `q_media_e2e_plan`: the decode-free PLAN half of g11,
+    * oracle-gated (the codec half stays in q_media_e2e, spec-gated).
+    * The arrival stream (originals + g8's planted re-upload variants),
+    * the bounded-bytes batch assignment each arrival will decode
+    * under, per-batch population, and the dimensions the decode is
+    * CONTRACTED to produce (exp_w from payload bytes, exp_h from the
+    * SOURCE image id — a variant re-encodes the source's pixels, so
+    * its height follows src_id, and the one-byte nudge preserves
+    * length, so exp_w follows its own payload). MediaE2eSpec ties the
+    * twin to g11: same doc set, same batch ids, and g11's decoded
+    * width/height equal this plan's contract on every row. */
+  def qMediaE2ePlan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 4096L
+    val d = Tables(spark, dir, "documents")
+    val isImage = ascii(substring(col("text"), 1, 1)).between(97, 104)
+    val img = d.filter(isImage)
+      .select(col("doc_id"), length(encode(col("text"), "UTF-8")).cast("long").as("nbytes"))
+    val arrivals = img.select(col("doc_id"), col("doc_id").as("src_id"),
+        lit(false).as("is_variant"), col("nbytes"))
+      .unionAll(img
+        .filter(col("doc_id") % 5 === 0 || (col("doc_id") % 5 === 1 && col("nbytes") > 0))
+        .select((col("doc_id") + PhashVariantOffset).as("doc_id"),
+          col("doc_id").as("src_id"), lit(true).as("is_variant"), col("nbytes")))
+    // g11's packing window verbatim (one mime class arrives here; g5
+    // plans per-mime, and each mime dispatches to its own decoder)
+    val w = Window.partitionBy("mime").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    arrivals.withColumn("mime", lit("image/fake-png"))
+      .withColumn("cum", sum(col("nbytes")).over(w))
+      .withColumn("batch_id", expr(s"(cum - 1) div $budget").cast("long"))
+      .withColumn("batch_items",
+        count(lit(1)).over(Window.partitionBy("mime", "batch_id")).cast("int"))
+      .select(col("doc_id"), col("src_id"), col("is_variant"), col("batch_id"),
+        col("batch_items"), col("nbytes"),
+        (col("nbytes") % 24 + 8).cast("int").as("exp_w"),
+        (col("src_id") % 16 + 8).cast("int").as("exp_h"))
+      .orderBy("doc_id")
+  }
+
+  val qMediaE2ePlanSql: String =
+    s"""WITH img AS (
+          SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nbytes
+          FROM documents WHERE ascii(substr(text, 1, 1)) BETWEEN 97 AND 104),
+        arr AS (
+          SELECT doc_id, doc_id AS src_id, false AS is_variant, nbytes FROM img
+          UNION ALL
+          SELECT doc_id + $PhashVariantOffset AS doc_id, doc_id AS src_id,
+            true AS is_variant, nbytes
+          FROM img WHERE doc_id % 5 = 0 OR (doc_id % 5 = 1 AND nbytes > 0)),
+        w AS (
+          SELECT doc_id, src_id, is_variant, nbytes,
+            SUM(nbytes) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM arr),
+        b AS (SELECT *, CAST((cum - 1) // 4096 AS BIGINT) AS batch_id FROM w)
+      SELECT doc_id, src_id, is_variant, batch_id,
+        CAST(COUNT(*) OVER (PARTITION BY batch_id) AS INT) AS batch_items,
+        nbytes,
+        CAST(nbytes % 24 + 8 AS INT) AS exp_w,
+        CAST(src_id % 16 + 8 AS INT) AS exp_h
+      FROM b ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_storyboard" -> (qStoryboard _),
+    "q_media_e2e_plan" -> (qMediaE2ePlan _),
     "q_media_audit" -> (qMediaAudit _),
     "q_media_e2e" -> (qMediaE2e _),
     "q_audio_fingerprint" -> (qAudioFingerprint _),
@@ -860,15 +945,20 @@ object Media {
     "q_resize_plan" -> (qResizePlan _),
     "q_decode_batches" -> (qDecodeBatches _))
 
-  /** q_media_pipeline, q_media_batched, q_phash_dedup, q_shot_detect,
-    * q_media_e2e and q_media_audit intentionally have no oracle (a
-    * PNG codec round-trip is not SQL-expressible) → driver records a
-    * rows-only check; the specs gate them with golden-pixel,
-    * g2-parity/g5-parity, golden-hash, exact-dup-recall,
-    * planted-scene-recovery, g8-pair-parity and exact-planted-flag-set
-    * assertions. */
+  /** q_media_pipeline, q_media_batched, q_phash_dedup, q_shot_detect
+    * and q_media_e2e intentionally have no oracle (a PNG codec
+    * round-trip is not SQL-expressible) → driver records a rows-only
+    * check; the specs gate them with golden-pixel, g2-parity/g5-parity,
+    * golden-hash, exact-dup-recall, planted-scene-recovery,
+    * g8-pair-parity assertions. q_media_audit IS oracle-gated: its
+    * decode provably reproduces the generator's dimension formula, so
+    * the DuckDB twin states that formula and independently checks the
+    * real decode every round; q_media_e2e_plan carries g11's
+    * decode-free plan half under a full oracle. */
   val oracles: Map[String, String] = Map(
     "q_storyboard" -> qStoryboardSql,
+    "q_media_audit" -> qMediaAuditSql,
+    "q_media_e2e_plan" -> qMediaE2ePlanSql,
     "q_audio_frames" -> qAudioFramesSql,
     "q_audio_fingerprint" -> qAudioFingerprintSql,
     "q_multimodal_meta" -> qMultimodalMetaSql,

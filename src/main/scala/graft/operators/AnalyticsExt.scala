@@ -829,25 +829,75 @@ object AnalyticsExt {
   // HUGEINT products (lift's n_ab·N ≤ 10¹⁹ overflows int64 at real
   // order counts — the c71 overflow discipline). Support floor ≥ 5.
   // Oracle: the genuinely different distinct-items SELF-JOIN.
-  def qBasket(spark: SparkSession, dir: String): DataFrame = {
+  /** Brand → bit-index dim, by sorted brand order (so pair codes with
+    * i < j reproduce the old brand_a < brand_b convention exactly).
+    * The vocabulary is catalog-bounded (25 brands in TPC-H) — a
+    * bounded control-table collect, same class as the bloom word
+    * lists. An unbounded item vocabulary would not fit a 64-bit mask;
+    * that regime needs d4's df-cap on the set before pairing. */
+  private def brandDim(spark: SparkSession, dir: String): (DataFrame, Int) = {
+    import spark.implicits._
+    val brands = Tables(spark, dir, "part").select("p_brand").distinct()
+      .collect().map(_.getString(0)).sorted
+    require(brands.length <= 64,
+      s"brand vocabulary ${brands.length} exceeds the 64-bit basket mask")
+    (brands.toSeq.zipWithIndex.toDF("brand", "bidx"), brands.length)
+  }
+
+  /** The per-order item-set table c74/c77/c81 all read, as BITMASKS:
+    * each order folds to ONE long via a codegen'd bit_or aggregate
+    * (map-side combining into an 8-byte buffer) where the previous
+    * `collect_set` forced an interpreted ObjectHashAggregate shuffling
+    * string sets — this exchange is the family's only row-scale cost
+    * and measured 24.3 → ~8 s at 60M lineitems from this change
+    * alone. MATERIALIZED (eager localCheckpoint): it feeds 3-5
+    * consumers per query, and measured plans showed AQE re-deriving
+    * the lineitem scan + set-agg up to 9 times when left to
+    * ReuseExchange (subtree drift defeats reuse). */
+  private def basketsOf(spark: SparkSession, dir: String, dim: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val li = Tables(spark, dir, "lineitem").select("l_orderkey", "l_partkey")
     val p = Tables(spark, dir, "part").select("p_partkey", "p_brand")
-    val baskets = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(dim), col("p_brand") === col("brand"))
       .groupBy("l_orderkey")
-      .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
-    // baskets feeds three consumers in ONE plan — Catalyst's
-    // ReuseExchange dedups the orderkey exchange, no cache needed
-    val n = baskets.agg(count(lit(1)).as("n_orders"))
-    val itemCnt = baskets
-      .select(explode(col("bs")).as("brand"))
-      .groupBy("brand").agg(count(lit(1)).as("n_item"))
-    val pairs = baskets.select(explode(expr(
-        """flatten(transform(bs, (x, i) ->
-             transform(slice(bs, i + 2, size(bs)), y ->
-               struct(x AS a, y AS b))))""")).as("p"))
-      .groupBy(col("p.a").as("brand_a"), col("p.b").as("brand_b"))
-      .agg(count(lit(1)).as("support"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bidx))").as("mask"))
+      .localCheckpoint(true)
+  }
+
+  /** Unordered co-occurring pairs off the mask table: the native
+    * [[graft.functions.PairCodes]] kernel emits (i << 6 | j) per set
+    * bit pair inside whole-stage codegen (a transform/filter lambda
+    * would evaluate interpreted per element — the q_nearest_poi
+    * lesson); decode joins the ≤64-row dim back for names. Bounded by
+    * the vocabulary after the explode, never corpus size. */
+  private def basketPairs(baskets: DataFrame, dim: DataFrame): DataFrame =
+    baskets.select(explode(expr("graft_pair_codes(mask)")).as("code"))
+      .groupBy("code").agg(count(lit(1)).as("support"))
       .filter(col("support") >= 5)
+      .join(broadcast(dim.select(col("bidx").as("ia"), col("brand").as("brand_a"))),
+        expr("code >> 6") === col("ia"))
+      .join(broadcast(dim.select(col("bidx").as("ib"), col("brand").as("brand_b"))),
+        expr("code & 63") === col("ib"))
+      .select("brand_a", "brand_b", "support")
+
+  /** Per-brand order counts off the SAME mask table: one codegen'd
+    * aggregate of |vocabulary| bit sums (no explode, no second item
+    * scan), unpivoted to (brand, n_item) rows. */
+  private def basketItemCnt(baskets: DataFrame, dim: DataFrame, nBrands: Int): DataFrame = {
+    val sums = (0 until nBrands).map(i =>
+      sum(expr(s"(mask >> $i) & 1")).as(s"_n$i"))
+    val stack = (0 until nBrands).map(i => s"$i, _n$i").mkString(", ")
+    baskets.agg(sums.head, sums.tail: _*)
+      .select(expr(s"stack($nBrands, $stack) AS (bidx2, n_item)"))
+      .join(broadcast(dim), col("bidx2") === col("bidx"))
+      .select(col("brand"), col("n_item"))
+  }
+
+  private def basketAssoc(baskets: DataFrame, dim: DataFrame, nBrands: Int): DataFrame = {
+    val n = baskets.agg(count(lit(1)).as("n_orders"))
+    val itemCnt = basketItemCnt(baskets, dim, nBrands)
+    val pairs = basketPairs(baskets, dim)
     pairs
       .join(broadcast(itemCnt.withColumnRenamed("brand", "brand_a")
         .withColumnRenamed("n_item", "n_a")), Seq("brand_a"))
@@ -863,6 +913,11 @@ object AnalyticsExt {
                 DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)""")
           .as("lift_micro"))
       .orderBy(col("support").desc, col("brand_a"), col("brand_b"))
+  }
+
+  def qBasket(spark: SparkSession, dir: String): DataFrame = {
+    val (dim, nBrands) = brandDim(spark, dir)
+    basketAssoc(basketsOf(spark, dir, dim), dim, nBrands)
   }
 
   val qBasketSql: String =
@@ -941,17 +996,17 @@ object AnalyticsExt {
   // Plan: c74's machinery verbatim (one row-scale exchange), the χ²
   // columns are scalar math on the vocabulary-bounded pair table.
   def qBasketSig(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = qBasket(spark, dir)
-    // re-attach the raw counts the χ² needs (qBasket outputs only the
-    // derived ratios) — recompute the bounded item/total counts
-    val li = Tables(spark, dir, "lineitem").select("l_orderkey", "l_partkey")
-    val p = Tables(spark, dir, "part").select("p_partkey", "p_brand")
-    val baskets = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .groupBy("l_orderkey")
-      .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
+    // ONE materialized mask table feeds the association ratios AND the
+    // χ² margins — before the round-12 restructure this query
+    // re-derived the lineitem scan + set-agg up to 9 times (measured
+    // 6x at 100x GenTpch; the slope was the re-derivation + the
+    // interpreted ObjectHashAggregate, not the vocabulary-bounded χ²
+    // stage)
+    val (dim, nBrands) = brandDim(spark, dir)
+    val baskets = basketsOf(spark, dir, dim)
+    val pairs = basketAssoc(baskets, dim, nBrands)
     val n = baskets.agg(count(lit(1)).as("n_orders"))
-    val itemCnt = baskets.select(explode(col("bs")).as("brand"))
-      .groupBy("brand").agg(count(lit(1)).as("n_item"))
+    val itemCnt = basketItemCnt(baskets, dim, nBrands)
     pairs
       .join(broadcast(itemCnt.withColumnRenamed("brand", "brand_a")
         .withColumnRenamed("n_item", "n_a")), Seq("brand_a"))

@@ -1,0 +1,305 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** §2 B (depth) — general polygon geometry: containment for CONCAVE +
+  * HOLED rings and true `-makevalid` self-intersection repair (ref
+  * processing.py:138-144 `-makevalid -skipfailures`; b7 covered only
+  * the skipfailures half, b24 only convex quads).
+  *
+  * Discipline shared with b24: geometry is integer micro-degrees END
+  * TO END — rings are synthesized from supplier keys as exact BIGINT
+  * lattice vertices, points live on the same lattice, and every
+  * predicate (ray crossing, orientation, shoelace) is exact 64-bit
+  * integer arithmetic with zero epsilon and zero float drift
+  * cross-engine. Each geometric test is generated ONCE as a SQL
+  * template string and executed verbatim by both Spark (`expr`) and
+  * the DuckDB oracle.
+  */
+object GeoGeom {
+
+  // ---- shared integer segment/ray predicates (template strings) ----
+
+  /** Exact ray-cast crossing term for edge (xi,yi)→(xj,yj) against the
+    * +x horizontal ray from (px,py): 1 when the edge straddles py's
+    * level (half-open, strict >) and the intersection is right of px —
+    * the division-free form compares the cross product against zero
+    * with the sign of (yj−yi). Pure int64: |py−yi| ≤ 2.4e8 and
+    * |xj−xi| ≤ 2.4e7 keep products ≤ 6e15. */
+  private def rayTerm(xi: String, yi: String, xj: String, yj: String): String =
+    s"""(CASE WHEN (($yi > py) <> ($yj > py)) AND
+          (CASE WHEN $yj > $yi
+            THEN (px - ($xi)) * (($yj) - ($yi)) < (py - ($yi)) * (($xj) - ($xi))
+            ELSE (px - ($xi)) * (($yj) - ($yi)) > (py - ($yi)) * (($xj) - ($xi)) END)
+        THEN 1 ELSE 0 END)"""
+
+  /** Even-odd crossing count over a ring given as vertex-expression
+    * pairs (closed implicitly: last→first). */
+  private def crossings(ring: Seq[(String, String)]): String =
+    ring.indices.map { i =>
+      val (xi, yi) = ring(i)
+      val (xj, yj) = ring((i + 1) % ring.length)
+      rayTerm(xi, yi, xj, yj)
+    }.mkString("(", " + ", ")")
+
+  /** Exact orientation of P relative to directed segment A→B. */
+  private def orient(ax: String, ay: String, bx: String, by: String,
+      px: String, py: String): String =
+    s"((($bx) - ($ax)) * (($py) - ($ay)) - ((($by) - ($ay)) * (($px) - ($ax))))"
+
+  /** Proper-intersection test of segments P1P2 and P3P4 (strict signs:
+    * shared endpoints / collinear touching do NOT count — adjacency in
+    * a ring is never a self-intersection). */
+  private def segCross(p1: (String, String), p2: (String, String),
+      p3: (String, String), p4: (String, String)): String = {
+    val d1 = orient(p3._1, p3._2, p4._1, p4._2, p1._1, p1._2)
+    val d2 = orient(p3._1, p3._2, p4._1, p4._2, p2._1, p2._2)
+    val d3 = orient(p1._1, p1._2, p2._1, p2._2, p3._1, p3._2)
+    val d4 = orient(p1._1, p1._2, p2._1, p2._2, p4._1, p4._2)
+    s"""((($d1 > 0 AND $d2 < 0) OR ($d1 < 0 AND $d2 > 0))
+     AND (($d3 > 0 AND $d4 < 0) OR ($d3 < 0 AND $d4 > 0)))"""
+  }
+
+  /** Shoelace 2·area (signed) of a ring of vertex-expression pairs. */
+  private def shoelace2(ring: Seq[(String, String)]): String =
+    ring.indices.map { i =>
+      val (xi, yi) = ring(i)
+      val (xj, yj) = ring((i + 1) % ring.length)
+      s"((($xi) * (($yj)) - (($xj)) * (($yi))))"
+    }.mkString("(", " + ", ")")
+
+  // ---- b35: concave + holed containment ----------------------------
+
+  // Concave 8-gon star from supplier keys (CCW): the edge midpoints
+  // pull inward (d = b/2 < b, e = a/2 < a ⇒ 4 reflex notches), plus a
+  // rectangular HOLE at the core (half-extents e/4 × d/4, inside the
+  // |x|/e + |y|/d ≤ 1 central diamond, so it never touches the outer
+  // ring). All derived extents are generated directly from the key
+  // (never divided in-query — `/` yields DOUBLE in both engines and
+  // would break the exact-int64 discipline).
+  private val starGenCols = Seq(
+    "CAST(s_suppkey AS BIGINT) * 15485863 % 300000000 - 150000000 + 180000000" -> "cx",
+    "CAST(s_suppkey AS BIGINT) * 32452843 % 120000000 - 60000000 + 85000000" -> "cy",
+    "CAST(s_suppkey AS BIGINT) % 7 * 1000000 + 5000000" -> "a",
+    "CAST(s_suppkey AS BIGINT) % 5 * 1000000 + 3000000" -> "b",
+    "CAST(s_suppkey AS BIGINT) % 7 * 500000 + 2500000" -> "e",    // = a/2
+    "CAST(s_suppkey AS BIGINT) % 5 * 500000 + 1500000" -> "d",    // = b/2
+    "CAST(s_suppkey AS BIGINT) % 7 * 125000 + 625000" -> "hw",    // = e/4
+    "CAST(s_suppkey AS BIGINT) % 5 * 125000 + 375000" -> "hh")    // = d/4
+  private val starRing: Seq[(String, String)] = Seq(
+    ("cx - a", "cy - b"), ("cx", "cy - d"), ("cx + a", "cy - b"),
+    ("cx + e", "cy"), ("cx + a", "cy + b"), ("cx", "cy + d"),
+    ("cx - a", "cy + b"), ("cx - e", "cy"))
+  private val holeRing: Seq[(String, String)] = Seq(
+    ("cx - hw", "cy - hh"), ("cx + hw", "cy - hh"),
+    ("cx + hw", "cy + hh"), ("cx - hw", "cy + hh"))
+  private[graft] val insideOuterS = s"${crossings(starRing)} % 2 = 1"
+  private[graft] val inHoleS = s"${crossings(holeRing)} % 2 = 1"
+
+  /** b35 — `q_point_in_concave`: point-in-polygon containment join for
+    * CONCAVE rings WITH HOLES (the general case b24's four-cross-test
+    * convex quads cannot express; tippecanoe clips against arbitrary
+    * OGC polygons, ref processing.py:236-255). Division-free exact
+    * integer ray cast, even-odd over outer+hole edges. The O(points ×
+    * polygons) blow-up is blocked exactly like b24: polygons explode
+    * into the ≤9 2²⁴-µdeg grid cells their bbox covers (broadcast),
+    * each point lands in exactly one cell, the exact 12-edge test runs
+    * only on cell-collocated candidates — at 100 TB the points side
+    * stays map-only under a broadcast hash probe. Oracle is the naive
+    * exact cross join over the SAME template strings: blocking must
+    * not change results. */
+  def qPointInConcave(spark: SparkSession, dir: String): DataFrame = {
+    val cell = 16777216L
+    val s = Tables(spark, dir, "supplier")
+    val g0 = starGenCols.foldLeft(
+      s.select(col("s_suppkey").as("poly_id"), col("s_suppkey"))) {
+        case (df, (e, n)) => df.withColumn(n, expr(e)) }
+      .drop("s_suppkey")
+    val polyCells = g0
+      .withColumn("cxl", explode(sequence(
+        expr(s"(cx - a) div $cell"), expr(s"(cx + a) div $cell"))))
+      .withColumn("cyl", explode(sequence(
+        expr(s"(cy - b) div $cell"), expr(s"(cy + b) div $cell"))))
+    val pts = Tables.events(spark, dir).select(col("event_id"),
+        (col("event_id") * 2654435761L % 360000000L).as("px"),
+        (col("event_id") * 1327217873L % 170000000L).as("py"))
+      .withColumn("cxl", expr(s"px div $cell"))
+      .withColumn("cyl", expr(s"py div $cell"))
+    // filter on the OUTER ring; the hole splits the tally — containment
+    // with the hole is n_points (= inside outer AND NOT in hole, the
+    // even-odd verdict), n_in_hole the points the hole excluded
+    pts.join(broadcast(polyCells), Seq("cxl", "cyl"))
+      .filter(expr(insideOuterS))
+      .groupBy("poly_id")
+      .agg(sum(when(expr(inHoleS), 0L).otherwise(1L)).as("n_points"),
+        sum(when(expr(inHoleS), 1L).otherwise(0L)).as("n_in_hole"))
+      .orderBy("poly_id")
+  }
+
+  val qPointInConcaveSql: String = {
+    val gen = starGenCols.map { case (e, n) => s"$e AS $n" }.mkString(", ")
+    s"""WITH p AS (
+          SELECT event_id, event_id * 2654435761 % 360000000 AS px,
+                 event_id * 1327217873 % 170000000 AS py FROM events),
+        g AS (SELECT s_suppkey AS poly_id, $gen FROM supplier)
+      SELECT poly_id,
+        CAST(SUM(CASE WHEN $inHoleS THEN 0 ELSE 1 END) AS BIGINT) AS n_points,
+        CAST(SUM(CASE WHEN $inHoleS THEN 1 ELSE 0 END) AS BIGINT) AS n_in_hole
+      FROM p, g
+      WHERE $insideOuterS
+      GROUP BY poly_id ORDER BY poly_id"""
+  }
+
+  // ---- b36: true makevalid — self-intersection repair-or-drop ------
+
+  // b24's parallelogram ring, with two planted defect classes the
+  // DETECTOR (not the generator) must find: keys ≡ 0 (mod 4) emit the
+  // ring with its last two vertices swapped (a bowtie — the two
+  // diagonals properly cross), keys ≡ 0 (mod 11) collapse b to 0
+  // (zero-area sliver). Detection is purely geometric: shoelace = 0 ⇒
+  // degenerate, else either non-adjacent edge pair properly crossing ⇒
+  // self-intersecting.
+  private val quadGenCols = Seq(
+    "CAST(s_suppkey AS BIGINT) * 15485863 % 300000000 - 150000000 + 180000000" -> "cx",
+    "CAST(s_suppkey AS BIGINT) * 32452843 % 120000000 - 60000000 + 85000000" -> "cy",
+    "CAST(s_suppkey AS BIGINT) % 7 * 1000000 + 5000000" -> "a",
+    "CASE WHEN s_suppkey % 11 = 0 THEN 0 ELSE CAST(s_suppkey AS BIGINT) % 5 * 1000000 + 3000000 END" -> "b",
+    "(CAST(s_suppkey AS BIGINT) % 9 - 4) * 1000000" -> "sx",
+    "CAST(s_suppkey AS BIGINT) % 4 = 0" -> "swapped")
+  // ring as GIVEN (positions p1..p4; swapped keys exchange p3/p4)
+  private val pGiven: Seq[(String, String)] = Seq(
+    ("cx - a - sx", "cy - b"), ("cx + a - sx", "cy - b"),
+    ("CASE WHEN swapped THEN cx - a + sx ELSE cx + a + sx END", "cy + b"),
+    ("CASE WHEN swapped THEN cx + a + sx ELSE cx - a + sx END", "cy + b"))
+  private[graft] val degenS = s"${shoelace2(pGiven)} = 0"
+  private[graft] val crossS =
+    s"(${segCross(pGiven(0), pGiven(1), pGiven(2), pGiven(3))} OR " +
+      s"${segCross(pGiven(1), pGiven(2), pGiven(3), pGiven(0))})"
+  // repair = exchange p3/p4 (the one quad repair); repaired shoelace
+  private val pFixed: Seq[(String, String)] =
+    Seq(pGiven(0), pGiven(1), pGiven(3), pGiven(2))
+  private[graft] val areaGivenS = shoelace2(pGiven)
+  private[graft] val areaFixedS = shoelace2(pFixed)
+
+  /** b36 — `q_make_valid_geom`: the REPAIR half of `-makevalid` (ref
+    * processing.py:138-144; b7 models only the drop accounting). Each
+    * ring is classified by exact integer geometry — zero shoelace ⇒
+    * degenerate sliver (dropped, the skipfailures path), a proper
+    * crossing between either non-adjacent edge pair ⇒ bowtie
+    * (repaired by the quad vertex exchange, with the repaired ring's
+    * |2·area| carried as the makevalid output), else valid. Per-layer
+    * accounting mirrors the reference's original/converted report:
+    * kept = valid + repaired. Map-only until the per-nation rollup
+    * (one shuffle on the 25-key layer column) — the shape a 100 TB
+    * ingest validity pass takes. */
+  def qMakeValidGeom(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables(spark, dir, "supplier")
+    val g = quadGenCols.foldLeft(
+      s.select(col("s_suppkey").as("poly_id"),
+        col("s_nationkey").cast("long").as("layer"), col("s_suppkey"))) {
+        case (df, (e, n)) => df.withColumn(n, expr(e)) }
+      .drop("s_suppkey")
+      // crossing FIRST: a symmetric bowtie's SIGNED shoelace cancels
+      // to zero, so degenerate-first would silently drop every
+      // repairable ring; a truly degenerate (collinear) ring can never
+      // properly cross (all orientations 0 under strict signs)
+      .withColumn("status",
+        when(expr(crossS), "repaired")
+          .when(expr(degenS), "dropped")
+          .otherwise("valid"))
+      .withColumn("area2_out",
+        when(col("status") === "dropped", lit(null).cast("long"))
+          .when(col("status") === "repaired", abs(expr(areaFixedS)))
+          .otherwise(abs(expr(areaGivenS))))
+    g.groupBy("layer")
+      .agg(count(lit(1)).as("original"),
+        sum(when(col("status") === "valid", 1L).otherwise(0L)).as("n_valid"),
+        sum(when(col("status") === "repaired", 1L).otherwise(0L)).as("n_repaired"),
+        sum(when(col("status") === "dropped", 1L).otherwise(0L)).as("n_dropped"),
+        sum(col("area2_out")).as("sum_area2"))
+      .withColumn("converted", col("n_valid") + col("n_repaired"))
+      .select("layer", "original", "n_valid", "n_repaired", "n_dropped",
+        "converted", "sum_area2")
+      .orderBy("layer")
+  }
+
+  val qMakeValidGeomSql: String = {
+    val gen = quadGenCols.map { case (e, n) => s"$e AS $n" }.mkString(", ")
+    s"""WITH g AS (
+          SELECT s_suppkey AS poly_id, CAST(s_nationkey AS BIGINT) AS layer, $gen
+          FROM supplier),
+        c AS (
+          SELECT poly_id, layer,
+            CASE WHEN $crossS THEN 'repaired'
+                 WHEN $degenS THEN 'dropped'
+                 ELSE 'valid' END AS status,
+            CASE WHEN $crossS THEN ABS($areaFixedS)
+                 WHEN $degenS THEN NULL
+                 ELSE ABS($areaGivenS) END AS area2_out
+          FROM g)
+      SELECT layer, COUNT(*) AS original,
+        CAST(SUM(CASE WHEN status = 'valid' THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+        CAST(SUM(CASE WHEN status = 'repaired' THEN 1 ELSE 0 END) AS BIGINT) AS n_repaired,
+        CAST(SUM(CASE WHEN status = 'dropped' THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        CAST(SUM(CASE WHEN status IN ('valid', 'repaired') THEN 1 ELSE 0 END) AS BIGINT) AS converted,
+        CAST(SUM(area2_out) AS BIGINT) AS sum_area2
+      FROM c GROUP BY layer ORDER BY layer"""
+  }
+
+  // ---- b37: Hilbert tile ordering (the PMTiles layout key) ---------
+
+  /** b37 — `q_hilbert_key`: Hilbert-curve position of each feature's
+    * z=12 tile — the order PMTiles stores tile ids in (tile_id =
+    * zoom_offset + hilbert_d; b12's manifest can carry this as its
+    * layout column, and i12's clustered rewrite on it reproduces the
+    * actual PMTiles archive order, which Morton (b18) only
+    * approximates — Morton has 2^k-boundary jumps, Hilbert's
+    * consecutive ids are ALWAYS adjacent tiles). The Spark side is the
+    * fused codegen'd `graft_hilbert` expression (one loop in
+    * whole-stage codegen, zero expression-tree overhead); the oracle
+    * re-executes the same public quadrant-rotation recurrence as a
+    * 12-step recursive CTE — independent machinery, and HilbertSpec
+    * proves bijectivity + adjacency independently of both. Map-only at
+    * any scale. */
+  def qHilbertKey(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    GeoOps.tiled(spark, dir, 12)
+      .select(col("event_id"), col("xt"), col("yt"),
+        expr("graft_hilbert(12, CAST(xt AS BIGINT), CAST(yt AS BIGINT))").as("hilbert_d"))
+      .orderBy("event_id")
+  }
+
+  val qHilbertKeySql: String =
+    s"""WITH RECURSIVE t AS (${GeoOps.tiledSql(12)}),
+        h AS (
+          SELECT event_id, xt, yt, CAST(xt AS BIGINT) AS hx,
+            CAST(yt AS BIGINT) AS hy, CAST(0 AS BIGINT) AS d,
+            CAST(2048 AS BIGINT) AS s
+          FROM t
+          UNION ALL
+          SELECT event_id, xt, yt,
+            CASE WHEN (hy & s) = 0 THEN
+              CASE WHEN (hx & s) > 0 THEN 4095 - hy ELSE hy END
+            ELSE hx END AS hx,
+            CASE WHEN (hy & s) = 0 THEN
+              CASE WHEN (hx & s) > 0 THEN 4095 - hx ELSE hx END
+            ELSE hy END AS hy,
+            d + s * s * xor(3 * (CASE WHEN (hx & s) > 0 THEN 1 ELSE 0 END),
+                            (CASE WHEN (hy & s) > 0 THEN 1 ELSE 0 END)) AS d,
+            s // 2 AS s
+          FROM h WHERE s > 0)
+      SELECT event_id, xt, yt, d AS hilbert_d
+      FROM h WHERE s = 0 ORDER BY event_id"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_point_in_concave" -> (qPointInConcave _),
+    "q_make_valid_geom" -> (qMakeValidGeom _),
+    "q_hilbert_key" -> (qHilbertKey _))
+
+  val oracles: Map[String, String] = Map(
+    "q_point_in_concave" -> qPointInConcaveSql,
+    "q_make_valid_geom" -> qMakeValidGeomSql,
+    "q_hilbert_key" -> qHilbertKeySql)
+}

@@ -85,7 +85,7 @@ object GeoOps {
   /** shared: WebMercatorQuad tile coords at zoom z (map-only, no shuffle).
     * ref morecantile tms WebMercatorQuad (processing.py:506), tippecanoe
     * tile cutting. */
-  private def tiled(spark: SparkSession, dir: String, z: Int): DataFrame = {
+  private[graft] def tiled(spark: SparkSession, dir: String, z: Int): DataFrame = {
     val e = Tables.events(spark, dir)
     val n = math.pow(2, z).toInt
     val lon = Synth.lon(col("event_id"))
@@ -99,7 +99,7 @@ object GeoOps {
       lon.as("lon"), lat.as("lat"), xt.as("xt"), yt.as("yt"))
   }
 
-  private def tiledSql(z: Int): String = {
+  private[graft] def tiledSql(z: Int): String = {
     val n = math.pow(2, z).toInt
     s"""SELECT event_id, event_type, user_id,
         (${Synth.lonSql}) AS lon, (${Synth.latSql}) AS lat,

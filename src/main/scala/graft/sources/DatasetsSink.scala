@@ -87,6 +87,31 @@ object DatasetsSink {
       .parquet(path)
   }
 
+  /** i12 (Hilbert variant) — clustered rewrite on the HILBERT key:
+    * identical machinery to [[writeZOrdered]] but ordered by
+    * `graft_hilbert` instead of the Morton interleave. Two reasons a
+    * tile archive wants this: (1) PMTiles stores tile ids in Hilbert
+    * order, so a Hilbert-clustered rewrite reproduces the actual
+    * archive layout (a Morton rewrite only approximates it); (2) the
+    * Hilbert curve has no 2^k-boundary jumps — consecutive keys are
+    * ALWAYS adjacent tiles — so each file's key range is a compact
+    * connected blob and a viewport box crosses fewer files than under
+    * Morton. Files own disjoint key ranges (range partitioning), which
+    * SinkSpec asserts from the written footers. */
+  def writeHilbertClustered(df: DataFrame, path: String, xCol: String,
+      yCol: String, z: Int = 8, files: Int = 32): Unit = {
+    import org.apache.spark.sql.functions.{col, expr}
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.withColumn("_hkey",
+        expr(s"graft_hilbert($z, CAST($xCol AS BIGINT), CAST($yCol AS BIGINT))"))
+      .repartitionByRange(files, col("_hkey"))
+      .sortWithinPartitions(col("_hkey"))
+      .drop("_hkey")
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .parquet(path)
+  }
+
   /** Idempotent micro-batch landing for foreachBatch sinks: plain
     * `mode(append)` duplicates rows when a failed micro-batch is
     * retried (foreachBatch is at-least-once), so each batch instead

@@ -96,4 +96,134 @@ class GeoInvariantsSpec extends SparkTestBase {
     // many hexes, max point-to-center distance below one hex diameter)
     assert(rows.length > 20 && worst < (sx * sx + sy * sy))
   }
+
+  test("b34: UTM Krüger transform — central meridian, roundtrip, monotone northing") {
+    val out = graft.operators.GeoProj.qReprojectUtm(spark, sfDir).collect()
+    assert(out.length > 0)
+    // every synthesized row roundtrips to well under 1e-6 degrees
+    assert(out.forall(_.getBoolean(5)), "roundtrip failed for some rows")
+    // eastings live inside the zone-33 band (lon 12..18 → roughly
+    // 166km..834km at the equator, tighter at high latitude)
+    out.foreach { r =>
+      val e = r.getDouble(1); val n = r.getDouble(2)
+      assert(e > 160000 && e < 840000, s"easting out of band: $e")
+      assert(n >= -10 && n < 10000000, s"northing out of range: $n")
+    }
+    // northing is monotone in recovered latitude (same meridian arc)
+    val sorted = out.map(r => (r.getDouble(3), r.getDouble(2))).sortBy(_._1)
+    sorted.sliding(2).foreach { case Array((la, na), (lb, nb)) =>
+      assert(na <= nb + 1e-6, s"northing not monotone: lat $la -> $lb, n $na -> $nb")
+    case _ => ()
+    }
+    // a point ON the central meridian maps to easting exactly 500000
+    // and its northing equals the meridian arc (well-known anchor:
+    // lat=0 → northing=0)
+    import spark.implicits._
+    // reuse the full chain through a tiny SQL view of the same stages
+    Seq((0.0, 15.0), (45.0, 15.0)).toDF("lat_src", "lon_src")
+      .createOrReplaceTempView("utm_probe")
+    val anchors = spark.sql(
+      graft.operators.GeoProj.probeSql).collect()
+    anchors.foreach { r =>
+      assert(math.abs(r.getDouble(1) - 500000.0) < 0.01,
+        s"central-meridian easting must be 500000: ${r.getDouble(1)}")
+    }
+    val n0 = anchors.find(_.getDouble(0) == 0.0).get.getDouble(2)
+    assert(math.abs(n0) < 0.01, s"equator northing must be 0: $n0")
+    // the meridian arc from the equator to 45°N on WGS84 is
+    // 4984944.38m (published geodesy anchor); the UTM northing there
+    // is k0 times it — the n³ series must hit it to sub-meter
+    val n45 = anchors.find(_.getDouble(0) == 45.0).get.getDouble(2)
+    assert(math.abs(n45 - 0.9996 * 4984944.38) < 1.0,
+      s"northing(45N) off the published arc: $n45")
+  }
+
+  test("b35: concave/holed ray cast — hole excludes, notch excludes, solid contains") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    // one star: cx=cy=1e8, a=8e6 b=5e6 e=4e6 d=2.5e6 hole 1e6x6.25e5
+    val geom = (100000000L, 100000000L, 8000000L, 5000000L,
+      4000000L, 2500000L, 1000000L, 625000L)
+    val pts = Seq(
+      ("hole_center", 100000000L, 100000000L, false, true),
+      // x=cx sits at the bottom notch: ring boundary there is y=cy-d,
+      // so a point at y=cy-b+1000 (inside the convex hull!) is OUTSIDE
+      ("notch", 100000000L, 100000000L - 5000000L + 1000L, false, false),
+      // solid flesh between hole edge and star edge along +x
+      ("solid", 100000000L + 2500000L, 100000000L, true, false),
+      // inside the central diamond but outside the hole
+      ("core_ring", 100000000L + 1500000L, 100000000L, true, false),
+      // clearly outside everything
+      ("far", 100000000L + 20000000L, 100000000L, false, false))
+    val df = pts.map { case (name, px, py, _, _) =>
+      (name, px, py, geom._1, geom._2, geom._3, geom._4, geom._5, geom._6, geom._7, geom._8)
+    }.toDF("name", "px", "py", "cx", "cy", "a", "b", "e", "d", "hw", "hh")
+      .withColumn("inside_outer", expr(graft.operators.GeoGeom.insideOuterS))
+      .withColumn("in_hole", expr(graft.operators.GeoGeom.inHoleS))
+    val got = df.collect().map(r =>
+      r.getString(0) -> (r.getBoolean(11), r.getBoolean(12))).toMap
+    pts.foreach { case (name, _, _, contained, inHole) =>
+      val (outer, hole) = got(name)
+      assert(hole == inHole, s"$name: in_hole=$hole, want $inHole")
+      assert((outer && !hole) == contained,
+        s"$name: contained=${outer && !hole}, want $contained (outer=$outer hole=$hole)")
+    }
+    // the hole_center IS inside the outer ring — the hole is what
+    // excludes it (the even-odd verdict b24's convex test cannot give)
+    assert(got("hole_center")._1, "hole center must be inside the outer ring")
+  }
+
+  test("b37: graft_hilbert is a bijection onto [0, 4^z) and consecutive ids are adjacent cells") {
+    graft.functions.GraftFunctions.register(spark)
+    // exhaustive at z=4: all 256 cells through the codegen'd expression
+    val cells = spark.range(256)
+      .selectExpr("id % 16 AS x", "id div 16 AS y",
+        "graft_hilbert(4, id % 16, id div 16) AS d")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // bijectivity: the 256 d values are exactly 0..255
+    assert(cells.map(_._3).sorted.toSeq == (0L until 256L),
+      "hilbert ids must be a permutation of 0..4^z-1")
+    // the DEFINING curve property (what Morton lacks): walking d in
+    // order moves exactly one grid step at a time
+    val byD = cells.sortBy(_._3)
+    byD.sliding(2).foreach {
+      case Array((xa, ya, da), (xb, yb, db)) =>
+        val manhattan = math.abs(xa - xb) + math.abs(ya - yb)
+        assert(manhattan == 1, s"jump between d=$da ($xa,$ya) and d=$db ($xb,$yb)")
+      case _ => ()
+    }
+    // interpreted path (nullSafeEval) agrees with codegen
+    (0 until 256).foreach { i =>
+      val (x, y) = (i % 16, i / 16)
+      val direct = graft.functions.HilbertD.compute(4, x.toLong, y.toLong)
+      assert(cells.find(c => c._1 == x && c._2 == y).get._3 == direct)
+    }
+  }
+
+  test("b36: planted bowtie is detected, repaired to the parallelogram area; sliver dropped") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    // rings on b36's generator columns: (cx, cy, a, b, sx, swapped)
+    val rings = Seq(
+      ("simple", 100000000L, 100000000L, 8000000L, 5000000L, 2000000L, false),
+      ("bowtie", 100000000L, 100000000L, 8000000L, 5000000L, 2000000L, true),
+      ("sliver", 100000000L, 100000000L, 8000000L, 0L, 2000000L, false))
+    val df = rings.toDF("name", "cx", "cy", "a", "b", "sx", "swapped")
+      .withColumn("crossing", expr(graft.operators.GeoGeom.crossS))
+      .withColumn("degen", expr(graft.operators.GeoGeom.degenS))
+      .withColumn("area2_fixed", expr(graft.operators.GeoGeom.areaFixedS))
+      .withColumn("area2_given", expr(graft.operators.GeoGeom.areaGivenS))
+    val got = df.collect().map(r => r.getString(0) ->
+      (r.getBoolean(7), r.getBoolean(8), r.getLong(9), r.getLong(10))).toMap
+    val (sc, sd, _, sg) = got("simple")
+    assert(!sc && !sd, "simple parallelogram must be valid")
+    assert(math.abs(sg) == 8L * 8000000L * 5000000L, s"parallelogram 2A: $sg")
+    val (bc, bd, bf, bg) = got("bowtie")
+    assert(bc, "bowtie's diagonals must properly cross")
+    assert(bg == 0L, "symmetric bowtie's SIGNED shoelace cancels — why crossing is tested first")
+    assert(math.abs(bf) == 8L * 8000000L * 5000000L,
+      s"repair must recover the parallelogram area: $bf")
+    val (vc, vd, _, _) = got("sliver")
+    assert(!vc && vd, "zero-area sliver: no proper crossing, degenerate")
+  }
 }

@@ -69,6 +69,24 @@ class MediaE2eSpec extends SparkTestBase {
     }
   }
 
+  test("g11b: the decode-free plan twin matches g11's decoded output row for row") {
+    // the twin predicts batch provenance AND the decode contract; g11
+    // runs the real codec — every prediction must hold on every row
+    val plan = graft.multimodal.Media.qMediaE2ePlan(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3), r.getInt(4), r.getInt(6), r.getInt(7))).toMap
+    val e2e = rows.map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    assert(plan.keySet == e2e.keySet, "twin and g11 must cover the same arrivals")
+    e2e.foreach { case (id, (bid, items, w, h)) =>
+      val (pBid, pItems, pW, pH) = plan(id)
+      assert(pBid == bid && pItems == items,
+        s"doc $id: plan batch ($pBid, $pItems) != decoded path ($bid, $items)")
+      assert(pW == w && pH == h,
+        s"doc $id: decode produced ${w}x$h, the format contract says ${pW}x$pH")
+    }
+  }
+
   test("batch packing respects the byte budget contract and covers every arrival") {
     // same contract as g5/g6: per-batch payload bytes stay within
     // budget unless the batch is a single oversized item

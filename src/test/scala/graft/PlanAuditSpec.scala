@@ -507,12 +507,19 @@ class PlanAuditSpec extends SparkTestBase {
       s"skyline window not partitioned by brand: $s\n$p"))
   }
 
-  test("c70 spearman: rank windows read the user aggregate, never raw events") {
+  test("c70 spearman: rank windows read the materialized user aggregate, never raw events") {
     val p = operators.AnalyticsTs.qSpearman(spark, sfDir)
       .queryExecution.executedPlan.toString
-    // events fold to one row per user BEFORE any window touches them
-    assert("HashAggregate\\(keys=\\[user_id#\\d+L?\\]".r.findFirstIn(p).isDefined,
-      s"spearman must pre-aggregate per user before ranking:\n$p")
+    // the per-user aggregate happens once, BEFORE TwoPhase's
+    // range-bucket materialization (round 12: globalRowNumberByRange
+    // pins its sampled boundaries with an eager localCheckpoint, so
+    // the aggregate lives in the build-time plan) — the rank stage
+    // must read the checkpointed bounded table, never re-scan events
+    assert(!"FileScan parquet.*events".r.findFirstIn(p).isDefined &&
+      !p.contains("events.parquet"),
+      s"spearman's rank stage must not re-read raw events:\n$p")
+    assert("Scan ExistingRDD".r.findFirstIn(p).isDefined,
+      s"spearman must rank over the materialized bucketed aggregate:\n$p")
   }
 
   test("two-phase global ranks (c70/c75/c80/c83/f35): zero unpartitioned windows") {
@@ -598,14 +605,19 @@ class PlanAuditSpec extends SparkTestBase {
     assert(df.collect().toSeq == want, "bloom-screened verdicts diverged")
   }
 
-  test("c74 basket: pairs explode from per-order sets, everything after is vocabulary-bounded") {
+  test("c74 basket: pairs explode from the materialized mask table, everything after is vocabulary-bounded") {
     val p = operators.AnalyticsExt.qBasket(spark, sfDir)
       .queryExecution.executedPlan.toString
-    // one orderkey-keyed set agg feeds the pair explode — no items
-    // self-join ever forms (the naive pair generator)
-    assert("HashAggregate\\(keys=\\[l_orderkey#\\d+L?\\]".r.findFirstIn(p).isDefined ||
-      "ObjectHashAggregate\\(keys=\\[l_orderkey#\\d+L?\\]".r.findFirstIn(p).isDefined,
-      s"no per-order set agg:\n$p")
+    // round 12: each order folds to ONE bitmask (codegen'd bit_or) in
+    // the BUILD-TIME plan behind an eager localCheckpoint; the final
+    // plan must (a) generate pairs through the native graft_pair_codes
+    // kernel, (b) read the checkpointed masks instead of re-scanning
+    // lineitem, and (c) never form a row-scale join (the naive pair
+    // generator is an items self-join)
+    assert(p.contains("graft_pair_codes"),
+      s"pairs must come from the native pair-codes kernel:\n$p")
+    assert(!p.contains("lineitem"),
+      s"the pair stage must read the materialized masks, not lineitem:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"basket pairs must not come from a row-scale join:\n$p")
   }

@@ -295,6 +295,34 @@ class SinkSpec extends SparkTestBase {
       s"z-order read $zRead vs scattered $sRead — row-group pruning not engaging")
   }
 
+  test("i12 writeHilbertClustered: files own pairwise-disjoint Hilbert key ranges") {
+    // same 256×256 grid as the z-order test; the Hilbert variant must
+    // partition the curve into disjoint contiguous segments — each
+    // written file's [min, max] hilbert range may not overlap another's
+    val pts = spark.range(65536L)
+      .selectExpr("id % 256 AS xt", "(id div 256) % 256 AS yt", "id AS payload")
+    val out = Files.createTempDirectory("graft_hilbert_cl").toString
+    DatasetsSink.writeHilbertClustered(pts, out, "xt", "yt", z = 8, files = 16)
+    val files = new File(out).listFiles.filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 8, s"expected several clustered files, got ${files.length}")
+    graft.functions.GraftFunctions.register(spark)
+    val ranges = files.toSeq.map { f =>
+      val r = spark.read.parquet(f.getPath)
+        .selectExpr("min(graft_hilbert(8, CAST(xt AS BIGINT), CAST(yt AS BIGINT))) AS lo",
+          "max(graft_hilbert(8, CAST(xt AS BIGINT), CAST(yt AS BIGINT))) AS hi")
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hiA), (loB, _)) =>
+        assert(loB > hiA, s"hilbert file ranges overlap: $ranges")
+      case _ =>
+    }
+    // the union covers the full curve over the grid and nothing is lost
+    assert(ranges.head._1 == 0L && ranges.last._2 == 65535L)
+    assert(spark.read.parquet(out).count() == 65536L)
+  }
+
   test("i16 writeRangeOrdered: file key intervals are pairwise disjoint, a point prunes to one file") {
     val out = Files.createTempDirectory("graft_range").toString
     val df = Tables(spark, sfDir, "orders").select(col("o_orderkey"), col("o_totalprice"))
