@@ -217,20 +217,19 @@ object Media {
     * and each mime would dispatch to its own decoder. Rows-only check
     * (codec round-trip, like g2); MediaSpec golden-pixel gates it. */
   def qMediaBatched(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val budget = 4096L // same bounded-bytes budget as g5
     val d = Tables(spark, dir, "documents")
     val isImage = ascii(substring(col("text"), 1, 1)).between(97, 104)
-    // the EXACT g5 packing window (partition by mime), restricted to
-    // the image mime — batch ids here must equal g5's plan rows
-    val w = Window.partitionBy("mime").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val planned = d.filter(isImage)
-      .select(col("doc_id"), lit("image/fake-png").as("mime"),
-        encode(col("text"), "UTF-8").as("payload"))
-      .withColumn("nbytes", length(col("payload")).cast("long"))
-      .withColumn("cum", sum(col("nbytes")).over(w))
+    // the EXACT g5 packing cumsum (two-phase keyed prefix sum — see
+    // qDecodeBatches), restricted to the image mime — batch ids here
+    // must equal g5's plan rows
+    val planned = graft.operators.TwoPhase.globalCumSumByKey(
+        d.filter(isImage)
+          .select(col("doc_id"), lit("image/fake-png").as("mime"),
+            encode(col("text"), "UTF-8").as("payload"))
+          .withColumn("nbytes", length(col("payload")).cast("long")),
+        Seq(col("mime")), Seq(col("doc_id")), col("nbytes"), "cum")
       .withColumn("batch_id", expr(s"(cum - 1) div $budget").cast("long"))
     // co-locate each batch and make its rows consecutive: the decode
     // stage's unit of work is the batch, not the row
@@ -386,7 +385,6 @@ object Media {
     * partition — the media twin of the a17 compaction planner, and
     * exactly the batch shape g2's mapPartitions decode consumes. */
   def qDecodeBatches(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val budget = 4096L // bytes per decode batch (scaled to the testdata)
     val d = Tables(spark, dir, "documents")
     val mime =
@@ -394,11 +392,13 @@ object Media {
         .when(ascii(substring(col("text"), 1, 1)).between(105, 112), "audio/fake-wav")
         .when(ascii(substring(col("text"), 1, 1)).between(113, 120), "video/fake-mp4")
         .otherwise("text/plain")
-    val w = Window.partitionBy("mime").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    d.select(col("doc_id"), mime.as("mime"),
-        length(encode(col("text"), "UTF-8")).cast("long").as("nbytes"))
-      .withColumn("cum", sum(col("nbytes")).over(w))
+    // the packing cumsum rides the two-phase keyed prefix sum: a plain
+    // `PARTITION BY mime` window is the single-partition degradation in
+    // camouflage (4 mime classes ⇒ 4 tasks carry the whole corpus)
+    graft.operators.TwoPhase.globalCumSumByKey(
+        d.select(col("doc_id"), mime.as("mime"),
+          length(encode(col("text"), "UTF-8")).cast("long").as("nbytes")),
+        Seq(col("mime")), Seq(col("doc_id")), col("nbytes"), "cum")
       .withColumn("batch_id", expr(s"(cum - 1) div $budget").cast("long"))
       .groupBy("mime", "batch_id")
       .agg(count(lit(1)).as("n_items"), sum(col("nbytes")).as("batch_bytes"),
@@ -571,13 +571,13 @@ object Media {
           orig :: ((id + PhashVariantOffset, id, nudged)) :: Nil
         } else orig :: Nil
       }.toDF("doc_id", "src_id", "payload")
-    // g5's packing window over the arrived stream
-    val w = Window.partitionBy("mime").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val planned = arrivals
-      .withColumn("mime", lit("image/fake-png"))
-      .withColumn("nbytes", length(col("payload")).cast("long"))
-      .withColumn("cum", sum(col("nbytes")).over(w))
+    // g5's packing cumsum over the arrived stream (two-phase keyed
+    // prefix sum — see qDecodeBatches)
+    val planned = graft.operators.TwoPhase.globalCumSumByKey(
+        arrivals
+          .withColumn("mime", lit("image/fake-png"))
+          .withColumn("nbytes", length(col("payload")).cast("long")),
+        Seq(col("mime")), Seq(col("doc_id")), col("nbytes"), "cum")
       .withColumn("batch_id", expr(s"(cum - 1) div $budget").cast("long"))
     val decoded = planned.repartition(col("batch_id"))
       .sortWithinPartitions("batch_id", "doc_id")
@@ -880,6 +880,9 @@ object Media {
   def qMediaE2ePlan(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val budget = 4096L
+    // g11's packing cumsum, two-phased like its parent (see
+    // qDecodeBatches); the batch_items window below is per-batch —
+    // genuinely bounded by the byte budget, not corpus-proportional
     val d = Tables(spark, dir, "documents")
     val isImage = ascii(substring(col("text"), 1, 1)).between(97, 104)
     val img = d.filter(isImage)
@@ -890,12 +893,9 @@ object Media {
         .filter(col("doc_id") % 5 === 0 || (col("doc_id") % 5 === 1 && col("nbytes") > 0))
         .select((col("doc_id") + PhashVariantOffset).as("doc_id"),
           col("doc_id").as("src_id"), lit(true).as("is_variant"), col("nbytes")))
-    // g11's packing window verbatim (one mime class arrives here; g5
-    // plans per-mime, and each mime dispatches to its own decoder)
-    val w = Window.partitionBy("mime").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    arrivals.withColumn("mime", lit("image/fake-png"))
-      .withColumn("cum", sum(col("nbytes")).over(w))
+    graft.operators.TwoPhase.globalCumSumByKey(
+        arrivals.withColumn("mime", lit("image/fake-png")),
+        Seq(col("mime")), Seq(col("doc_id")), col("nbytes"), "cum")
       .withColumn("batch_id", expr(s"(cum - 1) div $budget").cast("long"))
       .withColumn("batch_items",
         count(lit(1)).over(Window.partitionBy("mime", "batch_id")).cast("int"))

@@ -131,6 +131,51 @@ object TwoPhase {
     }
   }
 
+  /** Two-phase KEYED PREFIX SUM — the distributed running total
+    * (`sum(value) OVER (PARTITION BY keys ORDER BY order ROWS
+    * UNBOUNDED PRECEDING)`) without a per-key single-partition window.
+    * The naive window moves EVERY row of a key to ONE task — when the
+    * key has a handful of values (the g-family's mime classes) that is
+    * the global single-partition degradation wearing a partitionSpec
+    * as camouflage. The split mirrors [[globalRowNumberByRange]]:
+    *
+    *  - rows range-shuffle on (keys, order) — per-key runs land in
+    *    bucket-contiguous, order-sorted ranges; the bucketed input is
+    *    MATERIALIZED (same sampled-boundary determinism argument);
+    *  - per (bucket, keys) sums fold to a bounded summary; each run's
+    *    carry-in = Σ of its key's sums in LOWER buckets (triangular
+    *    join on the summary — buckets × |keys| rows, broadcast);
+    *  - the in-bucket running sum is a window partitioned by
+    *    (bucket, keys) — parallel across buckets — plus the carry-in.
+    *
+    * Exact whenever (keys, order) is a total order per key (callers
+    * tie-break on a unique id), by the same concatenation argument as
+    * the rank helper. */
+  def globalCumSumByKey(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+      value: Column, out: String, partitions: Int = 32): DataFrame = {
+    val b = df.repartitionByRange(partitions, (keys ++ order): _*)
+      .withColumn("__tp_bkt", spark_partition_id())
+      .withColumn("__tp_v", value)
+      .localCheckpoint(true)
+    val keyNames = keys.zipWithIndex.map { case (_, i) => s"__tp_k$i" }
+    val keyed = keys.zip(keyNames).foldLeft(b) { case (d, (k, n)) => d.withColumn(n, k) }
+    val sums = keyed.groupBy(col("__tp_bkt") +: keyNames.map(col): _*)
+      .agg(sum(col("__tp_v")).as("__tp_s"))
+    val lower = sums.select(col("__tp_bkt").as("__tp_b2") +:
+      (keyNames.map(n => col(n).as(s"${n}_2")) :+ col("__tp_s").as("__tp_s2")): _*)
+    val sameKey = keyNames.map(n => col(n) === col(s"${n}_2")).reduce(_ && _)
+    val offsets = sums.join(broadcast(lower),
+        sameKey && col("__tp_b2") < col("__tp_bkt"), "left")
+      .groupBy(col("__tp_bkt") +: keyNames.map(col): _*)
+      .agg(coalesce(sum(col("__tp_s2")), lit(0L)).as("__tp_off"))
+    val w = Window.partitionBy(col("__tp_bkt") +: keyNames.map(col): _*)
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keyed.join(broadcast(offsets), "__tp_bkt" +: keyNames)
+      .withColumn(out, col("__tp_off") + sum(col("__tp_v")).over(w))
+      .drop("__tp_bkt" +: "__tp_v" +: "__tp_off" +: keyNames: _*)
+  }
+
   /** SQL expression computing `ntile(k)` from a global 1-based rank
     * and the row count — the ANSI bucket rule both engines implement
     * (base = n div k rows per bucket, the first n mod k buckets take

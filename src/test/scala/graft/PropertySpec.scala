@@ -310,4 +310,39 @@ class PropertySpec extends SparkTestBase {
       true
     }, n = 30)
   }
+
+  test("TwoPhase.globalCumSumByKey equals the per-key single-partition window") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // random (key, value) rows with few keys (the g-family's mime
+    // regime — a plain PARTITION BY window would put a whole key on
+    // one task): the two-phase keyed prefix sum must be bit-identical
+    // to sum(v) OVER (PARTITION BY key ORDER BY id ROWS UNBOUNDED
+    // PRECEDING) for any partition count, including partitions that
+    // split a key's run across buckets
+    val gen = for {
+      n <- Gen.choose(1, 400)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.oneOf("img", "aud", "vid", "txt")
+        v <- Gen.choose(-20L, 100L)
+      } yield (k, v))
+      parts <- Gen.oneOf(1, 3, 5, 17)
+    } yield (rows, parts)
+    check(Prop.forAll(gen) { case (rows, parts) =>
+      val df = rows.zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }
+        .toDF("mime", "v", "id")
+      val got = graft.operators.TwoPhase.globalCumSumByKey(df,
+          Seq(col("mime")), Seq(col("id")), col("v"), "cum", partitions = parts)
+        .select("id", "cum").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("mime").orderBy("id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val want = df.withColumn("cum", sum(col("v")).over(w))
+        .select("id", "cum").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"keyed cumsum diverged (parts=$parts)")
+      true
+    }, n = 30)
+  }
 }
