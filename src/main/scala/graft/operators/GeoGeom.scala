@@ -293,13 +293,74 @@ object GeoGeom {
       SELECT event_id, xt, yt, d AS hilbert_d
       FROM h WHERE s = 0 ORDER BY event_id"""
 
+  /** b12c — `q_pmtiles_order`: the PMTiles DIRECTORY each archive
+    * (b12's one-per-user datasets) actually writes — per archive, its
+    * z=8 tile set with the spec's tile id (tile_id = zoom_offset(z) +
+    * hilbert_d(z, x, y), zoom_offset(8) = (4⁸−1)/3 = 21845: the
+    * cumulative tile count of all lower zooms) and the directory
+    * entry index (tiles sorted by tile_id — the order that makes
+    * directory entries delta-encodable and range requests contiguous,
+    * why the format chose Hilbert). Tiling is b3's, the curve is
+    * b37's codegen'd expression; the rank window is per-archive
+    * (user-keyed — bounded by an archive's tile count, never the
+    * corpus). Oracle: the same recurrence as a recursive CTE + a
+    * window. This is the layout column b12's manifest carries into
+    * i12's Hilbert-clustered rewrite. */
+  def qPmtilesOrder(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    val zoomOffset = (math.pow(4, 8).toLong - 1) / 3
+    val tiles = GeoOps.tiled(spark, dir, 8)
+      .groupBy("user_id", "xt", "yt")
+      .agg(count(lit(1)).as("n_features"))
+      .withColumn("tile_id",
+        expr(s"$zoomOffset + graft_hilbert(8, CAST(xt AS BIGINT), CAST(yt AS BIGINT))"))
+    tiles
+      .withColumn("entry_idx", row_number()
+        .over(Window.partitionBy("user_id").orderBy("tile_id")).cast("long"))
+      .select("user_id", "xt", "yt", "n_features", "tile_id", "entry_idx")
+      .orderBy("user_id", "entry_idx")
+  }
+
+  val qPmtilesOrderSql: String =
+    s"""WITH RECURSIVE t AS (${GeoOps.tiledSql(8)}),
+        g AS (
+          SELECT user_id, xt, yt, COUNT(*) AS n_features
+          FROM t GROUP BY user_id, xt, yt),
+        h AS (
+          SELECT user_id, xt, yt, n_features, CAST(xt AS BIGINT) AS hx,
+            CAST(yt AS BIGINT) AS hy, CAST(0 AS BIGINT) AS d,
+            CAST(128 AS BIGINT) AS s
+          FROM g
+          UNION ALL
+          SELECT user_id, xt, yt, n_features,
+            CASE WHEN (hy & s) = 0 THEN
+              CASE WHEN (hx & s) > 0 THEN 255 - hy ELSE hy END
+            ELSE hx END AS hx,
+            CASE WHEN (hy & s) = 0 THEN
+              CASE WHEN (hx & s) > 0 THEN 255 - hx ELSE hx END
+            ELSE hy END AS hy,
+            d + s * s * xor(3 * (CASE WHEN (hx & s) > 0 THEN 1 ELSE 0 END),
+                            (CASE WHEN (hy & s) > 0 THEN 1 ELSE 0 END)) AS d,
+            s // 2 AS s
+          FROM h WHERE s > 0),
+        ids AS (
+          SELECT user_id, xt, yt, n_features, 21845 + d AS tile_id
+          FROM h WHERE s = 0)
+      SELECT user_id, xt, yt, n_features, tile_id,
+        CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY tile_id)
+          AS BIGINT) AS entry_idx
+      FROM ids ORDER BY user_id, entry_idx"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_point_in_concave" -> (qPointInConcave _),
     "q_make_valid_geom" -> (qMakeValidGeom _),
-    "q_hilbert_key" -> (qHilbertKey _))
+    "q_hilbert_key" -> (qHilbertKey _),
+    "q_pmtiles_order" -> (qPmtilesOrder _))
 
   val oracles: Map[String, String] = Map(
     "q_point_in_concave" -> qPointInConcaveSql,
     "q_make_valid_geom" -> qMakeValidGeomSql,
-    "q_hilbert_key" -> qHilbertKeySql)
+    "q_hilbert_key" -> qHilbertKeySql,
+    "q_pmtiles_order" -> qPmtilesOrderSql)
 }

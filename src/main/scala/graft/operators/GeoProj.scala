@@ -154,6 +154,142 @@ object GeoProj {
         $okS AS roundtrip_ok
       FROM s10 ORDER BY event_id"""
 
+  // ---- b38: Lambert Conformal Conic 2SP (EPSG:2249) ---------------
+  //
+  // NAD83 / Massachusetts Mainland — the OTHER source CRS b2 plants
+  // (event_id % 5 == 2). Closed forms are the standard LCC 2SP
+  // equations (Snyder, "Map Projections — A Working Manual", USGS PP
+  // 1395, public): m(φ) = cosφ/√(1−e²sin²φ), t(φ) = tan(π/4−φ/2) /
+  // ((1−e sinφ)/(1+e sinφ))^(e/2), n = (ln m₁−ln m₂)/(ln t₁−ln t₂),
+  // F = m₁/(n t₁ⁿ), ρ = aFtⁿ; forward x = ρ sin(nΔλ),
+  // y = ρ₀ − ρ cos(nΔλ); inverse recovers φ from t' by the standard
+  // fixpoint φ = π/2 − 2 atan(t'·((1−e sinφ)/(1+e sinφ))^(e/2)),
+  // UNROLLED to 5 fixed iterations (each ~e²/2 ≈ 0.003 contraction ⇒
+  // final error ≪ 1e-12 rad — far under the 1e-7° output rounding),
+  // so both engines execute the identical finite expression tree.
+  // GRS80 ellipsoid; grid coordinates in US SURVEY FEET (1200/3937 m
+  // exactly), the unit EPSG:2249 actually serves.
+
+  private val Fl80  = 1.0 / 298.257222101 // GRS80
+  private val E80   = math.sqrt(Fl80 * (2.0 - Fl80))
+  private val Lat1  = 42.0 + 41.0 / 60.0  // standard parallel 1
+  private val Lat2  = 41.0 + 43.0 / 60.0  // standard parallel 2
+  private val Lat0  = 41.0                // origin latitude
+  private val LccLon0 = -71.5             // central meridian
+  private val FtUs  = 1200.0 / 3937.0     // US survey foot in meters
+  private val FE    = 200000.0 / FtUs     // false easting, ftUS
+  private val FN    = 750000.0 / FtUs     // false northing, ftUS
+
+  private def mOf(phi: Double): Double =
+    math.cos(phi) / math.sqrt(1.0 - E80 * E80 * math.sin(phi) * math.sin(phi))
+  private def tOf(phi: Double): Double =
+    math.tan(math.Pi / 4.0 - phi / 2.0) /
+      math.pow((1.0 - E80 * math.sin(phi)) / (1.0 + E80 * math.sin(phi)), E80 / 2.0)
+  private val NLcc =
+    (math.log(mOf(math.toRadians(Lat1))) - math.log(mOf(math.toRadians(Lat2)))) /
+      (math.log(tOf(math.toRadians(Lat1))) - math.log(tOf(math.toRadians(Lat2))))
+  private val FLcc = mOf(math.toRadians(Lat1)) /
+    (NLcc * math.pow(tOf(math.toRadians(Lat1)), NLcc))
+  private val AF   = 6378137.0 / FtUs * FLcc // aF in ftUS
+  private val Rho0 = AF * math.pow(tOf(math.toRadians(Lat0)), NLcc)
+
+  // per-row stages (shared strings; sin/cos/tan/atan/power/ln/sqrt —
+  // the dialect-common subset; no hyperbolics needed here)
+  private val lccLonS = s"(-73.5 + ((${Synth.lonSql}) + 180.0) / 120.0)"
+  private val lccLatS = s"(41.0 + ((${Synth.latSql}) + 85.0) / 85.0)"
+  private val phiS    = "radians(lat_src)"
+  private val tfS     =
+    s"""(tan(${math.Pi / 4.0} - phi / 2)
+        / power((1 - $E80 * sin(phi)) / (1 + $E80 * sin(phi)), ${E80 / 2.0}))"""
+  private val rhoS    = s"($AF * power(tf, $NLcc))"
+  private val thS     = s"($NLcc * radians(lon_src - ($LccLon0)))"
+  private val lccES   = s"round($FE + rho * sin(th), 2)"
+  private val lccNS   = s"round($FN + $Rho0 - rho * cos(th), 2)"
+  // inverse from the ROUNDED pair (n > 0 here, so ρ' is the plain root)
+  private val rxS     = s"(easting_ft - $FE)"
+  private val rhyS    = s"($Rho0 - (northing_ft - $FN))"
+  private val rhopS   = "sqrt(rx * rx + rhy * rhy)"
+  private val tpS     = s"power(rhop / $AF, ${1.0 / NLcc})"
+  private val lonOutLccS = s"round($LccLon0 + degrees(atan(rx / rhy) / $NLcc), 7)"
+  // φ fixpoint, 5 unrolled steps from the spherical seed
+  private def phiStep(prev: String): String =
+    s"""(${math.Pi / 2.0} - 2 * atan(tp
+        * power((1 - $E80 * sin($prev)) / (1 + $E80 * sin($prev)), ${E80 / 2.0})))"""
+  private val phi0S = s"(${math.Pi / 2.0} - 2 * atan(tp))"
+  private val latOutLccS = s"round(degrees(${phiStep("ph4")}), 7)"
+  private val lccOkS =
+    "(abs(lat_4326 - round(lat_src, 7)) < 0.000001 AND abs(lon_4326 - round(lon_src, 7)) < 0.000001)"
+
+  /** b38 — `q_reproject_lcc`: the Lambert Conformal Conic leg of b2's
+    * decision matrix (its EPSG:2249 rows — NAD83 / Massachusetts
+    * Mainland in US survey feet): forward LCC 2SP synthesizes the
+    * state-plane grid coordinates a 2249 shapefile carries, the
+    * inverse recovers EPSG:4326 (dataset2fgb's ogr2ogr leg for
+    * state-plane sources, ref processing.py:100-160), roundtrip-gated
+    * ≪ 1e-6°. Same engine-agreement construction as b34; the grid
+    * math additionally proves the US-survey-foot unit handling
+    * (1200/3937 m exactly — folded into the Scala-computed aF/FE/FN
+    * constants both engines parse identically). Map-only. */
+  def qReprojectLcc(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .where(col("event_id") % 5 === 2) // b2's EPSG:2249 rows
+      .select(col("event_id"))
+      .withColumn("lon_src", expr(lccLonS))
+      .withColumn("lat_src", expr(lccLatS))
+      .withColumn("phi", expr(phiS))
+      .withColumn("tf", expr(tfS))
+      .withColumn("rho", expr(rhoS))
+      .withColumn("th", expr(thS))
+      .withColumn("easting_ft", expr(lccES))
+      .withColumn("northing_ft", expr(lccNS))
+      .withColumn("rx", expr(rxS))
+      .withColumn("rhy", expr(rhyS))
+      .withColumn("rhop", expr(rhopS))
+      .withColumn("tp", expr(tpS))
+      .withColumn("ph0", expr(phi0S))
+      .withColumn("ph1", expr(phiStep("ph0")))
+      .withColumn("ph2", expr(phiStep("ph1")))
+      .withColumn("ph3", expr(phiStep("ph2")))
+      .withColumn("ph4", expr(phiStep("ph3")))
+      .withColumn("lat_4326", expr(latOutLccS))
+      .withColumn("lon_4326", expr(lonOutLccS))
+      .withColumn("roundtrip_ok", expr(lccOkS))
+      .select("event_id", "easting_ft", "northing_ft", "lat_4326", "lon_4326",
+        "roundtrip_ok")
+      .orderBy("event_id")
+  }
+
+  val qReprojectLccSql: String =
+    s"""WITH s0 AS (
+          SELECT event_id, $lccLonS AS lon_src, $lccLatS AS lat_src
+          FROM events WHERE event_id % 5 = 2),
+        s1 AS (SELECT *, $phiS AS phi FROM s0),
+        s2 AS (SELECT *, $tfS AS tf FROM s1),
+        s3 AS (SELECT *, $rhoS AS rho, $thS AS th FROM s2),
+        s4 AS (SELECT *, $lccES AS easting_ft, $lccNS AS northing_ft FROM s3),
+        s5 AS (SELECT *, $rxS AS rx, $rhyS AS rhy FROM s4),
+        s6 AS (SELECT *, $rhopS AS rhop FROM s5),
+        s7 AS (SELECT *, $tpS AS tp FROM s6),
+        s8 AS (SELECT *, $phi0S AS ph0 FROM s7),
+        s9 AS (SELECT *, ${phiStep("ph0")} AS ph1 FROM s8),
+        s10 AS (SELECT *, ${phiStep("ph1")} AS ph2 FROM s9),
+        s11 AS (SELECT *, ${phiStep("ph2")} AS ph3 FROM s10),
+        s12 AS (SELECT *, ${phiStep("ph3")} AS ph4 FROM s11),
+        s13 AS (SELECT *, $latOutLccS AS lat_4326, $lonOutLccS AS lon_4326 FROM s12)
+      SELECT event_id, easting_ft, northing_ft, lat_4326, lon_4326,
+        $lccOkS AS roundtrip_ok
+      FROM s13 ORDER BY event_id"""
+
+  /** LCC forward chain over a `lcc_probe(lat_src, lon_src)` temp view
+    * — GeoInvariantsSpec's anchor (grid origin (41°, −71.5°) maps to
+    * exactly (FE, FN) = (656166.67, 2460625.00) ftUS — EPSG:2249's
+    * published false origin). */
+  val lccProbeSql: String =
+    s"""WITH s1 AS (SELECT lat_src, lon_src, $phiS AS phi FROM lcc_probe),
+        s2 AS (SELECT *, $tfS AS tf FROM s1),
+        s3 AS (SELECT *, $rhoS AS rho, $thS AS th FROM s2)
+      SELECT lat_src, $lccES AS easting_ft, $lccNS AS northing_ft FROM s3"""
+
   /** Forward chain over a `utm_probe(lat_src, lon_src)` temp view —
     * GeoInvariantsSpec's anchor probe (central meridian → E=500000,
     * equator → N=0, 45°N → k0 × the published meridian arc). */
@@ -166,8 +302,10 @@ object GeoProj {
       SELECT lat_src, $eastS AS easting, $northS AS northing FROM s5"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_reproject_utm" -> (qReprojectUtm _))
+    "q_reproject_utm" -> (qReprojectUtm _),
+    "q_reproject_lcc" -> (qReprojectLcc _))
 
   val oracles: Map[String, String] = Map(
-    "q_reproject_utm" -> qReprojectUtmSql)
+    "q_reproject_utm" -> qReprojectUtmSql,
+    "q_reproject_lcc" -> qReprojectLccSql)
 }

@@ -138,6 +138,35 @@ class GeoInvariantsSpec extends SparkTestBase {
       s"northing(45N) off the published arc: $n45")
   }
 
+  test("b38: LCC 2249 — false origin anchors, standard parallels preserve scale sense, roundtrip") {
+    val out = graft.operators.GeoProj.qReprojectLcc(spark, sfDir).collect()
+    assert(out.length > 0)
+    assert(out.forall(_.getBoolean(5)), "LCC roundtrip failed for some rows")
+    // grid coordinates stay in a plausible Massachusetts state-plane
+    // band (the synthesized box spans lat 41..43, lon -73.5..-70.5)
+    out.foreach { r =>
+      val e = r.getDouble(1); val n = r.getDouble(2)
+      assert(e > -100000 && e < 1500000, s"easting out of band: $e")
+      assert(n > 2300000 && n < 3300000, s"northing out of band: $n")
+    }
+    // the grid ORIGIN (41N, 71.5W) maps to exactly the published
+    // false origin of EPSG:2249: (656166.67, 2460625.00) ftUS
+    import spark.implicits._
+    Seq((41.0, -71.5), (42.0, -71.5)).toDF("lat_src", "lon_src")
+      .createOrReplaceTempView("lcc_probe")
+    val anchors = spark.sql(graft.operators.GeoProj.lccProbeSql).collect()
+    val o = anchors.find(_.getDouble(0) == 41.0).get
+    assert(math.abs(o.getDouble(1) - 200000.0 * 3937.0 / 1200.0) < 0.01,
+      s"origin easting must be the false easting: ${o.getDouble(1)}")
+    assert(math.abs(o.getDouble(2) - 750000.0 * 3937.0 / 1200.0) < 0.01,
+      s"origin northing must be the false northing: ${o.getDouble(2)}")
+    // one degree north along the central meridian ≈ 111.2 km ≈ 364,800
+    // ftUS of northing (meridian arc at 41-42N) — a 1% sanity band
+    val n42 = anchors.find(_.getDouble(0) == 42.0).get.getDouble(2)
+    val dN = n42 - o.getDouble(2)
+    assert(dN > 360000 && dN < 369000, s"1-degree northing step off: $dN")
+  }
+
   test("b35: concave/holed ray cast — hole excludes, notch excludes, solid contains") {
     import spark.implicits._
     import org.apache.spark.sql.functions.expr
