@@ -109,28 +109,38 @@ object GeoProj {
     * consistent to ≪1e-6° (the forward/inverse series agree to
     * nanometers; the 1e-6 margin absorbs the cm rounding of the
     * stored easting/northing). */
+  /** UTM stage chain over a DF carrying (…, lon_src, lat_src) —
+    * appends easting/northing (forward) and lat_4326/lon_4326
+    * (inverse from the rounded pair). */
+  private def utmChain(df: DataFrame): DataFrame = {
+    val stages = Seq("sphi" -> sphiS, "targ" -> targS, "tt" -> ttS,
+      "lamd" -> lamdS, "xip" -> xipS, "seta" -> setaS, "etap" -> etapS,
+      "easting" -> eastS, "northing" -> northS, "xi" -> xiS, "eta" -> etaS,
+      "xip2" -> xip2S, "etap2" -> etap2S, "chi" -> chiS,
+      "lat_4326" -> latOutS, "lon_4326" -> lonOutS)
+    stages.foldLeft(df) { case (d, (n, e)) => d.withColumn(n, expr(e)) }
+  }
+
+  /** The UTM WITH-chain as SQL, reading CTE `srcCte(…, lon_src,
+    * lat_src)`; final stage name `u10` carries all output columns. */
+  private def utmChainSql(srcCte: String): String =
+    s"""u1 AS (SELECT *, $sphiS AS sphi FROM $srcCte),
+        u2 AS (SELECT *, $targS AS targ FROM u1),
+        u3 AS (SELECT *, $ttS AS tt, $lamdS AS lamd FROM u2),
+        u4 AS (SELECT *, $xipS AS xip, $setaS AS seta FROM u3),
+        u5 AS (SELECT *, $etapS AS etap FROM u4),
+        u6 AS (SELECT *, $eastS AS easting, $northS AS northing FROM u5),
+        u7 AS (SELECT *, $xiS AS xi, $etaS AS eta FROM u6),
+        u8 AS (SELECT *, $xip2S AS xip2, $etap2S AS etap2 FROM u7),
+        u9 AS (SELECT *, $chiS AS chi FROM u8),
+        u10 AS (SELECT *, $latOutS AS lat_4326, $lonOutS AS lon_4326 FROM u9)"""
+
   def qReprojectUtm(spark: SparkSession, dir: String): DataFrame = {
-    Tables.events(spark, dir)
-      .where(col("event_id") % 5 === 3) // b2's UTM-33N rows
-      .select(col("event_id"))
-      .withColumn("lon_src", expr(lonSrcS))
-      .withColumn("lat_src", expr(latSrcS))
-      .withColumn("sphi", expr(sphiS))
-      .withColumn("targ", expr(targS))
-      .withColumn("tt", expr(ttS))
-      .withColumn("lamd", expr(lamdS))
-      .withColumn("xip", expr(xipS))
-      .withColumn("seta", expr(setaS))
-      .withColumn("etap", expr(etapS))
-      .withColumn("easting", expr(eastS))
-      .withColumn("northing", expr(northS))
-      .withColumn("xi", expr(xiS))
-      .withColumn("eta", expr(etaS))
-      .withColumn("xip2", expr(xip2S))
-      .withColumn("etap2", expr(etap2S))
-      .withColumn("chi", expr(chiS))
-      .withColumn("lat_4326", expr(latOutS))
-      .withColumn("lon_4326", expr(lonOutS))
+    utmChain(Tables.events(spark, dir)
+        .where(col("event_id") % 5 === 3) // b2's UTM-33N rows
+        .select(col("event_id"))
+        .withColumn("lon_src", expr(lonSrcS))
+        .withColumn("lat_src", expr(latSrcS)))
       .withColumn("roundtrip_ok", expr(okS))
       .select("event_id", "easting", "northing", "lat_4326", "lon_4326", "roundtrip_ok")
       .orderBy("event_id")
@@ -140,19 +150,10 @@ object GeoProj {
     s"""WITH s0 AS (
           SELECT event_id, $lonSrcS AS lon_src, $latSrcS AS lat_src
           FROM events WHERE event_id % 5 = 3),
-        s1 AS (SELECT *, $sphiS AS sphi FROM s0),
-        s2 AS (SELECT *, $targS AS targ FROM s1),
-        s3 AS (SELECT *, $ttS AS tt, $lamdS AS lamd FROM s2),
-        s4 AS (SELECT *, $xipS AS xip, $setaS AS seta FROM s3),
-        s5 AS (SELECT *, $etapS AS etap FROM s4),
-        s6 AS (SELECT *, $eastS AS easting, $northS AS northing FROM s5),
-        s7 AS (SELECT *, $xiS AS xi, $etaS AS eta FROM s6),
-        s8 AS (SELECT *, $xip2S AS xip2, $etap2S AS etap2 FROM s7),
-        s9 AS (SELECT *, $chiS AS chi FROM s8),
-        s10 AS (SELECT *, $latOutS AS lat_4326, $lonOutS AS lon_4326 FROM s9)
+        ${utmChainSql("s0")}
       SELECT event_id, easting, northing, lat_4326, lon_4326,
         $okS AS roundtrip_ok
-      FROM s10 ORDER BY event_id"""
+      FROM u10 ORDER BY event_id"""
 
   // ---- b38: Lambert Conformal Conic 2SP (EPSG:2249) ---------------
   //
@@ -230,29 +231,40 @@ object GeoProj {
     * math additionally proves the US-survey-foot unit handling
     * (1200/3937 m exactly — folded into the Scala-computed aF/FE/FN
     * constants both engines parse identically). Map-only. */
+  /** LCC stage chain over a DF carrying (…, lon_src, lat_src). */
+  private def lccChain(df: DataFrame): DataFrame = {
+    val stages = Seq("phi" -> phiS, "tf" -> tfS, "rho" -> rhoS, "th" -> thS,
+      "easting_ft" -> lccES, "northing_ft" -> lccNS, "rx" -> rxS,
+      "rhy" -> rhyS, "rhop" -> rhopS, "tp" -> tpS, "ph0" -> phi0S,
+      "ph1" -> phiStep("ph0"), "ph2" -> phiStep("ph1"),
+      "ph3" -> phiStep("ph2"), "ph4" -> phiStep("ph3"),
+      "lat_4326" -> latOutLccS, "lon_4326" -> lonOutLccS)
+    stages.foldLeft(df) { case (d, (n, e)) => d.withColumn(n, expr(e)) }
+  }
+
+  /** The LCC WITH-chain as SQL, reading CTE `srcCte(…, lon_src,
+    * lat_src)`; final stage name `l13` carries all output columns. */
+  private def lccChainSql(srcCte: String): String =
+    s"""l1 AS (SELECT *, $phiS AS phi FROM $srcCte),
+        l2 AS (SELECT *, $tfS AS tf FROM l1),
+        l3 AS (SELECT *, $rhoS AS rho, $thS AS th FROM l2),
+        l4 AS (SELECT *, $lccES AS easting_ft, $lccNS AS northing_ft FROM l3),
+        l5 AS (SELECT *, $rxS AS rx, $rhyS AS rhy FROM l4),
+        l6 AS (SELECT *, $rhopS AS rhop FROM l5),
+        l7 AS (SELECT *, $tpS AS tp FROM l6),
+        l8 AS (SELECT *, $phi0S AS ph0 FROM l7),
+        l9 AS (SELECT *, ${phiStep("ph0")} AS ph1 FROM l8),
+        l10 AS (SELECT *, ${phiStep("ph1")} AS ph2 FROM l9),
+        l11 AS (SELECT *, ${phiStep("ph2")} AS ph3 FROM l10),
+        l12 AS (SELECT *, ${phiStep("ph3")} AS ph4 FROM l11),
+        l13 AS (SELECT *, $latOutLccS AS lat_4326, $lonOutLccS AS lon_4326 FROM l12)"""
+
   def qReprojectLcc(spark: SparkSession, dir: String): DataFrame = {
-    Tables.events(spark, dir)
-      .where(col("event_id") % 5 === 2) // b2's EPSG:2249 rows
-      .select(col("event_id"))
-      .withColumn("lon_src", expr(lccLonS))
-      .withColumn("lat_src", expr(lccLatS))
-      .withColumn("phi", expr(phiS))
-      .withColumn("tf", expr(tfS))
-      .withColumn("rho", expr(rhoS))
-      .withColumn("th", expr(thS))
-      .withColumn("easting_ft", expr(lccES))
-      .withColumn("northing_ft", expr(lccNS))
-      .withColumn("rx", expr(rxS))
-      .withColumn("rhy", expr(rhyS))
-      .withColumn("rhop", expr(rhopS))
-      .withColumn("tp", expr(tpS))
-      .withColumn("ph0", expr(phi0S))
-      .withColumn("ph1", expr(phiStep("ph0")))
-      .withColumn("ph2", expr(phiStep("ph1")))
-      .withColumn("ph3", expr(phiStep("ph2")))
-      .withColumn("ph4", expr(phiStep("ph3")))
-      .withColumn("lat_4326", expr(latOutLccS))
-      .withColumn("lon_4326", expr(lonOutLccS))
+    lccChain(Tables.events(spark, dir)
+        .where(col("event_id") % 5 === 2) // b2's EPSG:2249 rows
+        .select(col("event_id"))
+        .withColumn("lon_src", expr(lccLonS))
+        .withColumn("lat_src", expr(lccLatS)))
       .withColumn("roundtrip_ok", expr(lccOkS))
       .select("event_id", "easting_ft", "northing_ft", "lat_4326", "lon_4326",
         "roundtrip_ok")
@@ -263,22 +275,10 @@ object GeoProj {
     s"""WITH s0 AS (
           SELECT event_id, $lccLonS AS lon_src, $lccLatS AS lat_src
           FROM events WHERE event_id % 5 = 2),
-        s1 AS (SELECT *, $phiS AS phi FROM s0),
-        s2 AS (SELECT *, $tfS AS tf FROM s1),
-        s3 AS (SELECT *, $rhoS AS rho, $thS AS th FROM s2),
-        s4 AS (SELECT *, $lccES AS easting_ft, $lccNS AS northing_ft FROM s3),
-        s5 AS (SELECT *, $rxS AS rx, $rhyS AS rhy FROM s4),
-        s6 AS (SELECT *, $rhopS AS rhop FROM s5),
-        s7 AS (SELECT *, $tpS AS tp FROM s6),
-        s8 AS (SELECT *, $phi0S AS ph0 FROM s7),
-        s9 AS (SELECT *, ${phiStep("ph0")} AS ph1 FROM s8),
-        s10 AS (SELECT *, ${phiStep("ph1")} AS ph2 FROM s9),
-        s11 AS (SELECT *, ${phiStep("ph2")} AS ph3 FROM s10),
-        s12 AS (SELECT *, ${phiStep("ph3")} AS ph4 FROM s11),
-        s13 AS (SELECT *, $latOutLccS AS lat_4326, $lonOutLccS AS lon_4326 FROM s12)
+        ${lccChainSql("s0")}
       SELECT event_id, easting_ft, northing_ft, lat_4326, lon_4326,
         $lccOkS AS roundtrip_ok
-      FROM s13 ORDER BY event_id"""
+      FROM l13 ORDER BY event_id"""
 
   /** LCC forward chain over a `lcc_probe(lat_src, lon_src)` temp view
     * — GeoInvariantsSpec's anchor (grid origin (41°, −71.5°) maps to
@@ -301,11 +301,120 @@ object GeoProj {
         s5 AS (SELECT *, $etapS AS etap FROM s4)
       SELECT lat_src, $eastS AS easting, $northS AS northing FROM s5"""
 
+  // ---- b39: the reprojection DISPATCH capstone ---------------------
+
+  // spherical WebMercator pair (b1's forward verbatim; the inverse is
+  // its closed form — exp/atan, shared strings, cm-rounded forward)
+  private val RadPerM = 6378137.0 * math.Pi / 180.0
+  private val mercXS = s"round(lon_src * $RadPerM, 2)"
+  private val mercYS =
+    s"round(6378137.0 * ln(tan(${math.Pi / 4.0} + radians(lat_src) / 2)), 2)"
+  private val mercLonS = s"round(merc_x / $RadPerM, 7)"
+  private val mercLatS =
+    s"round(degrees(2 * atan(exp(merc_y / 6378137.0)) - ${math.Pi / 2.0}), 7)"
+
+  /** b39 — `q_reproject_dispatch`: b2's decision matrix EXECUTING (the
+    * full dataset2fgb behavior — decide per layer, then actually run
+    * the transform; ref processing.py:36-61 decides, 100-160 executes
+    * ogr2ogr): every event row routes to its source CRS's transform
+    * and comes out in EPSG:4326 —
+    *  - 4326 rows pass through (never reprojected, b2 rule 1);
+    *  - 3857 rows ride b1's spherical WebMercator pair (forward
+    *    synthesizes the stored meters, the closed-form inverse
+    *    recovers degrees);
+    *  - 32633 rows ride b34's Krüger chain;
+    *  - 2249 rows ride b38's LCC 2SP chain;
+    *  - no-authority rows (src_epsg = −1) pass through when the
+    *    IsSame probe vouches for them, else fail to the dead-letter
+    *    verdict with NULL coordinates (b2 rule 3 — the `int(None)`
+    *    path the reference raises on).
+    * Shape: a UNION of four map-only branches, each the gated
+    * component's stage strings verbatim — no shuffle anywhere before
+    * the ORDER BY, so at 100 TB the whole dispatch rides the ingest
+    * scan. Oracle: the same four chains UNION ALL'd. */
+  def qReprojectDispatch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    def branch(m: Int) = e.where(col("event_id") % 5 === m).select(col("event_id"))
+    val pass4326 = branch(0)
+      .withColumn("src_epsg", lit(4326))
+      .withColumn("method", lit("none"))
+      .withColumn("lon_4326", expr(s"round(${Synth.lonSql}, 7)"))
+      .withColumn("lat_4326", expr(s"round(${Synth.latSql}, 7)"))
+    val merc = branch(1)
+      .withColumn("lon_src", expr(s"(${Synth.lonSql})"))
+      .withColumn("lat_src", expr(
+        s"(greatest(least(${Synth.latSql}, 85.05112878), -85.05112878))"))
+      .withColumn("merc_x", expr(mercXS))
+      .withColumn("merc_y", expr(mercYS))
+      .withColumn("src_epsg", lit(3857))
+      .withColumn("method", lit("webmercator_inverse"))
+      .withColumn("lon_4326", expr(mercLonS))
+      .withColumn("lat_4326", expr(mercLatS))
+    val lcc = lccChain(branch(2)
+        .withColumn("lon_src", expr(lccLonS))
+        .withColumn("lat_src", expr(lccLatS)))
+      .withColumn("src_epsg", lit(2249))
+      .withColumn("method", lit("lcc_2sp"))
+    val utm = utmChain(branch(3)
+        .withColumn("lon_src", expr(lonSrcS))
+        .withColumn("lat_src", expr(latSrcS)))
+      .withColumn("src_epsg", lit(32633))
+      .withColumn("method", lit("tm_krueger"))
+    val noAuth = branch(4)
+      .withColumn("src_epsg", lit(-1))
+      .withColumn("is_same", col("event_id") % 2 === 0) // b2's probe verdict
+      .withColumn("method",
+        when(col("is_same"), "is_same_passthrough").otherwise("failed_no_authority"))
+      .withColumn("lon_4326",
+        when(col("is_same"), expr(s"round(${Synth.lonSql}, 7)")))
+      .withColumn("lat_4326",
+        when(col("is_same"), expr(s"round(${Synth.latSql}, 7)")))
+    val cols = Seq("event_id", "src_epsg", "method", "lon_4326", "lat_4326")
+    Seq(pass4326, merc, lcc, utm, noAuth)
+      .map(_.select(cols.head, cols.tail: _*))
+      .reduce(_ unionAll _)
+      .orderBy("event_id")
+  }
+
+  val qReprojectDispatchSql: String =
+    s"""WITH lsrc AS (
+          SELECT event_id, $lccLonS AS lon_src, $lccLatS AS lat_src
+          FROM events WHERE event_id % 5 = 2),
+        ${lccChainSql("lsrc")},
+        usrc AS (
+          SELECT event_id, $lonSrcS AS lon_src, $latSrcS AS lat_src
+          FROM events WHERE event_id % 5 = 3),
+        ${utmChainSql("usrc")},
+        msrc AS (
+          SELECT event_id, (${Synth.lonSql}) AS lon_src,
+            (greatest(least(${Synth.latSql}, 85.05112878), -85.05112878)) AS lat_src
+          FROM events WHERE event_id % 5 = 1),
+        m1 AS (SELECT *, $mercXS AS merc_x, $mercYS AS merc_y FROM msrc)
+      SELECT event_id, 4326 AS src_epsg, 'none' AS method,
+        round(${Synth.lonSql}, 7) AS lon_4326, round(${Synth.latSql}, 7) AS lat_4326
+      FROM events WHERE event_id % 5 = 0
+      UNION ALL
+      SELECT event_id, 3857, 'webmercator_inverse', $mercLonS, $mercLatS FROM m1
+      UNION ALL
+      SELECT event_id, 2249, 'lcc_2sp', lon_4326, lat_4326 FROM l13
+      UNION ALL
+      SELECT event_id, 32633, 'tm_krueger', lon_4326, lat_4326 FROM u10
+      UNION ALL
+      SELECT event_id, -1,
+        CASE WHEN event_id % 2 = 0 THEN 'is_same_passthrough'
+             ELSE 'failed_no_authority' END,
+        CASE WHEN event_id % 2 = 0 THEN round(${Synth.lonSql}, 7) END,
+        CASE WHEN event_id % 2 = 0 THEN round(${Synth.latSql}, 7) END
+      FROM events WHERE event_id % 5 = 4
+      ORDER BY event_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_reproject_utm" -> (qReprojectUtm _),
-    "q_reproject_lcc" -> (qReprojectLcc _))
+    "q_reproject_lcc" -> (qReprojectLcc _),
+    "q_reproject_dispatch" -> (qReprojectDispatch _))
 
   val oracles: Map[String, String] = Map(
     "q_reproject_utm" -> qReprojectUtmSql,
-    "q_reproject_lcc" -> qReprojectLccSql)
+    "q_reproject_lcc" -> qReprojectLccSql,
+    "q_reproject_dispatch" -> qReprojectDispatchSql)
 }

@@ -622,6 +622,18 @@ class PlanAuditSpec extends SparkTestBase {
       s"basket pairs must not come from a row-scale join:\n$p")
   }
 
+  test("b39 dispatch: four transform branches union map-only — no join, no agg, one sort exchange") {
+    val p = operators.GeoProj.qReprojectDispatch(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"the dispatch must not join:\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("ObjectHashAggregate"),
+      s"the dispatch is row-wise — no aggregate belongs in it:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"only the ORDER BY may shuffle, saw $exchanges:\n$p")
+    assert(p.contains("Union"), s"expected the four-branch union:\n$p")
+  }
+
   test("b32 nearest-poi: the argmin is a map-only literal fold — no join, no explode, one sort exchange") {
     val p = operators.GeoOps.qNearestPoi(spark, sfDir)
       .queryExecution.executedPlan.toString
