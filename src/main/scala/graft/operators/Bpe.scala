@@ -98,9 +98,81 @@ object Bpe {
     rules.toSeq
   }
 
+  /** f41 — `q_bpe_encode`: the APPLY half of the tokenizer (f24/
+    * trainBpe learn the merges; every training-data pipeline then
+    * ENCODES the corpus with them — the token counts fed to f16's
+    * packing and f40's epoch budgeting are this operator's output).
+    * Train 8 merges with [[trainBpe]] (driver holds only the 8 rules),
+    * then encode each vocabulary word by applying the rules in rank
+    * order as literal string replaces over the WRAPPED-TOKEN form
+    * (`hello` → `<h><e><l><l><o>`; merge (a,b) = replace
+    * `<a><b>` → `<ab>`): a single replace pass is exhaustive AND
+    * greedy left-to-right — a replacement never re-pairs with the
+    * token before it, and no `<a><b>` can survive or be created by
+    * its own rule — which is exactly trainBpe's aggregate-fold
+    * semantics, now in a codegen'd expression chain with zero
+    * lambdas. Cost ∝ VOCABULARY, not corpus (the corpus was scanned
+    * once at word-count time). Oracle: DuckDB re-derives the same 8
+    * rules as a generated 8-level CTE chain (pair-count → argmax →
+    * replace per level, same (cnt DESC, a, b) tie order) — fully
+    * independent training, so the driver check gates the whole
+    * train→encode loop, not just the apply. */
+  def qBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val rules = trainBpe(spark, dir, 8)
+    val esc = (s: String) => s.replace("\\", "\\\\").replace("'", "\\'")
+    val encExpr = rules.foldLeft("regexp_replace(w, '(.)', '<$1>')") {
+      case (e, (a, b)) =>
+        s"replace($e, '<${esc(a)}><${esc(b)}>', '<${esc(a + b)}>')"
+    }
+    wordFreq(spark, dir)
+      .select(col("w"), col("f"), expr(encExpr).as("encoded"))
+      .withColumn("n_tokens",
+        expr("CAST(length(encoded) - length(replace(encoded, '<', '')) AS BIGINT)"))
+      .withColumn("n_chars", length(col("w")).cast("long"))
+      .orderBy(col("f").desc, col("w"))
+      .limit(200)
+  }
+
+  val qBpeEncodeSql: String = {
+    // level i: pair-count the wrapped corpus state, pick the argmax
+    // rule, apply it — w8's string IS the encoding (each level's
+    // replace is exhaustive, later rules see merged tokens).
+    // Every level CTE is MATERIALIZED and referenced once (the rule
+    // arrives as a 1-row cross join): with DuckDB's default CTE
+    // inlining each w_i would be re-expanded per reference and the
+    // 8-level chain explodes to 4^8 base scans (observed as an
+    // fd-exhaustion crash); materialization keeps it linear.
+    val levels = (0 until 8).map { i =>
+      s"""p$i AS MATERIALIZED (
+            SELECT t.a, t.b, CAST(SUM(t.f) AS BIGINT) AS cnt FROM (
+              SELECT list_extract(tk, CAST(u.i AS INT)) AS a,
+                     list_extract(tk, CAST(u.i AS INT) + 1) AS b, f
+              FROM (SELECT string_split(substr(s, 2, length(s) - 2), '><') AS tk, f
+                    FROM w$i) q,
+                   unnest(generate_series(1, len(q.tk) - 1)) AS u(i)) t
+            GROUP BY t.a, t.b),
+          r$i AS MATERIALIZED (SELECT a, b FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+          w${i + 1} AS MATERIALIZED (
+            SELECT w, f, replace(s, '<' || r.a || '><' || r.b || '>',
+              '<' || r.a || r.b || '>') AS s
+            FROM w$i, r$i r)"""
+    }.mkString(",\n")
+    s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        wf AS (SELECT w, COUNT(*) AS f FROM toks WHERE length(w) >= 2 GROUP BY w),
+        w0 AS MATERIALIZED (
+          SELECT w, f, regexp_replace(w, '(.)', '<\\1>', 'g') AS s FROM wf),
+        $levels
+      SELECT w, f, s AS encoded,
+        CAST(length(s) - length(replace(s, '<', '')) AS BIGINT) AS n_tokens,
+        CAST(length(w) AS BIGINT) AS n_chars
+      FROM w8 ORDER BY f DESC, w LIMIT 200"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_bpe_step" -> (qBpeStep _))
+    "q_bpe_step" -> (qBpeStep _),
+    "q_bpe_encode" -> (qBpeEncode _))
 
   val oracles: Map[String, String] = Map(
-    "q_bpe_step" -> qBpeStepSql)
+    "q_bpe_step" -> qBpeStepSql,
+    "q_bpe_encode" -> qBpeEncodeSql)
 }

@@ -73,4 +73,24 @@ class BpeSpec extends SparkTestBase {
     assert(got.exists { case (a, b) => a.length > 1 || b.length > 1 },
       s"no composed merge in $got — the state never advanced")
   }
+
+  test("f41 encode: tokens concatenate back to the word, and merges genuinely compress") {
+    val rows = Bpe.qBpeEncode(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    var merged = 0L
+    rows.foreach { r =>
+      val (w, f, enc, nTok, nChars) = (r.getString(0), r.getLong(1),
+        r.getString(2), r.getLong(3), r.getLong(4))
+      // lossless: stripping the token wrappers recovers the word
+      assert(enc.replace("<", "").replace(">", "") == w,
+        s"encoding of '$w' lost characters: $enc")
+      assert(nTok >= 1 && nTok <= nChars, s"'$w': $nTok tokens for $nChars chars")
+      if (nTok < nChars) merged += f
+    }
+    // the 8 learned rules must actually fire on the corpus head —
+    // weighted by frequency, most of the mass encodes shorter than
+    // its character count
+    val tot = rows.map(_.getLong(1)).sum
+    assert(merged * 2 > tot, s"merges barely fire: $merged of $tot")
+  }
 }
