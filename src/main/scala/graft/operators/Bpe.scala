@@ -168,11 +168,69 @@ object Bpe {
       FROM w8 ORDER BY f DESC, w LIMIT 200"""
   }
 
+  /** f42 — `q_tokenize_corpus`: corpus-wide BPE token accounting, the
+    * production data flow (tokenize the VOCABULARY once — f41 — then
+    * corpus tokenization is a broadcast JOIN against the word→tokens
+    * table, never a per-document re-encode): per document its BPE
+    * token count, whitespace token count and kept-char count, plus
+    * the per-doc compression ratio in integer micro-units. This is
+    * the number f16's sequence packing and f40's epoch budgeting
+    * actually consume. Plan: the corpus explodes to words ONCE (f3's
+    * scan), the ≤|vocab| encoded table broadcasts onto it, one
+    * doc-keyed re-aggregation — at 100 TB the vocab table is the
+    * only thing the 8-rule training ever re-touches. Words shorter
+    * than 2 chars are untokenized passthroughs (1 token each),
+    * mirroring wordFreq's training filter. */
+  def qTokenizeCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val rules = trainBpe(spark, dir, 8)
+    val esc = (s: String) => s.replace("\\", "\\\\").replace("'", "\\'")
+    val encExpr = rules.foldLeft("regexp_replace(w, '(.)', '<$1>')") {
+      case (e, (a, b)) =>
+        s"replace($e, '<${esc(a)}><${esc(b)}>', '<${esc(a + b)}>')"
+    }
+    val vocab = wordFreq(spark, dir)
+      .select(col("w"), expr(encExpr).as("enc"))
+      .select(col("w"),
+        expr("CAST(length(enc) - length(replace(enc, '<', '')) AS BIGINT)").as("w_tokens"))
+    val words = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    words.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("ws_tokens"),
+        sum(coalesce(col("w_tokens"), lit(1L))).as("bpe_tokens"),
+        sum(length(col("w")).cast("long")).as("n_chars"))
+      // NULLIF: a doc of only empty split tokens has n_chars = 0 —
+      // Spark's div would NULL, DuckDB's // would error; align on NULL
+      .withColumn("compression_micro",
+        expr("bpe_tokens * 1000000 div NULLIF(n_chars, 0)"))
+      .orderBy("doc_id")
+  }
+
+  val qTokenizeCorpusSql: String = {
+    val idx = qBpeEncodeSql.indexOf("SELECT w, f, s AS encoded")
+    val ctes = qBpeEncodeSql.substring(0, idx).trim.stripSuffix(",")
+    s"""$ctes,
+        vocab AS MATERIALIZED (
+          SELECT w, CAST(length(s) - length(replace(s, '<', '')) AS BIGINT) AS w_tokens
+          FROM w8),
+        words AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      SELECT doc_id, COUNT(*) AS ws_tokens,
+        CAST(SUM(COALESCE(v.w_tokens, 1)) AS BIGINT) AS bpe_tokens,
+        CAST(SUM(length(words.w)) AS BIGINT) AS n_chars,
+        CAST(SUM(COALESCE(v.w_tokens, 1)) * 1000000
+          // NULLIF(CAST(SUM(length(words.w)) AS BIGINT), 0) AS BIGINT) AS compression_micro
+      FROM words LEFT JOIN vocab v ON v.w = words.w
+      GROUP BY doc_id ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_step" -> (qBpeStep _),
-    "q_bpe_encode" -> (qBpeEncode _))
+    "q_bpe_encode" -> (qBpeEncode _),
+    "q_tokenize_corpus" -> (qTokenizeCorpus _))
 
   val oracles: Map[String, String] = Map(
     "q_bpe_step" -> qBpeStepSql,
-    "q_bpe_encode" -> qBpeEncodeSql)
+    "q_bpe_encode" -> qBpeEncodeSql,
+    "q_tokenize_corpus" -> qTokenizeCorpusSql)
 }
