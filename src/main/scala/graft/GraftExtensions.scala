@@ -87,6 +87,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_pair_codes"),
       (exprs: Seq[Expression]) => graft.functions.PairCodes(exprs(0))))
     ext.injectFunction((
+      FunctionIdentifier("graft_ray_cross"),
+      new ExpressionInfo(classOf[graft.functions.RayCrossings].getCanonicalName,
+        "graft_ray_cross"),
+      (exprs: Seq[Expression]) => graft.functions.RayCrossings(
+        exprs(0), exprs(1), exprs(2), exprs(3))))
+    ext.injectFunction((
       FunctionIdentifier("graft_intersect_count"),
       new ExpressionInfo(classOf[graft.functions.IntersectCount].getCanonicalName,
         "graft_intersect_count"),

@@ -111,16 +111,29 @@ object GeoGeom {
     * exact cross join over the SAME template strings: blocking must
     * not change results. */
   def qPointInConcave(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val cell = 16777216L
     val s = Tables(spark, dir, "supplier")
     val g0 = starGenCols.foldLeft(
       s.select(col("s_suppkey").as("poly_id"), col("s_suppkey"))) {
         case (df, (e, n)) => df.withColumn(n, expr(e)) }
       .drop("s_suppkey")
+    // ring vertex arrays for the native graft_ray_cross kernel — the
+    // declarative 8-edge template (insideOuterS, kept as the ORACLE
+    // and the spec reference) expands to a ~4 KB tree that defeats
+    // whole-stage codegen; fused into the join it dragged the probe
+    // to interpreted evaluation over every cell-mate (49.7 s at 10×
+    // GenTpch → candidate-bounded with the kernel)
     val polyCells = g0
-      .withColumn("cxl", explode(sequence(
+      .withColumn("oxs", expr(
+        "array(cx - a, cx, cx + a, cx + e, cx + a, cx, cx - a, cx - e)"))
+      .withColumn("oys", expr(
+        "array(cy - b, cy - d, cy - b, cy, cy + b, cy + d, cy + b, cy)"))
+      .withColumn("hxs", expr("array(cx - hw, cx + hw, cx + hw, cx - hw)"))
+      .withColumn("hys", expr("array(cy - hh, cy - hh, cy + hh, cy + hh)"))
+      .withColumn("gxl", explode(sequence(
         expr(s"(cx - a) div $cell"), expr(s"(cx + a) div $cell"))))
-      .withColumn("cyl", explode(sequence(
+      .withColumn("gyl", explode(sequence(
         expr(s"(cy - b) div $cell"), expr(s"(cy + b) div $cell"))))
     val pts = Tables.events(spark, dir).select(col("event_id"),
         (col("event_id") * 2654435761L % 360000000L).as("px"),
@@ -129,12 +142,22 @@ object GeoGeom {
       .withColumn("cyl", expr(s"py div $cell"))
     // filter on the OUTER ring; the hole splits the tally — containment
     // with the hole is n_points (= inside outer AND NOT in hole, the
-    // even-odd verdict), n_in_hole the points the hole excluded
-    pts.join(broadcast(polyCells), Seq("cxl", "cyl"))
-      .filter(expr(insideOuterS))
+    // even-odd verdict), n_in_hole the points the hole excluded.
+    // The bbox gate lives IN THE JOIN CONDITION: cell-collocation
+    // admits every polygon sharing the point's 2²⁴-µdeg cell (~1.8k
+    // per cell in the dense 100× GenTpch regime), the four integer
+    // comparisons compile inside the BroadcastHashJoin probe, and the
+    // exact ray cast (the small native kernel) only ever runs on bbox
+    // survivors — the true-overlap set.
+    pts.join(broadcast(polyCells),
+        col("cxl") === col("gxl") && col("cyl") === col("gyl") &&
+          col("px") >= col("cx") - col("a") && col("px") <= col("cx") + col("a") &&
+          col("py") >= col("cy") - col("b") && col("py") <= col("cy") + col("b"))
+      .filter(expr("graft_ray_cross(px, py, oxs, oys) % 2 = 1"))
+      .withColumn("in_hole", expr("graft_ray_cross(px, py, hxs, hys) % 2 = 1"))
       .groupBy("poly_id")
-      .agg(sum(when(expr(inHoleS), 0L).otherwise(1L)).as("n_points"),
-        sum(when(expr(inHoleS), 1L).otherwise(0L)).as("n_in_hole"))
+      .agg(sum(when(col("in_hole"), 0L).otherwise(1L)).as("n_points"),
+        sum(when(col("in_hole"), 1L).otherwise(0L)).as("n_in_hole"))
       .orderBy("poly_id")
   }
 

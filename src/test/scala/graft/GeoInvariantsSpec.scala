@@ -189,6 +189,24 @@ class GeoInvariantsSpec extends SparkTestBase {
     }.toDF("name", "px", "py", "cx", "cy", "a", "b", "e", "d", "hw", "hh")
       .withColumn("inside_outer", expr(graft.operators.GeoGeom.insideOuterS))
       .withColumn("in_hole", expr(graft.operators.GeoGeom.inHoleS))
+    // the native kernel must agree with the declarative template on
+    // every probe (the serving path runs graft_ray_cross; the oracle
+    // runs the template — this is where they are pinned together)
+    graft.functions.GraftFunctions.register(spark)
+    val nativeDf = df
+      .withColumn("n_outer", expr(
+        """graft_ray_cross(px, py,
+             array(cx - a, cx, cx + a, cx + e, cx + a, cx, cx - a, cx - e),
+             array(cy - b, cy - d, cy - b, cy, cy + b, cy + d, cy + b, cy)) % 2 = 1"""))
+      .withColumn("n_hole", expr(
+        """graft_ray_cross(px, py,
+             array(cx - hw, cx + hw, cx + hw, cx - hw),
+             array(cy - hh, cy - hh, cy + hh, cy + hh)) % 2 = 1"""))
+    nativeDf.collect().foreach { r =>
+      assert(r.getAs[Boolean]("n_outer") == r.getAs[Boolean]("inside_outer") &&
+        r.getAs[Boolean]("n_hole") == r.getAs[Boolean]("in_hole"),
+        s"native kernel diverged from the template on ${r.getString(0)}")
+    }
     val got = df.collect().map(r =>
       r.getString(0) -> (r.getBoolean(11), r.getBoolean(12))).toMap
     pts.foreach { case (name, _, _, contained, inHole) =>
