@@ -408,13 +408,50 @@ object GeoProj {
       FROM events WHERE event_id % 5 = 4
       ORDER BY event_id"""
 
+  /** b40 — `q_reproject_audit`: the QA rollup over b39's dispatch
+    * (b8's feature-count gate, for the reprojection leg — the
+    * reference errors a layer whose converted count disagrees;
+    * processing.py:160-181): per (src_epsg, method) the routed row
+    * count, how many produced coordinates, how many dead-lettered,
+    * and the 4326-range check on the produced coordinates (every
+    * transform must land in lon ∈ [−180, 180], lat ∈ [−90, 90] —
+    * a cheap corruption tripwire a 100 TB pipeline keeps on always).
+    * One bounded agg over the map-only dispatch. */
+  def qReprojectAudit(spark: SparkSession, dir: String): DataFrame = {
+    qReprojectDispatch(spark, dir)
+      .groupBy("src_epsg", "method")
+      .agg(count(lit(1)).as("n_routed"),
+        sum(when(col("lon_4326").isNotNull, 1L).otherwise(0L)).as("n_converted"),
+        sum(when(col("lon_4326").isNull, 1L).otherwise(0L)).as("n_dead_letter"),
+        sum(when(col("lon_4326").between(-180.0, 180.0) &&
+          col("lat_4326").between(-90.0, 90.0), 1L).otherwise(0L)).as("n_in_range"))
+      .withColumn("range_ok", col("n_in_range") === col("n_converted"))
+      .orderBy("src_epsg", "method")
+  }
+
+  val qReprojectAuditSql: String = {
+    val inner = qReprojectDispatchSql.replace("ORDER BY event_id", "")
+    s"""WITH d AS ($inner)
+      SELECT src_epsg, method, COUNT(*) AS n_routed,
+        CAST(SUM(CASE WHEN lon_4326 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+        CAST(SUM(CASE WHEN lon_4326 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dead_letter,
+        CAST(SUM(CASE WHEN lon_4326 BETWEEN -180 AND 180
+                       AND lat_4326 BETWEEN -90 AND 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_range,
+        CAST(SUM(CASE WHEN lon_4326 BETWEEN -180 AND 180
+                       AND lat_4326 BETWEEN -90 AND 90 THEN 1 ELSE 0 END) AS BIGINT)
+          = CAST(SUM(CASE WHEN lon_4326 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS range_ok
+      FROM d GROUP BY src_epsg, method ORDER BY src_epsg, method"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_reproject_utm" -> (qReprojectUtm _),
     "q_reproject_lcc" -> (qReprojectLcc _),
-    "q_reproject_dispatch" -> (qReprojectDispatch _))
+    "q_reproject_dispatch" -> (qReprojectDispatch _),
+    "q_reproject_audit" -> (qReprojectAudit _))
 
   val oracles: Map[String, String] = Map(
     "q_reproject_utm" -> qReprojectUtmSql,
     "q_reproject_lcc" -> qReprojectLccSql,
-    "q_reproject_dispatch" -> qReprojectDispatchSql)
+    "q_reproject_dispatch" -> qReprojectDispatchSql,
+    "q_reproject_audit" -> qReprojectAuditSql)
 }
