@@ -9,7 +9,7 @@ import graft.functions.Synth
   * reference reprojects ANY source SRS to the pipeline CRS via
   * ogr2ogr (ref processing.py:100-160, decision matrix at
   * processing.py:36-61); b2 models the full decision matrix and
-  * synthesizes EPSG:32633 (UTM zone 33N) rows whose "reproject"
+  * synthesizes EPSG:32633-family (UTM, zones 31-33) rows whose "reproject"
   * verdict previously had no transform to execute. This module
   * supplies that transform: the closed-form ellipsoidal transverse
   * Mercator (Krüger series to n³ — the standard UTM formulation,
@@ -52,8 +52,6 @@ object GeoProj {
   private val De1  = 2.0 * N3 - 2.0 * N3 * N3 / 3.0 - 2.0 * N3 * N3 * N3
   private val De2  = 7.0 * N3 * N3 / 3.0 - 8.0 * N3 * N3 * N3 / 5.0
   private val De3  = 56.0 * N3 * N3 * N3 / 15.0
-  private val Lon0 = 15.0 // UTM zone 33 central meridian
-
   // sinh/cosh/atanh spelled in the exp/ln subset both engines share
   private def sh(u: String) = s"((exp($u) - exp(-($u))) / 2)"
   private def ch(u: String) = s"((exp($u) + exp(-($u))) / 2)"
@@ -61,12 +59,20 @@ object GeoProj {
 
   // ---- shared stage strings (the single source of truth both
   //      engines execute) ----
-  private val lonSrcS = s"(12.0 + ((${Synth.lonSql}) + 180.0) / 60.0)"
+  // round 13: ZONE-PARAMETRIC — the source box spans lon [0, 18), i.e.
+  // UTM zones 31/32/33, and the central meridian is the closed-form
+  // zone algebra 6·floor(lon/6)+3 (a per-row column both engines
+  // compute identically) instead of a pinned constant. Real UTM data
+  // spans zones; the Krüger chain was already zone-parametric in all
+  // but this constant.
+  private val lonSrcS = s"(((${Synth.lonSql}) + 180.0) / 20.0)"
   private val latSrcS = s"(((${Synth.latSql}) + 85.0) * 0.494)"
+  private val lon0S   = "(6.0 * floor(lon_src / 6.0) + 3.0)"
+  private val zoneS   = "CAST(floor(lon_src / 6.0) + 31 AS INT)"
   private val sphiS   = "sin(radians(lat_src))"
   private val targS   = s"(${ath("sphi")} - $Ecc * ${ath(s"($Ecc * sphi)")})"
   private val ttS     = sh("targ")
-  private val lamdS   = s"radians(lon_src - $Lon0)"
+  private val lamdS   = "radians(lon_src - lon0)"
   private val xipS    = "atan(tt / cos(lamd))"
   private val setaS   = "(sin(lamd) / sqrt(1 + tt * tt))"
   private val etapS   = ath("seta")
@@ -95,14 +101,15 @@ object GeoProj {
   private val latOutS =
     s"round(degrees(chi + $De1 * sin(2 * chi) + $De2 * sin(4 * chi) + $De3 * sin(6 * chi)), 7)"
   private val lonOutS =
-    s"round($Lon0 + degrees(atan(${sh("etap2")} / cos(xip2))), 7)"
+    s"round(lon0 + degrees(atan(${sh("etap2")} / cos(xip2))), 7)"
   private val okS     =
     "(abs(lat_4326 - round(lat_src, 7)) < 0.000001 AND abs(lon_4326 - round(lon_src, 7)) < 0.000001)"
 
   /** b34 — `q_reproject_utm`: execute the reprojection b2's decision
     * matrix plans for its EPSG:32633 rows (ref processing.py:100-160 —
     * dataset2fgb's ogr2ogr -t_srs EPSG:4326 leg). Source coordinates
-    * are synthesized IN zone 33 by the forward transform (lat/lon →
+    * are synthesized in-zone (zones 31-33; lon0 = 6·floor(lon/6)+3 is
+    * a per-row column) by the forward transform (lat/lon →
     * easting/northing, the data a UTM shapefile would carry), then the
     * inverse recovers EPSG:4326 — both directions exercised in one
     * plan, with a roundtrip gate proving the pair is mutually
@@ -113,7 +120,7 @@ object GeoProj {
     * appends easting/northing (forward) and lat_4326/lon_4326
     * (inverse from the rounded pair). */
   private def utmChain(df: DataFrame): DataFrame = {
-    val stages = Seq("sphi" -> sphiS, "targ" -> targS, "tt" -> ttS,
+    val stages = Seq("lon0" -> lon0S, "sphi" -> sphiS, "targ" -> targS, "tt" -> ttS,
       "lamd" -> lamdS, "xip" -> xipS, "seta" -> setaS, "etap" -> etapS,
       "easting" -> eastS, "northing" -> northS, "xi" -> xiS, "eta" -> etaS,
       "xip2" -> xip2S, "etap2" -> etap2S, "chi" -> chiS,
@@ -124,7 +131,8 @@ object GeoProj {
   /** The UTM WITH-chain as SQL, reading CTE `srcCte(…, lon_src,
     * lat_src)`; final stage name `u10` carries all output columns. */
   private def utmChainSql(srcCte: String): String =
-    s"""u1 AS (SELECT *, $sphiS AS sphi FROM $srcCte),
+    s"""u0 AS (SELECT *, $lon0S AS lon0 FROM $srcCte),
+        u1 AS (SELECT *, $sphiS AS sphi FROM u0),
         u2 AS (SELECT *, $targS AS targ FROM u1),
         u3 AS (SELECT *, $ttS AS tt, $lamdS AS lamd FROM u2),
         u4 AS (SELECT *, $xipS AS xip, $setaS AS seta FROM u3),
@@ -137,12 +145,14 @@ object GeoProj {
 
   def qReprojectUtm(spark: SparkSession, dir: String): DataFrame = {
     utmChain(Tables.events(spark, dir)
-        .where(col("event_id") % 5 === 3) // b2's UTM-33N rows
+        .where(col("event_id") % 5 === 3) // b2's UTM rows, zones 31-33
         .select(col("event_id"))
         .withColumn("lon_src", expr(lonSrcS))
         .withColumn("lat_src", expr(latSrcS)))
+      .withColumn("utm_zone", expr(zoneS))
       .withColumn("roundtrip_ok", expr(okS))
-      .select("event_id", "easting", "northing", "lat_4326", "lon_4326", "roundtrip_ok")
+      .select("event_id", "utm_zone", "easting", "northing", "lat_4326",
+        "lon_4326", "roundtrip_ok")
       .orderBy("event_id")
   }
 
@@ -151,8 +161,8 @@ object GeoProj {
           SELECT event_id, $lonSrcS AS lon_src, $latSrcS AS lat_src
           FROM events WHERE event_id % 5 = 3),
         ${utmChainSql("s0")}
-      SELECT event_id, easting, northing, lat_4326, lon_4326,
-        $okS AS roundtrip_ok
+      SELECT event_id, $zoneS AS utm_zone, easting, northing, lat_4326,
+        lon_4326, $okS AS roundtrip_ok
       FROM u10 ORDER BY event_id"""
 
   // ---- b38: Lambert Conformal Conic 2SP (EPSG:2249) ---------------
@@ -294,12 +304,13 @@ object GeoProj {
     * GeoInvariantsSpec's anchor probe (central meridian → E=500000,
     * equator → N=0, 45°N → k0 × the published meridian arc). */
   val probeSql: String =
-    s"""WITH s1 AS (SELECT lat_src, lon_src, $sphiS AS sphi FROM utm_probe),
+    s"""WITH s0 AS (SELECT lat_src, lon_src, $lon0S AS lon0 FROM utm_probe),
+        s1 AS (SELECT *, $sphiS AS sphi FROM s0),
         s2 AS (SELECT *, $targS AS targ FROM s1),
         s3 AS (SELECT *, $ttS AS tt, $lamdS AS lamd FROM s2),
         s4 AS (SELECT *, $xipS AS xip, $setaS AS seta FROM s3),
         s5 AS (SELECT *, $etapS AS etap FROM s4)
-      SELECT lat_src, $eastS AS easting, $northS AS northing FROM s5"""
+      SELECT lat_src, lon_src, $eastS AS easting, $northS AS northing FROM s5"""
 
   // ---- b39: the reprojection DISPATCH capstone ---------------------
 
@@ -328,51 +339,61 @@ object GeoProj {
     *    IsSame probe vouches for them, else fail to the dead-letter
     *    verdict with NULL coordinates (b2 rule 3 — the `int(None)`
     *    path the reference raises on).
-    * Shape: a UNION of four map-only branches, each the gated
-    * component's stage strings verbatim — no shuffle anywhere before
-    * the ORDER BY, so at 100 TB the whole dispatch rides the ingest
-    * scan. Oracle: the same four chains UNION ALL'd. */
+    * Shape (round 13): ONE scan of events with CASE-routed map-only
+    * chains — the previous five filtered-UNION arms were 5 FULL SCANS
+    * (mod-5 predicates prune nothing in parquet; at 100 TB the scan IS
+    * the cost). Each branch's (lon_src, lat_src) synthesizes under its
+    * `event_id % 5 = k` guard and is NULL elsewhere, so the unused
+    * chain math NULL-propagates for free; the UTM and LCC chains run
+    * sequentially over their own guarded source redefinition (stage
+    * column names are disjoint; the two chains' lat_4326/lon_4326
+    * outputs rename apart), and the final columns CASE-route per
+    * branch. Zero joins, zero aggregates, ONE FileScan (plan-asserted
+    * in PlanAuditSpec), one exchange for the ORDER BY. Oracle: the
+    * four chains UNION ALL'd — structurally independent machinery. */
   def qReprojectDispatch(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
-    def branch(m: Int) = e.where(col("event_id") % 5 === m).select(col("event_id"))
-    val pass4326 = branch(0)
-      .withColumn("src_epsg", lit(4326))
-      .withColumn("method", lit("none"))
-      .withColumn("lon_4326", expr(s"round(${Synth.lonSql}, 7)"))
-      .withColumn("lat_4326", expr(s"round(${Synth.latSql}, 7)"))
-    val merc = branch(1)
-      .withColumn("lon_src", expr(s"(${Synth.lonSql})"))
-      .withColumn("lat_src", expr(
-        s"(greatest(least(${Synth.latSql}, 85.05112878), -85.05112878))"))
+    def guard(m: Int, e: String) = expr(s"CASE WHEN event_id % 5 = $m THEN $e END")
+    // mercator leg (branch 1): forward pair + closed-form inverse
+    val merc = Tables.events(spark, dir).select(col("event_id"))
+      .withColumn("lon_src", guard(1, s"(${Synth.lonSql})"))
+      .withColumn("lat_src",
+        guard(1, s"(greatest(least(${Synth.latSql}, 85.05112878), -85.05112878))"))
       .withColumn("merc_x", expr(mercXS))
       .withColumn("merc_y", expr(mercYS))
-      .withColumn("src_epsg", lit(3857))
-      .withColumn("method", lit("webmercator_inverse"))
-      .withColumn("lon_4326", expr(mercLonS))
-      .withColumn("lat_4326", expr(mercLatS))
-    val lcc = lccChain(branch(2)
-        .withColumn("lon_src", expr(lccLonS))
-        .withColumn("lat_src", expr(lccLatS)))
-      .withColumn("src_epsg", lit(2249))
-      .withColumn("method", lit("lcc_2sp"))
-    val utm = utmChain(branch(3)
-        .withColumn("lon_src", expr(lonSrcS))
-        .withColumn("lat_src", expr(latSrcS)))
-      .withColumn("src_epsg", lit(32633))
-      .withColumn("method", lit("tm_krueger"))
-    val noAuth = branch(4)
-      .withColumn("src_epsg", lit(-1))
-      .withColumn("is_same", col("event_id") % 2 === 0) // b2's probe verdict
-      .withColumn("method",
-        when(col("is_same"), "is_same_passthrough").otherwise("failed_no_authority"))
-      .withColumn("lon_4326",
-        when(col("is_same"), expr(s"round(${Synth.lonSql}, 7)")))
-      .withColumn("lat_4326",
-        when(col("is_same"), expr(s"round(${Synth.latSql}, 7)")))
-    val cols = Seq("event_id", "src_epsg", "method", "lon_4326", "lat_4326")
-    Seq(pass4326, merc, lcc, utm, noAuth)
-      .map(_.select(cols.head, cols.tail: _*))
-      .reduce(_ unionAll _)
+      .withColumn("merc_lon", expr(mercLonS))
+      .withColumn("merc_lat", expr(mercLatS))
+    // UTM leg (branch 3): redefine the routed source, run the chain
+    val utmed = utmChain(merc
+        .withColumn("lon_src", guard(3, lonSrcS))
+        .withColumn("lat_src", guard(3, latSrcS)))
+      .withColumnRenamed("lat_4326", "utm_lat")
+      .withColumnRenamed("lon_4326", "utm_lon")
+    // LCC leg (branch 2)
+    val lcced = lccChain(utmed
+        .withColumn("lon_src", guard(2, lccLonS))
+        .withColumn("lat_src", guard(2, lccLatS)))
+      .withColumnRenamed("lat_4326", "lcc_lat")
+      .withColumnRenamed("lon_4326", "lcc_lon")
+    val noAuthLon = s"CASE WHEN event_id % 2 = 0 THEN round(${Synth.lonSql}, 7) END"
+    val noAuthLat = s"CASE WHEN event_id % 2 = 0 THEN round(${Synth.latSql}, 7) END"
+    lcced.select(
+      col("event_id"),
+      expr("""CASE CAST(event_id % 5 AS INT)
+          WHEN 0 THEN 4326 WHEN 1 THEN 3857
+          WHEN 2 THEN 2249 WHEN 3 THEN 32633 ELSE -1 END""").as("src_epsg"),
+      expr("""CASE CAST(event_id % 5 AS INT)
+          WHEN 0 THEN 'none' WHEN 1 THEN 'webmercator_inverse'
+          WHEN 2 THEN 'lcc_2sp' WHEN 3 THEN 'tm_krueger'
+          ELSE CASE WHEN event_id % 2 = 0 THEN 'is_same_passthrough'
+                    ELSE 'failed_no_authority' END END""").as("method"),
+      expr(s"""CASE CAST(event_id % 5 AS INT)
+          WHEN 0 THEN round(${Synth.lonSql}, 7)
+          WHEN 1 THEN merc_lon WHEN 2 THEN lcc_lon WHEN 3 THEN utm_lon
+          ELSE $noAuthLon END""").as("lon_4326"),
+      expr(s"""CASE CAST(event_id % 5 AS INT)
+          WHEN 0 THEN round(${Synth.latSql}, 7)
+          WHEN 1 THEN merc_lat WHEN 2 THEN lcc_lat WHEN 3 THEN utm_lat
+          ELSE $noAuthLat END""").as("lat_4326"))
       .orderBy("event_id")
   }
 

@@ -97,45 +97,66 @@ class GeoInvariantsSpec extends SparkTestBase {
     assert(rows.length > 20 && worst < (sx * sx + sy * sy))
   }
 
-  test("b34: UTM Krüger transform — central meridian, roundtrip, monotone northing") {
+  test("b34: UTM Krüger transform — central meridian, roundtrip, monotone northing, zone dispatch") {
     val out = graft.operators.GeoProj.qReprojectUtm(spark, sfDir).collect()
     assert(out.length > 0)
     // every synthesized row roundtrips to well under 1e-6 degrees
-    assert(out.forall(_.getBoolean(5)), "roundtrip failed for some rows")
-    // eastings live inside the zone-33 band (lon 12..18 → roughly
-    // 166km..834km at the equator, tighter at high latitude)
+    assert(out.forall(_.getBoolean(6)), "roundtrip failed for some rows")
+    // round 13: the source box spans lon [0, 18) — zones 31..33 must
+    // ALL occur, and eastings live inside the per-zone band (±3° from
+    // the zone's own meridian → roughly 166km..834km at the equator)
+    val zones = out.map(_.getInt(1)).toSet
+    assert(zones == Set(31, 32, 33), s"expected zones 31-33, saw $zones")
     out.foreach { r =>
-      val e = r.getDouble(1); val n = r.getDouble(2)
+      val e = r.getDouble(2); val n = r.getDouble(3)
       assert(e > 160000 && e < 840000, s"easting out of band: $e")
       assert(n >= -10 && n < 10000000, s"northing out of range: $n")
     }
-    // northing is monotone in recovered latitude (same meridian arc)
-    val sorted = out.map(r => (r.getDouble(3), r.getDouble(2))).sortBy(_._1)
-    sorted.sliding(2).foreach { case Array((la, na), (lb, nb)) =>
-      assert(na <= nb + 1e-6, s"northing not monotone: lat $la -> $lb, n $na -> $nb")
-    case _ => ()
+    // northing is monotone in recovered latitude WITHIN a zone (the
+    // same-meridian arc argument; across zones the λ² term can locally
+    // reorder near-equal latitudes)
+    out.groupBy(_.getInt(1)).foreach { case (z, rows) =>
+      val sorted = rows.map(r => (r.getDouble(4), r.getDouble(3))).sortBy(_._1)
+      sorted.sliding(2).foreach { case Array((la, na), (lb, nb)) =>
+        assert(na <= nb + 1e-6, s"zone $z northing not monotone: lat $la -> $lb, n $na -> $nb")
+      case _ => ()
+      }
     }
     // a point ON the central meridian maps to easting exactly 500000
     // and its northing equals the meridian arc (well-known anchor:
-    // lat=0 → northing=0)
+    // lat=0 → northing=0); zone-BOUNDARY anchors: on the equator the
+    // zone edge sits at the published 166 021.44 m (west edge, λ=−3°)
+    // and 833 978.56 m (east edge, λ→+3°) — one point per side of the
+    // lon=12 zone-32/33 boundary
     import spark.implicits._
     // reuse the full chain through a tiny SQL view of the same stages
-    Seq((0.0, 15.0), (45.0, 15.0)).toDF("lat_src", "lon_src")
+    Seq((0.0, 15.0), (45.0, 15.0), (0.0, 12.0), (0.0, 11.999999))
+      .toDF("lat_src", "lon_src")
       .createOrReplaceTempView("utm_probe")
     val anchors = spark.sql(
       graft.operators.GeoProj.probeSql).collect()
-    anchors.foreach { r =>
-      assert(math.abs(r.getDouble(1) - 500000.0) < 0.01,
-        s"central-meridian easting must be 500000: ${r.getDouble(1)}")
+    anchors.filter(_.getDouble(1) == 15.0).foreach { r =>
+      assert(math.abs(r.getDouble(2) - 500000.0) < 0.01,
+        s"central-meridian easting must be 500000: ${r.getDouble(2)}")
     }
-    val n0 = anchors.find(_.getDouble(0) == 0.0).get.getDouble(2)
+    val n0 = anchors.find(r => r.getDouble(0) == 0.0 && r.getDouble(1) == 15.0)
+      .get.getDouble(3)
     assert(math.abs(n0) < 0.01, s"equator northing must be 0: $n0")
     // the meridian arc from the equator to 45°N on WGS84 is
     // 4984944.38m (published geodesy anchor); the UTM northing there
     // is k0 times it — the n³ series must hit it to sub-meter
-    val n45 = anchors.find(_.getDouble(0) == 45.0).get.getDouble(2)
+    val n45 = anchors.find(_.getDouble(0) == 45.0).get.getDouble(3)
     assert(math.abs(n45 - 0.9996 * 4984944.38) < 1.0,
       s"northing(45N) off the published arc: $n45")
+    // zone-boundary pair: lon=12.0 routes to zone 33 (λ=−3°, easting
+    // the published west-edge value); lon=12−ε routes to zone 32
+    // (λ≈+3°, the east-edge value); the two eastings mirror around
+    // 500000 (their sum is 1 000 000 by symmetry)
+    val west = anchors.find(_.getDouble(1) == 12.0).get.getDouble(2)
+    val east = anchors.find(_.getDouble(1) == 11.999999).get.getDouble(2)
+    assert(math.abs(west - 166021.44) < 1.0, s"zone-33 west-edge easting: $west")
+    assert(math.abs(east - 833978.56) < 1.0, s"zone-32 east-edge easting: $east")
+    assert(math.abs(west + east - 1000000.0) < 1.0, s"edge mirror broke: $west + $east")
   }
 
   test("b38: LCC 2249 — false origin anchors, standard parallels preserve scale sense, roundtrip") {

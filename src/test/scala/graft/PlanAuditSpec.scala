@@ -622,7 +622,7 @@ class PlanAuditSpec extends SparkTestBase {
       s"basket pairs must not come from a row-scale join:\n$p")
   }
 
-  test("b39 dispatch: four transform branches union map-only — no join, no agg, one sort exchange") {
+  test("b39 dispatch: ONE scan, CASE-routed map-only — no join, no agg, no union, one sort exchange") {
     val p = operators.GeoProj.qReprojectDispatch(spark, sfDir)
       .queryExecution.executedPlan.toString
     assert(!p.contains("Join") && !p.contains("CartesianProduct"),
@@ -631,7 +631,20 @@ class PlanAuditSpec extends SparkTestBase {
       s"the dispatch is row-wise — no aggregate belongs in it:\n$p")
     val exchanges = "Exchange".r.findAllIn(p).size
     assert(exchanges == 1, s"only the ORDER BY may shuffle, saw $exchanges:\n$p")
-    assert(p.contains("Union"), s"expected the four-branch union:\n$p")
+    // round 13: the five filtered-UNION arms were 5 full scans of
+    // events (mod-5 predicates don't prune parquet); the dispatch must
+    // read events EXACTLY ONCE — at 100 TB the scan is the cost
+    assert(!p.contains("Union"), s"no union — the routing is CASE, not scan-per-branch:\n$p")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"the dispatch must read events exactly once, saw $scans scans:\n$p")
+  }
+
+  test("b40 reprojection audit: inherits the single scan — exactly one FileScan of events") {
+    val p = operators.GeoProj.qReprojectAudit(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"the audit rolls up ONE pass over events, saw $scans scans:\n$p")
+    assert(!p.contains("Union"), s"no union in the audited dispatch:\n$p")
   }
 
   test("b32 nearest-poi: the argmin is a map-only literal fold — no join, no explode, one sort exchange") {
