@@ -93,6 +93,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => graft.functions.RayCrossings(
         exprs(0), exprs(1), exprs(2), exprs(3))))
     ext.injectFunction((
+      FunctionIdentifier("graft_clip"),
+      new ExpressionInfo(classOf[graft.functions.ClipBox].getCanonicalName,
+        "graft_clip"),
+      (exprs: Seq[Expression]) => graft.functions.ClipBox(
+        exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dp"),
+      new ExpressionInfo(classOf[graft.functions.DpSimplify].getCanonicalName,
+        "graft_dp"),
+      (exprs: Seq[Expression]) => graft.functions.DpSimplify(
+        exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_reproject"),
+      new ExpressionInfo(classOf[graft.functions.Reproject].getCanonicalName,
+        "graft_reproject"),
+      (exprs: Seq[Expression]) => graft.functions.Reproject(
+        exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
       FunctionIdentifier("graft_intersect_count"),
       new ExpressionInfo(classOf[graft.functions.IntersectCount].getCanonicalName,
         "graft_intersect_count"),

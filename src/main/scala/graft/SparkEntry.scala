@@ -24,7 +24,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ AnalyticsExt.queries ++ AnalyticsTs.queries ++ IngestOps.queries ++
-      GeoOps.queries ++ GeoProj.queries ++ GeoGeom.queries ++ TextOps.queries ++ TextModels.queries ++ Dedup.queries ++ Ann.queries ++
+      GeoOps.queries ++ GeoProj.queries ++ GeoGeom.queries ++ GeoClip.queries ++
+      GeoSimplify.queries ++ TextOps.queries ++ TextModels.queries ++ Dedup.queries ++ Ann.queries ++
       Retrieval.queries ++ Bpe.queries ++ Pca.queries ++ Asof.queries ++ Serving.queries ++
       OpsAudit.queries ++ graft.multimodal.Media.queries
 
@@ -32,7 +33,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Analytics.oracles ++ AnalyticsExt.oracles ++ AnalyticsTs.oracles ++ IngestOps.oracles ++
-      GeoOps.oracles ++ GeoProj.oracles ++ GeoGeom.oracles ++ TextOps.oracles ++ TextModels.oracles ++ Dedup.oracles ++ Ann.oracles ++
+      GeoOps.oracles ++ GeoProj.oracles ++ GeoGeom.oracles ++ GeoClip.oracles ++
+      GeoSimplify.oracles ++ TextOps.oracles ++ TextModels.oracles ++ Dedup.oracles ++ Ann.oracles ++
       Retrieval.oracles ++ Bpe.oracles ++ Pca.oracles ++ Asof.oracles ++ Serving.oracles ++
       OpsAudit.oracles ++ graft.multimodal.Media.oracles
 }

@@ -121,7 +121,7 @@ object GraftFunctions {
     // forgetting to bump this would silently skip it in any session
     // that registered the older set first
     if (spark.sessionState.functionRegistry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_ray_cross")))
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_reproject")))
       return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
@@ -158,10 +158,16 @@ object GraftFunctions {
       "graft_hilbert", exprs => HilbertD(exprs(0), exprs(1), exprs(2)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_pair_codes", exprs => PairCodes(exprs(0)), "built-in")
-    // graft_ray_cross is the registration sentinel (newest function) —
-    // keep it LAST here and mirrored in GraftExtensions
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_ray_cross", exprs => RayCrossings(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_clip", exprs => ClipBox(exprs(0), exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dp", exprs => DpSimplify(exprs(0), exprs(1), exprs(2)), "built-in")
+    // graft_reproject is the registration sentinel (newest function) —
+    // keep it LAST here and mirrored in GraftExtensions
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_reproject", exprs => Reproject(exprs(0), exprs(1), exprs(2)), "built-in")
     if (!spark.experimental.extraOptimizations.contains(graft.plans.IntersectCountRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.IntersectCountRewrite

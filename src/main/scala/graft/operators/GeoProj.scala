@@ -38,20 +38,20 @@ import graft.functions.Synth
 object GeoProj {
 
   // WGS84 + Krüger series constants (third flattening n)
-  private val Fl   = 1.0 / 298.257223563
-  private val N3   = Fl / (2.0 - Fl)
-  private val Ecc  = math.sqrt(Fl * (2.0 - Fl))
-  private val Arad = 6378137.0 / (1.0 + N3) * (1.0 + N3 * N3 / 4.0 + N3 * N3 * N3 * N3 / 64.0)
-  private val K0A  = 0.9996 * Arad
-  private val Al1  = N3 / 2.0 - 2.0 * N3 * N3 / 3.0 + 5.0 * N3 * N3 * N3 / 16.0
-  private val Al2  = 13.0 * N3 * N3 / 48.0 - 3.0 * N3 * N3 * N3 / 5.0
-  private val Al3  = 61.0 * N3 * N3 * N3 / 240.0
-  private val Be1  = N3 / 2.0 - 2.0 * N3 * N3 / 3.0 + 37.0 * N3 * N3 * N3 / 96.0
-  private val Be2  = N3 * N3 / 48.0 + N3 * N3 * N3 / 15.0
-  private val Be3  = 17.0 * N3 * N3 * N3 / 480.0
-  private val De1  = 2.0 * N3 - 2.0 * N3 * N3 / 3.0 - 2.0 * N3 * N3 * N3
-  private val De2  = 7.0 * N3 * N3 / 3.0 - 8.0 * N3 * N3 * N3 / 5.0
-  private val De3  = 56.0 * N3 * N3 * N3 / 15.0
+  private[graft] val Fl   = 1.0 / 298.257223563
+  private[graft] val N3   = Fl / (2.0 - Fl)
+  private[graft] val Ecc  = math.sqrt(Fl * (2.0 - Fl))
+  private[graft] val Arad = 6378137.0 / (1.0 + N3) * (1.0 + N3 * N3 / 4.0 + N3 * N3 * N3 * N3 / 64.0)
+  private[graft] val K0A  = 0.9996 * Arad
+  private[graft] val Al1  = N3 / 2.0 - 2.0 * N3 * N3 / 3.0 + 5.0 * N3 * N3 * N3 / 16.0
+  private[graft] val Al2  = 13.0 * N3 * N3 / 48.0 - 3.0 * N3 * N3 * N3 / 5.0
+  private[graft] val Al3  = 61.0 * N3 * N3 * N3 / 240.0
+  private[graft] val Be1  = N3 / 2.0 - 2.0 * N3 * N3 / 3.0 + 37.0 * N3 * N3 * N3 / 96.0
+  private[graft] val Be2  = N3 * N3 / 48.0 + N3 * N3 * N3 / 15.0
+  private[graft] val Be3  = 17.0 * N3 * N3 * N3 / 480.0
+  private[graft] val De1  = 2.0 * N3 - 2.0 * N3 * N3 / 3.0 - 2.0 * N3 * N3 * N3
+  private[graft] val De2  = 7.0 * N3 * N3 / 3.0 - 8.0 * N3 * N3 * N3 / 5.0
+  private[graft] val De3  = 56.0 * N3 * N3 * N3 / 15.0
   // sinh/cosh/atanh spelled in the exp/ln subset both engines share
   private def sh(u: String) = s"((exp($u) - exp(-($u))) / 2)"
   private def ch(u: String) = s"((exp($u) + exp(-($u))) / 2)"
@@ -181,28 +181,28 @@ object GeoProj {
   // GRS80 ellipsoid; grid coordinates in US SURVEY FEET (1200/3937 m
   // exactly), the unit EPSG:2249 actually serves.
 
-  private val Fl80  = 1.0 / 298.257222101 // GRS80
-  private val E80   = math.sqrt(Fl80 * (2.0 - Fl80))
-  private val Lat1  = 42.0 + 41.0 / 60.0  // standard parallel 1
-  private val Lat2  = 41.0 + 43.0 / 60.0  // standard parallel 2
-  private val Lat0  = 41.0                // origin latitude
-  private val LccLon0 = -71.5             // central meridian
-  private val FtUs  = 1200.0 / 3937.0     // US survey foot in meters
-  private val FE    = 200000.0 / FtUs     // false easting, ftUS
-  private val FN    = 750000.0 / FtUs     // false northing, ftUS
+  private[graft] val Fl80  = 1.0 / 298.257222101 // GRS80
+  private[graft] val E80   = math.sqrt(Fl80 * (2.0 - Fl80))
+  private[graft] val Lat1  = 42.0 + 41.0 / 60.0  // standard parallel 1
+  private[graft] val Lat2  = 41.0 + 43.0 / 60.0  // standard parallel 2
+  private[graft] val Lat0  = 41.0                // origin latitude
+  private[graft] val LccLon0 = -71.5             // central meridian
+  private[graft] val FtUs  = 1200.0 / 3937.0     // US survey foot in meters
+  private[graft] val FE    = 200000.0 / FtUs     // false easting, ftUS
+  private[graft] val FN    = 750000.0 / FtUs     // false northing, ftUS
 
   private def mOf(phi: Double): Double =
     math.cos(phi) / math.sqrt(1.0 - E80 * E80 * math.sin(phi) * math.sin(phi))
   private def tOf(phi: Double): Double =
     math.tan(math.Pi / 4.0 - phi / 2.0) /
       math.pow((1.0 - E80 * math.sin(phi)) / (1.0 + E80 * math.sin(phi)), E80 / 2.0)
-  private val NLcc =
+  private[graft] val NLcc =
     (math.log(mOf(math.toRadians(Lat1))) - math.log(mOf(math.toRadians(Lat2)))) /
       (math.log(tOf(math.toRadians(Lat1))) - math.log(tOf(math.toRadians(Lat2))))
-  private val FLcc = mOf(math.toRadians(Lat1)) /
+  private[graft] val FLcc = mOf(math.toRadians(Lat1)) /
     (NLcc * math.pow(tOf(math.toRadians(Lat1)), NLcc))
-  private val AF   = 6378137.0 / FtUs * FLcc // aF in ftUS
-  private val Rho0 = AF * math.pow(tOf(math.toRadians(Lat0)), NLcc)
+  private[graft] val AF   = 6378137.0 / FtUs * FLcc // aF in ftUS
+  private[graft] val Rho0 = AF * math.pow(tOf(math.toRadians(Lat0)), NLcc)
 
   // per-row stages (shared strings; sin/cos/tan/atan/power/ln/sqrt —
   // the dialect-common subset; no hyperbolics needed here)
@@ -316,7 +316,7 @@ object GeoProj {
 
   // spherical WebMercator pair (b1's forward verbatim; the inverse is
   // its closed form — exp/atan, shared strings, cm-rounded forward)
-  private val RadPerM = 6378137.0 * math.Pi / 180.0
+  private[graft] val RadPerM = 6378137.0 * math.Pi / 180.0
   private val mercXS = s"round(lon_src * $RadPerM, 2)"
   private val mercYS =
     s"round(6378137.0 * ln(tan(${math.Pi / 4.0} + radians(lat_src) / 2)), 2)"
@@ -352,48 +352,41 @@ object GeoProj {
     * in PlanAuditSpec), one exchange for the ORDER BY. Oracle: the
     * four chains UNION ALL'd — structurally independent machinery. */
   def qReprojectDispatch(spark: SparkSession, dir: String): DataFrame = {
-    def guard(m: Int, e: String) = expr(s"CASE WHEN event_id % 5 = $m THEN $e END")
-    // mercator leg (branch 1): forward pair + closed-form inverse
-    val merc = Tables.events(spark, dir).select(col("event_id"))
-      .withColumn("lon_src", guard(1, s"(${Synth.lonSql})"))
-      .withColumn("lat_src",
-        guard(1, s"(greatest(least(${Synth.latSql}, 85.05112878), -85.05112878))"))
-      .withColumn("merc_x", expr(mercXS))
-      .withColumn("merc_y", expr(mercYS))
-      .withColumn("merc_lon", expr(mercLonS))
-      .withColumn("merc_lat", expr(mercLatS))
-    // UTM leg (branch 3): redefine the routed source, run the chain
-    val utmed = utmChain(merc
-        .withColumn("lon_src", guard(3, lonSrcS))
-        .withColumn("lat_src", guard(3, latSrcS)))
-      .withColumnRenamed("lat_4326", "utm_lat")
-      .withColumnRenamed("lon_4326", "utm_lon")
-    // LCC leg (branch 2)
-    val lcced = lccChain(utmed
-        .withColumn("lon_src", guard(2, lccLonS))
-        .withColumn("lat_src", guard(2, lccLatS)))
-      .withColumnRenamed("lat_4326", "lcc_lat")
-      .withColumnRenamed("lon_4326", "lcc_lon")
+    graft.functions.GraftFunctions.register(spark)
+    // transform legs ride the codegen'd graft_reproject kernel — ONE
+    // compiled method per row. The declarative fusion of all three
+    // chains in one projection produced a 13 KB-bytecode consume
+    // method HotSpot refuses to JIT (the stage columns live in codegen
+    // locals, so Spark cannot method-split them); the kernel
+    // transcribes the SAME stage strings (bit-identical, pinned by
+    // GeoInvariantsSpec against the b34/b38 template chains) and keeps
+    // the single scan fast.
     val noAuthLon = s"CASE WHEN event_id % 2 = 0 THEN round(${Synth.lonSql}, 7) END"
     val noAuthLat = s"CASE WHEN event_id % 2 = 0 THEN round(${Synth.latSql}, 7) END"
-    lcced.select(
-      col("event_id"),
-      expr("""CASE CAST(event_id % 5 AS INT)
-          WHEN 0 THEN 4326 WHEN 1 THEN 3857
-          WHEN 2 THEN 2249 WHEN 3 THEN 32633 ELSE -1 END""").as("src_epsg"),
-      expr("""CASE CAST(event_id % 5 AS INT)
-          WHEN 0 THEN 'none' WHEN 1 THEN 'webmercator_inverse'
-          WHEN 2 THEN 'lcc_2sp' WHEN 3 THEN 'tm_krueger'
-          ELSE CASE WHEN event_id % 2 = 0 THEN 'is_same_passthrough'
-                    ELSE 'failed_no_authority' END END""").as("method"),
-      expr(s"""CASE CAST(event_id % 5 AS INT)
-          WHEN 0 THEN round(${Synth.lonSql}, 7)
-          WHEN 1 THEN merc_lon WHEN 2 THEN lcc_lon WHEN 3 THEN utm_lon
-          ELSE $noAuthLon END""").as("lon_4326"),
-      expr(s"""CASE CAST(event_id % 5 AS INT)
-          WHEN 0 THEN round(${Synth.latSql}, 7)
-          WHEN 1 THEN merc_lat WHEN 2 THEN lcc_lat WHEN 3 THEN utm_lat
-          ELSE $noAuthLat END""").as("lat_4326"))
+    Tables.events(spark, dir).select(col("event_id"))
+      .withColumn("lon_src", expr(s"""CASE CAST(event_id % 5 AS INT)
+          WHEN 1 THEN (${Synth.lonSql})
+          WHEN 2 THEN $lccLonS WHEN 3 THEN $lonSrcS END"""))
+      .withColumn("lat_src", expr(s"""CASE CAST(event_id % 5 AS INT)
+          WHEN 1 THEN (greatest(least(${Synth.latSql}, 85.05112878), -85.05112878))
+          WHEN 2 THEN $lccLatS WHEN 3 THEN $latSrcS END"""))
+      .withColumn("rp", expr("graft_reproject(event_id % 5, lon_src, lat_src)"))
+      .select(
+        col("event_id"),
+        expr("""CASE CAST(event_id % 5 AS INT)
+            WHEN 0 THEN 4326 WHEN 1 THEN 3857
+            WHEN 2 THEN 2249 WHEN 3 THEN 32633 ELSE -1 END""").as("src_epsg"),
+        expr("""CASE CAST(event_id % 5 AS INT)
+            WHEN 0 THEN 'none' WHEN 1 THEN 'webmercator_inverse'
+            WHEN 2 THEN 'lcc_2sp' WHEN 3 THEN 'tm_krueger'
+            ELSE CASE WHEN event_id % 2 = 0 THEN 'is_same_passthrough'
+                      ELSE 'failed_no_authority' END END""").as("method"),
+        expr(s"""CASE CAST(event_id % 5 AS INT)
+            WHEN 0 THEN round(${Synth.lonSql}, 7)
+            WHEN 4 THEN $noAuthLon ELSE rp[0] END""").as("lon_4326"),
+        expr(s"""CASE CAST(event_id % 5 AS INT)
+            WHEN 0 THEN round(${Synth.latSql}, 7)
+            WHEN 4 THEN $noAuthLat ELSE rp[1] END""").as("lat_4326"))
       .orderBy("event_id")
   }
 

@@ -188,6 +188,104 @@ class GeoInvariantsSpec extends SparkTestBase {
     assert(dN > 360000 && dN < 369000, s"1-degree northing step off: $dN")
   }
 
+  test("b39 kernel ≡ template chains: dispatch branches reproduce b34/b38 bit-identically") {
+    // the graft_reproject kernel transcribes the shared stage strings;
+    // any transcription slip (assoc order, constant, rounding point)
+    // shows up here as a non-identical double vs the declarative
+    // template chains the standalone queries still execute
+    val disp = graft.operators.GeoProj.qReprojectDispatch(spark, sfDir)
+      .filter(col("src_epsg").isin(2249, 32633))
+      .select("event_id", "src_epsg", "lon_4326", "lat_4326").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getDouble(2), r.getDouble(3))))
+      .toMap
+    val utm = graft.operators.GeoProj.qReprojectUtm(spark, sfDir)
+      .select("event_id", "lon_4326", "lat_4326").collect()
+    assert(utm.nonEmpty)
+    utm.foreach { r =>
+      assert(disp((r.getLong(0), 32633)) == ((r.getDouble(1), r.getDouble(2))),
+        s"utm kernel/template divergence at event ${r.getLong(0)}")
+    }
+    val lcc = graft.operators.GeoProj.qReprojectLcc(spark, sfDir)
+      .select("event_id", "lon_4326", "lat_4326").collect()
+    assert(lcc.nonEmpty)
+    lcc.foreach { r =>
+      assert(disp((r.getLong(0), 2249)) == ((r.getDouble(1), r.getDouble(2))),
+        s"lcc kernel/template divergence at event ${r.getLong(0)}")
+    }
+  }
+
+  test("b41: Sutherland–Hodgman clip — corner probes and the exact partition invariant") {
+    graft.functions.GraftFunctions.register(spark)
+    def probe(xs: Seq[Long], ys: Seq[Long], box: Seq[Long]): Option[Seq[Long]] = {
+      val r = spark.sql(
+        s"""SELECT graft_clip(array(${xs.map(v => s"${v}L").mkString(",")}),
+            array(${ys.map(v => s"${v}L").mkString(",")}),
+            array(${box.map(v => s"${v}L").mkString(",")})) AS c""").collect()(0)
+      if (r.isNullAt(0)) None else Some(r.getSeq[Long](0))
+    }
+    // fully-inside: the ring passes through unchanged
+    assert(probe(Seq(10, 20, 20, 10), Seq(10, 10, 20, 20), Seq(0, 0, 100, 100))
+      .contains(Seq(4L, 200L, 10L, 10L, 20L, 20L)))
+    // 4-tile-corner spanning square: each quadrant box gets one
+    // quarter piece (the NE quadrant checked exactly)
+    assert(probe(Seq(-5, 5, 5, -5), Seq(-5, -5, 5, 5), Seq(0, 0, 10, 10))
+      .contains(Seq(4L, 50L, 0L, 0L, 5L, 5L)))
+    // ±45° side crossing the clip line → a PENTAGON piece (hand-traced:
+    // ring (0,0)(10,0)(12,2)(12,4)(4,4), 2A = 76)
+    assert(probe(Seq(0, 10, 14, 4), Seq(0, 0, 4, 4), Seq(-100, -100, 12, 100))
+      .contains(Seq(5L, 76L, 0L, 0L, 12L, 4L)))
+    // edge-touching from outside: zero-area contact, not a piece
+    assert(probe(Seq(10, 12, 12, 10), Seq(0, 0, 4, 4), Seq(0, 0, 10, 10))
+      .exists(_(1) == 0L), "edge contact must clip to zero area")
+    // fully-outside: empty intersection → NULL
+    assert(probe(Seq(20, 30, 30, 20), Seq(20, 20, 30, 30), Seq(0, 0, 10, 10)).isEmpty)
+    // exact partition invariant on real data: the tile pieces of each
+    // polygon sum to EXACTLY its full shoelace 2A = 8·a·b (tiles
+    // partition the plane; every piece is exact int64)
+    val sums = graft.operators.GeoClip.qTileClip(spark, sfDir)
+      .groupBy("poly_id").agg(sum("area2_clip").as("s"), max("n_vert").as("mv"))
+      .collect()
+    assert(sums.nonEmpty)
+    sums.foreach { r =>
+      val id = r.getLong(0)
+      val want = 8L * (id % 7 * 1000000L + 5000000L) * (id % 5 * 1000000L + 3000000L)
+      assert(r.getLong(1) == want, s"partition broke for poly $id: ${r.getLong(1)} != $want")
+    }
+    // sheared polygons crossing tile corners produce >4-vertex pieces
+    assert(sums.exists(_.getLong(2) > 4L), "expected at least one pentagon piece")
+  }
+
+  test("b42: Douglas–Peucker — planted spike survives, collinear run collapses, mask/count agree") {
+    val out = graft.operators.GeoSimplify.qSimplify(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val mask = r.getLong(2); val nKept = r.getLong(3)
+      // endpoints always kept; count is the mask's popcount
+      assert((mask & 0x81L) == 0x81L, s"endpoints missing from mask $mask")
+      assert(java.lang.Long.bitCount(mask).toLong == nKept)
+      val id = r.getLong(0)
+      if (id % 13 == 0) {
+        // exactly collinear (flat) line: every interior vertex collapses
+        assert(mask == 0x81L, s"collinear line $id kept interior vertices: $mask")
+        assert(r.getLong(4) == 0L, "collinear line must report zero error")
+      } else if (id % 17 == 0) {
+        // +1000 spike at vertex 4 ≫ every zoom tolerance → must survive
+        assert((mask & (1L << 4)) != 0L,
+          s"spike vertex dropped for line $id at zoom ${r.getInt(1)}")
+      }
+    }
+    // the ladder tightens: coarser zoom (bigger tol) never keeps MORE
+    // vertices than a finer zoom on the same line
+    out.groupBy(_.getLong(0)).foreach { case (id, rows) =>
+      val byZoom = rows.sortBy(_.getInt(1)).map(_.getLong(3))
+      byZoom.sliding(2).foreach {
+        case Array(coarse, fine) =>
+          assert(coarse <= fine, s"line $id: coarser zoom kept more ($coarse > $fine)")
+        case _ => ()
+      }
+    }
+  }
+
   test("b35: concave/holed ray cast — hole excludes, notch excludes, solid contains") {
     import spark.implicits._
     import org.apache.spark.sql.functions.expr
