@@ -23,6 +23,15 @@ object Bpe {
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy("w").agg(count(lit(1)).as("f"))
+      // the wrapped-token encode scheme (<a><b> → <ab>) and the
+      // '<'-count token metric silently CORRUPT if a corpus word ever
+      // carries the delimiter; fail loudly instead of miscounting.
+      // Post-aggregation ⇒ one regex per DISTINCT word (vocabulary-
+      // bounded), not per token.
+      .withColumn("w",
+        when(col("w").rlike("[<>]"),
+          expr("raise_error('BPE delimiter collision: corpus word contains < or >')"))
+          .otherwise(col("w")))
 
   // f24 — one BPE pair-count step on the initial character alphabet:
   // adjacent-symbol pair frequencies weighted by word frequency, the
@@ -62,10 +71,19 @@ object Bpe {
     * lineage (e11's trainCentroids discipline). Returns the learned
     * rules in order.
     */
-  def trainBpe(spark: SparkSession, dir: String, nMerges: Int): Seq[(String, String)] = {
-    var words = wordFreq(spark, dir)
-      .select(expr("split(w, '')").as("syms"), col("f"))
-      .localCheckpoint()
+  def trainBpe(spark: SparkSession, dir: String, nMerges: Int): Seq[(String, String)] =
+    trainBpeFrom(wordFreq(spark, dir).localCheckpoint(), nMerges)
+
+  /** Train from an ALREADY-CHECKPOINTED word-frequency table — lets
+    * the encode/tokenize queries share ONE corpus word-count scan
+    * between training and their own vocab projection (round 13: each
+    * previously called wordFreq twice — a redundant full corpus
+    * scan+agg that was the steepest part of q_tokenize_corpus's 100×
+    * slope). */
+  private def trainBpeFrom(wf: DataFrame, nMerges: Int): Seq[(String, String)] = {
+    // wf is checkpointed: the per-iteration lineage is a bounded map
+    // over the vocabulary, never a corpus rescan
+    var words = wf.select(expr("split(w, '')").as("syms"), col("f"))
     val rules = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var step = 0
     while (step < nMerges) {
@@ -118,14 +136,14 @@ object Bpe {
     * independent training, so the driver check gates the whole
     * train→encode loop, not just the apply. */
   def qBpeEncode(spark: SparkSession, dir: String): DataFrame = {
-    val rules = trainBpe(spark, dir, 8)
+    val wf = wordFreq(spark, dir).localCheckpoint()
+    val rules = trainBpeFrom(wf, 8)
     val esc = (s: String) => s.replace("\\", "\\\\").replace("'", "\\'")
     val encExpr = rules.foldLeft("regexp_replace(w, '(.)', '<$1>')") {
       case (e, (a, b)) =>
         s"replace($e, '<${esc(a)}><${esc(b)}>', '<${esc(a + b)}>')"
     }
-    wordFreq(spark, dir)
-      .select(col("w"), col("f"), expr(encExpr).as("encoded"))
+    wf.select(col("w"), col("f"), expr(encExpr).as("encoded"))
       .withColumn("n_tokens",
         expr("CAST(length(encoded) - length(replace(encoded, '<', '')) AS BIGINT)"))
       .withColumn("n_chars", length(col("w")).cast("long"))
@@ -182,13 +200,14 @@ object Bpe {
     * than 2 chars are untokenized passthroughs (1 token each),
     * mirroring wordFreq's training filter. */
   def qTokenizeCorpus(spark: SparkSession, dir: String): DataFrame = {
-    val rules = trainBpe(spark, dir, 8)
+    val wf = wordFreq(spark, dir).localCheckpoint()
+    val rules = trainBpeFrom(wf, 8)
     val esc = (s: String) => s.replace("\\", "\\\\").replace("'", "\\'")
     val encExpr = rules.foldLeft("regexp_replace(w, '(.)', '<$1>')") {
       case (e, (a, b)) =>
         s"replace($e, '<${esc(a)}><${esc(b)}>', '<${esc(a + b)}>')"
     }
-    val vocab = wordFreq(spark, dir)
+    val vocab = wf
       .select(col("w"), expr(encExpr).as("enc"))
       .select(col("w"),
         expr("CAST(length(enc) - length(replace(enc, '<', '')) AS BIGINT)").as("w_tokens"))

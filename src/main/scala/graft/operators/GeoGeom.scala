@@ -184,13 +184,18 @@ object GeoGeom {
   // (zero-area sliver). Detection is purely geometric: shoelace = 0 ⇒
   // degenerate, else either non-adjacent edge pair properly crossing ⇒
   // self-intersecting.
-  private val quadGenCols = Seq(
-    "CAST(s_suppkey AS BIGINT) * 15485863 % 300000000 - 150000000 + 180000000" -> "cx",
-    "CAST(s_suppkey AS BIGINT) * 32452843 % 120000000 - 60000000 + 85000000" -> "cy",
-    "CAST(s_suppkey AS BIGINT) % 7 * 1000000 + 5000000" -> "a",
-    "CASE WHEN s_suppkey % 11 = 0 THEN 0 ELSE CAST(s_suppkey AS BIGINT) % 5 * 1000000 + 3000000 END" -> "b",
-    "(CAST(s_suppkey AS BIGINT) % 9 - 4) * 1000000" -> "sx",
-    "CAST(s_suppkey AS BIGINT) % 4 = 0" -> "swapped")
+  /** The defect-planting quad generator, key-parametric: b36 keys it
+    * on s_suppkey; b28's capstone reuses it VERBATIM keyed on event_id
+    * (each feature carries a ring whose validity the capstone's
+    * makevalid stage must judge before tiling). */
+  private[graft] def quadGenColsFor(key: String) = Seq(
+    s"CAST($key AS BIGINT) * 15485863 % 300000000 - 150000000 + 180000000" -> "cx",
+    s"CAST($key AS BIGINT) * 32452843 % 120000000 - 60000000 + 85000000" -> "cy",
+    s"CAST($key AS BIGINT) % 7 * 1000000 + 5000000" -> "a",
+    s"CASE WHEN $key % 11 = 0 THEN 0 ELSE CAST($key AS BIGINT) % 5 * 1000000 + 3000000 END" -> "b",
+    s"(CAST($key AS BIGINT) % 9 - 4) * 1000000" -> "sx",
+    s"CAST($key AS BIGINT) % 4 = 0" -> "swapped")
+  private val quadGenCols = quadGenColsFor("s_suppkey")
   // ring as GIVEN (positions p1..p4; swapped keys exchange p3/p4)
   private val pGiven: Seq[(String, String)] = Seq(
     ("cx - a - sx", "cy - b"), ("cx + a - sx", "cy - b"),
@@ -375,15 +380,111 @@ object GeoGeom {
           AS BIGINT) AS entry_idx
       FROM ids ORDER BY user_id, entry_idx"""
 
+  // ---- b12d: PMTiles leaf-directory serialization accounting -------
+
+  /** Varint byte count for a non-negative BIGINT expression (7 bits
+    * per byte — the PMTiles directory encoding); z=8 ids and synthetic
+    * tile sizes stay under 2^28, covered by 4 tiers + the tail. */
+  private def vb(v: String): String =
+    s"""(CASE WHEN $v < 128 THEN 1 WHEN $v < 16384 THEN 2
+          WHEN $v < 2097152 THEN 3 WHEN $v < 268435456 THEN 4
+          ELSE 5 END)"""
+
+  // leaf split cap: the PMTiles spec splits directories around 16384
+  // entries; the operator is cap-parametric and the query pins 32 so
+  // the split actually EXERCISES at driver test scale (per-archive
+  // tile counts there are far below the spec constant)
+  private val LeafCap = 32L
+  private val tileBytesS = "(n_features * 37 % 900 + 100)"
+
+  /** b12d — `q_pmtiles_leaves`: the DIRECTORY SERIALIZATION accounting
+    * over b12c's entry order — what the archive writer actually emits
+    * (PMTiles spec: entries serialize as varint(tile_id delta),
+    * varint(run_length), varint(length), varint(offset); directories
+    * past the cap split into LEAF directories, the root keeping one
+    * pointer per leaf). Per (archive, leaf): entry count, first/last
+    * tile id (the root pointer's key range) and the leaf's serialized
+    * byte estimate — delta-encoding is WHY b12c's Hilbert order
+    * matters (consecutive ids ⇒ 1-byte deltas dominate). Same single
+    * per-archive bounded window as b12c (row_number + lag share one
+    * spec), one bounded agg. Oracle: the recursive-CTE hilbert chain +
+    * the identical lag/varint algebra. */
+  def qPmtilesLeaves(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    val zoomOffset = (math.pow(4, 8).toLong - 1) / 3
+    val w = Window.partitionBy("user_id").orderBy("tile_id")
+    GeoOps.tiled(spark, dir, 8)
+      .groupBy("user_id", "xt", "yt")
+      .agg(count(lit(1)).as("n_features"))
+      .withColumn("tile_id",
+        expr(s"$zoomOffset + graft_hilbert(8, CAST(xt AS BIGINT), CAST(yt AS BIGINT))"))
+      .withColumn("entry_idx", row_number().over(w).cast("long"))
+      .withColumn("delta",
+        col("tile_id") - coalesce(lag("tile_id", 1).over(w), lit(0L)))
+      .withColumn("entry_bytes",
+        expr(s"${vb("delta")} + 1 + ${vb(tileBytesS)} + 1").cast("long"))
+      .withColumn("leaf_idx", expr(s"(entry_idx - 1) div $LeafCap"))
+      .groupBy("user_id", "leaf_idx")
+      .agg(count(lit(1)).as("n_entries"),
+        min("tile_id").as("first_tile_id"),
+        max("tile_id").as("last_tile_id"),
+        sum("entry_bytes").as("leaf_bytes"))
+      .orderBy("user_id", "leaf_idx")
+  }
+
+  val qPmtilesLeavesSql: String =
+    s"""WITH RECURSIVE t AS (${GeoOps.tiledSql(8)}),
+        g AS (
+          SELECT user_id, xt, yt, COUNT(*) AS n_features
+          FROM t GROUP BY user_id, xt, yt),
+        h AS (
+          SELECT user_id, xt, yt, n_features, CAST(xt AS BIGINT) AS hx,
+            CAST(yt AS BIGINT) AS hy, CAST(0 AS BIGINT) AS d,
+            CAST(128 AS BIGINT) AS s
+          FROM g
+          UNION ALL
+          SELECT user_id, xt, yt, n_features,
+            CASE WHEN (hy & s) = 0 THEN
+              CASE WHEN (hx & s) > 0 THEN 255 - hy ELSE hy END
+            ELSE hx END AS hx,
+            CASE WHEN (hy & s) = 0 THEN
+              CASE WHEN (hx & s) > 0 THEN 255 - hx ELSE hx END
+            ELSE hy END AS hy,
+            d + s * s * xor(3 * (CASE WHEN (hx & s) > 0 THEN 1 ELSE 0 END),
+                            (CASE WHEN (hy & s) > 0 THEN 1 ELSE 0 END)) AS d,
+            s // 2 AS s
+          FROM h WHERE s > 0),
+        ids AS (
+          SELECT user_id, n_features, 21845 + d AS tile_id
+          FROM h WHERE s = 0),
+        entries AS (
+          SELECT user_id, n_features, tile_id,
+            CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY tile_id)
+              AS BIGINT) AS entry_idx,
+            tile_id - COALESCE(LAG(tile_id) OVER (PARTITION BY user_id
+              ORDER BY tile_id), 0) AS delta
+          FROM ids),
+        sized AS (
+          SELECT user_id, tile_id, (entry_idx - 1) // $LeafCap AS leaf_idx,
+            CAST(${vb("delta")} + 1 + ${vb(tileBytesS)} + 1 AS BIGINT) AS entry_bytes
+          FROM entries)
+      SELECT user_id, leaf_idx, COUNT(*) AS n_entries,
+        MIN(tile_id) AS first_tile_id, MAX(tile_id) AS last_tile_id,
+        CAST(SUM(entry_bytes) AS BIGINT) AS leaf_bytes
+      FROM sized GROUP BY user_id, leaf_idx ORDER BY user_id, leaf_idx"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_point_in_concave" -> (qPointInConcave _),
     "q_make_valid_geom" -> (qMakeValidGeom _),
     "q_hilbert_key" -> (qHilbertKey _),
-    "q_pmtiles_order" -> (qPmtilesOrder _))
+    "q_pmtiles_order" -> (qPmtilesOrder _),
+    "q_pmtiles_leaves" -> (qPmtilesLeaves _))
 
   val oracles: Map[String, String] = Map(
     "q_point_in_concave" -> qPointInConcaveSql,
     "q_make_valid_geom" -> qMakeValidGeomSql,
     "q_hilbert_key" -> qHilbertKeySql,
-    "q_pmtiles_order" -> qPmtilesOrderSql)
+    "q_pmtiles_order" -> qPmtilesOrderSql,
+    "q_pmtiles_leaves" -> qPmtilesLeavesSql)
 }

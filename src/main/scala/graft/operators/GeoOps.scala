@@ -1016,32 +1016,54 @@ object GeoOps {
   /** b28 — the reference's VECTOR PATH end-to-end as ONE declarative
     * plan (the B-family twin of f28's curation capstone): route the
     * upload backlog (a2's format CASE — only vector formats proceed,
-    * ingest.py:244-247), tile every surviving feature (b3, z=8),
-    * build per-layer tilestats (b4), extent (b6), and the -zg zoom
-    * guess (b5), and emit one manifest row per layer with its
-    * datasets/ destination (a4's rewrite) — what processing.py does
-    * with ogr2ogr + tippecanoe per file, here for the whole backlog
-    * in one Catalyst plan. Every stage reuses its individually
-    * oracle-gated component's arithmetic verbatim, and the
-    * composition itself is oracle-gated. Shape: routing and tiling
-    * are map-only over one events scan; the tile agg shuffles on
-    * (layer, x, y) and the layer rollup re-shuffles the BOUNDED tile
-    * summary on layer — two shuffles, the second over data whose size
-    * is the tile count, not the feature count. */
+    * ingest.py:244-247), run b36's -makevalid verdict on every
+    * feature's ring BEFORE tiling (the reference's actual order:
+    * -makevalid -skipfailures THEN tippecanoe, processing.py:138-144 →
+    * 216-402; round 13 — the e2e previously tiled without repairing),
+    * tile every KEPT feature (b3, z=8; bowties repair and stay,
+    * slivers drop), build per-layer tilestats (b4), extent (b6), the
+    * -zg zoom guess (b5) over kept features, carry the
+    * repaired/dropped accounting (b8's count gate), and emit one
+    * manifest row per layer with its datasets/ destination (a4's
+    * rewrite) — what processing.py does with ogr2ogr + tippecanoe per
+    * file, here for the whole backlog in one Catalyst plan. Every
+    * stage reuses its individually oracle-gated component's
+    * arithmetic verbatim (the makevalid stage is b36's template
+    * strings keyed on event_id), and the composition itself is
+    * oracle-gated. Shape: routing, validity and tiling are map-only
+    * over one events scan; the tile agg shuffles on (layer, x, y) and
+    * the layer rollup re-shuffles the BOUNDED tile summary on layer —
+    * two shuffles, the second over data whose size is the tile count,
+    * not the feature count. */
   def qGeoE2e(spark: SparkSession, dir: String): DataFrame = {
     val ext = Synth.ext(col("event_id"))
-    val vec = tiled(spark, dir, 8)
-      .withColumn("route",
-        when(ext.isin(".gpkg", ".geojson", ".gdb", ".fgb", ".shp", ".mbtiles"),
-          "pmtiles").otherwise("other"))
-      .filter(col("route") === "pmtiles")
+    val vec = GeoGeom.quadGenColsFor("event_id").foldLeft(
+      tiled(spark, dir, 8)
+        .withColumn("route",
+          when(ext.isin(".gpkg", ".geojson", ".gdb", ".fgb", ".shp", ".mbtiles"),
+            "pmtiles").otherwise("other"))
+        .filter(col("route") === "pmtiles")) {
+        case (df, (e, n)) => df.withColumn(n, expr(e)) }
+      // b36 verbatim: crossing-first (a symmetric bowtie's signed
+      // shoelace cancels), repaired rings tile on, slivers drop
+      .withColumn("status",
+        when(expr(GeoGeom.crossS), "repaired")
+          .when(expr(GeoGeom.degenS), "dropped")
+          .otherwise("valid"))
+    val kept = col("status") =!= "dropped"
     val tileStats = vec.groupBy("user_id", "xt", "yt")
-      .agg(count(lit(1)).as("cnt"),
-        min("lon").as("mnlon"), max("lon").as("mxlon"),
-        min("lat").as("mnlat"), max("lat").as("mxlat"))
+      .agg(sum(when(kept, 1L).otherwise(0L)).as("cnt"),
+        sum(when(col("status") === "repaired", 1L).otherwise(0L)).as("rep"),
+        sum(when(kept, 0L).otherwise(1L)).as("drp"),
+        min(when(kept, col("lon"))).as("mnlon"),
+        max(when(kept, col("lon"))).as("mxlon"),
+        min(when(kept, col("lat"))).as("mnlat"),
+        max(when(kept, col("lat"))).as("mxlat"))
     tileStats.groupBy("user_id")
       .agg(sum("cnt").as("n_features"),
-        count(lit(1)).as("n_tiles"),
+        sum("rep").as("n_repaired"),
+        sum("drp").as("n_dropped"),
+        sum(when(col("cnt") > 0, 1L).otherwise(0L)).as("n_tiles"),
         max("cnt").as("max_tile_features"),
         min("mnlon").as("min_lon"), max("mxlon").as("max_lon"),
         min("mnlat").as("min_lat"), max("mxlat").as("max_lat"))
@@ -1055,17 +1077,32 @@ object GeoOps {
 
   val qGeoE2eSql: String = {
     val ext = Synth.extSql
+    val gen = GeoGeom.quadGenColsFor("event_id")
+      .map { case (e, n) => s"$e AS $n" }.mkString(", ")
     s"""WITH t AS (${tiledSql(8)}),
-      vec AS (
+      vec0 AS (
         SELECT * FROM t
         WHERE ($ext) IN ('.gpkg','.geojson','.gdb','.fgb','.shp','.mbtiles')),
+      vg AS (SELECT *, $gen FROM vec0),
+      vec AS (
+        SELECT *, CASE WHEN ${GeoGeom.crossS} THEN 'repaired'
+                       WHEN ${GeoGeom.degenS} THEN 'dropped'
+                       ELSE 'valid' END AS status
+        FROM vg),
       ts AS (
-        SELECT user_id, xt, yt, COUNT(*) AS cnt,
-          MIN(lon) AS mnlon, MAX(lon) AS mxlon,
-          MIN(lat) AS mnlat, MAX(lat) AS mxlat
+        SELECT user_id, xt, yt,
+          CAST(SUM(CASE WHEN status <> 'dropped' THEN 1 ELSE 0 END) AS BIGINT) AS cnt,
+          CAST(SUM(CASE WHEN status = 'repaired' THEN 1 ELSE 0 END) AS BIGINT) AS rep,
+          CAST(SUM(CASE WHEN status = 'dropped' THEN 1 ELSE 0 END) AS BIGINT) AS drp,
+          MIN(CASE WHEN status <> 'dropped' THEN lon END) AS mnlon,
+          MAX(CASE WHEN status <> 'dropped' THEN lon END) AS mxlon,
+          MIN(CASE WHEN status <> 'dropped' THEN lat END) AS mnlat,
+          MAX(CASE WHEN status <> 'dropped' THEN lat END) AS mxlat
         FROM vec GROUP BY user_id, xt, yt)
       SELECT user_id, CAST(SUM(cnt) AS BIGINT) AS n_features,
-        CAST(COUNT(*) AS BIGINT) AS n_tiles,
+        CAST(SUM(rep) AS BIGINT) AS n_repaired,
+        CAST(SUM(drp) AS BIGINT) AS n_dropped,
+        CAST(SUM(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tiles,
         MAX(cnt) AS max_tile_features,
         MIN(mnlon) AS min_lon, MAX(mxlon) AS max_lon,
         MIN(mnlat) AS min_lat, MAX(mxlat) AS max_lat,

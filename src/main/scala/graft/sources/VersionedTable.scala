@@ -308,8 +308,15 @@ object VersionedTable {
     val stepVs = versions(spark, path)
       .filter(v => v > fromV && v <= toV)
       .filterNot(v => isCompaction(spark, path, v))
+    // isOverwriteStep reads v and v−1 per step and the delta flatMap
+    // re-reads both — memoize per version for the duration of this
+    // call so a catch-up over a long range does O(range) manifest IO,
+    // not 3×
+    val manifestMemo = scala.collection.mutable.Map.empty[Long, Seq[String]]
+    def manifestOf(v: Long): Seq[String] =
+      manifestMemo.getOrElseUpdate(v, readManifest(spark, path, v))
     def prevManifest(v: Long): Seq[String] =
-      if (v <= 1) Seq.empty else readManifest(spark, path, v - 1)
+      if (v <= 1) Seq.empty else manifestOf(v - 1)
     // An overwrite step replaces the whole prior snapshot: its
     // manifest shares no files with its predecessor's (landed file
     // names are token-unique, so disjointness is decisive — the same
@@ -318,7 +325,7 @@ object VersionedTable {
     // the union there so the consumer never receives replaced rows.
     def isOverwriteStep(v: Long): Boolean = {
       val prev = prevManifest(v)
-      val cur = readManifest(spark, path, v).toSet
+      val cur = manifestOf(v).toSet
       prev.nonEmpty && prev.forall(f => !cur.contains(f))
     }
     val restartAt = stepVs.filter(isOverwriteStep).lastOption
@@ -326,7 +333,7 @@ object VersionedTable {
       .flatMap { v =>
         // v = 1 has no predecessor: its delta is its full snapshot
         val prev = prevManifest(v).toSet
-        readManifest(spark, path, v).filterNot(prev)
+        manifestOf(v).filterNot(prev)
       }.distinct
       .map(f => resolve(path, f))
     if (files.isEmpty) spark.emptyDataFrame

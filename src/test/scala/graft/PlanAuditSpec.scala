@@ -520,6 +520,15 @@ class PlanAuditSpec extends SparkTestBase {
       s"spearman's rank stage must not re-read raw events:\n$p")
     assert("Scan ExistingRDD".r.findFirstIn(p).isDefined,
       s"spearman must rank over the materialized bucketed aggregate:\n$p")
+    // the checkpointed relation must BE the bounded per-user aggregate:
+    // a regression that checkpoints raw event-scale rows and aggregates
+    // per user only AFTER the boundary would pass the two checks above
+    // while losing the pre-aggregate-before-rank guarantee — so the
+    // rank-stage plan must contain NO aggregate keyed on user_id (that
+    // work belongs in the build-time plan behind the checkpoint)
+    assert(!"HashAggregate\\(keys=\\[user_id".r.findFirstIn(p).isDefined &&
+      !"ObjectHashAggregate\\(keys=\\[user_id".r.findFirstIn(p).isDefined,
+      s"per-user aggregation leaked past the checkpoint boundary:\n$p")
   }
 
   test("two-phase global ranks (c70/c75/c80/c83/f35): zero unpartitioned windows") {
@@ -527,8 +536,11 @@ class PlanAuditSpec extends SparkTestBase {
     // bucketed split — every WindowExec must carry a partitionSpec
     // (the bucket or the tied value), and the bucket carry-in is a
     // bounded triangular JOIN, not a window, so nothing ever plans
-    // "WindowExec: No Partition Defined" (= all rows to one task)
-    import org.apache.spark.sql.execution.window.WindowExec
+    // "WindowExec: No Partition Defined" (= all rows to one task).
+    // Audited on the OPTIMIZED LOGICAL plan: executedPlan.collect sees
+    // nothing under AQE (AdaptiveSparkPlanExec is a collect leaf — the
+    // round-13 discovery that had made this assertion vacuous).
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val five: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
       "c70 q_spearman" -> operators.AnalyticsTs.qSpearman(spark, sfDir),
       "c75 q_gini" -> operators.AnalyticsExt.qGini(spark, sfDir),
@@ -536,9 +548,9 @@ class PlanAuditSpec extends SparkTestBase {
       "c83 q_elasticity" -> operators.AnalyticsExt.qElasticity(spark, sfDir),
       "f35 q_calibration" -> operators.TextModels.qCalibration(spark, sfDir))
     five.foreach { case (name, df) =>
-      val unpart = df.queryExecution.executedPlan.collect {
-        case w: WindowExec if w.partitionSpec.isEmpty => w
-      }
+      val all = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      assert(all.nonEmpty, s"$name: window audit went vacuous — no Window nodes seen")
+      val unpart = all.filter(_.partitionSpec.isEmpty)
       assert(unpart.isEmpty,
         s"$name plans ${unpart.size} single-partition window(s):\n${unpart.mkString("\n")}")
     }
@@ -675,5 +687,51 @@ class PlanAuditSpec extends SparkTestBase {
     // targets), never a global window over raw values
     val fineSpecs = "windowspecdefinition\\(i#\\d+".r.findAllMatchIn(p).toSeq
     assert(fineSpecs.nonEmpty, s"refine window not partitioned by target:\n$p")
+  }
+
+  test("library-wide window audit: unpartitioned windows only where the input is provably bounded") {
+    // Bench silences the 'No Partition Defined for Window operation!'
+    // WARN class for signal/noise; THIS assertion is the real gate — a
+    // NEW unpartitioned window in ANY registered query fails here
+    // instead of regressing silently in bench logs. The whitelist is
+    // the round-11 bounded-input audit: every entry's global window
+    // reads a top-N cut, a value-range histogram, or a ≤k-row control
+    // table — NEVER corpus-scale rows (those ride TwoPhase). Adding a
+    // name here requires re-proving the bound. Audited on the
+    // OPTIMIZED LOGICAL plan — AQE's AdaptiveSparkPlanExec is a
+    // collect LEAF on the physical side, which silently hides every
+    // WindowExec (the round-13 vacuousness discovery).
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val boundedGlobal: Set[String] = Set(
+      "q_rolling_revenue",   // c18: 7-day window over the DAILY aggregate (calendar-bounded)
+      "q_ewma",              // c78: lag over the daily series (c78 plan test pins the pre-agg)
+      "q_acf",               // c72: lag over the gap-filled daily series (c72 plan test)
+      "q_kpi_dashboard",     // c82: windows over per-metric aggregate rows, not events
+      "q_concurrency",       // c60: carry window over DAYS only (explicitly two-phased in-op)
+      "q_bootstrap_poisson", // c67: 64-replicate bootstrap table
+      "q_ann_nprobe_sweep",  // e26: rank over the ≤10-cell centroid dim
+      "q_equidepth",         // c73: refine over the 1024-cell histogram (c73 plan test)
+      "q_ks_drift",          // c68: cum-dist over the value histogram (c68 plan test)
+      "q_ndcg_eval",         // e15: rank over per-query top-k result lists
+      "q_head_mass",         // f36: rank over the LIMIT-1000 top-frequency cut
+      "q_hybrid_rrf")        // f22: RRF rank over two top-k retrieval lists
+    val actual = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .flatMap { case (name, fn) =>
+        val unpart = fn(spark, sfDir).queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+        }
+        if (unpart.isEmpty) Nil else Seq(name)
+      }.toSet
+    val rogue = actual -- boundedGlobal
+    assert(rogue.isEmpty,
+      s"unpartitioned window in non-whitelisted queries: ${rogue.toSeq.sorted.mkString(", ")} " +
+        "(either partition it / route through TwoPhase, or prove the input " +
+        "bounded and whitelist it here)")
+    // exact equality both ways: a STALE whitelist entry means the query
+    // no longer has a global window — remove it so the list stays an
+    // honest audit, not a graveyard of blanket exemptions
+    val stale = boundedGlobal -- actual
+    assert(stale.isEmpty,
+      s"stale whitelist entries (no unpartitioned window anymore): ${stale.toSeq.sorted.mkString(", ")}")
   }
 }
