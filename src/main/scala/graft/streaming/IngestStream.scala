@@ -721,6 +721,51 @@ object IngestStream {
     events.join(
       org.apache.spark.sql.functions.broadcast(profile), Seq("user"), "left")
 
+  /** one arriving feature with its declared source CRS and (for
+    * no-authority sources) the IsSame probe's verdict, which in the
+    * reference is computed per layer before the transform runs */
+  case class FeatureIn(featureId: Long, srcEpsg: Int, isSame: Boolean,
+      lon: Double, lat: Double, eventTimeMs: Long)
+
+  /** h31 — STREAMING REPROJECTION DISPATCH: b39's decision matrix
+    * executing on the live ingest stream — every arriving feature
+    * routes to its source CRS's transform (the compiled
+    * `graft_reproject` kernel, bit-identical to the batch dispatch and
+    * the b34/b38 template chains) and exits in EPSG:4326; 4326 rows
+    * pass through, no-authority rows follow their IsSame verdict into
+    * passthrough or the NULL-coordinate dead-letter (the reference's
+    * `int(None)` path). STATELESS map-only stage — months of uptime
+    * accumulate zero state, the micro-batch plan is ONE projection, and
+    * the same stage composes before the h1 state machine or the i2
+    * sink exactly where processing.py runs ogr2ogr before tiling.
+    * StreamingSpec pins stream output ≡ the batch kernel row-for-row
+    * and asserts zero state operators. */
+  def reprojectStream(features: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(features.sparkSession)
+    import org.apache.spark.sql.functions.{col, expr}
+    features
+      // branch ids follow the batch dispatch; the mercator leg clamps
+      // latitude to the WebMercator domain exactly like b39's source
+      .withColumn("branch", expr(
+        "CAST(CASE srcEpsg WHEN 3857 THEN 1 WHEN 2249 THEN 2 WHEN 32633 THEN 3 ELSE 0 END AS BIGINT)"))
+      .withColumn("lat_in", expr(
+        "CASE WHEN srcEpsg = 3857 THEN greatest(least(lat, 85.05112878), -85.05112878) ELSE lat END"))
+      .withColumn("rp", expr("graft_reproject(branch, lon, lat_in)"))
+      .select(
+        col("featureId"), col("srcEpsg"), col("eventTimeMs"),
+        expr("""CASE srcEpsg
+            WHEN 4326 THEN 'none' WHEN 3857 THEN 'webmercator_inverse'
+            WHEN 2249 THEN 'lcc_2sp' WHEN 32633 THEN 'tm_krueger'
+            ELSE CASE WHEN isSame THEN 'is_same_passthrough'
+                      ELSE 'failed_no_authority' END END""").as("method"),
+        expr("""CASE WHEN srcEpsg = 4326 OR (srcEpsg NOT IN (3857, 2249, 32633) AND isSame)
+            THEN round(lon, 7)
+            WHEN srcEpsg IN (3857, 2249, 32633) THEN rp[0] END""").as("lon_4326"),
+        expr("""CASE WHEN srcEpsg = 4326 OR (srcEpsg NOT IN (3857, 2249, 32633) AND isSame)
+            THEN round(lat, 7)
+            WHEN srcEpsg IN (3857, 2249, 32633) THEN rp[1] END""").as("lat_4326"))
+  }
+
   /** one perceptually-hashed image arriving on the ingest stream —
     * the g8 dHash chunks computed at decode time (Media.ImageCodec) */
   case class HashedImage(docId: Long, c0: Int, c1: Int, c2: Int, c3: Int,

@@ -286,6 +286,21 @@ class GeoInvariantsSpec extends SparkTestBase {
     }
   }
 
+  test("b43: line clip — the tile pieces of every line sum to EXACTLY its total L1 length") {
+    val rows = graft.operators.GeoLines.qLineClip(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byLine = rows.groupBy(_.getLong(0))
+    byLine.foreach { case (id, ps) =>
+      val got = ps.map(_.getLong(4)).sum
+      val want = graft.operators.GeoLines.totalL1(id)
+      assert(got == want, s"line $id: tile pieces sum to $got, full length is $want")
+    }
+    // lines genuinely straddle tiles (the invariant is non-trivial) and
+    // no (line, tile) group is empty-length
+    assert(byLine.exists(_._2.length >= 2), "expected multi-tile lines")
+    assert(rows.forall(_.getLong(4) > 0), "zero-length piece leaked past the strict clip")
+  }
+
   test("b35: concave/holed ray cast — hole excludes, notch excludes, solid contains") {
     import spark.implicits._
     import org.apache.spark.sql.functions.expr

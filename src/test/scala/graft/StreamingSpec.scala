@@ -611,6 +611,50 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("h31: streaming reprojection dispatch — kernel-exact, stateless, dead-letters no-authority") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.IngestStream.FeatureIn
+    val feats = Seq(
+      FeatureIn(1L, 4326, isSame = false, 12.3456789, 47.1, 1000L),
+      FeatureIn(2L, 3857, isSame = false, -122.41, 37.77, 2000L),
+      FeatureIn(3L, 32633, isSame = false, 15.9, 48.2, 3000L),
+      FeatureIn(4L, 2249, isSame = false, -71.06, 42.36, 4000L),
+      FeatureIn(5L, -1, isSame = true, 3.3, 4.4, 5000L),
+      FeatureIn(6L, -1, isSame = false, 9.9, 8.8, 6000L))
+    // batch twin on the SAME rows — the stream stage must be row-for-row
+    // identical (same kernel, same routing CASEs)
+    val want = IngestStream.reprojectStream(feats.toDF())
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val input = MemoryStream[FeatureIn]
+    val q = IngestStream.reprojectStream(input.toDF())
+      .writeStream.format("memory").queryName("h31_reproj")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(feats)
+      q.processAllAvailable()
+      val out = spark.table("h31_reproj").collect()
+      assert(out.length == feats.length)
+      out.foreach { r =>
+        val w = want(r.getLong(0))
+        assert(r.toSeq == w.toSeq, s"stream/batch divergence for feature ${r.getLong(0)}")
+      }
+      val byId = out.map(r => r.getLong(0) -> r).toMap
+      // passthrough keeps (rounded) coords; transforms land within 1e-6
+      // of the source (these are roundtrip chains); dead-letter is NULL
+      assert(byId(1L).getDouble(4) == 12.3456789)
+      assert(math.abs(byId(2L).getDouble(4) - (-122.41)) < 1e-6)
+      assert(math.abs(byId(3L).getDouble(5) - 48.2) < 1e-6)
+      assert(math.abs(byId(4L).getDouble(4) - (-71.06)) < 1e-6)
+      assert(byId(3L).getString(3) == "tm_krueger")
+      assert(byId(5L).getString(3) == "is_same_passthrough" && byId(5L).getDouble(4) == 3.3)
+      assert(byId(6L).getString(3) == "failed_no_authority" && byId(6L).isNullAt(4) && byId(6L).isNullAt(5))
+      // stateless: months of uptime accumulate nothing
+      assert(q.lastProgress.stateOperators.isEmpty,
+        s"the reprojection stage must not create state: ${q.lastProgress}")
+    } finally q.stop()
+  }
+
   test("h9: stream-static enrichment is stateless, broadcast, and never drops events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
