@@ -102,6 +102,9 @@ class ReprojectHelper extends Serializable {
 
   private def utm(lon: Double, lat: Double): Array[Double] = {
     val lon0 = 6.0 * floor(lon / 6.0) + 3.0
+    // declared hemisphere = sign of the source latitude (the EPSG
+    // 326xx/327xx family split); false northing per the stage string
+    val fn = if (lat < 0) 10000000.0 else 0.0
     val sphi = sin(toRadians(lat))
     val targ = ath(sphi) - Ecc * ath(Ecc * sphi)
     val tt = sh(targ)
@@ -113,12 +116,12 @@ class ReprojectHelper extends Serializable {
       + Al1 * cos(2 * xip) * sh(2 * etap)
       + Al2 * cos(4 * xip) * sh(4 * etap)
       + Al3 * cos(6 * xip) * sh(6 * etap)), 2)
-    val northing = rnd(K0A * (xip
+    val northing = rnd(fn + K0A * (xip
       + Al1 * sin(2 * xip) * ch(2 * etap)
       + Al2 * sin(4 * xip) * ch(4 * etap)
       + Al3 * sin(6 * xip) * ch(6 * etap)), 2)
     // inverse — from the ROUNDED pair (bit-identical starting point)
-    val xi = northing / K0A
+    val xi = (northing - fn) / K0A
     val eta = (easting - 500000.0) / K0A
     val xip2 = xi - (Be1 * sin(2 * xi) * ch(2 * eta)
       + Be2 * sin(4 * xi) * ch(4 * eta)

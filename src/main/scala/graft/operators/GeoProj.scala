@@ -59,16 +59,29 @@ object GeoProj {
 
   // ---- shared stage strings (the single source of truth both
   //      engines execute) ----
-  // round 13: ZONE-PARAMETRIC — the source box spans lon [0, 18), i.e.
-  // UTM zones 31/32/33, and the central meridian is the closed-form
-  // zone algebra 6·floor(lon/6)+3 (a per-row column both engines
-  // compute identically) instead of a pinned constant. Real UTM data
-  // spans zones; the Krüger chain was already zone-parametric in all
-  // but this constant.
+  // round 13: ZONE- AND HEMISPHERE-PARAMETRIC — the source box spans
+  // lon [0, 18) (UTM zones 31/32/33) AND lat [−80, 84), so both the
+  // EPSG:326xx (north) and EPSG:327xx (south, false northing
+  // 10 000 000 m) families execute; the central meridian is the
+  // closed-form zone algebra 6·floor(lon/6)+3 and the false northing a
+  // CASE on the declared hemisphere — per-row columns both engines
+  // compute identically, instead of pinned constants. Real UTM data
+  // spans zones and hemispheres; the Krüger chain was already
+  // parametric in all but these constants.
   private val lonSrcS = s"(((${Synth.lonSql}) + 180.0) / 20.0)"
-  private val latSrcS = s"(((${Synth.latSql}) + 85.0) * 0.494)"
+  private val latSrcS = s"(((${Synth.latSql}) + 85.0) * 0.9647 - 80.0)"
   private val lon0S   = "(6.0 * floor(lon_src / 6.0) + 3.0)"
-  private val zoneS   = "CAST(floor(lon_src / 6.0) + 31 AS INT)"
+  // the hemisphere is DECLARED data (the shapefile's EPSG code), not
+  // peeked from the transform: rows carry it as the `south` column
+  private val southS  = "(lat_src < 0)"
+  private val fnS     = "(CASE WHEN south THEN 10000000.0 ELSE 0.0 END)"
+  private val epsgS   =
+    "CAST((CASE WHEN south THEN 32700 ELSE 32600 END) + floor(lon_src / 6.0) + 31 AS INT)"
+  // the same family code straight off (lon_src, lat_src) — for plans
+  // that route BEFORE the chain materializes the south column
+  private val epsgUtmSrcS =
+    """CAST((CASE WHEN lat_src < 0 THEN 32700 ELSE 32600 END)
+        + floor(lon_src / 6.0) + 31 AS INT)"""
   private val sphiS   = "sin(radians(lat_src))"
   private val targS   = s"(${ath("sphi")} - $Ecc * ${ath(s"($Ecc * sphi)")})"
   private val ttS     = sh("targ")
@@ -82,12 +95,13 @@ object GeoProj {
         + $Al2 * cos(4 * xip) * ${sh("(4 * etap)")}
         + $Al3 * cos(6 * xip) * ${sh("(6 * etap)")}), 2)"""
   private val northS  =
-    s"""round($K0A * (xip
+    s"""round(fn + $K0A * (xip
         + $Al1 * sin(2 * xip) * ${ch("(2 * etap)")}
         + $Al2 * sin(4 * xip) * ${ch("(4 * etap)")}
         + $Al3 * sin(6 * xip) * ${ch("(6 * etap)")}), 2)"""
-  // inverse — from the ROUNDED pair (bit-identical starting point)
-  private val xiS     = s"(northing / $K0A)"
+  // inverse — from the ROUNDED pair (bit-identical starting point),
+  // stripping the declared hemisphere's false northing first
+  private val xiS     = s"((northing - fn) / $K0A)"
   private val etaS    = s"((easting - 500000.0) / $K0A)"
   private val xip2S   =
     s"""(xi - ($Be1 * sin(2 * xi) * ${ch("(2 * eta)")}
@@ -120,7 +134,8 @@ object GeoProj {
     * appends easting/northing (forward) and lat_4326/lon_4326
     * (inverse from the rounded pair). */
   private def utmChain(df: DataFrame): DataFrame = {
-    val stages = Seq("lon0" -> lon0S, "sphi" -> sphiS, "targ" -> targS, "tt" -> ttS,
+    val stages = Seq("lon0" -> lon0S, "south" -> southS, "fn" -> fnS,
+      "sphi" -> sphiS, "targ" -> targS, "tt" -> ttS,
       "lamd" -> lamdS, "xip" -> xipS, "seta" -> setaS, "etap" -> etapS,
       "easting" -> eastS, "northing" -> northS, "xi" -> xiS, "eta" -> etaS,
       "xip2" -> xip2S, "etap2" -> etap2S, "chi" -> chiS,
@@ -131,7 +146,8 @@ object GeoProj {
   /** The UTM WITH-chain as SQL, reading CTE `srcCte(…, lon_src,
     * lat_src)`; final stage name `u10` carries all output columns. */
   private def utmChainSql(srcCte: String): String =
-    s"""u0 AS (SELECT *, $lon0S AS lon0 FROM $srcCte),
+    s"""u00 AS (SELECT *, $lon0S AS lon0, $southS AS south FROM $srcCte),
+        u0 AS (SELECT *, $fnS AS fn FROM u00),
         u1 AS (SELECT *, $sphiS AS sphi FROM u0),
         u2 AS (SELECT *, $targS AS targ FROM u1),
         u3 AS (SELECT *, $ttS AS tt, $lamdS AS lamd FROM u2),
@@ -145,13 +161,13 @@ object GeoProj {
 
   def qReprojectUtm(spark: SparkSession, dir: String): DataFrame = {
     utmChain(Tables.events(spark, dir)
-        .where(col("event_id") % 5 === 3) // b2's UTM rows, zones 31-33
+        .where(col("event_id") % 5 === 3) // b2's UTM rows, zones 31-33 N+S
         .select(col("event_id"))
         .withColumn("lon_src", expr(lonSrcS))
         .withColumn("lat_src", expr(latSrcS)))
-      .withColumn("utm_zone", expr(zoneS))
+      .withColumn("utm_epsg", expr(epsgS))
       .withColumn("roundtrip_ok", expr(okS))
-      .select("event_id", "utm_zone", "easting", "northing", "lat_4326",
+      .select("event_id", "utm_epsg", "easting", "northing", "lat_4326",
         "lon_4326", "roundtrip_ok")
       .orderBy("event_id")
   }
@@ -161,7 +177,7 @@ object GeoProj {
           SELECT event_id, $lonSrcS AS lon_src, $latSrcS AS lat_src
           FROM events WHERE event_id % 5 = 3),
         ${utmChainSql("s0")}
-      SELECT event_id, $zoneS AS utm_zone, easting, northing, lat_4326,
+      SELECT event_id, $epsgS AS utm_epsg, easting, northing, lat_4326,
         lon_4326, $okS AS roundtrip_ok
       FROM u10 ORDER BY event_id"""
 
@@ -304,7 +320,8 @@ object GeoProj {
     * GeoInvariantsSpec's anchor probe (central meridian → E=500000,
     * equator → N=0, 45°N → k0 × the published meridian arc). */
   val probeSql: String =
-    s"""WITH s0 AS (SELECT lat_src, lon_src, $lon0S AS lon0 FROM utm_probe),
+    s"""WITH s00 AS (SELECT lat_src, lon_src, $lon0S AS lon0, $southS AS south FROM utm_probe),
+        s0 AS (SELECT *, $fnS AS fn FROM s00),
         s1 AS (SELECT *, $sphiS AS sphi FROM s0),
         s2 AS (SELECT *, $targS AS targ FROM s1),
         s3 AS (SELECT *, $ttS AS tt, $lamdS AS lamd FROM s2),
@@ -373,9 +390,13 @@ object GeoProj {
       .withColumn("rp", expr("graft_reproject(event_id % 5, lon_src, lat_src)"))
       .select(
         col("event_id"),
-        expr("""CASE CAST(event_id % 5 AS INT)
+        // branch 3's declared code is the per-row UTM family member
+        // (zone + hemisphere), not a pinned 32633
+        expr(s"""CASE CAST(event_id % 5 AS INT)
             WHEN 0 THEN 4326 WHEN 1 THEN 3857
-            WHEN 2 THEN 2249 WHEN 3 THEN 32633 ELSE -1 END""").as("src_epsg"),
+            WHEN 2 THEN 2249
+            WHEN 3 THEN ($epsgUtmSrcS)
+            ELSE -1 END""").as("src_epsg"),
         expr("""CASE CAST(event_id % 5 AS INT)
             WHEN 0 THEN 'none' WHEN 1 THEN 'webmercator_inverse'
             WHEN 2 THEN 'lcc_2sp' WHEN 3 THEN 'tm_krueger'
@@ -412,7 +433,7 @@ object GeoProj {
       UNION ALL
       SELECT event_id, 2249, 'lcc_2sp', lon_4326, lat_4326 FROM l13
       UNION ALL
-      SELECT event_id, 32633, 'tm_krueger', lon_4326, lat_4326 FROM u10
+      SELECT event_id, $epsgUtmSrcS, 'tm_krueger', lon_4326, lat_4326 FROM u10
       UNION ALL
       SELECT event_id, -1,
         CASE WHEN event_id % 2 = 0 THEN 'is_same_passthrough'

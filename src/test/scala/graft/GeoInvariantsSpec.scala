@@ -102,23 +102,27 @@ class GeoInvariantsSpec extends SparkTestBase {
     assert(out.length > 0)
     // every synthesized row roundtrips to well under 1e-6 degrees
     assert(out.forall(_.getBoolean(6)), "roundtrip failed for some rows")
-    // round 13: the source box spans lon [0, 18) — zones 31..33 must
-    // ALL occur, and eastings live inside the per-zone band (±3° from
-    // the zone's own meridian → roughly 166km..834km at the equator)
-    val zones = out.map(_.getInt(1)).toSet
-    assert(zones == Set(31, 32, 33), s"expected zones 31-33, saw $zones")
+    // round 13: the source box spans lon [0, 18) AND lat [−80, 84) —
+    // all six EPSG family members (zones 31..33 × N/S) must occur, and
+    // eastings live inside the per-zone band (±3° from the zone's own
+    // meridian → roughly 166km..834km at the equator); southern rows
+    // carry the 10 000 000 m false northing, so every northing sits in
+    // [0, 10M) either way
+    val epsgs = out.map(_.getInt(1)).toSet
+    assert(epsgs == Set(32631, 32632, 32633, 32731, 32732, 32733),
+      s"expected zones 31-33 in both hemispheres, saw $epsgs")
     out.foreach { r =>
       val e = r.getDouble(2); val n = r.getDouble(3)
       assert(e > 160000 && e < 840000, s"easting out of band: $e")
       assert(n >= -10 && n < 10000000, s"northing out of range: $n")
     }
-    // northing is monotone in recovered latitude WITHIN a zone (the
-    // same-meridian arc argument; across zones the λ² term can locally
-    // reorder near-equal latitudes)
+    // northing is monotone in recovered latitude WITHIN an EPSG member
+    // (same meridian, same false northing; across zones the λ² term
+    // can locally reorder near-equal latitudes)
     out.groupBy(_.getInt(1)).foreach { case (z, rows) =>
       val sorted = rows.map(r => (r.getDouble(4), r.getDouble(3))).sortBy(_._1)
       sorted.sliding(2).foreach { case Array((la, na), (lb, nb)) =>
-        assert(na <= nb + 1e-6, s"zone $z northing not monotone: lat $la -> $lb, n $na -> $nb")
+        assert(na <= nb + 1e-6, s"epsg $z northing not monotone: lat $la -> $lb, n $na -> $nb")
       case _ => ()
       }
     }
@@ -130,7 +134,7 @@ class GeoInvariantsSpec extends SparkTestBase {
     // lon=12 zone-32/33 boundary
     import spark.implicits._
     // reuse the full chain through a tiny SQL view of the same stages
-    Seq((0.0, 15.0), (45.0, 15.0), (0.0, 12.0), (0.0, 11.999999))
+    Seq((0.0, 15.0), (45.0, 15.0), (-45.0, 15.0), (0.0, 12.0), (0.0, 11.999999))
       .toDF("lat_src", "lon_src")
       .createOrReplaceTempView("utm_probe")
     val anchors = spark.sql(
@@ -148,6 +152,10 @@ class GeoInvariantsSpec extends SparkTestBase {
     val n45 = anchors.find(_.getDouble(0) == 45.0).get.getDouble(3)
     assert(math.abs(n45 - 0.9996 * 4984944.38) < 1.0,
       s"northing(45N) off the published arc: $n45")
+    // the SOUTHERN twin: same arc below the 10 000 000 m false northing
+    val n45s = anchors.find(_.getDouble(0) == -45.0).get.getDouble(3)
+    assert(math.abs(n45s - (10000000.0 - 0.9996 * 4984944.38)) < 1.0,
+      s"northing(45S) off the mirrored arc: $n45s")
     // zone-boundary pair: lon=12.0 routes to zone 33 (λ=−3°, easting
     // the published west-edge value); lon=12−ε routes to zone 32
     // (λ≈+3°, the east-edge value); the two eastings mirror around
@@ -194,22 +202,22 @@ class GeoInvariantsSpec extends SparkTestBase {
     // shows up here as a non-identical double vs the declarative
     // template chains the standalone queries still execute
     val disp = graft.operators.GeoProj.qReprojectDispatch(spark, sfDir)
-      .filter(col("src_epsg").isin(2249, 32633))
-      .select("event_id", "src_epsg", "lon_4326", "lat_4326").collect()
-      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getDouble(2), r.getDouble(3))))
+      .filter(col("method").isin("lcc_2sp", "tm_krueger"))
+      .select("event_id", "method", "lon_4326", "lat_4326").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> ((r.getDouble(2), r.getDouble(3))))
       .toMap
     val utm = graft.operators.GeoProj.qReprojectUtm(spark, sfDir)
       .select("event_id", "lon_4326", "lat_4326").collect()
     assert(utm.nonEmpty)
     utm.foreach { r =>
-      assert(disp((r.getLong(0), 32633)) == ((r.getDouble(1), r.getDouble(2))),
+      assert(disp((r.getLong(0), "tm_krueger")) == ((r.getDouble(1), r.getDouble(2))),
         s"utm kernel/template divergence at event ${r.getLong(0)}")
     }
     val lcc = graft.operators.GeoProj.qReprojectLcc(spark, sfDir)
       .select("event_id", "lon_4326", "lat_4326").collect()
     assert(lcc.nonEmpty)
     lcc.foreach { r =>
-      assert(disp((r.getLong(0), 2249)) == ((r.getDouble(1), r.getDouble(2))),
+      assert(disp((r.getLong(0), "lcc_2sp")) == ((r.getDouble(1), r.getDouble(2))),
         s"lcc kernel/template divergence at event ${r.getLong(0)}")
     }
   }
