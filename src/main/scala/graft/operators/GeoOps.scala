@@ -1013,32 +1013,42 @@ object GeoOps {
         CAST(cny AS DOUBLE) / (area2_u * 3) AS centroid_dy_u
       FROM m ORDER BY poly_id"""
 
+  /** Tile-coordinate template strings over arbitrary lon/lat column
+    * expressions (shared by both engines — the b3 formula lifted off
+    * the Synth source so reprojected coordinates can tile). */
+  private[graft] def tileXS(lon: String, n: Int): String =
+    s"CAST(LEAST(FLOOR((($lon) + 180.0) / 360.0 * $n), ${n - 1}) AS INT)"
+  private[graft] def tileYS(lat: String, n: Int): String = {
+    val c = s"GREATEST(LEAST(($lat), 85.05112878), -85.05112878)"
+    s"CAST(GREATEST(LEAST(FLOOR((1.0 - ln(tan(radians($c)) + 1.0 / cos(radians($c))) / pi()) / 2.0 * $n), ${n - 1}), 0) AS INT)"
+  }
+
   /** b28 — the reference's VECTOR PATH end-to-end as ONE declarative
-    * plan (the B-family twin of f28's curation capstone): route the
-    * upload backlog (a2's format CASE — only vector formats proceed,
-    * ingest.py:244-247), run b36's -makevalid verdict on every
-    * feature's ring BEFORE tiling (the reference's actual order:
-    * -makevalid -skipfailures THEN tippecanoe, processing.py:138-144 →
-    * 216-402; round 13 — the e2e previously tiled without repairing),
-    * tile every KEPT feature (b3, z=8; bowties repair and stay,
-    * slivers drop), build per-layer tilestats (b4), extent (b6), the
-    * -zg zoom guess (b5) over kept features, carry the
-    * repaired/dropped accounting (b8's count gate), and emit one
-    * manifest row per layer with its datasets/ destination (a4's
-    * rewrite) — what processing.py does with ogr2ogr + tippecanoe per
-    * file, here for the whole backlog in one Catalyst plan. Every
-    * stage reuses its individually oracle-gated component's
-    * arithmetic verbatim (the makevalid stage is b36's template
-    * strings keyed on event_id), and the composition itself is
-    * oracle-gated. Shape: routing, validity and tiling are map-only
-    * over one events scan; the tile agg shuffles on (layer, x, y) and
-    * the layer rollup re-shuffles the BOUNDED tile summary on layer —
-    * two shuffles, the second over data whose size is the tile count,
-    * not the feature count. */
+    * plan, in the reference's ACTUAL ORDER (ingest.py:244-247 →
+    * processing.py:100-160 → 138-144 → 216-402): route the upload
+    * backlog (a2's format CASE — only vector formats proceed) →
+    * REPROJECT every feature to EPSG:4326 (b39's dispatch core — the
+    * compiled graft_reproject kernel; dead-letter rows become the
+    * layer's n_unprojectable, the reference's reprojection-failure
+    * error path) → run b36's -makevalid verdict on every projected
+    * feature's ring (bowties repair and tile on, slivers drop) → tile
+    * the KEPT features at z=8 off the REPROJECTED coordinates (b3's
+    * formula lifted onto lon_4326/lat_4326) → per-layer tilestats
+    * (b4), extent (b6), -zg zoom guess (b5), repaired/dropped/
+    * unprojectable accounting (b8's count gate) and the datasets/
+    * destination (a4) — what processing.py does with ogr2ogr +
+    * -makevalid + tippecanoe per FILE, here for the whole backlog in
+    * one Catalyst plan. Every stage reuses its individually
+    * oracle-gated component's machinery verbatim, and the composition
+    * itself is oracle-gated. Shape: routing, reprojection, validity
+    * and tiling are all map-only over ONE events scan (PlanAuditSpec
+    * counts the FileScan); the tile agg shuffles on (layer, x, y) and
+    * the layer rollup re-shuffles the BOUNDED tile summary — two
+    * shuffles, the second over tile-count-sized data. */
   def qGeoE2e(spark: SparkSession, dir: String): DataFrame = {
     val ext = Synth.ext(col("event_id"))
     val vec = GeoGeom.quadGenColsFor("event_id").foldLeft(
-      tiled(spark, dir, 8)
+      GeoProj.dispatched(spark, dir, keep = Seq("user_id"))
         .withColumn("route",
           when(ext.isin(".gpkg", ".geojson", ".gdb", ".fgb", ".shp", ".mbtiles"),
             "pmtiles").otherwise("other"))
@@ -1050,19 +1060,26 @@ object GeoOps {
         when(expr(GeoGeom.crossS), "repaired")
           .when(expr(GeoGeom.degenS), "dropped")
           .otherwise("valid"))
-    val kept = col("status") =!= "dropped"
+      .withColumn("projected", col("lon_4326").isNotNull)
+      .withColumn("xt", expr(tileXS("lon_4326", 256)))
+      .withColumn("yt", expr(tileYS("lat_4326", 256)))
+    val kept = col("projected") && col("status") =!= "dropped"
     val tileStats = vec.groupBy("user_id", "xt", "yt")
       .agg(sum(when(kept, 1L).otherwise(0L)).as("cnt"),
-        sum(when(col("status") === "repaired", 1L).otherwise(0L)).as("rep"),
-        sum(when(kept, 0L).otherwise(1L)).as("drp"),
-        min(when(kept, col("lon"))).as("mnlon"),
-        max(when(kept, col("lon"))).as("mxlon"),
-        min(when(kept, col("lat"))).as("mnlat"),
-        max(when(kept, col("lat"))).as("mxlat"))
+        sum(when(col("projected") && col("status") === "repaired", 1L)
+          .otherwise(0L)).as("rep"),
+        sum(when(col("projected") && col("status") === "dropped", 1L)
+          .otherwise(0L)).as("drp"),
+        sum(when(col("projected"), 0L).otherwise(1L)).as("unproj"),
+        min(when(kept, col("lon_4326"))).as("mnlon"),
+        max(when(kept, col("lon_4326"))).as("mxlon"),
+        min(when(kept, col("lat_4326"))).as("mnlat"),
+        max(when(kept, col("lat_4326"))).as("mxlat"))
     tileStats.groupBy("user_id")
       .agg(sum("cnt").as("n_features"),
         sum("rep").as("n_repaired"),
         sum("drp").as("n_dropped"),
+        sum("unproj").as("n_unprojectable"),
         sum(when(col("cnt") > 0, 1L).otherwise(0L)).as("n_tiles"),
         max("cnt").as("max_tile_features"),
         min("mnlon").as("min_lon"), max("mxlon").as("max_lon"),
@@ -1079,29 +1096,34 @@ object GeoOps {
     val ext = Synth.extSql
     val gen = GeoGeom.quadGenColsFor("event_id")
       .map { case (e, n) => s"$e AS $n" }.mkString(", ")
-    s"""WITH t AS (${tiledSql(8)}),
+    s"""WITH d AS (${GeoProj.dispatchedSql(Seq("user_id"))}),
       vec0 AS (
-        SELECT * FROM t
+        SELECT * FROM d
         WHERE ($ext) IN ('.gpkg','.geojson','.gdb','.fgb','.shp','.mbtiles')),
       vg AS (SELECT *, $gen FROM vec0),
       vec AS (
         SELECT *, CASE WHEN ${GeoGeom.crossS} THEN 'repaired'
                        WHEN ${GeoGeom.degenS} THEN 'dropped'
-                       ELSE 'valid' END AS status
+                       ELSE 'valid' END AS status,
+          lon_4326 IS NOT NULL AS projected,
+          ${tileXS("lon_4326", 256)} AS xt,
+          ${tileYS("lat_4326", 256)} AS yt
         FROM vg),
       ts AS (
         SELECT user_id, xt, yt,
-          CAST(SUM(CASE WHEN status <> 'dropped' THEN 1 ELSE 0 END) AS BIGINT) AS cnt,
-          CAST(SUM(CASE WHEN status = 'repaired' THEN 1 ELSE 0 END) AS BIGINT) AS rep,
-          CAST(SUM(CASE WHEN status = 'dropped' THEN 1 ELSE 0 END) AS BIGINT) AS drp,
-          MIN(CASE WHEN status <> 'dropped' THEN lon END) AS mnlon,
-          MAX(CASE WHEN status <> 'dropped' THEN lon END) AS mxlon,
-          MIN(CASE WHEN status <> 'dropped' THEN lat END) AS mnlat,
-          MAX(CASE WHEN status <> 'dropped' THEN lat END) AS mxlat
+          CAST(SUM(CASE WHEN projected AND status <> 'dropped' THEN 1 ELSE 0 END) AS BIGINT) AS cnt,
+          CAST(SUM(CASE WHEN projected AND status = 'repaired' THEN 1 ELSE 0 END) AS BIGINT) AS rep,
+          CAST(SUM(CASE WHEN projected AND status = 'dropped' THEN 1 ELSE 0 END) AS BIGINT) AS drp,
+          CAST(SUM(CASE WHEN projected THEN 0 ELSE 1 END) AS BIGINT) AS unproj,
+          MIN(CASE WHEN projected AND status <> 'dropped' THEN lon_4326 END) AS mnlon,
+          MAX(CASE WHEN projected AND status <> 'dropped' THEN lon_4326 END) AS mxlon,
+          MIN(CASE WHEN projected AND status <> 'dropped' THEN lat_4326 END) AS mnlat,
+          MAX(CASE WHEN projected AND status <> 'dropped' THEN lat_4326 END) AS mxlat
         FROM vec GROUP BY user_id, xt, yt)
       SELECT user_id, CAST(SUM(cnt) AS BIGINT) AS n_features,
         CAST(SUM(rep) AS BIGINT) AS n_repaired,
         CAST(SUM(drp) AS BIGINT) AS n_dropped,
+        CAST(SUM(unproj) AS BIGINT) AS n_unprojectable,
         CAST(SUM(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tiles,
         MAX(cnt) AS max_tile_features,
         MIN(mnlon) AS min_lon, MAX(mxlon) AS max_lon,

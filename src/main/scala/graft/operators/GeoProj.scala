@@ -368,7 +368,15 @@ object GeoProj {
     * branch. Zero joins, zero aggregates, ONE FileScan (plan-asserted
     * in PlanAuditSpec), one exchange for the ORDER BY. Oracle: the
     * four chains UNION ALL'd — structurally independent machinery. */
-  def qReprojectDispatch(spark: SparkSession, dir: String): DataFrame = {
+  def qReprojectDispatch(spark: SparkSession, dir: String): DataFrame =
+    dispatched(spark, dir).orderBy("event_id")
+
+  /** The dispatch core without the presentation ORDER BY — shared by
+    * b39, b40's rollup, and b28's full-order vector capstone (route →
+    * reproject → makevalid → tile in ONE plan). `keep` carries real
+    * event columns (e.g. user_id) through for downstream stages. */
+  private[graft] def dispatched(spark: SparkSession, dir: String,
+      keep: Seq[String] = Nil): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     // transform legs ride the codegen'd graft_reproject kernel — ONE
     // compiled method per row. The declarative fusion of all three
@@ -380,7 +388,8 @@ object GeoProj {
     // the single scan fast.
     val noAuthLon = s"CASE WHEN event_id % 2 = 0 THEN round(${Synth.lonSql}, 7) END"
     val noAuthLat = s"CASE WHEN event_id % 2 = 0 THEN round(${Synth.latSql}, 7) END"
-    Tables.events(spark, dir).select(col("event_id"))
+    Tables.events(spark, dir)
+      .select((col("event_id") +: keep.map(col)): _*)
       .withColumn("lon_src", expr(s"""CASE CAST(event_id % 5 AS INT)
           WHEN 1 THEN (${Synth.lonSql})
           WHEN 2 THEN $lccLonS WHEN 3 THEN $lonSrcS END"""))
@@ -388,8 +397,8 @@ object GeoProj {
           WHEN 1 THEN (greatest(least(${Synth.latSql}, 85.05112878), -85.05112878))
           WHEN 2 THEN $lccLatS WHEN 3 THEN $latSrcS END"""))
       .withColumn("rp", expr("graft_reproject(event_id % 5, lon_src, lat_src)"))
-      .select(
-        col("event_id"),
+      .select((Seq(
+        col("event_id")) ++ keep.map(col) ++ Seq(
         // branch 3's declared code is the per-row UTM family member
         // (zone + hemisphere), not a pinned 32633
         expr(s"""CASE CAST(event_id % 5 AS INT)
@@ -407,41 +416,48 @@ object GeoProj {
             WHEN 4 THEN $noAuthLon ELSE rp[0] END""").as("lon_4326"),
         expr(s"""CASE CAST(event_id % 5 AS INT)
             WHEN 0 THEN round(${Synth.latSql}, 7)
-            WHEN 4 THEN $noAuthLat ELSE rp[1] END""").as("lat_4326"))
-      .orderBy("event_id")
+            WHEN 4 THEN $noAuthLat ELSE rp[1] END""").as("lat_4326"))): _*)
   }
 
-  val qReprojectDispatchSql: String =
+  /** The dispatch's DuckDB WITH-body (the independent UNION-of-chains
+    * machinery), parameterized on extra pass-through event columns —
+    * b28's capstone oracle carries user_id. Returns the body WITHOUT a
+    * final ORDER BY so callers can wrap it as a CTE. */
+  private[graft] def dispatchedSql(keep: Seq[String] = Nil): String = {
+    val k = keep.map(c => s", $c").mkString
     s"""WITH lsrc AS (
-          SELECT event_id, $lccLonS AS lon_src, $lccLatS AS lat_src
+          SELECT event_id$k, $lccLonS AS lon_src, $lccLatS AS lat_src
           FROM events WHERE event_id % 5 = 2),
         ${lccChainSql("lsrc")},
         usrc AS (
-          SELECT event_id, $lonSrcS AS lon_src, $latSrcS AS lat_src
+          SELECT event_id$k, $lonSrcS AS lon_src, $latSrcS AS lat_src
           FROM events WHERE event_id % 5 = 3),
         ${utmChainSql("usrc")},
         msrc AS (
-          SELECT event_id, (${Synth.lonSql}) AS lon_src,
+          SELECT event_id$k, (${Synth.lonSql}) AS lon_src,
             (greatest(least(${Synth.latSql}, 85.05112878), -85.05112878)) AS lat_src
           FROM events WHERE event_id % 5 = 1),
         m1 AS (SELECT *, $mercXS AS merc_x, $mercYS AS merc_y FROM msrc)
-      SELECT event_id, 4326 AS src_epsg, 'none' AS method,
+      SELECT event_id$k, 4326 AS src_epsg, 'none' AS method,
         round(${Synth.lonSql}, 7) AS lon_4326, round(${Synth.latSql}, 7) AS lat_4326
       FROM events WHERE event_id % 5 = 0
       UNION ALL
-      SELECT event_id, 3857, 'webmercator_inverse', $mercLonS, $mercLatS FROM m1
+      SELECT event_id$k, 3857, 'webmercator_inverse', $mercLonS, $mercLatS FROM m1
       UNION ALL
-      SELECT event_id, 2249, 'lcc_2sp', lon_4326, lat_4326 FROM l13
+      SELECT event_id$k, 2249, 'lcc_2sp', lon_4326, lat_4326 FROM l13
       UNION ALL
-      SELECT event_id, $epsgUtmSrcS, 'tm_krueger', lon_4326, lat_4326 FROM u10
+      SELECT event_id$k, $epsgUtmSrcS, 'tm_krueger', lon_4326, lat_4326 FROM u10
       UNION ALL
-      SELECT event_id, -1,
+      SELECT event_id$k, -1,
         CASE WHEN event_id % 2 = 0 THEN 'is_same_passthrough'
              ELSE 'failed_no_authority' END,
         CASE WHEN event_id % 2 = 0 THEN round(${Synth.lonSql}, 7) END,
         CASE WHEN event_id % 2 = 0 THEN round(${Synth.latSql}, 7) END
-      FROM events WHERE event_id % 5 = 4
-      ORDER BY event_id"""
+      FROM events WHERE event_id % 5 = 4"""
+  }
+
+  val qReprojectDispatchSql: String =
+    dispatchedSql() + "\n      ORDER BY event_id"
 
   /** b40 — `q_reproject_audit`: the QA rollup over b39's dispatch
     * (b8's feature-count gate, for the reprojection leg — the
@@ -453,7 +469,7 @@ object GeoProj {
     * a cheap corruption tripwire a 100 TB pipeline keeps on always).
     * One bounded agg over the map-only dispatch. */
   def qReprojectAudit(spark: SparkSession, dir: String): DataFrame = {
-    qReprojectDispatch(spark, dir)
+    dispatched(spark, dir)
       .groupBy("src_epsg", "method")
       .agg(count(lit(1)).as("n_routed"),
         sum(when(col("lon_4326").isNotNull, 1L).otherwise(0L)).as("n_converted"),

@@ -651,6 +651,16 @@ class PlanAuditSpec extends SparkTestBase {
     assert(scans == 1, s"the dispatch must read events exactly once, saw $scans scans:\n$p")
   }
 
+  test("b28 vector capstone: route → reproject → makevalid → tile in ONE scan, no joins") {
+    val p = operators.GeoOps.qGeoE2e(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"the full vector path must ride one events scan, saw $scans:\n$p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"the capstone composes map-only stages + two aggs — no join belongs:\n$p")
+    assert(!p.contains("Union"), s"no union — the dispatch leg is CASE-routed:\n$p")
+  }
+
   test("b40 reprojection audit: inherits the single scan — exactly one FileScan of events") {
     val p = operators.GeoProj.qReprojectAudit(spark, sfDir)
       .queryExecution.executedPlan.toString
