@@ -1569,7 +1569,93 @@ object GeoOps {
       ORDER BY pfx.cx, pfx.cy"""
   }
 
+  // ---- b44: the gdalwarp TARGET GRID (3857) computation ------------
+
+  // shared template strings (k = CAST(p_partkey AS BIGINT)): the
+  // source raster's 4326 bbox, its WebMercator corners (b1's forward
+  // verbatim, cm-rounded), then EXACT integer centimeters
+  private val wgLon0S = "(CAST(k * 7919 % 300000000 AS DOUBLE) / 1000000.0 - 150.0)"
+  private val wgLat0S = "(CAST(k * 104729 % 150000000 AS DOUBLE) / 1000000.0 - 75.0)"
+  private val wgDLonS = "(CAST(k % 20 + 1 AS DOUBLE) / 10.0)"
+  private val wgDLatS = "(CAST(k % 17 + 1 AS DOUBLE) / 10.0)"
+  private val wgKm    = 6378137.0 * math.Pi / 180.0
+  private def wgMx(lon: String) = s"round(($lon) * $wgKm, 2)"
+  private def wgMy(lat: String) =
+    s"round(6378137.0 * ln(tan(${math.Pi / 4.0} + radians($lat) / 2)), 2)"
+  private def cmOf(m: String) = s"CAST(round(($m) * 100, 0) AS BIGINT)"
+  private val WgShift = 2100000000L // > |R·π|·100: keeps the div operands non-negative
+
+  /** b44 — `q_warp_grid`: the TARGET-GRID computation gdalwarp runs
+    * between deciding to reproject and writing the COG (ref
+    * processing.py:469-553 + config.py gdal_configs: EPSG:3857 target,
+    * 256×256 blocks — the grid PLACEMENT is the step b29's layout
+    * approximates away): per cog-routed raster, the source 4326 bbox →
+    * WebMercator corners (b1's forward strings verbatim, cm-rounded) →
+    * EXACT integer centimeters from there — resolution res_cm =
+    * floor(merc_width_cm / src_width_px) (gdal's preserve-pixel-count
+    * default), origin snapped DOWN to the 256·res block lattice (the
+    * shifted floor-div keeps operands non-negative so both engines'
+    * integer division agrees), target pixel dims by ceiling division,
+    * and the 256-px block counts off the ALIGNED grid. Map-only;
+    * GeoInvariantsSpec pins the alignment invariants (origin on the
+    * lattice, origin ≤ bbox min < origin + one block, grid covers the
+    * bbox). */
+  def qWarpGrid(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir, "part")
+      .filter(col("p_partkey") % 10 <= 2) // a2: the cog route
+      .select(col("p_partkey"))
+      .withColumn("k", col("p_partkey").cast("long"))
+      .withColumn("w_px", expr("k * 104729 % 20000 + 256"))
+      .withColumn("h_px", expr("k * 7919 % 20000 + 256"))
+      .withColumn("x0c", expr(cmOf(wgMx(wgLon0S))))
+      .withColumn("x1c", expr(cmOf(wgMx(s"($wgLon0S + $wgDLonS)"))))
+      .withColumn("y0c", expr(cmOf(wgMy(wgLat0S))))
+      .withColumn("y1c", expr(cmOf(wgMy(s"($wgLat0S + $wgDLatS)"))))
+      .withColumn("res_cm", expr("greatest((x1c - x0c) div w_px, 1)"))
+      .withColumn("gx0", expr(
+        s"(x0c + $WgShift) div (256 * res_cm) * (256 * res_cm) - $WgShift"))
+      .withColumn("gy0", expr(
+        s"(y0c + $WgShift) div (256 * res_cm) * (256 * res_cm) - $WgShift"))
+      .withColumn("tgt_w_px", expr("(x1c - gx0 + res_cm - 1) div res_cm"))
+      .withColumn("tgt_h_px", expr("(y1c - gy0 + res_cm - 1) div res_cm"))
+      .withColumn("tgt_blocks_x", expr("(tgt_w_px + 255) div 256"))
+      .withColumn("tgt_blocks_y", expr("(tgt_h_px + 255) div 256"))
+    p.select("p_partkey", "w_px", "h_px", "x0c", "y0c", "x1c", "y1c",
+        "res_cm", "gx0", "gy0", "tgt_w_px", "tgt_h_px",
+        "tgt_blocks_x", "tgt_blocks_y")
+      .orderBy("p_partkey")
+  }
+
+  val qWarpGridSql: String =
+    s"""WITH p AS (
+          SELECT p_partkey, CAST(p_partkey AS BIGINT) AS k FROM part
+          WHERE p_partkey % 10 <= 2),
+        m AS (
+          SELECT p_partkey, k,
+            k * 104729 % 20000 + 256 AS w_px,
+            k * 7919 % 20000 + 256 AS h_px,
+            ${cmOf(wgMx(wgLon0S))} AS x0c,
+            ${cmOf(wgMx(s"($wgLon0S + $wgDLonS)"))} AS x1c,
+            ${cmOf(wgMy(wgLat0S))} AS y0c,
+            ${cmOf(wgMy(s"($wgLat0S + $wgDLatS)"))} AS y1c
+          FROM p),
+        r AS (SELECT *, greatest((x1c - x0c) // w_px, 1) AS res_cm FROM m),
+        g AS (SELECT *,
+            (x0c + $WgShift) // (256 * res_cm) * (256 * res_cm) - $WgShift AS gx0,
+            (y0c + $WgShift) // (256 * res_cm) * (256 * res_cm) - $WgShift AS gy0
+          FROM r),
+        t AS (SELECT *,
+            (x1c - gx0 + res_cm - 1) // res_cm AS tgt_w_px,
+            (y1c - gy0 + res_cm - 1) // res_cm AS tgt_h_px
+          FROM g)
+      SELECT p_partkey, w_px, h_px, x0c, y0c, x1c, y1c, res_cm, gx0, gy0,
+        tgt_w_px, tgt_h_px,
+        (tgt_w_px + 255) // 256 AS tgt_blocks_x,
+        (tgt_h_px + 255) // 256 AS tgt_blocks_y
+      FROM t ORDER BY p_partkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_warp_grid" -> (qWarpGrid _),
     "q_geohash_cover" -> (qGeohashCover _),
     "q_nearest_poi" -> (qNearestPoi _),
     "q_geohash" -> (qGeohash _),
@@ -1606,6 +1692,7 @@ object GeoOps {
     "q_cog_read_plan" -> (qCogReadPlan _))
 
   val oracles: Map[String, String] = Map(
+    "q_warp_grid" -> qWarpGridSql,
     "q_raster_e2e" -> qRasterE2eSql,
     "q_geo_e2e" -> qGeoE2eSql,
     "q_tile_diff" -> qTileDiffSql,

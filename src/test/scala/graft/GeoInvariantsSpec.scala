@@ -309,6 +309,29 @@ class GeoInvariantsSpec extends SparkTestBase {
     assert(rows.forall(_.getLong(4) > 0), "zero-length piece leaked past the strict clip")
   }
 
+  test("b44: warp grid — origin on the block lattice, tight below the bbox, grid covers it") {
+    val out = graft.operators.GeoOps.qWarpGrid(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val x0c = r.getLong(3); val y0c = r.getLong(4)
+      val x1c = r.getLong(5); val y1c = r.getLong(6)
+      val res = r.getLong(7); val gx0 = r.getLong(8); val gy0 = r.getLong(9)
+      val tw = r.getLong(10); val th = r.getLong(11)
+      val block = 256 * res
+      // the origin sits ON the shifted block lattice
+      assert((gx0 + 2100000000L) % block == 0, s"gx0 off-lattice for ${r.getLong(0)}")
+      assert((gy0 + 2100000000L) % block == 0, s"gy0 off-lattice for ${r.getLong(0)}")
+      // snapped DOWN, within one block of the bbox min (tight)
+      assert(gx0 <= x0c && x0c < gx0 + block, s"x alignment loose for ${r.getLong(0)}")
+      assert(gy0 <= y0c && y0c < gy0 + block, s"y alignment loose for ${r.getLong(0)}")
+      // the target grid covers the bbox
+      assert(gx0 + tw * res >= x1c && gy0 + th * res >= y1c,
+        s"grid does not cover the bbox for ${r.getLong(0)}")
+      // block counts match the ceiling of the pixel dims
+      assert(r.getLong(12) == (tw + 255) / 256 && r.getLong(13) == (th + 255) / 256)
+    }
+  }
+
   test("b35: concave/holed ray cast — hole excludes, notch excludes, solid contains") {
     import spark.implicits._
     import org.apache.spark.sql.functions.expr
