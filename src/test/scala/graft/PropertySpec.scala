@@ -345,4 +345,86 @@ class PropertySpec extends SparkTestBase {
       true
     }, n = 30)
   }
+
+  test("graft_clip: algebraic invariants on random slope-disciplined quads") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val helper = graft.functions.ClipBox.helper
+    def clip(xs: Seq[Long], ys: Seq[Long], box: Seq[Long]): Option[Seq[Long]] =
+      Option(helper.compute(new GenericArrayData(xs.toArray),
+        new GenericArrayData(ys.toArray), new GenericArrayData(box.toArray)))
+        .map(a => a.toLongArray().toSeq)
+    val genQuad = for {
+      cx <- Gen.choose(100000L, 900000L)
+      cy <- Gen.choose(100000L, 900000L)
+      a <- Gen.choose(1000L, 50000L)
+      b <- Gen.choose(1000L, 50000L)
+      m <- Gen.oneOf(-1L, 0L, 1L)
+      px <- Gen.choose(50000L, 950000L) // quadrant split point
+      py <- Gen.choose(50000L, 950000L)
+    } yield (cx, cy, a, b, m * b, px, py)
+    check(Prop.forAll(genQuad) { case (cx, cy, a, b, sx, px, py) =>
+      val xs = Seq(cx - a - sx, cx + a - sx, cx + a + sx, cx - a + sx)
+      val ys = Seq(cy - b, cy - b, cy + b, cy + b)
+      val full = 8L * a * b
+      // a box containing the whole quad returns it unchanged
+      val whole = clip(xs, ys, Seq(0L, 0L, 2000000L, 2000000L)).get
+      assert(whole == Seq(4L, full, xs.min, cy - b, xs.max, cy + b),
+        s"whole-quad clip mutated: $whole")
+      // the four quadrant boxes around ANY split point partition the
+      // plane: piece areas must sum to EXACTLY the full shoelace
+      val quads = Seq(
+        Seq(0L, 0L, px, py), Seq(px, 0L, 2000000L, py),
+        Seq(0L, py, px, 2000000L), Seq(px, py, 2000000L, 2000000L))
+      val sum = quads.flatMap(q => clip(xs, ys, q)).map(_(1)).sum
+      assert(sum == full, s"quadrant pieces sum $sum != $full")
+      // a box strictly outside the bbox clips to nothing
+      assert(clip(xs, ys, Seq(xs.max + 1, 0L, xs.max + 100000L, 2000000L)).isEmpty)
+      true
+    }, n = 200)
+  }
+
+  test("graft_dp: kernel matches an independent recursive Douglas-Peucker on random lines") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val helper = graft.functions.DpSimplify.helper
+    // textbook recursion, written independently (depth-first instead of
+    // the kernel's explicit stack; same strict->, same smallest-index
+    // argmax tie-break, same decision-time error accounting)
+    def refDp(xs: Array[Long], ys: Array[Long], tol2: Long): (Long, Long) = {
+      var kept = 1L | (1L << (xs.length - 1))
+      var maxErr = 0L
+      def cross(lo: Int, hi: Int, i: Int): Long =
+        (xs(hi) - xs(lo)) * (ys(i) - ys(lo)) - (ys(hi) - ys(lo)) * (xs(i) - xs(lo))
+      def rec(lo: Int, hi: Int): Unit = if (hi - lo >= 2) {
+        val cs = (lo + 1 until hi).map(i => i -> { val c = cross(lo, hi, i); c * c })
+        val (best, bestC2) = cs.maxBy { case (i, c2) => (c2, -i.toLong) }
+        val dx = xs(hi) - xs(lo); val dy = ys(hi) - ys(lo)
+        val len2 = dx * dx + dy * dy
+        if (bestC2 > tol2 * len2) {
+          kept |= 1L << best
+          rec(lo, best); rec(best, hi)
+        } else cs.foreach { case (_, c2) =>
+          val e = c2 * 10000L / len2
+          if (e > maxErr) maxErr = e
+        }
+      }
+      rec(0, xs.length - 1)
+      (kept, maxErr)
+    }
+    val genLine = for {
+      n <- Gen.choose(3, 8)
+      ys <- Gen.listOfN(n, Gen.choose(-500L, 500L))
+      tol <- Gen.choose(0L, 300L)
+    } yield (ys, tol * tol)
+    check(Prop.forAll(genLine) { case (ysL, tol2) =>
+      val xs = ysL.indices.map(i => 400L * i).toArray
+      val ys = ysL.toArray
+      val got = helper.compute(new GenericArrayData(xs),
+        new GenericArrayData(ys), tol2).toLongArray()
+      val (mask, err) = refDp(xs, ys, tol2)
+      assert(got(0) == mask, s"kept mask ${got(0)} != reference $mask (ys=$ysL tol2=$tol2)")
+      assert(got(1) == java.lang.Long.bitCount(mask).toLong)
+      assert(got(2) == err, s"max err ${got(2)} != reference $err (ys=$ysL tol2=$tol2)")
+      true
+    }, n = 300)
+  }
 }
