@@ -385,7 +385,7 @@ object GeoGeom {
   /** Varint byte count for a non-negative BIGINT expression (7 bits
     * per byte — the PMTiles directory encoding); z=8 ids and synthetic
     * tile sizes stay under 2^28, covered by 4 tiers + the tail. */
-  private def vb(v: String): String =
+  private[graft] def vb(v: String): String =
     s"""(CASE WHEN $v < 128 THEN 1 WHEN $v < 16384 THEN 2
           WHEN $v < 2097152 THEN 3 WHEN $v < 268435456 THEN 4
           ELSE 5 END)"""
@@ -394,29 +394,18 @@ object GeoGeom {
   // entries; the operator is cap-parametric and the query pins 32 so
   // the split actually EXERCISES at driver test scale (per-archive
   // tile counts there are far below the spec constant)
-  private val LeafCap = 32L
-  private val tileBytesS = "(n_features * 37 % 900 + 100)"
+  private[graft] val LeafCap = 32L
+  private[graft] val tileBytesS = "(n_features * 37 % 900 + 100)"
 
-  /** b12d — `q_pmtiles_leaves`: the DIRECTORY SERIALIZATION accounting
-    * over b12c's entry order — what the archive writer actually emits
-    * (PMTiles spec: entries serialize as varint(tile_id delta),
-    * varint(run_length), varint(length), varint(offset); directories
-    * past the cap split into LEAF directories, the root keeping one
-    * pointer per leaf). Per (archive, leaf): entry count, first/last
-    * tile id (the root pointer's key range) and the leaf's serialized
-    * byte estimate — delta-encoding is WHY b12c's Hilbert order
-    * matters (consecutive ids ⇒ 1-byte deltas dominate). Same single
-    * per-archive bounded window as b12c (row_number + lag share one
-    * spec), one bounded agg. Oracle: the recursive-CTE hilbert chain +
-    * the identical lag/varint algebra. */
-  def qPmtilesLeaves(spark: SparkSession, dir: String): DataFrame = {
+  /** Directory-entry stage shared by b12d and b45: over a tiles DF
+    * (user_id, xt, yt, n_features) appends tile_id (zoom_offset +
+    * hilbert), entry_idx + delta (ONE per-archive window spec),
+    * entry_bytes (the varint algebra) and leaf_idx. */
+  private[graft] def dirEntries(tiles: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    graft.functions.GraftFunctions.register(spark)
     val zoomOffset = (math.pow(4, 8).toLong - 1) / 3
     val w = Window.partitionBy("user_id").orderBy("tile_id")
-    GeoOps.tiled(spark, dir, 8)
-      .groupBy("user_id", "xt", "yt")
-      .agg(count(lit(1)).as("n_features"))
+    tiles
       .withColumn("tile_id",
         expr(s"$zoomOffset + graft_hilbert(8, CAST(xt AS BIGINT), CAST(yt AS BIGINT))"))
       .withColumn("entry_idx", row_number().over(w).cast("long"))
@@ -425,20 +414,14 @@ object GeoGeom {
       .withColumn("entry_bytes",
         expr(s"${vb("delta")} + 1 + ${vb(tileBytesS)} + 1").cast("long"))
       .withColumn("leaf_idx", expr(s"(entry_idx - 1) div $LeafCap"))
-      .groupBy("user_id", "leaf_idx")
-      .agg(count(lit(1)).as("n_entries"),
-        min("tile_id").as("first_tile_id"),
-        max("tile_id").as("last_tile_id"),
-        sum("entry_bytes").as("leaf_bytes"))
-      .orderBy("user_id", "leaf_idx")
   }
 
-  val qPmtilesLeavesSql: String =
-    s"""WITH RECURSIVE t AS (${GeoOps.tiledSql(8)}),
-        g AS (
-          SELECT user_id, xt, yt, COUNT(*) AS n_features
-          FROM t GROUP BY user_id, xt, yt),
-        h AS (
+  /** The hilbert + entry CTE chain shared by the b12d/b45 oracles:
+    * reads CTE `g`(user_id, xt, yt, n_features), yields `sized`
+    * (user_id, n_features, tile_id, entry_idx, leaf_idx,
+    * entry_bytes). */
+  private[graft] val dirEntriesSql: String =
+    s"""h AS (
           SELECT user_id, xt, yt, n_features, CAST(xt AS BIGINT) AS hx,
             CAST(yt AS BIGINT) AS hy, CAST(0 AS BIGINT) AS d,
             CAST(128 AS BIGINT) AS s
@@ -466,25 +449,133 @@ object GeoGeom {
               ORDER BY tile_id), 0) AS delta
           FROM ids),
         sized AS (
-          SELECT user_id, tile_id, (entry_idx - 1) // $LeafCap AS leaf_idx,
+          SELECT user_id, n_features, tile_id, entry_idx,
+            (entry_idx - 1) // $LeafCap AS leaf_idx,
             CAST(${vb("delta")} + 1 + ${vb(tileBytesS)} + 1 AS BIGINT) AS entry_bytes
-          FROM entries)
+          FROM entries)"""
+
+  /** b12d — `q_pmtiles_leaves`: the DIRECTORY SERIALIZATION accounting
+    * over b12c's entry order — what the archive writer actually emits
+    * (PMTiles spec: entries serialize as varint(tile_id delta),
+    * varint(run_length), varint(length), varint(offset); directories
+    * past the cap split into LEAF directories, the root keeping one
+    * pointer per leaf). Per (archive, leaf): entry count, first/last
+    * tile id (the root pointer's key range) and the leaf's serialized
+    * byte estimate — delta-encoding is WHY b12c's Hilbert order
+    * matters (consecutive ids ⇒ 1-byte deltas dominate). Same single
+    * per-archive bounded window as b12c (row_number + lag share one
+    * spec), one bounded agg. Oracle: the recursive-CTE hilbert chain +
+    * the identical lag/varint algebra. */
+  def qPmtilesLeaves(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    dirEntries(GeoOps.tiled(spark, dir, 8)
+        .groupBy("user_id", "xt", "yt")
+        .agg(count(lit(1)).as("n_features")))
+      .groupBy("user_id", "leaf_idx")
+      .agg(count(lit(1)).as("n_entries"),
+        min("tile_id").as("first_tile_id"),
+        max("tile_id").as("last_tile_id"),
+        sum("entry_bytes").as("leaf_bytes"))
+      .orderBy("user_id", "leaf_idx")
+  }
+
+  val qPmtilesLeavesSql: String =
+    s"""WITH RECURSIVE t AS (${GeoOps.tiledSql(8)}),
+        g AS (
+          SELECT user_id, xt, yt, COUNT(*) AS n_features
+          FROM t GROUP BY user_id, xt, yt),
+        $dirEntriesSql
       SELECT user_id, leaf_idx, COUNT(*) AS n_entries,
         MIN(tile_id) AS first_tile_id, MAX(tile_id) AS last_tile_id,
         CAST(SUM(entry_bytes) AS BIGINT) AS leaf_bytes
       FROM sized GROUP BY user_id, leaf_idx ORDER BY user_id, leaf_idx"""
+
+  /** b45 — `q_archive_layout`: THE per-archive answer the service
+    * exists to produce — what each user's PMTiles archive actually
+    * looks like after the WHOLE pipeline runs: b28's full-order vector
+    * path (route → b39 reproject → b36 makevalid → b3 tile off the
+    * reprojected coordinates) feeding b12c/b12d's directory machinery
+    * (Hilbert entry order → varint/delta serialization → leaf split) —
+    * per user the kept-feature count, tile count, leaf count, total
+    * directory bytes and the a4 destination, ONE plan end to end.
+    * Shape: map-only to the (user, tile) agg, then everything is
+    * tile-count-bounded (the per-archive window, the leaf rollup).
+    * Oracle: the dispatch UNION chains + the recursive-CTE hilbert —
+    * the full independent machinery composed. */
+  def qArchiveLayout(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Synth
+    val ext = Synth.ext(col("event_id"))
+    val kept = GeoGeom.quadGenColsFor("event_id").foldLeft(
+      GeoProj.dispatched(spark, dir, keep = Seq("user_id"))
+        .filter(ext.isin(".gpkg", ".geojson", ".gdb", ".fgb", ".shp", ".mbtiles"))) {
+        case (df, (e, n)) => df.withColumn(n, expr(e)) }
+      .withColumn("status",
+        when(expr(crossS), "repaired")
+          .when(expr(degenS), "dropped")
+          .otherwise("valid"))
+      .filter(col("lon_4326").isNotNull && col("status") =!= "dropped")
+      .withColumn("xt", expr(GeoOps.tileXS("lon_4326", 256)))
+      .withColumn("yt", expr(GeoOps.tileYS("lat_4326", 256)))
+    dirEntries(kept.groupBy("user_id", "xt", "yt")
+        .agg(count(lit(1)).as("n_features")))
+      .groupBy("user_id")
+      .agg(sum("n_features").as("n_features"),
+        count(lit(1)).as("n_tiles"),
+        (max("leaf_idx") + 1L).as("n_leaves"),
+        sum("entry_bytes").as("dir_bytes"),
+        max("tile_id").as("max_tile_id"))
+      .withColumn("dst_path",
+        concat(lit("datasets/user"), col("user_id").cast("string"),
+          lit("/layer.pmtiles")))
+      .orderBy("user_id")
+  }
+
+  val qArchiveLayoutSql: String = {
+    import graft.functions.Synth
+    val gen = quadGenColsFor("event_id")
+      .map { case (e, n) => s"$e AS $n" }.mkString(", ")
+    // one FLAT recursive with-list: DuckDB rejects a nested WITH inside
+    // a WITH RECURSIVE member's body, so the dispatch chains splice in
+    // as siblings of the hilbert recursion
+    val (dispatchCtes, dispatchUnion) = GeoProj.dispatchedSqlParts(Seq("user_id"))
+    s"""WITH RECURSIVE $dispatchCtes,
+        d AS ($dispatchUnion),
+        vec0 AS (
+          SELECT * FROM d
+          WHERE (${Synth.extSql}) IN ('.gpkg','.geojson','.gdb','.fgb','.shp','.mbtiles')),
+        vg AS (SELECT *, $gen FROM vec0),
+        kept AS (
+          SELECT *, ${GeoOps.tileXS("lon_4326", 256)} AS xt,
+            ${GeoOps.tileYS("lat_4326", 256)} AS yt
+          FROM vg
+          WHERE lon_4326 IS NOT NULL
+            AND NOT ((NOT ($crossS)) AND ($degenS))),
+        g AS (
+          SELECT user_id, xt, yt, COUNT(*) AS n_features
+          FROM kept GROUP BY user_id, xt, yt),
+        $dirEntriesSql
+      SELECT user_id, CAST(SUM(n_features) AS BIGINT) AS n_features,
+        COUNT(*) AS n_tiles,
+        MAX(leaf_idx) + 1 AS n_leaves,
+        CAST(SUM(entry_bytes) AS BIGINT) AS dir_bytes,
+        MAX(tile_id) AS max_tile_id,
+        'datasets/user' || CAST(user_id AS VARCHAR) || '/layer.pmtiles' AS dst_path
+      FROM sized GROUP BY user_id ORDER BY user_id"""
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_point_in_concave" -> (qPointInConcave _),
     "q_make_valid_geom" -> (qMakeValidGeom _),
     "q_hilbert_key" -> (qHilbertKey _),
     "q_pmtiles_order" -> (qPmtilesOrder _),
-    "q_pmtiles_leaves" -> (qPmtilesLeaves _))
+    "q_pmtiles_leaves" -> (qPmtilesLeaves _),
+    "q_archive_layout" -> (qArchiveLayout _))
 
   val oracles: Map[String, String] = Map(
     "q_point_in_concave" -> qPointInConcaveSql,
     "q_make_valid_geom" -> qMakeValidGeomSql,
     "q_hilbert_key" -> qHilbertKeySql,
     "q_pmtiles_order" -> qPmtilesOrderSql,
-    "q_pmtiles_leaves" -> qPmtilesLeavesSql)
+    "q_pmtiles_leaves" -> qPmtilesLeavesSql,
+    "q_archive_layout" -> qArchiveLayoutSql)
 }

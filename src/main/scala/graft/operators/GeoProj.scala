@@ -423,9 +423,13 @@ object GeoProj {
     * machinery), parameterized on extra pass-through event columns —
     * b28's capstone oracle carries user_id. Returns the body WITHOUT a
     * final ORDER BY so callers can wrap it as a CTE. */
-  private[graft] def dispatchedSql(keep: Seq[String] = Nil): String = {
+  /** The dispatch's chain CTE list and its UNION select, SEPARATELY —
+    * so a caller whose own WITH is RECURSIVE (b45 needs the hilbert
+    * recursion) can splice them into ONE flat CTE list (DuckDB rejects
+    * a nested WITH inside a WITH RECURSIVE member's body). */
+  private[graft] def dispatchedSqlParts(keep: Seq[String] = Nil): (String, String) = {
     val k = keep.map(c => s", $c").mkString
-    s"""WITH lsrc AS (
+    val ctes = s"""lsrc AS (
           SELECT event_id$k, $lccLonS AS lon_src, $lccLatS AS lat_src
           FROM events WHERE event_id % 5 = 2),
         ${lccChainSql("lsrc")},
@@ -437,8 +441,8 @@ object GeoProj {
           SELECT event_id$k, (${Synth.lonSql}) AS lon_src,
             (greatest(least(${Synth.latSql}, 85.05112878), -85.05112878)) AS lat_src
           FROM events WHERE event_id % 5 = 1),
-        m1 AS (SELECT *, $mercXS AS merc_x, $mercYS AS merc_y FROM msrc)
-      SELECT event_id$k, 4326 AS src_epsg, 'none' AS method,
+        m1 AS (SELECT *, $mercXS AS merc_x, $mercYS AS merc_y FROM msrc)"""
+    val union = s"""SELECT event_id$k, 4326 AS src_epsg, 'none' AS method,
         round(${Synth.lonSql}, 7) AS lon_4326, round(${Synth.latSql}, 7) AS lat_4326
       FROM events WHERE event_id % 5 = 0
       UNION ALL
@@ -454,6 +458,15 @@ object GeoProj {
         CASE WHEN event_id % 2 = 0 THEN round(${Synth.lonSql}, 7) END,
         CASE WHEN event_id % 2 = 0 THEN round(${Synth.latSql}, 7) END
       FROM events WHERE event_id % 5 = 4"""
+    (ctes, union)
+  }
+
+  /** The dispatch as one self-contained WITH body (no final ORDER BY —
+    * callers may wrap it as a CTE, as long as THEIR with-list is not
+    * RECURSIVE; recursive callers splice [[dispatchedSqlParts]]). */
+  private[graft] def dispatchedSql(keep: Seq[String] = Nil): String = {
+    val (ctes, union) = dispatchedSqlParts(keep)
+    s"WITH $ctes\n      $union"
   }
 
   val qReprojectDispatchSql: String =

@@ -332,6 +332,26 @@ class GeoInvariantsSpec extends SparkTestBase {
     }
   }
 
+  test("b45 ≡ b28: the archive layout's kept-feature counts match the capstone manifest") {
+    // two independent rollups of the same staged pipeline (route →
+    // reproject → makevalid → tile): per user, n_features must agree
+    val manifest = graft.operators.GeoOps.qGeoE2e(spark, sfDir)
+      .select("user_id", "n_features").collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val layout = graft.operators.GeoGeom.qArchiveLayout(spark, sfDir)
+      .select("user_id", "n_features", "n_tiles", "n_leaves", "dir_bytes").collect()
+    assert(layout.nonEmpty)
+    layout.foreach { r =>
+      assert(manifest(r.get(0).toString) == r.getLong(1),
+        s"user ${r.get(0)}: layout n_features ${r.getLong(1)} != manifest")
+      // a leaf holds at most LeafCap entries, and bytes are plausible
+      assert(r.getLong(3) >= (r.getLong(2) + 31) / 32,
+        s"user ${r.get(0)}: too few leaves for ${r.getLong(2)} tiles")
+      assert(r.getLong(4) >= 4 * r.getLong(2),
+        s"user ${r.get(0)}: dir bytes below the 4-byte/entry floor")
+    }
+  }
+
   test("b35: concave/holed ray cast — hole excludes, notch excludes, solid contains") {
     import spark.implicits._
     import org.apache.spark.sql.functions.expr
