@@ -121,7 +121,7 @@ object GraftFunctions {
     // forgetting to bump this would silently skip it in any session
     // that registered the older set first
     if (spark.sessionState.functionRegistry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_reproject")))
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_topk_min")))
       return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
@@ -164,10 +164,12 @@ object GraftFunctions {
       "graft_clip", exprs => ClipBox(exprs(0), exprs(1), exprs(2)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dp", exprs => DpSimplify(exprs(0), exprs(1), exprs(2)), "built-in")
-    // graft_reproject is the registration sentinel (newest function) —
-    // keep it LAST here and mirrored in GraftExtensions
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_reproject", exprs => Reproject(exprs(0), exprs(1), exprs(2)), "built-in")
+    // graft_topk_min is the registration sentinel (newest function) —
+    // keep it LAST here and mirrored in GraftExtensions
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_topk_min", exprs => TopKMin(exprs(0), exprs(1)), "built-in")
     if (!spark.experimental.extraOptimizations.contains(graft.plans.IntersectCountRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.IntersectCountRewrite

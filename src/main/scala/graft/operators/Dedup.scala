@@ -1708,7 +1708,103 @@ object Dedup {
       GROUP BY t ORDER BY t"""
   }
 
+  // d23 — shared power chains: every exponent in play is a power of
+  // two, so s^r and (1-s^r)^b are pure squaring chains — the SAME
+  // finite sequence of IEEE multiplications in both engines, no pow()
+  // (whose last-ulp behavior is library-specific) anywhere
+  private val sChainS = Seq(
+    "s * s AS s2", "s2 * s2 AS s4", "s4 * s4 AS s8", "s8 * s8 AS s16",
+    "s16 * s16 AS s32", "s32 * s32 AS s64", "s64 * s64 AS s128")
+  private val srS =
+    """CASE r WHEN 1 THEN s WHEN 2 THEN s2 WHEN 4 THEN s4 WHEN 8 THEN s8
+       WHEN 16 THEN s16 WHEN 32 THEN s32 WHEN 64 THEN s64 ELSE s128 END"""
+  private val qChainS = Seq(
+    "q * q AS q2", "q2 * q2 AS q4", "q4 * q4 AS q8", "q8 * q8 AS q16",
+    "q16 * q16 AS q32", "q32 * q32 AS q64", "q64 * q64 AS q128")
+  private val qbS =
+    """CASE b WHEN 1 THEN q WHEN 2 THEN q2 WHEN 4 THEN q4 WHEN 8 THEN q8
+       WHEN 16 THEN q16 WHEN 32 THEN q32 WHEN 64 THEN q64 ELSE q128 END"""
+  private val pMicroS = s"CAST(floor((1.0 - ($qbS)) * 1000000.0) AS BIGINT)"
+
+  /** d23 — `q_lsh_tune`: the CLOSED-FORM band-config planner d2's
+    * (bands, rows) came from. For every factorization b·r = 128 of the
+    * signature, the LSH S-curve p(s) = 1 − (1 − s^r)^b (the standard
+    * banding analysis — Leskovec/Rajaraman/Ullman, "Mining of Massive
+    * Datasets" ch. 3; the same optimization datasketch ships publicly)
+    * is evaluated on the s = j/40 grid and scored against d22's t = 0.8
+    * decision threshold: false-positive mass (captured pairs below t),
+    * false-negative mass (missed pairs above t), and the curve's
+    * midpoint. This is the table a dedup deployment reads BEFORE
+    * paying d2's shuffle — pure parameter algebra, no table scan, the
+    * planning twin of d22's empirical sweep.
+    *
+    * Engine agreement is EXACT, not approximate: all exponents are
+    * powers of two so both engines run identical squaring chains, and
+    * the masses sum floor(p·1e6) integers — no double accumulation
+    * order anywhere. */
+  def qLshTune(spark: SparkSession, dir: String): DataFrame = {
+    val configs = spark.range(0, 8)
+      .select(expr("shiftleft(1, CAST(id AS INT))").cast("int").as("r"),
+        expr("shiftleft(1, 7 - CAST(id AS INT))").cast("int").as("b"))
+    val grid = spark.range(1, 40).select(col("id").cast("int").as("j"))
+    var df = configs.crossJoin(broadcast(grid))
+      .withColumn("s", expr("CAST(j AS DOUBLE) / 40.0"))
+    sChainS.foreach { stage =>
+      val Array(e, n) = stage.split(" AS ")
+      df = df.withColumn(n, expr(e))
+    }
+    df = df.withColumn("q", expr(s"1.0 - ($srS)"))
+    qChainS.foreach { stage =>
+      val Array(e, n) = stage.split(" AS ")
+      df = df.withColumn(n, expr(e))
+    }
+    df.withColumn("p_micro", expr(pMicroS))
+      .groupBy("r", "b")
+      .agg(
+        sum(expr("CASE WHEN j < 32 THEN p_micro ELSE 0 END")).as("fp_micro"),
+        sum(expr("CASE WHEN j >= 32 THEN 1000000 - p_micro ELSE 0 END")).as("fn_micro"),
+        // 40 = "past the grid": the steepest r=128 curve never reaches
+        // 0.5 inside s < 1 at this resolution
+        coalesce(min(expr("CASE WHEN p_micro >= 500000 THEN j END")), lit(40)).as("midpoint_j"))
+      .withColumn("cost_micro", col("fp_micro") + col("fn_micro"))
+      .select("r", "b", "fp_micro", "fn_micro", "cost_micro", "midpoint_j")
+      .orderBy("r")
+  }
+
+  val qLshTuneSql: String =
+    s"""WITH cfg AS (
+          SELECT CAST(1 << i AS INT) AS r, CAST(1 << (7 - i) AS INT) AS b
+          FROM (SELECT CAST(unnest(generate_series(0, 7)) AS INT) AS i)),
+        grid AS (
+          SELECT CAST(unnest(generate_series(1, 39)) AS INT) AS j),
+        g0 AS (
+          SELECT r, b, j, CAST(j AS DOUBLE) / 40.0 AS s FROM cfg, grid),
+        g1 AS (SELECT *, ${sChainS.take(1).mkString} FROM g0),
+        g2 AS (SELECT *, ${sChainS(1)} FROM g1),
+        g3 AS (SELECT *, ${sChainS(2)} FROM g2),
+        g4 AS (SELECT *, ${sChainS(3)} FROM g3),
+        g5 AS (SELECT *, ${sChainS(4)} FROM g4),
+        g6 AS (SELECT *, ${sChainS(5)} FROM g5),
+        g7 AS (SELECT *, ${sChainS(6)} FROM g6),
+        h0 AS (SELECT *, 1.0 - ($srS) AS q FROM g7),
+        h1 AS (SELECT *, ${qChainS.take(1).mkString} FROM h0),
+        h2 AS (SELECT *, ${qChainS(1)} FROM h1),
+        h3 AS (SELECT *, ${qChainS(2)} FROM h2),
+        h4 AS (SELECT *, ${qChainS(3)} FROM h3),
+        h5 AS (SELECT *, ${qChainS(4)} FROM h4),
+        h6 AS (SELECT *, ${qChainS(5)} FROM h5),
+        h7 AS (SELECT *, ${qChainS(6)} FROM h6),
+        p AS (SELECT r, b, j, $pMicroS AS p_micro FROM h7)
+      SELECT r, b,
+        CAST(SUM(CASE WHEN j < 32 THEN p_micro ELSE 0 END) AS BIGINT) AS fp_micro,
+        CAST(SUM(CASE WHEN j >= 32 THEN 1000000 - p_micro ELSE 0 END) AS BIGINT) AS fn_micro,
+        CAST(SUM(CASE WHEN j < 32 THEN p_micro ELSE 0 END)
+           + SUM(CASE WHEN j >= 32 THEN 1000000 - p_micro ELSE 0 END) AS BIGINT) AS cost_micro,
+        COALESCE(MIN(CASE WHEN p_micro >= 500000 THEN j END), 40) AS midpoint_j
+      FROM p GROUP BY r, b ORDER BY r"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lsh_tune" -> (qLshTune _),
     "q_dedup_sweep" -> (qDedupSweep _),
     "q_dedup_report" -> (qDedupReport _),
     "q_dedup_bloom" -> (qDedupBloom _),
@@ -1733,6 +1829,7 @@ object Dedup {
     "q_dedup_embedding" -> (qDedupEmbedding _))
 
   val oracles: Map[String, String] = Map(
+    "q_lsh_tune" -> qLshTuneSql,
     "q_dedup_sweep" -> qDedupSweepSql,
     "q_dedup_report" -> qDedupReportSql,
     "q_dedup_bloom" -> qDedupBloomSql,

@@ -1385,7 +1385,84 @@ object TextOps {
             // CAST(round(ln(n_distinct) * 1e6) AS BIGINT) END AS evenness_micro
       FROM s ORDER BY doc_id"""
 
+  /** f43 — GROUP-AWARE train/val/test split (the leakage-safe splitter
+    * every training pipeline runs before anything else): hash the
+    * GROUP (source), not the document — all docs of one source land in
+    * one split, so near-identical documents from the same origin can
+    * never straddle train and eval (the leakage a doc-level hash split
+    * invites; scikit-learn's GroupShuffleSplit is the public batch
+    * shape). Ticket = f7's deterministic 4-hex-digit md5 draw on the
+    * source key; 80/10/10 on ticket mod 100. The op also AUDITS the
+    * naive alternative in the same pass: per source, how many distinct
+    * splits a doc-level md5 ticket would scatter its docs across —
+    * reported per group-split as n_sources_naive_fractured, the
+    * leakage count the group split prevents. Shape at 100 TB: one
+    * documents scan, map-only ticket math, one (source)-keyed agg
+    * (bounded by source cardinality), one 3-group rollup, a 1-row
+    * broadcast total for shares. */
+  def qGroupSplit(spark: SparkSession, dir: String): DataFrame = {
+    def digit(col: String, i: Int) =
+      s"(locate(substr(md5($col), $i, 1), '0123456789abcdef') - 1)"
+    def ticket(col: String) =
+      s"CAST(((${digit(col, 1)} * 16 + ${digit(col, 2)}) * 16 + ${digit(col, 3)}) * 16 + ${digit(col, 4)} AS INT)"
+    val splitCase =
+      "CASE WHEN t % 100 < 80 THEN 'train' WHEN t % 100 < 90 THEN 'val' ELSE 'test' END"
+    val d = Tables(spark, dir, "documents")
+      .select("doc_id", "source", "n_chars")
+      .withColumn("t", expr(ticket("source")))
+      .withColumn("split", expr(splitCase))
+      .withColumn("t", expr(ticket("CAST(doc_id AS STRING)")))
+      .withColumn("naive_split", expr(splitCase))
+    val perSource = d.groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"),
+        countDistinct("naive_split").as("n_naive"))
+    val total = perSource.agg(sum("n_docs").as("total_docs"))
+    perSource.groupBy("split")
+      .agg(count(lit(1)).as("n_sources"),
+        sum("n_docs").as("n_docs"),
+        sum("n_chars").as("n_chars"),
+        sum(expr("CAST(n_naive > 1 AS BIGINT)")).as("n_sources_naive_fractured"))
+      .crossJoin(broadcast(total))
+      .withColumn("share_micro", expr("n_docs * 1000000 div total_docs"))
+      .select("split", "n_sources", "n_docs", "n_chars",
+        "n_sources_naive_fractured", "share_micro")
+      .orderBy("split")
+  }
+
+  val qGroupSplitSql: String = {
+    def digit(col: String, i: Int) =
+      s"(strpos('0123456789abcdef', substr(md5($col), $i, 1)) - 1)"
+    def ticket(col: String) =
+      s"CAST(((${digit(col, 1)} * 16 + ${digit(col, 2)}) * 16 + ${digit(col, 3)}) * 16 + ${digit(col, 4)} AS INT)"
+    val splitCase =
+      "CASE WHEN t % 100 < 80 THEN 'train' WHEN t % 100 < 90 THEN 'val' ELSE 'test' END"
+    s"""WITH d AS (
+          SELECT doc_id, source, n_chars,
+            ${ticket("source")} AS t,
+            ${ticket("CAST(doc_id AS VARCHAR)")} AS tn
+          FROM documents),
+        s AS (
+          SELECT source, n_chars, doc_id,
+            $splitCase AS split,
+            ${splitCase.replace("t % 100", "tn % 100")} AS naive_split
+          FROM d),
+        per AS (
+          SELECT source, split, COUNT(*) AS n_docs,
+            CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+            COUNT(DISTINCT naive_split) AS n_naive
+          FROM s GROUP BY source, split),
+        tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs FROM per)
+      SELECT split, COUNT(*) AS n_sources,
+        CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        CAST(SUM(CASE WHEN n_naive > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sources_naive_fractured,
+        CAST(SUM(n_docs) AS BIGINT) * 1000000 // MAX(total_docs) AS share_micro
+      FROM per CROSS JOIN tot
+      GROUP BY split ORDER BY split"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_group_split" -> (qGroupSplit _),
     "q_ttr" -> (qTtr _),
     "q_bigram_entropy" -> (qBigramEntropy _),
     "q_head_mass" -> (qHeadMass _),
@@ -1419,6 +1496,7 @@ object TextOps {
     "q_fingerprint" -> (qFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q_group_split" -> qGroupSplitSql,
     "q_ttr" -> qTtrSql,
     "q_bigram_entropy" -> qBigramEntropySql,
     "q_head_mass" -> qHeadMassSql,

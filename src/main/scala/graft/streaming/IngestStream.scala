@@ -448,6 +448,49 @@ object IngestStream {
       }
   }
 
+  /** one tiled feature arriving on the ingest stream (h32) */
+  case class TileFeature(eventId: Long, xt: Int, yt: Int)
+
+  /** per-tile survivor set: the ≤cap smallest packed (drop_key, id)
+    * values seen so far — fixed-size state per tile forever */
+  case class TileCapState(version: Long, packed: Seq[Long])
+
+  /** the tile's current survivor roster, re-emitted per touching batch */
+  case class TileCapOut(xt: Int, yt: Int, version: Long,
+      kept: Int, keptChecksum: Long)
+
+  /** h32 — the per-tile feature cap IN-STREAM: b46's tippecanoe drop
+    * (`--drop-densest-as-needed`, processing.py:244) as a continuous
+    * query over the live ingest. Same selection rule as the batch op —
+    * keep the cap features with the smallest packed
+    * (event_id·2654435761 mod 1048573) · 2^43 + event_id — and that
+    * rule is PREFIX-STABLE (an item survives iff its key is among the
+    * cap smallest overall, independent of arrival batching), so the
+    * streaming state converges to EXACTLY b46's batch survivors
+    * (TileCapStreamSpec proves parity on the real events table under
+    * adversarial batching). State is one ≤cap-long roster per tile —
+    * bounded by the tile grid, never by stream volume — which is what
+    * lets a live map service keep its low-zoom tiles within budget
+    * without ever re-scanning the corpus. */
+  def streamingTileCap(features: Dataset[TileFeature], cap: Int): Dataset[TileCapOut] = {
+    import features.sparkSession.implicits._
+    features.groupByKey(f => (f.xt, f.yt))
+      .mapGroupsWithState[TileCapState, TileCapOut](GroupStateTimeout.NoTimeout) {
+        (tile: (Int, Int), it: Iterator[TileFeature], state: GroupState[TileCapState]) =>
+          val cur = state.getOption.getOrElse(TileCapState(0L, Nil))
+          // one sort per batch over (state ∪ batch), then cut — the
+          // merge a production cap would run on a bounded heap
+          val batch = it.map { f =>
+            (f.eventId * 2654435761L % 1048573L) * 8796093022208L + f.eventId
+          }.toArray
+          val merged = (cur.packed.toArray ++ batch).sorted.take(cap).toSeq
+          val ns = TileCapState(cur.version + 1, merged)
+          state.update(ns)
+          TileCapOut(tile._1, tile._2, ns.version, merged.length,
+            merged.map(_ % 8796093022208L).sum)
+      }
+  }
+
   /** one attribute observation arriving on the dimension change feed */
   case class Scd2Event(userId: Long, eventId: Long, ms: Long, attr: Int)
   /** the single open version a key holds in state */

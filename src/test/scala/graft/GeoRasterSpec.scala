@@ -1,0 +1,183 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** b46 tile-cap drop, b47 nearest-overview sampling, b48 COG validate,
+  * d23 LSH band planner — semantics + the graft_topk_min kernel. */
+class GeoRasterSpec extends SparkTestBase {
+
+  // ---------------------------------------------------------------
+  // graft_topk_min kernel
+  // ---------------------------------------------------------------
+
+  test("graft_topk_min equals sort-take across many groups (seeded, multi-partition merge path)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(20000)((rnd.nextInt(37), rnd.nextLong().abs % 1000000L))
+    // 8 partitions >> 4 groups per partition forces real partial-merge
+    val df = rows.toDF("g", "v").repartition(8)
+    val got = df.groupBy("g")
+      .agg(expr("graft_topk_min(v, 25)").as("arr"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    val want = rows.groupBy(_._1).map { case (g, vs) =>
+      g -> vs.map(_._2).sorted.take(25)
+    }
+    assert(got.keySet == want.keySet)
+    want.foreach { case (g, exp) =>
+      assert(got(g) == exp, s"group $g: got ${got(g)} want $exp")
+    }
+  }
+
+  test("graft_topk_min: group smaller than k returns the whole group sorted") {
+    import spark.implicits._
+    val df = Seq((1, 5L), (1, 3L), (1, 9L)).toDF("g", "v")
+    val arr = df.groupBy("g").agg(expr("graft_topk_min(v, 100)").as("a"))
+      .collect()(0).getSeq[Long](1)
+    assert(arr == Seq(3L, 5L, 9L))
+  }
+
+  test("graft_topk_min: duplicate values are retained, not deduped") {
+    import spark.implicits._
+    val df = Seq.fill(10)((1, 4L)).toDF("g", "v")
+    val arr = df.groupBy("g").agg(expr("graft_topk_min(v, 3)").as("a"))
+      .collect()(0).getSeq[Long](1)
+    assert(arr == Seq(4L, 4L, 4L))
+  }
+
+  // ---------------------------------------------------------------
+  // b46 q_tile_drop
+  // ---------------------------------------------------------------
+
+  test("b46 tile drop: kept = min(features, 100), checksum matches the window-rank reference") {
+    val out = operators.GeoRaster.qTileDrop(spark, sfDir)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val features = r.getAs[Long]("features")
+      val kept = r.getAs[Long]("kept")
+      val dropped = r.getAs[Long]("dropped")
+      assert(kept == math.min(features, 100L), s"tile (${r.get(0)},${r.get(1)})")
+      assert(dropped == features - kept)
+    }
+    // independent reference: the textbook window formulation
+    val ref = operators.GeoOps.tiled(spark, sfDir, 6)
+      .withColumn("dk", expr("event_id * 2654435761 % 1048573"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("xt", "yt").orderBy("dk", "event_id")))
+      .filter(col("rn") <= 100)
+      .groupBy("xt", "yt").agg(sum("event_id").as("want"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getAs[Long]("want")).toMap
+    rows.foreach { r =>
+      val k = (r.getAs[Int]("xt"), r.getAs[Int]("yt"))
+      assert(r.getAs[Long]("kept_checksum") == ref(k), s"tile $k checksum")
+    }
+  }
+
+  test("b46 plan: one events scan, no window sort — the cap is an ordinary bounded agg") {
+    val p = operators.GeoRaster.qTileDrop(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"one scan, saw $scans:\n$p")
+    assert(!p.contains("Window"), s"no window operator — the heap agg replaces it:\n$p")
+    assert(p.contains("graft_topk_min"), s"the native kernel must carry the cap:\n$p")
+  }
+
+  // ---------------------------------------------------------------
+  // b47 q_overview_sample
+  // ---------------------------------------------------------------
+
+  test("b47 nearest sampling: level-k rows equal the independent congruence filter; levels nest nothing") {
+    val out = operators.GeoRaster.qOverviewSample(spark, sfDir)
+      .collect().map(r => r.getAs[Int]("level") ->
+        (r.getAs[Long]("n_features"), r.getAs[Long]("checksum"))).toMap
+    val base = operators.GeoOps.tiled(spark, sfDir, 12).select("event_id", "xt", "yt")
+    (1 to 4).foreach { k =>
+      val f = 1L << k
+      val half = f / 2
+      val want = base.filter(col("xt") % f === half && col("yt") % f === half)
+        .agg(count(lit(1)), coalesce(sum("event_id"), lit(0L))).collect()(0)
+      val (n, cs) = out.getOrElse(k, (0L, 0L))
+      assert(n == want.getLong(0), s"level $k count")
+      assert(cs == want.getLong(1), s"level $k checksum")
+    }
+    // the sampled lattices of distinct levels are DISJOINT (x ≡ 2^(k-1)
+    // mod 2^k pins bit k-1 as the lowest set bit) — so feature counts
+    // drop roughly 4x per level on a uniform field
+    val n1 = out(1)._1.toDouble
+    val n2 = out(2)._1.toDouble
+    assert(n2 < n1, "level 2 samples fewer source pixels than level 1")
+  }
+
+  // ---------------------------------------------------------------
+  // b48 q_cog_validate
+  // ---------------------------------------------------------------
+
+  test("b48 validate: fault classes map to the modeled rio-cogeo verdicts") {
+    val rows = operators.GeoRaster.qCogValidate(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val key = r.getAs[Long]("p_partkey")
+      val valid = r.getAs[Boolean]("is_valid")
+      val msg = r.getAs[String]("message")
+      val w = (key * 7919L) % 20000L + 256L
+      val h = (key * 104729L) % 20000L + 256L
+      if (key % 13 == 0) {
+        assert(!valid && msg == "The file is not tiled", s"part $key")
+      } else if (key % 11 == 0 && math.max(w, h) > 512) {
+        assert(!valid && msg == "The file does not have overviews", s"part $key")
+      } else if (key % 11 == 1 && r.getAs[Int]("expected_overviews") > 1) {
+        // expected == 1 means the stop-one-short fault leaves 0 levels
+        // on a ≤512px image — legitimately valid (no overviews needed)
+        assert(!valid && msg == "Overview levels are insufficient", s"part $key")
+      } else if (key % 11 > 1 && key % 13 > 0) {
+        assert(valid && msg.isEmpty, s"part $key should be clean")
+      }
+      // warnings never flip validity
+      if (key % 13 == 1 && key % 11 > 1) {
+        assert(r.getAs[Int]("n_warnings") == 1 && valid, s"part $key: 128-block is warn-only")
+      }
+    }
+  }
+
+  test("b48 plan: map-only — no shuffle, no join over the catalog") {
+    val p = operators.GeoRaster.qCogValidate(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"no join:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"only the final ORDER BY may shuffle, saw $exchanges:\n$p")
+  }
+
+  // ---------------------------------------------------------------
+  // d23 q_lsh_tune
+  // ---------------------------------------------------------------
+
+  test("d23 LSH planner: 8 factorizations of 128, midpoint right-shifts with r, extremes lose") {
+    val rows = operators.Dedup.qLshTune(spark, sfDir).collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("r") * r.getAs[Int]("b") == 128)
+    }
+    val byR = rows.map(r => r.getAs[Int]("r") ->
+      (r.getAs[Int]("midpoint_j"), r.getAs[Long]("cost_micro"))).sortBy(_._1)
+    // steeper rows per band ⇒ the capture curve shifts right: midpoint
+    // strictly increases along the r ladder until it saturates past the
+    // grid (j=40 is the "beyond s=0.975" sentinel — r=64 and r=128 both
+    // midpoint above the grid's reach, closed form s* ≈ 0.981/0.995)
+    byR.sliding(2).foreach { case Array((r1, (m1, _)), (r2, (m2, _))) =>
+      assert(if (m1 < 40) m1 < m2 else m2 == 40,
+        s"midpoint must right-shift: r=$r1 j=$m1 vs r=$r2 j=$m2")
+    }
+    // both degenerate configs (one giant band / 128 singleton bands)
+    // must cost more than the tuned middle
+    val costs = byR.map(_._2._2)
+    val minCost = costs.min
+    assert(costs.head > minCost, "r=1 (b=128) over-captures — worst-in-class fp mass")
+    assert(costs.last > minCost, "r=128 (b=1) under-captures — worst-in-class fn mass")
+    // the planner's winner brackets d2's production threshold t=0.8:
+    // its midpoint sits inside the grid's t neighborhood
+    val best = byR.minBy(_._2._2)
+    assert(best._2._1 >= 24 && best._2._1 <= 40,
+      s"winner midpoint ${best._2._1} should sit near j=32 (s=0.8)")
+  }
+}

@@ -630,6 +630,35 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("f43 group split: leakage-free by construction, 80/10/10-ish, full coverage") {
+    val rows = TextOps.qGroupSplit(spark, sfDir).collect()
+    val splits = rows.map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")) && splits.contains("train"))
+    // every doc and every source lands in exactly one split
+    val docs = Tables(spark, sfDir, "documents")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    assert(rows.map(_.getAs[Long]("n_sources")).sum ==
+      docs.select("source").distinct().count())
+    // shares sum to ~1 (floor rounding loses < 1 micro per split)
+    val shareSum = rows.map(_.getAs[Long]("share_micro")).sum
+    assert(shareSum > 999990L && shareSum <= 1000000L, s"shares sum to $shareSum")
+    // the train split dominates (the 80% band) — robust at any sf
+    val train = rows.find(_.getString(0) == "train").get
+    assert(train.getAs[Long]("n_sources") > rows.map(_.getAs[Long]("n_sources")).sum / 2)
+    // independent leakage probe: recompute source→split off the raw
+    // table and assert NO source appears under two splits
+    import org.apache.spark.sql.functions._
+    def digit(c: String, i: Int) =
+      s"(locate(substr(md5($c), $i, 1), '0123456789abcdef') - 1)"
+    val t = s"CAST(((${digit("source", 1)} * 16 + ${digit("source", 2)}) * 16 + ${digit("source", 3)}) * 16 + ${digit("source", 4)} AS INT)"
+    val fractured = docs
+      .withColumn("split", expr(
+        s"CASE WHEN ($t) % 100 < 80 THEN 'train' WHEN ($t) % 100 < 90 THEN 'val' ELSE 'test' END"))
+      .groupBy("source").agg(countDistinct("split").as("n"))
+      .filter(col("n") > 1).count()
+    assert(fractured == 0L, "a source straddles splits — leakage")
+  }
+
   test("f39 temperature mix: α=0.7 provably flattens the language distribution") {
     val rows = TextOps.qTemperatureMix(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(3), r.getLong(4)))
