@@ -81,6 +81,87 @@ object GeoRaster {
       FROM r GROUP BY xt, yt ORDER BY xt, yt"""
 
   // ---------------------------------------------------------------
+  // b49 — per-tile BYTE budget (the cap tippecanoe actually enforces)
+  // ---------------------------------------------------------------
+
+  /** Deterministic per-feature encoded-size stand-in: 50..500 bytes. */
+  private val BytesS = "(event_id * 48271 % 451 + 50)"
+  private val Budget = 20000L
+  private val MaxKeep = (Budget / 50L).toInt // 400: the admission ceiling
+
+  /** b49 — `q_tile_budget`: b46's drop rule under tippecanoe's REAL
+    * constraint — the 500 KB tile-size limit (scaled to the synthetic
+    * feature sizes), not a feature count. Survivors are the MAXIMAL
+    * PREFIX of the per-tile (drop_key, id) order whose cumulative
+    * encoded bytes stay within budget (sizes are positive, so the
+    * cumsum-≤-budget filter and the stop-at-first-overflow scan pick
+    * the same set — the stopped flag in the fold makes that exact, a
+    * skip-and-continue fold would diverge the first time a smaller
+    * feature follows an overflowing one).
+    *
+    * Shape at 100 TB: identical to b46 — the budget bounds survivors
+    * at budget/min_bytes = 400, so `graft_topk_min(packed, 400)` caps
+    * the map-side partial and the byte scan runs INSIDE the ≤400-long
+    * array (each element's size recomputed from the id it carries —
+    * nothing extra rides the shuffle). One scan, one tile-bounded agg,
+    * no window. */
+  def qTileBudget(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    GeoOps.tiled(spark, dir, 6)
+      .withColumn("packed",
+        expr(s"(event_id * 2654435761 % $DkMod) * $Pack + event_id"))
+      .groupBy("xt", "yt")
+      .agg(count(lit(1)).as("features"),
+        sum(expr(BytesS)).as("total_bytes"),
+        expr(s"graft_topk_min(packed, $MaxKeep)").as("arr"))
+      // prefix scan: acc = (bytes, kept, checksum, stopped)
+      .withColumn("cut", expr(
+        s"""aggregate(arr,
+             struct(CAST(0 AS BIGINT) AS bytes, CAST(0 AS BIGINT) AS kept,
+                    CAST(0 AS BIGINT) AS checksum, false AS stopped),
+             (acc, x) -> CASE
+               WHEN acc.stopped OR acc.bytes + ((x % $Pack) * 48271 % 451 + 50) > $Budget
+                 THEN struct(acc.bytes AS bytes, acc.kept AS kept,
+                             acc.checksum AS checksum, true AS stopped)
+               ELSE struct(acc.bytes + ((x % $Pack) * 48271 % 451 + 50) AS bytes,
+                           acc.kept + 1 AS kept,
+                           acc.checksum + x % $Pack AS checksum,
+                           false AS stopped) END)"""))
+      .select(col("xt"), col("yt"), col("features"), col("total_bytes"),
+        col("cut.kept").as("kept"),
+        (col("features") - col("cut.kept")).as("dropped"),
+        col("cut.bytes").as("kept_bytes"),
+        // NOT cut.stopped: a tile of exactly 400 min-size features
+        // fills the budget without the fold ever overflowing (the heap
+        // never hands it a 401st element) — total-vs-budget is the
+        // flag both engines state identically
+        (col("total_bytes") > Budget).as("budget_hit"),
+        col("cut.checksum").as("kept_checksum"))
+      .orderBy("xt", "yt")
+  }
+
+  val qTileBudgetSql: String =
+    s"""WITH t AS (${GeoOps.tiledSql(6)}),
+      k AS (
+        SELECT xt, yt, event_id,
+          event_id * 2654435761 % $DkMod AS dk,
+          $BytesS AS bytes
+        FROM t),
+      r AS (
+        SELECT xt, yt, event_id, bytes,
+          SUM(bytes) OVER (PARTITION BY xt, yt ORDER BY dk, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+        FROM k)
+      SELECT xt, yt, COUNT(*) AS features,
+        CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+        CAST(SUM(CASE WHEN cb <= $Budget THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+        CAST(COUNT(*) - SUM(CASE WHEN cb <= $Budget THEN 1 ELSE 0 END) AS BIGINT) AS dropped,
+        CAST(SUM(CASE WHEN cb <= $Budget THEN bytes ELSE 0 END) AS BIGINT) AS kept_bytes,
+        CAST(SUM(bytes) AS BIGINT) > $Budget AS budget_hit,
+        CAST(SUM(CASE WHEN cb <= $Budget THEN event_id ELSE 0 END) AS BIGINT) AS kept_checksum
+      FROM r GROUP BY xt, yt ORDER BY xt, yt"""
+
+  // ---------------------------------------------------------------
   // b47 — NEAREST overview source-pixel sampling accounting
   // ---------------------------------------------------------------
 
@@ -211,11 +292,13 @@ object GeoRaster {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tile_drop" -> (qTileDrop _),
+    "q_tile_budget" -> (qTileBudget _),
     "q_overview_sample" -> (qOverviewSample _),
     "q_cog_validate" -> (qCogValidate _))
 
   val oracles: Map[String, String] = Map(
     "q_tile_drop" -> qTileDropSql,
+    "q_tile_budget" -> qTileBudgetSql,
     "q_overview_sample" -> qOverviewSampleSql,
     "q_cog_validate" -> qCogValidateSql)
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** b46 tile-cap drop, b47 nearest-overview sampling, b48 COG validate,
@@ -81,6 +82,38 @@ class GeoRasterSpec extends SparkTestBase {
     assert(scans == 1, s"one scan, saw $scans:\n$p")
     assert(!p.contains("Window"), s"no window operator — the heap agg replaces it:\n$p")
     assert(p.contains("graft_topk_min"), s"the native kernel must carry the cap:\n$p")
+  }
+
+  // ---------------------------------------------------------------
+  // b49 q_tile_budget
+  // ---------------------------------------------------------------
+
+  test("b49 tile budget: survivors are the maximal byte-budget prefix of the drop order") {
+    val rows = operators.GeoRaster.qTileBudget(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // independent reference: window cumsum formulation
+    val ref = operators.GeoOps.tiled(spark, sfDir, 6)
+      .withColumn("dk", expr("event_id * 2654435761 % 1048573"))
+      .withColumn("bytes", expr("event_id * 48271 % 451 + 50"))
+      .withColumn("cb", sum("bytes").over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("xt", "yt").orderBy("dk", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cb") <= 20000L)
+      .groupBy("xt", "yt")
+      .agg(count(lit(1)).as("kept"), sum("bytes").as("kept_bytes"),
+        sum("event_id").as("cs"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getAs[Long]("kept"), r.getAs[Long]("kept_bytes"), r.getAs[Long]("cs"))).toMap
+    rows.foreach { r =>
+      val k = (r.getAs[Int]("xt"), r.getAs[Int]("yt"))
+      val (kept, kb, cs) = ref(k)
+      assert(r.getAs[Long]("kept") == kept, s"tile $k kept")
+      assert(r.getAs[Long]("kept_bytes") == kb && kb <= 20000L, s"tile $k bytes")
+      assert(r.getAs[Long]("kept_checksum") == cs, s"tile $k checksum")
+      assert(r.getAs[Boolean]("budget_hit") ==
+        (r.getAs[Long]("total_bytes") > 20000L), s"tile $k flag")
+    }
   }
 
   // ---------------------------------------------------------------
