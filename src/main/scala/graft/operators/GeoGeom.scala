@@ -563,7 +563,96 @@ object GeoGeom {
       FROM sized GROUP BY user_id ORDER BY user_id"""
   }
 
+  // ---- b50: FlatGeobuf packed Hilbert R-tree layout ----------------
+
+  /** b50 — `q_fgb_index`: the FlatGeobuf SPATIAL INDEX layout for the
+    * vector layers dataset2fgb writes (processing.py:100-160 converts
+    * every vector layer to FGB before tiling — the repo routes that
+    * leg in a2/b28 but never laid out the file it produces). FGB's
+    * index is a PACKED HILBERT R-TREE (public spec: features sorted by
+    * the Hilbert position of their bbox center, tree packed bottom-up
+    * with node size 16, every node item 40 bytes — 4 float64 bbox +
+    * uint64 offset): per (user, layer) the feature count, the layer's
+    * Hilbert-curve extent at z=12 (b37's codegen'd expression; min/max
+    * over the layer = the curve span its range requests touch), the
+    * packed level chain ceil(n/16)+ceil(n/256)+… unrolled to 6 levels
+    * (16⁶ > 16M covers every sweep point; ELSE-0 guards stop at the
+    * root), total node count and index bytes. ONE events scan, map-only
+    * curve math, one (user, layer) agg, closed-form chain after it.
+    * Oracle: the b37 recursive-CTE recurrence carrying (user, layer)
+    * through the recursion + the same unrolled chain. */
+  def qFgbIndex(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val chain =
+      """n + CASE WHEN n > 1 THEN t1 ELSE 0 END
+           + CASE WHEN t1 > 1 THEN t2 ELSE 0 END
+           + CASE WHEN t2 > 1 THEN t3 ELSE 0 END
+           + CASE WHEN t3 > 1 THEN t4 ELSE 0 END
+           + CASE WHEN t4 > 1 THEN t5 ELSE 0 END
+           + CASE WHEN t5 > 1 THEN t6 ELSE 0 END"""
+    GeoOps.tiled(spark, dir, 12)
+      .withColumn("h",
+        expr("graft_hilbert(12, CAST(xt AS BIGINT), CAST(yt AS BIGINT))"))
+      .groupBy(col("user_id"), col("event_type").as("layer"))
+      .agg(count(lit(1)).as("n"),
+        min(col("h")).as("hmin"), max(col("h")).as("hmax"))
+      .withColumn("t1", expr("(n + 15) div 16"))
+      .withColumn("t2", expr("(t1 + 15) div 16"))
+      .withColumn("t3", expr("(t2 + 15) div 16"))
+      .withColumn("t4", expr("(t3 + 15) div 16"))
+      .withColumn("t5", expr("(t4 + 15) div 16"))
+      .withColumn("t6", expr("(t5 + 15) div 16"))
+      .withColumn("n_nodes", expr(chain))
+      .withColumn("index_bytes", col("n_nodes") * 40L)
+      .select("user_id", "layer", "n", "hmin", "hmax", "n_nodes", "index_bytes")
+      .orderBy("user_id", "layer")
+  }
+
+  val qFgbIndexSql: String = {
+    val chain =
+      """n + CASE WHEN n > 1 THEN t1 ELSE 0 END
+           + CASE WHEN t1 > 1 THEN t2 ELSE 0 END
+           + CASE WHEN t2 > 1 THEN t3 ELSE 0 END
+           + CASE WHEN t3 > 1 THEN t4 ELSE 0 END
+           + CASE WHEN t4 > 1 THEN t5 ELSE 0 END
+           + CASE WHEN t5 > 1 THEN t6 ELSE 0 END"""
+    s"""WITH RECURSIVE t AS (${GeoOps.tiledSql(12)}),
+        h AS (
+          SELECT user_id, event_type, CAST(xt AS BIGINT) AS hx,
+            CAST(yt AS BIGINT) AS hy, CAST(0 AS BIGINT) AS d,
+            CAST(2048 AS BIGINT) AS s
+          FROM t
+          UNION ALL
+          SELECT user_id, event_type,
+            CASE WHEN (hy & s) = 0 THEN
+              CASE WHEN (hx & s) > 0 THEN 4095 - hy ELSE hy END
+            ELSE hx END AS hx,
+            CASE WHEN (hy & s) = 0 THEN
+              CASE WHEN (hx & s) > 0 THEN 4095 - hx ELSE hx END
+            ELSE hy END AS hy,
+            d + s * s * xor(3 * (CASE WHEN (hx & s) > 0 THEN 1 ELSE 0 END),
+                            (CASE WHEN (hy & s) > 0 THEN 1 ELSE 0 END)) AS d,
+            s // 2 AS s
+          FROM h WHERE s > 0),
+        agg AS (
+          SELECT user_id, event_type AS layer, COUNT(*) AS n,
+            MIN(d) AS hmin, MAX(d) AS hmax
+          FROM h WHERE s = 0 GROUP BY user_id, event_type),
+        lv AS (
+          SELECT *, (n + 15) // 16 AS t1 FROM agg),
+        lv2 AS (SELECT *, (t1 + 15) // 16 AS t2 FROM lv),
+        lv3 AS (SELECT *, (t2 + 15) // 16 AS t3 FROM lv2),
+        lv4 AS (SELECT *, (t3 + 15) // 16 AS t4 FROM lv3),
+        lv5 AS (SELECT *, (t4 + 15) // 16 AS t5 FROM lv4),
+        lv6 AS (SELECT *, (t5 + 15) // 16 AS t6 FROM lv5)
+      SELECT user_id, layer, n, hmin, hmax,
+        CAST($chain AS BIGINT) AS n_nodes,
+        CAST(($chain) * 40 AS BIGINT) AS index_bytes
+      FROM lv6 ORDER BY user_id, layer"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fgb_index" -> (qFgbIndex _),
     "q_point_in_concave" -> (qPointInConcave _),
     "q_make_valid_geom" -> (qMakeValidGeom _),
     "q_hilbert_key" -> (qHilbertKey _),
@@ -572,6 +661,7 @@ object GeoGeom {
     "q_archive_layout" -> (qArchiveLayout _))
 
   val oracles: Map[String, String] = Map(
+    "q_fgb_index" -> qFgbIndexSql,
     "q_point_in_concave" -> qPointInConcaveSql,
     "q_make_valid_geom" -> qMakeValidGeomSql,
     "q_hilbert_key" -> qHilbertKeySql,

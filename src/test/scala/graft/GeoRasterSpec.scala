@@ -182,6 +182,34 @@ class GeoRasterSpec extends SparkTestBase {
   }
 
   // ---------------------------------------------------------------
+  // b50 q_fgb_index
+  // ---------------------------------------------------------------
+
+  test("b50 FGB index: packed-tree node chain equals the independent recursion; curve extent sane") {
+    // independent reference for the packed Hilbert R-tree size
+    def nodes(n: Long): Long = {
+      var total = n
+      var level = n
+      while (level > 1) { level = (level + 15) / 16; total += level }
+      total
+    }
+    val rows = operators.GeoGeom.qFgbIndex(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      assert(r.getAs[Long]("n_nodes") == nodes(n), s"layer ${r.get(1)} chain")
+      assert(r.getAs[Long]("index_bytes") == nodes(n) * 40L)
+      val (hmin, hmax) = (r.getAs[Long]("hmin"), r.getAs[Long]("hmax"))
+      assert(hmin >= 0L && hmax < (1L << 24) && hmin <= hmax, s"curve extent [$hmin,$hmax]")
+    }
+    // spot-check the chain at the awkward boundaries
+    Seq(1L, 2L, 16L, 17L, 256L, 257L).foreach { n =>
+      val direct = nodes(n)
+      assert(direct >= n && (n > 1 || direct == 1), s"n=$n -> $direct")
+    }
+  }
+
+  // ---------------------------------------------------------------
   // d23 q_lsh_tune
   // ---------------------------------------------------------------
 
