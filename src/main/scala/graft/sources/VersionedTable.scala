@@ -195,7 +195,8 @@ object VersionedTable {
     * writing any manifest — the files are invisible to every reader
     * until a later manifest lists them (the write half of i17's
     * write-audit-publish, and commit's own first half). */
-  private def land(spark: SparkSession, path: String, df: DataFrame): Seq[String] = {
+  private def land(spark: SparkSession, path: String, df: DataFrame,
+      tag: String = ""): Seq[String] = {
     val fs = fsOf(spark, path)
     val dataDir = new Path(path, "data")
     fs.mkdirs(dataDir)
@@ -208,13 +209,82 @@ object VersionedTable {
     val newFiles = fs.listStatus(staging).toSeq
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .map { f =>
-        val dst = new Path(dataDir, s"$token-${f.getPath.getName}")
+        val dst = new Path(dataDir, s"$token$tag-${f.getPath.getName}")
         if (!fs.rename(f.getPath, dst))
           throw new IllegalStateException(s"landing ${f.getPath} failed")
         s"data/${dst.getName}"
       }
     fs.delete(staging, true)
     newFiles
+  }
+
+  // ---- i21: partition evolution ------------------------------------
+
+  private val PartValueRe = "[A-Za-z0-9_]+".r
+
+  /** i21 — PARTITION EVOLUTION (Iceberg's flagship metadata feature,
+    * on this table's own log): commit `df` split by `pcol`'s values,
+    * each landed FILE NAME carrying its `-<col>=<value>-` marker —
+    * pruning is then pure name algebra on the manifest, no directory
+    * layout and no file rewrite. Evolution is free by construction:
+    * files from earlier commits (spec-less, or partitioned by a
+    * DIFFERENT column) carry no marker for `pcol` and are simply
+    * never pruned — exactly the Iceberg contract that changing the
+    * partition spec is a metadata change and old files keep their old
+    * layout until a compaction rewrites them. The split collects
+    * `pcol`'s DISTINCT values driver-side — the column must be a
+    * bounded dimension (layer names, dates, buckets), which is what
+    * "partition column" means; values are required filename-safe so
+    * the marker parse can never be ambiguous. All slices LAND before
+    * the single CAS commit publishes them — same atomicity as
+    * [[commit]]. */
+  def commitPartitioned(spark: SparkSession, path: String, df: DataFrame,
+      pcol: String, overwrite: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.col
+    val vals = df.select(pcol).distinct().collect()
+      .map(r => String.valueOf(r.get(0))).sorted
+    vals.foreach { v =>
+      require(PartValueRe.pattern.matcher(v).matches(),
+        s"partition value '$v' is not filename-safe ([A-Za-z0-9_]+)")
+    }
+    val newFiles = vals.flatMap { v =>
+      land(spark, path, df.filter(col(pcol) === v), tag = s"-$pcol=$v")
+    }.toSeq
+    casCommit(spark, path, newFiles, overwrite)
+  }
+
+  /** The data files a snapshot references (root-relative) — the list
+    * [[readPruned]] cuts; public so callers can audit prune ratios. */
+  def manifestFiles(spark: SparkSession, path: String,
+      version: Option[Long] = None): Seq[String] = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no versions at $path")
+    readManifest(spark, path, version.getOrElse(vs.last))
+  }
+
+  /** Snapshot read pruned on `pcol = value`: keeps a manifest file iff
+    * it carries the matching marker OR carries NO marker for `pcol`
+    * (old-spec / other-spec files — cannot be pruned, must be
+    * scanned). Returns (dataframe, filesScanned, filesTotal); the
+    * result is a SUPERSET of the matching rows — the caller's filter
+    * on top makes it exact, and Catalyst pushes that filter into the
+    * unpruned files' scans. At 100 TB the win is the manifest-level
+    * file cut BEFORE any split planning. */
+  def readPruned(spark: SparkSession, path: String, pcol: String, value: String,
+      version: Option[Long] = None): (DataFrame, Int, Int) = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no versions at $path")
+    val v = version.getOrElse(vs.last)
+    val files = readManifest(spark, path, v)
+    val kept = files.filter { f =>
+      !f.contains(s"-$pcol=") || f.contains(s"-$pcol=$value-")
+    }
+    val df =
+      if (kept.isEmpty) {
+        // preserve schema from the full snapshot, return no rows
+        read(spark, path, Some(v)).limit(0)
+      } else spark.read.parquet(kept.map(resolve(path, _)): _*)
+    (df, kept.size, files.size)
   }
 
   /** Publishes already-landed files as the next version (commit's

@@ -490,4 +490,46 @@ class VersionedTableSpec extends SparkTestBase {
     assert(VersionedTable.fastForward(spark, path, "audit2") == Right(2L))
     assert(rows(VersionedTable.read(spark, path)) == rows(d1) ++ rows(good))
   }
+
+  test("i21: partition evolution — new spec prunes, old-spec and other-spec files always scan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = java.nio.file.Files.createTempDirectory("vtable_evo").toString
+    def mk(range: Range, t: Long => String) =
+      range.map(k => (k.toLong, t(k.toLong), k.toLong % 4)).toDF("key", "etype", "bucket")
+
+    // v1: pre-evolution (spec-less) files
+    VersionedTable.commit(spark, path, mk(0 until 40, k => if (k % 2 == 0) "x" else "y"))
+    // v2: evolve to partition-by-etype
+    VersionedTable.commitPartitioned(spark, path,
+      mk(40 until 80, k => if (k % 3 == 0) "x" else "y"), "etype")
+    // v3: evolve AGAIN to a different column
+    VersionedTable.commitPartitioned(spark, path,
+      mk(80 until 100, _ => "x"), "bucket")
+
+    val full = VersionedTable.read(spark, path)
+    assert(full.count() == 100L)
+
+    val (df, scanned, total) = VersionedTable.readPruned(spark, path, "etype", "x")
+    assert(scanned < total, s"pruning must cut files: $scanned/$total")
+    // superset contract: filter on top equals the full-scan filter
+    assert(df.filter(col("etype") === "x").count() ==
+      full.filter(col("etype") === "x").count())
+    // exactly v2's y-files were pruned: every kept file either carries
+    // etype=x or no etype marker at all
+    val files = VersionedTable.manifestFiles(spark, path)
+    val prunable = files.count(_.contains("-etype="))
+    val xMarked = files.count(_.contains("-etype=x-"))
+    assert(scanned == total - (prunable - xMarked))
+    // old versions stay byte-stable: v1 read is unaffected by evolution
+    assert(VersionedTable.read(spark, path, Some(1L)).count() == 40L)
+    // pruning on the v3 spec: etype-marked and spec-less files all scan
+    val (_, s2, t2) = VersionedTable.readPruned(spark, path, "bucket", "2")
+    assert(s2 < t2)
+    // a non-filename-safe value is rejected loudly
+    intercept[IllegalArgumentException] {
+      VersionedTable.commitPartitioned(spark, path,
+        Seq((1L, "a/b", 0L)).toDF("key", "etype", "bucket"), "etype")
+    }
+  }
 }
