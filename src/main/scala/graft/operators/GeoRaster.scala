@@ -208,6 +208,64 @@ object GeoRaster {
       GROUP BY level, factor ORDER BY level"""
 
   // ---------------------------------------------------------------
+  // b51 — tilestats ATTRIBUTE summaries
+  // ---------------------------------------------------------------
+
+  /** b51 — `q_tilestats_attrs`: the per-layer ATTRIBUTE summaries the
+    * tilestats block actually publishes (the mapbox tilestats spec:
+    * per layer, per attribute — count, min/max, and a bounded sample
+    * of distinct values; b23 VALIDATES a tilestats block, b4 counts
+    * features — this produces the attribute half). Attributes here are
+    * the events table's numeric columns (user_id, floor(value) —
+    * integer-valued so both engines print the sample identically); the
+    * value sample is the 10 SMALLEST distinct values (the spec caps
+    * the list; smallest-k is the deterministic stand-in for tippecanoe's
+    * first-encountered), joined to one string.
+    *
+    * Shape at 100 TB: ONE scan, a 2-way bounded attribute explode, a
+    * pre-aggregation to DISTINCT (layer, attr, value) rows (map-side
+    * combinable — repeats collapse before the shuffle), then a
+    * layer-bounded agg where `graft_topk_min` hands the sample as a
+    * ≤10-long array. No windows. */
+  def qTilestatsAttrs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = graft.Tables.events(spark, dir)
+    e.select(col("event_type").as("layer"),
+        expr("stack(2, 'user_id', user_id, 'value_floor', CAST(floor(value) AS BIGINT))")
+          .as(Seq("attribute", "val")))
+      .groupBy("layer", "attribute", "val")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("layer", "attribute")
+      .agg(sum("cnt").as("n"),
+        count(lit(1)).as("n_distinct"),
+        min("val").as("vmin"),
+        max("val").as("vmax"),
+        expr("graft_topk_min(val, 10)").as("arr"))
+      .withColumn("sample",
+        expr("concat_ws(',', transform(arr, x -> CAST(x AS STRING)))"))
+      .select("layer", "attribute", "n", "n_distinct", "vmin", "vmax", "sample")
+      .orderBy("layer", "attribute")
+  }
+
+  val qTilestatsAttrsSql: String =
+    """WITH st AS (
+        SELECT event_type AS layer, 'user_id' AS attribute, user_id AS val FROM events
+        UNION ALL
+        SELECT event_type, 'value_floor', CAST(floor(value) AS BIGINT) FROM events),
+      v AS (
+        SELECT layer, attribute, val, COUNT(*) AS cnt
+        FROM st GROUP BY layer, attribute, val),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY layer, attribute ORDER BY val) AS rn
+        FROM v)
+      SELECT layer, attribute,
+        CAST(SUM(cnt) AS BIGINT) AS n,
+        COUNT(*) AS n_distinct,
+        MIN(val) AS vmin, MAX(val) AS vmax,
+        string_agg(CASE WHEN rn <= 10 THEN CAST(val AS VARCHAR) END, ',' ORDER BY val) AS sample
+      FROM r GROUP BY layer, attribute ORDER BY layer, attribute"""
+
+  // ---------------------------------------------------------------
   // b48 — COG validation gate
   // ---------------------------------------------------------------
 
@@ -293,12 +351,14 @@ object GeoRaster {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tile_drop" -> (qTileDrop _),
     "q_tile_budget" -> (qTileBudget _),
+    "q_tilestats_attrs" -> (qTilestatsAttrs _),
     "q_overview_sample" -> (qOverviewSample _),
     "q_cog_validate" -> (qCogValidate _))
 
   val oracles: Map[String, String] = Map(
     "q_tile_drop" -> qTileDropSql,
     "q_tile_budget" -> qTileBudgetSql,
+    "q_tilestats_attrs" -> qTilestatsAttrsSql,
     "q_overview_sample" -> qOverviewSampleSql,
     "q_cog_validate" -> qCogValidateSql)
 }

@@ -182,6 +182,30 @@ class GeoRasterSpec extends SparkTestBase {
   }
 
   // ---------------------------------------------------------------
+  // b51 q_tilestats_attrs
+  // ---------------------------------------------------------------
+
+  test("b51 tilestats attributes: sample = 10 smallest distinct, counts cover the layer") {
+    val rows = operators.GeoRaster.qTilestatsAttrs(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val e = Tables.events(spark, sfDir)
+    rows.foreach { r =>
+      val (layer, attr) = (r.getString(0), r.getString(1))
+      val vals = e.filter(col("event_type") === layer)
+        .select(if (attr == "user_id") col("user_id")
+                else expr("CAST(floor(value) AS BIGINT)"))
+        .collect().map(_.getLong(0))
+      assert(r.getAs[Long]("n") == vals.length, s"$layer/$attr n")
+      val distinct = vals.distinct.sorted
+      assert(r.getAs[Long]("n_distinct") == distinct.length.toLong)
+      assert(r.getAs[Long]("vmin") == distinct.head)
+      assert(r.getAs[Long]("vmax") == distinct.last)
+      assert(r.getAs[String]("sample") ==
+        distinct.take(10).mkString(","), s"$layer/$attr sample")
+    }
+  }
+
+  // ---------------------------------------------------------------
   // b50 q_fgb_index
   // ---------------------------------------------------------------
 
