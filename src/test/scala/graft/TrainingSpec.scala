@@ -197,4 +197,20 @@ class TrainingSpec extends SparkTestBase {
     assert(rT >= rA, s"shortlist recall@10: trained $rT regressed vs anchors $rA")
     assert(rT > 0.5, s"trained shortlist recall implausibly low: $rT")
   }
+
+  test("e27 kmeans converge: Lloyd inertia never increases, coverage holds each round") {
+    val rows = operators.Ann.qKmeansConverge(spark, sfDir).collect()
+    val byIter = rows.groupBy(_.getInt(0))
+    assert(byIter.keySet == Set(1, 2))
+    val total = Tables(spark, sfDir, "embeddings").count()
+    byIter.foreach { case (it, rs) =>
+      assert(rs.map(_.getLong(2)).sum == total, s"round $it must assign every vector")
+    }
+    def inertia(it: Int): BigDecimal =
+      byIter(it).map(r => BigDecimal(r.getDecimal(3))).sum
+    assert(inertia(2) <= inertia(1),
+      s"Lloyd descent violated: ${inertia(1)} -> ${inertia(2)}")
+    // and the step genuinely moved: round 2 is not a no-op copy
+    assert(inertia(2) < inertia(1), "re-centering should strictly improve on this data")
+  }
 }
