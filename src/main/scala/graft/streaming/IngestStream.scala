@@ -491,6 +491,88 @@ object IngestStream {
       }
   }
 
+  /** the tile's current byte-budget cut, re-emitted per touching batch */
+  case class TileBudgetOut(xt: Int, yt: Int, version: Long,
+      kept: Long, keptBytes: Long, keptChecksum: Long)
+
+  /** h33 — b49's tile-SIZE budget IN-STREAM: the same prefix-stability
+    * argument as h32 (the packed (drop_key, id) order is arrival-
+    * independent), applied to the byte cut — the roster state is the
+    * ≤400 smallest packed values (400 = budget/min_bytes, b49's
+    * admission ceiling), and each emission re-runs b49's stop-at-first-
+    * overflow fold over the roster, every element's size recomputed
+    * from the id it carries. Because the roster converges to the batch
+    * top-400 and the cut is a pure function of the roster, the final
+    * emission equals b49's batch survivors EXACTLY (TileBudgetStreamSpec
+    * proves parity under adversarial batching). State stays one ≤400
+    * roster per tile — grid-bounded forever. */
+  def streamingTileBudget(features: Dataset[TileFeature]): Dataset[TileBudgetOut] = {
+    import features.sparkSession.implicits._
+    val budget = 20000L
+    features.groupByKey(f => (f.xt, f.yt))
+      .mapGroupsWithState[TileCapState, TileBudgetOut](GroupStateTimeout.NoTimeout) {
+        (tile: (Int, Int), it: Iterator[TileFeature], state: GroupState[TileCapState]) =>
+          val cur = state.getOption.getOrElse(TileCapState(0L, Nil))
+          val batch = it.map { f =>
+            (f.eventId * 2654435761L % 1048573L) * 8796093022208L + f.eventId
+          }.toArray
+          val merged = (cur.packed.toArray ++ batch).sorted.take(400).toSeq
+          val ns = TileCapState(cur.version + 1, merged)
+          state.update(ns)
+          // b49's prefix fold over the roster
+          var bytes = 0L; var kept = 0L; var cs = 0L; var stopped = false
+          merged.foreach { p =>
+            val id = p % 8796093022208L
+            val b = id * 48271L % 451L + 50L
+            if (!stopped && bytes + b <= budget) { bytes += b; kept += 1; cs += id }
+            else stopped = true
+          }
+          TileBudgetOut(tile._1, tile._2, ns.version, kept, bytes, cs)
+      }
+  }
+
+  /** one tiled, layer-tagged feature on the ingest stream (h34) */
+  case class LayerFeature(userId: Long, layer: String, hilbert: Long)
+
+  /** per-(user, layer) running FGB-index inputs: count + curve extent */
+  case class FgbState(version: Long, n: Long, hmin: Long, hmax: Long)
+
+  /** the layer's live index accounting, re-emitted per touching batch */
+  case class FgbOut(userId: Long, layer: String, version: Long,
+      n: Long, hmin: Long, hmax: Long, nNodes: Long, indexBytes: Long)
+
+  /** h34 — b50's FlatGeobuf index accounting LIVE (the "how big is
+    * this layer's spatial index getting" readout a continuous vector
+    * ingest watches): state per (user, layer) = (count, hmin, hmax) —
+    * three longs forever, all three MERGEABLE monotone folds (count
+    * adds, extents min/max), so the state after any batching equals
+    * the batch aggregate EXACTLY; the packed-tree node chain and
+    * 40-byte index size are re-derived per emission as pure functions
+    * of the count (the same unrolled ceil-16 chain as b50, here as a
+    * plain while loop — FgbStreamSpec pins emission ≡ b50 row-for-row
+    * on the real events). The Hilbert key is computed UPSTREAM in the
+    * stream (stateless map, h31's argument) — state never sees
+    * coordinates. */
+  def streamingFgbIndex(features: Dataset[LayerFeature]): Dataset[FgbOut] = {
+    import features.sparkSession.implicits._
+    features.groupByKey(f => (f.userId, f.layer))
+      .mapGroupsWithState[FgbState, FgbOut](GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), it: Iterator[LayerFeature], state: GroupState[FgbState]) =>
+          val cur = state.getOption.getOrElse(FgbState(0L, 0L, Long.MaxValue, Long.MinValue))
+          var n = cur.n; var lo = cur.hmin; var hi = cur.hmax
+          it.foreach { f =>
+            n += 1
+            if (f.hilbert < lo) lo = f.hilbert
+            if (f.hilbert > hi) hi = f.hilbert
+          }
+          val ns = FgbState(cur.version + 1, n, lo, hi)
+          state.update(ns)
+          var total = n; var level = n
+          while (level > 1) { level = (level + 15) / 16; total += level }
+          FgbOut(key._1, key._2, ns.version, n, lo, hi, total, total * 40L)
+      }
+  }
+
   /** one attribute observation arriving on the dimension change feed */
   case class Scd2Event(userId: Long, eventId: Long, ms: Long, attr: Int)
   /** the single open version a key holds in state */
