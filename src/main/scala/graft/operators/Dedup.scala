@@ -1708,6 +1708,70 @@ object Dedup {
       GROUP BY t ORDER BY t"""
   }
 
+  /** d24 — `q_dedup_bbit`: b-BIT MINWISE HASHING (Li & König 2010 —
+    * store only the lowest b bits of each minhash; at b=1 the
+    * signature is 8 BITS per doc instead of 8×16, the 16× index-
+    * storage lever a 100 TB dedup index actually pulls): per verified
+    * d2 pair, the 1-bit match fraction m (parity of each chunk's last
+    * hex digit — the same "lowest bits" the paper keeps) and the
+    * standard b=1 estimator ŝ = 2m − 1 (two unrelated minhashes agree
+    * on one bit half the time; matching above chance is signal),
+    * clamped at 0 and stated in integer micro-units, against the
+    * exact verified Jaccard and the absolute error. With 8 hashes the
+    * estimator is deliberately coarse (variance ∝ 1/hashes — the spec
+    * gates the identical-doc and ordering invariants, not tightness;
+    * production runs ≥64 hashes where it concentrates). Plan: the
+    * memoized pair graph + the memoized signature table joined twice
+    * — nothing re-touches shingles, the bit math is map-only. */
+  def qDedupBbit(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(spark, dir)
+    val sig = minhashSig(shingleSets(spark, dir))
+    val bitCols = (0 until 8).map(k =>
+      expr(s"(locate(substr(h$k, 4, 1), '0123456789abcdef') - 1) % 2").as(s"b$k"))
+    val bits = sig.select(col("doc_id") +: bitCols: _*)
+    val matchSum = (0 until 8).map(k =>
+      s"CASE WHEN a$k = c$k THEN 1 ELSE 0 END").mkString(" + ")
+    pairs
+      .join(bits.select(col("doc_id").as("doc_a") +:
+        (0 until 8).map(k => col(s"b$k").as(s"a$k")): _*), "doc_a")
+      .join(bits.select(col("doc_id").as("doc_b") +:
+        (0 until 8).map(k => col(s"b$k").as(s"c$k")): _*), "doc_b")
+      .withColumn("n_match", expr(s"CAST($matchSum AS INT)"))
+      .withColumn("est_micro",
+        expr("greatest(CAST(n_match AS BIGINT) * 2000000 div 8 - 1000000, 0)"))
+      .withColumn("err_micro",
+        expr("abs(est_micro - CAST(round(jaccard * 1000000) AS BIGINT))"))
+      .select("doc_a", "doc_b", "jaccard", "n_match", "est_micro", "err_micro")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val qDedupBbitSql: String = {
+    val inner = qDedupMinhashSql.replace("ORDER BY doc_a, doc_b", "")
+    val bitsK = (0 until 8).map(k =>
+      s"(strpos('0123456789abcdef', substr(mh[${k + 1}], 4, 1)) - 1) % 2 AS b$k").mkString(", ")
+    val matchSum = (0 until 8).map(k =>
+      s"CASE WHEN ba.b$k = bb.b$k THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH pairs AS ($inner),
+      s AS (
+        SELECT doc_id, $shDuck AS sh FROM documents),
+      sh2 AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+      hs2 AS (SELECT doc_id, list_transform(sh, x -> md5(x)) AS hl FROM sh2),
+      sig2 AS (SELECT doc_id, list_transform(generate_series(0, 7),
+        k -> list_min(list_transform(hl, h -> substr(h, CAST(4 * k + 1 AS INT), 4)))) AS mh FROM hs2),
+      bits AS (SELECT doc_id, $bitsK FROM sig2),
+      m AS (
+        SELECT doc_a, doc_b, jaccard,
+          CAST($matchSum AS INT) AS n_match
+        FROM pairs
+        JOIN bits ba ON ba.doc_id = doc_a
+        JOIN bits bb ON bb.doc_id = doc_b)
+      SELECT doc_a, doc_b, jaccard, n_match,
+        GREATEST(CAST(n_match AS BIGINT) * 2000000 // 8 - 1000000, 0) AS est_micro,
+        ABS(GREATEST(CAST(n_match AS BIGINT) * 2000000 // 8 - 1000000, 0)
+          - CAST(round(jaccard * 1000000) AS BIGINT)) AS err_micro
+      FROM m ORDER BY doc_a, doc_b"""
+  }
+
   // d23 — shared power chains: every exponent in play is a power of
   // two, so s^r and (1-s^r)^b are pure squaring chains — the SAME
   // finite sequence of IEEE multiplications in both engines, no pow()
@@ -1804,6 +1868,7 @@ object Dedup {
       FROM p GROUP BY r, b ORDER BY r"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_bbit" -> (qDedupBbit _),
     "q_lsh_tune" -> (qLshTune _),
     "q_dedup_sweep" -> (qDedupSweep _),
     "q_dedup_report" -> (qDedupReport _),
@@ -1829,6 +1894,7 @@ object Dedup {
     "q_dedup_embedding" -> (qDedupEmbedding _))
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_bbit" -> qDedupBbitSql,
     "q_lsh_tune" -> qLshTuneSql,
     "q_dedup_sweep" -> qDedupSweepSql,
     "q_dedup_report" -> qDedupReportSql,

@@ -237,6 +237,28 @@ class GeoRasterSpec extends SparkTestBase {
   // d23 q_lsh_tune
   // ---------------------------------------------------------------
 
+  test("d24 b-bit minhash: identical docs match all bits, estimator stays in range") {
+    val rows = operators.Dedup.qDedupBbit(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (j, nm, est) = (r.getAs[Double]("jaccard"),
+        r.getAs[Int]("n_match"), r.getAs[Long]("est_micro"))
+      assert(nm >= 0 && nm <= 8)
+      assert(est >= 0L && est <= 1000000L)
+      // exact duplicates share every minhash chunk, hence every bit
+      if (j == 1.0) assert(nm == 8, s"${r.get(0)}-${r.get(1)}: identical pair lost a bit")
+      // the estimator is a deterministic function of n_match
+      assert(est == math.max(nm.toLong * 2000000L / 8L - 1000000L, 0L))
+    }
+    // signal check: high-jaccard pairs out-match low-jaccard pairs on average
+    val (hi, lo) = rows.partition(_.getAs[Double]("jaccard") >= 0.6)
+    if (hi.nonEmpty && lo.nonEmpty) {
+      def avg(rs: Array[org.apache.spark.sql.Row]) =
+        rs.map(_.getAs[Int]("n_match").toDouble).sum / rs.length
+      assert(avg(hi) >= avg(lo), "b-bit matches must correlate with true similarity")
+    }
+  }
+
   test("d23 LSH planner: 8 factorizations of 128, midpoint right-shifts with r, extremes lose") {
     val rows = operators.Dedup.qLshTune(spark, sfDir).collect()
     assert(rows.length == 8)
