@@ -181,6 +181,19 @@ class GeoRasterSpec extends SparkTestBase {
     assert(exchanges <= 1, s"only the final ORDER BY may shuffle, saw $exchanges:\n$p")
   }
 
+  test("b49/b51 plans: one scan, zero Window operators — the heap agg carries both") {
+    Seq(
+      ("b49", operators.GeoRaster.qTileBudget(spark, sfDir)),
+      ("b51", operators.GeoRaster.qTilestatsAttrs(spark, sfDir))
+    ).foreach { case (id, df) =>
+      val p = df.queryExecution.executedPlan.toString
+      val scans = "FileScan parquet".r.findAllIn(p).size
+      assert(scans == 1, s"$id: one scan, saw $scans:\n$p")
+      assert(!p.contains("Window"), s"$id: no window operator:\n$p")
+      assert(p.contains("graft_topk_min"), s"$id: the native kernel must carry the cut:\n$p")
+    }
+  }
+
   // ---------------------------------------------------------------
   // b51 q_tilestats_attrs
   // ---------------------------------------------------------------
