@@ -1385,6 +1385,74 @@ object TextOps {
             // CAST(round(ln(n_distinct) * 1e6) AS BIGINT) END AS evenness_micro
       FROM s ORDER BY doc_id"""
 
+  /** f44 — SPAN-CORRUPTION planning (the denoising-objective mask T5
+    * trains on — Raffel et al. 2020: corrupt ~15% of tokens in
+    * contiguous spans, the model reconstructs them; a data pipeline
+    * PLANS these masks ahead of time so every epoch and every rerun
+    * sees the same corruption — reproducibility is the point of
+    * planning rather than sampling at train time): per token a
+    * deterministic two-hex-digit md5 ticket on (doc_id, position)
+    * masks it iff ticket < 38 (38/256 ≈ 14.8%, the 15% T5 default);
+    * i.i.d. per-token masks make span lengths geometric — the realized
+    * span statistics are what this op reports per doc: token count,
+    * masked count, span count (mask-start transitions via lag),
+    * corruption rate and mean span length in integer micro-units.
+    * Shape at 100 TB: one documents scan, a token explode, ONE
+    * doc-keyed window (bounded by document length, never the corpus)
+    * and one doc agg. */
+  def qSpanCorruption(spark: SparkSession, dir: String): DataFrame = {
+    // the mask is a pure function of (doc_id, position) — so the
+    // PREDECESSOR's mask is too: recompute it instead of lag()-ing it.
+    // That deletes the doc-keyed window (a shuffle + per-doc sort over
+    // every token — at 100 TB the sort IS the cost) and leaves a
+    // map-only stage feeding one agg; the second md5 per token is
+    // noise next to the sort it replaces.
+    def maskedAt(pos: String) =
+      s"""((locate(substr(md5(CAST(doc_id AS STRING) || '_' || CAST($pos AS STRING)), 1, 1), '0123456789abcdef') - 1) * 16
+         + (locate(substr(md5(CAST(doc_id AS STRING) || '_' || CAST($pos AS STRING)), 2, 1), '0123456789abcdef') - 1)) < 38"""
+    val d = Tables(spark, dir, "documents")
+    d.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "tok")))
+      .withColumn("i", col("p") + 1)
+      .withColumn("masked", expr(maskedAt("i")))
+      .withColumn("span_start",
+        (col("masked") && !(col("i") > 1 && expr(maskedAt("i - 1")))).cast("int"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("masked").cast("long")).as("n_masked"),
+        sum(col("span_start").cast("long")).as("n_spans"))
+      .withColumn("corruption_micro", expr("n_masked * 1000000 div n_tokens"))
+      .withColumn("mean_span_micro",
+        expr("CASE WHEN n_spans > 0 THEN n_masked * 1000000 div n_spans ELSE CAST(0 AS BIGINT) END"))
+      .select("doc_id", "n_tokens", "n_masked", "n_spans",
+        "corruption_micro", "mean_span_micro")
+      .orderBy("doc_id")
+  }
+
+  val qSpanCorruptionSql: String = {
+    def maskedAt(pos: String) =
+      s"""((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '_' || CAST($pos AS VARCHAR)), 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '_' || CAST($pos AS VARCHAR)), 2, 1)) - 1)) < 38"""
+    s"""WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+            unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+          FROM documents),
+        sp AS (
+          SELECT doc_id, ${maskedAt("i")} AS masked,
+            CASE WHEN ${maskedAt("i")} AND NOT (i > 1 AND ${maskedAt("i - 1")})
+            THEN 1 ELSE 0 END AS span_start
+          FROM toks),
+        agg AS (
+          SELECT doc_id, COUNT(*) AS n_tokens,
+            CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+            CAST(SUM(span_start) AS BIGINT) AS n_spans
+          FROM sp GROUP BY doc_id)
+      SELECT doc_id, n_tokens, n_masked, n_spans,
+        n_masked * 1000000 // n_tokens AS corruption_micro,
+        CASE WHEN n_spans > 0 THEN n_masked * 1000000 // n_spans
+             ELSE CAST(0 AS BIGINT) END AS mean_span_micro
+      FROM agg ORDER BY doc_id"""
+  }
+
   /** f43 — GROUP-AWARE train/val/test split (the leakage-safe splitter
     * every training pipeline runs before anything else): hash the
     * GROUP (source), not the document — all docs of one source land in
@@ -1463,6 +1531,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_group_split" -> (qGroupSplit _),
+    "q_span_corruption" -> (qSpanCorruption _),
     "q_ttr" -> (qTtr _),
     "q_bigram_entropy" -> (qBigramEntropy _),
     "q_head_mass" -> (qHeadMass _),
@@ -1497,6 +1566,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "q_group_split" -> qGroupSplitSql,
+    "q_span_corruption" -> qSpanCorruptionSql,
     "q_ttr" -> qTtrSql,
     "q_bigram_entropy" -> qBigramEntropySql,
     "q_head_mass" -> qHeadMassSql,

@@ -659,6 +659,25 @@ class OperatorsSpec extends SparkTestBase {
     assert(fractured == 0L, "a source straddles splits — leakage")
   }
 
+  test("f44 span corruption: rate near 15%, spans are maximal mask runs, reproducible") {
+    val rows = TextOps.qSpanCorruption(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    var tok = 0L; var masked = 0L
+    rows.foreach { r =>
+      val (n, m, s) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      tok += n; masked += m
+      assert(m <= n && s <= m, s"doc ${r.get(0)}: spans/masks inconsistent")
+      // a span is a maximal run: at least 1 token each
+      if (m > 0) assert(s >= 1)
+      assert(r.getLong(4) == m * 1000000L / n)
+    }
+    val rate = masked.toDouble / tok
+    assert(rate > 0.10 && rate < 0.20, s"corpus mask rate $rate should sit near 38/256")
+    // reproducibility: a second run plans the identical masks
+    val again = TextOps.qSpanCorruption(spark, sfDir).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("f39 temperature mix: α=0.7 provably flattens the language distribution") {
     val rows = TextOps.qTemperatureMix(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(3), r.getLong(4)))
