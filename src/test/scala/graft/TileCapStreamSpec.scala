@@ -50,4 +50,44 @@ class TileCapStreamSpec extends SparkTestBase {
     // rosters never exceed the cap mid-stream either
     assert(outs.forall(_.kept <= 100))
   }
+
+  test("h32: rosters survive a kill/restart — restored state still converges to the batch drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = operators.GeoOps.tiled(spark, sfDir, 6)
+      .select("event_id", "xt", "yt").collect()
+      .map(r => TileFeature(r.getLong(0), r.getInt(1), r.getInt(2)))
+    val mixed = all.sortBy(f => Integer.rotateLeft(f.eventId.hashCode, 3))
+    val ckpt = java.nio.file.Files.createTempDirectory("h32_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("h32_out").toString
+    val input = MemoryStream[TileFeature]
+    def start() = IngestStream.streamingTileCap(input.toDS(), 100)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[TileCapOut], _: Long) =>
+        batch.write.mode("append").parquet(out)
+      }
+      .start()
+    val q1 = start()
+    try { input.addData(mixed.take(900).toSeq); q1.processAllAvailable() }
+    finally q1.stop() // kill: rosters live only in the checkpoint now
+    val q2 = start()
+    try { input.addData(mixed.drop(900).toSeq); q2.processAllAvailable() }
+    finally q2.stop()
+    val got = spark.read.parquet(out).as[TileCapOut].collect()
+      .groupBy(o => (o.xt, o.yt)).view
+      .mapValues { os => val l = os.maxBy(_.version); (l.kept.toLong, l.keptChecksum) }
+      .toMap
+    val want = operators.GeoRaster.qTileDrop(spark, sfDir).collect()
+      .map(r => (r.getAs[Int]("xt"), r.getAs[Int]("yt")) ->
+        (r.getAs[Long]("kept"), r.getAs[Long]("kept_checksum"))).toMap
+    assert(got.keySet == want.keySet)
+    // only a RESTORED roster can still equal the whole-stream batch
+    // answer: a state-lost restart would rebuild tiles from the last
+    // 10% of features alone and lose every pre-kill survivor
+    want.foreach { case (t, w) =>
+      assert(got(t) == w, s"tile $t diverged across restart: ${got(t)} vs $w")
+    }
+  }
 }
