@@ -155,6 +155,55 @@ object Media {
         n_chars % 24 + 1 AS frames
       FROM documents ORDER BY doc_id"""
 
+  /** g14 — `q_media_geo`: the GEOTAGGED-MEDIA heatmap a geo platform
+    * serves off its media catalog (the reference IS a geohub — its
+    * uploads carry coordinates; g1's catalog joined to B's tile grid
+    * is the map-page readout "what media sits on this tile"): each
+    * media object synthesizes its EXIF-style GPS point with the
+    * B-family's integer-hash coordinate derivation (same bit-exact
+    * lon/lat discipline as Synth, keyed on doc_id), lands on the z=6
+    * WebMercator grid via the SHARED tile template strings, and ONE
+    * (tile, mime) agg yields per-tile media counts + byte mass.
+    * Map-only to the agg; the tile key strings are the same text both
+    * engines execute (b3's exactness argument). */
+  def qMediaGeo(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    d.select(col("doc_id"), col("n_chars"), col("text"))
+      .withColumn("mime",
+        when(ascii(substring(col("text"), 1, 1)).between(97, 104), "image/fake-png")
+          .when(ascii(substring(col("text"), 1, 1)).between(105, 112), "audio/fake-wav")
+          .when(ascii(substring(col("text"), 1, 1)).between(113, 120), "video/fake-mp4")
+          .otherwise("text/plain"))
+      .withColumn("nbytes", length(encode(col("text"), "UTF-8")).cast("long"))
+      .withColumn("lon", expr("CAST(doc_id * 2654435761 % 360000 AS DOUBLE) / 1000.0 - 180.0"))
+      .withColumn("lat", expr("CAST(doc_id * 1327217873 % 170000 AS DOUBLE) / 1000.0 - 85.0"))
+      .withColumn("xt", expr(graft.operators.GeoOps.tileXS("lon", 64)))
+      .withColumn("yt", expr(graft.operators.GeoOps.tileYS("lat", 64)))
+      .groupBy("xt", "yt", "mime")
+      .agg(count(lit(1)).as("n_media"), sum("nbytes").as("total_bytes"))
+      .orderBy("xt", "yt", "mime")
+  }
+
+  val qMediaGeoSql: String =
+    s"""WITH m AS (
+        SELECT doc_id,
+          CASE WHEN ascii(substr(text, 1, 1)) BETWEEN 97 AND 104 THEN 'image/fake-png'
+               WHEN ascii(substr(text, 1, 1)) BETWEEN 105 AND 112 THEN 'audio/fake-wav'
+               WHEN ascii(substr(text, 1, 1)) BETWEEN 113 AND 120 THEN 'video/fake-mp4'
+               ELSE 'text/plain' END AS mime,
+          CAST(octet_length(encode(text)) AS BIGINT) AS nbytes,
+          CAST(doc_id * 2654435761 % 360000 AS DOUBLE) / 1000.0 - 180.0 AS lon,
+          CAST(doc_id * 1327217873 % 170000 AS DOUBLE) / 1000.0 - 85.0 AS lat
+        FROM documents),
+      t AS (
+        SELECT mime, nbytes,
+          ${graft.operators.GeoOps.tileXS("lon", 64)} AS xt,
+          ${graft.operators.GeoOps.tileYS("lat", 64)} AS yt
+        FROM m)
+      SELECT xt, yt, mime, COUNT(*) AS n_media,
+        CAST(SUM(nbytes) AS BIGINT) AS total_bytes
+      FROM t GROUP BY xt, yt, mime ORDER BY xt, yt, mime"""
+
   // ---------------------------------------------------------------
   // g2 — media batch pipeline (rows-only check; exercised in tests).
   // ---------------------------------------------------------------
@@ -939,6 +988,7 @@ object Media {
     "q_phash_dedup" -> (qPhashDedup _),
     "q_audio_frames" -> (qAudioFrames _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
+    "q_media_geo" -> (qMediaGeo _),
     "q_media_pipeline" -> (qMediaPipeline _),
     "q_media_batched" -> (qMediaBatched _),
     "q_frame_sample" -> (qFrameSample _),
@@ -962,6 +1012,7 @@ object Media {
     "q_audio_frames" -> qAudioFramesSql,
     "q_audio_fingerprint" -> qAudioFingerprintSql,
     "q_multimodal_meta" -> qMultimodalMetaSql,
+    "q_media_geo" -> qMediaGeoSql,
     "q_frame_sample" -> qFrameSampleSql,
     "q_resize_plan" -> qResizePlanSql,
     "q_decode_batches" -> qDecodeBatchesSql)
