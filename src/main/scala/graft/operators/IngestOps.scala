@@ -357,6 +357,45 @@ object IngestOps {
         CAST(SUM(CASE WHEN usage > 500000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_uploads_over
       FROM r GROUP BY user_id ORDER BY user_id"""
 
+  /** a27 — `q_upload_blocks`: the UPLOAD half of a13's transfer plan —
+    * the block-blob protocol azblob.py:238's `upload_blob` (and the
+    * chunked writer at :288) rides: a blob stages as ceil(size/4 MiB)
+    * PUT-block calls, each block named by a BASE64 id that must be
+    * uniform-length and unique within the blob (the standard
+    * zero-padded-ordinal convention), then ONE put-block-list commit
+    * makes it visible — the manifest-gated visibility shape i5 uses.
+    * Per asset: block count, last-block remainder, the first/last
+    * base64 block ids, and the total request count (blocks + 1
+    * commit). Map-only catalog algebra, a13's cost class. */
+  def qUploadBlocks(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir, "part")
+    val size = (col("p_partkey") * 131071L % 50000000L + 1024L)
+    p.select(col("p_partkey").as("asset_id"), size.as("blob_size"))
+      .withColumn("n_blocks", expr("(blob_size + 4194303) div 4194304"))
+      .withColumn("last_block_bytes",
+        expr("blob_size - (n_blocks - 1) * 4194304"))
+      .withColumn("first_block_id",
+        expr("base64(encode('block-' || lpad('0', 6, '0'), 'UTF-8'))"))
+      .withColumn("last_block_id",
+        expr("base64(encode('block-' || lpad(CAST(n_blocks - 1 AS STRING), 6, '0'), 'UTF-8'))"))
+      .withColumn("put_requests", col("n_blocks") + 1L)
+      .orderBy("asset_id")
+  }
+
+  val qUploadBlocksSql: String =
+    """WITH b AS (
+        SELECT p_partkey AS asset_id,
+          p_partkey * 131071 % 50000000 + 1024 AS blob_size
+        FROM part),
+      n AS (
+        SELECT *, (blob_size + 4194303) // 4194304 AS n_blocks FROM b)
+      SELECT asset_id, blob_size, n_blocks,
+        blob_size - (n_blocks - 1) * 4194304 AS last_block_bytes,
+        to_base64(encode('block-' || lpad('0', 6, '0'))) AS first_block_id,
+        to_base64(encode('block-' || lpad(CAST(n_blocks - 1 AS VARCHAR), 6, '0'))) AS last_block_id,
+        n_blocks + 1 AS put_requests
+      FROM n ORDER BY asset_id"""
+
   def qDownloadChunks(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables(spark, dir, "part")
     val size = (col("p_partkey") * 131071L % 50000000L + 1024L)
@@ -986,6 +1025,7 @@ object IngestOps {
     "q_pubsub_fanout" -> (qPubsubFanout _),
     "q_compaction_plan" -> (qCompactionPlan _),
     "q_download_chunks" -> (qDownloadChunks _),
+    "q_upload_blocks" -> (qUploadBlocks _),
     "q_user_hash" -> (qUserHash _),
     "q_parse_props" -> (qParseProps _),
     "q_lock_schedule" -> (qLockSchedule _),
@@ -1014,6 +1054,7 @@ object IngestOps {
     "q_pubsub_fanout" -> qPubsubFanoutSql,
     "q_compaction_plan" -> qCompactionPlanSql,
     "q_download_chunks" -> qDownloadChunksSql,
+    "q_upload_blocks" -> qUploadBlocksSql,
     "q_user_hash" -> qUserHashSql,
     "q_parse_props" -> qParsePropsSql,
     "q_lock_schedule" -> qLockScheduleSql,
