@@ -208,6 +208,53 @@ object GeoRaster {
       GROUP BY level, factor ORDER BY level"""
 
   // ---------------------------------------------------------------
+  // b52 — AVERAGE overview resampling accounting
+  // ---------------------------------------------------------------
+
+  /** b52 — `q_overview_average`: the AVERAGE-resampler counterpart of
+    * b47's nearest accounting (the reference pins nearest,
+    * processing.py:501-502; `average` is GDAL's other standard
+    * overview resampler and the one most raster pipelines default to
+    * for continuous data — where nearest READS one source pixel per
+    * target, average reads the FULL 2×2 footprint): per level-1
+    * target pixel (the z=12 cell right-shifted once per axis), the
+    * footprint's feature count and its exact integer-milli mean value
+    * (floor(value·1000) per feature — one IEEE multiply+floor, same
+    * in both engines — then floor-divided by the count: no float
+    * accumulation). ONE scan, map-only parent math, one
+    * parent-pixel-keyed agg (map-side combinable; at 100 TB the
+    * shuffle carries one row per OCCUPIED parent cell, never the
+    * features). */
+  def qOverviewAverage(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Synth
+    graft.Tables.events(spark, dir).select(col("event_id"), col("value"))
+      .withColumn("lon", Synth.lon(col("event_id")))
+      .withColumn("lat", Synth.lat(col("event_id")))
+      .withColumn("px", expr(s"CAST((${GeoOps.tileXS("lon", 4096)}) div 2 AS INT)"))
+      .withColumn("py", expr(s"CAST((${GeoOps.tileYS("lat", 4096)}) div 2 AS INT)"))
+      .withColumn("vm", expr("CAST(floor(value * 1000) AS BIGINT)"))
+      .groupBy("px", "py")
+      .agg(count(lit(1)).as("n_features"),
+        sum("vm").as("sum_milli"))
+      .withColumn("avg_milli", expr("sum_milli div n_features"))
+      .select("px", "py", "n_features", "sum_milli", "avg_milli")
+      .orderBy("px", "py")
+  }
+
+  val qOverviewAverageSql: String = {
+    import graft.functions.Synth
+    s"""WITH v AS (
+        SELECT CAST((${GeoOps.tileXS(s"(${Synth.lonSql})", 4096)}) // 2 AS INT) AS px,
+          CAST((${GeoOps.tileYS(s"(${Synth.latSql})", 4096)}) // 2 AS INT) AS py,
+          CAST(floor(value * 1000) AS BIGINT) AS vm
+        FROM events)
+      SELECT px, py, COUNT(*) AS n_features,
+        CAST(SUM(vm) AS BIGINT) AS sum_milli,
+        CAST(SUM(vm) AS BIGINT) // COUNT(*) AS avg_milli
+      FROM v GROUP BY px, py ORDER BY px, py"""
+  }
+
+  // ---------------------------------------------------------------
   // b51 — tilestats ATTRIBUTE summaries
   // ---------------------------------------------------------------
 
@@ -353,6 +400,7 @@ object GeoRaster {
     "q_tile_budget" -> (qTileBudget _),
     "q_tilestats_attrs" -> (qTilestatsAttrs _),
     "q_overview_sample" -> (qOverviewSample _),
+    "q_overview_average" -> (qOverviewAverage _),
     "q_cog_validate" -> (qCogValidate _))
 
   val oracles: Map[String, String] = Map(
@@ -360,5 +408,6 @@ object GeoRaster {
     "q_tile_budget" -> qTileBudgetSql,
     "q_tilestats_attrs" -> qTilestatsAttrsSql,
     "q_overview_sample" -> qOverviewSampleSql,
+    "q_overview_average" -> qOverviewAverageSql,
     "q_cog_validate" -> qCogValidateSql)
 }

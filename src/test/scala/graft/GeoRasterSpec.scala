@@ -143,6 +143,25 @@ class GeoRasterSpec extends SparkTestBase {
   }
 
   // ---------------------------------------------------------------
+  // b52 q_overview_average
+  // ---------------------------------------------------------------
+
+  test("b52 average overview: every feature lands in exactly one parent cell; means are floor-exact") {
+    val rows = operators.GeoRaster.qOverviewAverage(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val total = operators.GeoOps.tiled(spark, sfDir, 12).count()
+    assert(rows.map(_.getAs[Long]("n_features")).sum == total,
+      "the 2x2 footprints partition the feature set")
+    rows.foreach { r =>
+      val (n, s, a) = (r.getAs[Long]("n_features"),
+        r.getAs[Long]("sum_milli"), r.getAs[Long]("avg_milli"))
+      assert(a == Math.floorDiv(s, n), s"cell (${r.get(0)},${r.get(1)})")
+      val (px, py) = (r.getAs[Int]("px"), r.getAs[Int]("py"))
+      assert(px >= 0 && px < 2048 && py >= 0 && py < 2048)
+    }
+  }
+
+  // ---------------------------------------------------------------
   // b48 q_cog_validate
   // ---------------------------------------------------------------
 
