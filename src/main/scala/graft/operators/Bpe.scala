@@ -225,6 +225,64 @@ object Bpe {
       .orderBy("doc_id")
   }
 
+  /** f45 — `q_tokenizer_fertility`: the per-LANGUAGE tokenizer-eval
+    * readout (fertility — BPE tokens per word — is the standard
+    * public metric for how well a tokenizer fits each language of a
+    * multilingual corpus; a high-fertility language pays more sequence
+    * length per sentence, the readout that drives vocab re-training or
+    * f39-style mix re-weighting): f42's vocab-join tokenization rolled
+    * up by `lang` — words, BPE tokens, chars, fertility and
+    * chars-per-token in integer micro-units. Same plan economics as
+    * f42 (train once, ONE corpus explode, broadcast vocab join) with a
+    * language-bounded final agg instead of the per-doc one. */
+  def qTokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    val wf = wordFreq(spark, dir).localCheckpoint()
+    val rules = trainBpeFrom(wf, 8)
+    val esc = (s: String) => s.replace("\\", "\\\\").replace("'", "\\'")
+    val encExpr = rules.foldLeft("regexp_replace(w, '(.)', '<$1>')") {
+      case (e, (a, b)) =>
+        s"replace($e, '<${esc(a)}><${esc(b)}>', '<${esc(a + b)}>')"
+    }
+    val vocab = wf
+      .select(col("w"), expr(encExpr).as("enc"))
+      .select(col("w"),
+        expr("CAST(length(enc) - length(replace(enc, '<', '')) AS BIGINT)").as("w_tokens"))
+    val words = Tables(spark, dir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+    words.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("w_tokens"), lit(1L))).as("bpe_tokens"),
+        sum(length(col("w")).cast("long")).as("n_chars"))
+      .withColumn("fertility_micro",
+        expr("bpe_tokens * 1000000 div NULLIF(n_words, 0)"))
+      .withColumn("chars_per_token_micro",
+        expr("n_chars * 1000000 div NULLIF(bpe_tokens, 0)"))
+      .select("lang", "n_words", "bpe_tokens", "n_chars",
+        "fertility_micro", "chars_per_token_micro")
+      .orderBy("lang")
+  }
+
+  val qTokenizerFertilitySql: String = {
+    val idx = qBpeEncodeSql.indexOf("SELECT w, f, s AS encoded")
+    val ctes = qBpeEncodeSql.substring(0, idx).trim.stripSuffix(",")
+    s"""$ctes,
+        vocab AS MATERIALIZED (
+          SELECT w, CAST(length(s) - length(replace(s, '<', '')) AS BIGINT) AS w_tokens
+          FROM w8),
+        words AS (
+          SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+      SELECT lang, COUNT(*) AS n_words,
+        CAST(SUM(COALESCE(v.w_tokens, 1)) AS BIGINT) AS bpe_tokens,
+        CAST(SUM(length(words.w)) AS BIGINT) AS n_chars,
+        CAST(SUM(COALESCE(v.w_tokens, 1)) * 1000000
+          // NULLIF(COUNT(*), 0) AS BIGINT) AS fertility_micro,
+        CAST(SUM(length(words.w)) * 1000000
+          // NULLIF(CAST(SUM(COALESCE(v.w_tokens, 1)) AS BIGINT), 0) AS BIGINT) AS chars_per_token_micro
+      FROM words LEFT JOIN vocab v ON v.w = words.w
+      GROUP BY lang ORDER BY lang"""
+  }
+
   val qTokenizeCorpusSql: String = {
     val idx = qBpeEncodeSql.indexOf("SELECT w, f, s AS encoded")
     val ctes = qBpeEncodeSql.substring(0, idx).trim.stripSuffix(",")
@@ -246,10 +304,12 @@ object Bpe {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_step" -> (qBpeStep _),
     "q_bpe_encode" -> (qBpeEncode _),
-    "q_tokenize_corpus" -> (qTokenizeCorpus _))
+    "q_tokenize_corpus" -> (qTokenizeCorpus _),
+    "q_tokenizer_fertility" -> (qTokenizerFertility _))
 
   val oracles: Map[String, String] = Map(
     "q_bpe_step" -> qBpeStepSql,
     "q_bpe_encode" -> qBpeEncodeSql,
-    "q_tokenize_corpus" -> qTokenizeCorpusSql)
+    "q_tokenize_corpus" -> qTokenizeCorpusSql,
+    "q_tokenizer_fertility" -> qTokenizerFertilitySql)
 }

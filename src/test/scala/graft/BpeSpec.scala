@@ -93,4 +93,24 @@ class BpeSpec extends SparkTestBase {
     val tot = rows.map(_.getLong(1)).sum
     assert(merged * 2 > tot, s"merges barely fire: $merged of $tot")
   }
+
+  test("f45 fertility: every word costs >= 1 token, merges pull fertility under chars-per-word") {
+    val rows = operators.Bpe.qTokenizerFertility(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    var words = 0L; var bpe = 0L
+    rows.foreach { r =>
+      val (n, t, c) = (r.getAs[Long]("n_words"), r.getAs[Long]("bpe_tokens"),
+        r.getAs[Long]("n_chars"))
+      words += n; bpe += t
+      assert(r.getAs[Long]("fertility_micro") >= 1000000L,
+        s"${r.getString(0)}: a word cannot encode below one token")
+      assert(t <= c, s"${r.getString(0)}: tokens cannot exceed characters")
+      assert(r.getAs[Long]("fertility_micro") == t * 1000000L / n)
+    }
+    // corpus-level: the learned merges compress — mean fertility sits
+    // strictly under the character count per word
+    assert(bpe < rows.map(_.getAs[Long]("n_chars")).sum,
+      "corpus-wide the tokenizer must beat character-level encoding")
+    assert(words > 0 && bpe >= words)
+  }
 }
