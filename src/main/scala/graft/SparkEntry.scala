@@ -25,9 +25,9 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ AnalyticsExt.queries ++ AnalyticsTs.queries ++ IngestOps.queries ++
       GeoOps.queries ++ GeoProj.queries ++ GeoGeom.queries ++ GeoClip.queries ++
-      GeoSimplify.queries ++ GeoLines.queries ++ GeoRaster.queries ++
-      TextOps.queries ++ TextModels.queries ++ Dedup.queries ++ Ann.queries ++
-      Retrieval.queries ++ Bpe.queries ++ Pca.queries ++ Asof.queries ++ Serving.queries ++
+      GeoSimplify.queries ++ GeoLines.queries ++ GeoRaster.queries ++ GeoMeta.queries ++
+      TextOps.queries ++ TextModels.queries ++ CorpusClean.queries ++ Dedup.queries ++ Ann.queries ++
+      Retrieval.queries ++ Bpe.queries ++ Pca.queries ++ Asof.queries ++ Serving.queries ++ Seeding.queries ++
       OpsAudit.queries ++ graft.multimodal.Media.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -35,8 +35,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Analytics.oracles ++ AnalyticsExt.oracles ++ AnalyticsTs.oracles ++ IngestOps.oracles ++
       GeoOps.oracles ++ GeoProj.oracles ++ GeoGeom.oracles ++ GeoClip.oracles ++
-      GeoSimplify.oracles ++ GeoLines.oracles ++ GeoRaster.oracles ++
-      TextOps.oracles ++ TextModels.oracles ++ Dedup.oracles ++ Ann.oracles ++
-      Retrieval.oracles ++ Bpe.oracles ++ Pca.oracles ++ Asof.oracles ++ Serving.oracles ++
+      GeoSimplify.oracles ++ GeoLines.oracles ++ GeoRaster.oracles ++ GeoMeta.oracles ++
+      TextOps.oracles ++ TextModels.oracles ++ CorpusClean.oracles ++ Dedup.oracles ++ Ann.oracles ++
+      Retrieval.oracles ++ Bpe.oracles ++ Pca.oracles ++ Asof.oracles ++ Serving.oracles ++ Seeding.oracles ++
       OpsAudit.oracles ++ graft.multimodal.Media.oracles
 }

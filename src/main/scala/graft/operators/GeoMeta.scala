@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Synth
+
+/** §2 B (depth) — the two metadata/terrain legs the geo family was
+  * still missing:
+  *
+  *  - b53 `q_tilejson`: the TileJSON 3.0 metadata document every
+  *    published PMTiles archive carries (the PMTiles spec embeds a
+  *    JSON metadata blob; tippecanoe writes `vector_layers` +
+  *    `tilestats` into it — processing.py's pmtiles output relies on
+  *    it for the map client). Per dataset (user): bounds, center,
+  *    zoom range, and the per-layer `vector_layers` entries — the
+  *    whole document assembled as ONE deterministic JSON string both
+  *    engines state identically.
+  *  - b54 `q_slope_aspect`: gdaldem-style slope/aspect classification
+  *    (Horn 1981's 3×3 finite differences — the algorithm `gdaldem
+  *    slope`/`aspect` runs, the raster-side sibling of the reference's
+  *    GDAL conversions). The DEM is a synthesized integer surface
+  *    (a quarry bowl + modular texture), so every 3×3 neighbor is
+  *    CLOSED FORM — the whole stencil is map-only scalar math, no
+  *    self-join, no explode; slope buckets and 8-way aspect sectors
+  *    are decided by EXACT integer comparisons (thresholds are the
+  *    squared-tan constants stated literally in both engines — no
+  *    trig at query time, no IEEE divergence).
+  *
+  * Scale shapes: b53 is two bounded aggs (per-(user,layer) → per-user;
+  * the shuffle carries one row per layer, then one per user). b54 is
+  * map-only per event + the output sort — at 100 TB the stencil costs
+  * exactly one pass and zero exchanges; a REAL raster would read the
+  * 3×3 window via overlapping tile partitions, and the closed form
+  * here stands in for that locality (the classification algebra is
+  * the operator under test, identical either way).
+  */
+object GeoMeta {
+
+  // ------------------------------------------------------------------
+  // b53 — TileJSON metadata document
+  // ------------------------------------------------------------------
+
+  /** milli-degree integer → fixed 3-decimal string, identical algebra
+    * in both engines (sign + integer part + zero-padded fraction). */
+  private def milliStr(m: String, idiv: String): String =
+    s"(CASE WHEN ($m) < 0 THEN '-' ELSE '' END) || CAST(abs($m) $idiv 1000 AS %s) || '.' || lpad(CAST(abs($m) %% 1000 AS %s), 3, '0')"
+
+  private def milliSpark(m: String): String =
+    milliStr(m, "div").format("STRING", "STRING")
+  private def milliDuck(m: String): String =
+    milliStr(m, "//").format("VARCHAR", "VARCHAR")
+
+  /** b53 — `q_tilejson`: assemble each dataset's TileJSON 3.0 metadata
+    * document: bounds/center from the layer bboxes (in exact integer
+    * milli-degrees, rendered by string algebra — never a float
+    * format), maxzoom from b5's tippecanoe `-zg` guess per layer, and
+    * the lexicographically ordered `vector_layers` array. */
+  def qTilejson(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val lyr = e.select(col("user_id"), col("event_type"),
+        (col("event_id") * 2654435761L % 360000L - 180000L).as("lonm"),
+        (col("event_id") * 1327217873L % 170000L - 85000L).as("latm"))
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("features"),
+        min("lonm").as("x0"), min("latm").as("y0"),
+        max("lonm").as("x1"), max("latm").as("y1"))
+      .withColumn("zoom", expr("least(22, (length(bin(features)) + 1) div 2)"))
+      .withColumn("layer_json", expr(
+        """concat('{"id":"', event_type, '","minzoom":0,"maxzoom":',
+                  CAST(zoom AS STRING), ',"fields":{"event_id":"Number"}}')"""))
+    val cx = "(x0 + x1 + 720000) div 2 - 360000"
+    val cy = "(y0 + y1 + 720000) div 2 - 360000"
+    lyr.groupBy("user_id")
+      .agg(count(lit(1)).as("n_layers"),
+        sum("features").as("features"),
+        min("x0").as("x0"), min("y0").as("y0"),
+        max("x1").as("x1"), max("y1").as("y1"),
+        max("zoom").as("maxzoom"),
+        concat_ws(",", array_sort(collect_list(col("layer_json")))).as("layers_json"))
+      .withColumn("tilejson", expr(
+        s"""concat('{"tilejson":"3.0.0","name":"dataset_user', CAST(user_id AS STRING), '.pmtiles"',
+             ',"bounds":[', ${milliSpark("x0")}, ',', ${milliSpark("y0")}, ',',
+                            ${milliSpark("x1")}, ',', ${milliSpark("y1")},
+             '],"center":[', ${milliSpark(cx)}, ',', ${milliSpark(cy)}, ',', CAST(maxzoom AS STRING),
+             '],"minzoom":0,"maxzoom":', CAST(maxzoom AS STRING),
+             ',"vector_layers":[', layers_json, ']}')"""))
+      .select(col("user_id"), col("n_layers"),
+        col("features").cast("long").as("features"),
+        col("maxzoom").cast("int").as("maxzoom"), col("tilejson"))
+      .orderBy("user_id")
+  }
+
+  val qTilejsonSql: String = {
+    val cx = "(x0 + x1 + 720000) // 2 - 360000"
+    val cy = "(y0 + y1 + 720000) // 2 - 360000"
+    s"""WITH f AS (
+        SELECT user_id, event_type,
+          event_id * 2654435761 % 360000 - 180000 AS lonm,
+          event_id * 1327217873 % 170000 - 85000 AS latm
+        FROM events),
+      lyr AS (
+        SELECT user_id, event_type, count(*) AS features,
+          min(lonm) AS x0, min(latm) AS y0, max(lonm) AS x1, max(latm) AS y1,
+          LEAST(22, (length(bin(count(*))) + 1) // 2) AS zoom
+        FROM f GROUP BY 1, 2),
+      lj AS (
+        SELECT *, '{"id":"' || event_type || '","minzoom":0,"maxzoom":'
+          || CAST(zoom AS VARCHAR) || ',"fields":{"event_id":"Number"}}' AS layer_json
+        FROM lyr),
+      u AS (
+        SELECT user_id, count(*) AS n_layers, CAST(sum(features) AS BIGINT) AS features,
+          min(x0) AS x0, min(y0) AS y0, max(x1) AS x1, max(y1) AS y1,
+          max(zoom) AS maxzoom,
+          string_agg(layer_json, ',' ORDER BY layer_json) AS layers_json
+        FROM lj GROUP BY 1)
+      SELECT user_id, n_layers, features, CAST(maxzoom AS INT) AS maxzoom,
+        '{"tilejson":"3.0.0","name":"dataset_user' || CAST(user_id AS VARCHAR) || '.pmtiles"'
+        || ',"bounds":[' || ${milliDuck("x0")} || ',' || ${milliDuck("y0")} || ','
+                         || ${milliDuck("x1")} || ',' || ${milliDuck("y1")}
+        || '],"center":[' || ${milliDuck(cx)} || ',' || ${milliDuck(cy)} || ',' || CAST(maxzoom AS VARCHAR)
+        || '],"minzoom":0,"maxzoom":' || CAST(maxzoom AS VARCHAR)
+        || ',"vector_layers":[' || layers_json || ']}' AS tilejson
+      FROM u ORDER BY user_id"""
+  }
+
+  // ------------------------------------------------------------------
+  // b54 — Horn slope/aspect classification
+  // ------------------------------------------------------------------
+
+  /** the synthesized integer DEM: a bowl centered at (256, 256) (so
+    * every aspect octant occurs) + a small modular texture term (so
+    * gradients aren't radially symmetric). Non-negative everywhere,
+    * floor division of non-negative integers = identical both engines. */
+  private def dem(x: String, y: String, idiv: String): String =
+    s"(((($x)-256)*(($x)-256)) $idiv 32) + (((($y)-256)*(($y)-256)) $idiv 48) + ((($x)*7 + ($y)*11) % 5)"
+
+  /** Horn 1981 3×3 weighted differences, ×8 (kept integer — the /8 and
+    * /cellsize never happen; the classification thresholds absorb them). */
+  private def horn(idiv: String): (String, String) = {
+    def z(dx: Int, dy: Int) = s"(${dem(s"x${fmt(dx)}", s"y${fmt(dy)}", idiv)})"
+    def fmt(d: Int) = if (d == 0) "" else if (d > 0) s"+$d" else s"$d"
+    val px8 = s"((${z(1, -1)} + 2*${z(1, 0)} + ${z(1, 1)}) - (${z(-1, -1)} + 2*${z(-1, 0)} + ${z(-1, 1)}))"
+    val py8 = s"((${z(-1, 1)} + 2*${z(0, 1)} + ${z(1, 1)}) - (${z(-1, -1)} + 2*${z(0, -1)} + ${z(1, -1)}))"
+    (px8, py8)
+  }
+
+  /** slope buckets: g2 = px8² + py8² compared against (8·cell·tanθ)²
+    * for cell = 30 m and θ = 5°/15°/30° — the squared-tan literals 441
+    * / 4136 / 19200 stated identically in both engines. Aspect: 8-way
+    * compass sector of the gradient by exact integer comparison
+    * against tan(22.5°) ≈ 41421/100000. */
+  private val classify =
+    """CASE WHEN g2 <= 441 THEN '0-5' WHEN g2 <= 4136 THEN '5-15'
+            WHEN g2 <= 19200 THEN '15-30' ELSE '30+' END"""
+  private val sector =
+    """CASE WHEN px8 = 0 AND py8 = 0 THEN 'flat'
+            WHEN 100000 * abs(py8) <= 41421 * abs(px8) THEN (CASE WHEN px8 > 0 THEN 'E' ELSE 'W' END)
+            WHEN 100000 * abs(px8) <= 41421 * abs(py8) THEN (CASE WHEN py8 > 0 THEN 'N' ELSE 'S' END)
+            WHEN px8 > 0 AND py8 > 0 THEN 'NE' WHEN px8 > 0 THEN 'SE'
+            WHEN py8 > 0 THEN 'NW' ELSE 'SW' END"""
+
+  /** b54 — `q_slope_aspect`: per grid cell the Horn gradient (×8, exact
+    * integers), the squared gradient magnitude, and the slope/aspect
+    * classification. Map-only: the DEM's closed form makes the 3×3
+    * stencil a scalar expression. */
+  def qSlopeAspect(spark: SparkSession, dir: String): DataFrame = {
+    val (px8, py8) = horn("div")
+    Tables.events(spark, dir).select(col("event_id"))
+      .withColumn("x", expr("1 + event_id % 510"))
+      .withColumn("y", expr("1 + (event_id * 37) % 510"))
+      .withColumn("zc", expr(dem("x", "y", "div")))
+      .withColumn("px8", expr(px8))
+      .withColumn("py8", expr(py8))
+      .withColumn("g2", expr("px8*px8 + py8*py8"))
+      .withColumn("slope_class", expr(classify))
+      .withColumn("aspect_sector", expr(sector))
+      .select("event_id", "x", "y", "zc", "px8", "py8", "g2",
+        "slope_class", "aspect_sector")
+      .orderBy("event_id")
+  }
+
+  val qSlopeAspectSql: String = {
+    val (px8, py8) = horn("//")
+    s"""WITH g AS (
+        SELECT event_id, 1 + event_id % 510 AS x, 1 + (event_id * 37) % 510 AS y
+        FROM events),
+      z AS (
+        SELECT event_id, x, y, ${dem("x", "y", "//")} AS zc,
+          $px8 AS px8, $py8 AS py8
+        FROM g),
+      c AS (SELECT *, px8*px8 + py8*py8 AS g2 FROM z)
+      SELECT event_id, x, y, zc, px8, py8, g2,
+        $classify AS slope_class,
+        $sector AS aspect_sector
+      FROM c ORDER BY event_id"""
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tilejson" -> (qTilejson _),
+    "q_slope_aspect" -> (qSlopeAspect _))
+
+  val oracles: Map[String, String] = Map(
+    "q_tilejson" -> qTilejsonSql,
+    "q_slope_aspect" -> qSlopeAspectSql)
+}

@@ -670,7 +670,70 @@ object OpsAudit {
       FROM tt JOIN cu ON cu.cum >= tt.target
       GROUP BY i, target ORDER BY quantile"""
 
+  // ------------------------------------------------------------------
+  // c84 — Benford first-digit ledger audit
+  // ------------------------------------------------------------------
+
+  /** Benford's-law expected first-digit shares, log10(1 + 1/d) in
+    * parts-per-million — LITERALS, so no engine evaluates log10 at
+    * query time (the same discipline as b54's squared-tan constants). */
+  private val benfordPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  /** c84 — `q_benford`: the classic forensic-accounting screen over the
+    * order ledger (Benford 1938; the standard public fraud/synthetic-
+    * data audit): the first significant digit of every order total vs
+    * the log-law expectation, with a per-digit χ² term (floored to integer units).
+    * First digit is integer/string algebra off floor(price·100) (both
+    * engines share IEEE multiply + floor — never a float-to-int CAST,
+    * whose rounding mode differs across engines). χ² rides ppm-scaled
+    * integers with two floor divisions, overflow-safe to ~10¹⁵ rows.
+    * One scan, one 9-bucket agg (map-side combinable), bounded output.
+    * The driver's synthetic ledger is uniform-ish, NOT Benford — the
+    * audit's point is that the deviation column exposes exactly that. */
+  def qBenford(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val obs = o.filter(col("o_totalprice") > 0)
+      .select(expr(
+        "CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS STRING), 1, 1) AS BIGINT)")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val expected = spark.createDataFrame(benfordPpm.map { case (d, p) => (d.toLong, p) })
+      .toDF("digit", "exp_ppm")
+    val total = obs.agg(sum("n").as("total"))
+    // 9-row expectation table broadcast against the 9-row observation;
+    // the crossJoin side is the 1-row grand total (bounded by design)
+    expected.join(broadcast(obs), Seq("digit"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("obs_ppm", expr("n * 1000000 div total"))
+      .withColumn("chi2_term", expr(
+        "((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) div exp_ppm) * total div 1000000"))
+      .select("digit", "n", "exp_ppm", "obs_ppm", "chi2_term")
+      .orderBy("digit")
+  }
+
+  val qBenfordSql: String = {
+    val vals = benfordPpm.map { case (d, p) => s"($d, $p)" }.mkString(", ")
+    s"""WITH d AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM orders WHERE o_totalprice > 0),
+      t AS (SELECT count(*) AS total FROM d),
+      obs AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+      exp AS (SELECT CAST(digit AS BIGINT) AS digit, CAST(exp_ppm AS BIGINT) AS exp_ppm
+              FROM (VALUES $vals) AS v(digit, exp_ppm)),
+      j AS (
+        SELECT e.digit, coalesce(o.n, 0) AS n, e.exp_ppm,
+          coalesce(o.n, 0) * 1000000 // t.total AS obs_ppm, t.total AS total
+        FROM exp e LEFT JOIN obs o ON e.digit = o.digit CROSS JOIN t)
+      SELECT digit, n, exp_ppm, obs_ppm,
+        ((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) // exp_ppm) * total // 1000000 AS chi2_term
+      FROM j ORDER BY digit"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_benford" -> (qBenford _),
     "q_equidepth" -> (qEquidepth _),
     "q_ks_drift" -> (qKsDrift _),
     "q_salted_auto" -> (qSaltedAuto _),
@@ -682,6 +745,7 @@ object OpsAudit {
     "q_triangles" -> (qTriangles _))
 
   val oracles: Map[String, String] = Map(
+    "q_benford" -> qBenfordSql,
     "q_equidepth" -> qEquidepthSql,
     "q_ks_drift" -> qKsDriftSql,
     "q_salted_auto" -> qSaltedAutoSql,

@@ -1,0 +1,100 @@
+package graft
+
+import graft.operators.CorpusClean
+import org.apache.spark.sql.functions._
+
+/** f46 Gopher rules / f47 C4 filters / d25 paragraph dedup. */
+class CorpusCleanSpec extends SparkTestBase {
+
+  test("f46 gopher rules: closed-form line counts match a rendered replay") {
+    val rows = CorpusClean.qGopherRules(spark, sfDir).collect()
+    assert(rows.length > 0)
+    // replay the modular template literally per doc and compare counts
+    rows.take(50).foreach { r =>
+      val (docId, nLines) = (r.getAs[Long]("doc_id"), r.getAs[Long]("n_lines"))
+      val mb = 1 + docId % 9
+      val me = 3 + docId % 9
+      val bullets = (0L until nLines).count(i => (docId * 31 + i) % mb == 0)
+      val ell = (0L until nLines).count(i => (docId * 37 + i) % me == 2)
+      assert(r.getAs[Long]("bullet_lines") == bullets, s"doc $docId bullets")
+      assert(r.getAs[Long]("ellipsis_lines") == ell, s"doc $docId ellipsis")
+    }
+  }
+
+  test("f46 gopher rules: every verdict is consistent with its stats") {
+    CorpusClean.qGopherRules(spark, sfDir).collect().foreach { r =>
+      val n = r.getAs[Long]("n_words")
+      assert(r.getAs[Boolean]("r_wordcount") == (n >= 50 && n <= 100000))
+      val pass = r.getAs[Boolean]("pass")
+      val ff = r.getAs[String]("first_fail")
+      assert(pass == (ff == "none"))
+      // all-bullet docs (mb = 1) with >=10 lines must trip the 90% cap
+      if (1 + r.getAs[Long]("doc_id") % 9 == 1 && r.getAs[Long]("n_lines") >= 10)
+        assert(!r.getAs[Boolean]("r_bullet"))
+    }
+    // the corpus must exercise more than one failure class
+    val fails = CorpusClean.qGopherRules(spark, sfDir)
+      .groupBy("first_fail").count().collect().map(_.getString(0)).toSet
+    assert(fails.contains("none") && fails.size >= 3, s"degenerate corpus: $fails")
+  }
+
+  test("f47 c4 filters: kept accounting is internally consistent") {
+    val rows = CorpusClean.qC4Filters(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("kept_lines") + r.getAs[Long]("dropped_lines")
+        == r.getAs[Long]("n_lines"))
+      assert(r.getAs[Long]("kept_words") >= 0)
+      if (r.getAs[Boolean]("doc_kept")) {
+        assert(r.getAs[Long]("kept_lines") >= 3)
+        assert(!r.getAs[Boolean]("has_lorem"))
+      }
+      // every kept line carries >=5 words and >=9 rendered chars
+      if (r.getAs[Long]("kept_lines") > 0)
+        assert(r.getAs[Long]("kept_chars") > r.getAs[Long]("kept_words"))
+    }
+    // both drop reasons must fire somewhere
+    assert(rows.exists(r => r.getAs[Boolean]("has_lorem")))
+    assert(rows.exists(r => r.getAs[Long]("dropped_lines") > 0))
+    assert(rows.exists(r => !r.getAs[Boolean]("doc_kept")))
+  }
+
+  test("d25 paragraph dedup: keep-first is corpus-wide and exactly-once") {
+    val rows = CorpusClean.qDedupParagraph(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("kept_para") + r.getAs[Long]("dropped_para")
+        == r.getAs[Long]("n_para"))
+    }
+    // the planted boilerplate class guarantees cross-doc duplicates
+    assert(rows.map(_.getAs[Long]("dropped_para")).sum > 0)
+    // each of the three boilerplate variants is kept exactly once
+    // corpus-wide: total kept = distinct paragraph keys
+    val totalKept = rows.map(_.getAs[Long]("kept_para")).sum
+    val distinctKeys = {
+      import spark.implicits._
+      val d = Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"),
+          expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_words"))
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, (n_words + 15) div 16 - 1), idx ->
+               CASE WHEN (doc_id * 7 + idx) % 13 = 0
+                 THEN concat('boilerplate footer v', CAST(idx % 3 AS STRING))
+                 ELSE array_join(slice(w, CAST(idx * 16 + 1 AS INT), 16), ' ') END)"""))
+          .as("content"))
+      d.select("content").distinct().count()
+    }
+    assert(totalKept == distinctKeys)
+  }
+
+  test("f46/f47 are map-only: no exchange before the output sort") {
+    Seq(CorpusClean.qGopherRules(spark, sfDir), CorpusClean.qC4Filters(spark, sfDir))
+      .foreach { df =>
+        val plan = df.queryExecution.optimizedPlan.toString()
+        assert(!plan.contains("Join"), "unexpected join")
+        val physical = df.queryExecution.executedPlan.toString()
+        // exactly the one exchange the global output sort needs
+        val exchanges = "Exchange".r.findAllIn(physical).length
+        assert(exchanges <= 2, s"too many exchanges:\n$physical")
+        assert(!physical.contains("Generate"), "unexpected explode")
+      }
+  }
+}

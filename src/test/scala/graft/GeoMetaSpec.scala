@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.GeoMeta
+
+/** b53 TileJSON document / b54 Horn slope-aspect. */
+class GeoMetaSpec extends SparkTestBase {
+
+  test("b53 tilejson: every document parses as JSON with the spec keys") {
+    val rows = GeoMeta.qTilejson(spark, sfDir).collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val tj = r.getAs[String]("tilejson")
+      // structural JSON validation via Spark's own parser
+      import org.apache.spark.sql.functions._
+      val parsed = spark.sql(
+        s"SELECT get_json_object('${tj.replace("'", "''")}', '$$.tilejson') AS v," +
+          s" get_json_object('${tj.replace("'", "''")}', '$$.maxzoom') AS z," +
+          s" get_json_object('${tj.replace("'", "''")}', '$$.vector_layers[0].id') AS l0")
+        .collect()(0)
+      assert(parsed.getString(0) == "3.0.0")
+      assert(parsed.getString(1) == r.getAs[Int]("maxzoom").toString)
+      assert(parsed.getString(2) != null, s"vector_layers empty in $tj")
+      // bounds render as fixed 3-decimal strings, never scientific
+      assert(!tj.contains("E-") && !tj.contains("e-"))
+    }
+  }
+
+  test("b53 tilejson: bounds contain center, layer count matches") {
+    GeoMeta.qTilejson(spark, sfDir).collect().foreach { r =>
+      val tj = r.getAs[String]("tilejson")
+      val bounds = """"bounds":\[([-0-9.,]+)\]""".r
+        .findFirstMatchIn(tj).get.group(1).split(",").map(_.toDouble)
+      val center = """"center":\[([-0-9.,]+)\]""".r
+        .findFirstMatchIn(tj).get.group(1).split(",").map(_.toDouble)
+      assert(bounds(0) <= center(0) && center(0) <= bounds(2))
+      assert(bounds(1) <= center(1) && center(1) <= bounds(3))
+      val nLayers = """"id":""".r.findAllIn(tj).length
+      assert(nLayers == r.getAs[Long]("n_layers"))
+    }
+  }
+
+  test("b54 slope/aspect: exact stencil replay + classification invariants") {
+    val rows = GeoMeta.qSlopeAspect(spark, sfDir).collect()
+    def dem(x: Long, y: Long): Long =
+      (x - 256) * (x - 256) / 32 + (y - 256) * (y - 256) / 48 + (x * 7 + y * 11) % 5
+    rows.take(100).foreach { r =>
+      val (x, y) = (r.getAs[Long]("x"), r.getAs[Long]("y"))
+      val px8 = (dem(x + 1, y - 1) + 2 * dem(x + 1, y) + dem(x + 1, y + 1)) -
+        (dem(x - 1, y - 1) + 2 * dem(x - 1, y) + dem(x - 1, y + 1))
+      val py8 = (dem(x - 1, y + 1) + 2 * dem(x, y + 1) + dem(x + 1, y + 1)) -
+        (dem(x - 1, y - 1) + 2 * dem(x, y - 1) + dem(x + 1, y - 1))
+      assert(r.getAs[Long]("px8") == px8, s"px8 at ($x,$y)")
+      assert(r.getAs[Long]("py8") == py8, s"py8 at ($x,$y)")
+      assert(r.getAs[Long]("g2") == px8 * px8 + py8 * py8)
+    }
+    // the bowl guarantees every aspect octant and >=3 slope classes occur
+    val sectors = rows.map(_.getAs[String]("aspect_sector")).toSet
+    assert(Set("N", "S", "E", "W", "NE", "NW", "SE", "SW").subsetOf(sectors), s"$sectors")
+    val classes = rows.map(_.getAs[String]("slope_class")).toSet
+    assert(classes.size >= 3, s"$classes")
+  }
+
+  test("b54 slope/aspect is map-only: no join, no Generate, one exchange") {
+    val df = GeoMeta.qSlopeAspect(spark, sfDir)
+    val physical = df.queryExecution.executedPlan.toString()
+    assert(!physical.contains("Join"), "unexpected join")
+    assert(!physical.contains("Generate"), "unexpected explode")
+    // the output sort's range exchange is the only one
+    assert("Exchange".r.findAllIn(physical).length <= 1, physical)
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.{OpsAudit, Seeding}
+
+/** e28 Gonzalez k-center seeding / c84 Benford ledger audit. */
+class SeedingSpec extends SparkTestBase {
+
+  test("e28 k-center: radius sequence is non-increasing and centers distinct") {
+    val rows = Seeding.qKcenterSeed(spark, sfDir).collect()
+    assert(rows.length == 5)
+    val bySteps = rows.sortBy(_.getAs[Int]("step"))
+    assert(bySteps.head.getAs[Long]("center_id") == 0L)
+    assert(bySteps.head.getAs[Long]("radius2") == 0L)
+    // Gonzalez invariant: each round's max-min radius never grows
+    val radii = bySteps.tail.map(_.getAs[Long]("radius2"))
+    radii.sliding(2).foreach { case Array(a, b) => assert(b <= a, s"$a -> $b") }
+    // chosen centers are distinct (a repeat would mean radius 0)
+    val centers = bySteps.take(4).map(_.getAs[Long]("center_id"))
+    assert(centers.toSet.size == 4, centers.mkString(","))
+    assert(radii.forall(_ > 0))
+  }
+
+  test("e28 k-center: round-1 pick is the true farthest vector (brute replay)") {
+    import org.apache.spark.sql.functions._
+    val q = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT))").as("qv"))
+    val c0 = q.filter(col("vec_id") === 0).select("qv").collect()(0).getSeq[Long](0)
+    val all = q.collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val best = all.map { case (id, v) =>
+      (id, v.zip(c0).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }.maxBy { case (id, d) => (d, -id) }
+    val picked = Seeding.qKcenterSeed(spark, sfDir).collect()
+      .find(_.getAs[Int]("step") == 1).get
+    assert(picked.getAs[Long]("center_id") == best._1)
+    assert(picked.getAs[Long]("radius2") == best._2)
+  }
+
+  test("c84 benford: digit shares sum to ~1e6 ppm and flag the uniform ledger") {
+    val rows = OpsAudit.qBenford(spark, sfDir).collect()
+    assert(rows.length == 9)
+    assert(rows.map(_.getAs[Long]("exp_ppm")).sum == 1000000L)
+    val obsSum = rows.map(_.getAs[Long]("obs_ppm")).sum
+    assert(obsSum > 999990L && obsSum <= 1000000L, s"obs ppm sum $obsSum")
+    assert(rows.map(_.getAs[Long]("n")).sum ==
+      Tables(spark, sfDir, "orders").filter("o_totalprice > 0").count())
+    // the synthetic ledger is uniform-ish, NOT Benford: χ² must be large
+    val chi2 = rows.map(_.getAs[Long]("chi2_term")).sum
+    assert(chi2 > 21L, s"chi2 $chi2 — 15.5 is the 8-dof 95% line")
+  }
+}
