@@ -111,6 +111,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => graft.functions.Reproject(
         exprs(0), exprs(1), exprs(2))))
     ext.injectFunction((
+      FunctionIdentifier("graft_qdist2"),
+      new ExpressionInfo(classOf[graft.functions.QuantDist2].getCanonicalName,
+        "graft_qdist2"),
+      (exprs: Seq[Expression]) => graft.functions.QuantDist2(exprs(0), exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_topk_min"),
       new ExpressionInfo(classOf[graft.functions.TopKMin].getCanonicalName,
         "graft_topk_min"),

@@ -106,6 +106,61 @@ case class QuantDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Quantized squared L2 distance: Σ (floor(v_i · 2²⁰) − c_i)² in Long,
+  * for an array<float> vector against an array<long> center (usually a
+  * literal — e28's chosen centers ride the plan as array literals).
+  *
+  * Same exactness argument as [[QuantDot]] (float→double exact, ·2²⁰
+  * exact, floor exact ⇒ pure int64 arithmetic, order-insensitive,
+  * bit-identical to the oracle's relational restatement). Why native:
+  * the declarative form — transform to quantize, zip_with to diff,
+  * aggregate to fold — is interpreted per element; at 100× vectors the
+  * fold dominated e28's wall clock (12.3 s → the kernel keeps the whole
+  * distance inside whole-stage codegen). The spec pins kernel ≡ the
+  * declarative template on planted probes (the graft_geohash8
+  * discipline). */
+case class QuantDist2(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_qdist2"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = math.floor(x.getFloat(i).toDouble * 1048576.0).toLong - y.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        long $s = 0L;
+        for (int $i = 0; $i < $n; $i++) {
+          long $d = (long) java.lang.Math.floor((double) $a.getFloat($i) * 1048576.0) - $b.getLong($i);
+          $s += $d * $d;
+        }
+        ${ev.value} = $s;
+      """
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): QuantDist2 =
+    copy(left = newLeft, right = newRight)
+}
+
 object GraftFunctions {
   /** Register graft-native expressions and rules on an EXISTING
     * session (idempotent) — the runtime fallback for sessions built
@@ -121,7 +176,7 @@ object GraftFunctions {
     // forgetting to bump this would silently skip it in any session
     // that registered the older set first
     if (spark.sessionState.functionRegistry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_topk_min")))
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_qdist2")))
       return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
@@ -166,10 +221,12 @@ object GraftFunctions {
       "graft_dp", exprs => DpSimplify(exprs(0), exprs(1), exprs(2)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_reproject", exprs => Reproject(exprs(0), exprs(1), exprs(2)), "built-in")
-    // graft_topk_min is the registration sentinel (newest function) —
-    // keep it LAST here and mirrored in GraftExtensions
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_topk_min", exprs => TopKMin(exprs(0), exprs(1)), "built-in")
+    // graft_qdist2 is the registration sentinel (newest function) —
+    // keep it LAST here and mirrored in GraftExtensions
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_qdist2", exprs => QuantDist2(exprs(0), exprs(1)), "built-in")
     if (!spark.experimental.extraOptimizations.contains(graft.plans.IntersectCountRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.IntersectCountRewrite

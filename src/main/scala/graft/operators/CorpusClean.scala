@@ -70,7 +70,7 @@ object CorpusClean {
   /** closed-form count of i in [0, n) with (a + i) % m = r (m, r
     * non-negative integer expressions; a any non-negative integer
     * expression). First hit i0 = ((r - a % m) + m) % m, then every m. */
-  private def cntMod(a: String, r: String, m: String, n: String): String =
+  private[graft] def cntMod(a: String, r: String, m: String, n: String): String =
     s"CASE WHEN ((($r) - ($a) % ($m)) + ($m)) % ($m) < ($n)" +
       s" THEN (($n) - 1 - ((($r) - ($a) % ($m)) + ($m)) % ($m)) div ($m) + 1 ELSE 0 END"
 
@@ -258,23 +258,28 @@ object CorpusClean {
     * packed long, word count) — paragraph TEXT never shuffles) → one
     * doc-keyed agg. The keep-first rule needs every occurrence of a
     * key in one place; one exchange is the floor for that. */
+  /** shared paragraph explode (d25 batch + h35 streaming guard): doc
+    * rows (doc_id, text) → one row per paragraph occurrence with its
+    * 16-hex key, word count and packed (doc_id, idx) order. The same
+    * column chain runs over a static OR streaming DataFrame. */
+  def paragraphOccurrences(d: DataFrame): DataFrame = d
+    .withColumn("w", expr("split(text, ' ')"))
+    .withColumn("n_words", expr("CAST(size(w) AS BIGINT)"))
+    .select(col("doc_id"), explode(expr(
+      """transform(sequence(0, (n_words + 15) div 16 - 1), idx -> named_struct(
+           'idx', idx,
+           'content', CASE WHEN (doc_id * 7 + idx) % 13 = 0
+             THEN concat('boilerplate footer v', CAST(idx % 3 AS STRING))
+             ELSE array_join(slice(w, CAST(idx * 16 + 1 AS INT), 16), ' ') END))"""))
+      .as("p"))
+    .select(col("doc_id"),
+      expr("substr(md5(p.content), 1, 16)").as("h"),
+      expr("CAST(size(split(p.content, ' ')) AS BIGINT)").as("pw"),
+      expr("doc_id * 65536 + p.idx").as("packed"))
+
   def qDedupParagraph(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.fanout(
-      Tables(spark, dir, "documents").select(col("doc_id"), col("text")))
-    val paras = d
-      .withColumn("w", expr("split(text, ' ')"))
-      .withColumn("n_words", expr("CAST(size(w) AS BIGINT)"))
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(0, (n_words + 15) div 16 - 1), idx -> named_struct(
-             'idx', idx,
-             'content', CASE WHEN (doc_id * 7 + idx) % 13 = 0
-               THEN concat('boilerplate footer v', CAST(idx % 3 AS STRING))
-               ELSE array_join(slice(w, CAST(idx * 16 + 1 AS INT), 16), ' ') END))"""))
-        .as("p"))
-      .select(col("doc_id"),
-        expr("substr(md5(p.content), 1, 16)").as("h"),
-        expr("CAST(size(split(p.content, ' ')) AS BIGINT)").as("pw"),
-        expr("doc_id * 65536 + p.idx").as("packed"))
+    val paras = paragraphOccurrences(Tables.fanout(
+      Tables(spark, dir, "documents").select(col("doc_id"), col("text"))))
     paras
       .withColumn("mn", min(col("packed")).over(Window.partitionBy("h")))
       .groupBy("doc_id")
@@ -313,13 +318,242 @@ object CorpusClean {
         CAST(sum(CASE WHEN packed = mn THEN pw ELSE 0 END) AS BIGINT) AS kept_words
       FROM k GROUP BY doc_id ORDER BY doc_id"""
 
+  // ------------------------------------------------------------------
+  // f48 — CCNet perplexity buckets
+  // ------------------------------------------------------------------
+
+  /** f48 — `q_ccnet_buckets`: CCNet's head/middle/tail split (Wenzek
+    * et al. 2020): per LANGUAGE, bucket documents by unigram-LM
+    * cross-entropy terciles — head (most fluent third) is what
+    * high-quality pretraining mixes keep, tail is what they drop or
+    * down-weight. The LM and per-token micro-nat quantization are
+    * f18's (integer log-probs summed exactly); per-doc cross-entropy
+    * quantizes to MILLI-nats so the tercile thresholds read off a
+    * VALUE histogram whose size is bounded by the ce dynamic range —
+    * never the doc count (c73/a26's prune argument: the cumsum window
+    * input is one row per distinct (lang, ce_milli), ≤ a few thousand
+    * rows at any corpus size; a per-doc rank window would sort the
+    * corpus). Threshold semantics: smallest ce with cum ≥ ⌈n/3⌉ (3·cum
+    * ≥ n in integers) — ties share a bucket, which is exactly how a
+    * VALUE threshold behaves in production CCNet.
+    *
+    * Plan: token explode → ≤200-row broadcast model → one doc-keyed
+    * agg → milli-nat map → bounded histogram agg → bounded cumsum →
+    * per-lang thresholds broadcast back → 12-row rollup. */
+  def qCcnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.fanout(
+      Tables(spark, dir, "documents").select(col("doc_id"), col("lang"), col("text")))
+    val toks = d.select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("n"))
+    val model = counts.orderBy(col("cnt").desc, col("tok")).limit(200)
+      .crossJoin(broadcast(total))
+      .select(col("tok"),
+        round(log(col("cnt").cast("double") / col("n").cast("double")) * lit(1e6))
+          .cast("long").as("lpq"))
+    val perDoc = toks.join(broadcast(model), Seq("tok"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("lp", coalesce(col("lpq"),
+        round(-log(col("n").cast("double") + 1.0) * lit(1e6)).cast("long")))
+      .groupBy("doc_id", "lang")
+      .agg((-sum(col("lp"))).as("lp_sum"), count(lit(1)).as("n_tok"))
+      .withColumn("ce_milli", expr("lp_sum div (n_tok * 1000)"))
+      // two consumers (histogram chain + final assignment): materialize
+      // the compact per-doc table once instead of re-running the token
+      // join per consumer (the basket-family AQE-subtree lesson)
+      .localCheckpoint(false)
+    val hist = perDoc.groupBy("lang", "ce_milli").agg(count(lit(1)).as("nd"))
+    val cum = hist.withColumn("cumn",
+      sum("nd").over(org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("ce_milli")))
+    val tot = hist.groupBy("lang").agg(sum("nd").as("n"))
+    val th = cum.join(tot, "lang")
+      .groupBy("lang")
+      .agg(min(when(expr("3 * cumn >= n"), col("ce_milli"))).as("t1"),
+        min(when(expr("3 * cumn >= 2 * n"), col("ce_milli"))).as("t2"))
+    perDoc.join(broadcast(th), "lang")
+      .withColumn("bucket", expr(
+        "CASE WHEN ce_milli <= t1 THEN 'head' WHEN ce_milli <= t2 THEN 'middle' ELSE 'tail' END"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min("ce_milli").as("ce_lo"), max("ce_milli").as("ce_hi"))
+      .orderBy("lang", "bucket")
+  }
+
+  val qCcnetBucketsSql: String =
+    """WITH toks AS (
+        SELECT doc_id, lang, t AS tok FROM (
+          SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t FROM documents) x
+        WHERE length(t) > 0),
+      counts AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+      total AS (SELECT SUM(cnt) AS n FROM counts),
+      model AS (
+        SELECT tok, CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS lpq
+        FROM counts, total ORDER BY cnt DESC, tok LIMIT 200),
+      perdoc AS (
+        SELECT t.doc_id, t.lang,
+          CAST(-SUM(COALESCE(m.lpq, CAST(round(-ln(CAST(tt.n AS DOUBLE) + 1.0) * 1e6) AS BIGINT))) AS BIGINT) AS lp_sum,
+          COUNT(*) AS n_tok
+        FROM toks t LEFT JOIN model m ON t.tok = m.tok, total tt
+        GROUP BY 1, 2),
+      ced AS (SELECT doc_id, lang, lp_sum // (n_tok * 1000) AS ce_milli FROM perdoc),
+      hist AS (SELECT lang, ce_milli, COUNT(*) AS nd FROM ced GROUP BY 1, 2),
+      cum AS (SELECT *, SUM(nd) OVER (PARTITION BY lang ORDER BY ce_milli) AS cumn FROM hist),
+      tot AS (SELECT lang, SUM(nd) AS n FROM hist GROUP BY 1),
+      th AS (
+        SELECT c.lang,
+          MIN(CASE WHEN 3 * cumn >= t.n THEN ce_milli END) AS t1,
+          MIN(CASE WHEN 3 * cumn >= 2 * t.n THEN ce_milli END) AS t2
+        FROM cum c JOIN tot t ON c.lang = t.lang GROUP BY 1),
+      assign AS (
+        SELECT d.lang,
+          CASE WHEN d.ce_milli <= th.t1 THEN 'head'
+               WHEN d.ce_milli <= th.t2 THEN 'middle' ELSE 'tail' END AS bucket,
+          d.ce_milli
+        FROM ced d JOIN th ON d.lang = th.lang)
+      SELECT lang, bucket, COUNT(*) AS n_docs,
+        MIN(ce_milli) AS ce_lo, MAX(ce_milli) AS ce_hi
+      FROM assign GROUP BY 1, 2 ORDER BY lang, bucket"""
+
+  // ------------------------------------------------------------------
+  // d26 — cross-source contamination matrix
+  // ------------------------------------------------------------------
+
+  /** d26 — `q_dedup_cross_source`: the SOURCE-pair contamination
+    * matrix (the train/test-split hygiene check at source granularity
+    * — f10/f15 decontaminate docs against an EVAL set, this audits
+    * every ingested source against every other: two feeds sharing
+    * paragraphs is how benchmark leakage and double-licensed content
+    * surface): for each source pair, the distinct paragraph keys they
+    * share and the Jaccard overlap in ppm. Here the shared surface is
+    * the planted boilerplate class — which is the honest real-world
+    * answer (cross-source overlap IS mostly boilerplate).
+    *
+    * Plan: distinct (source, key) pre-agg FIRST (the stream shrinks
+    * to one row per source-key before any pairing), then a hash-
+    * co-partitioned self-join on the key — pair generation is bounded
+    * by C(|sources|, 2) per key, never occurrences² — and a bounded
+    * pair agg; per-source key counts broadcast back for the Jaccard
+    * denominator. Output = one row per overlapping pair (≤ C(20,2)). */
+  def qDedupCrossSource(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.fanout(
+      Tables(spark, dir, "documents").select(col("doc_id"), col("source"), col("text")))
+      .withColumn("w", expr("split(text, ' ')"))
+      .withColumn("n_words", expr("CAST(size(w) AS BIGINT)"))
+      .select(col("doc_id"), col("source"), explode(expr(
+        """transform(sequence(0, (n_words + 15) div 16 - 1), idx ->
+             CASE WHEN (doc_id * 7 + idx) % 13 = 0
+               THEN concat('boilerplate footer v', CAST(idx % 3 AS STRING))
+               ELSE array_join(slice(w, CAST(idx * 16 + 1 AS INT), 16), ' ') END)"""))
+        .as("content"))
+      .select(col("source"), expr("substr(md5(content), 1, 16)").as("h"))
+      .distinct()
+    val k = base.groupBy("source").agg(count(lit(1)).as("nk"))
+    val pairs = base.as("a").join(base.as("b"),
+        expr("a.h = b.h AND a.source < b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("shared_keys"))
+    pairs
+      .join(broadcast(k.withColumnRenamed("source", "src_a").withColumnRenamed("nk", "nk_a")), "src_a")
+      .join(broadcast(k.withColumnRenamed("source", "src_b").withColumnRenamed("nk", "nk_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("shared_keys"),
+        expr("shared_keys * 1000000 div (nk_a + nk_b - shared_keys)").as("overlap_ppm"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val qDedupCrossSourceSql: String =
+    """WITH base AS (
+        SELECT doc_id, source, string_split(text, ' ') AS w,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+        FROM documents),
+      pp AS (
+        SELECT doc_id, source, unnest(generate_series(0, (n_words + 15) // 16 - 1)) AS idx, w
+        FROM base),
+      c AS (
+        SELECT DISTINCT source,
+          substr(md5(CASE WHEN (doc_id * 7 + idx) % 13 = 0
+               THEN 'boilerplate footer v' || CAST(idx % 3 AS VARCHAR)
+               ELSE array_to_string(list_slice(w, idx * 16 + 1, idx * 16 + 16), ' ') END), 1, 16) AS h
+        FROM pp),
+      k AS (SELECT source, count(*) AS nk FROM c GROUP BY 1),
+      j AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared_keys
+            FROM c a JOIN c b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2)
+      SELECT j.src_a, j.src_b, j.shared_keys,
+        CAST(j.shared_keys * 1000000 // (ka.nk + kb.nk - j.shared_keys) AS BIGINT) AS overlap_ppm
+      FROM j JOIN k ka ON j.src_a = ka.source JOIN k kb ON j.src_b = kb.source
+      ORDER BY src_a, src_b"""
+
+  // ------------------------------------------------------------------
+  // f49 — per-source data card
+  // ------------------------------------------------------------------
+
+  /** f49 — `q_data_card`: the per-SOURCE dataset card ("datasheets for
+    * datasets", Gebru et al. 2018 — the one-page hygiene summary a
+    * training-data lake publishes per ingested source): document and
+    * word volume, language spread, Gopher pass rate, C4 keep rate and
+    * paragraph-duplication rate, each in integer ppm. A source whose
+    * card shows a collapsing pass rate or a boilerplate explosion gets
+    * cut from the mix before it poisons a run — the readout f39's
+    * mixing weights consume.
+    *
+    * Composition capstone (f28's discipline): the card JOINS the f46 /
+    * f47 / d25 verdicts per doc — each sub-plan is the REGISTERED
+    * operator itself, not a re-derivation, so the card can never
+    * disagree with the family it summarizes. Cost = the three
+    * sub-plans + row-scale doc_id joins + one bounded source agg. */
+  def qDataCard(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("words"))
+    val g = qGopherRules(spark, dir).select(col("doc_id"), col("pass"))
+    val c = qC4Filters(spark, dir).select(col("doc_id"), col("doc_kept"))
+    val p = qDedupParagraph(spark, dir)
+      .select(col("doc_id"), col("n_para"), col("dropped_para"))
+    d.join(g, "doc_id").join(c, "doc_id").join(p, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"),
+        sum("words").as("words"),
+        countDistinct(col("lang")).as("langs"),
+        expr("sum(CAST(pass AS BIGINT)) * 1000000 div count(1)").as("gopher_pass_ppm"),
+        expr("sum(CAST(doc_kept AS BIGINT)) * 1000000 div count(1)").as("c4_keep_ppm"),
+        expr("sum(dropped_para) * 1000000 div sum(n_para)").as("para_dup_ppm"))
+      .orderBy("source")
+  }
+
+  val qDataCardSql: String =
+    s"""WITH g AS ($qGopherRulesSql),
+      c AS ($qC4FiltersSql),
+      p AS ($qDedupParagraphSql),
+      d AS (
+        SELECT doc_id, source, lang,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS words
+        FROM documents)
+      SELECT d.source, count(*) AS docs,
+        CAST(sum(d.words) AS BIGINT) AS words,
+        CAST(count(DISTINCT d.lang) AS BIGINT) AS langs,
+        CAST(sum(CAST(g.pass AS BIGINT)) * 1000000 // count(*) AS BIGINT) AS gopher_pass_ppm,
+        CAST(sum(CAST(c.doc_kept AS BIGINT)) * 1000000 // count(*) AS BIGINT) AS c4_keep_ppm,
+        CAST(sum(p.dropped_para) * 1000000 // sum(p.n_para) AS BIGINT) AS para_dup_ppm
+      FROM d JOIN g ON d.doc_id = g.doc_id
+             JOIN c ON d.doc_id = c.doc_id
+             JOIN p ON d.doc_id = p.doc_id
+      GROUP BY d.source ORDER BY d.source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gopher_rules" -> (qGopherRules _),
     "q_c4_filters" -> (qC4Filters _),
-    "q_dedup_paragraph" -> (qDedupParagraph _))
+    "q_dedup_paragraph" -> (qDedupParagraph _),
+    "q_ccnet_buckets" -> (qCcnetBuckets _),
+    "q_dedup_cross_source" -> (qDedupCrossSource _),
+    "q_data_card" -> (qDataCard _))
 
   val oracles: Map[String, String] = Map(
     "q_gopher_rules" -> qGopherRulesSql,
     "q_c4_filters" -> qC4FiltersSql,
-    "q_dedup_paragraph" -> qDedupParagraphSql)
+    "q_dedup_paragraph" -> qDedupParagraphSql,
+    "q_ccnet_buckets" -> qCcnetBucketsSql,
+    "q_dedup_cross_source" -> qDedupCrossSourceSql,
+    "q_data_card" -> qDataCardSql)
 }

@@ -196,11 +196,105 @@ object GeoMeta {
       FROM c ORDER BY event_id"""
   }
 
+  // ------------------------------------------------------------------
+  // b55 — tippecanoe tile buffer
+  // ------------------------------------------------------------------
+
+  /** b55 — `q_tile_buffer`: tippecanoe's tile BUFFER (`--buffer=5`,
+    * the default: a feature within 5/256 of a tile edge is also
+    * emitted into the adjacent tile, so geometries render seamlessly
+    * across tile seams — the duplication-by-design every real tiler
+    * does and the missing sibling of b3's assignment and b46's drop).
+    * Per z=8 tile: own features, buffered copies received, and the
+    * render total — the storage-amplification readout (`buffered /
+    * own`) that decides whether a layer's buffer is affordable.
+    *
+    * Membership is ≤4 copies per feature (a feature near a corner
+    * lands in ≤2 x-choices × ≤2 y-choices, the cross product covers
+    * the diagonal neighbor exactly as tippecanoe does); the in-tile
+    * fractional position reuses the SAME float mercator template as
+    * b3/b13 (shared literally with the oracle — floor quantizes, edge
+    * compares are measure-zero). Map-only membership build → two
+    * bounded explodes (≤2 each) → ONE tile-keyed map-side-combinable
+    * agg; the shuffle carries one row per RENDERED (tile, feature)
+    * copy — at 100 TB the ~4 % copy overhead IS the operator's
+    * output, not a plan artifact. */
+  def qTileBuffer(spark: SparkSession, dir: String): DataFrame = {
+    val n = 256 // z = 8
+    val e = Tables.events(spark, dir).select(col("event_id"))
+      .withColumn("lon", Synth.lon(col("event_id")))
+      .withColumn("latc", expr(
+        s"GREATEST(LEAST((${Synth.latSql}), 85.05112878), -85.05112878)"))
+      .withColumn("xf", expr(s"(lon + 180.0) / 360.0 * $n"))
+      .withColumn("yf", expr(
+        s"(1.0 - ln(tan(radians(latc)) + 1.0 / cos(radians(latc))) / pi()) / 2.0 * $n"))
+      .withColumn("xt", expr(s"CAST(LEAST(FLOOR(xf), ${n - 1}) AS INT)"))
+      .withColumn("yt", expr(s"CAST(GREATEST(LEAST(FLOOR(yf), ${n - 1}), 0) AS INT)"))
+      .withColumn("fx", expr("(xf - xt) * 256.0"))
+      .withColumn("fy", expr("(yf - yt) * 256.0"))
+      .withColumn("dxs", expr(
+        s"""concat(array(0), CASE WHEN fx < 5.0D AND xt > 0 THEN array(-1)
+             WHEN fx >= 251.0D AND xt < ${n - 1} THEN array(1)
+             ELSE CAST(array() AS ARRAY<INT>) END)"""))
+      .withColumn("dys", expr(
+        s"""concat(array(0), CASE WHEN fy < 5.0D AND yt > 0 THEN array(-1)
+             WHEN fy >= 251.0D AND yt < ${n - 1} THEN array(1)
+             ELSE CAST(array() AS ARRAY<INT>) END)"""))
+    e.select(col("event_id"), col("xt"), col("yt"),
+        explode(col("dxs")).as("dx"), col("dys"))
+      .select(col("event_id"), col("xt"), col("yt"), col("dx"),
+        explode(col("dys")).as("dy"))
+      .select((col("xt") + col("dx")).as("xr"), (col("yt") + col("dy")).as("yr"),
+        expr("CAST(dx = 0 AND dy = 0 AS BIGINT)").as("own_flag"))
+      .groupBy("xr", "yr")
+      .agg(sum("own_flag").as("own"),
+        sum(expr("1 - own_flag")).as("buffered"),
+        count(lit(1)).as("render_total"))
+      .orderBy("xr", "yr")
+  }
+
+  val qTileBufferSql: String = {
+    val n = 256
+    s"""WITH t AS (
+        SELECT event_id, (${Synth.lonSql}) AS lon,
+          GREATEST(LEAST((${Synth.latSql}), 85.05112878), -85.05112878) AS latc
+        FROM events),
+      m AS (
+        SELECT event_id,
+          (lon + 180.0) / 360.0 * $n AS xf,
+          (1.0 - ln(tan(radians(latc)) + 1.0 / cos(radians(latc))) / pi()) / 2.0 * $n AS yf
+        FROM t),
+      p AS (
+        SELECT event_id,
+          CAST(LEAST(FLOOR(xf), ${n - 1}) AS INT) AS xt,
+          CAST(GREATEST(LEAST(FLOOR(yf), ${n - 1}), 0) AS INT) AS yt,
+          (xf - CAST(LEAST(FLOOR(xf), ${n - 1}) AS INT)) * 256.0 AS fx,
+          (yf - CAST(GREATEST(LEAST(FLOOR(yf), ${n - 1}), 0) AS INT)) * 256.0 AS fy
+        FROM m),
+      mem AS (
+        SELECT event_id, xt, yt,
+          [0] || (CASE WHEN fx < 5.0 AND xt > 0 THEN [-1]
+                       WHEN fx >= 251.0 AND xt < ${n - 1} THEN [1] ELSE [] END) AS dxs,
+          [0] || (CASE WHEN fy < 5.0 AND yt > 0 THEN [-1]
+                       WHEN fy >= 251.0 AND yt < ${n - 1} THEN [1] ELSE [] END) AS dys
+        FROM p),
+      cp AS (
+        SELECT xt + dx AS xr, yt + dy AS yr, (dx = 0 AND dy = 0) AS own
+        FROM mem, unnest(dxs) AS a(dx), unnest(dys) AS b(dy))
+      SELECT xr, yr,
+        CAST(sum(CASE WHEN own THEN 1 ELSE 0 END) AS BIGINT) AS own,
+        CAST(sum(CASE WHEN own THEN 0 ELSE 1 END) AS BIGINT) AS buffered,
+        count(*) AS render_total
+      FROM cp GROUP BY 1, 2 ORDER BY xr, yr"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tilejson" -> (qTilejson _),
-    "q_slope_aspect" -> (qSlopeAspect _))
+    "q_slope_aspect" -> (qSlopeAspect _),
+    "q_tile_buffer" -> (qTileBuffer _))
 
   val oracles: Map[String, String] = Map(
     "q_tilejson" -> qTilejsonSql,
-    "q_slope_aspect" -> qSlopeAspectSql)
+    "q_slope_aspect" -> qSlopeAspectSql,
+    "q_tile_buffer" -> qTileBufferSql)
 }

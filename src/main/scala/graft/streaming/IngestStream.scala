@@ -214,6 +214,39 @@ object IngestStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("contentKey")
 
+  case class ParaOcc(docId: Long, idx: Long, h: String, pw: Long)
+  case class ParaVerdict(docId: Long, idx: Long, h: String, kept: Boolean)
+
+  /** h35 — streaming PARAGRAPH dedup guard: the keep-first-corpus-wide
+    * rule of the batch d25 (CCNet paragraph dedup) applied as documents
+    * stream in. Occurrences of one paragraph key group under
+    * flatMapGroupsWithState; the state is ONE packed long per DISTINCT
+    * paragraph — the first (doc_id, idx) admitted. Within a batch the
+    * group iterator replays in packed order (the family's monotone-feed
+    * discipline), so under an in-order feed the admitted set is
+    * IDENTICAL under any batching and equals the batch d25's keep-first
+    * exactly (spec-proven on adversarial re-batchings). State
+    * cardinality = distinct paragraphs — the same side the batch pair
+    * graph carries; production backs it with RocksDB (h12) and ages
+    * the roster by watermark, with the batch d25 owning history beyond
+    * the horizon (h5/h22's division of labor). */
+  def streamingParagraphGuard(paras: Dataset[ParaOcc]): Dataset[ParaVerdict] = {
+    import paras.sparkSession.implicits._
+    paras.groupByKey(_.h)
+      .flatMapGroupsWithState[Long, ParaVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (h: String, it: Iterator[ParaOcc], state: GroupState[Long]) =>
+          var admitted = state.getOption
+          val out = it.toSeq.sortBy(p => p.docId * 65536L + p.idx).map { p =>
+            val kept = admitted.isEmpty
+            if (admitted.isEmpty) admitted = Some(p.docId * 65536L + p.idx)
+            ParaVerdict(p.docId, p.idx, p.h, kept)
+          }
+          admitted.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** h22 — streaming crawl-frontier URL guard: d15's canonicalizer
     * composed IN-STREAM with the h5 bounded-state dedup. Arriving URL
     * references (`raw`, event-time ms) canonicalize MAP-SIDE (the

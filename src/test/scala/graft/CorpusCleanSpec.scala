@@ -85,6 +85,92 @@ class CorpusCleanSpec extends SparkTestBase {
     assert(totalKept == distinctKeys)
   }
 
+  test("f48 ccnet buckets: per-language terciles cover all docs, head<=middle<=tail") {
+    val rows = CorpusClean.qCcnetBuckets(spark, sfDir).collect()
+    val langs = rows.map(_.getAs[String]("lang")).toSet
+    assert(langs.size >= 3)
+    val totalDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(totalDocs == Tables(spark, sfDir, "documents").count())
+    langs.foreach { l =>
+      val byBucket = rows.filter(_.getAs[String]("lang") == l)
+        .map(r => r.getAs[String]("bucket") ->
+          (r.getAs[Long]("ce_lo"), r.getAs[Long]("ce_hi"), r.getAs[Long]("n_docs"))).toMap
+      // every language splits into all three buckets
+      assert(byBucket.keySet == Set("head", "middle", "tail"), s"$l: ${byBucket.keySet}")
+      // value ranges are disjoint and ordered head < middle < tail
+      assert(byBucket("head")._2 < byBucket("middle")._1, s"$l head/middle overlap")
+      assert(byBucket("middle")._2 < byBucket("tail")._1, s"$l middle/tail overlap")
+      // tercile balance: head holds >= 1/4 and <= 1/2 of the language's
+      // docs (value-threshold semantics round at boundaries, never wildly)
+      val n = byBucket.values.map(_._3).sum
+      val h = byBucket("head")._3
+      assert(4 * h >= n && 2 * h <= n + 2, s"$l head share $h/$n")
+    }
+  }
+
+  test("d26 cross-source matrix: pairs ordered, overlap replayed for one pair") {
+    import org.apache.spark.sql.functions._
+    val rows = CorpusClean.qDedupCrossSource(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 190) // C(20,2)
+    rows.foreach { r =>
+      assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"))
+      assert(r.getAs[Long]("shared_keys") >= 1)
+      val ppm = r.getAs[Long]("overlap_ppm")
+      assert(ppm > 0 && ppm < 1000000L)
+    }
+    // brute replay of one pair's shared-key count off the shared builder
+    val (sa, sb) = (rows.head.getAs[String]("src_a"), rows.head.getAs[String]("src_b"))
+    val d = Tables(spark, sfDir, "documents")
+    def keys(src: String): Set[String] =
+      CorpusClean.paragraphOccurrences(
+        d.filter(col("source") === src).select(col("doc_id"), col("text")))
+        .select("h").collect().map(_.getString(0)).toSet
+    val shared = (keys(sa) intersect keys(sb)).size.toLong
+    assert(rows.head.getAs[Long]("shared_keys") == shared)
+  }
+
+  test("f49 data card: per-source rollup agrees with the family verdicts") {
+    val cards = CorpusClean.qDataCard(spark, sfDir).collect()
+    assert(cards.length >= 10)
+    assert(cards.map(_.getAs[Long]("docs")).sum
+      == Tables(spark, sfDir, "documents").count())
+    cards.foreach { r =>
+      Seq("gopher_pass_ppm", "c4_keep_ppm", "para_dup_ppm").foreach { c =>
+        val v = r.getAs[Long](c)
+        assert(v >= 0 && v <= 1000000L, s"$c=$v")
+      }
+      assert(r.getAs[Long]("langs") >= 1)
+    }
+    // replay one source's gopher pass rate from the registered operator
+    import org.apache.spark.sql.functions._
+    val src = cards.head.getAs[String]("source")
+    val docsOfSrc = Tables(spark, sfDir, "documents")
+      .filter(col("source") === src).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val passes = CorpusClean.qGopherRules(spark, sfDir).collect()
+      .filter(r => docsOfSrc.contains(r.getAs[Long]("doc_id")))
+      .count(_.getAs[Boolean]("pass"))
+    assert(cards.head.getAs[Long]("gopher_pass_ppm")
+      == passes.toLong * 1000000L / docsOfSrc.size)
+  }
+
+  test("cntMod closed form equals brute force across the parameter lattice") {
+    // evaluate the EXACT expression string the operator uses, in one plan
+    import spark.implicits._
+    val cases = for {
+      a <- 0L to 40L; m <- 1L to 12L; r <- 0L until m; n <- Seq(0L, 1L, 2L, 5L, 17L, 40L)
+    } yield (a, r, m, n)
+    val got = cases.toDF("a", "r", "m", "n")
+      .selectExpr("a", "r", "m", "n",
+        s"${operators.CorpusClean.cntMod("a", "r", "m", "n")} AS cnt")
+      .collect()
+    got.foreach { row =>
+      val (a, r, m, n) = (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+      val brute = (0L until n).count(i => (a + i) % m == r)
+      assert(row.getAs[Long]("cnt") == brute, s"a=$a r=$r m=$m n=$n")
+    }
+  }
+
   test("f46/f47 are map-only: no exchange before the output sort") {
     Seq(CorpusClean.qGopherRules(spark, sfDir), CorpusClean.qC4Filters(spark, sfDir))
       .foreach { df =>

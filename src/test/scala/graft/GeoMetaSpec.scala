@@ -60,6 +60,36 @@ class GeoMetaSpec extends SparkTestBase {
     assert(classes.size >= 3, s"$classes")
   }
 
+  test("b55 tile buffer: own total = features, copies bounded, corner replay") {
+    val rows = GeoMeta.qTileBuffer(spark, sfDir).collect()
+    val nEvents = Tables.events(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("own")).sum == nEvents)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("render_total")
+        == r.getAs[Long]("own") + r.getAs[Long]("buffered"))
+    }
+    val buffered = rows.map(_.getAs[Long]("buffered")).sum
+    // each feature contributes <= 3 extra copies; ~4% expected at buffer 5/256
+    assert(buffered > 0 && buffered <= 3 * nEvents)
+    // scala replay of the membership count on every event
+    val want = (0L until nEvents).map { id =>
+      val lon = (id * 2654435761L % 360000L).toDouble / 1000.0 - 180.0
+      val lat = (id * 1327217873L % 170000L).toDouble / 1000.0 - 85.0
+      val latc = math.max(math.min(lat, 85.05112878), -85.05112878)
+      val xf = (lon + 180.0) / 360.0 * 256
+      val yf = (1.0 - math.log(math.tan(math.toRadians(latc))
+        + 1.0 / math.cos(math.toRadians(latc))) / math.Pi) / 2.0 * 256
+      val xt = math.min(math.floor(xf), 255).toInt
+      val yt = math.max(math.min(math.floor(yf), 255), 0).toInt
+      val fx = (xf - xt) * 256.0
+      val fy = (yf - yt) * 256.0
+      val nx = 1 + (if (fx < 5.0 && xt > 0) 1 else if (fx >= 251.0 && xt < 255) 1 else 0)
+      val ny = 1 + (if (fy < 5.0 && yt > 0) 1 else if (fy >= 251.0 && yt < 255) 1 else 0)
+      nx * ny
+    }.sum
+    assert(rows.map(_.getAs[Long]("render_total")).sum == want.toLong)
+  }
+
   test("b54 slope/aspect is map-only: no join, no Generate, one exchange") {
     val df = GeoMeta.qSlopeAspect(spark, sfDir)
     val physical = df.queryExecution.executedPlan.toString()

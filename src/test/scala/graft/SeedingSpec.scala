@@ -36,6 +36,26 @@ class SeedingSpec extends SparkTestBase {
     assert(picked.getAs[Long]("radius2") == best._2)
   }
 
+  test("e28 kernel: graft_qdist2 equals the declarative quantize-zip-fold template") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val q = Tables(spark, sfDir, "embeddings").limit(50)
+    val c = q.filter(col("vec_id") === 7)
+      .select(expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT))"))
+      .collect()(0).getSeq[Long](0)
+    val arr = c.mkString("array(", "L, ", "L)")
+    val rows = q.select(col("vec_id"),
+      expr(s"graft_qdist2(embedding, $arr)").as("kernel"),
+      expr(s"""aggregate(zip_with(
+           transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT)),
+           $arr, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)""").as("template"))
+      .collect()
+    rows.foreach(r => assert(r.getAs[Long]("kernel") == r.getAs[Long]("template"),
+      s"vec ${r.getLong(0)}"))
+    // self-distance is zero
+    assert(rows.find(_.getLong(0) == 7L).get.getAs[Long]("kernel") == 0L)
+  }
+
   test("c84 benford: digit shares sum to ~1e6 ppm and flag the uniform ledger") {
     val rows = OpsAudit.qBenford(spark, sfDir).collect()
     assert(rows.length == 9)
