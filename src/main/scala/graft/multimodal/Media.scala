@@ -978,7 +978,70 @@ object Media {
         CAST(src_id % 16 + 8 AS INT) AS exp_h
       FROM b ORDER BY doc_id"""
 
+  // ------------------------------------------------------------------
+  // g15 — ABR bitrate-ladder plan
+  // ------------------------------------------------------------------
+
+  /** the public ABR ladder (the industry-standard fixed rungs every
+    * streaming/transcode doc publishes — per-title optimization starts
+    * from this table): height → kbps, stated literally in both engines. */
+  private val ladder: Seq[(Int, Int)] = Seq(
+    2160 -> 16000, 1440 -> 10000, 1080 -> 6000, 720 -> 3000,
+    480 -> 1500, 360 -> 800, 240 -> 400)
+
+  /** g15 — `q_bitrate_ladder`: the adaptive-bitrate transcode PLAN per
+    * video asset (the g4 resize-plan sibling for the video leg: which
+    * ladder rungs apply — never upscale, so rungs ≤ source height —
+    * and what the transcoded set costs in bytes). Source height and
+    * duration synthesize deterministically from the catalog (the g1
+    * discipline); per video: eligible rungs, top rung, summed ladder
+    * kbps and total transcoded bytes (kbps·125·duration, exact
+    * integers). Map-only: the ladder is a 7-element literal array
+    * filtered in-row — no join, no explode, one output sort. */
+  def qBitrateLadder(spark: SparkSession, dir: String): DataFrame = {
+    val arr = ladder.map { case (h, k) => s"named_struct('h', $h, 'kbps', $k)" }
+      .mkString("array(", ", ", ")")
+    val d = graft.Tables(spark, dir, "documents")
+    d.select(col("doc_id"), col("n_chars"), col("text"))
+      .withColumn("mime",
+        when(ascii(substring(col("text"), 1, 1)).between(97, 104), "image/fake-png")
+          .when(ascii(substring(col("text"), 1, 1)).between(105, 112), "audio/fake-wav")
+          .when(ascii(substring(col("text"), 1, 1)).between(113, 120), "video/fake-mp4")
+          .otherwise("text/plain"))
+      .filter(col("mime") === "video/fake-mp4")
+      .withColumn("source_h", expr("CAST(240 + (doc_id % 10) * 240 AS INT)"))
+      .withColumn("duration_s", expr("CAST((n_chars % 24 + 1) * 10 AS BIGINT)"))
+      .withColumn("rungs", expr(s"filter($arr, r -> r.h <= source_h)"))
+      .select(col("doc_id"), col("source_h"), col("duration_s"),
+        expr("CAST(size(rungs) AS INT)").as("n_rungs"),
+        expr("CAST(rungs[0].h AS INT)").as("top_rung"),
+        expr("aggregate(rungs, 0L, (acc, r) -> acc + r.kbps)").as("ladder_kbps"),
+        expr("aggregate(rungs, 0L, (acc, r) -> acc + CAST(r.kbps AS BIGINT) * 125 * duration_s)")
+          .as("ladder_bytes"))
+      .orderBy("doc_id")
+  }
+
+  val qBitrateLadderSql: String = {
+    val arr = ladder.map { case (h, k) => s"struct_pack(h := $h, kbps := $k)" }
+      .mkString("[", ", ", "]")
+    s"""WITH v AS (
+        SELECT doc_id, n_chars,
+          CAST(240 + (doc_id % 10) * 240 AS INT) AS source_h,
+          CAST((n_chars % 24 + 1) * 10 AS BIGINT) AS duration_s
+        FROM documents
+        WHERE ascii(substr(text, 1, 1)) BETWEEN 113 AND 120),
+      r AS (
+        SELECT *, list_filter($arr, r -> r.h <= source_h) AS rungs FROM v)
+      SELECT doc_id, source_h, duration_s,
+        CAST(len(rungs) AS INT) AS n_rungs,
+        CAST(rungs[1].h AS INT) AS top_rung,
+        CAST(list_sum(list_transform(rungs, r -> r.kbps)) AS BIGINT) AS ladder_kbps,
+        CAST(list_sum(list_transform(rungs, r -> CAST(r.kbps AS BIGINT) * 125 * duration_s)) AS BIGINT) AS ladder_bytes
+      FROM r ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bitrate_ladder" -> (qBitrateLadder _),
     "q_storyboard" -> (qStoryboard _),
     "q_media_e2e_plan" -> (qMediaE2ePlan _),
     "q_media_audit" -> (qMediaAudit _),
@@ -1006,6 +1069,7 @@ object Media {
     * real decode every round; q_media_e2e_plan carries g11's
     * decode-free plan half under a full oracle. */
   val oracles: Map[String, String] = Map(
+    "q_bitrate_ladder" -> qBitrateLadderSql,
     "q_storyboard" -> qStoryboardSql,
     "q_media_audit" -> qMediaAuditSql,
     "q_media_e2e_plan" -> qMediaE2ePlanSql,

@@ -450,6 +450,11 @@ object CorpusClean {
         .as("content"))
       .select(col("source"), expr("substr(md5(content), 1, 16)").as("h"))
       .distinct()
+      // three consumers (per-source counts + BOTH self-join sides):
+      // materialize the compact distinct pre-agg once, or the paragraph
+      // explode + md5 re-runs per consumer (caught by ScanCountSpec —
+      // 4 scans of documents without this)
+      .localCheckpoint(false)
     val k = base.groupBy("source").agg(count(lit(1)).as("nk"))
     val pairs = base.as("a").join(base.as("b"),
         expr("a.h = b.h AND a.source < b.source"))
@@ -484,6 +489,119 @@ object CorpusClean {
         CAST(j.shared_keys * 1000000 // (ka.nk + kb.nk - j.shared_keys) AS BIGINT) AS overlap_ppm
       FROM j JOIN k ka ON j.src_a = ka.source JOIN k kb ON j.src_b = kb.source
       ORDER BY src_a, src_b"""
+
+  // ------------------------------------------------------------------
+  // d27 — split-leakage audit
+  // ------------------------------------------------------------------
+
+  /** d27 — `q_split_leakage`: the eval-split LEAKAGE audit under BOTH
+    * split schemes f43 compares (group-aware source-hash vs naive
+    * doc-hash): for every val/test paragraph occurrence, is its key
+    * already in train — overall (`leaked_para`/`leaked_ppm`/
+    * `leaked_keys`) and from the SAME SOURCE (`leaked_same_src`).
+    * The same-source column is the group split's GUARANTEE made
+    * measurable: a source-hash split puts all of a source in one
+    * split, so same-source leakage is ZERO BY CONSTRUCTION, while the
+    * naive doc-hash split scatters one source's docs across splits
+    * and leaks its boilerplate into eval (spec-pinned: group = 0,
+    * naive > 0). Cross-source leakage (the boilerplate class) remains
+    * under both schemes — the honest reading: a group split fixes
+    * same-origin leakage, only d25-style global dedup fixes shared
+    * boilerplate.
+    *
+    * Plan: one documents scan → map-only double split labels (f43's
+    * ticket algebra, stated identically) → paragraph explode → the
+    * occurrence stream localCheckpointed once for its three consumers
+    * (train-key distinct, train-(key,source) distinct, eval side) →
+    * two hash-co-partitioned left joins → one bounded agg. */
+  def qSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    def digit(c: String, i: Int) =
+      s"(locate(substr(md5($c), $i, 1), '0123456789abcdef') - 1)"
+    def ticket(c: String) =
+      s"CAST(((${digit(c, 1)} * 16 + ${digit(c, 2)}) * 16 + ${digit(c, 3)}) * 16 + ${digit(c, 4)} AS INT)"
+    val splitCase =
+      "CASE WHEN t % 100 < 80 THEN 'train' WHEN t % 100 < 90 THEN 'val' ELSE 'test' END"
+    val occ = Tables.fanout(
+      Tables(spark, dir, "documents").select(col("doc_id"), col("source"), col("text")))
+      .withColumn("t", expr(ticket("source")))
+      .withColumn("gsplit", expr(splitCase))
+      .withColumn("t", expr(ticket("CAST(doc_id AS STRING)")))
+      .withColumn("nsplit", expr(splitCase))
+      .withColumn("w", expr("split(text, ' ')"))
+      .withColumn("n_words", expr("CAST(size(w) AS BIGINT)"))
+      .select(col("doc_id"), col("source"), col("gsplit"), col("nsplit"), explode(expr(
+        """transform(sequence(0, (n_words + 15) div 16 - 1), idx ->
+             CASE WHEN (doc_id * 7 + idx) % 13 = 0
+               THEN concat('boilerplate footer v', CAST(idx % 3 AS STRING))
+               ELSE array_join(slice(w, CAST(idx * 16 + 1 AS INT), 16), ' ') END)"""))
+        .as("content"))
+      .select(col("source"), col("gsplit"), col("nsplit"),
+        expr("substr(md5(content), 1, 16)").as("h"))
+      .select(explode(expr(
+        """array(named_struct('scheme', 'group', 'split', gsplit),
+                 named_struct('scheme', 'naive', 'split', nsplit))""")).as("s"),
+        col("source"), col("h"))
+      .select(col("s.scheme").as("scheme"), col("s.split").as("split"),
+        col("source"), col("h"))
+      // three consumers (two train-key sides + the eval side): one
+      // materialization of the compact occurrence stream
+      .localCheckpoint(false)
+    val tk = occ.filter(col("split") === "train")
+      .select(col("scheme").as("ts"), col("h").as("th")).distinct()
+      .withColumn("hit", lit(1))
+    val tks = occ.filter(col("split") === "train")
+      .select(col("scheme").as("ts2"), col("h").as("th2"), col("source").as("tsrc"))
+      .distinct().withColumn("hit_src", lit(1))
+    occ.filter(col("split") =!= "train")
+      .join(tk, expr("scheme = ts AND h = th"), "left")
+      .join(tks, expr("scheme = ts2 AND h = th2 AND source = tsrc"), "left")
+      .groupBy("scheme", "split")
+      .agg(count(lit(1)).as("n_para"),
+        sum(expr("CAST(hit IS NOT NULL AS BIGINT)")).as("leaked_para"),
+        countDistinct(when(col("hit").isNotNull, col("h"))).as("leaked_keys"),
+        expr("sum(CAST(hit IS NOT NULL AS BIGINT)) * 1000000 div count(1)").as("leaked_ppm"),
+        sum(expr("CAST(hit_src IS NOT NULL AS BIGINT)")).as("leaked_same_src"))
+      .orderBy("scheme", "split")
+  }
+
+  val qSplitLeakageSql: String = {
+    def digit(c: String, i: Int) =
+      s"(strpos('0123456789abcdef', substr(md5($c), $i, 1)) - 1)"
+    def ticket(c: String) =
+      s"CAST(((${digit(c, 1)} * 16 + ${digit(c, 2)}) * 16 + ${digit(c, 3)}) * 16 + ${digit(c, 4)} AS INT)"
+    val splitCase =
+      "CASE WHEN t % 100 < 80 THEN 'train' WHEN t % 100 < 90 THEN 'val' ELSE 'test' END"
+    s"""WITH d AS (
+        SELECT doc_id, source, string_split(text, ' ') AS w,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+          ${ticket("source")} AS t, ${ticket("CAST(doc_id AS VARCHAR)")} AS tn
+        FROM documents),
+      sp AS (SELECT doc_id, source, w, n_words, $splitCase AS gsplit,
+             ${splitCase.replace("t % 100", "tn % 100")} AS nsplit FROM d),
+      pp AS (SELECT doc_id, source, gsplit, nsplit,
+             unnest(generate_series(0, (n_words + 15) // 16 - 1)) AS idx, w FROM sp),
+      occ0 AS (
+        SELECT doc_id, source, gsplit, nsplit, idx,
+          substr(md5(CASE WHEN (doc_id * 7 + idx) % 13 = 0
+               THEN 'boilerplate footer v' || CAST(idx % 3 AS VARCHAR)
+               ELSE array_to_string(list_slice(w, idx * 16 + 1, idx * 16 + 16), ' ') END), 1, 16) AS h
+        FROM pp),
+      occ AS (
+        SELECT sc.scheme AS scheme, source,
+          CASE WHEN sc.scheme = 'group' THEN gsplit ELSE nsplit END AS split, h
+        FROM occ0, (SELECT unnest(['group', 'naive']) AS scheme) sc),
+      tk AS (SELECT DISTINCT scheme AS ts, h AS th FROM occ WHERE split = 'train'),
+      tks AS (SELECT DISTINCT scheme AS ts2, h AS th2, source AS tsrc FROM occ WHERE split = 'train'),
+      ev AS (SELECT * FROM occ WHERE split <> 'train')
+      SELECT ev.scheme, ev.split, count(*) AS n_para,
+        CAST(sum(CASE WHEN tk.th IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS leaked_para,
+        CAST(count(DISTINCT CASE WHEN tk.th IS NOT NULL THEN ev.h END) AS BIGINT) AS leaked_keys,
+        CAST(sum(CASE WHEN tk.th IS NOT NULL THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS leaked_ppm,
+        CAST(sum(CASE WHEN tks.th2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS leaked_same_src
+      FROM ev LEFT JOIN tk ON ev.scheme = tk.ts AND ev.h = tk.th
+              LEFT JOIN tks ON ev.scheme = tks.ts2 AND ev.h = tks.th2 AND ev.source = tks.tsrc
+      GROUP BY 1, 2 ORDER BY ev.scheme, ev.split"""
+  }
 
   // ------------------------------------------------------------------
   // f49 — per-source data card
@@ -547,6 +665,7 @@ object CorpusClean {
     "q_dedup_paragraph" -> (qDedupParagraph _),
     "q_ccnet_buckets" -> (qCcnetBuckets _),
     "q_dedup_cross_source" -> (qDedupCrossSource _),
+    "q_split_leakage" -> (qSplitLeakage _),
     "q_data_card" -> (qDataCard _))
 
   val oracles: Map[String, String] = Map(
@@ -555,5 +674,6 @@ object CorpusClean {
     "q_dedup_paragraph" -> qDedupParagraphSql,
     "q_ccnet_buckets" -> qCcnetBucketsSql,
     "q_dedup_cross_source" -> qDedupCrossSourceSql,
+    "q_split_leakage" -> qSplitLeakageSql,
     "q_data_card" -> qDataCardSql)
 }

@@ -1010,7 +1010,69 @@ object IngestOps {
       FROM cum GROUP BY from_stage, to_stage
       ORDER BY from_stage, to_stage"""
 
+  // ------------------------------------------------------------------
+  // a28 — storage lifecycle-tier ledger
+  // ------------------------------------------------------------------
+
+  /** a28 — `q_lifecycle_tiers`: blob-storage lifecycle accounting (the
+    * public tiering policy every blob account runs — move blobs not
+    * touched in N days to cool, in M to archive (7/21 here, sized to
+    * the corpus's 30-day event window; production uses 30/90 — the
+    * algebra is identical); the cost lever the
+    * reference's ever-growing per-user prefixes imply but never
+    * compute). Each upload carries a13's deterministic size; age is
+    * measured against the corpus max timestamp (the deterministic
+    * "now" both engines share, broadcast as one row); tier prices are
+    * micro-cent-per-GiB-month LITERALS (stand-ins, the a20 SAS-sig
+    * discipline). Per tier: blobs, distinct users, bytes, monthly cost
+    * (nbytes·price div 2³⁰ summed exactly), and the bytes transitioning
+    * within the next 2 days — the ops-planning readout. One scan, a
+    * 1-row broadcast max-ts, one 3-row agg. */
+  def qLifecycleTiers(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"),
+        (col("event_id") * 131071L % 50000000L + 1024L).as("nbytes"))
+    val nowRow = e.agg(max("ts_ms").as("now_ms"))
+    e.crossJoin(broadcast(nowRow))
+      .withColumn("age_d", expr("(now_ms - ts_ms) div 86400000"))
+      .withColumn("tier", expr(
+        "CASE WHEN age_d < 7 THEN 'hot' WHEN age_d < 21 THEN 'cool' ELSE 'archive' END"))
+      .withColumn("price_micro", expr(
+        "CASE tier WHEN 'hot' THEN 1840L WHEN 'cool' THEN 1000L ELSE 99L END"))
+      .withColumn("transition_7d", expr(
+        "(age_d >= 5 AND age_d < 7) OR (age_d >= 19 AND age_d < 21)"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("blobs"),
+        countDistinct(col("user_id")).as("users"),
+        sum("nbytes").as("bytes"),
+        sum(expr("nbytes * price_micro div 1073741824")).as("monthly_cost_micro"),
+        sum(expr("IF(transition_7d, nbytes, 0L)")).as("transition_bytes"))
+      .orderBy("tier")
+  }
+
+  val qLifecycleTiersSql: String =
+    """WITH e AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+          event_id * 131071 % 50000000 + 1024 AS nbytes
+        FROM events),
+      n AS (SELECT max(ts_ms) AS now_ms FROM e),
+      t AS (
+        SELECT *,
+          CASE WHEN age_d < 7 THEN 'hot' WHEN age_d < 21 THEN 'cool' ELSE 'archive' END AS tier,
+          (age_d >= 5 AND age_d < 7) OR (age_d >= 19 AND age_d < 21) AS transition_7d
+        FROM (SELECT e.*, (n.now_ms - e.ts_ms) // 86400000 AS age_d FROM e CROSS JOIN n) x),
+      p AS (
+        SELECT *, CASE tier WHEN 'hot' THEN 1840 WHEN 'cool' THEN 1000 ELSE 99 END AS price_micro
+        FROM t)
+      SELECT tier, count(*) AS blobs,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+        CAST(sum(nbytes) AS BIGINT) AS bytes,
+        CAST(sum(nbytes * price_micro // 1073741824) AS BIGINT) AS monthly_cost_micro,
+        CAST(sum(CASE WHEN transition_7d THEN nbytes ELSE 0 END) AS BIGINT) AS transition_bytes
+      FROM p GROUP BY tier ORDER BY tier"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lifecycle_tiers" -> (qLifecycleTiers _),
     "q_stage_latency" -> (qStageLatency _),
     "q_storage_quota" -> (qStorageQuota _),
     "q_retry_backoff" -> (qRetryBackoff _),
@@ -1040,6 +1102,7 @@ object IngestOps {
     "q_deadletter_stats" -> (qDeadletterStats _))
 
   val oracles: Map[String, String] = Map(
+    "q_lifecycle_tiers" -> qLifecycleTiersSql,
     "q_stage_latency" -> qStageLatencySql,
     "q_storage_quota" -> qStorageQuotaSql,
     "q_retry_backoff" -> qRetryBackoffSql,

@@ -129,6 +129,24 @@ class CorpusCleanSpec extends SparkTestBase {
     assert(rows.head.getAs[Long]("shared_keys") == shared)
   }
 
+  test("d27 split leakage: group scheme never leaks same-source, naive does") {
+    val rows = CorpusClean.qSplitLeakage(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 4) // (scheme, split) pairs that exist
+    rows.foreach { r =>
+      assert(r.getAs[Long]("leaked_para") <= r.getAs[Long]("n_para"))
+      assert(r.getAs[Long]("leaked_keys") <= r.getAs[Long]("leaked_para"))
+      assert(r.getAs[Long]("leaked_same_src") <= r.getAs[Long]("leaked_para"))
+      // the group split's guarantee, measured: zero same-source leakage
+      if (r.getAs[String]("scheme") == "group")
+        assert(r.getAs[Long]("leaked_same_src") == 0L, r.toString)
+    }
+    // the naive doc-hash split DOES leak same-source boilerplate
+    assert(rows.filter(_.getAs[String]("scheme") == "naive")
+      .map(_.getAs[Long]("leaked_same_src")).sum > 0)
+    // boilerplate leaks under both schemes (cross-source)
+    assert(rows.forall(_.getAs[Long]("leaked_para") > 0))
+  }
+
   test("f49 data card: per-source rollup agrees with the family verdicts") {
     val cards = CorpusClean.qDataCard(spark, sfDir).collect()
     assert(cards.length >= 10)

@@ -56,6 +56,43 @@ class SeedingSpec extends SparkTestBase {
     assert(rows.find(_.getLong(0) == 7L).get.getAs[Long]("kernel") == 0L)
   }
 
+  test("a28 lifecycle tiers: partition is total, costs ordered hot > cool > archive per byte") {
+    val rows = operators.IngestOps.qLifecycleTiers(spark, sfDir).collect()
+    val byTier = rows.map(r => r.getAs[String]("tier") -> r).toMap
+    assert(byTier.keySet.subsetOf(Set("hot", "cool", "archive")) && byTier.nonEmpty)
+    assert(rows.map(_.getAs[Long]("blobs")).sum == Tables.events(spark, sfDir).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("transition_bytes") <= r.getAs[Long]("bytes"))
+      assert(r.getAs[Long]("monthly_cost_micro") >= 0)
+      // archive never transitions (it is the last tier)
+      if (r.getAs[String]("tier") == "archive")
+        assert(r.getAs[Long]("transition_bytes") == 0L)
+    }
+    // per-byte cost ordering holds whenever two tiers are populated
+    def rate(t: String): Option[Double] = byTier.get(t).map(r =>
+      r.getAs[Long]("monthly_cost_micro").toDouble / r.getAs[Long]("bytes"))
+    for (h <- rate("hot"); c <- rate("cool")) assert(h > c)
+    for (c <- rate("cool"); a <- rate("archive")) assert(c > a)
+  }
+
+  test("g15 bitrate ladder: never upscales, rung count matches the source height") {
+    val rows = graft.multimodal.Media.qBitrateLadder(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val heights = Seq(2160, 1440, 1080, 720, 480, 360, 240)
+    rows.foreach { r =>
+      val sh = r.getAs[Int]("source_h")
+      val want = heights.filter(_ <= sh)
+      assert(r.getAs[Int]("top_rung") == want.head, s"doc ${r.getLong(0)}")
+      assert(r.getAs[Int]("n_rungs") == want.length)
+      assert(r.getAs[Int]("top_rung") <= sh)
+      assert(r.getAs[Long]("ladder_bytes")
+        == want.map(h => Map(2160 -> 16000L, 1440 -> 10000L, 1080 -> 6000L, 720 -> 3000L,
+          480 -> 1500L, 360 -> 800L, 240 -> 400L)(h) * 125 * r.getAs[Long]("duration_s")).sum)
+    }
+    // the synth spreads sources across the full rung range
+    assert(rows.map(_.getAs[Int]("n_rungs")).distinct.length >= 5)
+  }
+
   test("c84 benford: digit shares sum to ~1e6 ppm and flag the uniform ledger") {
     val rows = OpsAudit.qBenford(spark, sfDir).collect()
     assert(rows.length == 9)
