@@ -191,6 +191,59 @@ object VersionedTable {
     } else Right(casCommit(spark, path, newFiles, overwrite))
   }
 
+  // ---- i22: constraint-checked commits (CHECK / NOT NULL / UNIQUE) ---
+
+  /** Declarative commit-time constraints (Delta Lake's table
+    * constraints, re-expressed): each compiles to ONE aggregate column
+    * counting its violations, so validating any number of constraints
+    * costs a single pass over the incoming batch. */
+  sealed trait Constraint { def name: String }
+  /** column must be non-null */
+  case class NotNullC(col: String) extends Constraint {
+    def name = s"not_null($col)"
+  }
+  /** SQL predicate must hold on every row (NULL counts as violation —
+    * Delta's CHECK semantics) */
+  case class CheckC(label: String, predicate: String) extends Constraint {
+    def name = s"check($label)"
+  }
+  /** the column tuple must be unique within the batch */
+  case class UniqueC(cols: Seq[String]) extends Constraint {
+    def name = s"unique(${cols.mkString(",")})"
+  }
+
+  /** i22 — constraint-checked commit: validate BEFORE landing (unlike
+    * i17's write-audit-publish, which lands candidate files and tears
+    * them down on failure — the right shape for audits that must see
+    * the post-merge snapshot; a column constraint only needs the
+    * incoming batch, so a rejected batch here leaves ZERO bytes on
+    * disk). All declared constraints fold into one aggregate row —
+    * one pass over the batch regardless of constraint count. Returns
+    * Left(per-constraint violation counts, only the violated ones) or
+    * Right(new version). */
+  def commitChecked(spark: SparkSession, path: String, df: DataFrame,
+      constraints: Seq[Constraint],
+      overwrite: Boolean = false): Either[Map[String, Long], Long] = {
+    import org.apache.spark.sql.functions._
+    if (constraints.nonEmpty) {
+      val aggs = constraints.map {
+        case NotNullC(c) =>
+          sum(expr(s"CAST(($c) IS NULL AS BIGINT)"))
+        case CheckC(_, p) =>
+          sum(expr(s"CAST(NOT coalesce(($p), false) AS BIGINT)"))
+        case UniqueC(cols) =>
+          val ns = cols.map(c => s"'$c', $c").mkString("named_struct(", ", ", ")")
+          count(lit(1)) - countDistinct(expr(ns))
+      }
+      val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val violations = constraints.zipWithIndex.collect {
+        case (c, i) if row.getLong(i) > 0 => c.name -> row.getLong(i)
+      }.toMap
+      if (violations.nonEmpty) return Left(violations)
+    }
+    Right(commit(spark, path, df, overwrite))
+  }
+
   /** Lands `df`'s files into data/ under a fresh unique token WITHOUT
     * writing any manifest — the files are invisible to every reader
     * until a later manifest lists them (the write half of i17's

@@ -532,4 +532,50 @@ class VersionedTableSpec extends SparkTestBase {
         Seq((1L, "a/b", 0L)).toDF("key", "etype", "bucket"), "etype")
     }
   }
+
+  test("i22: constraint-checked commit rejects before landing, zero bytes on disk") {
+    import spark.implicits._
+    import graft.sources.VersionedTable.{CheckC, NotNullC, UniqueC}
+    val path = java.nio.file.Files.createTempDirectory("vtable_c").toString
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cons = Seq(NotNullC("name"), UniqueC(Seq("id")),
+      CheckC("id_positive", "id >= 0"))
+
+    // a clean batch commits
+    val ok = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    assert(VersionedTable.commitChecked(spark, path, ok, cons) == Right(1L))
+
+    // a dirty batch: one null name, one dup id, one negative id
+    val bad = Seq((1L, "x"), (1L, "y"), (-5L, null.asInstanceOf[String]))
+      .toDF("id", "name")
+    val res = VersionedTable.commitChecked(spark, path, bad, cons)
+    assert(res.isLeft)
+    val v = res.left.toOption.get
+    assert(v("not_null(name)") == 1L, v.toString)
+    assert(v("unique(id)") == 1L, v.toString)
+    assert(v("check(id_positive)") == 1L, v.toString)
+
+    // nothing landed: version unchanged, data dir byte-identical
+    assert(VersionedTable.versions(spark, path) == Seq(1L))
+    val dataFiles = fs.listStatus(new org.apache.hadoop.fs.Path(path, "data"))
+      .map(_.getPath.getName).toSet
+    val v1Files = VersionedTable.read(spark, path).inputFiles
+      .map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+    assert(dataFiles.flatMap(d =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(path, s"data/$d"))
+        .map(_.getPath.getName)).forall(v1Files.contains),
+      "rejected batch left files on disk")
+
+    // the same dirty batch cleaned re-commits fine; NULL predicate rows
+    // count as CHECK violations (Delta semantics)
+    val cleaned = Seq((3L, "z")).toDF("id", "name")
+    assert(VersionedTable.commitChecked(spark, path, cleaned, cons) == Right(2L))
+    assert(rows(VersionedTable.read(spark, path)) ==
+      Set((1L, "a"), (2L, "b"), (3L, "z")))
+    val nullPred = Seq((4L, "w")).toDF("id", "name")
+      .withColumn("id", org.apache.spark.sql.functions.expr("CAST(NULL AS BIGINT)"))
+    val r2 = VersionedTable.commitChecked(spark, path, nullPred, Seq(CheckC("p", "id > 0")))
+    assert(r2.left.toOption.get("check(p)") == 1L)
+  }
 }
