@@ -1040,7 +1040,70 @@ object Media {
       FROM r ORDER BY doc_id"""
   }
 
+  // ------------------------------------------------------------------
+  // g16 — EXIF-GPS privacy plan
+  // ------------------------------------------------------------------
+
+  /** the sensitive-region set, integer milli-degree literals both
+    * engines state identically (stand-in bands — production loads a
+    * curated polygon set through b24/b35's containment machinery). */
+  private val sensitiveZones =
+    """(lonm BETWEEN -30000 AND 0 AND latm BETWEEN 30000 AND 60000)
+       OR (lonm BETWEEN 120000 AND 150000 AND latm BETWEEN 20000 AND 50000)"""
+
+  /** g16 — `q_exif_privacy`: the EXIF-GPS hygiene plan a training-data
+    * lake runs before publishing media (the standard public practice:
+    * strip location EXIF from everything; media geotagged inside a
+    * sensitive region is dropped outright — f8's PII redaction at the
+    * media-metadata grain). Each media object synthesizes its GPS
+    * presence (text never carries GPS; 80 % of real media does) and
+    * point (g14's derivation); action = none (no GPS) / drop (in a
+    * sensitive zone) / strip_gps. Map-only decision per object, one
+    * (mime, action) rollup — counts and byte mass per action, the
+    * numbers the privacy review signs off on. */
+  def qExifPrivacy(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables(spark, dir, "documents")
+    d.select(col("doc_id"), col("text"))
+      .withColumn("mime",
+        when(ascii(substring(col("text"), 1, 1)).between(97, 104), "image/fake-png")
+          .when(ascii(substring(col("text"), 1, 1)).between(105, 112), "audio/fake-wav")
+          .when(ascii(substring(col("text"), 1, 1)).between(113, 120), "video/fake-mp4")
+          .otherwise("text/plain"))
+      .withColumn("nbytes", length(col("text")).cast("long"))
+      .withColumn("lonm", expr("doc_id * 2654435761 % 360000 - 180000"))
+      .withColumn("latm", expr("doc_id * 1327217873 % 170000 - 85000"))
+      .withColumn("has_gps", expr("mime <> 'text/plain' AND doc_id % 5 <> 0"))
+      .withColumn("action", expr(
+        s"""CASE WHEN NOT has_gps THEN 'none'
+                 WHEN $sensitiveZones THEN 'drop'
+                 ELSE 'strip_gps' END"""))
+      .groupBy("mime", "action")
+      .agg(count(lit(1)).as("n_media"), sum("nbytes").as("bytes"))
+      .orderBy("mime", "action")
+  }
+
+  val qExifPrivacySql: String =
+    s"""WITH m AS (
+        SELECT doc_id,
+          CASE WHEN ascii(substr(text, 1, 1)) BETWEEN 97 AND 104 THEN 'image/fake-png'
+               WHEN ascii(substr(text, 1, 1)) BETWEEN 105 AND 112 THEN 'audio/fake-wav'
+               WHEN ascii(substr(text, 1, 1)) BETWEEN 113 AND 120 THEN 'video/fake-mp4'
+               ELSE 'text/plain' END AS mime,
+          CAST(length(text) AS BIGINT) AS nbytes,
+          doc_id * 2654435761 % 360000 - 180000 AS lonm,
+          doc_id * 1327217873 % 170000 - 85000 AS latm
+        FROM documents),
+      g AS (SELECT *, mime <> 'text/plain' AND doc_id % 5 <> 0 AS has_gps FROM m),
+      a AS (
+        SELECT *, CASE WHEN NOT has_gps THEN 'none'
+                       WHEN $sensitiveZones THEN 'drop'
+                       ELSE 'strip_gps' END AS action
+        FROM g)
+      SELECT mime, action, count(*) AS n_media, CAST(sum(nbytes) AS BIGINT) AS bytes
+      FROM a GROUP BY 1, 2 ORDER BY mime, action"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_exif_privacy" -> (qExifPrivacy _),
     "q_bitrate_ladder" -> (qBitrateLadder _),
     "q_storyboard" -> (qStoryboard _),
     "q_media_e2e_plan" -> (qMediaE2ePlan _),
@@ -1069,6 +1132,7 @@ object Media {
     * real decode every round; q_media_e2e_plan carries g11's
     * decode-free plan half under a full oracle. */
   val oracles: Map[String, String] = Map(
+    "q_exif_privacy" -> qExifPrivacySql,
     "q_bitrate_ladder" -> qBitrateLadderSql,
     "q_storyboard" -> qStoryboardSql,
     "q_media_audit" -> qMediaAuditSql,

@@ -288,13 +288,92 @@ object GeoMeta {
       FROM cp GROUP BY 1, 2 ORDER BY xr, yr"""
   }
 
+  // ------------------------------------------------------------------
+  // b56 — tile-load skew plan
+  // ------------------------------------------------------------------
+
+  // clustered coordinate synth shared by both engines: 25% of features
+  // land near 3 hotspot centers (the urban clustering real tile loads
+  // skew under — the planted-corpus discipline), the rest scatter via
+  // the standard hash derivation. Integer milli-degrees throughout.
+  private val lonmClustered =
+    """CASE WHEN event_id % 4 = 0 THEN
+         (CASE event_id % 3 WHEN 0 THEN -122400 WHEN 1 THEN 2350 ELSE 139700 END)
+           + event_id * 7919 % 2000 - 1000
+       ELSE event_id * 2654435761 % 360000 - 180000 END"""
+  private val latmClustered =
+    """CASE WHEN event_id % 4 = 0 THEN
+         (CASE event_id % 3 WHEN 0 THEN 37700 WHEN 1 THEN 48850 ELSE 35680 END)
+           + event_id * 104729 % 2000 - 1000
+       ELSE event_id * 1327217873 % 170000 - 85000 END"""
+
+  /** b56 — `q_tile_skew_plan`: the tile-load SKEW audit + shard plan
+    * (c63's join-key skew audit transplanted to the rendering grid:
+    * real feature sets cluster in cities, so a handful of tiles carry
+    * orders of magnitude more features than the median — the tiles
+    * that blow tippecanoe's budgets and a tile-render fleet's task
+    * balance). Per z=6 tile the feature count; the MEDIAN tile load
+    * reads off a VALUE histogram of counts (bounded by the count
+    * dynamic range, never the tile count — c73/a26's prune argument);
+    * heavy = count > 4·median; the plan splits a heavy tile into
+    * ceil(count / (2·median)) shards (b46's drop-key order would
+    * assign features to shards). Output = the heavy tiles only.
+    * One scan → one tile agg → bounded histogram/cumsum → broadcast
+    * median back. */
+  def qTileSkewPlan(spark: SparkSession, dir: String): DataFrame = {
+    val n = 64 // z = 6
+    val c = Tables.events(spark, dir).select(col("event_id"))
+      .withColumn("lon", expr(s"CAST(($lonmClustered) AS DOUBLE) / 1000.0"))
+      .withColumn("lat", expr(s"CAST(($latmClustered) AS DOUBLE) / 1000.0"))
+      .withColumn("xt", expr(GeoOps.tileXS("lon", n)))
+      .withColumn("yt", expr(GeoOps.tileYS("lat", n)))
+      .groupBy("xt", "yt").agg(count(lit(1)).as("cnt"))
+      // two consumers (histogram + heavy filter): one materialization
+      .localCheckpoint(false)
+    val hist = c.groupBy("cnt").agg(count(lit(1)).as("nt"))
+    val cum = hist.withColumn("cum",
+      sum("nt").over(org.apache.spark.sql.expressions.Window.orderBy("cnt")))
+    val tot = hist.agg(sum("nt").as("n_tiles"))
+    val med = cum.crossJoin(broadcast(tot))
+      .agg(min(when(expr("2 * cum >= n_tiles"), col("cnt"))).as("median"))
+    c.crossJoin(broadcast(med))
+      .filter(expr("cnt > 4 * median"))
+      .withColumn("split_factor", expr("(cnt + 2 * median - 1) div (2 * median)"))
+      .select("xt", "yt", "cnt", "median", "split_factor")
+      .orderBy("xt", "yt")
+  }
+
+  val qTileSkewPlanSql: String = {
+    val n = 64
+    s"""WITH pts AS (
+        SELECT event_id,
+          CAST(($lonmClustered) AS DOUBLE) / 1000.0 AS lon,
+          CAST(($latmClustered) AS DOUBLE) / 1000.0 AS lat
+        FROM events),
+      t AS (
+        SELECT CAST(LEAST(FLOOR((lon + 180.0) / 360.0 * $n), ${n - 1}) AS INT) AS xt,
+          CAST(GREATEST(LEAST(FLOOR((1.0 - ln(tan(radians(GREATEST(LEAST(lat, 85.05112878), -85.05112878)))
+            + 1.0 / cos(radians(GREATEST(LEAST(lat, 85.05112878), -85.05112878)))) / pi()) / 2.0 * $n), ${n - 1}), 0) AS INT) AS yt
+        FROM pts),
+      c AS (SELECT xt, yt, count(*) AS cnt FROM t GROUP BY 1, 2),
+      h AS (SELECT cnt, count(*) AS nt FROM c GROUP BY 1),
+      cu AS (SELECT cnt, SUM(nt) OVER (ORDER BY cnt) AS cum FROM h),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tiles FROM c),
+      med AS (SELECT MIN(cnt) AS median FROM cu, tot WHERE 2 * cum >= n_tiles)
+      SELECT c.xt, c.yt, c.cnt, m.median,
+        (c.cnt + 2 * m.median - 1) // (2 * m.median) AS split_factor
+      FROM c, med m WHERE c.cnt > 4 * m.median ORDER BY c.xt, c.yt"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tilejson" -> (qTilejson _),
     "q_slope_aspect" -> (qSlopeAspect _),
-    "q_tile_buffer" -> (qTileBuffer _))
+    "q_tile_buffer" -> (qTileBuffer _),
+    "q_tile_skew_plan" -> (qTileSkewPlan _))
 
   val oracles: Map[String, String] = Map(
     "q_tilejson" -> qTilejsonSql,
     "q_slope_aspect" -> qSlopeAspectSql,
-    "q_tile_buffer" -> qTileBufferSql)
+    "q_tile_buffer" -> qTileBufferSql,
+    "q_tile_skew_plan" -> qTileSkewPlanSql)
 }

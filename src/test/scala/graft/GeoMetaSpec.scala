@@ -90,6 +90,34 @@ class GeoMetaSpec extends SparkTestBase {
     assert(rows.map(_.getAs[Long]("render_total")).sum == want.toLong)
   }
 
+  test("b56 tile skew plan: hotspots surface as heavy tiles with sane split factors") {
+    val rows = GeoMeta.qTileSkewPlan(spark, sfDir).collect()
+    // the planted 25% hotspot mass guarantees heavy tiles exist
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cnt, med, split) = (r.getAs[Long]("cnt"), r.getAs[Long]("median"),
+        r.getAs[Long]("split_factor"))
+      assert(cnt > 4 * med, s"not heavy: $r")
+      assert(split == (cnt + 2 * med - 1) / (2 * med))
+      assert(split >= 2, s"heavy tile with trivial split: $r")
+    }
+    // the three hotspot regions land in distinct tiles
+    assert(rows.map(r => (r.getAs[Int]("xt"), r.getAs[Int]("yt"))).distinct.length >= 3)
+  }
+
+  test("g16 exif privacy: text never carries GPS, every zone-hit drops") {
+    val rows = graft.multimodal.Media.qExifPrivacy(spark, sfDir).collect()
+    val byKey = rows.map(r =>
+      (r.getAs[String]("mime"), r.getAs[String]("action")) -> r.getAs[Long]("n_media")).toMap
+    // text/plain (when present in the corpus) never carries GPS
+    assert(byKey.keys.filter(_._1 == "text/plain").map(_._2).toSet.subsetOf(Set("none")))
+    // all three actions fire across the media mimes
+    val actions = byKey.keys.filterNot(_._1 == "text/plain").map(_._2).toSet
+    assert(actions == Set("none", "drop", "strip_gps"), actions.toString)
+    assert(rows.map(_.getAs[Long]("n_media")).sum
+      == Tables(spark, sfDir, "documents").count())
+  }
+
   test("b54 slope/aspect is map-only: no join, no Generate, one exchange") {
     val df = GeoMeta.qSlopeAspect(spark, sfDir)
     val physical = df.queryExecution.executedPlan.toString()
