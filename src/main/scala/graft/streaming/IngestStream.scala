@@ -247,6 +247,42 @@ object IngestStream {
       }
   }
 
+  case class DocVerdict(docId: Long, source: String, words: Long,
+      gopherPass: Boolean, c4Kept: Boolean)
+  case class SourceCard(source: String, version: Long, docs: Long,
+      words: Long, gopherPassPpm: Long, c4KeepPpm: Long)
+  case class CardState(version: Long, docs: Long, words: Long,
+      passCnt: Long, keptCnt: Long)
+
+  /** h36 — streaming per-source DATA CARD (f49's datasheet LIVE — the
+    * per-source hygiene dashboard updating as documents land, so a
+    * source whose pass rate collapses is cut before it poisons a
+    * training mix): per-doc verdicts (computed upstream by the
+    * stateless f46/f47 column chains — the h31/h34 argument: state
+    * never sees text) fold into five mergeable longs per source; every
+    * monotone counter makes the card after ANY batching equal the
+    * batch f49 card exactly (parity spec). Emission per touched source
+    * per batch with a version counter; ppm ratios re-derive from the
+    * counters at emission (floor division — f49's exact algebra). */
+  def streamingSourceCards(docs: Dataset[DocVerdict]): Dataset[SourceCard] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState[CardState, SourceCard](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (source: String, it: Iterator[DocVerdict], state: GroupState[CardState]) =>
+          var st = state.getOption.getOrElse(CardState(0L, 0L, 0L, 0L, 0L))
+          it.foreach { d =>
+            st = CardState(st.version, st.docs + 1, st.words + d.words,
+              st.passCnt + (if (d.gopherPass) 1L else 0L),
+              st.keptCnt + (if (d.c4Kept) 1L else 0L))
+          }
+          st = st.copy(version = st.version + 1)
+          state.update(st)
+          Iterator.single(SourceCard(source, st.version, st.docs, st.words,
+            st.passCnt * 1000000L / st.docs, st.keptCnt * 1000000L / st.docs))
+      }
+  }
+
   /** h22 — streaming crawl-frontier URL guard: d15's canonicalizer
     * composed IN-STREAM with the h5 bounded-state dedup. Arriving URL
     * references (`raw`, event-time ms) canonicalize MAP-SIDE (the
