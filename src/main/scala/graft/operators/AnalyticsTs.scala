@@ -1528,7 +1528,58 @@ object AnalyticsTs {
         median_purchase_cents
       FROM kpi CROSS JOIN med"""
 
+  // ------------------------------------------------------------------
+  // c85 — DAU/WAU stickiness
+  // ------------------------------------------------------------------
+
+  /** c85 — `q_stickiness`: the DAU/WAU stickiness ratio (the classic
+    * product-analytics engagement readout — what share of the weekly
+    * actives shows up on a given day). The hard part at scale is the
+    * DISTINCT-over-sliding-window: WAU(d) = distinct users active in
+    * [d−6, d], which no window function computes without re-counting.
+    * Shape: ONE distinct (user, day) pre-agg shrinks the stream to
+    * user-days, then each user-day EXPLODES into the ≤7 window days it
+    * covers (bounded 7× blowup of the DEDUPED stream, never raw
+    * events) and a second distinct agg per cover-day yields exact WAU
+    * — two bounded shuffles, no window, no per-day rescan. DAU rides
+    * the same pre-agg. Calendar-truncated at the corpus edge (1-row
+    * broadcast max day), identically in both engines. */
+  def qStickiness(spark: SparkSession, dir: String): DataFrame = {
+    val ud = graft.Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"))
+      .distinct()
+      // two consumers (DAU + the cover explode): one materialization
+      .localCheckpoint(false)
+    val cal = ud.agg(max("day").as("d1"))
+    val wau = ud.crossJoin(broadcast(cal))
+      .select(col("user_id"), explode(expr("sequence(day, least(day + 6, d1))")).as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        expr("dau * 1000000 div wau").as("stickiness_ppm"))
+      .orderBy("day")
+  }
+
+  val qStickinessSql: String =
+    """WITH ud AS (
+        SELECT DISTINCT user_id, CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day
+        FROM events),
+      cal AS (SELECT max(day) AS d1 FROM ud),
+      cover AS (
+        SELECT DISTINCT user_id, day + o AS day
+        FROM ud, unnest(generate_series(0, 6)) AS t(o), cal
+        WHERE day + o <= cal.d1),
+      wau AS (SELECT day, count(*) AS wau FROM cover GROUP BY 1),
+      dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1)
+      SELECT d.day AS day, d.dau, w.wau,
+        CAST(d.dau * 1000000 // w.wau AS BIGINT) AS stickiness_ppm
+      FROM dau d JOIN wau w ON d.day = w.day
+      ORDER BY d.day"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stickiness" -> (qStickiness _),
     "q_kpi_dashboard" -> (qKpiDashboard _),
     "q_rfm" -> (qRfm _),
     "q_cohort_ltv" -> (qCohortLtv _),
@@ -1553,6 +1604,7 @@ object AnalyticsTs {
     "q_next_event_markov" -> (qNextEventMarkov _))
 
   val oracles: Map[String, String] = Map(
+    "q_stickiness" -> qStickinessSql,
     "q_kpi_dashboard" -> qKpiDashboardSql,
     "q_rfm" -> qRfmSql,
     "q_cohort_ltv" -> qCohortLtvSql,

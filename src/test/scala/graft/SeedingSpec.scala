@@ -93,6 +93,29 @@ class SeedingSpec extends SparkTestBase {
     assert(rows.map(_.getAs[Int]("n_rungs")).distinct.length >= 5)
   }
 
+  test("c85 stickiness: dau <= wau, exact brute replay of one day's WAU") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.AnalyticsTs.qStickiness(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dau") <= r.getAs[Long]("wau"))
+      val ppm = r.getAs[Long]("stickiness_ppm")
+      assert(ppm > 0 && ppm <= 1000000L)
+    }
+    // day coverage = every observed activity day
+    val ud = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == ud.map(_._2).distinct.length)
+    // brute replay of the median day's WAU
+    val days = ud.map(_._2).distinct.sorted
+    val d = days(days.length / 2)
+    val wantWau = ud.filter(t => t._2 >= d - 6 && t._2 <= d).map(_._1).distinct.length
+    val got = rows.find(_.getAs[Long]("day") == d).get
+    assert(got.getAs[Long]("wau") == wantWau.toLong)
+    assert(got.getAs[Long]("dau") == ud.count(_._2 == d).toLong)
+  }
+
   test("c84 benford: digit shares sum to ~1e6 ppm and flag the uniform ledger") {
     val rows = OpsAudit.qBenford(spark, sfDir).collect()
     assert(rows.length == 9)
