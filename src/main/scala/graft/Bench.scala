@@ -27,8 +27,11 @@ object Bench {
     // BOUNDED input (top-1000 TakeOrderedAndProject cuts, value-range
     // histograms, ≤64-row bootstrap tables — the round-11 audit;
     // corpus-proportional ranks go through TwoPhase.globalRowNumber
-    // instead). With hundreds of benign repeats drowned out, a REAL
-    // unbounded-window regression in the log tail stays visible.
+    // instead). Silencing here is safe because the NON-silent gate is
+    // LibraryGateSpec: it asserts zero unpartitioned logical windows
+    // across ALL registered queries outside a 13-entry bounded-input
+    // whitelist, so a new unbounded window fails the suite rather than
+    // scrolling past in a muted log.
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window",
       org.apache.logging.log4j.Level.ERROR)

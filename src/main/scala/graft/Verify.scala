@@ -27,6 +27,17 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failed/partial write must never leave a PREVIOUS run's
+        // parquet (or a torn one) for the driver compare — a crashed
+        // query would silently grade against stale output (the r13
+        // e27 phantom red). Delete the whole query dir on failure so
+        // the compare sees "missing", which reads as a loud error.
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+        val d = new java.io.File(s"$outDir/$name")
+        if (d.exists()) rm(d)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

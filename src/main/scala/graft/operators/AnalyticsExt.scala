@@ -688,12 +688,20 @@ object AnalyticsExt {
   // histogram (uniform (group, bucket) shuffle keys) locates the ≤6
   // target buckets per group via cumulative ranks over the BOUNDED
   // histogram, and only those buckets' rows (≈ n/1024) are sorted.
+  // MATERIALIZATION (round 14): the op's six consumers (ranks, needed,
+  // hist, targets, selected, q4) each re-derived the base scan — 7
+  // FileScans of orders in one static plan, the exact b39/d26 disease.
+  // Now the 5-row stats checkpoint feeds ranks/needed/bucketed without
+  // a rescan, and the NARROW bucketed projection (priority, price,
+  // orderkey, bucket + the carried vmin/cnt) checkpoints ONCE for
+  // hist + selected: exactly 2 orders scans, gated in ScanCountSpec.
   def qPercentiles(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables(spark, dir, "orders")
       .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
     val stats = o.groupBy("o_orderpriority")
       .agg(min("o_totalprice").as("vmin"), max("o_totalprice").as("vmax"),
         count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // 5 rows — scan #1, shared by all readers
     // per (group, k): target ranks rk_lo/rk_hi and the quarter weight m
     val ranks = stats.select(col("o_orderpriority").as("rg"), col("cnt"),
         explode(array(lit(1), lit(2), lit(3))).as("k"))
@@ -706,6 +714,8 @@ object AnalyticsExt {
       .withColumn("b", least(lit(1023),
         floor((col("o_totalprice") - col("vmin")) * 1024.0 /
           (col("vmax") - col("vmin") + lit(1e-9))).cast("int")))
+      .select("o_orderpriority", "o_totalprice", "o_orderkey", "b")
+      .localCheckpoint(true) // scan #2 — hist + selected read this
     val hist = bucketed.groupBy(col("o_orderpriority"), col("b"))
       .agg(count(lit(1)).as("c"))
     val wc = Window.partitionBy("o_orderpriority").orderBy("b")

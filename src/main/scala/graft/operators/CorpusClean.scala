@@ -275,7 +275,7 @@ object CorpusClean {
     .select(col("doc_id"),
       expr("substr(md5(p.content), 1, 16)").as("h"),
       expr("CAST(size(split(p.content, ' ')) AS BIGINT)").as("pw"),
-      expr("doc_id * 65536 + p.idx").as("packed"))
+      expr("doc_id * 4294967296 + p.idx").as("packed"))
 
   def qDedupParagraph(spark: SparkSession, dir: String): DataFrame = {
     val paras = paragraphOccurrences(Tables.fanout(
@@ -308,7 +308,7 @@ object CorpusClean {
         SELECT doc_id,
           substr(md5(content), 1, 16) AS h,
           CAST(len(string_split(content, ' ')) AS BIGINT) AS pw,
-          doc_id * 65536 + idx AS packed
+          doc_id * 4294967296 + idx AS packed
         FROM c),
       k AS (SELECT *, min(packed) OVER (PARTITION BY h) AS mn FROM h)
       SELECT doc_id,
@@ -659,7 +659,89 @@ object CorpusClean {
              JOIN p ON d.doc_id = p.doc_id
       GROUP BY d.source ORDER BY d.source"""
 
+  // ------------------------------------------------------------------
+  // f50 — per-benchmark × per-source contamination matrix
+  // ------------------------------------------------------------------
+
+  /** f50 — `q_contamination_matrix`: the per-benchmark contamination
+    * TABLE every serious model card publishes (GPT-3 Appendix C /
+    * PaLM's contamination analysis — the public standard): f10 flags
+    * individual (train doc, eval doc) pairs; this rolls the same
+    * ≥3-shared-shingles evidence up to the (benchmark suite, corpus
+    * source) grid — for each suite and source, how many of the
+    * source's docs are contaminated (ppm) and the worst overlap. The
+    * eval docs (doc_id ≡ 0 mod 50) partition into 5 suites by
+    * doc_id div 50 mod 5; a corpus doc is contaminated AGAINST A SUITE
+    * iff it shares ≥3 distinct shingles with the suite's UNION index
+    * (distinct (suite, shingle) — suite-level, not per-eval-doc, so a
+    * doc grazing 3 different eval docs once each still flags).
+    *
+    * Shape at 100 TB: the suite index is benchmark-sized → broadcast;
+    * the corpus side is ONE map-only shingle explode + broadcast hash
+    * probe (f10's argument); the only row-scale shuffle carries
+    * MATCHED (doc, suite) rows; the matrix itself is
+    * suites × sources — bounded. The zero-row cells come from the
+    * bounded totals×suites cross (broadcast both), so clean sources
+    * REPORT 0 rather than vanish — the datasheet's point. */
+  def qContaminationMatrix(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val d = Tables(spark, dir, "documents")
+    val sh = d.select(col("doc_id"), col("source"),
+      explode(expr(graft.functions.TextFns.shSpark)).as("shingle"))
+    val bench = sh.filter(col("doc_id") % 50 === 0)
+      .select(expr("concat('suite_', CAST(doc_id div 50 % 5 AS STRING))").as("suite"),
+        col("shingle"))
+      .distinct()
+    val corpus = sh.filter(col("doc_id") % 50 =!= 0)
+    val hits = corpus.join(broadcast(bench), "shingle")
+      .groupBy(col("doc_id"), col("source").as("hsource"), col("suite").as("hsuite"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 3)
+    val m = hits.groupBy("hsuite", "hsource")
+      .agg(count(lit(1)).as("n_contaminated"), max("shared").as("max_shared"))
+    val tot = d.filter(col("doc_id") % 50 =!= 0)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val suites = d.filter(col("doc_id") % 50 === 0)
+      .select(expr("concat('suite_', CAST(doc_id div 50 % 5 AS STRING))").as("suite"))
+      .distinct()
+    tot.crossJoin(broadcast(suites))
+      .join(broadcast(m),
+        col("hsuite") === col("suite") && col("hsource") === col("source"), "left")
+      .select(col("source"), col("suite"), col("n_docs"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        expr("coalesce(n_contaminated, 0L) * 1000000 div n_docs").as("contaminated_ppm"),
+        coalesce(col("max_shared"), lit(0L)).as("max_shared"))
+      .orderBy("source", "suite")
+  }
+
+  val qContaminationMatrixSql: String = {
+    val sh = graft.functions.TextFns.shDuck
+    s"""WITH s AS (SELECT doc_id, source, unnest($sh) AS shingle FROM documents),
+      bench AS (
+        SELECT DISTINCT 'suite_' || CAST(doc_id // 50 % 5 AS VARCHAR) AS suite, shingle
+        FROM s WHERE doc_id % 50 = 0),
+      corpus AS (SELECT doc_id, source, shingle FROM s WHERE doc_id % 50 <> 0),
+      hits AS (
+        SELECT c.doc_id, c.source AS hsource, b.suite AS hsuite, COUNT(*) AS shared
+        FROM corpus c JOIN bench b USING (shingle)
+        GROUP BY 1, 2, 3 HAVING COUNT(*) >= 3),
+      tot AS (SELECT source, COUNT(*) AS n_docs FROM documents WHERE doc_id % 50 <> 0 GROUP BY 1),
+      suites AS (SELECT DISTINCT 'suite_' || CAST(doc_id // 50 % 5 AS VARCHAR) AS suite
+        FROM documents WHERE doc_id % 50 = 0),
+      m AS (
+        SELECT hsuite, hsource, COUNT(*) AS n_contaminated, MAX(shared) AS max_shared
+        FROM hits GROUP BY 1, 2)
+      SELECT t.source, s.suite, t.n_docs,
+        COALESCE(m.n_contaminated, 0) AS n_contaminated,
+        COALESCE(m.n_contaminated, 0) * 1000000 // t.n_docs AS contaminated_ppm,
+        COALESCE(m.max_shared, 0) AS max_shared
+      FROM tot t CROSS JOIN suites s
+      LEFT JOIN m ON m.hsuite = s.suite AND m.hsource = t.source
+      ORDER BY t.source, s.suite"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_contamination_matrix" -> (qContaminationMatrix _),
     "q_gopher_rules" -> (qGopherRules _),
     "q_c4_filters" -> (qC4Filters _),
     "q_dedup_paragraph" -> (qDedupParagraph _),
@@ -669,6 +751,7 @@ object CorpusClean {
     "q_data_card" -> (qDataCard _))
 
   val oracles: Map[String, String] = Map(
+    "q_contamination_matrix" -> qContaminationMatrixSql,
     "q_gopher_rules" -> qGopherRulesSql,
     "q_c4_filters" -> qC4FiltersSql,
     "q_dedup_paragraph" -> qDedupParagraphSql,

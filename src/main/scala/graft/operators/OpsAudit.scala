@@ -688,7 +688,13 @@ object OpsAudit {
     * First digit is integer/string algebra off floor(price·100) (both
     * engines share IEEE multiply + floor — never a float-to-int CAST,
     * whose rounding mode differs across engines). χ² rides ppm-scaled
-    * integers with two floor divisions, overflow-safe to ~10¹⁵ rows.
+    * integers; the term is reassociated as X·(total div 10⁶) +
+    * X·(total mod 10⁶) div 10⁶ (identical value — the quotient part
+    * is exact because X·q·10⁶ is a multiple of 10⁶), so the largest
+    * intermediate is X·(total div 10⁶) with X ≤ 10¹²/45757 ≈ 2.2·10⁷:
+    * overflow-safe to ~4·10¹⁷ rows, where the naive (X·total) div 10⁶
+    * form wrapped silently in Spark (and raised in DuckDB) near
+    * ~4·10¹¹ rows.
     * One scan, one 9-bucket agg (map-side combinable), bounded output.
     * The driver's synthetic ledger is uniform-ish, NOT Benford — the
     * audit's point is that the deviation column exposes exactly that. */
@@ -709,7 +715,8 @@ object OpsAudit {
       .withColumn("n", coalesce(col("n"), lit(0L)))
       .withColumn("obs_ppm", expr("n * 1000000 div total"))
       .withColumn("chi2_term", expr(
-        "((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) div exp_ppm) * total div 1000000"))
+        """((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) div exp_ppm) * (total div 1000000)
+           + ((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) div exp_ppm) * (total % 1000000) div 1000000"""))
       .select("digit", "n", "exp_ppm", "obs_ppm", "chi2_term")
       .orderBy("digit")
   }
@@ -728,7 +735,8 @@ object OpsAudit {
           coalesce(o.n, 0) * 1000000 // t.total AS obs_ppm, t.total AS total
         FROM exp e LEFT JOIN obs o ON e.digit = o.digit CROSS JOIN t)
       SELECT digit, n, exp_ppm, obs_ppm,
-        ((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) // exp_ppm) * total // 1000000 AS chi2_term
+        ((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) // exp_ppm) * (total // 1000000)
+          + ((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) // exp_ppm) * (total % 1000000) // 1000000 AS chi2_term
       FROM j ORDER BY digit"""
   }
 

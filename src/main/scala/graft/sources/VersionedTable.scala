@@ -226,11 +226,14 @@ object VersionedTable {
       overwrite: Boolean = false): Either[Map[String, Long], Long] = {
     import org.apache.spark.sql.functions._
     if (constraints.nonEmpty) {
+      // coalesce: sum() over ZERO rows is NULL (an empty micro-batch is
+      // routine upstream) and getLong on NULL throws — an empty batch
+      // is trivially clean, so its violation count is 0, not a crash
       val aggs = constraints.map {
         case NotNullC(c) =>
-          sum(expr(s"CAST(($c) IS NULL AS BIGINT)"))
+          coalesce(sum(expr(s"CAST(($c) IS NULL AS BIGINT)")), lit(0L))
         case CheckC(_, p) =>
-          sum(expr(s"CAST(NOT coalesce(($p), false) AS BIGINT)"))
+          coalesce(sum(expr(s"CAST(NOT coalesce(($p), false) AS BIGINT)")), lit(0L))
         case UniqueC(cols) =>
           val ns = cols.map(c => s"'$c', $c").mkString("named_struct(", ", ", ")")
           count(lit(1)) - countDistinct(expr(ns))

@@ -236,14 +236,22 @@ object IngestStream {
       .flatMapGroupsWithState[Long, ParaVerdict](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (h: String, it: Iterator[ParaOcc], state: GroupState[Long]) =>
-          var admitted = state.getOption
-          val out = it.toSeq.sortBy(p => p.docId * 65536L + p.idx).map { p =>
-            val kept = admitted.isEmpty
-            if (admitted.isEmpty) admitted = Some(p.docId * 65536L + p.idx)
-            ParaVerdict(p.docId, p.idx, p.h, kept)
+          // SINGLE PASS, nothing materialized: the verdict of every
+          // occurrence is decided by whether the key was already
+          // admitted, and under the family's in-order-feed discipline
+          // the group iterator replays in packed order (group-key sort
+          // is TimSort-stable), so the FIRST element IS the min-packed
+          // one — buffering + sorting the whole group (the previous
+          // shape) undercut the bounded-state argument exactly on the
+          // hot boilerplate keys that concentrate occurrences.
+          if (!it.hasNext) Iterator.empty
+          else {
+            val head = it.next()
+            val kept = state.getOption.isEmpty
+            if (kept) state.update(head.docId * 4294967296L + head.idx)
+            Iterator.single(ParaVerdict(head.docId, head.idx, head.h, kept)) ++
+              it.map(p => ParaVerdict(p.docId, p.idx, p.h, false))
           }
-          admitted.foreach(state.update)
-          out.iterator
       }
   }
 
@@ -280,6 +288,71 @@ object IngestStream {
           state.update(st)
           Iterator.single(SourceCard(source, st.version, st.docs, st.words,
             st.passCnt * 1000000L / st.docs, st.keptCnt * 1000000L / st.docs))
+      }
+  }
+
+  /** one chunk completion OR a cancel on one asset's transform (h37) */
+  case class ChunkMsg(url: String, kind: String, idx: Int, nchunks: Int,
+      eventTimeMs: Long)
+  /** per-asset abort state: terminal flag + the progress frozen at the
+    * last chunk that completed before the abort */
+  case class ChunkAbortState(cancelled: Boolean, doneCnt: Int,
+      lastIdx: Int, lastProgress: Int)
+  case class ChunkOut(url: String, kind: String, idx: Int, progress: Int,
+      nMasked: Int)
+
+  /** a5's compute_progress value at completion of chunk i of n (ref
+    * utils.py:79-84): 30% download offset, the rest split evenly,
+    * remainder on the last chunk (⇒ exactly 100). */
+  private def chunkProgress(i: Int, n: Int): Int =
+    if (i < n - 1) 30 + 70 / n * (i + 1)
+    else 30 + 70 % n + 70 / n * (i + 1)
+
+  /** h37 — MID-TRANSFORM COOPERATIVE CANCELLATION (ref
+    * processing.py:446-467: `gdal_callback` / `TimeoutProgress` poll
+    * the cancel/timeout event INSIDE a running GDAL op and abort it —
+    * not between stages, mid-asset). h1 cancels between stages and h3
+    * joins cancel messages to whole assets; this composes h1's
+    * terminal-state discipline with a5's chunk schedule at CHUNK
+    * granularity: chunk completions and cancels for one asset group
+    * under one key, replay in EVENT-TIME order (a cancel sharing a
+    * chunk's timestamp precedes it — the poll runs before the chunk's
+    * write lands), and a cancel arriving MID-ASSET masks the asset's
+    * remaining chunk outputs — in the SAME micro-batch and in every
+    * later one (the terminal flag persists, h1's tombstone rule).
+    * The abort verdict row freezes progress at the last completed
+    * chunk (a5's exact formula) and accounts the chunks it masked.
+    * Masking is event-time algebra, so the output set is identical
+    * under ANY batching (ChunkStreamSpec: batch parity + kill/restart
+    * parity — a state-lost restart would let post-kill chunks of a
+    * cancelled asset through). Groups are bounded by the chunk plan
+    * (≤ nchunks+cancels rows), so the per-batch sort is O(plan), not
+    * O(stream); production ages tombstones by watermark with the
+    * batch a7 owning history beyond the horizon. */
+  def streamingChunkAbort(msgs: Dataset[ChunkMsg]): Dataset[ChunkOut] = {
+    import msgs.sparkSession.implicits._
+    msgs.groupByKey(_.url)
+      .flatMapGroupsWithState[ChunkAbortState, ChunkOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (url: String, it: Iterator[ChunkMsg], state: GroupState[ChunkAbortState]) =>
+          var s = state.getOption.getOrElse(ChunkAbortState(false, 0, -1, 30))
+          val out = Seq.newBuilder[ChunkOut]
+          it.toSeq.sortBy(m => (m.eventTimeMs, if (m.kind == "cancel") 0 else 1))
+            .foreach { m =>
+              if (m.kind == "cancel") {
+                if (!s.cancelled) { // a second cancel is a no-op: terminal
+                  out += ChunkOut(url, "cancelled", s.lastIdx, s.lastProgress,
+                    m.nchunks - s.doneCnt)
+                  s = s.copy(cancelled = true)
+                }
+              } else if (!s.cancelled) {
+                val p = chunkProgress(m.idx, m.nchunks)
+                out += ChunkOut(url, "chunk", m.idx, p, 0)
+                s = ChunkAbortState(false, s.doneCnt + 1, m.idx, p)
+              } // else: masked — the abort already took effect
+            }
+          state.update(s)
+          out.result().iterator
       }
   }
 

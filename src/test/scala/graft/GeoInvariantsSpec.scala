@@ -294,6 +294,119 @@ class GeoInvariantsSpec extends SparkTestBase {
     }
   }
 
+  test("b57: shared borders — both owners emit the IDENTICAL simplified chain; DP matches an independent reference") {
+    val out = graft.operators.GeoBorders.qSharedBorders(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // (1) the no-sliver guarantee: every border key maps to exactly ONE
+    // (kept_mask, n_kept) verdict across all its owners
+    val byKey = out.groupBy(_.getString(2))
+    byKey.foreach { case (bkey, rows) =>
+      val verdicts = rows.map(r => (r.getLong(5), r.getLong(6))).distinct
+      assert(verdicts.size == 1,
+        s"border $bkey simplified differently across owners: ${verdicts.toSeq}")
+      val owners = rows.map(_.getLong(3)).distinct
+      assert(owners.toSeq == Seq(rows.length.toLong),
+        s"border $bkey: n_owners ${owners.toSeq} != owner rows ${rows.length}")
+    }
+    // (2) grid topology: an interior vertical border (0 < ex < 100 on a
+    // fully-populated row) has exactly 2 owners; the fabric edge has 1
+    val f0r = out.find(r => r.getLong(0) == 0L && r.getString(1) == "R").get
+    assert(f0r.getLong(3) == 2L && f0r.getBoolean(4), "V-1-0 must be shared")
+    val f0l = out.find(r => r.getLong(0) == 0L && r.getString(1) == "L").get
+    assert(f0l.getLong(3) == 1L && !f0l.getBoolean(4), "V-0-0 is the fabric edge")
+    // (3) kernel vs an INDEPENDENT in-test DP reference (same strict >,
+    // same smallest-index tie-break), on every distinct border — a
+    // non-shared edge must simplify exactly as a shared one (and as
+    // b42 would): the dedup changes WORK, never the verdict
+    val primes = Seq(7919L, 12553L, 17389L, 23311L, 29443L, 37199L, 42643L, 50021L)
+    def chain(k: Long): (Array[Long], Array[Long]) = {
+      val xs = (0 to 7).map(i => 400L * i).toArray
+      val ys = (0 to 7).map { i =>
+        val spike = if (i == 4 && k % 17 == 0) 1000L else 0L
+        if (k % 13 == 0) k * 7919 % 1200 else k * primes(i) % 1200 + spike
+      }.toArray
+      (xs, ys)
+    }
+    def dpRef(xs: Array[Long], ys: Array[Long], tol2: Long): Long = {
+      var mask = 0L
+      def rec(lo: Int, hi: Int): Unit = {
+        mask |= (1L << lo) | (1L << hi)
+        if (hi - lo < 2) return
+        val (dx, dy) = (xs(hi) - xs(lo), ys(hi) - ys(lo))
+        val len2 = dx * dx + dy * dy
+        var (bi, bc2) = (-1, -1L)
+        for (i <- lo + 1 until hi) {
+          val c = dx * (ys(i) - ys(lo)) - dy * (xs(i) - xs(lo))
+          if (c * c > bc2) { bc2 = c * c; bi = i }
+        }
+        if (bc2 > tol2 * len2) { rec(lo, bi); rec(bi, hi) }
+      }
+      rec(0, 7); mask
+    }
+    byKey.foreach { case (bkey, rows) =>
+      val parts = bkey.split("-")
+      val (t, ex, ey) = (parts(0), parts(1).toLong, parts(2).toLong)
+      val k = ex * 4099 + ey * 2003 + (if (t == "V") 1L else 2L)
+      val (xs, ys) = chain(k)
+      val want = dpRef(xs, ys, 1024L)
+      assert(rows.head.getLong(5) == want,
+        s"border $bkey (k=$k): kernel mask ${rows.head.getLong(5)} != reference $want")
+      assert(java.lang.Long.bitCount(want).toLong == rows.head.getLong(6))
+    }
+  }
+
+  test("b58: PROMOTE_TO_MULTI — part accounting closes, type algebra holds, all-parts-dropped features counted out") {
+    // sf0.01: enough features that every planted class (bowtie kp≡0
+    // mod 4, sliver kp≡0 mod 11, incl. single-part features whose ONLY
+    // part drops) is populated
+    val dir = "/root/testdata/sf0.01"
+    val out = graft.operators.GeoMulti.qPromoteMulti(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3),
+        "n_features != single + multi")
+      assert(r.getLong(4) == r.getLong(5) + r.getLong(6) + r.getLong(7),
+        "parts don't partition into valid+repaired+dropped")
+      assert(r.getLong(8) <= r.getLong(1), "features_kept > n_features")
+    }
+    // recompute the per-layer expectation independently in Scala from
+    // the supplier keys (third engine: plain loops, no SQL)
+    val sup = spark.read.parquet(s"$dir/supplier.parquet")
+      .select("s_suppkey", "s_nationkey").collect()
+      .map(r => (r.get(0).toString.toLong, r.get(1).toString.toLong))
+    val expect = sup.groupBy(_._2).map { case (layer, fs) =>
+      var (nf, nsi, nmi, npt, pv, pr, pd, fk) = (0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+      fs.foreach { case (f, _) =>
+        val nParts = 1 + f % 3
+        nf += 1; npt += nParts
+        if (nParts == 1) nsi += 1 else nmi += 1
+        var kept = false
+        (0L until nParts).foreach { p =>
+          val kp = f * 7 + p
+          val b = if (kp % 11 == 0) 0L else kp % 5 * 1000000L + 3000000L
+          val crossed = kp % 4 == 0 && b != 0L // a flat ring cannot properly cross
+          if (crossed) { pr += 1; kept = true }
+          else if (b == 0L) pd += 1
+          else { pv += 1; kept = true }
+        }
+        if (kept) fk += 1
+      }
+      layer -> (nf, nsi, nmi, npt, pv, pr, pd, fk)
+    }
+    out.foreach { r =>
+      val e = expect(r.getLong(0))
+      val got = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))
+      assert(got == e, s"layer ${r.getLong(0)}: got $got want $e")
+    }
+    // the planted contrast is POPULATED at this scale: some parts drop,
+    // and at least one feature loses ALL its parts
+    val totDropped = out.map(_.getLong(7)).sum
+    val totKeptGap = out.map(r => r.getLong(1) - r.getLong(8)).sum
+    assert(totDropped > 0, "no sliver parts planted — the gauntlet went vacuous")
+    assert(totKeptGap > 0, "no all-parts-dropped feature — features_kept untested")
+  }
+
   test("b43: line clip — the tile pieces of every line sum to EXACTLY its total L1 length") {
     val rows = graft.operators.GeoLines.qLineClip(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -16,13 +16,13 @@ class ParaStreamSpec extends SparkTestBase {
       Tables(spark, sfDir, "documents").select(col("doc_id"), col("text")))
       .collect()
       .map(r => ParaOcc(r.getAs[Long]("doc_id"),
-        r.getAs[Long]("packed") % 65536L, r.getAs[String]("h"), r.getAs[Long]("pw")))
+        r.getAs[Long]("packed") % 4294967296L, r.getAs[String]("h"), r.getAs[Long]("pw")))
   }
 
   test("h35: in-order feed equals the d25 batch keep-first, any batching") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val ordered = occs().sortBy(p => p.docId * 65536L + p.idx)
+    val ordered = occs().sortBy(p => p.docId * 4294967296L + p.idx)
     // order-preserving adversarial splits (uneven, mid-document cuts)
     val batches = Seq(ordered.take(317), ordered.slice(317, 1000),
       ordered.slice(1000, 1001), ordered.drop(1001))
@@ -51,9 +51,9 @@ class ParaStreamSpec extends SparkTestBase {
       assert(got(d) == w, s"doc $d diverged: stream ${got(d)} batch $w")
     }
     // the admitted OCCURRENCE is the batch min-packed one, not just the count
-    val keptSet = outs.filter(_.kept).map(p => (p.h, p.docId * 65536L + p.idx)).toMap
+    val keptSet = outs.filter(_.kept).map(p => (p.h, p.docId * 4294967296L + p.idx)).toMap
     val minPacked = ordered.groupBy(_.h).view
-      .mapValues(_.map(p => p.docId * 65536L + p.idx).min).toMap
+      .mapValues(_.map(p => p.docId * 4294967296L + p.idx).min).toMap
     assert(keptSet == minPacked.toMap)
   }
 

@@ -45,6 +45,23 @@ class ScanCountSpec extends SparkTestBase {
       .findAllIn(df.queryExecution.executedPlan.toString()).length
   }
 
+  test("c47 percentiles: 5-row stats + bucketed projection checkpoint once; the final plan never re-reads orders") {
+    // round 13 verdict: the static plan read orders 7× (stats, ranks,
+    // needed, hist, targets, selected each re-derived the base scan) —
+    // at 100 TB the 7× fact read IS the query cost. The fix: eager
+    // localCheckpoints for stats (scan #1) and the narrow bucketed
+    // projection (scan #2); every downstream consumer must read the
+    // materialized tables, so the FINAL plan has ZERO orders FileScans
+    // and ≥2 checkpoint relations.
+    val df = operators.AnalyticsExt.qPercentiles(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(!p.contains("orders.parquet"),
+      s"the percentile assembly must read the checkpoints, not re-scan orders:\n$p")
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 2,
+      s"expected the stats + bucketed checkpoint relations:\n$p")
+  }
+
   test("b53 tilejson / b55 tile buffer / a28 lifecycle: one events scan each") {
     assert(eventScans(operators.GeoMeta.qTilejson(spark, sfDir)) <= 1)
     assert(eventScans(operators.GeoMeta.qTileBuffer(spark, sfDir)) <= 1)

@@ -577,5 +577,15 @@ class VersionedTableSpec extends SparkTestBase {
       .withColumn("id", org.apache.spark.sql.functions.expr("CAST(NULL AS BIGINT)"))
     val r2 = VersionedTable.commitChecked(spark, path, nullPred, Seq(CheckC("p", "id > 0")))
     assert(r2.left.toOption.get("check(p)") == 1L)
+
+    // an EMPTY batch is trivially clean and must COMMIT, not crash:
+    // sum() over zero rows is NULL, and the pre-coalesce validator
+    // NPE'd on getLong (round-13 advice) — empty micro-batches are
+    // routine upstream (an all-filtered trigger interval)
+    val empty = Seq.empty[(Long, String)].toDF("id", "name")
+    val r3 = VersionedTable.commitChecked(spark, path, empty, cons)
+    assert(r3 == Right(3L), s"empty batch must commit cleanly: $r3")
+    assert(rows(VersionedTable.read(spark, path)) ==
+      Set((1L, "a"), (2L, "b"), (3L, "z")))
   }
 }
