@@ -543,6 +543,138 @@ object Ann {
       ORDER BY adc DESC, vec_id"""
   }
 
+  // ---- e29: residual IVFPQ ----
+
+  /** integer dot of 8-dim subspace j of two BIGINT-array columns
+    * (order-free exact addition, both engines). */
+  private def isubDotSpark(a: String, b: String, j: Int): String =
+    s"aggregate(zip_with(slice($a, ${8 * j + 1}, 8), slice($b, ${8 * j + 1}, 8), " +
+      s"(x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+
+  private def isubDotDuck(a: String, b: String, j: Int): String =
+    s"list_sum(list_transform(generate_series(1, 8), d -> $a[${8 * j} + d] * $b[${8 * j} + d]))"
+
+  /** e29 — `q_ann_ivfpq_res`: RESIDUAL-encoded IVFPQ — the refinement
+    * that makes FAISS's IVFPQ the production default: e9 PQ-encodes
+    * RAW vectors, but within one IVF cell the vectors share the cell
+    * centroid, so encoding the RESIDUAL v − μ(cell) spends the whole
+    * codebook on the part that actually distinguishes neighbors
+    * (Jégou et al. 2011 §III-C). Everything stays exact integer math
+    * cross-engine: vectors quantize to micro-units; cell centroid
+    * NUMERATORS are integer sums (s, n); the residual in micro-units
+    * is ONE positive-shifted floor division —
+    * r_d = ((q_d + 10⁶)·n − s_d) div n − 10⁶ — whose numerator is
+    * non-negative by construction (components ≥ −1), so `div` and
+    * DuckDB `//` agree with zero negative-division hazards. Codes:
+    * per 8-dim subspace the argmin codeword by the integer key
+    * |a|² − 2·r·a (the |r|² term is code-constant), packed with the
+    * anchor id for an engine-exact tie-break. ADC: the inner-product
+    * LUT is the FULL query × codeword (q·v = q·μ + q·r̂, and q·μ is
+    * cell-constant, so ranking rides q·codeword(r)); the probed
+    * cell's vectors fold 8 LUT adds each, top-10, exact-cosine
+    * rerank. At 100 TB: centroids live in a label-bounded broadcast,
+    * the scan is the probed cell's CODES (bytes per vector), residual
+    * encode is one map-only pass at ingest; int64 holds through
+    * ~10⁹-vector cells (q·s ≤ 5·10⁵ · n·5·10⁵ per dim · 64). */
+  def qAnnIvfPqRes(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val e = Tables(spark, dir, "embeddings")
+    val micro = "v -> CAST(round(round(CAST(v AS DOUBLE), 6) * 1000000, 0) AS BIGINT)"
+    val eq = e.select(col("vec_id"), col("label"), col("embedding"),
+      expr(s"transform(embedding, $micro)").as("qvec"))
+    // integer centroid numerators per cell, reassembled as one array
+    val centi = eq.select(col("label"), posexplode(col("qvec")).as(Seq("i", "v")))
+      .groupBy("label", "i").agg(sum("v").as("s"), count(lit(1)).as("n"))
+    val cells = centi.groupBy("label")
+      .agg(max("n").as("n"),
+        expr("transform(sort_array(collect_list(struct(i, s))), x -> x.s)").as("sarr"))
+    // probe: best cell by the exact integer query·numerator dot
+    val qfull = eq.filter(col("vec_id") === 0).select(col("qvec").as("qq"))
+    val best = cells.crossJoin(broadcast(qfull))
+      .select(col("label"),
+        (expr("aggregate(zip_with(qq, sarr, (a, b) -> a * b), 0L, (acc, v) -> acc + v)")
+          .cast("double") / col("n")).as("dot"))
+      .orderBy(col("dot").desc, col("label")).limit(1).select("label")
+    val bcell = cells.join(broadcast(best), "label")
+      .select(col("label"), col("n"), col("sarr"))
+    // residuals of the probed cell only (the at-ingest encode runs
+    // per cell with ITS centroid — same formula, label-joined)
+    val res = eq.join(broadcast(bcell), "label")
+      .select(col("vec_id"), expr(
+        """transform(sequence(1, 64), d ->
+             ((element_at(qvec, d) + 1000000L) * n - element_at(sarr, d)) div n - 1000000L)""")
+        .as("r"))
+    val anchors = e.filter(col("vec_id").between(1, 4))
+      .select(col("vec_id").as("a_id"), expr(s"transform(embedding, $micro)").as("aq"))
+    val ks = (0 until 8).map { j =>
+      expr(s"(${isubDotSpark("aq", "aq", j)} - 2 * ${isubDotSpark("r", "aq", j)}) * 16 + a_id")
+        .as(s"k$j")
+    }
+    val scored = res.crossJoin(broadcast(anchors)).select(col("vec_id") +: ks: _*)
+    val codeAggs = (0 until 8).map(j => pmod(min(col(s"k$j")), lit(16L)).as(s"c$j"))
+    val codes = scored.groupBy("vec_id").agg(codeAggs.head, codeAggs.tail: _*)
+    val cl = codes.select(col("vec_id"),
+      posexplode(array((0 until 8).map(j => col(s"c$j")): _*)).as(Seq("j", "code")))
+    val lutWide = anchors.crossJoin(broadcast(qfull)).select(col("a_id") +:
+      (0 until 8).map(j => expr(isubDotSpark("qq", "aq", j)).as(s"l$j")): _*)
+    val lut = lutWide.select(col("a_id"),
+      posexplode(array((0 until 8).map(j => col(s"l$j")): _*)).as(Seq("j", "dot_i")))
+    val adc = cl.as("cl").join(broadcast(lut.as("lt")),
+        col("cl.code") === col("lt.a_id") && col("cl.j") === col("lt.j"))
+      .groupBy(col("cl.vec_id").as("vec_id"))
+      .agg(sum("dot_i").as("adc"))
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    adc.orderBy(col("adc").desc, col("vec_id")).limit(10)
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("adc"), expr(cosineSpark("embedding", "qv")).as("cos_sim"))
+      .orderBy(col("adc").desc, col("vec_id"))
+  }
+
+  val qAnnIvfPqResSql: String = {
+    val ds = (0 until 8).map(j =>
+      s"(${isubDotDuck("aq", "aq", j)} - 2 * ${isubDotDuck("r", "aq", j)}) * 16 + a_id AS k$j")
+      .mkString(", ")
+    val codeCols = (0 until 8).map(j => s"((MIN(k$j) % 16) + 16) % 16 AS c$j").mkString(", ")
+    val luts = (0 until 8).map(j => s"${isubDotDuck("qq", "aq", j)} AS l$j").mkString(", ")
+    val lutCase = (0 until 8).map(j => s"WHEN $j THEN l$j").mkString(" ")
+    val micro = "list_transform(embedding, v -> CAST(round(round(CAST(v AS DOUBLE), 6) * 1000000, 0) AS BIGINT))"
+    s"""WITH eq AS (
+        SELECT vec_id, label, embedding, $micro AS qvec FROM embeddings),
+      pe AS (SELECT label, unnest(generate_series(1, 64)) AS i, unnest(qvec) AS v FROM eq),
+      centi AS (SELECT label, i, CAST(SUM(v) AS BIGINT) AS s, COUNT(*) AS n FROM pe GROUP BY label, i),
+      cells AS (SELECT label, MAX(n) AS n, list(s ORDER BY i) AS sarr FROM centi GROUP BY label),
+      qfull AS (SELECT qvec AS qq FROM eq WHERE vec_id = 0),
+      cdots AS (
+        SELECT label,
+          CAST(CAST(list_sum(list_transform(generate_series(1, 64), d -> qq[d] * sarr[d])) AS BIGINT) AS DOUBLE) / n AS dot
+        FROM cells, qfull),
+      best AS (SELECT label FROM cdots ORDER BY dot DESC, label LIMIT 1),
+      bcell AS (SELECT c.* FROM cells c JOIN best USING (label)),
+      anchors AS (SELECT vec_id AS a_id, $micro AS aq FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+      res AS (
+        SELECT e.vec_id,
+          list_transform(generate_series(1, 64),
+            d -> ((e.qvec[d] + 1000000) * b.n - b.sarr[d]) // b.n - 1000000) AS r
+        FROM eq e JOIN best USING (label) CROSS JOIN bcell b),
+      scored AS (SELECT res.vec_id, a_id, $ds FROM res, anchors),
+      codes AS (SELECT vec_id, $codeCols FROM scored GROUP BY vec_id),
+      cl AS (SELECT vec_id, unnest([0,1,2,3,4,5,6,7]) AS j,
+        unnest([c0,c1,c2,c3,c4,c5,c6,c7]) AS code FROM codes),
+      lut AS (SELECT a_id, j, CASE j $lutCase END AS dot_i
+        FROM (SELECT a_id, $luts, unnest([0,1,2,3,4,5,6,7]) AS j FROM anchors, qfull) x),
+      adc AS (
+        SELECT cl.vec_id AS vec_id, CAST(SUM(lut.dot_i) AS BIGINT) AS adc
+        FROM cl JOIN lut ON lut.a_id = cl.code AND lut.j = cl.j
+        GROUP BY cl.vec_id),
+      top AS (SELECT vec_id, adc FROM adc ORDER BY adc DESC, vec_id LIMIT 10),
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT t.vec_id AS vec_id, t.adc AS adc,
+        ${cosineDuck("e.embedding", "qv")} AS cos_sim
+      FROM top t JOIN embeddings e ON e.vec_id = t.vec_id, q
+      ORDER BY adc DESC, vec_id"""
+  }
+
   /** e10 — index-quality evaluation AS A QUERY: recall@5 of the LSH
     * bucket (e2) and multi-probe (e4) indexes against the exact
     * brute-force top-5 — the measurement every production ANN
@@ -1497,6 +1629,7 @@ object Ann {
     "q_pq_train_step" -> (qPqTrainStep _),
     "q_ann_recall" -> (qAnnRecall _),
     "q_ann_ivfpq" -> (qAnnIvfPq _),
+    "q_ann_ivfpq_res" -> (qAnnIvfPqRes _),
     "q_ann_pq" -> (qAnnPq _),
     "q_ann_brute" -> (qAnnBrute _),
     "q_ann_filtered" -> (qAnnFiltered _),
@@ -1519,6 +1652,7 @@ object Ann {
     "q_pq_train_step" -> qPqTrainStepSql,
     "q_ann_recall" -> qAnnRecallSql,
     "q_ann_ivfpq" -> qAnnIvfPqSql,
+    "q_ann_ivfpq_res" -> qAnnIvfPqResSql,
     "q_ann_pq" -> qAnnPqSql,
     "q_ann_brute" -> qAnnBruteSql,
     "q_ann_filtered" -> qAnnFilteredSql,

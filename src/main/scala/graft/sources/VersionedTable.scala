@@ -76,6 +76,40 @@ object VersionedTable {
   def isCompaction(spark: SparkSession, path: String, v: Long): Boolean =
     rawManifest(spark, path, v).headOption.contains(CompactionMarker)
 
+  /** First manifest line of a restore commit (i23): records the
+    * version the table was rolled back to. */
+  private val RestoreMarkerPrefix = "#restore:"
+
+  /** The version `v` was restored TO, if `v` is a restore commit. */
+  def restoreTarget(spark: SparkSession, path: String, v: Long): Option[Long] =
+    rawManifest(spark, path, v).headOption
+      .filter(_.startsWith(RestoreMarkerPrefix))
+      .map(_.stripPrefix(RestoreMarkerPrefix).trim.toLong)
+
+  /** i23 — RESTORE (Delta Lake's `RESTORE TABLE ... TO VERSION` /
+    * Iceberg's rollback, on this table's own log): roll the table
+    * back to an earlier snapshot as a NEW commit whose manifest lists
+    * exactly that snapshot's files — ZERO data copied (data files are
+    * immutable and byte-stable until [[vacuum]], so the old version's
+    * files are simply re-referenced), history kept (time travel to
+    * the rolled-back versions still works — the bad version stays
+    * inspectable), and the rollback itself is a versioned, CAS-atomic
+    * commit like any other, so it composes with racing writers. The
+    * manifest carries `#restore:<v>`, which change consumers
+    * ([[readChanges]], [[refreshMatView]]) treat as an OVERWRITE step
+    * (full-snapshot restart): the rows the rollback retracted cannot
+    * reach consumers silently — the same degrade-to-recompute
+    * contract an overwrite already has. [[vacuum]] keeps the
+    * re-referenced files alive as long as the restore version is
+    * retained (references are counted over KEPT manifests). */
+  def restore(spark: SparkSession, path: String, toVersion: Long): Long = {
+    val vs = versions(spark, path)
+    require(vs.contains(toVersion), s"version $toVersion not in $vs")
+    val files = readManifest(spark, path, toVersion)
+    casCommitWithHeaders(spark, path, files, overwrite = true,
+      headers = Seq(s"$RestoreMarkerPrefix$toVersion"))
+  }
+
   /** Commit `df` as the next version. `overwrite = false` appends to
     * the latest snapshot's file set; `true` replaces it. Returns the
     * committed version. */
@@ -130,9 +164,12 @@ object VersionedTable {
         val dAgg = delta.groupBy(keyCol).agg(sum(col(valCol)).as("_dsum"))
         val sourceOverwritten = {
           // delta == full snapshot ⇒ the source was overwritten at v:
-          // start the matview over instead of double-counting survivors
+          // start the matview over instead of double-counting survivors.
+          // A restore (i23) re-references old files — detected by its
+          // marker, same recompute semantics.
           val mfs = readManifest(spark, srcPath, v).toSet
-          v > 1 && readManifest(spark, srcPath, v - 1).forall(f => !mfs.contains(f))
+          restoreTarget(spark, srcPath, v).isDefined ||
+            (v > 1 && readManifest(spark, srcPath, v - 1).forall(f => !mfs.contains(f)))
         }
         val old =
           if (sourceOverwritten || versions(spark, matPath).isEmpty)
@@ -446,10 +483,14 @@ object VersionedTable {
     // An overwrite step replaces the whole prior snapshot: its
     // manifest shares no files with its predecessor's (landed file
     // names are token-unique, so disjointness is decisive — the same
-    // detection refreshMatView uses). Rows delivered by steps BEFORE
-    // the latest in-range overwrite are not in snapshot toV; restart
-    // the union there so the consumer never receives replaced rows.
+    // detection refreshMatView uses). A RESTORE (i23) is an overwrite
+    // in row terms but RE-REFERENCES old files, so disjointness can't
+    // see it — its #restore: marker does. Rows delivered by steps
+    // BEFORE the latest in-range overwrite/restore are not in snapshot
+    // toV; restart the union there so the consumer never receives
+    // replaced rows.
     def isOverwriteStep(v: Long): Boolean = {
+      if (restoreTarget(spark, path, v).isDefined) return true
       val prev = prevManifest(v)
       val cur = manifestOf(v).toSet
       prev.nonEmpty && prev.forall(f => !cur.contains(f))
@@ -457,8 +498,13 @@ object VersionedTable {
     val restartAt = stepVs.filter(isOverwriteStep).lastOption
     val files = restartAt.fold(stepVs)(r => stepVs.filter(_ >= r))
       .flatMap { v =>
-        // v = 1 has no predecessor: its delta is its full snapshot
-        val prev = prevManifest(v).toSet
+        // v = 1 has no predecessor: its delta is its full snapshot.
+        // The restart version's delta is ALSO its full snapshot: for a
+        // plain overwrite the subtraction is a no-op (disjoint), but a
+        // restore shares files with its predecessor and must still
+        // deliver the whole restored snapshot.
+        val prev = if (restartAt.contains(v)) Set.empty[String]
+          else prevManifest(v).toSet
         manifestOf(v).filterNot(prev)
       }.distinct
       .map(f => resolve(path, f))

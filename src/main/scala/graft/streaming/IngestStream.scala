@@ -356,6 +356,48 @@ object IngestStream {
       }
   }
 
+  /** an arriving training doc (h38) */
+  case class DocArrival(doc_id: Long, text: String)
+
+  /** h38 — streaming DECONTAMINATION GUARD: f50's suite-contamination
+    * rule at INGEST time (decontaminate-at-the-door — a training doc
+    * that grazes an eval benchmark never lands, instead of being mined
+    * out of the lake later). The eval-suite shingle index is
+    * benchmark-sized and STATIC for a training run, so the guard is
+    * completely STATELESS: the index folds to ONE row of
+    * (suite, shingle-set) structs, broadcasts, and each arriving doc
+    * is judged by an in-row `array_intersect` per suite — no streaming
+    * aggregation, no state store, no watermark coupling; throughput is
+    * the map-side shingle explode the batch f10/f50 already pay. The
+    * verdict mirrors f50 exactly: contaminated iff ≥3 distinct shared
+    * shingles with ANY suite's union index; the worst suite (max
+    * shared, ties to the lexicographically smallest suite) rides along
+    * for the audit trail. DecontamStreamSpec pins per-doc parity with
+    * the batch rule (dropped set + max_shared values) and asserts the
+    * query plans ZERO state operators. */
+  def streamingDecontaminationGuard(docs: DataFrame, suiteIndex: DataFrame): DataFrame = {
+    val dim = suiteIndex.groupBy("suite")
+      .agg(collect_list(col("shingle")).as("sset"))
+      .agg(collect_list(struct(col("suite"), col("sset"))).as("suites"))
+    docs
+      .withColumn("sh", expr(graft.functions.TextFns.shSpark))
+      .crossJoin(broadcast(dim))
+      .withColumn("worst", expr(
+        """aggregate(
+             transform(suites, s -> named_struct(
+               'suite', s.suite,
+               'shared', CAST(size(array_intersect(sh, s.sset)) AS INT))),
+             named_struct('suite', '', 'shared', CAST(-1 AS INT)),
+             (acc, h) -> IF(h.shared > acc.shared
+                            OR (h.shared = acc.shared AND h.suite < acc.suite),
+                          h, acc))"""))
+      .select(col("doc_id"),
+        col("worst.suite").as("worst_suite"),
+        col("worst.shared").as("max_shared"),
+        when(col("worst.shared") >= 3, "drop_contaminated")
+          .otherwise("keep").as("verdict"))
+  }
+
   /** h22 — streaming crawl-frontier URL guard: d15's canonicalizer
     * composed IN-STREAM with the h5 bounded-state dedup. Arriving URL
     * references (`raw`, event-time ms) canonicalize MAP-SIDE (the

@@ -65,6 +65,7 @@ class LibraryGateSpec extends SparkTestBase {
     "q_ann_index_stats" -> 3,
     "q_ann_ivf" -> 4,
     "q_ann_ivfpq" -> 8,
+    "q_ann_ivfpq_res" -> 9, // e9's stage set + the integer centroid build
     "q_ann_nprobe_sweep" -> 10,
     "q_ann_pq" -> 6,
     "q_ann_range" -> 6,

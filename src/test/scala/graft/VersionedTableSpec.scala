@@ -533,6 +533,65 @@ class VersionedTableSpec extends SparkTestBase {
     }
   }
 
+  test("i23: restore — zero-copy rollback, history kept, change feed and matview see an overwrite") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("vtable_restore").toString
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    val d1 = (0L until 50L).map(k => (k, s"a$k")).toDF("key", "val")
+    val d2 = (50L until 80L).map(k => (k, s"bad$k")).toDF("key", "val")
+    assert(VersionedTable.commit(spark, path, d1) == 1L)
+    assert(VersionedTable.commit(spark, path, d2) == 2L) // the bad append
+
+    val dataBefore = fs.listStatus(new org.apache.hadoop.fs.Path(path, "data"))
+      .map(_.getPath.getName).toSet
+    assert(VersionedTable.restore(spark, path, 1L) == 3L)
+    // zero data copied: the data dir is byte-identical, v3 just
+    // re-references v1's files
+    val dataAfter = fs.listStatus(new org.apache.hadoop.fs.Path(path, "data"))
+      .map(_.getPath.getName).toSet
+    assert(dataAfter == dataBefore, "restore must not write data files")
+    assert(rows(VersionedTable.read(spark, path)) == rows(d1), "latest = restored v1")
+    // history kept: the bad version stays inspectable
+    assert(rows(VersionedTable.read(spark, path, Some(2L))) == rows(d1) ++ rows(d2))
+    assert(VersionedTable.restoreTarget(spark, path, 3L).contains(1L))
+    assert(VersionedTable.restoreTarget(spark, path, 2L).isEmpty)
+
+    // change feed: the restore is an overwrite step — a from-scratch
+    // catch-up sees exactly the restored snapshot (never the retracted
+    // bad rows), and a consumer AT the bad version restarts cleanly
+    assert(rows(VersionedTable.readChanges(spark, path, 0L, 3L)) == rows(d1))
+    assert(rows(VersionedTable.readChanges(spark, path, 2L, 3L)) == rows(d1))
+
+    // appends after the restore flow as normal deltas
+    val d4 = (900L until 910L).map(k => (k, s"d$k")).toDF("key", "val")
+    assert(VersionedTable.commit(spark, path, d4) == 4L)
+    assert(rows(VersionedTable.readChanges(spark, path, 3L, 4L)) == rows(d4))
+    assert(rows(VersionedTable.readChanges(spark, path, 2L, 4L)) == rows(d1) ++ rows(d4))
+
+    // matview across the restore: recompute, not double-count
+    val ckpt = java.nio.file.Files.createTempDirectory("restore_ckpt").toString
+    val mat = java.nio.file.Files.createTempDirectory("restore_mat").toString
+    val src = java.nio.file.Files.createTempDirectory("restore_src").toString
+    val s1 = Seq((1L, 10L), (2L, 20L)).toDF("key", "v")
+    val s2 = Seq((1L, 5L)).toDF("key", "v")
+    VersionedTable.commit(spark, src, s1)
+    VersionedTable.commit(spark, src, s2)
+    VersionedTable.refreshMatView(spark, src, ckpt, mat, "key", "v")
+    VersionedTable.restore(spark, src, 1L)
+    VersionedTable.refreshMatView(spark, src, ckpt, mat, "key", "v")
+    val got = VersionedTable.read(spark, mat).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 10L, 2L -> 20L),
+      s"matview must recompute to the restored snapshot, got $got")
+
+    // vacuum keeps the re-referenced files while the restore is retained
+    VersionedTable.vacuum(spark, path, keepLast = 2) // keeps v3, v4
+    assert(rows(VersionedTable.read(spark, path)) == rows(d1) ++ rows(d4),
+      "restore-referenced files must survive vacuum")
+  }
+
   test("i22: constraint-checked commit rejects before landing, zero bytes on disk") {
     import spark.implicits._
     import graft.sources.VersionedTable.{CheckC, NotNullC, UniqueC}
