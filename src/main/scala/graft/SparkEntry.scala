@@ -25,7 +25,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ AnalyticsExt.queries ++ AnalyticsTs.queries ++ IngestOps.queries ++
       GeoOps.queries ++ GeoProj.queries ++ GeoGeom.queries ++ GeoClip.queries ++
-      GeoSimplify.queries ++ GeoBorders.queries ++ GeoMulti.queries ++ GeoLines.queries ++ GeoRaster.queries ++ GeoMeta.queries ++
+      GeoSimplify.queries ++ GeoBorders.queries ++ GeoMulti.queries ++ GeoWrap.queries ++ GeoLines.queries ++ GeoRaster.queries ++ GeoMeta.queries ++
       TextOps.queries ++ TextModels.queries ++ CorpusClean.queries ++ Dedup.queries ++ Ann.queries ++
       Retrieval.queries ++ Bpe.queries ++ Pca.queries ++ Asof.queries ++ Serving.queries ++ Seeding.queries ++
       OpsAudit.queries ++ graft.multimodal.Media.queries
@@ -35,7 +35,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Analytics.oracles ++ AnalyticsExt.oracles ++ AnalyticsTs.oracles ++ IngestOps.oracles ++
       GeoOps.oracles ++ GeoProj.oracles ++ GeoGeom.oracles ++ GeoClip.oracles ++
-      GeoSimplify.oracles ++ GeoBorders.oracles ++ GeoMulti.oracles ++ GeoLines.oracles ++ GeoRaster.oracles ++ GeoMeta.oracles ++
+      GeoSimplify.oracles ++ GeoBorders.oracles ++ GeoMulti.oracles ++ GeoWrap.oracles ++ GeoLines.oracles ++ GeoRaster.oracles ++ GeoMeta.oracles ++
       TextOps.oracles ++ TextModels.oracles ++ CorpusClean.oracles ++ Dedup.oracles ++ Ann.oracles ++
       Retrieval.oracles ++ Bpe.oracles ++ Pca.oracles ++ Asof.oracles ++ Serving.oracles ++ Seeding.oracles ++
       OpsAudit.oracles ++ graft.multimodal.Media.oracles

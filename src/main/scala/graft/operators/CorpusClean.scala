@@ -660,6 +660,64 @@ object CorpusClean {
       GROUP BY d.source ORDER BY d.source"""
 
   // ------------------------------------------------------------------
+  // f51 — filter-ablation matrix (which filter does the killing)
+  // ------------------------------------------------------------------
+
+  /** f51 — `q_filter_ablation`: the per-source filter ABLATION table
+    * (the analysis every pipeline paper publishes next to its filter
+    * stack — RefinedWeb/Dolma-style "marginal kill rate" accounting):
+    * f49 reports each filter's pass rate in isolation; this reports
+    * the 2×2 INTERACTION — per source, how many docs only Gopher
+    * kills, only C4 kills, both kill, neither (kept), in counts and
+    * ppm. The marginal columns are what decide whether a filter earns
+    * its compute: a filter whose kills are all shared with a cheaper
+    * one is dead weight at 100 TB. COMPOSITION discipline (f49's): the
+    * verdicts come from the REGISTERED f46/f47 operators — never a
+    * re-derivation, so the ablation cannot disagree with the family it
+    * analyzes. Cost: the two sub-plans + one row-scale doc_id join +
+    * one bounded source agg (ScanCountSpec-class shape, ≤3 documents
+    * scans). */
+  def qFilterAblation(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents").select(col("doc_id"), col("source"))
+    val g = qGopherRules(spark, dir).select(col("doc_id"), col("pass"))
+    val c = qC4Filters(spark, dir).select(col("doc_id"), col("doc_kept"))
+    d.join(g, "doc_id").join(c, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"),
+        sum(expr("CAST(NOT pass AND doc_kept AS BIGINT)")).as("gopher_only"),
+        sum(expr("CAST(pass AND NOT doc_kept AS BIGINT)")).as("c4_only"),
+        sum(expr("CAST(NOT pass AND NOT doc_kept AS BIGINT)")).as("both_kill"),
+        sum(expr("CAST(pass AND doc_kept AS BIGINT)")).as("kept"))
+      .withColumn("gopher_only_ppm", expr("gopher_only * 1000000 div docs"))
+      .withColumn("c4_only_ppm", expr("c4_only * 1000000 div docs"))
+      .withColumn("both_kill_ppm", expr("both_kill * 1000000 div docs"))
+      .withColumn("kept_ppm", expr("kept * 1000000 div docs"))
+      .orderBy("source")
+  }
+
+  val qFilterAblationSql: String =
+    s"""WITH g AS ($qGopherRulesSql),
+      c AS ($qC4FiltersSql),
+      d AS (SELECT doc_id, source FROM documents),
+      j AS (
+        SELECT d.source,
+          CASE WHEN NOT g.pass AND c.doc_kept THEN 1 ELSE 0 END AS go,
+          CASE WHEN g.pass AND NOT c.doc_kept THEN 1 ELSE 0 END AS co,
+          CASE WHEN NOT g.pass AND NOT c.doc_kept THEN 1 ELSE 0 END AS bk,
+          CASE WHEN g.pass AND c.doc_kept THEN 1 ELSE 0 END AS kp
+        FROM d JOIN g ON d.doc_id = g.doc_id JOIN c ON d.doc_id = c.doc_id)
+      SELECT source, count(*) AS docs,
+        CAST(sum(go) AS BIGINT) AS gopher_only,
+        CAST(sum(co) AS BIGINT) AS c4_only,
+        CAST(sum(bk) AS BIGINT) AS both_kill,
+        CAST(sum(kp) AS BIGINT) AS kept,
+        CAST(sum(go) AS BIGINT) * 1000000 // count(*) AS gopher_only_ppm,
+        CAST(sum(co) AS BIGINT) * 1000000 // count(*) AS c4_only_ppm,
+        CAST(sum(bk) AS BIGINT) * 1000000 // count(*) AS both_kill_ppm,
+        CAST(sum(kp) AS BIGINT) * 1000000 // count(*) AS kept_ppm
+      FROM j GROUP BY source ORDER BY source"""
+
+  // ------------------------------------------------------------------
   // f50 — per-benchmark × per-source contamination matrix
   // ------------------------------------------------------------------
 
@@ -742,6 +800,7 @@ object CorpusClean {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_contamination_matrix" -> (qContaminationMatrix _),
+    "q_filter_ablation" -> (qFilterAblation _),
     "q_gopher_rules" -> (qGopherRules _),
     "q_c4_filters" -> (qC4Filters _),
     "q_dedup_paragraph" -> (qDedupParagraph _),
@@ -752,6 +811,7 @@ object CorpusClean {
 
   val oracles: Map[String, String] = Map(
     "q_contamination_matrix" -> qContaminationMatrixSql,
+    "q_filter_ablation" -> qFilterAblationSql,
     "q_gopher_rules" -> qGopherRulesSql,
     "q_c4_filters" -> qC4FiltersSql,
     "q_dedup_paragraph" -> qDedupParagraphSql,

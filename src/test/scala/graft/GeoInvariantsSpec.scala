@@ -407,6 +407,36 @@ class GeoInvariantsSpec extends SparkTestBase {
     assert(totKeptGap > 0, "no all-parts-dropped feature — features_kept untested")
   }
 
+  test("b59: antimeridian split — width preserved, pieces disjoint, planted seam class wraps") {
+    val out = graft.operators.GeoWrap.qWrapSplit(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val byF = out.groupBy(_.getLong(0))
+    byF.foreach { case (f, rows) =>
+      val a = f % 7 * 1000000L + 5000000L
+      // the split never loses longitude: Σ piece widths = the full 2a
+      val width = rows.map(r => r.getLong(4) - r.getLong(3)).sum
+      assert(width == 2 * a, s"feature $f: split width $width != ${2 * a}")
+      rows.foreach { r =>
+        assert(r.getLong(3) >= -180000000L && r.getLong(4) <= 180000000L,
+          s"feature $f piece out of the tile plane")
+        assert(r.getLong(5) >= 0 && r.getLong(6) <= 63 && r.getLong(5) <= r.getLong(6))
+      }
+      if (rows.length == 2) {
+        // wrapped: the lower tile range ends strictly before the upper
+        // one begins — the two pieces never double-cover a tile
+        // (east wraps put piece 0 high, west wraps put piece 0 low)
+        val Seq(lowP, highP) = rows.sortBy(_.getLong(5)).toSeq
+        assert(lowP.getLong(6) < highP.getLong(5),
+          s"feature $f: wrapped pieces overlap tiles")
+      }
+    }
+    // the planted seam class actually wraps at this sf
+    assert(byF.exists(_._2.length == 2), "no wrapped feature — the seam plant went vacuous")
+    // and a seam-pinned even key wraps EAST: piece 0 touches tile 63
+    val f0 = byF(0L).sortBy(_.getInt(1))
+    assert(f0.length == 2 && f0.head.getLong(6) == 63L)
+  }
+
   test("b43: line clip — the tile pieces of every line sum to EXACTLY its total L1 length") {
     val rows = graft.operators.GeoLines.qLineClip(spark, sfDir).collect()
     assert(rows.nonEmpty)

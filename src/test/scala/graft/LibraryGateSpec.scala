@@ -89,6 +89,7 @@ class LibraryGateSpec extends SparkTestBase {
     "q_dsir" -> 3,
     "q_elasticity" -> 4,
     "q_equidepth" -> 4,
+    "q_filter_ablation" -> 3, // base projection + the registered f46/f47 sub-plans (f49's composition class)
     "q_fk_audit" -> 3,
     "q_gini" -> 4,
     "q_kmeans_converge" -> 6, // 2 scans per Lloyd round × 2 rounds + assignment (declared design, VERDICT r13)
