@@ -1867,7 +1867,114 @@ object Dedup {
         COALESCE(MIN(CASE WHEN p_micro >= 500000 THEN j END), 40) AS midpoint_j
       FROM p GROUP BY r, b ORDER BY r"""
 
+  /** d28 — `q_dedup_tuned`: d23's planner EXECUTED — the closed loop a
+    * production dedup runs: score every factorization b·r = 8 of the
+    * d2 signature with the S-curve cost AT THE VERIFY THRESHOLD
+    * (t = 0.2, j < 8 of the 40-grid — d23 plans the 0.8 decision
+    * threshold; this plans the screen that feeds d2's exact-Jaccard
+    * verify), pick the argmin config (ties → smaller r), then band
+    * the 8-minhash signature with THAT choice and run the
+    * candidate→verify pipeline. The cost is VERIFY-WEIGHTED —
+    * cost = 4·fp + fn, because a false candidate is not free: it
+    * costs an exact-Jaccard verification (and the unweighted metric
+    * picks the recall-max (1, 8) banding, whose single-minhash
+    * buckets explode quadratically in candidates — measured 14×
+    * slower at 5k docs and unviable at 100×). With the verify
+    * weight the argmin lands on (r=2, b=4) — deriving d2's shipped
+    * production config from first principles, which is the point:
+    * the planner and the pipeline agree. The chosen (r, b) rides on
+    * every output row so the driver compare gates the PLANNING and
+    * the EXECUTION together; the (r, b) collect is ONE bounded
+    * control-plane row (argmin of a 4-row cost table); everything
+    * downstream is d2's machinery at the chosen point. At 100 TB
+    * the plan step is free (no table scan) and r-too-low is exactly
+    * what the fp weight guards against. */
+  def qDedupTuned(spark: SparkSession, dir: String): DataFrame = {
+    // 1. the 4-row cost table over b·r = 8, same squaring chains as d23
+    val configs = spark.range(0, 4)
+      .select(expr("shiftleft(1, CAST(id AS INT))").cast("int").as("r"),
+        expr("shiftleft(1, 3 - CAST(id AS INT))").cast("int").as("b"))
+    val grid = spark.range(1, 40).select(col("id").cast("int").as("j"))
+    var cost = configs.crossJoin(broadcast(grid))
+      .withColumn("s", expr("CAST(j AS DOUBLE) / 40.0"))
+    (sChainS ++ Seq(s"1.0 - ($srS) AS q") ++ qChainS).foreach { stage =>
+      val Array(e, n) = stage.split(" AS ")
+      cost = cost.withColumn(n, expr(e))
+    }
+    val costT = cost.withColumn("p_micro", expr(pMicroS))
+      .groupBy("r", "b")
+      .agg((sum(expr("CASE WHEN j < 8 THEN 4 * p_micro ELSE 0 END"))
+        + sum(expr("CASE WHEN j >= 8 THEN 1000000 - p_micro ELSE 0 END"))).as("cost_micro"))
+    val bestRow = costT.orderBy(col("cost_micro"), col("r")).limit(1)
+      .select("r", "b").head() // 1-row control-plane argmin
+    val (rSel, bSel) = (bestRow.getInt(0), bestRow.getInt(1))
+    // 2. execute d2's pipeline at the chosen (r, b)
+    val sh = shingleSets(spark, dir)
+    val sig = minhashSig(sh)
+    val bands = sig.select(col("doc_id"), explode(array((0 until bSel).map { bi =>
+        struct(lit(bi).as("b"),
+          md5(concat((0 until rSel).map(k => col(s"h${bi * rSel + k}")): _*)).as("bkey"))
+      }: _*)).as("band"))
+      .select(col("doc_id"), col("band.b").as("b"), col("band.bkey").as("bkey"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
+      .withColumn("inter", expr("CAST(size(array_intersect(sa, sb)) AS DOUBLE)"))
+      .withColumn("jaccard",
+        expr("round(inter / (CAST(size(sa) + size(sb) AS DOUBLE) - inter), 6)"))
+      .filter(col("jaccard") >= 0.2)
+      .select(lit(rSel).as("r"), lit(bSel).as("b"),
+        col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val qDedupTunedSql: String = {
+    val g = (0 until 7).map(i => s"g${i + 1} AS (SELECT *, ${sChainS(i)} FROM g$i)").mkString(",\n        ")
+    val h = (0 until 7).map(i => s"h${i + 1} AS (SELECT *, ${qChainS(i)} FROM h$i)").mkString(",\n        ")
+    s"""WITH cfg AS (
+          SELECT CAST(1 << i AS INT) AS r, CAST(1 << (3 - i) AS INT) AS b
+          FROM (SELECT CAST(unnest(generate_series(0, 3)) AS INT) AS i)),
+        grid AS (SELECT CAST(unnest(generate_series(1, 39)) AS INT) AS j),
+        g0 AS (SELECT r, b, j, CAST(j AS DOUBLE) / 40.0 AS s FROM cfg, grid),
+        $g,
+        h0 AS (SELECT *, 1.0 - ($srS) AS q FROM g7),
+        $h,
+        p AS (SELECT r, b, j, $pMicroS AS p_micro FROM h7),
+        costt AS (
+          SELECT r, b,
+            CAST(SUM(CASE WHEN j < 8 THEN 4 * p_micro ELSE 0 END)
+               + SUM(CASE WHEN j >= 8 THEN 1000000 - p_micro ELSE 0 END) AS BIGINT) AS cost_micro
+          FROM p GROUP BY r, b),
+        best AS (SELECT r, b FROM costt ORDER BY cost_micro, r LIMIT 1),
+        s0 AS (SELECT doc_id, $shDuck AS sh FROM documents),
+        shs AS (SELECT doc_id, sh FROM s0 WHERE len(sh) > 0),
+        hsx AS (SELECT doc_id, sh, list_transform(sh, x -> md5(x)) AS hl FROM shs),
+        sig AS (SELECT doc_id, sh, list_transform(generate_series(0, 7),
+          k -> list_min(list_transform(hl, h -> substr(h, CAST(4 * k + 1 AS INT), 4)))) AS mh FROM hsx),
+        bx AS (SELECT doc_id, mh, r, b, unnest(generate_series(0, b - 1)) AS bi FROM sig, best),
+        bands AS (SELECT doc_id, bi,
+          md5(array_to_string(list_transform(generate_series(1, r),
+            k -> mh[bi * r + k]), '')) AS bkey FROM bx),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM bands x JOIN bands y ON x.bi = y.bi AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        ver AS (
+          SELECT doc_a, doc_b,
+            round(CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+              / (len(sa.sh) + len(sb.sh) - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))), 6) AS jaccard
+          FROM cand JOIN shs sa ON sa.doc_id = doc_a JOIN shs sb ON sb.doc_id = doc_b)
+      SELECT b2.r AS r, b2.b AS b, v.doc_a AS doc_a, v.doc_b AS doc_b, v.jaccard AS jaccard
+      FROM ver v, best b2 WHERE v.jaccard >= 0.2
+      ORDER BY v.doc_a, v.doc_b"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_tuned" -> (qDedupTuned _),
     "q_dedup_bbit" -> (qDedupBbit _),
     "q_lsh_tune" -> (qLshTune _),
     "q_dedup_sweep" -> (qDedupSweep _),
@@ -1894,6 +2001,7 @@ object Dedup {
     "q_dedup_embedding" -> (qDedupEmbedding _))
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_tuned" -> qDedupTunedSql,
     "q_dedup_bbit" -> qDedupBbitSql,
     "q_lsh_tune" -> qLshTuneSql,
     "q_dedup_sweep" -> qDedupSweepSql,

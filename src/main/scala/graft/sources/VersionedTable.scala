@@ -445,6 +445,56 @@ object VersionedTable {
     else spark.read.parquet(files: _*)
   }
 
+  /** i24 — the table's DECLARED schema at a version: the schema of the
+    * files INTRODUCED by the newest schema-bearing commit at or before
+    * it (Delta's mergeSchema contract: a commit that adds a column
+    * updates the table schema; older files simply lack the column).
+    * A restore's "introduced" files are the restored snapshot's —
+    * so rolling back data rolls back the declared schema with it. */
+  def declaredSchema(spark: SparkSession, path: String,
+      version: Option[Long] = None): org.apache.spark.sql.types.StructType = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no versions at $path")
+    // walk down from v: a RESTORE jumps to its target (it introduces
+    // no files — the rolled-back snapshot's schema is the declared
+    // one); otherwise the newest version that introduced ≥1 file
+    // defines the schema (its files were written under it); a
+    // file-neutral step (e.g. a no-op commit) inherits its
+    // predecessor's.
+    @annotation.tailrec
+    def schemaFileAt(v: Long): String =
+      restoreTarget(spark, path, v) match {
+        case Some(t) => schemaFileAt(t)
+        case None =>
+          val prev = if (v <= 1) Set.empty[String]
+            else readManifest(spark, path, v - 1).toSet
+          val intro = readManifest(spark, path, v).filterNot(prev)
+          if (intro.nonEmpty) intro.last
+          else if (v <= 1) readManifest(spark, path, v).last
+          else schemaFileAt(v - 1)
+      }
+    spark.read.parquet(resolve(path, schemaFileAt(version.getOrElse(vs.last)))).schema
+  }
+
+  /** i24 — SCHEMA-EVOLVED snapshot read: push the declared schema into
+    * the scan (i6's shape — no mergeSchema footer pre-pass, which at
+    * 100 TB is a whole-lake metadata job and hard-fails on the
+    * INT→BIGINT drift evolution produces): era files missing a column
+    * surface typed NULLs, columns the declared schema dropped are
+    * never read. Combined with [[commit]] this IS mergeSchema-style
+    * evolution on the versioned log: append a wider batch, the table
+    * schema follows; time travel reads each era under ITS declared
+    * schema; [[restore]] rolls the schema back with the data. */
+  def readEvolved(spark: SparkSession, path: String,
+      version: Option[Long] = None): DataFrame = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no versions at $path")
+    val v = version.getOrElse(vs.last)
+    val files = readManifest(spark, path, v).map(f => resolve(path, f))
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.schema(declaredSchema(spark, path, Some(v))).parquet(files: _*)
+  }
+
   /** Incremental read: the rows a catch-up consumer at snapshot
     * `fromV` needs to reach snapshot `toV`. For append-only ranges
     * this is the union of per-commit file deltas (data files are

@@ -592,6 +592,43 @@ class VersionedTableSpec extends SparkTestBase {
       "restore-referenced files must survive vacuum")
   }
 
+  test("i24: schema evolution — a wider commit updates the declared schema, eras read under theirs, restore rolls it back") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val path = java.nio.file.Files.createTempDirectory("vtable_evolve").toString
+
+    val d1 = Seq((1L, "a"), (2L, "b")).toDF("id", "val")
+    val d2 = Seq((3L, "c", 7L), (4L, "d", 9L)).toDF("id", "val", "score")
+    assert(VersionedTable.commit(spark, path, d1) == 1L)
+    assert(VersionedTable.commit(spark, path, d2) == 2L) // adds `score`
+
+    // declared schema follows the widening commit; old rows surface
+    // typed NULLs for the new column (no mergeSchema footer pre-pass)
+    assert(VersionedTable.declaredSchema(spark, path).fieldNames.toSeq ==
+      Seq("id", "val", "score"))
+    val ev = VersionedTable.readEvolved(spark, path)
+    val got = ev.select("id", "val", "score").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(got == Set((1L, "a", -1L), (2L, "b", -1L), (3L, "c", 7L), (4L, "d", 9L)))
+
+    // time travel reads v1 under ITS declared (narrow) schema
+    assert(VersionedTable.readEvolved(spark, path, Some(1L))
+      .schema.fieldNames.toSeq == Seq("id", "val"))
+
+    // a restore rolls the declared schema back with the data
+    VersionedTable.restore(spark, path, 1L)
+    assert(VersionedTable.declaredSchema(spark, path).fieldNames.toSeq ==
+      Seq("id", "val"))
+    assert(VersionedTable.readEvolved(spark, path).count() == 2L)
+
+    // and a post-restore wider commit re-widens
+    VersionedTable.commit(spark, path, d2)
+    assert(VersionedTable.declaredSchema(spark, path).fieldNames.toSeq ==
+      Seq("id", "val", "score"))
+    assert(VersionedTable.readEvolved(spark, path).count() == 4L)
+  }
+
   test("i22: constraint-checked commit rejects before landing, zero bytes on disk") {
     import spark.implicits._
     import graft.sources.VersionedTable.{CheckC, NotNullC, UniqueC}
