@@ -119,6 +119,26 @@ class OperatorsSpec extends SparkTestBase {
     assert(missed.isEmpty, s"LSH lost clearly-similar pairs: $missed")
   }
 
+  test("d28 tuned exec: the planner derives d2's (2,4) and the parameterized banding reproduces d2 pair-for-pair") {
+    val tuned = Dedup.qDedupTuned(spark, sfDir).collect()
+    assert(tuned.nonEmpty)
+    // the verify-weighted argmin must land on the shipped config
+    tuned.foreach { r =>
+      assert(r.getAs[Int]("r") == 2 && r.getAs[Int]("b") == 4,
+        s"planner chose (${r.getAs[Int]("r")}, ${r.getAs[Int]("b")}), expected d2's (2, 4)")
+    }
+    // at (2,4) the generic banding path IS d2's hardwired one
+    // (md5(h_{2b} || h_{2b+1}) per band) — the verified pair sets and
+    // jaccards must agree exactly
+    val got = tuned.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+      r.getAs[Double]("jaccard"))).toSet
+    val want = Dedup.qDedupMinhash(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    assert(got == want,
+      s"tuned (2,4) diverged from d2: extra=${got -- want} missing=${want -- got}")
+  }
+
   test("salted as-of equals the keyed-window as-of; heavy window groups by (k, bucket)") {
     val plain = Analytics.qAsofJoin(spark, sfDir).collect().toSeq
     val salted = Analytics.qAsofSalted(spark, sfDir).collect().toSeq
