@@ -33,7 +33,11 @@ object Verify {
         // e27 phantom red). Delete the whole query dir on failure so
         // the compare sees "missing", which reads as a loud error.
         def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
+          // listFiles() returns null on I/O error / concurrent delete —
+          // an NPE escaping this catch would abort every REMAINING
+          // query's verification, the opposite of fail-loud-but-continue.
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
           f.delete(): Unit
         }
         val d = new java.io.File(s"$outDir/$name")

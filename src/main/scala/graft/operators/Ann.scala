@@ -563,8 +563,10 @@ object Ann {
     * cross-engine: vectors quantize to micro-units; cell centroid
     * NUMERATORS are integer sums (s, n); the residual in micro-units
     * is ONE positive-shifted floor division —
-    * r_d = ((q_d + 10⁶)·n − s_d) div n − 10⁶ — whose numerator is
-    * non-negative by construction (components ≥ −1), so `div` and
+    * r_d = ((q_d + 2·10⁶)·n − s_d) div n − 2·10⁶ — whose numerator is
+    * non-negative for ANY components in [−1, 1] (q_d ≥ −10⁶ and
+    * s_d ≤ 10⁶·n give numerator ≥ 0; a 10⁶ shift would only cover
+    * |component| ≤ 0.5 and break silently past it), so `div` and
     * DuckDB `//` agree with zero negative-division hazards. Codes:
     * per 8-dim subspace the argmin codeword by the integer key
     * |a|² − 2·r·a (the |r|² term is code-constant), packed with the
@@ -602,7 +604,7 @@ object Ann {
     val res = eq.join(broadcast(bcell), "label")
       .select(col("vec_id"), expr(
         """transform(sequence(1, 64), d ->
-             ((element_at(qvec, d) + 1000000L) * n - element_at(sarr, d)) div n - 1000000L)""")
+             ((element_at(qvec, d) + 2000000L) * n - element_at(sarr, d)) div n - 2000000L)""")
         .as("r"))
     val anchors = e.filter(col("vec_id").between(1, 4))
       .select(col("vec_id").as("a_id"), expr(s"transform(embedding, $micro)").as("aq"))
@@ -655,7 +657,7 @@ object Ann {
       res AS (
         SELECT e.vec_id,
           list_transform(generate_series(1, 64),
-            d -> ((e.qvec[d] + 1000000) * b.n - b.sarr[d]) // b.n - 1000000) AS r
+            d -> ((e.qvec[d] + 2000000) * b.n - b.sarr[d]) // b.n - 2000000) AS r
         FROM eq e JOIN best USING (label) CROSS JOIN bcell b),
       scored AS (SELECT res.vec_id, a_id, $ds FROM res, anchors),
       codes AS (SELECT vec_id, $codeCols FROM scored GROUP BY vec_id),
@@ -787,9 +789,20 @@ object Ann {
     * smallest chain where Lloyd's defining guarantee — inertia NEVER
     * increases — is observable and oracle-checkable). Round 2's
     * centroids are round 1's per-cluster means, re-quantized to the
-    * family's decimal(8,6) grid (sum-exact: the decimal sums stay
-    * far under 2^53 when cast to double for the one division, so the
-    * re-quantized centroid is bit-identical cross-engine); inertia is
+    * family's decimal(8,6) grid ENTIRELY IN INTEGER MICRO-UNITS
+    * (e29/e21's discipline — the earlier round(double-division) form
+    * was the one derived-double re-quantization in the repo and is
+    * banned): the exact decimal SUM(qv) carries an integral value at
+    * scale 6, so S_micro = SUM(qv)·10⁶ is an exact BIGINT, and the
+    * half-up-rounded mean is the single positive-shifted floor
+    * division (2·S_micro + (2·K+1)·n) div (2·n) − K with K = 2·10⁶ —
+    * the numerator is ≥ n for any |mean| ≤ 2 (components are in
+    * [−1, 1] by unit-norm construction, so the margin is 2×), which
+    * makes Spark's truncating `div` and DuckDB's flooring `//`
+    * bit-identical by construction instead of by luck; int64 holds
+    * to n ≈ 1.5·10¹² rows per (seed, dim). The micro-unit mean
+    * returns to the decimal(8,6) grid by an exact decimal multiply
+    * (DECIMAL(14,0) × 0.000001), never a rounding cast. Inertia is
     * kept as an EXACT DECIMAL(30,12) sum — no float accumulation
     * anywhere, which is what lets DuckDB restate both rounds as an
     * unrolled CTE chain and match to the last digit. Per (iteration,
@@ -830,7 +843,10 @@ object Ann {
         .select("iteration", "seed_id", "n_assigned", "inertia")
       cent = pe.join(assign.select("vec_id", "seed_id"), "vec_id")
         .groupBy("seed_id", "i")
-        .agg(expr("CAST(round(CAST(SUM(qv) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(8,6))").as("cv"))
+        .agg(expr(
+          """CAST(CAST((2 * CAST(SUM(qv) * 1000000 AS BIGINT) + 4000001 * COUNT(*))
+                        div (2 * COUNT(*)) - 2000000 AS DECIMAL(14,0))
+                  * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(8,6))""").as("cv"))
       stats
     }
     rounds.reduce(_.unionAll(_)).orderBy("iteration", "seed_id")
@@ -856,7 +872,9 @@ object Ann {
         FROM aa1 GROUP BY seed_id),
       c2 AS (
         SELECT seed_id, i,
-          CAST(round(CAST(SUM(qv) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(8,6)) AS cv
+          CAST(CAST((2 * CAST(SUM(qv) * 1000000 AS BIGINT) + 4000001 * COUNT(*))
+                     // (2 * COUNT(*)) - 2000000 AS DECIMAL(14,0))
+               * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(8,6)) AS cv
         FROM pe JOIN (SELECT vec_id, seed_id FROM aa1) a USING (vec_id)
         GROUP BY seed_id, i),
       dd2 AS (

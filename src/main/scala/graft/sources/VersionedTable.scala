@@ -464,13 +464,30 @@ object VersionedTable {
     @annotation.tailrec
     def schemaFileAt(v: Long): String =
       restoreTarget(spark, path, v) match {
-        case Some(t) => schemaFileAt(t)
+        case Some(_) =>
+          // Resolve from the files the restore's OWN manifest re-lists,
+          // NOT by chasing the target version: vacuum retains only the
+          // newest keepLast manifests, so the target's manifest may be
+          // gone while the restore commit itself is retained. The last
+          // re-listed file is the one written under the restored
+          // snapshot's newest schema-bearing commit (manifests append
+          // in write order), so it carries the rolled-back schema.
+          val own = readManifest(spark, path, v)
+          if (own.nonEmpty) own.last
+          else if (v <= 1) sys.error(
+            s"restore commit v$v at $path re-lists no files — no declared schema")
+          else schemaFileAt(v - 1)
         case None =>
           val prev = if (v <= 1) Set.empty[String]
             else readManifest(spark, path, v - 1).toSet
-          val intro = readManifest(spark, path, v).filterNot(prev)
+          val own = readManifest(spark, path, v)
+          val intro = own.filterNot(prev)
           if (intro.nonEmpty) intro.last
-          else if (v <= 1) readManifest(spark, path, v).last
+          else if (v <= 1) {
+            require(own.nonEmpty,
+              s"v$v at $path lists no files and has no predecessor — no declared schema")
+            own.last
+          }
           else schemaFileAt(v - 1)
       }
     spark.read.parquet(resolve(path, schemaFileAt(version.getOrElse(vs.last)))).schema

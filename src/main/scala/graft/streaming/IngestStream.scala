@@ -221,11 +221,15 @@ object IngestStream {
     * rule of the batch d25 (CCNet paragraph dedup) applied as documents
     * stream in. Occurrences of one paragraph key group under
     * flatMapGroupsWithState; the state is ONE packed long per DISTINCT
-    * paragraph — the first (doc_id, idx) admitted. Within a batch the
-    * group iterator replays in packed order (the family's monotone-feed
-    * discipline), so under an in-order feed the admitted set is
-    * IDENTICAL under any batching and equals the batch d25's keep-first
-    * exactly (spec-proven on adversarial re-batchings). State
+    * paragraph — the first (doc_id, idx) admitted. The admitted
+    * occurrence within a batch is SELECTED BY KEY (the min packed
+    * (doc_id, idx)), never by iterator position: Spark does not
+    * guarantee same-key row order across the groupByKey shuffle (rows
+    * arriving from multiple input partitions concatenate in
+    * shuffle-fetch order), so the admitted set is identical under any
+    * batching AND any partition-interleaving and equals the batch
+    * d25's keep-first exactly (spec-proven on adversarial re-batchings
+    * and a reversed-feed batch). State
     * cardinality = distinct paragraphs — the same side the batch pair
     * graph carries; production backs it with RocksDB (h12) and ages
     * the roster by watermark, with the batch d25 owning history beyond
@@ -236,21 +240,30 @@ object IngestStream {
       .flatMapGroupsWithState[Long, ParaVerdict](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (h: String, it: Iterator[ParaOcc], state: GroupState[Long]) =>
-          // SINGLE PASS, nothing materialized: the verdict of every
-          // occurrence is decided by whether the key was already
-          // admitted, and under the family's in-order-feed discipline
-          // the group iterator replays in packed order (group-key sort
-          // is TimSort-stable), so the FIRST element IS the min-packed
-          // one — buffering + sorting the whole group (the previous
-          // shape) undercut the bounded-state argument exactly on the
-          // hot boilerplate keys that concentrate occurrences.
-          if (!it.hasNext) Iterator.empty
+          // One buffered pass, NO sort: the admitted occurrence is the
+          // min-packed (doc_id, idx) — an O(n) selection — because the
+          // group iterator's same-key order is shuffle-fetch order,
+          // not feed order, once occurrences arrive from more than one
+          // input partition. The buffer holds one key's occurrences of
+          // ONE micro-batch (not history — that's the packed-long
+          // state), so the bounded-state argument is untouched; only
+          // the previous O(n log n) whole-group sort stays dead.
+          val occs = it.toArray
+          if (occs.isEmpty) Iterator.empty
           else {
-            val head = it.next()
+            var minI = 0
+            var i = 1
+            while (i < occs.length) {
+              if (occs(i).docId * 4294967296L + occs(i).idx <
+                  occs(minI).docId * 4294967296L + occs(minI).idx) minI = i
+              i += 1
+            }
             val kept = state.getOption.isEmpty
-            if (kept) state.update(head.docId * 4294967296L + head.idx)
-            Iterator.single(ParaVerdict(head.docId, head.idx, head.h, kept)) ++
-              it.map(p => ParaVerdict(p.docId, p.idx, p.h, false))
+            if (kept) state.update(occs(minI).docId * 4294967296L + occs(minI).idx)
+            val mi = minI
+            occs.iterator.zipWithIndex.map { case (p, j) =>
+              ParaVerdict(p.docId, p.idx, p.h, kept && j == mi)
+            }
           }
       }
   }

@@ -76,4 +76,30 @@ class ParaStreamSpec extends SparkTestBase {
     assert(byKey.values.forall(_ == 1), "some paragraph admitted != once")
     assert(byKey.keySet == shuffled.map(_.h).toSet)
   }
+
+  test("h35: admitted occurrence is selected by key, not iterator position") {
+    // One batch fed in REVERSE packed order — the stand-in for the
+    // nondeterministic shuffle-fetch interleaving a multi-partition
+    // run produces (same-key group-iterator order is NOT guaranteed).
+    // A head-of-iterator admit would crown the MAX-packed occurrence
+    // here; the guard must still admit the min-packed one per key.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val reversed = occs().sortBy(p => -(p.docId * 4294967296L + p.idx))
+    val input = MemoryStream[ParaOcc]
+    val q = IngestStream.streamingParagraphGuard(input.toDS())
+      .writeStream.format("memory").queryName("h35_para_rev")
+      .outputMode(OutputMode.Append()).start()
+    val outs =
+      try {
+        input.addData(reversed.toSeq)
+        q.processAllAvailable()
+        spark.table("h35_para_rev").as[ParaVerdict].collect().toSeq
+      } finally q.stop()
+    val keptSet = outs.filter(_.kept).map(p => (p.h, p.docId * 4294967296L + p.idx)).toMap
+    val minPacked = reversed.groupBy(_.h).view
+      .mapValues(_.map(p => p.docId * 4294967296L + p.idx).min).toMap
+    assert(keptSet == minPacked.toMap,
+      "admitted occurrence must be the min-packed one under a reversed feed")
+  }
 }

@@ -627,6 +627,19 @@ class VersionedTableSpec extends SparkTestBase {
     assert(VersionedTable.declaredSchema(spark, path).fieldNames.toSeq ==
       Seq("id", "val", "score"))
     assert(VersionedTable.readEvolved(spark, path).count() == 4L)
+
+    // vacuum beyond the restore TARGET: v1/v2 manifests go (keepLast=2
+    // retains v3 = the restore commit, v4), so the restore's schema
+    // must resolve from the files its OWN manifest re-lists — chasing
+    // the vacuumed target's manifest would FileNotFound here even
+    // though the restore snapshot itself is fully readable
+    VersionedTable.vacuum(spark, path, keepLast = 2)
+    assert(VersionedTable.declaredSchema(spark, path, Some(3L)).fieldNames.toSeq ==
+      Seq("id", "val"),
+      "restore commit's declared schema must survive target-manifest vacuum")
+    assert(VersionedTable.readEvolved(spark, path, Some(3L))
+      .schema.fieldNames.toSeq == Seq("id", "val"))
+    assert(VersionedTable.readEvolved(spark, path, Some(3L)).count() == 2L)
   }
 
   test("i22: constraint-checked commit rejects before landing, zero bytes on disk") {
