@@ -1403,8 +1403,16 @@ object AnalyticsTs {
       .agg(max(col("day")).as("last_day"), count(lit(1)).as("f"),
         sum(col("cents")).as("m"))
     val today = e.agg(max(col("day")).as("today"))
+    // eager memo of the user-grain (R, F, M) fold: the three chained
+    // TwoPhase legs each reference their input 2-3×, and without the
+    // checkpoint the multiplicative re-derivation read `events` 44
+    // times in the executed plan — at scale that is 44 scans of the
+    // raw table to rank a users-sized aggregate. Materialized, the
+    // legs read the bounded user table and events is scanned exactly
+    // twice (fold + today), at checkpoint build.
     val base = perUser.crossJoin(broadcast(today))
       .withColumn("r", col("today") - col("last_day"))
+      .localCheckpoint()
     val rankedR = TwoPhase.globalRowNumber(base, col("r"),
       Seq(col("r"), col("user_id")), "rrk", total = Some("nu"))
     val rankedF = TwoPhase.globalRowNumber(rankedR, -col("f"),

@@ -490,6 +490,182 @@ object GeoGeom {
         CAST(SUM(entry_bytes) AS BIGINT) AS leaf_bytes
       FROM sized GROUP BY user_id, leaf_idx ORDER BY user_id, leaf_idx"""
 
+  /** b12e — `q_pmtiles_rle`: PMTiles RUN-LENGTH tile deduplication —
+    * the format's single biggest storage lever, which b12d serializes
+    * (varint(run_length)) but never exercises past 1. The spec's
+    * directory entries carry run_length precisely so that IDENTICAL
+    * tile bytes are stored ONCE and referenced by a run of consecutive
+    * tile ids — in a real world-archive that is most of the archive
+    * (ocean tiles, empty low-zoom tiles). Model: each archive (user)
+    * writes its FULL z=4 overview level (the 16×16 = 256-tile square —
+    * low-zoom levels are written dense, which is exactly where the
+    * lever lives); tiles with no features are the ONE empty blob
+    * (content-identical by construction), occupied tiles' synthetic
+    * bytes are a pure function of n_features (b12d's size model — so
+    * equal feature counts ⇒ identical blobs, the planted content
+    * classes). A run is a maximal stretch of CONSECUTIVE tile ids
+    * (Hilbert order, delta = 1) with identical content; the dense
+    * cover makes empty-tile runs long. Output per archive: tiles vs
+    * entries vs distinct blobs, directory bytes flat vs run-length
+    * encoded (b12d's varint algebra, run_length now real), data bytes
+    * flat vs one-blob-per-run vs fully offset-deduped (the clustered
+    * archive's further lever: runs of the SAME content share one
+    * offset), and the total saving. Plan: the 256·users cover is built
+    * by one bounded explode off the per-user tile agg, all windows are
+    * per-archive (bounded by the pyramid level's size — z-parametric,
+    * never corpus-scale), and the sequenced cover is eagerly
+    * localCheckpoint'd (256 rows/user) so the three accounting legs
+    * (flat, rle, blob) read the memo instead of re-deriving the scan —
+    * at 100 TB the cover table is ~0.1% of one zoom level's tile data.
+    * Ref: PMTiles v3 spec (directory entries / run_length semantics),
+    * processing.py:263-283 (the reference's pmtiles conversion).
+    * Oracle: the z=4 Hilbert recursive CTE (s₀=8, reflection constant
+    * 15, zoom_offset (4⁴−1)/3 = 85) + identical window/varint algebra. */
+  def qPmtilesRle(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    val occ = GeoOps.tiled(spark, dir, 4)
+      .groupBy("user_id", "xt", "yt")
+      .agg(count(lit(1)).as("n_features"))
+    val grid = occ.select("user_id").distinct()
+      .select(col("user_id"), explode(sequence(lit(0), lit(255))).as("cell"))
+      .select(col("user_id"), expr("CAST(cell % 16 AS INT)").as("xt"),
+        expr("CAST(cell div 16 AS INT)").as("yt"))
+    val tiles = grid.join(occ, Seq("user_id", "xt", "yt"), "left")
+      .withColumn("nf", coalesce(col("n_features"), lit(0L)))
+      .withColumn("tile_id",
+        expr("85 + graft_hilbert(4, CAST(xt AS BIGINT), CAST(yt AS BIGINT))"))
+      .withColumn("tile_bytes",
+        expr("CAST(CASE WHEN nf = 0 THEN 69 ELSE nf * 37 % 900 + 100 END AS BIGINT)"))
+    val w = Window.partitionBy("user_id").orderBy("tile_id")
+    val seq0 = tiles
+      .withColumn("tdelta",
+        col("tile_id") - coalesce(lag("tile_id", 1).over(w), lit(0L)))
+      .withColumn("new_run",
+        when(coalesce(lag("nf", 1).over(w), lit(-1L)) =!= col("nf") ||
+          col("tdelta") =!= 1L, 1L).otherwise(0L))
+      .withColumn("flat_bytes",
+        expr(s"CAST(${vb("tdelta")} + 1 + ${vb("tile_bytes")} + 1 AS BIGINT)"))
+      .withColumn("run_id", sum("new_run")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("user_id", "nf", "tile_id", "tile_bytes", "flat_bytes", "run_id")
+      .localCheckpoint()
+    val flat = seq0.groupBy("user_id")
+      .agg(count(lit(1)).as("n_tiles"),
+        sum(when(col("nf") === 0L, 1L).otherwise(0L)).as("n_empty"),
+        sum("flat_bytes").as("dir_bytes_flat"),
+        sum("tile_bytes").as("data_bytes_flat"))
+    val entries = seq0.groupBy("user_id", "run_id")
+      .agg(count(lit(1)).as("run_length"), min("tile_id").as("first_id"),
+        max("tile_bytes").as("tile_bytes"))
+    val w2 = Window.partitionBy("user_id").orderBy("run_id")
+    val rle = entries
+      .withColumn("delta",
+        col("first_id") - coalesce(lag("first_id", 1).over(w2), lit(0L)))
+      .withColumn("entry_bytes",
+        expr(s"CAST(${vb("delta")} + ${vb("run_length")} + ${vb("tile_bytes")} + 1 AS BIGINT)"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_entries"), max("run_length").as("max_run"),
+        sum("entry_bytes").as("dir_bytes_rle"),
+        sum("tile_bytes").as("data_bytes_rle"))
+    val blobs = seq0.groupBy("user_id", "nf")
+      .agg(max("tile_bytes").as("tile_bytes"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_blobs"), sum("tile_bytes").as("data_bytes_dedup"))
+    flat.join(rle, "user_id").join(blobs, "user_id")
+      .withColumn("bytes_saved",
+        col("data_bytes_flat") - col("data_bytes_rle") +
+          col("dir_bytes_flat") - col("dir_bytes_rle"))
+      .select("user_id", "n_tiles", "n_empty", "n_entries", "max_run",
+        "n_blobs", "dir_bytes_flat", "dir_bytes_rle", "data_bytes_flat",
+        "data_bytes_rle", "data_bytes_dedup", "bytes_saved")
+      .orderBy("user_id")
+  }
+
+  val qPmtilesRleSql: String =
+    s"""WITH RECURSIVE t AS (${GeoOps.tiledSql(4)}),
+        occ AS (
+          SELECT user_id, xt, yt, COUNT(*) AS n_features
+          FROM t GROUP BY user_id, xt, yt),
+        grid AS (
+          SELECT user_id, unnest(generate_series(0, 255)) AS cell
+          FROM (SELECT DISTINCT user_id FROM occ) u),
+        gt AS (
+          SELECT g.user_id, CAST(g.cell % 16 AS INT) AS xt,
+            CAST(g.cell // 16 AS INT) AS yt,
+            COALESCE(o.n_features, 0) AS nf
+          FROM grid g LEFT JOIN occ o
+            ON o.user_id = g.user_id AND o.xt = g.cell % 16
+              AND o.yt = g.cell // 16),
+        h AS (
+          SELECT user_id, nf, CAST(xt AS BIGINT) AS hx,
+            CAST(yt AS BIGINT) AS hy, CAST(0 AS BIGINT) AS d,
+            CAST(8 AS BIGINT) AS s
+          FROM gt
+          UNION ALL
+          SELECT user_id, nf,
+            CASE WHEN (hy & s) = 0 THEN
+              CASE WHEN (hx & s) > 0 THEN 15 - hy ELSE hy END
+            ELSE hx END AS hx,
+            CASE WHEN (hy & s) = 0 THEN
+              CASE WHEN (hx & s) > 0 THEN 15 - hx ELSE hx END
+            ELSE hy END AS hy,
+            d + s * s * xor(3 * (CASE WHEN (hx & s) > 0 THEN 1 ELSE 0 END),
+                            (CASE WHEN (hy & s) > 0 THEN 1 ELSE 0 END)) AS d,
+            s // 2 AS s
+          FROM h WHERE s > 0),
+        tiles AS (
+          SELECT user_id, nf, 85 + d AS tile_id,
+            CAST(CASE WHEN nf = 0 THEN 69 ELSE nf * 37 % 900 + 100 END
+              AS BIGINT) AS tile_bytes
+          FROM h WHERE s = 0),
+        sq AS (
+          SELECT *, tile_id - COALESCE(LAG(tile_id) OVER w, 0) AS tdelta,
+            CASE WHEN COALESCE(LAG(nf) OVER w, -1) <> nf
+                   OR tile_id - COALESCE(LAG(tile_id) OVER w, 0) <> 1
+              THEN 1 ELSE 0 END AS new_run
+          FROM tiles WINDOW w AS (PARTITION BY user_id ORDER BY tile_id)),
+        sq2 AS (
+          SELECT *, CAST(${vb("tdelta")} + 1 + ${vb("tile_bytes")} + 1
+              AS BIGINT) AS flat_bytes,
+            SUM(new_run) OVER (PARTITION BY user_id ORDER BY tile_id
+              ROWS UNBOUNDED PRECEDING) AS run_id
+          FROM sq),
+        flat AS (
+          SELECT user_id, COUNT(*) AS n_tiles,
+            CAST(SUM(CASE WHEN nf = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+            CAST(SUM(flat_bytes) AS BIGINT) AS dir_bytes_flat,
+            CAST(SUM(tile_bytes) AS BIGINT) AS data_bytes_flat
+          FROM sq2 GROUP BY user_id),
+        perrun AS (
+          SELECT user_id, run_id, COUNT(*) AS run_length,
+            MIN(tile_id) AS first_id, MAX(tile_bytes) AS tile_bytes
+          FROM sq2 GROUP BY user_id, run_id),
+        withd AS (
+          SELECT *, first_id - COALESCE(LAG(first_id) OVER (
+              PARTITION BY user_id ORDER BY run_id), 0) AS delta
+          FROM perrun),
+        rle AS (
+          SELECT user_id, COUNT(*) AS n_entries,
+            CAST(MAX(run_length) AS BIGINT) AS max_run,
+            CAST(SUM(${vb("delta")} + ${vb("run_length")} +
+              ${vb("tile_bytes")} + 1) AS BIGINT) AS dir_bytes_rle,
+            CAST(SUM(tile_bytes) AS BIGINT) AS data_bytes_rle
+          FROM withd GROUP BY user_id),
+        blobs AS (
+          SELECT user_id, COUNT(*) AS n_blobs,
+            CAST(SUM(tile_bytes) AS BIGINT) AS data_bytes_dedup
+          FROM (SELECT user_id, nf, MAX(tile_bytes) AS tile_bytes
+                FROM sq2 GROUP BY user_id, nf) b
+          GROUP BY user_id)
+      SELECT user_id, n_tiles, n_empty, n_entries, max_run, n_blobs,
+        dir_bytes_flat, dir_bytes_rle, data_bytes_flat, data_bytes_rle,
+        data_bytes_dedup,
+        data_bytes_flat - data_bytes_rle + dir_bytes_flat - dir_bytes_rle
+          AS bytes_saved
+      FROM flat JOIN rle USING (user_id) JOIN blobs USING (user_id)
+      ORDER BY user_id"""
+
   /** b45 — `q_archive_layout`: THE per-archive answer the service
     * exists to produce — what each user's PMTiles archive actually
     * looks like after the WHOLE pipeline runs: b28's full-order vector
@@ -658,6 +834,7 @@ object GeoGeom {
     "q_hilbert_key" -> (qHilbertKey _),
     "q_pmtiles_order" -> (qPmtilesOrder _),
     "q_pmtiles_leaves" -> (qPmtilesLeaves _),
+    "q_pmtiles_rle" -> (qPmtilesRle _),
     "q_archive_layout" -> (qArchiveLayout _))
 
   val oracles: Map[String, String] = Map(
@@ -667,5 +844,6 @@ object GeoGeom {
     "q_hilbert_key" -> qHilbertKeySql,
     "q_pmtiles_order" -> qPmtilesOrderSql,
     "q_pmtiles_leaves" -> qPmtilesLeavesSql,
+    "q_pmtiles_rle" -> qPmtilesRleSql,
     "q_archive_layout" -> qArchiveLayoutSql)
 }

@@ -1071,7 +1071,108 @@ object IngestOps {
         CAST(sum(CASE WHEN transition_7d THEN nbytes ELSE 0 END) AS BIGINT) AS transition_bytes
       FROM p GROUP BY tier ORDER BY tier"""
 
+  /** a29 — `q_meta_merge`: the blob-metadata READ-MODIFY-WRITE merge
+    * (ref azblob.py:216-237 `set_blob_metadata`: read the existing
+    * metadata dict, merge the caller's keys, write the WHOLE dict
+    * back) and the lost-update hazard that whole-dict write carries
+    * under racing writers: a write that lands between another writer's
+    * read and write gets overwritten by that writer's STALE dict —
+    * even though it touched a different key. Model: every event is a
+    * metadata write to its user's asset (a10's per-user lock URL — the
+    * high-contention shape the reference serializes with leases), key
+    * cycling 4 metadata fields, the read happening a fixed lag L = 1
+    * day before the write (the read-modify-write window). Per (asset,
+    * key): the CORRECT per-key last-writer-wins winner under the total
+    * (ts, event) order, what the final dict ACTUALLY holds (the last
+    * writer's key, or for other keys the state its pre-window read
+    * saw — possibly absent), and the lost flag. Plan: one asset-keyed
+    * 1-row-per-asset fold (the final write) broadcast back over the
+    * writes, then ONE (asset, key) agg computing winner and snapshot
+    * via conditional struct-max — two scans, no windows, asset
+    * cardinality = users (bounded). At 100 TB the same plan holds:
+    * the broadcast side is per-asset metadata (bytes), the agg is
+    * key-grain. The lost count is the case FOR the reference's lease
+    * (a10) — this op measures what leaseless merging would corrupt. */
+  def qMetaMerge(spark: SparkSession, dir: String): DataFrame = {
+    val L = 86400000L
+    val e = Tables.events(spark, dir)
+    val writes = e.select(
+      Synth.userUrl(col("user_id")).as("asset"),
+      expr("""CASE CAST(event_id % 4 AS INT) WHEN 0 THEN 'stage'
+              WHEN 1 THEN 'tiles' WHEN 2 THEN 'bbox'
+              ELSE 'license' END""").as("key"),
+      unix_millis(col("ts")).as("ms"),
+      col("event_id"),
+      (col("event_id") % 5).cast("int").as("writer"))
+    val lastw = writes.groupBy("asset")
+      .agg(max(struct(col("ms"), col("event_id"), col("key"))).as("lw"))
+      .select(col("asset"), col("lw.ms").as("last_ms"),
+        col("lw.event_id").as("last_event"), col("lw.key").as("last_key"))
+    writes.join(broadcast(lastw), "asset")
+      .groupBy("asset", "key")
+      .agg(count(lit(1)).as("n_writes"),
+        max(struct(col("ms"), col("event_id"), col("writer"))).as("lww"),
+        max(when(col("ms") <= col("last_ms") - L,
+          struct(col("ms"), col("event_id")))).as("snap"),
+        first(col("last_event")).as("le"), first(col("last_key")).as("lk"))
+      .select(col("asset"), col("key"), col("n_writes"),
+        col("lww.event_id").as("lww_event"),
+        col("lww.writer").as("lww_writer"),
+        col("lww.ms").as("lww_ms"),
+        when(col("key") === col("lk"), col("le"))
+          .otherwise(coalesce(col("snap.event_id"), lit(-1L)))
+          .as("observed_event"))
+      .withColumn("lost", col("observed_event") =!= col("lww_event"))
+      .orderBy("asset", "key")
+  }
+
+  val qMetaMergeSql: String =
+    s"""WITH w AS (
+        SELECT ${Synth.userUrlSql} AS asset,
+          CASE CAST(event_id % 4 AS INT) WHEN 0 THEN 'stage'
+            WHEN 1 THEN 'tiles' WHEN 2 THEN 'bbox'
+            ELSE 'license' END AS key,
+          epoch_ms(ts) AS ms, event_id,
+          CAST(event_id % 5 AS INT) AS writer
+        FROM events),
+      lastw AS (
+        SELECT asset, ms AS last_ms, event_id AS last_event,
+          key AS last_key
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY asset
+            ORDER BY ms DESC, event_id DESC) AS rn FROM w) x
+        WHERE rn = 1),
+      lww AS (
+        SELECT asset, key, ms AS lww_ms, event_id AS lww_event,
+          writer AS lww_writer
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY asset, key
+            ORDER BY ms DESC, event_id DESC) AS rn FROM w) x
+        WHERE rn = 1),
+      cnt AS (
+        SELECT asset, key, CAST(COUNT(*) AS BIGINT) AS n_writes
+        FROM w GROUP BY asset, key),
+      snap AS (
+        SELECT asset, key, event_id AS snap_event
+        FROM (SELECT w.asset, w.key, w.event_id,
+            ROW_NUMBER() OVER (PARTITION BY w.asset, w.key
+              ORDER BY w.ms DESC, w.event_id DESC) AS rn
+          FROM w JOIN lastw l USING (asset)
+          WHERE w.ms <= l.last_ms - 86400000) x
+        WHERE rn = 1)
+      SELECT c.asset AS asset, c.key AS key, c.n_writes AS n_writes,
+        v.lww_event AS lww_event, v.lww_writer AS lww_writer,
+        v.lww_ms AS lww_ms,
+        CASE WHEN c.key = lw.last_key THEN lw.last_event
+          ELSE COALESCE(s.snap_event, -1) END AS observed_event,
+        (CASE WHEN c.key = lw.last_key THEN lw.last_event
+          ELSE COALESCE(s.snap_event, -1) END) <> v.lww_event AS lost
+      FROM cnt c
+      JOIN lww v USING (asset, key)
+      JOIN lastw lw USING (asset)
+      LEFT JOIN snap s USING (asset, key)
+      ORDER BY asset, key"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_meta_merge" -> (qMetaMerge _),
     "q_lifecycle_tiers" -> (qLifecycleTiers _),
     "q_stage_latency" -> (qStageLatency _),
     "q_storage_quota" -> (qStorageQuota _),
@@ -1102,6 +1203,7 @@ object IngestOps {
     "q_deadletter_stats" -> (qDeadletterStats _))
 
   val oracles: Map[String, String] = Map(
+    "q_meta_merge" -> qMetaMergeSql,
     "q_lifecycle_tiers" -> qLifecycleTiersSql,
     "q_stage_latency" -> qStageLatencySql,
     "q_storage_quota" -> qStorageQuotaSql,

@@ -37,10 +37,12 @@ import org.apache.spark.sql.functions._
   * materialized bounded table instead of re-deriving it (the Dedup
   * family's memo discipline; measured 2.29 → 1.61 s on f35's
   * classifier-fed rank). MEASURE before applying: a single cheap
-  * keyed aggregate re-derives faster than it materializes (c70/c75/
-  * c80 each benched WORSE with a checkpoint and run bare), and a
-  * plain pruned parquet scan never needs one — re-scanning columns
-  * is what parquet is for.
+  * keyed aggregate re-derives faster than it materializes (c70/c75
+  * each benched WORSE with a checkpoint and run bare), and a plain
+  * pruned parquet scan never needs one — re-scanning columns is what
+  * parquet is for. The crossover is CHAINED legs: c80's three RFM
+  * ranks multiplied the re-derivation to 44 input scans, and the
+  * checkpoint wins (r15; A/B in bench_extra_r20).
   */
 object TwoPhase {
 

@@ -495,6 +495,41 @@ class GeoInvariantsSpec extends SparkTestBase {
     }
   }
 
+  test("b12e: run-length dedup — planted empty runs collapse, accounting closes, RLE never loses") {
+    val rows = operators.GeoGeom.qPmtilesRle(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    var sawRun = false
+    rows.foreach { r =>
+      val (nTiles, nEmpty, nEntries, maxRun, nBlobs) =
+        (r.getAs[Long]("n_tiles"), r.getAs[Long]("n_empty"),
+          r.getAs[Long]("n_entries"), r.getAs[Long]("max_run"),
+          r.getAs[Long]("n_blobs"))
+      val (df, dr, datf, datr, datd) =
+        (r.getAs[Long]("dir_bytes_flat"), r.getAs[Long]("dir_bytes_rle"),
+          r.getAs[Long]("data_bytes_flat"), r.getAs[Long]("data_bytes_rle"),
+          r.getAs[Long]("data_bytes_dedup"))
+      assert(nTiles == 256L, "full z=4 cover")
+      assert(nEntries <= nTiles && nBlobs <= nEntries)
+      // pigeonhole: maximal empty stretches ≤ occupied + 1, so more
+      // empties than that forces a run_length > 1 somewhere — the
+      // planted ocean-tile class must actually collapse
+      val nOcc = nTiles - nEmpty
+      if (nEmpty > nOcc + 1) {
+        assert(maxRun > 1, s"user ${r.get(0)}: $nEmpty empties over " +
+          s"$nOcc occupied must produce a run > 1")
+        sawRun = true
+      }
+      // a length-1 run serializes to exactly its flat entry; longer
+      // runs strictly shrink the directory — RLE never loses bytes
+      if (maxRun > 1) assert(dr < df, "run > 1 must shrink the directory")
+      assert(dr <= df)
+      assert(datd <= datr && datr <= datf,
+        "offset dedup ≤ one-blob-per-run ≤ store-every-tile")
+      assert(r.getAs[Long]("bytes_saved") == (datf - datr) + (df - dr))
+    }
+    assert(sawRun, "test data must exercise run_length > 1")
+  }
+
   test("b35: concave/holed ray cast — hole excludes, notch excludes, solid contains") {
     import spark.implicits._
     import org.apache.spark.sql.functions.expr

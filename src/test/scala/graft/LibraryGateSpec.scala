@@ -40,14 +40,16 @@ class LibraryGateSpec extends SparkTestBase {
   //    q_dedup_e2e's 20 is the DELIBERATE all-schemes build,
   //    adjudicated r12, amortized by d10/i7's persisted index.
   //  - two-phase order statistics (q_median, q_equidepth, q_gini,
-  //    q_rfm, q_acf, q_chi2, q_ks_drift, q_concurrency, q_ab_test,
+  //    q_acf, q_chi2, q_ks_drift, q_concurrency, q_ab_test,
   //    q_bootstrap_poisson, q_cohort_ltv, q_retention_cohorts,
   //    q_rolling_active, q_elasticity): histogram/bucket pass + refine
   //    pass per statistic over the SAME cheap pruned scan — re-scanning
   //    columns is what parquet is for (TwoPhase.scala caller note:
-  //    c70/c75/c80 each benched WORSE with a checkpoint); q_rfm's 44 =
-  //    3 RFM dimensions × (bucket + refine + ntile fold) × AQE subquery
-  //    branches, bench-flat at 1.69 s (r13 adjudication).
+  //    c70/c75 each benched WORSE with a checkpoint, single-leg
+  //    shapes). q_rfm left this class in r15: its THREE chained legs
+  //    multiplied to 44 events scans, so the user-grain fold now
+  //    localCheckpoints (final plan: zero events scans, no whitelist
+  //    entry; A/B in bench_extra_r20).
   //  - LM/text family (q_lm_backoff, q_perplexity, q_pmi_pairs,
   //    q_tfidf, q_dsir, q_quality_classifier, q_lang_id_eval,
   //    q_temperature_mix, q_data_card, q_pipeline_e2e, q_ngram_jaccard,
@@ -107,7 +109,6 @@ class LibraryGateSpec extends SparkTestBase {
     "q_pq_train_step" -> 3,
     "q_quality_classifier" -> 6,
     "q_retention_cohorts" -> 3,
-    "q_rfm" -> 44,
     "q_rolling_active" -> 3,
     "q_scalar_subq" -> 3,
     "q_snapshot_diff" -> 6,
