@@ -313,10 +313,15 @@ object Serving {
   /** Build (or reuse) the persisted dedup index over the standing
     * corpus (doc_id % 10 != 7 — d8's convention): exact content keys
     * (sorted+bloomed on ck — point lookups), shingle sets (sorted on
-    * doc_id — the verify side), and the 4×2 MinHash band keys
-    * (sorted+bloomed on bkey — the candidate join side). d8 recomputes
-    * all three per batch; at 100 TB the signature store is written
-    * once at ingest and each daily batch only hashes ITSELF. */
+    * doc_id — the verify side), and the MinHash band keys at the
+    * PLANNER'S (r, b) — `Dedup.tunedBanding`'s verify-weighted argmin
+    * (today (2, 4)), so d28's tuned choice is what the index
+    * physically serializes and screens with, not a parallel constant
+    * that could drift (the d28 amortization closed in code: the
+    * pair-graph banding is paid once at ingest, every warm consumer
+    * reads these keys). d8 recomputes all three per batch; at 100 TB
+    * the signature store is written once at ingest and each daily
+    * batch only hashes ITSELF. */
   def dedupIndexDir(spark: SparkSession, dir: String): String = {
     GraftFunctions.register(spark)
     ensure("dedup", fingerprint(dir, Seq("documents")))(buildDedupIndex(spark, dir, _))
@@ -347,7 +352,8 @@ object Serving {
       .localCheckpoint(true) // feeds both the shingle store and the bands
     DatasetsSink.writeOptimized(sh, s"$ix/shingles/batch_id=$batchId",
       Seq("doc_id"), Seq("doc_id"))
-    val bands = Dedup.minhashBands4x2(Dedup.minhashSig(sh))
+    val (r, b) = Dedup.tunedBanding(docs.sparkSession)
+    val bands = Dedup.minhashBands(Dedup.minhashSig(sh), r, b)
     DatasetsSink.writeOptimized(bands, s"$ix/bands/batch_id=$batchId",
       Seq("bkey"), Seq("bkey"))
   }
@@ -407,7 +413,8 @@ object Serving {
     val bSh = src.select(col("doc_id"), expr(shSpark).as("sh"))
       .filter(size(col("sh")) > 0)
       .localCheckpoint(true) // bands + two verify consumers below
-    val bBands = Dedup.minhashBands4x2(Dedup.minhashSig(bSh))
+    val (rT, bT) = Dedup.tunedBanding(spark)
+    val bBands = Dedup.minhashBands(Dedup.minhashSig(bSh), rT, bT)
     val iBands = ixRead("bands")
     val cand = broadcast(bBands.as("n"))
       .join(iBands.as("i"),

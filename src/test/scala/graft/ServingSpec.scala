@@ -23,6 +23,41 @@ class ServingSpec extends SparkTestBase {
     assert(fil == filTwin, "filtered serving diverged from e8")
   }
 
+  test("d28 x d10: the index bands with the planner's (r,b); the served screen equals d28's cross pair set") {
+    import org.apache.spark.sql.functions.col
+    // 1. the tuned choice IS the shipped config — planner and index
+    //    can no longer drift (they band through one implementation)
+    assert(operators.Dedup.tunedBanding(spark) == (2, 4),
+      "verify-weighted argmin must land on d2's shipped (2,4)")
+    // 2. d28's corpus-wide tuned pair set, restricted to (batch doc,
+    //    standing doc) pairs, must be exactly what the served screen
+    //    finds against the persisted index (same banding, same verify
+    //    threshold — the amortization claim: the warm screen answers
+    //    with the tuned pair graph, never rebuilding it)
+    val isBatch = (id: Long) => id % 10 == 7
+    val cross = operators.Dedup.qDedupTuned(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .flatMap { case (a, b) =>
+        if (isBatch(a) && !isBatch(b)) Some(a -> b)
+        else if (isBatch(b) && !isBatch(a)) Some(b -> a)
+        else None
+      }
+    val expectNear = cross.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    assert(expectNear.nonEmpty, "corpus must exercise cross near-dups")
+    val served = Serving.qDedupServed(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("verdict"),
+        Option(r.get(2)).map(_.asInstanceOf[Long])))
+    served.foreach {
+      case (d, "drop_near", m) =>
+        assert(expectNear.get(d).contains(m.get),
+          s"doc $d: served near ${m} != tuned pair-set min ${expectNear.get(d)}")
+      case (d, "keep", _) =>
+        assert(!expectNear.contains(d),
+          s"doc $d kept but the tuned pair set has a cross pair ${expectNear.get(d)}")
+      case _ => () // drop_exact: the exact key masks the near channel
+    }
+  }
+
   test("daily cycle: absorbed keepers are caught as exact dups on re-screen, idempotently") {
     // own index copy — absorbing into the shared fingerprint-keyed dir
     // would break the d10 oracle's corpus-minus-batch expectation
