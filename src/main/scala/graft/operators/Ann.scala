@@ -1454,8 +1454,16 @@ object Ann {
     * slivers are gone, each split half is non-empty, and the max
     * cell share strictly drops. */
   def rebalanceExecute(spark: SparkSession, dir: String): DataFrame = {
+    // the PLAN is a ~cells-row bounded table whose derivation is
+    // multi-scan (e24's occupancy + thresholds); referenced twice
+    // below (assignment join + split-cell filter) it re-derived the
+    // whole plan tree per reference — 14 embeddings scans in the
+    // executed plan. Materializing ~90 rows is free; the vector-scale
+    // sides stay unmaterialized (the r12 adjudication: never
+    // checkpoint the wide embedding projections).
     val plan = qAnnRebalance(spark, dir)
       .select(col("cell"), col("action"), col("target_cell"))
+      .localCheckpoint()
     val e = Tables(spark, dir, "embeddings")
     val cellExpr = "CAST(CASE WHEN label < 5 THEN 0 WHEN label < 8 THEN label " +
       "ELSE 70 + vec_id % 20 END AS BIGINT)"

@@ -72,7 +72,7 @@ class LibraryGateSpec extends SparkTestBase {
     "q_ann_pq" -> 6,
     "q_ann_range" -> 6,
     "q_ann_rebalance" -> 8,
-    "q_ann_rebalance_exec" -> 14,
+    "q_ann_rebalance_exec" -> 4, // vector-scale legs only (assign + seed agg + 2 seed fetches); the bounded ~cells-row plan localCheckpoints (was 14, r15)
     "q_ann_recall" -> 8,
     "q_ann_sq8" -> 6,
     "q_asof_salted" -> 3,
