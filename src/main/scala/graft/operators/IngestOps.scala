@@ -1171,7 +1171,75 @@ object IngestOps {
       LEFT JOIN snap s USING (asset, key)
       ORDER BY asset, key"""
 
+  /** a30 — `q_pubsub_membership`: WebPubSub GROUP-MEMBERSHIP CHURN
+    * (ref wsockets/client_sub.py: a client joins its per-user group on
+    * connect and leaves on disconnect — a subscriber arriving
+    * mid-stream receives from JOIN TIME only, and nothing after it
+    * leaves; a16 models delivery to a static roster, h13 the loop —
+    * this models the lifecycle window itself). Each subscriber
+    * (customer, a16's watch_user keying) joins at a deterministic
+    * offset into the corpus window and leaves 5-20 days later (pure
+    * integer arithmetic off c_custkey — engine-exact); a message is
+    * DELIVERED iff join_ms ≤ ts < leave_ms. Per subscriber: total
+    * messages on its watched group, delivered count, missed-before-
+    * join / missed-after-leave (the churn loss the reference's
+    * fire-and-forget publish never measures), and the first/last
+    * delivered ts. Plan: the corpus min-ts is ONE broadcast row
+    * (a28's deterministic-now discipline), subscribers broadcast
+    * (bounded dim), one message-grain join + one subscriber-grain
+    * agg. The h39 streaming twin replays the same window semantics
+    * statefully; its parity spec compares against THIS op. */
+  def qPubsubMembership(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val c = Tables(spark, dir, "customer")
+    val msgs = e.select(col("user_id"), unix_millis(col("ts")).as("ms"))
+    val t0 = msgs.agg(min(col("ms")).as("min_ms"))
+    val subs = c.select(col("c_custkey").as("sub_id"),
+        (col("c_custkey") % 1500L).as("watch_user"),
+        ((col("c_custkey") * 7919L) % 1296000000L).as("join_off"),
+        (lit(432000000L) + (col("c_custkey") * 104729L) % 1296000000L).as("dur"))
+      .crossJoin(broadcast(t0))
+      .select(col("sub_id"), col("watch_user"),
+        (col("min_ms") + col("join_off")).as("join_ms"),
+        (col("min_ms") + col("join_off") + col("dur")).as("leave_ms"))
+    msgs.join(broadcast(subs), col("user_id") === col("watch_user"))
+      .groupBy("sub_id")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("ms") >= col("join_ms") && col("ms") < col("leave_ms"), 1L)
+          .otherwise(0L)).as("n_delivered"),
+        sum(when(col("ms") < col("join_ms"), 1L).otherwise(0L)).as("n_before"),
+        sum(when(col("ms") >= col("leave_ms"), 1L).otherwise(0L)).as("n_after"),
+        coalesce(min(when(col("ms") >= col("join_ms") && col("ms") < col("leave_ms"),
+          col("ms"))), lit(-1L)).as("first_ms"),
+        coalesce(max(when(col("ms") >= col("join_ms") && col("ms") < col("leave_ms"),
+          col("ms"))), lit(-1L)).as("last_ms"))
+      .orderBy("sub_id")
+  }
+
+  val qPubsubMembershipSql: String =
+    """WITH msgs AS (
+        SELECT user_id, epoch_ms(ts) AS ms FROM events),
+      t0 AS (SELECT MIN(ms) AS min_ms FROM msgs),
+      subs AS (
+        SELECT c_custkey AS sub_id, c_custkey % 1500 AS watch_user,
+          min_ms + (c_custkey * 7919) % 1296000000 AS join_ms,
+          min_ms + (c_custkey * 7919) % 1296000000
+            + 432000000 + (c_custkey * 104729) % 1296000000 AS leave_ms
+        FROM customer, t0)
+      SELECT sub_id, COUNT(*) AS n_total,
+        CAST(SUM(CASE WHEN ms >= join_ms AND ms < leave_ms THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_delivered,
+        CAST(SUM(CASE WHEN ms < join_ms THEN 1 ELSE 0 END) AS BIGINT) AS n_before,
+        CAST(SUM(CASE WHEN ms >= leave_ms THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+        COALESCE(MIN(CASE WHEN ms >= join_ms AND ms < leave_ms THEN ms END), -1)
+          AS first_ms,
+        COALESCE(MAX(CASE WHEN ms >= join_ms AND ms < leave_ms THEN ms END), -1)
+          AS last_ms
+      FROM msgs JOIN subs ON user_id = watch_user
+      GROUP BY sub_id ORDER BY sub_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pubsub_membership" -> (qPubsubMembership _),
     "q_meta_merge" -> (qMetaMerge _),
     "q_lifecycle_tiers" -> (qLifecycleTiers _),
     "q_stage_latency" -> (qStageLatency _),
@@ -1203,6 +1271,7 @@ object IngestOps {
     "q_deadletter_stats" -> (qDeadletterStats _))
 
   val oracles: Map[String, String] = Map(
+    "q_pubsub_membership" -> qPubsubMembershipSql,
     "q_meta_merge" -> qMetaMergeSql,
     "q_lifecycle_tiers" -> qLifecycleTiersSql,
     "q_stage_latency" -> qStageLatencySql,

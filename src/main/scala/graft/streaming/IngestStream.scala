@@ -268,6 +268,53 @@ object IngestStream {
       }
   }
 
+  case class GroupEvent(kind: String, subId: Long, watchUser: Long, ms: Long)
+  case class Delivery(subId: Long, watchUser: Long, ms: Long)
+  case class Roster(members: Map[Long, Long])
+
+  /** h39 — streaming GROUP-MEMBERSHIP churn (a30's lifecycle window
+    * LIVE — ref wsockets/client_sub.py: subscribers JOIN their
+    * per-user group mid-stream and receive from join time only,
+    * nothing after they LEAVE; a16/h13 model delivery and the loop,
+    * this models the roster itself changing under the stream): one
+    * group per watched user under flatMapGroupsWithState, state = the
+    * OPEN roster (subId → joinMs — bounded by concurrent subscribers
+    * per group, never message history). Within a batch the group's
+    * events order by (ms, kind, subId) — join admits AT its ms, leave
+    * excludes FROM its ms (the batch op's [join, leave) window), and
+    * the sort is by KEY, not arrival position (h35's discipline: the
+    * shuffled group iterator's order is not the feed's). Under an
+    * event-time-ordered feed the delivered set is identical under any
+    * batching and equals a30's window algebra exactly (parity spec on
+    * adversarial re-batchings). Watermark-aged rosters + the batch
+    * a30 own history beyond the horizon (h5/h22's division). */
+  def streamingGroupChurn(events: Dataset[GroupEvent]): Dataset[Delivery] = {
+    import events.sparkSession.implicits._
+    // at one instant: joins admit (join_ms ≤ ms is INclusive), leaves
+    // evict (ms < leave_ms is EXclusive), THEN messages fan out — the
+    // tie order that reproduces the batch [join, leave) window exactly
+    val kindOrd = Map("join" -> 0, "leave" -> 1, "msg" -> 2)
+    events.groupByKey(_.watchUser)
+      .flatMapGroupsWithState[Roster, Delivery](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (wu: Long, it: Iterator[GroupEvent], state: GroupState[Roster]) =>
+          val evs = it.toArray.sortBy(e => (e.ms, kindOrd(e.kind), e.subId))
+          var roster = state.getOption.map(_.members).getOrElse(Map.empty[Long, Long])
+          val out = Vector.newBuilder[Delivery]
+          evs.foreach { e =>
+            e.kind match {
+              case "join"  => roster = roster.updated(e.subId, e.ms)
+              case "leave" => roster = roster - e.subId
+              case _       => roster.keysIterator.foreach { s =>
+                out += Delivery(s, wu, e.ms)
+              }
+            }
+          }
+          state.update(Roster(roster))
+          out.result().iterator
+      }
+  }
+
   case class DocVerdict(docId: Long, source: String, words: Long,
       gopherPass: Boolean, c4Kept: Boolean)
   case class SourceCard(source: String, version: Long, docs: Long,
