@@ -521,7 +521,11 @@ object GeoGeom {
     * processing.py:263-283 (the reference's pmtiles conversion).
     * Oracle: the z=4 Hilbert recursive CTE (s₀=8, reflection constant
     * 15, zoom_offset (4⁴−1)/3 = 85) + identical window/varint algebra. */
-  def qPmtilesRle(spark: SparkSession, dir: String): DataFrame = {
+  /** b12e/b12f's shared RLE cover: the dense z=4 per-archive tile
+    * square, Hilbert-sequenced, run-segmented, eagerly materialized
+    * (256 rows/user) so every accounting leg reads the memo. Columns:
+    * user_id, nf, tile_id, tile_bytes, flat_bytes, run_id. */
+  private[graft] def rleCover(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(spark)
     val occ = GeoOps.tiled(spark, dir, 4)
@@ -538,7 +542,7 @@ object GeoGeom {
       .withColumn("tile_bytes",
         expr("CAST(CASE WHEN nf = 0 THEN 69 ELSE nf * 37 % 900 + 100 END AS BIGINT)"))
     val w = Window.partitionBy("user_id").orderBy("tile_id")
-    val seq0 = tiles
+    tiles
       .withColumn("tdelta",
         col("tile_id") - coalesce(lag("tile_id", 1).over(w), lit(0L)))
       .withColumn("new_run",
@@ -550,20 +554,31 @@ object GeoGeom {
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select("user_id", "nf", "tile_id", "tile_bytes", "flat_bytes", "run_id")
       .localCheckpoint()
+  }
+
+  /** Per-run directory entries over [[rleCover]]: run_length, first
+    * tile id, content class + bytes, entry delta and serialized
+    * entry bytes. */
+  private[graft] def rleEntries(cover: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w2 = Window.partitionBy("user_id").orderBy("run_id")
+    cover.groupBy("user_id", "run_id")
+      .agg(count(lit(1)).as("run_length"), min("tile_id").as("first_id"),
+        max("nf").as("nf"), max("tile_bytes").as("tile_bytes"))
+      .withColumn("delta",
+        col("first_id") - coalesce(lag("first_id", 1).over(w2), lit(0L)))
+      .withColumn("entry_bytes",
+        expr(s"CAST(${vb("delta")} + ${vb("run_length")} + ${vb("tile_bytes")} + 1 AS BIGINT)"))
+  }
+
+  def qPmtilesRle(spark: SparkSession, dir: String): DataFrame = {
+    val seq0 = rleCover(spark, dir)
     val flat = seq0.groupBy("user_id")
       .agg(count(lit(1)).as("n_tiles"),
         sum(when(col("nf") === 0L, 1L).otherwise(0L)).as("n_empty"),
         sum("flat_bytes").as("dir_bytes_flat"),
         sum("tile_bytes").as("data_bytes_flat"))
-    val entries = seq0.groupBy("user_id", "run_id")
-      .agg(count(lit(1)).as("run_length"), min("tile_id").as("first_id"),
-        max("tile_bytes").as("tile_bytes"))
-    val w2 = Window.partitionBy("user_id").orderBy("run_id")
-    val rle = entries
-      .withColumn("delta",
-        col("first_id") - coalesce(lag("first_id", 1).over(w2), lit(0L)))
-      .withColumn("entry_bytes",
-        expr(s"CAST(${vb("delta")} + ${vb("run_length")} + ${vb("tile_bytes")} + 1 AS BIGINT)"))
+    val rle = rleEntries(seq0)
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_entries"), max("run_length").as("max_run"),
         sum("entry_bytes").as("dir_bytes_rle"),
@@ -582,9 +597,11 @@ object GeoGeom {
       .orderBy("user_id")
   }
 
-  val qPmtilesRleSql: String =
-    s"""WITH RECURSIVE t AS (${GeoOps.tiledSql(4)}),
-        occ AS (
+  /** The b12e/b12f shared oracle chain: z=4 dense cover → hilbert →
+    * run segmentation → per-run entries (CTEs occ..withd; reads CTE
+    * `t` = tiledSql(4)). */
+  private[graft] val pmtilesRleChainSql: String =
+    s"""occ AS (
           SELECT user_id, xt, yt, COUNT(*) AS n_features
           FROM t GROUP BY user_id, xt, yt),
         grid AS (
@@ -631,20 +648,25 @@ object GeoGeom {
             SUM(new_run) OVER (PARTITION BY user_id ORDER BY tile_id
               ROWS UNBOUNDED PRECEDING) AS run_id
           FROM sq),
+        perrun AS (
+          SELECT user_id, run_id, COUNT(*) AS run_length,
+            MIN(tile_id) AS first_id, MAX(nf) AS nf,
+            MAX(tile_bytes) AS tile_bytes
+          FROM sq2 GROUP BY user_id, run_id),
+        withd AS (
+          SELECT *, first_id - COALESCE(LAG(first_id) OVER (
+              PARTITION BY user_id ORDER BY run_id), 0) AS delta
+          FROM perrun)"""
+
+  val qPmtilesRleSql: String =
+    s"""WITH RECURSIVE t AS (${GeoOps.tiledSql(4)}),
+        $pmtilesRleChainSql,
         flat AS (
           SELECT user_id, COUNT(*) AS n_tiles,
             CAST(SUM(CASE WHEN nf = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
             CAST(SUM(flat_bytes) AS BIGINT) AS dir_bytes_flat,
             CAST(SUM(tile_bytes) AS BIGINT) AS data_bytes_flat
           FROM sq2 GROUP BY user_id),
-        perrun AS (
-          SELECT user_id, run_id, COUNT(*) AS run_length,
-            MIN(tile_id) AS first_id, MAX(tile_bytes) AS tile_bytes
-          FROM sq2 GROUP BY user_id, run_id),
-        withd AS (
-          SELECT *, first_id - COALESCE(LAG(first_id) OVER (
-              PARTITION BY user_id ORDER BY run_id), 0) AS delta
-          FROM perrun),
         rle AS (
           SELECT user_id, COUNT(*) AS n_entries,
             CAST(MAX(run_length) AS BIGINT) AS max_run,
@@ -665,6 +687,65 @@ object GeoGeom {
           AS bytes_saved
       FROM flat JOIN rle USING (user_id) JOIN blobs USING (user_id)
       ORDER BY user_id"""
+
+  /** b12f — `q_pmtiles_clustered`: the CLUSTERED offset assignment
+    * over b12e's run-length entries — the last column a PMTiles
+    * directory actually carries (each entry's varint(offset) into the
+    * tile-data section) and the format's `clustered` flag semantics:
+    * tile data lands in FIRST-OCCURRENCE order, identical content is
+    * stored once, and every later run of the same content REUSES the
+    * first occurrence's offset (offset dedup — the lever past b12e's
+    * one-blob-per-run accounting; the PMTiles header's three counts,
+    * addressed_tiles / tile_entries / tile_contents, are b12e's
+    * n_tiles / n_entries / n_blobs). Per directory entry: first tile
+    * id, run length, content bytes, assigned offset, and whether this
+    * entry is its content's first occurrence (the one that lands
+    * bytes). Plan: per-run entries off the SHARED materialized cover
+    * (one per-archive window), the blob table is content-grain
+    * (bounded by distinct contents per archive) with an exclusive
+    * prefix-sum window, fan back by content key — all per-archive,
+    * pyramid-level-bounded. Oracle: the shared b12e CTE chain + the
+    * identical prefix-sum/first-occurrence algebra.
+    * GeoInvariantsSpec pins the clustered invariants (first-occurrence
+    * offsets strictly increase by exactly the preceding blob's bytes;
+    * reused offsets point at earlier first occurrences; total data
+    * length ≡ b12e's data_bytes_dedup). */
+  def qPmtilesClustered(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cover = rleCover(spark, dir)
+    val entries = rleEntries(cover)
+    val wb = Window.partitionBy("user_id").orderBy("first_run")
+    val offs = entries.groupBy("user_id", "nf")
+      .agg(min("run_id").as("first_run"), max("tile_bytes").as("bytes"))
+      .withColumn("offset", coalesce(sum("bytes")
+        .over(wb.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    entries.join(offs.select(col("user_id"), col("nf"),
+        col("first_run"), col("offset")), Seq("user_id", "nf"))
+      .select(col("user_id"), col("run_id"), col("first_id"),
+        col("run_length"), col("tile_bytes"), col("offset"),
+        (col("run_id") === col("first_run")).as("first_occurrence"))
+      .orderBy("user_id", "run_id")
+  }
+
+  val qPmtilesClusteredSql: String =
+    s"""WITH RECURSIVE t AS (${GeoOps.tiledSql(4)}),
+        $pmtilesRleChainSql,
+        firsts AS (
+          SELECT user_id, nf, MIN(run_id) AS first_run,
+            MAX(tile_bytes) AS bytes
+          FROM withd GROUP BY user_id, nf),
+        offs AS (
+          SELECT user_id, nf, first_run,
+            CAST(COALESCE(SUM(bytes) OVER (PARTITION BY user_id
+              ORDER BY first_run ROWS BETWEEN UNBOUNDED PRECEDING
+              AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+          FROM firsts)
+      SELECT w.user_id AS user_id, CAST(w.run_id AS BIGINT) AS run_id,
+        w.first_id AS first_id, w.run_length AS run_length,
+        w.tile_bytes AS tile_bytes, o."offset" AS "offset",
+        (w.run_id = o.first_run) AS first_occurrence
+      FROM withd w JOIN offs o ON o.user_id = w.user_id AND o.nf = w.nf
+      ORDER BY user_id, run_id"""
 
   /** b45 — `q_archive_layout`: THE per-archive answer the service
     * exists to produce — what each user's PMTiles archive actually
@@ -835,6 +916,7 @@ object GeoGeom {
     "q_pmtiles_order" -> (qPmtilesOrder _),
     "q_pmtiles_leaves" -> (qPmtilesLeaves _),
     "q_pmtiles_rle" -> (qPmtilesRle _),
+    "q_pmtiles_clustered" -> (qPmtilesClustered _),
     "q_archive_layout" -> (qArchiveLayout _))
 
   val oracles: Map[String, String] = Map(
@@ -845,5 +927,6 @@ object GeoGeom {
     "q_pmtiles_order" -> qPmtilesOrderSql,
     "q_pmtiles_leaves" -> qPmtilesLeavesSql,
     "q_pmtiles_rle" -> qPmtilesRleSql,
+    "q_pmtiles_clustered" -> qPmtilesClusteredSql,
     "q_archive_layout" -> qArchiveLayoutSql)
 }

@@ -530,6 +530,40 @@ class GeoInvariantsSpec extends SparkTestBase {
     assert(sawRun, "test data must exercise run_length > 1")
   }
 
+  test("b12f: clustered offsets — first occurrences pack densely, reuse points backward, length ≡ dedup bytes") {
+    val entries = operators.GeoGeom.qPmtilesClustered(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("run_id"),
+        r.getAs[Long]("tile_bytes"), r.getAs[Long]("offset"),
+        r.getAs[Boolean]("first_occurrence")))
+    val rleByUser = operators.GeoGeom.qPmtilesRle(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_entries"), r.getAs[Long]("n_blobs"),
+          r.getAs[Long]("data_bytes_dedup"))).toMap
+    entries.groupBy(_._1).foreach { case (u, es) =>
+      val (nEntries, nBlobs, dedupBytes) = rleByUser(u)
+      assert(es.length.toLong == nEntries, s"user $u entry count != b12e")
+      val firsts = es.filter(_._5).sortBy(_._2)
+      assert(firsts.length.toLong == nBlobs, s"user $u first-occurrence count != b12e blobs")
+      // dense packing: each first occurrence starts exactly where the
+      // previous blob ends; total length is b12e's offset-dedup bytes
+      var expect = 0L
+      firsts.foreach { case (_, _, bytes, off, _) =>
+        assert(off == expect, s"user $u: first-occurrence offset $off != running sum $expect")
+        expect += bytes
+      }
+      assert(expect == dedupBytes, s"user $u: packed length $expect != b12e dedup bytes $dedupBytes")
+      // reuse: every non-first entry's offset is an EARLIER first
+      // occurrence's, with the same content bytes
+      val firstAt = firsts.map(f => f._4 -> (f._2, f._3)).toMap
+      es.filterNot(_._5).foreach { case (_, rid, bytes, off, _) =>
+        val (frid, fbytes) = firstAt.getOrElse(off,
+          fail(s"user $u: reused offset $off has no first occurrence"))
+        assert(frid < rid && fbytes == bytes,
+          s"user $u: entry $rid reuse of $off must point backward at identical bytes")
+      }
+    }
+  }
+
   test("b35: concave/holed ray cast — hole excludes, notch excludes, solid contains") {
     import spark.implicits._
     import org.apache.spark.sql.functions.expr
