@@ -818,9 +818,11 @@ object Ann {
     * parquet is strictly cheaper than persisting a 64×-wider
     * intermediate, and production FAISS sidesteps both by training on
     * a bounded sample (compose with f23's sampler for that shape).
-    * 100× vectors → 15× time (1.7 → 26.3 s): sublinear per row; the
-    * cost center is the exact-decimal distance agg, the price the
-    * family pays for oracle-identical argmins. */
+    * 100× vectors → 0.136 ms/vec (GenVecs 10k → 1M: 2.97 → 135.8 s,
+    * r15 sweep), per-row identical to the pre-restatement chain's
+    * 0.13 ms/vec — the integer centroid costs nothing; the cost
+    * center is the exact-decimal distance agg, the price the family
+    * pays for oracle-identical argmins. */
   def qKmeansConverge(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "embeddings")
     val dq = round(col("v").cast("double"), 6).cast("decimal(8,6)")

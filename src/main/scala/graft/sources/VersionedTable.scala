@@ -414,7 +414,14 @@ object VersionedTable {
         val next = vs.lastOption.getOrElse(0L) + 1
         val base = if (overwrite || vs.isEmpty) Seq.empty
           else readManifest(spark, path, vs.last)
-        val content = (headers ++ base ++ newFiles).mkString("\n")
+        // i25: the in-commit timestamp, MONOTONE by construction
+        // (max(now, parent+1) — wall-clock ties and skew cannot
+        // reorder history); placed after caller headers so marker
+        // checks on the first line (#compaction, #restore) hold
+        val prevTs = vs.lastOption.map(v => commitTs(spark, path, v)).getOrElse(0L)
+        val ict = math.max(System.currentTimeMillis(), prevTs + 1)
+        val content = (headers ++ Seq(s"$TsMarkerPrefix$ict") ++ base ++ newFiles)
+          .mkString("\n")
         val tmp = new Path(path, s".manifest-$token.tmp")
         Using.resource(fs.create(tmp, true)) { out =>
           out.write(content.getBytes("UTF-8"))
@@ -432,6 +439,42 @@ object VersionedTable {
     * contract in [[commit]]); cross-process safety is the store's
     * atomic create-if-absent. */
   private val commitLock = new Object
+
+  private val TsMarkerPrefix = "#ts:"
+
+  /** i25 — a commit's timestamp: the in-commit `#ts:` header written
+    * since r15 (Delta's In-Commit Timestamps mechanism — monotone by
+    * construction, immune to file copies/clock skew), falling back to
+    * the manifest file's modification time for pre-i25 commits
+    * (exactly Delta's legacy timestamp resolution). */
+  def commitTs(spark: SparkSession, path: String, v: Long): Long =
+    rawManifest(spark, path, v)
+      .collectFirst { case l if l.startsWith(TsMarkerPrefix) =>
+        l.stripPrefix(TsMarkerPrefix).trim.toLong }
+      .getOrElse(fsOf(spark, path).getFileStatus(manifest(path, v))
+        .getModificationTime)
+
+  /** i25 — resolve the snapshot live AT a wall-clock instant
+    * (`TIMESTAMP AS OF`): the newest version whose commit timestamp
+    * is ≤ ts. Errors before the table's first commit — "the table
+    * did not exist yet" must be loud, not an empty frame. O(versions)
+    * header reads, no data touched until [[read]]. */
+  def versionAsOf(spark: SparkSession, path: String, tsMs: Long): Long = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed version at $path")
+    val at = vs.filter(v => commitTs(spark, path, v) <= tsMs)
+    require(at.nonEmpty,
+      s"no version at or before ts $tsMs at $path " +
+        s"(earliest commit ts = ${commitTs(spark, path, vs.head)})")
+    at.last
+  }
+
+  /** i25 — `TIMESTAMP AS OF` snapshot read (Delta/Iceberg time travel
+    * by wall clock, on this table's own log): [[versionAsOf]] then the
+    * ordinary snapshot [[read]] — reproducibility for consumers that
+    * record WHEN they ran, not which version they saw. */
+  def readAsOf(spark: SparkSession, path: String, tsMs: Long): DataFrame =
+    read(spark, path, Some(versionAsOf(spark, path, tsMs)))
 
   /** Snapshot read: the given version, or the latest. */
   def read(spark: SparkSession, path: String, version: Option[Long] = None): DataFrame = {

@@ -642,6 +642,43 @@ class VersionedTableSpec extends SparkTestBase {
     assert(VersionedTable.readEvolved(spark, path, Some(3L)).count() == 2L)
   }
 
+  test("i25: timestamp time travel — ICT strictly monotone, boundary resolution, legacy mtime fallback") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("vtable_ts").toString
+    // three commits back-to-back — wall-clock ties are exactly what
+    // the monotone in-commit timestamp must disambiguate
+    (1 to 3).foreach { i =>
+      VersionedTable.commit(spark, path, Seq((i.toLong, s"r$i")).toDF("id", "v"))
+    }
+    val ts = (1L to 3L).map(v => VersionedTable.commitTs(spark, path, v))
+    assert(ts == ts.sorted && ts.distinct == ts,
+      s"in-commit timestamps must be strictly increasing, got $ts")
+
+    // boundary semantics: AT a commit's instant sees it; just before
+    // sees the predecessor; before the first commit is a loud error
+    assert(VersionedTable.versionAsOf(spark, path, ts(0)) == 1L)
+    assert(VersionedTable.versionAsOf(spark, path, ts(1)) == 2L)
+    assert(VersionedTable.versionAsOf(spark, path, ts(2) + 3600000L) == 3L)
+    assert(VersionedTable.readAsOf(spark, path, ts(1)).count() == 2L)
+    intercept[IllegalArgumentException] {
+      VersionedTable.versionAsOf(spark, path, ts(0) - 1)
+    }
+
+    // legacy fallback: a pre-i25 manifest has no #ts header — strip
+    // v1's and the resolution degrades to the manifest file's mtime
+    // (Delta's legacy rule) without breaking reads
+    val m1 = java.nio.file.Paths.get(path, "_v000001.manifest")
+    val stripped = new String(java.nio.file.Files.readAllBytes(m1), "UTF-8")
+      .linesIterator.filterNot(_.startsWith("#ts:")).mkString("\n")
+    java.nio.file.Files.write(m1, stripped.getBytes("UTF-8"))
+    // the out-of-band rewrite invalidates LocalFS's checksum sidecar
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(path, "._v000001.manifest.crc"))
+    val mtime = java.nio.file.Files.getLastModifiedTime(m1).toMillis
+    assert(VersionedTable.commitTs(spark, path, 1L) == mtime)
+    assert(VersionedTable.read(spark, path, Some(1L)).count() == 1L)
+  }
+
   test("i22: constraint-checked commit rejects before landing, zero bytes on disk") {
     import spark.implicits._
     import graft.sources.VersionedTable.{CheckC, NotNullC, UniqueC}
