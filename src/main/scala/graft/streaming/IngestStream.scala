@@ -268,6 +268,49 @@ object IngestStream {
       }
   }
 
+  case class MetaWrite(asset: String, key: String, ms: Long,
+      eventId: Long, writer: Int)
+  case class MetaState(kv: Map[String, (Long, Long, Int)])
+  case class MetaView(asset: String, key: String, ms: Long,
+      eventId: Long, writer: Int)
+
+  /** h40 — streaming METADATA MERGE, lease-serialized (a29's batch op
+    * quantifies what LEASELESS read-modify-write corrupts; this is the
+    * CORRECT path the reference's lease buys, live: per-asset writes
+    * apply in total (ts, event) order, each write merging ONLY its
+    * key — the per-key last-writer-wins dict a29 computes as `lww_*`):
+    * one group per asset under flatMapGroupsWithState, state = the
+    * metadata dict itself (key → winning (ms, event, writer) — bounded
+    * by the key vocabulary, never write history). Writes order by
+    * (ms, eventId) within the batch BY KEY, not arrival position
+    * (h35's discipline), and a stale write (older than the key's
+    * current winner — a cross-batch straggler) is a no-op exactly as
+    * the serialized merge makes it. Emission per touched key per
+    * batch (Update mode — the dashboard reads the dict's current
+    * rows); MetaStreamSpec pins final-state parity with a29's lww
+    * columns under adversarial re-batchings. */
+  def streamingMetaMerge(writes: Dataset[MetaWrite]): Dataset[MetaView] = {
+    import writes.sparkSession.implicits._
+    writes.groupByKey(_.asset)
+      .flatMapGroupsWithState[MetaState, MetaView](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (asset: String, it: Iterator[MetaWrite], state: GroupState[MetaState]) =>
+          val ws = it.toArray.sortBy(w => (w.ms, w.eventId))
+          var kv = state.getOption.map(_.kv).getOrElse(Map.empty)
+          val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+          ws.foreach { w =>
+            val better = kv.get(w.key).forall { case (ms, eid, _) =>
+              ms < w.ms || (ms == w.ms && eid < w.eventId)
+            }
+            if (better) { kv = kv.updated(w.key, (w.ms, w.eventId, w.writer)); touched += w.key }
+          }
+          state.update(MetaState(kv))
+          touched.iterator.map { k =>
+            val (ms, eid, wr) = kv(k); MetaView(asset, k, ms, eid, wr)
+          }
+      }
+  }
+
   case class GroupEvent(kind: String, subId: Long, watchUser: Long, ms: Long)
   case class Delivery(subId: Long, watchUser: Long, ms: Long)
   case class Roster(members: Map[Long, Long])
