@@ -477,6 +477,64 @@ object Serving {
       .limit(10)
   }
 
+  /** e30 — ANN index GC (the maintenance half e23 defers to "the next
+    * rebuild", made SURGICAL): tombstones accumulate as anti-join
+    * batches every query pays a broadcast for; once a CELL's
+    * tombstoned fraction crosses the threshold, rewriting just that
+    * label partition is cheaper than carrying the filter forever —
+    * Lucene's segment-GC economics on the label-partitioned cell
+    * layout. Per over-threshold cell: read ITS partition dir, drop
+    * tombstoned rows, write to a dot-prefixed temp dir (invisible to
+    * Spark's listing — a crashed GC leaves no torn partition) and
+    * swap; under-threshold cells stay BYTE-STABLE. The input
+    * tombstone batches consolidate into one remainder batch holding
+    * only ids whose cells were NOT rewritten (they still need the
+    * serve-time anti-join); the applied batches are deleted. At
+    * 100 TB this is O(dirty cells) data rewritten + one bounded
+    * control-plane collect (the remainder set is "recent deletes" by
+    * the e23 contract). Returns (rewritten labels, remainder size). */
+  def gcAnnCells(spark: SparkSession, ix: String, tombstoneDirs: Seq[String],
+      gcBatchId: Long, thresholdPpm: Long = 200000L): (Seq[Int], Long) = {
+    import org.apache.hadoop.fs.Path
+    require(tombstoneDirs.nonEmpty, "nothing to GC")
+    val ts = tombstoneDirs.map(d => spark.read.parquet(d).select("vec_id"))
+      .reduce(_.unionByName(_)).distinct().localCheckpoint(true)
+    val cells = spark.read.parquet(s"$ix/cells")
+    val stats = cells
+      .join(broadcast(ts.withColumnRenamed("vec_id", "tv")),
+        col("vec_id") === col("tv"), "left")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), count(col("tv")).as("nts"))
+    val over = stats
+      .filter(col("nts") * 1000000L >= lit(thresholdPpm) * col("n"))
+      .select(col("label").cast("int")).collect().map(_.getInt(0)).toSeq.sorted
+    // remainder BEFORE any rewrite (the cells frame's file listing
+    // must not see swapped dirs): ids outside the rewritten cells
+    val remaining =
+      if (over.isEmpty) ts.collect().map(_.getLong(0)).toSeq.sorted
+      else ts.join(cells.filter(col("label").isin(over: _*)).select("vec_id"),
+          Seq("vec_id"), "left_anti")
+        .collect().map(_.getLong(0)).toSeq.sorted
+    val fs = new Path(ix).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    over.foreach { l =>
+      val dir = new Path(s"$ix/cells/label=$l")
+      val cleaned = spark.read.parquet(dir.toString)
+        .join(broadcast(ts), Seq("vec_id"), "left_anti")
+        .localCheckpoint(true) // sever the file read before the swap
+      if (cleaned.isEmpty) fs.delete(dir, true)
+      else {
+        val tmp = new Path(s"$ix/cells/.gc_label_$l.tmp")
+        fs.delete(tmp, true)
+        DatasetsSink.writeOptimized(cleaned, tmp.toString, Seq("vec_id"), Seq("vec_id"))
+        fs.delete(dir, true)
+        fs.rename(tmp, dir): Unit
+      }
+    }
+    tombstoneAnnBatch(spark, ix, remaining, gcBatchId)
+    tombstoneDirs.foreach(d => fs.delete(new Path(d), true))
+    (over, remaining.size.toLong)
+  }
+
   // ---------- i10 × e12: atomic index publication ----------
 
   /** Serving cutover as a SNAPSHOT COMMIT: index builds land under

@@ -151,6 +151,57 @@ class ServingSpec extends SparkTestBase {
     assert(!partial.contains(7L), "tombstoned vector still served")
   }
 
+  test("e30: cell GC — dirty cell rewritten, clean cell byte-stable, tombstones consolidate, serve unchanged") {
+    import org.apache.spark.sql.functions.col
+    val ix = Files.createTempDirectory("graft_ann_gc_ix").toString
+    val e = Tables(spark, sfDir, "embeddings")
+    Serving.buildAnnIndex(e, ix)
+    // victim cell = the most populated label; query = its min vec
+    val byLabel = spark.read.parquet(s"$ix/cells")
+      .groupBy("label").count().collect()
+      .map(r => (r.get(0).asInstanceOf[Number].longValue, r.getLong(1)))
+      .sortBy(-_._2)
+    val dirty = byLabel.head._1
+    val clean = byLabel(1)._1
+    val dirtyVecs = spark.read.parquet(s"$ix/cells/label=$dirty")
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    val qv = dirtyVecs.head
+    // tombstone 30% of the dirty cell (> the 20% threshold), sparing
+    // the query vector; plus ONE vector of the clean cell (below)
+    val doomed = dirtyVecs.tail.take(math.max(1, (dirtyVecs.length * 3) / 10)).toSeq
+    val cleanVec = spark.read.parquet(s"$ix/cells/label=$clean")
+      .select("vec_id").collect().map(_.getLong(0)).min
+    Serving.tombstoneAnnBatch(spark, ix, doomed, batchId = 1L)
+    Serving.tombstoneAnnBatch(spark, ix, Seq(cleanVec), batchId = 2L)
+    val tombs = Seq(s"$ix/tombstones/batch_id=1", s"$ix/tombstones/batch_id=2")
+    val before = Serving.qAnnIvfPqIndexedAt(spark, e, ix, queryVecId = qv,
+      tombstoneDirs = tombs).collect().map(_.toSeq).toSeq
+
+    val (rewritten, remainder) = Serving.gcAnnCells(spark, ix, tombs, gcBatchId = 9L)
+    assert(rewritten == Seq(dirty.toInt), s"expected only cell $dirty rewritten, got $rewritten")
+    assert(remainder == 1L, "only the clean cell's tombstone must remain")
+    // physical: the dirty partition no longer holds the doomed ids;
+    // the clean partition still physically holds its tombstoned id
+    val dirtyNow = spark.read.parquet(s"$ix/cells/label=$dirty")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(doomed.forall(!dirtyNow.contains(_)), "doomed ids survived the rewrite")
+    assert(dirtyNow.contains(qv))
+    val cleanNow = spark.read.parquet(s"$ix/cells/label=$clean")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(cleanNow.contains(cleanVec), "under-threshold cell must stay untouched")
+    // the applied batches are gone, the remainder batch exists
+    val fs = new org.apache.hadoop.fs.Path(ix)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(tombs.forall(t => !fs.exists(new org.apache.hadoop.fs.Path(t))))
+    val rem = spark.read.parquet(s"$ix/tombstones/batch_id=9")
+      .collect().map(_.getLong(0)).toSeq
+    assert(rem == Seq(cleanVec))
+    // end-to-end: serving with ONLY the remainder equals the pre-GC answer
+    val after = Serving.qAnnIvfPqIndexedAt(spark, e, ix, queryVecId = qv,
+      tombstoneDirs = Seq(s"$ix/tombstones/batch_id=9")).collect().map(_.toSeq).toSeq
+    assert(after == before, "GC changed the served result")
+  }
+
   test("index builds once and is reused; a changed corpus gets a fresh index") {
     // copy the corpus so we can mutate it without touching testdata
     val work = Files.createTempDirectory("graft_serving_corpus")
