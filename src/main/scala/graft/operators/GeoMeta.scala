@@ -196,6 +196,63 @@ object GeoMeta {
       FROM c ORDER BY event_id"""
   }
 
+  /** The b61 illumination block: ONE IEEE expression of identical
+    * shape both engines (c70's discipline — exact integers in, a
+    * fixed chain of double ops out; IEEE arithmetic is deterministic
+    * and sqrt correctly rounded, so equal inputs give bit-equal
+    * outputs; the final floor's edge set is measure-zero, b55's
+    * argument). gdaldem Horn hillshade at the defaults az = 315°,
+    * alt = 45°, z = 1, cell = 30 m: with x = px8/240, y = py8/240,
+    * cang = sinAlt·(1 − (x + y)·√2/2... stated with the √2/2 literal
+    * so no runtime trig exists anywhere. */
+  private val cang =
+    """(0.7071067811865476 * (1.0 - 0.7071067811865476 *
+        (CAST(px8 AS DOUBLE) / 240.0 + CAST(py8 AS DOUBLE) / 240.0))
+       / sqrt(1.0 + (CAST(px8 AS DOUBLE) / 240.0) * (CAST(px8 AS DOUBLE) / 240.0)
+                  + (CAST(py8 AS DOUBLE) / 240.0) * (CAST(py8 AS DOUBLE) / 240.0)))"""
+  private val shade =
+    s"""CASE WHEN $cang <= 0.0 THEN 0
+        ELSE CAST(FLOOR(1.0 + 254.0 * ($cang)) AS INT) END"""
+  private val litClass =
+    """CASE WHEN shade < 64 THEN 'dark' WHEN shade < 128 THEN 'dim'
+            WHEN shade < 192 THEN 'lit' ELSE 'bright' END"""
+
+  /** b61 — `q_hillshade`: gdaldem's THIRD terrain product (hillshade —
+    * the rendered relief every basemap ships; b54 covers slope +
+    * aspect, this completes the gdaldem trio): per cell the Horn
+    * gradient (b54's exact ×8 integers, shared code) lit by the
+    * standard 315°/45° sun, shade = GDAL's 1 + 254·cang clipped at 0,
+    * plus the 4-way brightness class. All trig is LITERAL (√2/2
+    * stated, no runtime sin/cos); the only IEEE is the one shared
+    * illumination block. Map-only over the closed-form DEM — the 3×3
+    * stencil is a scalar expression, zero shuffles before the sort;
+    * at 100 TB this is a pure scan-rate op like b54. Spec pins the
+    * flat-cell constant (px8 = py8 = 0 → shade = 180), the toward-sun
+    * vs away-from-sun ordering, and the [0, 255] range. */
+  def qHillshade(spark: SparkSession, dir: String): DataFrame = {
+    val (px8, py8) = horn("div")
+    Tables.events(spark, dir).select(col("event_id"))
+      .withColumn("x", expr("1 + event_id % 510"))
+      .withColumn("y", expr("1 + (event_id * 37) % 510"))
+      .withColumn("px8", expr(px8))
+      .withColumn("py8", expr(py8))
+      .withColumn("shade", expr(shade))
+      .withColumn("lit_class", expr(litClass))
+      .select("event_id", "x", "y", "px8", "py8", "shade", "lit_class")
+      .orderBy("event_id")
+  }
+
+  val qHillshadeSql: String = {
+    val (px8, py8) = horn("//")
+    s"""WITH g AS (
+        SELECT event_id, 1 + event_id % 510 AS x, 1 + (event_id * 37) % 510 AS y
+        FROM events),
+      z AS (SELECT event_id, x, y, $px8 AS px8, $py8 AS py8 FROM g),
+      s AS (SELECT *, $shade AS shade FROM z)
+      SELECT event_id, x, y, px8, py8, shade, $litClass AS lit_class
+      FROM s ORDER BY event_id"""
+  }
+
   // ------------------------------------------------------------------
   // b55 — tippecanoe tile buffer
   // ------------------------------------------------------------------
@@ -368,12 +425,14 @@ object GeoMeta {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tilejson" -> (qTilejson _),
     "q_slope_aspect" -> (qSlopeAspect _),
+    "q_hillshade" -> (qHillshade _),
     "q_tile_buffer" -> (qTileBuffer _),
     "q_tile_skew_plan" -> (qTileSkewPlan _))
 
   val oracles: Map[String, String] = Map(
     "q_tilejson" -> qTilejsonSql,
     "q_slope_aspect" -> qSlopeAspectSql,
+    "q_hillshade" -> qHillshadeSql,
     "q_tile_buffer" -> qTileBufferSql,
     "q_tile_skew_plan" -> qTileSkewPlanSql)
 }

@@ -60,6 +60,37 @@ class GeoMetaSpec extends SparkTestBase {
     assert(classes.size >= 3, s"$classes")
   }
 
+  test("b61 hillshade: flat constant, toward-sun brighter than away, range bounded, scala replay") {
+    val rows = GeoMeta.qHillshade(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    def shadeOf(px8: Long, py8: Long): Int = {
+      val x = px8.toDouble / 240.0; val y = py8.toDouble / 240.0
+      val c = 0.7071067811865476 * (1.0 - 0.7071067811865476 * (x + y)) /
+        math.sqrt(1.0 + x * x + y * y)
+      if (c <= 0.0) 0 else math.floor(1.0 + 254.0 * c).toInt
+    }
+    rows.foreach { r =>
+      val s = r.getAs[Int]("shade")
+      assert(s >= 0 && s <= 255, s"shade out of range: $s")
+      assert(s == shadeOf(r.getAs[Long]("px8"), r.getAs[Long]("py8")),
+        s"illumination replay diverged at event ${r.get(0)}")
+      // flat terrain renders the constant 1 + floor(254·√2/2) = 180
+      if (r.getAs[Long]("px8") == 0L && r.getAs[Long]("py8") == 0L)
+        assert(s == 180, s"flat cell shade $s != 180")
+    }
+    // slopes FACING the 315° sun (px8 + py8 < 0, gradient toward NW)
+    // must on average render brighter than slopes facing away
+    val (toward, away) = rows.partition(r =>
+      r.getAs[Long]("px8") + r.getAs[Long]("py8") < 0)
+    assert(toward.nonEmpty && away.nonEmpty, "bowl must light both sides")
+    val mt = toward.map(_.getAs[Int]("shade").toLong).sum.toDouble / toward.length
+    val ma = away.map(_.getAs[Int]("shade").toLong).sum.toDouble / away.length
+    assert(mt > ma, s"toward-sun mean $mt must exceed away mean $ma")
+    // every brightness class occurs on the bowl
+    assert(rows.map(_.getAs[String]("lit_class")).toSet ==
+      Set("dark", "dim", "lit", "bright"))
+  }
+
   test("b55 tile buffer: own total = features, copies bounded, corner replay") {
     val rows = GeoMeta.qTileBuffer(spark, sfDir).collect()
     val nEvents = Tables.events(spark, sfDir).count()
