@@ -1586,7 +1586,83 @@ object AnalyticsTs {
       FROM dau d JOIN wau w ON d.day = w.day
       ORDER BY d.day"""
 
+  /** c87 — `q_survival`: the Kaplan–Meier survival table with RIGHT
+    * CENSORING (the retention estimator c49's cohort grid
+    * approximates and every churn analysis actually needs: a user
+    * still active at the corpus edge is CENSORED, not churned —
+    * counting them as deaths biases retention down, the classic KM
+    * correction): per user, lifetime t = last − first active day;
+    * censored iff last day = the corpus max day (the deterministic
+    * "now", a28's discipline). Per DEATH time t: at-risk count
+    * n_risk(t) = Σ_{t'≥t}(deaths + censored) — a reverse cumulative
+    * sum, no per-user window — deaths, censored leaving at t, and the
+    * cumulative hazard Σ ln(n) − ln(n−d) in exact micro-nats (f31's
+    * engine-free quantization of lns of EXACT INTEGERS; −cum_hazard =
+    * ln S(t), so the table IS the KM curve without a cross-engine
+    * float product). The all-deaths tail (n = d ⇒ S = 0, hazard ∞)
+    * carries the GREATEST(n−d, 1) continuity clamp + a survival_zero
+    * flag, stated identically both engines. Plan: one user-grain
+    * fold, a ≤31-row day-grain table (the corpus spans 30 days;
+    * production lifetimes are similarly DOMAIN-bounded), three
+    * bounded global windows — scan-rate at any user cardinality. */
+  def qSurvival(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), (unix_millis(col("ts")) / 86400000L).cast("long").as("day"))
+    val today = e.agg(max("day").as("today"))
+    val users = e.groupBy("user_id").agg(min("day").as("d0"), max("day").as("d1"))
+      .crossJoin(broadcast(today))
+      .select((col("d1") - col("d0")).as("t"), (col("d1") === col("today")).as("cens"))
+    val byT = users.groupBy("t")
+      .agg(sum(when(col("cens"), 0L).otherwise(1L)).as("deaths"),
+        sum(when(col("cens"), 1L).otherwise(0L)).as("censored"))
+    val wRisk = Window.orderBy("t")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wCum = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT
+      .withColumn("n_risk", sum(col("deaths") + col("censored")).over(wRisk))
+      .withColumn("haz", when(col("deaths") === 0L, 0L).otherwise(expr(
+        """CAST(round(ln(CAST(n_risk AS DOUBLE)) * 1e6) AS BIGINT)
+           - CAST(round(ln(CAST(GREATEST(n_risk - deaths, 1) AS DOUBLE)) * 1e6) AS BIGINT)""")))
+      .withColumn("cum_hazard_micro", sum("haz").over(wCum))
+      .filter(col("deaths") > 0)
+      .select(col("t"), col("n_risk"), col("deaths"), col("censored"),
+        col("cum_hazard_micro"),
+        (col("n_risk") === col("deaths")).as("survival_zero"))
+      .orderBy("t")
+  }
+
+  val qSurvivalSql: String =
+    """WITH e AS (
+        SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+      t0 AS (SELECT MAX(day) AS today FROM e),
+      u AS (
+        SELECT u2.d1 - u2.d0 AS t, u2.d1 = t0.today AS cens
+        FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+              FROM e GROUP BY user_id) u2, t0),
+      b AS (
+        SELECT t,
+          CAST(SUM(CASE WHEN cens THEN 0 ELSE 1 END) AS BIGINT) AS deaths,
+          CAST(SUM(CASE WHEN cens THEN 1 ELSE 0 END) AS BIGINT) AS censored
+        FROM u GROUP BY t),
+      r AS (
+        SELECT *, CAST(SUM(deaths + censored) OVER (ORDER BY t
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+        FROM b),
+      h AS (
+        SELECT *, CASE WHEN deaths = 0 THEN 0
+          ELSE CAST(round(ln(CAST(n_risk AS DOUBLE)) * 1e6) AS BIGINT)
+             - CAST(round(ln(CAST(GREATEST(n_risk - deaths, 1) AS DOUBLE)) * 1e6) AS BIGINT)
+          END AS haz
+        FROM r)
+      SELECT t, n_risk, deaths, censored,
+        CAST(SUM(haz) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT)
+          AS cum_hazard_micro,
+        (n_risk = deaths) AS survival_zero
+      FROM h WHERE deaths > 0 ORDER BY t"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_survival" -> (qSurvival _),
     "q_stickiness" -> (qStickiness _),
     "q_kpi_dashboard" -> (qKpiDashboard _),
     "q_rfm" -> (qRfm _),
@@ -1613,6 +1689,7 @@ object AnalyticsTs {
 
   val oracles: Map[String, String] = Map(
     "q_stickiness" -> qStickinessSql,
+    "q_survival" -> qSurvivalSql,
     "q_kpi_dashboard" -> qKpiDashboardSql,
     "q_rfm" -> qRfmSql,
     "q_cohort_ltv" -> qCohortLtvSql,

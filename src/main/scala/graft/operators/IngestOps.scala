@@ -270,6 +270,52 @@ object IngestOps {
         ((s_suppkey * 37 % 3600 + 60 + 289) // 290 - 1) * 290 AS last_renew_s
       FROM supplier ORDER BY asset_id"""
 
+  /** a31 — `q_redelivery`: queue LOCK-EXPIRY redelivery accounting —
+    * the at-least-once arithmetic a10's renewal schedule exists to
+    * prevent (Azure Service Bus semantics, public: a message whose
+    * peek-lock expires mid-processing returns to the queue and is
+    * REDELIVERED; every redelivery of work that eventually finishes is
+    * duplicate processing, and attempts past the max land in a8's
+    * dead-letter). Model: per message the deterministic processing
+    * time a10 uses (asset duration keyed off the message), lock TTL
+    * 300 s, NO renewal — deliveries = ceil(proc/TTL) capped at the
+    * 5-attempt dead-letter limit; per delivery-count bucket: messages,
+    * wasted duplicate attempts, total duplicate seconds (each lost
+    * attempt burns a full TTL), dead-lettered count. The rollup is the
+    * ops readout that justifies the renewal loop: duplicates·TTL is
+    * the compute bill leaseless processing pays. One scan, one bounded
+    * (≤5-row) agg — scan-rate at any queue depth. Ref: ingest.py's
+    * lock renewal (a10), azure servicebus peek-lock (public docs). */
+  def qRedelivery(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val m = e.select(col("event_id"),
+        (col("event_id") * 37 % 3600 + 60).as("proc_s"))
+      .withColumn("attempts_raw", expr("(proc_s + 299) div 300"))
+      .withColumn("deadlettered", col("attempts_raw") > 5L)
+      .withColumn("deliveries", least(col("attempts_raw"), lit(5L)))
+    m.groupBy("deliveries")
+      .agg(count(lit(1)).as("messages"),
+        sum(col("deliveries") - 1).as("duplicate_attempts"),
+        (sum(col("deliveries") - 1) * 300L).as("duplicate_seconds"),
+        sum(when(col("deadlettered"), 1L).otherwise(0L)).as("deadlettered"))
+      .orderBy("deliveries")
+  }
+
+  val qRedeliverySql: String =
+    """WITH m AS (
+        SELECT event_id, event_id * 37 % 3600 + 60 AS proc_s,
+          (event_id * 37 % 3600 + 60 + 299) // 300 AS attempts_raw
+        FROM events),
+      d AS (
+        SELECT event_id, LEAST(attempts_raw, 5) AS deliveries,
+          attempts_raw > 5 AS deadlettered
+        FROM m)
+      SELECT deliveries, COUNT(*) AS messages,
+        CAST(SUM(deliveries - 1) AS BIGINT) AS duplicate_attempts,
+        CAST(SUM(deliveries - 1) * 300 AS BIGINT) AS duplicate_seconds,
+        CAST(SUM(CASE WHEN deadlettered THEN 1 ELSE 0 END) AS BIGINT) AS deadlettered
+      FROM d GROUP BY deliveries ORDER BY deliveries"""
+
   /** a11 — JSON property extraction from the message payload (the
     * reference's cancel messages are JSON dicts — utils.py:126-131;
     * pub/sub payloads are JSON — processing.py:602). get_json_object
@@ -1240,6 +1286,7 @@ object IngestOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pubsub_membership" -> (qPubsubMembership _),
+    "q_redelivery" -> (qRedelivery _),
     "q_meta_merge" -> (qMetaMerge _),
     "q_lifecycle_tiers" -> (qLifecycleTiers _),
     "q_stage_latency" -> (qStageLatency _),
@@ -1272,6 +1319,7 @@ object IngestOps {
 
   val oracles: Map[String, String] = Map(
     "q_pubsub_membership" -> qPubsubMembershipSql,
+    "q_redelivery" -> qRedeliverySql,
     "q_meta_merge" -> qMetaMergeSql,
     "q_lifecycle_tiers" -> qLifecycleTiersSql,
     "q_stage_latency" -> qStageLatencySql,

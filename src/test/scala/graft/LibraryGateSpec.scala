@@ -127,6 +127,8 @@ class LibraryGateSpec extends SparkTestBase {
     "q_concurrency" -> 1,
     "q_equidepth" -> 1,
     "q_ewma" -> 1,
+    "q_survival" -> 3, // day-grain table (corpus spans 30 days): reverse-cumsum at-risk + cumulative hazard + the agg-ordering window
+
     "q_head_mass" -> 1,
     "q_hybrid_rrf" -> 2,
     "q_kpi_dashboard" -> 1,
