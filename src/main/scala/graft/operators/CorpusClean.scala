@@ -798,7 +798,106 @@ object CorpusClean {
       ORDER BY t.source, s.suite"""
   }
 
+  /** f52 — `q_source_drift`: per-source DISTRIBUTION DRIFT between
+    * corpus snapshots — the ingest-regression tripwire every
+    * continuously-crawled corpus needs (a crawler or extractor change
+    * shifts the shape of what a source yields long before its volume
+    * moves; f49's data card counts, THIS tests the shape): documents
+    * split into the two snapshot halves (doc_id parity — the
+    * deterministic stand-in for crawl N vs N+1), each doc bucketed by
+    * length class (literal thresholds 200/400 chars — no model join,
+    * fully stateless), and per source the 2×3 contingency table gets
+    * an EXACT χ²: per cell (o·N − r·c)²·10⁶ div (N·r·c) summed —
+    * integer floor division per cell, identical both engines (c71's
+    * 2×2 algebra generalized; HUGEINT/decimal(38,0) holds to ~3·10⁷
+    * docs per source — beyond that, drop the 10⁶ scale first, c84's
+    * reassociation). Verdict drifted iff χ² > 5.991 (df = 2, 95%).
+    * One scan, one source-grain agg — scan-rate at corpus size. */
+  def qSourceDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .select(col("source"), (col("doc_id") % 2 === 0).as("early"),
+        expr("CASE WHEN n_chars < 200 THEN 0 WHEN n_chars < 400 THEN 1 ELSE 2 END").as("b"))
+    def cell(e: Boolean, k: Int) =
+      sum(when(col("early") === e && col("b") === k, 1L).otherwise(0L))
+    val t = d.groupBy("source").agg(
+      cell(true, 0).as("e0"), cell(true, 1).as("e1"), cell(true, 2).as("e2"),
+      cell(false, 0).as("l0"), cell(false, 1).as("l1"), cell(false, 2).as("l2"))
+    val chi =
+      """CAST(
+           (CASE WHEN (e0+l0) = 0 THEN 0 ELSE
+             (CAST(e0 AS DECIMAL(38,0))*n - CAST(re AS DECIMAL(38,0))*(e0+l0))
+             * (CAST(e0 AS DECIMAL(38,0))*n - CAST(re AS DECIMAL(38,0))*(e0+l0)) * 1000000
+             div (CAST(n AS DECIMAL(38,0)) * re * (e0+l0)) END) +
+           (CASE WHEN (e1+l1) = 0 THEN 0 ELSE
+             (CAST(e1 AS DECIMAL(38,0))*n - CAST(re AS DECIMAL(38,0))*(e1+l1))
+             * (CAST(e1 AS DECIMAL(38,0))*n - CAST(re AS DECIMAL(38,0))*(e1+l1)) * 1000000
+             div (CAST(n AS DECIMAL(38,0)) * re * (e1+l1)) END) +
+           (CASE WHEN (e2+l2) = 0 THEN 0 ELSE
+             (CAST(e2 AS DECIMAL(38,0))*n - CAST(re AS DECIMAL(38,0))*(e2+l2))
+             * (CAST(e2 AS DECIMAL(38,0))*n - CAST(re AS DECIMAL(38,0))*(e2+l2)) * 1000000
+             div (CAST(n AS DECIMAL(38,0)) * re * (e2+l2)) END) +
+           (CASE WHEN (e0+l0) = 0 THEN 0 ELSE
+             (CAST(l0 AS DECIMAL(38,0))*n - CAST(rl AS DECIMAL(38,0))*(e0+l0))
+             * (CAST(l0 AS DECIMAL(38,0))*n - CAST(rl AS DECIMAL(38,0))*(e0+l0)) * 1000000
+             div (CAST(n AS DECIMAL(38,0)) * rl * (e0+l0)) END) +
+           (CASE WHEN (e1+l1) = 0 THEN 0 ELSE
+             (CAST(l1 AS DECIMAL(38,0))*n - CAST(rl AS DECIMAL(38,0))*(e1+l1))
+             * (CAST(l1 AS DECIMAL(38,0))*n - CAST(rl AS DECIMAL(38,0))*(e1+l1)) * 1000000
+             div (CAST(n AS DECIMAL(38,0)) * rl * (e1+l1)) END) +
+           (CASE WHEN (e2+l2) = 0 THEN 0 ELSE
+             (CAST(l2 AS DECIMAL(38,0))*n - CAST(rl AS DECIMAL(38,0))*(e2+l2))
+             * (CAST(l2 AS DECIMAL(38,0))*n - CAST(rl AS DECIMAL(38,0))*(e2+l2)) * 1000000
+             div (CAST(n AS DECIMAL(38,0)) * rl * (e2+l2)) END)
+         AS BIGINT)"""
+    t.withColumn("re", col("e0") + col("e1") + col("e2"))
+      .withColumn("rl", col("l0") + col("l1") + col("l2"))
+      .withColumn("n", col("re") + col("rl"))
+      .withColumn("chi2_micro",
+        when(col("re") === 0L || col("rl") === 0L, 0L).otherwise(expr(chi)))
+      .withColumn("drifted", col("chi2_micro") > 5991000L)
+      .select("source", "e0", "e1", "e2", "l0", "l1", "l2",
+        "chi2_micro", "drifted")
+      .orderBy("source")
+  }
+
+  val qSourceDriftSql: String = {
+    def cell(o: String): String =
+      s"""(CASE WHEN (e$o + l$o) = 0 THEN 0 ELSE
+            (CAST(e$o AS HUGEINT)*n - CAST(re AS HUGEINT)*(e$o+l$o))
+            * (CAST(e$o AS HUGEINT)*n - CAST(re AS HUGEINT)*(e$o+l$o)) * 1000000
+            // (CAST(n AS HUGEINT) * re * (e$o+l$o)) END) +
+          (CASE WHEN (e$o + l$o) = 0 THEN 0 ELSE
+            (CAST(l$o AS HUGEINT)*n - CAST(rl AS HUGEINT)*(e$o+l$o))
+            * (CAST(l$o AS HUGEINT)*n - CAST(rl AS HUGEINT)*(e$o+l$o)) * 1000000
+            // (CAST(n AS HUGEINT) * rl * (e$o+l$o)) END)"""
+    s"""WITH d AS (
+        SELECT source, doc_id % 2 = 0 AS early,
+          CASE WHEN n_chars < 200 THEN 0 WHEN n_chars < 400 THEN 1 ELSE 2 END AS b
+        FROM documents),
+      t AS (
+        SELECT source,
+          CAST(SUM(CASE WHEN early AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS e0,
+          CAST(SUM(CASE WHEN early AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS e1,
+          CAST(SUM(CASE WHEN early AND b = 2 THEN 1 ELSE 0 END) AS BIGINT) AS e2,
+          CAST(SUM(CASE WHEN NOT early AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS l0,
+          CAST(SUM(CASE WHEN NOT early AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS l1,
+          CAST(SUM(CASE WHEN NOT early AND b = 2 THEN 1 ELSE 0 END) AS BIGINT) AS l2
+        FROM d GROUP BY source),
+      m AS (
+        SELECT *, e0+e1+e2 AS re, l0+l1+l2 AS rl, e0+e1+e2+l0+l1+l2 AS n
+        FROM t)
+      SELECT source, e0, e1, e2, l0, l1, l2,
+        CAST(CASE WHEN re = 0 OR rl = 0 THEN 0 ELSE
+          ${cell("0")} + ${cell("1")} + ${cell("2")}
+        END AS BIGINT) AS chi2_micro,
+        (CASE WHEN re = 0 OR rl = 0 THEN 0 ELSE
+          ${cell("0")} + ${cell("1")} + ${cell("2")}
+        END) > 5991000 AS drifted
+      FROM m ORDER BY source"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_drift" -> (qSourceDrift _),
     "q_contamination_matrix" -> (qContaminationMatrix _),
     "q_filter_ablation" -> (qFilterAblation _),
     "q_gopher_rules" -> (qGopherRules _),
@@ -810,6 +909,7 @@ object CorpusClean {
     "q_data_card" -> (qDataCard _))
 
   val oracles: Map[String, String] = Map(
+    "q_source_drift" -> qSourceDriftSql,
     "q_contamination_matrix" -> qContaminationMatrixSql,
     "q_filter_ablation" -> qFilterAblationSql,
     "q_gopher_rules" -> qGopherRulesSql,
