@@ -725,8 +725,12 @@ class PlanAuditSpec extends SparkTestBase {
       "q_ndcg_eval",         // e15: rank over per-query top-k result lists
       "q_head_mass",         // f36: rank over the LIMIT-1000 top-frequency cut
       "q_hybrid_rrf",        // f22: RRF rank over two top-k retrieval lists
-      "q_tile_skew_plan")    // b56: cumsum over the tile-COUNT value histogram
+      "q_tile_skew_plan",    // b56: cumsum over the tile-COUNT value histogram
                              //      (bounded by the count dynamic range)
+      "q_survival")          // c87: reverse-cumsum risk set + cumulative hazard
+                             //      over the ≤31-row lifetime-DAY table (the
+                             //      corpus spans 30 days; lifetimes are
+                             //      domain-bounded, LibraryGateSpec bound 3)
     val actual = graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val unpart = fn(spark, sfDir).queryExecution.optimizedPlan.collect {
