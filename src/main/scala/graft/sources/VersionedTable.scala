@@ -892,10 +892,45 @@ object VersionedTable {
     * references — a branch's snapshot stays byte-stable across a main
     * vacuum (delete the branch first to reclaim its files). Returns
     * (manifests dropped, data files deleted). */
-  def vacuum(spark: SparkSession, path: String, keepLast: Int): (Int, Int) = {
+  /** i26 — VACUUM DRY RUN: the reclamation PLAN `vacuum(keepLast)`
+    * would execute, as data (Delta's `VACUUM ... DRY RUN` — nobody
+    * deletes from a 100 TB lake without reading this first). Per data
+    * file: bytes, whether a kept manifest or a live branch still
+    * references it, and the verdict; manifests to drop ride the same
+    * rows (kind = 'manifest'). Pure metadata — reads manifests and one
+    * directory listing, touches NO data. [[vacuum]] executes exactly
+    * this plan (spec-pinned: plan verdicts ≡ what vacuum then deletes,
+    * counts equal). */
+  def vacuumPlan(spark: SparkSession, path: String, keepLast: Int): DataFrame = {
+    import spark.implicits._
     val fs = fsOf(spark, path)
     val vs = versions(spark, path)
     val (drop, keep) = vs.splitAt(math.max(0, vs.length - keepLast))
+    val referenced = liveRefs(spark, path, keep)
+    val dataDir = new Path(path, "data")
+    val fileRows =
+      if (!fs.exists(dataDir)) Seq.empty
+      else fs.listStatus(dataDir).toSeq.filter(_.isFile).map { f =>
+        val kept = referenced.contains(f.getPath.getName)
+        ("data", f.getPath.getName, f.getLen,
+          if (kept) "referenced" else "unreferenced", !kept)
+      }
+    val manifestRows = drop.map { v =>
+      ("manifest", manifest(path, v).getName,
+        fs.getFileStatus(manifest(path, v)).getLen, "beyond keepLast", true)
+    } ++ keep.map { v =>
+      ("manifest", manifest(path, v).getName,
+        fs.getFileStatus(manifest(path, v)).getLen, "kept", false)
+    }
+    (fileRows ++ manifestRows)
+      .toDF("kind", "name", "bytes", "reason", "would_delete")
+      .orderBy("kind", "name")
+  }
+
+  /** The file set kept manifests + live branches still reference. */
+  private def liveRefs(spark: SparkSession, path: String,
+      keep: Seq[Long]): Set[String] = {
+    val fs = fsOf(spark, path)
     val branchRefs = fs.listStatus(new Path(path)).toSeq.map(_.getPath.getName)
       .filter(n => n.startsWith("_branch-") && n.endsWith(".manifest"))
       .flatMap { n =>
@@ -903,8 +938,15 @@ object VersionedTable {
           scala.io.Source.fromInputStream(in).getLines().toList
         }.filter(l => l.nonEmpty && !l.startsWith("#"))
       }
-    val referenced = (keep.flatMap(v => readManifest(spark, path, v)) ++ branchRefs)
+    (keep.flatMap(v => readManifest(spark, path, v)) ++ branchRefs)
       .map(f => f.stripPrefix("data/")).toSet
+  }
+
+  def vacuum(spark: SparkSession, path: String, keepLast: Int): (Int, Int) = {
+    val fs = fsOf(spark, path)
+    val vs = versions(spark, path)
+    val (drop, keep) = vs.splitAt(math.max(0, vs.length - keepLast))
+    val referenced = liveRefs(spark, path, keep)
     drop.foreach(v => fs.delete(manifest(path, v), false))
     val dataDir = new Path(path, "data")
     val removed =

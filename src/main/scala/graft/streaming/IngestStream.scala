@@ -268,6 +268,45 @@ object IngestStream {
       }
   }
 
+  case class AttemptEvent(msgId: Long, seq: Long, acked: Boolean)
+  case class MsgVerdict(msgId: Long, deliveries: Long, outcome: String)
+
+  /** h41 — streaming REDELIVERY monitor (a31's closed-form arithmetic
+    * as live state — the dead-letter decision the queue actually makes
+    * attempt by attempt): delivery attempts for one message group
+    * under flatMapGroupsWithState; the state is ONE long — failed
+    * attempts so far, or the terminal tombstone once a verdict emitted
+    * (h1's rule: post-terminal attempts are redelivery echoes and must
+    * not re-verdict). An ack terminates with `done` at its attempt
+    * count; the 5th failure terminates with `deadletter` (the a8
+    * hand-off). Within a batch attempts order by seq — BY KEY, not
+    * arrival position (h35's discipline) — so the verdict set is
+    * batching-invariant; RedeliveryStreamSpec pins the bucket rollup
+    * equal to a31's table and the tombstone against post-terminal
+    * echoes. */
+  def streamingRedelivery(attempts: Dataset[AttemptEvent]): Dataset[MsgVerdict] = {
+    import attempts.sparkSession.implicits._
+    attempts.groupByKey(_.msgId)
+      .flatMapGroupsWithState[Long, MsgVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (id: Long, it: Iterator[AttemptEvent], state: GroupState[Long]) =>
+          val evs = it.toArray.sortBy(_.seq)
+          var n = state.getOption.getOrElse(0L) // -1 = terminal emitted
+          val out = Vector.newBuilder[MsgVerdict]
+          evs.foreach { e =>
+            if (n >= 0L) {
+              if (e.acked) { out += MsgVerdict(id, n + 1, "done"); n = -1L }
+              else {
+                n += 1L
+                if (n >= 5L) { out += MsgVerdict(id, 5L, "deadletter"); n = -1L }
+              }
+            }
+          }
+          state.update(n)
+          out.result().iterator
+      }
+  }
+
   case class MetaWrite(asset: String, key: String, ms: Long,
       eventId: Long, writer: Int)
   case class MetaState(kv: Map[String, (Long, Long, Int)])

@@ -642,6 +642,40 @@ class VersionedTableSpec extends SparkTestBase {
     assert(VersionedTable.readEvolved(spark, path, Some(3L)).count() == 2L)
   }
 
+  test("i26: vacuum dry run — the plan IS what vacuum executes, and it touches nothing") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("vtable_dryrun").toString
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (1 to 4).foreach { i =>
+      VersionedTable.commit(spark, path,
+        Seq((i.toLong, s"r$i")).toDF("id", "v"),
+        overwrite = i == 3) // the overwrite orphans v1/v2's files
+    }
+    val plan = VersionedTable.vacuumPlan(spark, path, keepLast = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getString(3), r.getBoolean(4)))
+    // the plan is pure metadata: nothing changed on disk
+    assert(VersionedTable.versions(spark, path) == Seq(1L, 2L, 3L, 4L))
+    val plannedData = plan.filter(p => p._1 == "data" && p._5).map(_._2).toSet
+    val plannedManifests = plan.filter(p => p._1 == "manifest" && p._5).map(_._2).toSet
+    assert(plannedManifests == Set("_v000001.manifest", "_v000002.manifest"))
+    assert(plannedData.nonEmpty, "the overwrite must orphan data files")
+    assert(plan.filter(_._1 == "data").forall(_._3 > 0L), "bytes must be real")
+    // execute: vacuum deletes EXACTLY the planned set
+    val dataBefore = fs.listStatus(new org.apache.hadoop.fs.Path(path, "data"))
+      .map(_.getPath.getName).toSet
+    val (dm, df) = VersionedTable.vacuum(spark, path, keepLast = 2)
+    assert(dm == plannedManifests.size && df == plannedData.size,
+      s"vacuum ($dm manifests, $df files) diverged from the plan " +
+        s"(${plannedManifests.size}, ${plannedData.size})")
+    val dataAfter = fs.listStatus(new org.apache.hadoop.fs.Path(path, "data"))
+      .map(_.getPath.getName).toSet
+    assert(dataBefore -- dataAfter == plannedData,
+      "vacuum deleted a different file set than the dry run planned")
+    assert(VersionedTable.read(spark, path).count() == 2L) // v3 overwrite + v4
+  }
+
   test("i25: timestamp time travel — ICT strictly monotone, boundary resolution, legacy mtime fallback") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("vtable_ts").toString
