@@ -3,6 +3,11 @@
 of the shipped library): runs each oracle SQL in DuckDB against the same
 parquet tables and compares with the parquet dumped by graft.Verify.
 
+DRIVER SCALES (r15-proven, see SURVEY §6): the driver's CORRECTNESS
+gate runs at **sf0.01** (its row counts match the sf0.01 shapes
+exactly) and its BENCH at sf0.1 — so any driver-red adjudication
+mimics the gate at sf0.01 FIRST, then widens to sf0.1.
+
 Usage: python3 dev/check.py [sfDir] [verifyOut]
 (run `sbt "runMain graft.Verify <sfDir> <verifyOut>"` first)
 """

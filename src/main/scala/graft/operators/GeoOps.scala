@@ -1654,7 +1654,148 @@ object GeoOps {
         (tgt_h_px + 255) // 256 AS tgt_blocks_y
       FROM t ORDER BY p_partkey"""
 
+  /** b62 — per-layer FAILURE ISOLATION accounting (r15 VERDICT #6):
+    * the reference's per-layer try/continue is the property that one
+    * bad layer cannot sink a dataset's other layers — but ONLY on the
+    * single-layer path. ref processing.py:229-311 (fgb2pmtiles,
+    * join_vector_tiles=false): each layer converts in its own
+    * try; `subprocess.TimeoutExpired` logs and moves on (NO error
+    * blob — the silent failure class), any other Exception uploads
+    * the error message to the DATASET-keyed `{blob}.error` path
+    * (processing.py:300-310) — so two failed layers OVERWRITE the
+    * same blob and the LAST one in iteration order wins (layers
+    * iterate in dict = insertion = sorted order here; the a29
+    * read-modify-write lesson at the error-blob grain). ref
+    * processing.py:315-396 (join_vector_tiles=true): ONE try wraps
+    * the single multilayer tippecanoe, so the FIRST failing layer
+    * kills the whole dataset — no pmtiles, no `.fgb` twins — with an
+    * error blob only when that first failure is the Exception kind
+    * (a timeout kills the dataset silently). Failure classes are
+    * planted per (user, layer) — `(user_id·3 + len(layer)) mod 7`:
+    * 0 = timeout, 1 = gdal error; every branch is POPULATED at
+    * sf0.001 (6/8 single gdal/timeout, 5/2 multi, plus fully-green
+    * datasets on both paths). Per-layer rows carry the outcome and
+    * the published artifacts (b12b's `{layer}.pmtiles` + `.fgb` twin
+    * on the single path, the dataset file + `{file}.{layer}.fgb`
+    * twins on the multilayer path — processing.py:372-374); per-user
+    * readout columns quantify the published-set/error-set
+    * consistency: n_published + n_failed = n_layers, the visible
+    * error blob (if any), its scope, and the LWW layer whose message
+    * the blob actually holds. ONE events scan → one keyed agg →
+    * bounded explode (≤5 layers/user) → two user-partitioned windows
+    * riding the agg's partitioning — at 100 TB the cost is the one
+    * keyed shuffle; everything after is bounded per user. */
+  def qLayerIsolation(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+    val agg = e.groupBy("user_id")
+      .agg(min("event_id").as("first_event"),
+        array_sort(collect_set(col("event_type"))).as("layers"))
+      .withColumn("join_vector_tiles", col("first_event") % 2 === 0)
+    val rows = agg.select(col("user_id"), col("join_vector_tiles"),
+        explode(col("layers")).as("layer"), size(col("layers")).as("n_layers"))
+      .withColumn("cls", (col("user_id") * 3 + length(col("layer"))) % 7)
+      .withColumn("fail_kind",
+        when(col("cls") === 0, "timeout").when(col("cls") === 1, "gdal_error"))
+    val w = Window.partitionBy("user_id")
+    // first failing layer in iteration order (multilayer death) and
+    // the last gdal-error layer (single-path LWW blob winner); the
+    // "layer|kind" packing is order-safe because no layer name is a
+    // prefix of another
+    val staged = rows
+      .withColumn("first_fail",
+        min(when(col("fail_kind").isNotNull,
+          concat(col("layer"), lit("|"), col("fail_kind")))).over(w))
+      .withColumn("lww_gdal",
+        max(when(col("fail_kind") === "gdal_error", col("layer"))).over(w))
+      .withColumn("outcome",
+        when(col("join_vector_tiles"),
+          when(col("first_fail").isNull, "published").otherwise("dataset_failed"))
+          .otherwise(coalesce(col("fail_kind"), lit("published"))))
+    val dsFile = concat(lit("dataset_user"), col("user_id").cast("string"), lit(".pmtiles"))
+    val errPath = concat(lit("user"), col("user_id").cast("string"),
+      lit("/raw/dataset_user"), col("user_id").cast("string"), lit(".error"))
+    val errVisible = when(col("join_vector_tiles"),
+      substring_index(col("first_fail"), "|", -1) === "gdal_error")
+      .otherwise(col("lww_gdal").isNotNull)
+    staged
+      .withColumn("pmtiles_name",
+        when(col("outcome") =!= "published", lit(null).cast("string"))
+          .when(col("join_vector_tiles"), dsFile)
+          .otherwise(concat(col("layer"), lit(".pmtiles"))))
+      .withColumn("fgb_twin",
+        when(col("outcome") =!= "published", lit(null).cast("string"))
+          .when(col("join_vector_tiles"),
+            concat(dsFile, lit("."), col("layer"), lit(".fgb")))
+          .otherwise(concat(col("layer"), lit(".pmtiles.fgb"))))
+      .withColumn("n_published",
+        sum(when(col("outcome") === "published", 1L).otherwise(0L)).over(w))
+      .withColumn("n_failed", col("n_layers").cast("long") - col("n_published"))
+      .withColumn("error_blob_path",
+        when(errVisible, errPath).otherwise(lit(null).cast("string")))
+      .withColumn("error_layer",
+        when(col("join_vector_tiles"), lit(null).cast("string"))
+          .otherwise(col("lww_gdal")))
+      .withColumn("error_scope",
+        when(col("error_blob_path").isNull, lit(null).cast("string"))
+          .when(col("join_vector_tiles"), lit("dataset")).otherwise(lit("layer")))
+      .select("user_id", "layer", "join_vector_tiles", "n_layers", "fail_kind",
+        "outcome", "pmtiles_name", "fgb_twin", "n_published", "n_failed",
+        "error_blob_path", "error_layer", "error_scope")
+      .orderBy("user_id", "layer")
+  }
+
+  val qLayerIsolationSql: String =
+    """WITH agg AS (
+        SELECT user_id, MIN(event_id) AS first_event,
+          list_sort(list(DISTINCT event_type)) AS layers
+        FROM events GROUP BY user_id),
+      x AS (
+        SELECT user_id, first_event % 2 = 0 AS join_vector_tiles,
+          unnest(layers) AS layer, CAST(len(layers) AS INT) AS n_layers
+        FROM agg),
+      c AS (
+        SELECT *, CASE WHEN (user_id * 3 + length(layer)) % 7 = 0 THEN 'timeout'
+                       WHEN (user_id * 3 + length(layer)) % 7 = 1 THEN 'gdal_error'
+                  END AS fail_kind
+        FROM x),
+      s AS (
+        SELECT *,
+          MIN(CASE WHEN fail_kind IS NOT NULL THEN layer || '|' || fail_kind END)
+            OVER (PARTITION BY user_id) AS first_fail,
+          MAX(CASE WHEN fail_kind = 'gdal_error' THEN layer END)
+            OVER (PARTITION BY user_id) AS lww_gdal
+        FROM c),
+      o AS (
+        SELECT *,
+          CASE WHEN join_vector_tiles THEN
+                 CASE WHEN first_fail IS NULL THEN 'published' ELSE 'dataset_failed' END
+               ELSE coalesce(fail_kind, 'published') END AS outcome
+        FROM s)
+      SELECT user_id, layer, join_vector_tiles, n_layers, fail_kind, outcome,
+        CASE WHEN outcome <> 'published' THEN NULL
+             WHEN join_vector_tiles THEN 'dataset_user' || CAST(user_id AS VARCHAR) || '.pmtiles'
+             ELSE layer || '.pmtiles' END AS pmtiles_name,
+        CASE WHEN outcome <> 'published' THEN NULL
+             WHEN join_vector_tiles THEN 'dataset_user' || CAST(user_id AS VARCHAR) || '.pmtiles.' || layer || '.fgb'
+             ELSE layer || '.pmtiles.fgb' END AS fgb_twin,
+        CAST(SUM(CASE WHEN outcome = 'published' THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id) AS BIGINT) AS n_published,
+        CAST(n_layers AS BIGINT)
+          - CAST(SUM(CASE WHEN outcome = 'published' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id) AS BIGINT) AS n_failed,
+        CASE WHEN (join_vector_tiles AND split_part(first_fail, '|', 2) = 'gdal_error')
+                  OR (NOT join_vector_tiles AND lww_gdal IS NOT NULL)
+             THEN 'user' || CAST(user_id AS VARCHAR) || '/raw/dataset_user'
+                  || CAST(user_id AS VARCHAR) || '.error' END AS error_blob_path,
+        CASE WHEN join_vector_tiles THEN NULL ELSE lww_gdal END AS error_layer,
+        CASE WHEN (join_vector_tiles AND split_part(first_fail, '|', 2) = 'gdal_error')
+                  OR (NOT join_vector_tiles AND lww_gdal IS NOT NULL)
+             THEN CASE WHEN join_vector_tiles THEN 'dataset' ELSE 'layer' END END AS error_scope
+      FROM o ORDER BY user_id, layer"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_layer_isolation" -> (qLayerIsolation _),
     "q_warp_grid" -> (qWarpGrid _),
     "q_geohash_cover" -> (qGeohashCover _),
     "q_nearest_poi" -> (qNearestPoi _),
@@ -1692,6 +1833,7 @@ object GeoOps {
     "q_cog_read_plan" -> (qCogReadPlan _))
 
   val oracles: Map[String, String] = Map(
+    "q_layer_isolation" -> qLayerIsolationSql,
     "q_warp_grid" -> qWarpGridSql,
     "q_raster_e2e" -> qRasterE2eSql,
     "q_geo_e2e" -> qGeoE2eSql,

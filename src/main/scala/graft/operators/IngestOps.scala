@@ -1284,7 +1284,193 @@ object IngestOps {
       FROM msgs JOIN subs ON user_id = watch_user
       GROUP BY sub_id ORDER BY sub_id"""
 
+  /** a32 — the CLI LOCAL-FILE route (r15 VERDICT "what's missing" #2):
+    * ingest/cli/main.py:19-40 drives process_geo_file on a LOCAL path
+    * with an explicit destination directory and a `--join-vector-tiles`
+    * flag (default FALSE) — no blob round-trip, so none of the upload
+    * legs (SAS, `.ingesting` marker, error BLOB) exist; what remains
+    * is the dst-directory layout algebra of utils.py:65-77
+    * (`get_local_cog_path`): raster outputs land at
+    * `{dst}/{root}.tif` — or `{root}_band{b}.tif` per extracted
+    * band — where `root` comes from the source FILENAME unless the
+    * source is GDAL subdataset syntax `DRIVER:path:name`
+    * (`src.count(':') == 2`): then the split's LAST segment is the
+    * root with embedded quotes STRIPPED (netCDF subdataset names
+    * arrive quoted) and the middle segment carries the folders.
+    * Vector sources follow processing.py's dst_directory branches:
+    * joined → one `{dst}/{root}.pmtiles`; per-layer → files land IN
+    * the directory (`{layer}.pmtiles`, processing.py:233), emitted
+    * here as the directory with kind `pmtiles_per_layer` since layers
+    * are a different grain. Both subdataset branches, both band
+    * branches, and every route class are PLANTED (`.nc` sources carry
+    * the `NETCDF:path:"sub_k"` form; band NULL when event_id ≡ 0 mod
+    * 3). Map-only string algebra — one scan, zero shuffles before the
+    * output sort; at 100 TB this is scan-rate. */
+  def qCliLocalRoute(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val fname = Synth.fileName(col("event_id"))
+    val ext = Synth.ext(col("event_id"))
+    val route = when(ext === ".pmtiles", "passthrough")
+      .when(ext.isin(".zip", ".gz", ".tar", ".tgz", ".7z"), "archive")
+      .when(ext.isin(".tif", ".tiff", ".gtif", ".gtiff", ".nc", ".nc4", ".aig", ".asc", ".sgr", ".grd"), "cog")
+      .when(ext.isin(".gpkg", ".geojson", ".gdb", ".fgb", ".shp", ".mbtiles"), "pmtiles")
+      .otherwise("skip")
+    val plainSrc = concat(lit("/data/user"), col("user_id").cast("string"),
+      lit("/raw/"), fname)
+    val isSubds = ext === ".nc" // NETCDF:path:"name" planting class
+    val src = when(isSubds,
+      concat(lit("NETCDF:"), plainSrc, lit(":\"sub_"),
+        (col("event_id") % 3).cast("string"), lit("\""))).otherwise(plainSrc)
+    val dstDir = concat(lit("/out/user"), col("user_id").cast("string"))
+    // root: subdataset name (quotes stripped) beats the filename stem
+    val root = when(isSubds,
+      concat(lit("sub_"), (col("event_id") % 3).cast("string")))
+      .otherwise(regexp_replace(fname, "\\.[^.]*$", ""))
+    // folders come from the rpath middle segment in the subdataset
+    // branch and the plain path otherwise — same dirname either way
+    // on this corpus (the generator never nests deeper)
+    val srcFolder = concat(lit("/data/user"), col("user_id").cast("string"), lit("/raw"))
+    val band = when(col("event_id") % 3 === 0, lit(null).cast("int"))
+      .otherwise((col("event_id") % 3).cast("int"))
+    val jvt = col("event_id") % 4 === 0 // the -j flag; default false
+    val dst = when(route === "cog",
+        when(band.isNull, concat(dstDir, lit("/"), root, lit(".tif")))
+          .otherwise(concat(dstDir, lit("/"), root, lit("_band"),
+            band.cast("string"), lit(".tif"))))
+      .when(route === "pmtiles",
+        when(jvt, concat(dstDir, lit("/"), root, lit(".pmtiles")))
+          .otherwise(dstDir))
+      .otherwise(lit(null).cast("string"))
+    val kind = when(route === "cog", when(band.isNull, "cog").otherwise("cog_band"))
+      .when(route === "pmtiles",
+        when(jvt, "pmtiles_joined").otherwise("pmtiles_per_layer"))
+      .otherwise(route)
+    e.select(col("event_id"), src.as("src"), route.as("route"),
+        jvt.as("join_vector_tiles"), srcFolder.as("src_folder"),
+        root.as("root"), dst.as("local_dst"), kind.as("dst_kind"))
+      .orderBy("event_id")
+  }
+
+  val qCliLocalRouteSql: String = {
+    val ext = Synth.extSql
+    s"""WITH p AS (
+        SELECT event_id,
+          '/data/user' || CAST(user_id AS VARCHAR) || '/raw/' || (${Synth.fileNameSql}) AS plain_src,
+          '/data/user' || CAST(user_id AS VARCHAR) || '/raw' AS src_folder,
+          '/out/user' || CAST(user_id AS VARCHAR) AS dst_dir,
+          ($ext) = '.nc' AS is_subds,
+          'sub_' || CAST(event_id % 3 AS VARCHAR) AS subds,
+          regexp_replace((${Synth.fileNameSql}), '\\.[^.]*$$', '') AS stem,
+          CASE WHEN event_id % 3 = 0 THEN NULL ELSE CAST(event_id % 3 AS INT) END AS band,
+          event_id % 4 = 0 AS join_vector_tiles,
+          CASE WHEN ($ext) = '.pmtiles' THEN 'passthrough'
+               WHEN ($ext) IN ('.zip','.gz','.tar','.tgz','.7z') THEN 'archive'
+               WHEN ($ext) IN ('.tif','.tiff','.gtif','.gtiff','.nc','.nc4','.aig','.asc','.sgr','.grd') THEN 'cog'
+               WHEN ($ext) IN ('.gpkg','.geojson','.gdb','.fgb','.shp','.mbtiles') THEN 'pmtiles'
+               ELSE 'skip' END AS route
+        FROM events),
+      r AS (
+        SELECT event_id, route, join_vector_tiles, src_folder,
+          CASE WHEN is_subds THEN 'NETCDF:' || plain_src || ':"' || subds || '"'
+               ELSE plain_src END AS src,
+          CASE WHEN is_subds THEN subds ELSE stem END AS root,
+          band, dst_dir
+        FROM p)
+      SELECT event_id, src, route, join_vector_tiles, src_folder, root,
+        CASE WHEN route = 'cog' AND band IS NULL THEN dst_dir || '/' || root || '.tif'
+             WHEN route = 'cog' THEN dst_dir || '/' || root || '_band' || CAST(band AS VARCHAR) || '.tif'
+             WHEN route = 'pmtiles' AND join_vector_tiles THEN dst_dir || '/' || root || '.pmtiles'
+             WHEN route = 'pmtiles' THEN dst_dir
+        END AS local_dst,
+        CASE WHEN route = 'cog' AND band IS NULL THEN 'cog'
+             WHEN route = 'cog' THEN 'cog_band'
+             WHEN route = 'pmtiles' AND join_vector_tiles THEN 'pmtiles_joined'
+             WHEN route = 'pmtiles' THEN 'pmtiles_per_layer'
+             ELSE route END AS dst_kind
+      FROM r ORDER BY event_id"""
+  }
+
+  /** a33 — azlog APPEND-BLOB rotation accounting (r15 VERDICT
+    * "what's missing" #3): azlog.py:21-37 creates ONE AppendBlob per
+    * ingest (`createBlob` → `{blob}.log`) and `emit` issues one
+    * `append_block` PER LOG RECORD — so the Azure append-blob limit
+    * of 50,000 committed blocks is a hard per-ingest log budget, and
+    * a long ingest must ROTATE (`.log` → `.log.1`, `.log.2`, …) or
+    * lose records. a18/a22 inventory log blobs and their lifecycle;
+    * this op does the block-level accounting that decides WHEN: per
+    * ingest (one blob per user's ingest here — the per-record grain a
+    * rotation policy actually meters), records order by (ts,
+    * event_id), block i lands in rotation file i div cap at block
+    * index i mod cap (cap pinned to 32 at query grain so rotation
+    * EXERCISES at every driver scale; the Azure constant is 50,000 —
+    * same algebra). Per (ingest, rotation): the rotated blob name,
+    * block count, an at-capacity flag, time span, and the byte
+    * estimate under the reference's record formatter
+    * ('%(asctime)s-%(filename)s:…:%(levelname)s:%(message)s\n' — a
+    * deterministic integer stand-in: 19-char asctime + separators +
+    * level + message). ONE scan → per-user window (the same
+    * user-partitioned shape as a26; block index is a plain
+    * row_number) → bounded rollup on (user, rotation). At 100 TB the
+    * window partitions by ingest — no global ordering anywhere. */
+  def qAzlogRotation(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cap = 32
+    val e = Tables.events(spark, dir)
+    val level = when(col("event_type") === "error", "ERROR")
+      .when(col("event_type") === "purchase", "INFO")
+      .otherwise("DEBUG")
+    val recBytes = lit(19) + lit(27) + length(level) + length(col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    val blocks = e.select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ms"), level.as("level"),
+        recBytes.as("rec_bytes"))
+      .withColumn("idx", row_number().over(w) - 1)
+      // integer floor division (idx ≥ 0 so div ≡ //), never a double /
+      .withColumn("rotation", expr(s"idx div $cap").cast("int"))
+    val base = concat(lit("user"), col("user_id").cast("string"),
+      lit("/raw/ingest.log"))
+    blocks.groupBy("user_id", "rotation")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("rec_bytes").cast("long")).as("n_bytes"),
+        min("ms").as("first_ms"), max("ms").as("last_ms"))
+      .withColumn("blob_name",
+        when(col("rotation") === 0, base)
+          .otherwise(concat(base, lit("."), col("rotation").cast("string"))))
+      .withColumn("at_capacity", col("n_blocks") === cap)
+      .select("user_id", "rotation", "blob_name", "n_blocks", "at_capacity",
+        "n_bytes", "first_ms", "last_ms")
+      .orderBy("user_id", "rotation")
+  }
+
+  val qAzlogRotationSql: String =
+    """WITH l AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS ms,
+          CASE WHEN event_type = 'error' THEN 'ERROR'
+               WHEN event_type = 'purchase' THEN 'INFO' ELSE 'DEBUG' END AS level,
+          19 + 27 + length(CASE WHEN event_type = 'error' THEN 'ERROR'
+               WHEN event_type = 'purchase' THEN 'INFO' ELSE 'DEBUG' END)
+            + length(event_type) AS rec_bytes
+        FROM events),
+      b AS (
+        SELECT user_id, ms, rec_bytes,
+          CAST((ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ms, event_id) - 1)
+               // 32 AS INT) AS rotation
+        FROM l)
+      SELECT user_id, rotation,
+        CASE WHEN rotation = 0
+             THEN 'user' || CAST(user_id AS VARCHAR) || '/raw/ingest.log'
+             ELSE 'user' || CAST(user_id AS VARCHAR) || '/raw/ingest.log.'
+                  || CAST(rotation AS VARCHAR) END AS blob_name,
+        COUNT(*) AS n_blocks,
+        COUNT(*) = 32 AS at_capacity,
+        CAST(SUM(rec_bytes) AS BIGINT) AS n_bytes,
+        MIN(ms) AS first_ms, MAX(ms) AS last_ms
+      FROM b GROUP BY user_id, rotation
+      ORDER BY user_id, rotation"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_azlog_rotation" -> (qAzlogRotation _),
+    "q_cli_local_route" -> (qCliLocalRoute _),
     "q_pubsub_membership" -> (qPubsubMembership _),
     "q_redelivery" -> (qRedelivery _),
     "q_meta_merge" -> (qMetaMerge _),
@@ -1318,6 +1504,8 @@ object IngestOps {
     "q_deadletter_stats" -> (qDeadletterStats _))
 
   val oracles: Map[String, String] = Map(
+    "q_azlog_rotation" -> qAzlogRotationSql,
+    "q_cli_local_route" -> qCliLocalRouteSql,
     "q_pubsub_membership" -> qPubsubMembershipSql,
     "q_redelivery" -> qRedeliverySql,
     "q_meta_merge" -> qMetaMergeSql,

@@ -485,20 +485,32 @@ object Serving {
     * Lucene's segment-GC economics on the label-partitioned cell
     * layout. Per over-threshold cell: read ITS partition dir, drop
     * tombstoned rows, write to a dot-prefixed temp dir (invisible to
-    * Spark's listing — a crashed GC leaves no torn partition) and
-    * swap; under-threshold cells stay BYTE-STABLE. The input
-    * tombstone batches consolidate into one remainder batch holding
-    * only ids whose cells were NOT rewritten (they still need the
-    * serve-time anti-join); the applied batches are deleted. At
-    * 100 TB this is O(dirty cells) data rewritten + one bounded
-    * control-plane collect (the remainder set is "recent deletes" by
-    * the e23 contract). Returns (rewritten labels, remainder size). */
+    * Spark's listing) and swap through a RECOVERABLE rename sequence
+    * (move live aside → promote tmp → drop aside, every rename result
+    * checked — see [[repairAnnCells]] for the crash-window walk);
+    * under-threshold cells stay BYTE-STABLE. The input tombstone
+    * batches consolidate into one remainder batch holding only ids
+    * whose cells were NOT rewritten (they still need the serve-time
+    * anti-join); the applied batches are deleted. At 100 TB this is
+    * O(dirty cells) data rewritten + one bounded control-plane
+    * collect — and the bound is STRUCTURAL, not prose: the
+    * consolidated tombstone set must fit `maxTombstones` (sized so
+    * the remainder batch every query broadcasts stays under Spark's
+    * 10 MB auto-broadcast threshold — 10⁶ longs ≈ 8 MB), or the call
+    * refuses loudly, forcing the GC/vacuum cadence that keeps deletes
+    * "recent" per the e23 contract. Returns (rewritten labels,
+    * remainder size). */
   def gcAnnCells(spark: SparkSession, ix: String, tombstoneDirs: Seq[String],
-      gcBatchId: Long, thresholdPpm: Long = 200000L): (Seq[Int], Long) = {
+      gcBatchId: Long, thresholdPpm: Long = 200000L,
+      maxTombstones: Long = 1000000L): (Seq[Int], Long) = {
     import org.apache.hadoop.fs.Path
     require(tombstoneDirs.nonEmpty, "nothing to GC")
     val ts = tombstoneDirs.map(d => spark.read.parquet(d).select("vec_id"))
       .reduce(_.unionByName(_)).distinct().localCheckpoint(true)
+    val nTs = ts.count()
+    require(nTs <= maxTombstones,
+      s"$nTs consolidated tombstones exceed the broadcast-sized bound " +
+        s"$maxTombstones — GC more often (e23's recent-deletes contract)")
     val cells = spark.read.parquet(s"$ix/cells")
     val stats = cells
       .join(broadcast(ts.withColumnRenamed("vec_id", "tv")),
@@ -524,15 +536,64 @@ object Serving {
       if (cleaned.isEmpty) fs.delete(dir, true)
       else {
         val tmp = new Path(s"$ix/cells/.gc_label_$l.tmp")
-        fs.delete(tmp, true)
+        val aside = new Path(s"$ix/cells/.gc_label_$l.old")
+        fs.delete(tmp, true); fs.delete(aside, true)
         DatasetsSink.writeOptimized(cleaned, tmp.toString, Seq("vec_id"), Seq("vec_id"))
-        fs.delete(dir, true)
-        fs.rename(tmp, dir): Unit
+        // recoverable swap (r15 ADVICE): the old delete→rename pair
+        // could drop the live partition forever if the rename failed
+        // or the process died in between. Aside→promote→drop-aside
+        // leaves every crash window in a state [[repairAnnCells]] can
+        // finish from, and a false rename return fails LOUDLY with
+        // the cell's data still intact in the aside dir.
+        require(fs.rename(dir, aside),
+          s"GC swap: failed to move live cell $dir aside — cell untouched")
+        require(fs.rename(tmp, dir),
+          s"GC swap: failed to promote $tmp into $dir — run repairAnnCells " +
+            s"(data intact in $aside)")
+        fs.delete(aside, true): Unit
       }
     }
     tombstoneAnnBatch(spark, ix, remaining, gcBatchId)
     tombstoneDirs.foreach(d => fs.delete(new Path(d), true))
     (over, remaining.size.toLong)
+  }
+
+  /** e30 — startup repair for a [[gcAnnCells]] interrupted mid-swap.
+    * The swap per cell is: write `.gc_label_L.tmp` (complete rewrite)
+    * → rename(live, `.old`) → rename(`.tmp`, live) → delete(`.old`) —
+    * so every crash window leaves a DISTINGUISHABLE state: live dir
+    * present ⇒ the swap finished or never started (any tmp/aside
+    * leftovers are stale — drop them); live missing with tmp present
+    * ⇒ tmp holds the complete rewritten cell (it is fully written
+    * before the first rename can run) — promote it and finish the GC;
+    * live missing with only the aside ⇒ the aside IS the cell —
+    * restore it. Idempotent (a repaired cell's leftovers are gone, a
+    * re-run sees nothing); dot-prefixed dirs are invisible to Spark's
+    * listing, so an unrepaired crash never serves a torn partition —
+    * it serves the cell MISSING, which this promotes back. Returns
+    * the labels whose live dir it had to reconstruct. */
+  def repairAnnCells(spark: SparkSession, ix: String): Seq[Int] = {
+    import org.apache.hadoop.fs.Path
+    val cellsRoot = new Path(s"$ix/cells")
+    val fs = cellsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(cellsRoot)) return Seq.empty
+    val Orphan = """\.gc_label_(-?\d+)\.(tmp|old)""".r
+    val labels = fs.listStatus(cellsRoot).toSeq.map(_.getPath.getName)
+      .collect { case Orphan(l, _) => l.toInt }.distinct.sorted
+    labels.flatMap { l =>
+      val live = new Path(s"$ix/cells/label=$l")
+      val tmp = new Path(s"$ix/cells/.gc_label_$l.tmp")
+      val aside = new Path(s"$ix/cells/.gc_label_$l.old")
+      if (fs.exists(live)) {
+        fs.delete(tmp, true); fs.delete(aside, true); None
+      } else if (fs.exists(tmp)) {
+        require(fs.rename(tmp, live), s"repair: failed to promote $tmp")
+        fs.delete(aside, true); Some(l)
+      } else {
+        require(fs.rename(aside, live), s"repair: failed to restore $aside")
+        Some(l)
+      }
+    }
   }
 
   // ---------- i10 × e12: atomic index publication ----------

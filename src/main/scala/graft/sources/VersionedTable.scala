@@ -454,18 +454,42 @@ object VersionedTable {
       .getOrElse(fsOf(spark, path).getFileStatus(manifest(path, v))
         .getModificationTime)
 
+  /** i25 — the table's commit timestamps made MONOTONE non-decreasing
+    * (Delta's legacy-timestamp adjustment, applied in the clamp-down
+    * direction): `#ts:` headers are monotone by construction, but a
+    * pre-i25 commit resolves to its manifest file's MTIME, which a
+    * copy/touch can inflate past a LATER version's in-commit
+    * timestamp — and then "newest version with ts ≤ t" would skip a
+    * version while returning a newer one, silently mixing semantics
+    * at the legacy/ICT boundary. Walking newest→oldest and clamping
+    * each raw timestamp by its successor's adjusted one keeps every
+    * ICT authoritative (ICTs never violate their successors) and
+    * pulls only anomalous legacy mtimes back under the version order,
+    * so the version picked for any instant is always the true newest
+    * eligible one. Ordered as `vs` (ascending versions). */
+  private[graft] def monotonicCommitTs(spark: SparkSession, path: String,
+      vs: Seq[Long]): Seq[Long] =
+    vs.map(v => commitTs(spark, path, v))
+      .foldRight(List.empty[Long]) {
+        case (t, Nil)          => t :: Nil
+        case (t, next :: rest) => math.min(t, next) :: next :: rest
+      }
+
   /** i25 — resolve the snapshot live AT a wall-clock instant
-    * (`TIMESTAMP AS OF`): the newest version whose commit timestamp
-    * is ≤ ts. Errors before the table's first commit — "the table
-    * did not exist yet" must be loud, not an empty frame. O(versions)
-    * header reads, no data touched until [[read]]. */
+    * (`TIMESTAMP AS OF`): the newest version whose MONOTONE-adjusted
+    * commit timestamp ([[monotonicCommitTs]] — legacy mtimes clamped
+    * by their successors) is ≤ ts. Errors before the table's first
+    * commit — "the table did not exist yet" must be loud, not an
+    * empty frame. O(versions) header reads, no data touched until
+    * [[read]]. */
   def versionAsOf(spark: SparkSession, path: String, tsMs: Long): Long = {
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"no committed version at $path")
-    val at = vs.filter(v => commitTs(spark, path, v) <= tsMs)
+    val ts = monotonicCommitTs(spark, path, vs)
+    val at = vs.zip(ts).filter(_._2 <= tsMs).map(_._1)
     require(at.nonEmpty,
       s"no version at or before ts $tsMs at $path " +
-        s"(earliest commit ts = ${commitTs(spark, path, vs.head)})")
+        s"(earliest commit ts = ${ts.head})")
     at.last
   }
 

@@ -374,8 +374,12 @@ object IngestStream {
     import events.sparkSession.implicits._
     // at one instant: joins admit (join_ms ≤ ms is INclusive), leaves
     // evict (ms < leave_ms is EXclusive), THEN messages fan out — the
-    // tie order that reproduces the batch [join, leave) window exactly
+    // tie order that reproduces the batch [join, leave) window exactly.
+    // Unknown kinds rank (and, in the fold's `case _`, behave) as
+    // messages: one malformed event must not kill the whole query
+    // with a NoSuchElementException inside flatMapGroupsWithState.
     val kindOrd = Map("join" -> 0, "leave" -> 1, "msg" -> 2)
+      .withDefaultValue(2)
     events.groupByKey(_.watchUser)
       .flatMapGroupsWithState[Roster, Delivery](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
@@ -1600,6 +1604,51 @@ object IngestStream {
             state.update(DriftState(v2, b))
             Iterator(DriftStat(metric, v2, nL, ks, bestAt))
           }
+      }
+  }
+
+  case class LogRecord(user: Long, eventId: Long, ms: Long, bytes: Int)
+  case class OpenRotation(rotation: Int, nBlocks: Long, nBytes: Long,
+      firstMs: Long, lastMs: Long)
+  case class LogRotation(user: Long, rotation: Int, nBlocks: Long,
+      nBytes: Long, firstMs: Long, lastMs: Long)
+
+  /** h42 — streaming APPEND-BLOB rotation (a33's live twin): the real
+    * azlog handler appends one block per `emit` CALL, so append order
+    * — not event time — is the physical block order; the stream IS
+    * that truth. One group per ingest blob under
+    * flatMapGroupsWithState; state = the OPEN rotation only (index,
+    * block count, bytes, span — O(1) per ingest, never record
+    * history). Records sort by (ms, eventId) WITHIN a batch (h35's
+    * iterator-order discipline — arrival order across batches, exactly
+    * like the real handler's call order); each record appends a block
+    * and a rotation EMITS when it fills at `cap` blocks (closed
+    * append blobs are immutable — Append mode is honest). The open
+    * tail stays in state; LogRotationStreamSpec pins closed-rotation
+    * parity against a33's batch accounting under order-respecting
+    * re-batchings and recomputes the open tails. Azure's real cap is
+    * 50,000 blocks; `cap` is parametric so the spec exercises
+    * rotation at test scale. */
+  def streamingLogRotation(recs: Dataset[LogRecord], cap: Int = 32): Dataset[LogRotation] = {
+    import recs.sparkSession.implicits._
+    recs.groupByKey(_.user)
+      .flatMapGroupsWithState[OpenRotation, LogRotation](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[LogRecord], state: GroupState[OpenRotation]) =>
+          val evs = it.toArray.sortBy(r => (r.ms, r.eventId))
+          var s = state.getOption.getOrElse(OpenRotation(0, 0L, 0L, Long.MaxValue, Long.MinValue))
+          val out = Vector.newBuilder[LogRotation]
+          evs.foreach { r =>
+            s = OpenRotation(s.rotation, s.nBlocks + 1, s.nBytes + r.bytes,
+              math.min(s.firstMs, r.ms), math.max(s.lastMs, r.ms))
+            if (s.nBlocks == cap) {
+              out += LogRotation(user, s.rotation, s.nBlocks, s.nBytes,
+                s.firstMs, s.lastMs)
+              s = OpenRotation(s.rotation + 1, 0L, 0L, Long.MaxValue, Long.MinValue)
+            }
+          }
+          state.update(s)
+          out.result().iterator
       }
   }
 

@@ -89,4 +89,30 @@ class ChurnStreamSpec extends SparkTestBase {
     assert(outs.map(_.ms).sorted == Seq(200L, 300L),
       s"[join, leave) boundary semantics violated: $outs")
   }
+
+  test("h39: a malformed kind cannot kill the stream — it ranks and folds as a message (r15 ADVICE)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Seq(
+      GroupEvent("join", 10L, 1L, 100L),
+      GroupEvent("JOIN?", -1L, 1L, 150L), // unknown kind mid-stream
+      GroupEvent("msg", -1L, 1L, 200L),
+      GroupEvent("leave", 10L, 1L, 300L))
+    val input = MemoryStream[GroupEvent]
+    val q = IngestStream.streamingGroupChurn(input.toDS())
+      .writeStream.format("memory").queryName("h39_malformed")
+      .outputMode(OutputMode.Append()).start()
+    val outs =
+      try {
+        // pre-fix this batch threw NoSuchElementException inside the
+        // sort key and failed the WHOLE query; now the unknown kind
+        // sorts after join/leave at its instant and delivers like a
+        // message to the open roster
+        input.addData(evs); q.processAllAvailable()
+        spark.table("h39_malformed").as[Delivery].collect().toSeq
+      } finally q.stop()
+    assert(outs.map(_.ms).sorted == Seq(150L, 200L),
+      s"unknown kind must deliver as a message, got $outs")
+    assert(outs.forall(d => d.subId == 10L && d.watchUser == 1L))
+  }
 }

@@ -898,4 +898,66 @@ class OperatorsSpec extends SparkTestBase {
       s"frontier total $totalFrontier should be < $nodes graph nodes " +
         "(batch-incident components only)")
   }
+
+  test("a32 cli local route: subdataset parse strips quotes, band/joined branches populate, no upload legs") {
+    val rows = operators.IngestOps.qCliLocalRoute(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val kinds = rows.map(_.getAs[String]("dst_kind")).toSet
+    // every planted branch populated at sf0.001
+    Seq("cog", "cog_band", "pmtiles_joined", "pmtiles_per_layer",
+      "passthrough", "archive", "skip").foreach(k =>
+      assert(kinds.contains(k), s"branch $k not exercised"))
+    rows.foreach { r =>
+      val src = r.getAs[String]("src")
+      val root = r.getAs[String]("root")
+      val dst = r.getAs[String]("local_dst")
+      if (src.startsWith("NETCDF:")) {
+        // DRIVER:path:"name" → root = name, quotes STRIPPED
+        assert(src.count(_ == ':') == 2 && src.contains("\""))
+        assert(root.startsWith("sub_") && !root.contains("\""),
+          s"subdataset root must strip quotes: $r")
+      } else assert(!root.contains("."), s"stem must drop the extension: $r")
+      // the user dir rides the src folder (/data/userN/raw)
+      val u = r.getAs[String]("src_folder").stripPrefix("/data/").takeWhile(_ != '/')
+      r.getAs[String]("dst_kind") match {
+        case "cog"      => assert(dst == s"/out/$u/$root.tif")
+        case "cog_band" => assert(dst.endsWith(".tif") && dst.contains("_band"))
+        case "pmtiles_joined" => assert(dst.endsWith(s"$root.pmtiles"))
+        case "pmtiles_per_layer" =>
+          // per-layer files land IN the directory — dst IS the dir
+          assert(dst == s"/out/$u", s"per-layer dst must be the directory: $r")
+        case _ => assert(dst == null, s"no local artifact on route ${r.getAs[String]("route")}: $r")
+      }
+    }
+  }
+
+  test("a33 azlog rotation: blocks conserve, every non-final rotation is at capacity, boundaries monotone") {
+    val rows = operators.IngestOps.qAzlogRotation(spark, sfDir).collect()
+    val total = Tables.events(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_blocks")).sum == total,
+      "every log record must land in exactly one rotation block")
+    assert(rows.exists(_.getAs[Int]("rotation") > 0),
+      "rotation must EXERCISE at sf0.001 or the cap is untested")
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rotation"))
+      assert(sorted.map(_.getAs[Int]("rotation")).toSeq == (0 until rs.length),
+        s"rotations must be consecutive from 0 (user $u)")
+      sorted.init.foreach { r =>
+        assert(r.getAs[Long]("n_blocks") == 32 && r.getAs[Boolean]("at_capacity"),
+          s"a rotation only closes when FULL (user $u): $r")
+      }
+      assert(sorted.last.getAs[Long]("n_blocks") <= 32)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("first_ms") >= a.getAs[Long]("last_ms"),
+            s"rotation time ranges must be monotone (user $u)")
+        case _ =>
+      }
+      sorted.foreach { r =>
+        val want = if (r.getAs[Int]("rotation") == 0) s"user$u/raw/ingest.log"
+          else s"user$u/raw/ingest.log.${r.getAs[Int]("rotation")}"
+        assert(r.getAs[String]("blob_name") == want)
+      }
+    }
+  }
 }

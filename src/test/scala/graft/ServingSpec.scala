@@ -202,6 +202,63 @@ class ServingSpec extends SparkTestBase {
     assert(after == before, "GC changed the served result")
   }
 
+  test("e30: GC swap is recoverable — every crash window repairs to the full cell; the tombstone bound is structural (r15 ADVICE)") {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val ix = Files.createTempDirectory("graft_ann_gc_repair").toString
+    val e = Tables(spark, sfDir, "embeddings")
+    Serving.buildAnnIndex(e, ix)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(ix).getFileSystem(conf)
+    val l = spark.read.parquet(s"$ix/cells").select("label").distinct()
+      .collect().map(_.get(0).asInstanceOf[Number].intValue).min
+    val live = new Path(s"$ix/cells/label=$l")
+    val tmp = new Path(s"$ix/cells/.gc_label_$l.tmp")
+    val aside = new Path(s"$ix/cells/.gc_label_$l.old")
+    def vecs(): Set[Long] = spark.read.parquet(live.toString)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val whole = vecs()
+
+    // window 1: crashed after the tmp write, live never touched —
+    // repair drops the stale tmp, reconstructs nothing
+    FileUtil.copy(fs, live, fs, tmp, false, conf)
+    assert(Serving.repairAnnCells(spark, ix) == Seq.empty)
+    assert(!fs.exists(tmp) && vecs() == whole)
+
+    // window 2: crashed between the aside move and the promote (the
+    // exact window the old delete->rename lost the cell in) — repair
+    // promotes the complete tmp and finishes the GC
+    FileUtil.copy(fs, live, fs, tmp, false, conf)
+    assert(fs.rename(live, aside))
+    assert(Serving.repairAnnCells(spark, ix) == Seq(l))
+    assert(vecs() == whole && !fs.exists(tmp) && !fs.exists(aside))
+
+    // window 3: live missing with only the aside (tmp lost) — the
+    // aside IS the cell, restore it
+    assert(fs.rename(live, aside))
+    assert(Serving.repairAnnCells(spark, ix) == Seq(l))
+    assert(vecs() == whole && !fs.exists(aside))
+
+    // window 4: crashed after the promote, before dropping the aside
+    FileUtil.copy(fs, live, fs, aside, false, conf)
+    assert(Serving.repairAnnCells(spark, ix) == Seq.empty)
+    assert(vecs() == whole && !fs.exists(aside))
+
+    // repair is idempotent on a clean index
+    assert(Serving.repairAnnCells(spark, ix) == Seq.empty)
+
+    // the broadcast-size bound is a GATE, not prose: an over-bound
+    // consolidated tombstone set refuses BEFORE touching anything
+    val ids = whole.toSeq.sorted.take(2)
+    Serving.tombstoneAnnBatch(spark, ix, ids, batchId = 7L)
+    val tdir = s"$ix/tombstones/batch_id=7"
+    intercept[IllegalArgumentException] {
+      Serving.gcAnnCells(spark, ix, Seq(tdir), gcBatchId = 99L,
+        maxTombstones = 1L)
+    }
+    assert(fs.exists(new Path(tdir)), "refused GC must not consume its input")
+    assert(vecs() == whole, "refused GC must not rewrite cells")
+  }
+
   test("index builds once and is reused; a changed corpus gets a fresh index") {
     // copy the corpus so we can mutate it without touching testdata
     val work = Files.createTempDirectory("graft_serving_corpus")

@@ -198,8 +198,9 @@ class TrainingSpec extends SparkTestBase {
     assert(rT > 0.5, s"trained shortlist recall implausibly low: $rT")
   }
 
-  test("e27 kmeans converge: Lloyd inertia never increases, coverage holds each round") {
-    val rows = operators.Ann.qKmeansConverge(spark, sfDir).collect()
+  test("e27 kmeans converge: Lloyd inertia never increases at the FULL (30,12) grid, coverage holds each round") {
+    val rows = operators.Ann.qKmeansConvergeFull(spark, sfDir)
+      .orderBy("iteration", "seed_id").collect()
     val byIter = rows.groupBy(_.getInt(0))
     assert(byIter.keySet == Set(1, 2))
     val total = Tables(spark, sfDir, "embeddings").count()
@@ -212,5 +213,52 @@ class TrainingSpec extends SparkTestBase {
       s"Lloyd descent violated: ${inertia(1)} -> ${inertia(2)}")
     // and the step genuinely moved: round 2 is not a no-op copy
     assert(inertia(2) < inertia(1), "re-centering should strictly improve on this data")
+
+    // the SHIPPED presentation (r16: BIGINT micro-units) is exactly
+    // floor(full-grid inertia * 1e6), row for row — the full decimal
+    // stays pinned here while the driver hashes only the
+    // engine-proof micro grid
+    val shipped = operators.Ann.qKmeansConverge(spark, sfDir).collect()
+    assert(shipped.map(_.schema.fieldNames.toList).distinct.toList ==
+      List(List("iteration", "seed_id", "n_assigned", "inertia_micro")))
+    shipped.zip(rows).foreach { case (s, f) =>
+      assert((s.getInt(0), s.getInt(1), s.getLong(2)) ==
+        (f.getInt(0), f.getInt(1), f.getLong(2)))
+      val full = BigDecimal(f.getDecimal(3))
+      assert(BigDecimal(s.getLong(3)) ==
+        (full * BigDecimal(1000000)).setScale(0, BigDecimal.RoundingMode.FLOOR),
+        s"micro presentation must be floor(full*1e6): $s vs $full")
+    }
+  }
+
+  test("e27 probe: stage fingerprints agree with the headline chain; integer columns are self-consistent") {
+    val probe = operators.Ann.qKmeansProbe(spark, sfDir)
+      .orderBy("iteration", "seed_id").collect()
+    val head = operators.Ann.qKmeansConvergeFull(spark, sfDir)
+      .orderBy("iteration", "seed_id").collect()
+    assert(probe.length == head.length)
+    probe.zip(head).foreach { case (p, h) =>
+      // keys, assignment cardinality, and BOTH inertia grids line up
+      // with the headline chain — the probe is a twin, not a fork
+      assert((p.getInt(0), p.getInt(1)) == (h.getInt(0), h.getInt(1)))
+      assert(p.getAs[Long]("n_assigned") == h.getLong(2))
+      val full = BigDecimal(h.getDecimal(3))
+      assert(BigDecimal(p.getAs[java.math.BigDecimal]("inertia_full")) == full)
+      assert(BigDecimal(p.getAs[Long]("inertia_micro")) ==
+        (full * BigDecimal(1000000)).setScale(0, BigDecimal.RoundingMode.FLOOR))
+      // assign_ck decomposes as 4*sum(vec_id) + n*seed: consistent
+      // with n_assigned and the seed key (mod-4 residue check)
+      val ck = p.getAs[Long]("assign_ck")
+      val n = p.getAs[Long]("n_assigned")
+      assert(((ck - n * p.getInt(1)) % 4) == 0,
+        s"assign_ck must be 4*sum(vec_id) + n*seed: $p")
+    }
+    // per-round totals: every vector assigned exactly once means the
+    // checksum totals differ between rounds only through seed terms
+    val total = Tables(spark, sfDir, "embeddings").count()
+    probe.groupBy(_.getInt(0)).foreach { case (it, rs) =>
+      assert(rs.map(_.getAs[Long]("n_assigned")).sum == total,
+        s"round $it probe coverage")
+    }
   }
 }

@@ -713,6 +713,47 @@ class VersionedTableSpec extends SparkTestBase {
     assert(VersionedTable.read(spark, path, Some(1L)).count() == 1L)
   }
 
+  test("i25: legacy mtime CLAMP — an inflated pre-ICT mtime cannot reorder TIMESTAMP AS OF (r15 ADVICE)") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("vtable_clamp").toString
+    (1 to 3).foreach { i =>
+      VersionedTable.commit(spark, path, Seq((i.toLong, s"r$i")).toDF("id", "v"))
+    }
+    val ict = (1L to 3L).map(v => VersionedTable.commitTs(spark, path, v))
+    // make v2 LEGACY (strip its #ts header) and inflate its mtime an
+    // hour past v3's in-commit timestamp — the file-copy/touch anomaly
+    // at the legacy/ICT boundary
+    val m2 = java.nio.file.Paths.get(path, "_v000002.manifest")
+    val stripped = new String(java.nio.file.Files.readAllBytes(m2), "UTF-8")
+      .linesIterator.filterNot(_.startsWith("#ts:")).mkString("\n")
+    java.nio.file.Files.write(m2, stripped.getBytes("UTF-8"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(path, "._v000002.manifest.crc"))
+    val inflated = ict(2) + 3600000L
+    java.nio.file.Files.setLastModifiedTime(m2,
+      java.nio.file.attribute.FileTime.fromMillis(inflated))
+    assert(VersionedTable.commitTs(spark, path, 2L) == inflated)
+
+    // adjusted timestamps: non-decreasing, ICTs authoritative, the
+    // anomalous legacy mtime pulled back under its successor
+    val adj = VersionedTable.monotonicCommitTs(spark, path, Seq(1L, 2L, 3L))
+    assert(adj == adj.sorted, s"adjusted ts must be monotone, got $adj")
+    assert(adj(0) == ict(0) && adj(2) == ict(2), "ICTs must not move")
+    assert(adj(1) == ict(2), "legacy mtime must clamp to its successor")
+
+    // order-sound resolution: pre-clamp, t = v3's instant had v2
+    // EXCLUDED (inflated > t) while v3 was returned — a version newer
+    // than an excluded one, silently mixing semantics; post-clamp the
+    // whole prefix is eligible and the t -> version mapping is monotone
+    assert(VersionedTable.versionAsOf(spark, path, ict(2)) == 3L)
+    assert(VersionedTable.versionAsOf(spark, path, ict(2) - 1) == 1L)
+    assert(VersionedTable.versionAsOf(spark, path, inflated + 1) == 3L)
+    val sweep = Seq(ict(0), ict(2) - 1, ict(2), inflated, inflated + 1)
+      .map(t => VersionedTable.versionAsOf(spark, path, t))
+    assert(sweep == sweep.sorted, s"t -> version must be monotone: $sweep")
+    assert(VersionedTable.readAsOf(spark, path, ict(2)).count() == 3L)
+  }
+
   test("i22: constraint-checked commit rejects before landing, zero bytes on disk") {
     import spark.implicits._
     import graft.sources.VersionedTable.{CheckC, NotNullC, UniqueC}
