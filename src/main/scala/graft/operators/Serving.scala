@@ -505,6 +505,9 @@ object Serving {
       maxTombstones: Long = 1000000L): (Seq[Int], Long) = {
     import org.apache.hadoop.fs.Path
     require(tombstoneDirs.nonEmpty, "nothing to GC")
+    // self-heal first: finish any predecessor's interrupted swap so
+    // this pass reads complete cells (one listStatus when clean)
+    repairAnnCells(spark, ix): Unit
     val ts = tombstoneDirs.map(d => spark.read.parquet(d).select("vec_id"))
       .reduce(_.unionByName(_)).distinct().localCheckpoint(true)
     val nTs = ts.count()

@@ -446,13 +446,73 @@ object VersionedTable {
     * since r15 (Delta's In-Commit Timestamps mechanism — monotone by
     * construction, immune to file copies/clock skew), falling back to
     * the manifest file's modification time for pre-i25 commits
-    * (exactly Delta's legacy timestamp resolution). */
-  def commitTs(spark: SparkSession, path: String, v: Long): Long =
+    * (exactly Delta's legacy timestamp resolution). Counts its
+    * manifest opens in [[tsHeaderReads]] so the i27 checkpoint's
+    * O(tail) claim is ASSERTABLE, not prose. */
+  def commitTs(spark: SparkSession, path: String, v: Long): Long = {
+    tsHeaderReads.incrementAndGet()
     rawManifest(spark, path, v)
       .collectFirst { case l if l.startsWith(TsMarkerPrefix) =>
         l.stripPrefix(TsMarkerPrefix).trim.toLong }
       .getOrElse(fsOf(spark, path).getFileStatus(manifest(path, v))
         .getModificationTime)
+  }
+
+  /** i27 instrumentation: per-version timestamp resolutions that had
+    * to OPEN a manifest (vs the checkpoint index). Test-facing. */
+  private[graft] val tsHeaderReads = new java.util.concurrent.atomic.AtomicLong
+
+  private def tsIndexFile(root: String) = new Path(root, "_ts.index")
+
+  /** i27 — commit-TIMESTAMP CHECKPOINT (the metadata-scale fix for
+    * i25: manifests are snapshot-self-contained, so data reads open
+    * ONE manifest — but `TIMESTAMP AS OF` had to open EVERY version's
+    * header for its `#ts:`, O(versions) metadata reads per resolution;
+    * Delta solves the same walk with `_last_checkpoint`): one
+    * `_ts.index` sidecar freezing `version:rawTs` for every version
+    * at checkpoint time, swapped in atomically (tmp + rename — a
+    * reader racing the swap just falls back to headers). Resolution
+    * reads the index ONCE plus headers only for the TAIL committed
+    * after the checkpoint head — O(1 + tail) I/O; the i25 monotone
+    * clamp then runs over the merged raw sequence, so resolution
+    * semantics are IDENTICAL by construction (same raw values, same
+    * fold) — with one deliberate improvement: a legacy version's
+    * mtime is PINNED at checkpoint time, so a later file touch can no
+    * longer perturb even the pre-clamp raw value. Entries are
+    * immutable facts (a version's ts never legitimately changes), so
+    * a stale index is never wrong, only incomplete — re-run after a
+    * batch of commits, like [[compact]]. Returns the head version
+    * covered. */
+  def checkpointTimestamps(spark: SparkSession, path: String): Long = {
+    val fs = fsOf(spark, path)
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"nothing to checkpoint at $path")
+    val lines = vs.map(v => s"$v:${commitTs(spark, path, v)}")
+    val tmp = new Path(path, "._ts.index.tmp")
+    fs.delete(tmp, true)
+    Using.resource(fs.create(tmp, true)) { out =>
+      out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    }
+    fs.delete(tsIndexFile(path), false)
+    require(fs.rename(tmp, tsIndexFile(path)), s"ts-index swap failed at $path")
+    vs.last
+  }
+
+  /** The checkpointed version→rawTs map; empty when absent or
+    * unreadable (readers must degrade to headers, never fail). */
+  private[graft] def tsIndexMap(spark: SparkSession, path: String): Map[Long, Long] = {
+    val fs = fsOf(spark, path)
+    val f = tsIndexFile(path)
+    if (!fs.exists(f)) Map.empty
+    else scala.util.Try {
+      Using.resource(fs.open(f)) { in =>
+        scala.io.Source.fromInputStream(in).getLines()
+          .filter(_.contains(":")).map { l =>
+            val Array(v, t) = l.split(":", 2); v.trim.toLong -> t.trim.toLong
+          }.toMap
+      }
+    }.getOrElse(Map.empty)
+  }
 
   /** i25 — the table's commit timestamps made MONOTONE non-decreasing
     * (Delta's legacy-timestamp adjustment, applied in the clamp-down
@@ -468,19 +528,22 @@ object VersionedTable {
     * so the version picked for any instant is always the true newest
     * eligible one. Ordered as `vs` (ascending versions). */
   private[graft] def monotonicCommitTs(spark: SparkSession, path: String,
-      vs: Seq[Long]): Seq[Long] =
-    vs.map(v => commitTs(spark, path, v))
+      vs: Seq[Long]): Seq[Long] = {
+    val ix = tsIndexMap(spark, path) // i27: checkpointed versions skip the header
+    vs.map(v => ix.getOrElse(v, commitTs(spark, path, v)))
       .foldRight(List.empty[Long]) {
         case (t, Nil)          => t :: Nil
         case (t, next :: rest) => math.min(t, next) :: next :: rest
       }
+  }
 
   /** i25 — resolve the snapshot live AT a wall-clock instant
     * (`TIMESTAMP AS OF`): the newest version whose MONOTONE-adjusted
     * commit timestamp ([[monotonicCommitTs]] — legacy mtimes clamped
     * by their successors) is ≤ ts. Errors before the table's first
     * commit — "the table did not exist yet" must be loud, not an
-    * empty frame. O(versions) header reads, no data touched until
+    * empty frame. O(versions) header reads bare; O(1 + tail) once
+    * [[checkpointTimestamps]] has run (i27). No data touched until
     * [[read]]. */
   def versionAsOf(spark: SparkSession, path: String, tsMs: Long): Long = {
     val vs = versions(spark, path)

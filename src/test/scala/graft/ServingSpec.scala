@@ -257,6 +257,13 @@ class ServingSpec extends SparkTestBase {
     }
     assert(fs.exists(new Path(tdir)), "refused GC must not consume its input")
     assert(vecs() == whole, "refused GC must not rewrite cells")
+
+    // self-heal: a predecessor's interrupted swap finishes at the
+    // NEXT GC entry, before any accounting reads the cells
+    assert(fs.rename(live, aside))
+    Serving.gcAnnCells(spark, ix, Seq(tdir), gcBatchId = 100L)
+    assert(fs.exists(live) && !fs.exists(aside),
+      "gcAnnCells must repair an interrupted predecessor before reading")
   }
 
   test("index builds once and is reused; a changed corpus gets a fresh index") {

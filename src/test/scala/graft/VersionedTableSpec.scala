@@ -809,4 +809,61 @@ class VersionedTableSpec extends SparkTestBase {
     assert(rows(VersionedTable.read(spark, path)) ==
       Set((1L, "a"), (2L, "b"), (3L, "z")))
   }
+
+  test("i27: ts checkpoint — identical resolution, O(tail) header reads, legacy mtimes pinned") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("vtable_tsckpt").toString
+    (1 to 6).foreach { i =>
+      VersionedTable.commit(spark, path, Seq((i.toLong, s"r$i")).toDF("id", "v"))
+    }
+    val ict = (1L to 6L).map(v => VersionedTable.commitTs(spark, path, v))
+    // resolution sweep BEFORE any checkpoint (the O(versions) path)
+    val probes = ict.flatMap(t => Seq(t - 1, t, t + 1)).distinct.sorted
+      .filter(_ >= ict.head)
+    val bare = probes.map(t => VersionedTable.versionAsOf(spark, path, t))
+
+    // checkpoint at head 4 (then two more commits land = the tail)
+    // — simulate by checkpointing now and committing after
+    assert(VersionedTable.checkpointTimestamps(spark, path) == 6L)
+    (7 to 8).foreach { i =>
+      VersionedTable.commit(spark, path, Seq((i.toLong, s"r$i")).toDF("id", "v"))
+    }
+
+    // identical resolution with the index in place
+    val withIx = probes.map(t => VersionedTable.versionAsOf(spark, path, t))
+    assert(withIx == bare, "checkpointed resolution must be identical")
+
+    // the O(tail) claim, asserted via the instrumented read counter:
+    // one resolution opens headers ONLY for the two post-checkpoint
+    // versions (plus zero for the six checkpointed ones)
+    VersionedTable.tsHeaderReads.set(0L)
+    VersionedTable.versionAsOf(spark, path, ict.last)
+    assert(VersionedTable.tsHeaderReads.get() == 2L,
+      s"expected 2 tail header reads, got ${VersionedTable.tsHeaderReads.get()}")
+
+    // refresh covers the tail: a fresh checkpoint satisfies the whole
+    // sweep with ZERO header reads, resolving identically
+    assert(VersionedTable.checkpointTimestamps(spark, path) == 8L)
+    VersionedTable.tsHeaderReads.set(0L)
+    assert(probes.map(t => VersionedTable.versionAsOf(spark, path, t)) == bare)
+    assert(VersionedTable.tsHeaderReads.get() == 0L,
+      "a fresh checkpoint must satisfy resolution with zero header reads")
+
+    // legacy-mtime PINNING: strip v2's #ts header and touch its file
+    // an hour into the future — without the index this perturbs the
+    // raw sequence (i25's clamp then repairs ordering, conservatively
+    // clamping v2 up past its true instant); WITH the index v2's raw
+    // value was FROZEN at checkpoint time, so resolution at v2's
+    // original instant still lands on v2
+    val m2 = java.nio.file.Paths.get(path, "_v000002.manifest")
+    val stripped = new String(java.nio.file.Files.readAllBytes(m2), "UTF-8")
+      .linesIterator.filterNot(_.startsWith("#ts:")).mkString("\n")
+    java.nio.file.Files.write(m2, stripped.getBytes("UTF-8"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(path, "._v000002.manifest.crc"))
+    java.nio.file.Files.setLastModifiedTime(m2,
+      java.nio.file.attribute.FileTime.fromMillis(ict(5) + 3600000L))
+    assert(VersionedTable.versionAsOf(spark, path, ict(1)) == 2L,
+      "a post-checkpoint touch must not move a checkpointed version's ts")
+  }
 }
