@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, input_file_name, lit, max => fmax, min => fmin}
 import scala.util.Using
 
 /** i10 — snapshot-isolated, time-travelable table on plain parquet +
@@ -512,6 +513,124 @@ object VersionedTable {
           }.toMap
       }
     }.getOrElse(Map.empty)
+  }
+
+  // ---- i28: per-file zone maps + data skipping ---------------------
+
+  private def fstatsFile(root: String) = new Path(root, "_fstats.index")
+
+  /** The stats sidecar: root-relative file → col → (min, max). Empty
+    * when absent/unreadable — readers degrade to reading every file,
+    * never fail. Lines are `file|col|min|max` (long-typed grids). */
+  private[graft] def fstatsMap(spark: SparkSession,
+      path: String): Map[String, Map[String, (Long, Long)]] = {
+    val fs = fsOf(spark, path)
+    val f = fstatsFile(path)
+    if (!fs.exists(f)) Map.empty
+    else scala.util.Try {
+      Using.resource(fs.open(f)) { in =>
+        scala.io.Source.fromInputStream(in).getLines()
+          .map(_.split("\\|")).collect { case Array(fn, c, lo, hi) =>
+            (fn, c, lo.toLong, hi.toLong)
+          }.toList
+      }.groupBy(_._1).map { case (fn, rows) =>
+        fn -> rows.map(r => r._2 -> (r._3, r._4)).toMap
+      }
+    }.getOrElse(Map.empty)
+  }
+
+  private def writeFstats(spark: SparkSession, path: String,
+      m: Map[String, Map[String, (Long, Long)]]): Unit = {
+    val fs = fsOf(spark, path)
+    val lines = m.toSeq.sortBy(_._1).flatMap { case (fn, cols) =>
+      cols.toSeq.sortBy(_._1).map { case (c, (lo, hi)) => s"$fn|$c|$lo|$hi" }
+    }
+    val tmp = new Path(path, "._fstats.index.tmp")
+    fs.delete(tmp, true)
+    Using.resource(fs.create(tmp, true)) { out =>
+      out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    }
+    fs.delete(fstatsFile(path), false)
+    require(fs.rename(tmp, fstatsFile(path)), s"fstats swap failed at $path")
+  }
+
+  /** i28 — commit with per-file ZONE MAPS (Delta add-file stats /
+    * Iceberg manifest column bounds / parquet row-group min-max one
+    * level up — the planning-time skipping lever: at 100 TB the fastest
+    * scan is the file never opened): lands the batch, computes min/max
+    * of `statCols` PER LANDED FILE with one distributed pass over just
+    * those files (grouped by `input_file_name` — the job is
+    * commit-sized, never table-sized), merges the rows into the
+    * `_fstats.index` sidecar (atomic tmp+rename swap, same contract as
+    * i27: data files are immutable so entries are immutable facts —
+    * a stale sidecar is never wrong, only incomplete; files without
+    * entries are simply unprunable), then commits normally. Stat
+    * columns must be integral (long grid — exact, no float boundary
+    * semantics). Mixed-era tables (plain commits between stats
+    * commits) stay fully correct: [[readSkipping]] must-reads any
+    * file it has no bounds for. */
+  def commitWithStats(spark: SparkSession, path: String, df: DataFrame,
+      statCols: Seq[String], overwrite: Boolean = false): Long = {
+    require(statCols.nonEmpty, "statCols must be non-empty")
+    val newFiles = land(spark, path, df)
+    val landed = spark.read.parquet(newFiles.map(f => resolve(path, f)): _*)
+    val aggs = statCols.flatMap { c =>
+      Seq(fmin(col(c)).cast("long").as(s"min_$c"),
+        fmax(col(c)).cast("long").as(s"max_$c"))
+    }
+    val rows = landed.groupBy(input_file_name().as("f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // bounded: one row per file in THIS commit
+    val byName = newFiles.map(f => f.split("/").last -> f).toMap
+    val fresh = rows.flatMap { r =>
+      val base = r.getString(0).split("/").last
+      byName.get(base).map { rel =>
+        rel -> statCols.map { c =>
+          c -> (r.getAs[Long](s"min_$c"), r.getAs[Long](s"max_$c"))
+        }.toMap
+      }
+    }.toMap
+    writeFstats(spark, path, fstatsMap(spark, path) ++ fresh)
+    casCommit(spark, path, newFiles, overwrite)
+  }
+
+  /** The skipping PLAN for a closed-range predicate on `c`: the
+    * snapshot's files split into (kept, pruned) — pruned iff the
+    * sidecar bounds prove `[min,max] ∩ [lo,hi] = ∅`; a file without
+    * bounds is kept (must-read). Root-relative names. */
+  def skipPlan(spark: SparkSession, path: String, c: String, lo: Long,
+      hi: Long, version: Option[Long] = None): (Seq[String], Seq[String]) = {
+    val v = version.getOrElse {
+      val vs = versions(spark, path)
+      require(vs.nonEmpty, s"no committed version at $path")
+      vs.last
+    }
+    val stats = fstatsMap(spark, path)
+    readManifest(spark, path, v).partition { f =>
+      stats.get(f).flatMap(_.get(c)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi // overlap ⇒ read
+        case None           => true                 // unknown ⇒ read
+      }
+    }
+  }
+
+  /** i28 — range read THROUGH the zone maps: only overlapping (or
+    * unknown-bounds) files reach the scan, with the residual filter
+    * still applied on top — identical rows to a full read + filter by
+    * construction (pruning only ever drops provably-empty files).
+    * An all-pruned result still returns the right SCHEMA (one witness
+    * file under a false predicate, zero rows read past its footer). */
+  def readSkipping(spark: SparkSession, path: String, c: String, lo: Long,
+      hi: Long, version: Option[Long] = None): DataFrame = {
+    val (kept, pruned) = skipPlan(spark, path, c, lo, hi, version)
+    val resid = col(c) >= lo && col(c) <= hi
+    if (kept.nonEmpty)
+      spark.read.parquet(kept.map(f => resolve(path, f)): _*).filter(resid)
+    else {
+      val witness = pruned.headOption.map(f => resolve(path, f))
+      witness.map(w => spark.read.parquet(w).filter(lit(false)))
+        .getOrElse(spark.emptyDataFrame)
+    }
   }
 
   /** i25 — the table's commit timestamps made MONOTONE non-decreasing

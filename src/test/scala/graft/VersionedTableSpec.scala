@@ -866,4 +866,49 @@ class VersionedTableSpec extends SparkTestBase {
     assert(VersionedTable.versionAsOf(spark, path, ict(1)) == 2L,
       "a post-checkpoint touch must not move a checkpointed version's ts")
   }
+
+  test("i28: zone maps — provably-empty files pruned, unknown-bounds files must-read, identical rows") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("vtable_zonemap").toString
+    def batch(lo: Long, hi: Long) =
+      (lo to hi).map(i => (i, s"r$i")).toDF("id", "v").repartition(2)
+    // three stats commits with disjoint id ranges, then a PLAIN
+    // commit (no stats) — the mixed-era case
+    VersionedTable.commitWithStats(spark, path, batch(1, 100), Seq("id"))
+    VersionedTable.commitWithStats(spark, path, batch(101, 200), Seq("id"))
+    VersionedTable.commitWithStats(spark, path, batch(201, 300), Seq("id"))
+    VersionedTable.commit(spark, path, batch(301, 400))
+
+    import org.apache.spark.sql.functions.col
+    val all = VersionedTable.read(spark, path)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("id").collect().map(_.getLong(0)).toSet
+    def fullFilter(lo: Long, hi: Long): Set[Long] =
+      ids(all.filter(col("id") >= lo && col("id") <= hi))
+
+    // mid-range probe: batch-2 files kept, batches 1/3 PRUNED, the
+    // statless batch-4 files must-read
+    val (kept, pruned) = VersionedTable.skipPlan(spark, path, "id", 120L, 180L)
+    assert(pruned.size == 4, s"batches 1+3 (2 files each) must prune, got $pruned")
+    assert(kept.size == 4, s"batch 2 + statless batch 4 must stay, got $kept")
+    // equality on a sweep of ranges, including boundaries and misses
+    Seq((120L, 180L), (1L, 100L), (100L, 101L), (200L, 201L), (1L, 400L),
+      (350L, 420L), (99L, 99L)).foreach { case (lo, hi) =>
+      assert(ids(VersionedTable.readSkipping(spark, path, "id", lo, hi)) ==
+        fullFilter(lo, hi), s"skipping read diverged on [$lo,$hi]")
+    }
+    // a range covered by NO stats batch and outside the statless
+    // range: every stats file prunes, the statless files still read
+    val (k2, p2) = VersionedTable.skipPlan(spark, path, "id", 500L, 600L)
+    assert(p2.size == 6 && k2.size == 2,
+      "only the unknown-bounds files may survive an impossible range")
+    assert(ids(VersionedTable.readSkipping(spark, path, "id", 500L, 600L)).isEmpty)
+    // all-pruned (statless era removed): fresh table, one stats commit,
+    // impossible range → zero rows, schema intact via the witness file
+    val p3 = java.nio.file.Files.createTempDirectory("vtable_zonemap2").toString
+    VersionedTable.commitWithStats(spark, p3, batch(1, 50), Seq("id"))
+    val empty = VersionedTable.readSkipping(spark, p3, "id", 999L, 1000L)
+    assert(empty.count() == 0L &&
+      empty.schema.fieldNames.toSeq == Seq("id", "v"))
+  }
 }
