@@ -911,4 +911,32 @@ class VersionedTableSpec extends SparkTestBase {
     assert(empty.count() == 0L &&
       empty.schema.fieldNames.toSeq == Seq("id", "v"))
   }
+
+  test("i28 x i16: zone maps only bite on a range-clustered layout — hash files span everything, range files prune (n-1)/n") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val data = (1L to 800L).map(i => (i, s"r$i")).toDF("id", "v")
+    val pHash = java.nio.file.Files.createTempDirectory("vtable_zm_hash").toString
+    val pRange = java.nio.file.Files.createTempDirectory("vtable_zm_range").toString
+    // same rows, same stats machinery — only the LAYOUT differs
+    VersionedTable.commitWithStats(spark, pHash, data.repartition(8), Seq("id"))
+    VersionedTable.commitWithStats(spark, pRange,
+      data.repartitionByRange(8, col("id")), Seq("id"))
+    val probe = (100L, 110L)
+    val (kH, pH) = VersionedTable.skipPlan(spark, pHash, "id", probe._1, probe._2)
+    val (kR, pR) = VersionedTable.skipPlan(spark, pRange, "id", probe._1, probe._2)
+    // hash layout: every file spans ~[1,800] — the zone map proves
+    // nothing and all files must read (the stats are not wrong, the
+    // LAYOUT is: this is why i16 range-orders the write)
+    assert(pH.isEmpty && kH.size == 8,
+      s"hash layout should prune nothing, pruned $pH")
+    // range layout: an 11-id probe lives in 1 file (2 at a boundary)
+    assert(kR.size <= 2 && pR.size >= 6,
+      s"range layout should prune >= 6 of 8 files, kept $kR")
+    // identical rows either way
+    def ids(p: String) = VersionedTable
+      .readSkipping(spark, p, "id", probe._1, probe._2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids(pHash) == ids(pRange) && ids(pRange) == (100L to 110L).toSet)
+  }
 }
