@@ -70,7 +70,7 @@ object VersionedTable {
     }.filter(_.nonEmpty)
   }
 
-  private def readManifest(spark: SparkSession, path: String, v: Long): Seq[String] =
+  private[graft] def readManifest(spark: SparkSession, path: String, v: Long): Seq[String] =
     rawManifest(spark, path, v).filterNot(_.startsWith("#"))
 
   /** True iff version `v` is a compaction commit (no row delta). */
@@ -170,6 +170,7 @@ object VersionedTable {
           // marker, same recompute semantics.
           val mfs = readManifest(spark, srcPath, v).toSet
           restoreTarget(spark, srcPath, v).isDefined ||
+            isDelete(spark, srcPath, v) || // i29: retraction ⇒ recompute
             (v > 1 && readManifest(spark, srcPath, v - 1).forall(f => !mfs.contains(f)))
         }
         val old =
@@ -633,6 +634,70 @@ object VersionedTable {
     }
   }
 
+  /** i29 — copy-on-write DELETE for a closed range, riding the i28
+    * zone maps (Delta's DELETE rewrite path: a delete touches only
+    * the files that can contain matching rows — at 100 TB the delete
+    * of one user's range must not rewrite the table): [[skipPlan]]
+    * splits the snapshot into candidate/untouched; candidates are
+    * read, filtered to the SURVIVORS, and landed as fresh files;
+    * the new version's manifest = untouched (carried BY NAME —
+    * byte-stable, vacuum-refcounted) + rewritten. The commit is an
+    * `overwrite` (full file list) so racing appenders lose the CAS
+    * and retry on top; change consumers see an overwrite step — a
+    * retraction can never reach them silently (the restore/i23
+    * contract). Survivor files get zone maps recomputed into the
+    * sidecar when the table carries stats for `c`; old versions keep
+    * the deleted rows (time travel intact) until [[vacuum]] drops
+    * them. Returns (new version, files rewritten, files untouched,
+    * rows deleted). A no-match delete (all candidates empty of
+    * matches) still commits the rewrite it performed — the decision
+    * is file-grain, exactly Delta's. */
+  def deleteRange(spark: SparkSession, path: String, c: String, lo: Long,
+      hi: Long): (Long, Int, Int, Long) = {
+    val (candidates, untouched) = skipPlan(spark, path, c, lo, hi)
+    if (candidates.isEmpty) {
+      val v = versions(spark, path).last
+      return (v, 0, untouched.size, 0L)
+    }
+    val cand = spark.read.parquet(candidates.map(f => resolve(path, f)): _*)
+    val hit = col(c) >= lo && col(c) <= hi
+    val nDel = cand.filter(hit).count()
+    val survivors = cand.filter(!hit)
+    val rewritten =
+      if (survivors.isEmpty) Seq.empty[String]
+      else land(spark, path, survivors)
+    // refresh zone maps for the rewritten files iff the column was
+    // stats-tracked on any candidate (commit-sized pass, as i28)
+    val hadStats = fstatsMap(spark, path).exists { case (f, cols) =>
+      candidates.contains(f) && cols.contains(c)
+    }
+    if (hadStats && rewritten.nonEmpty) {
+      val landed = spark.read.parquet(rewritten.map(f => resolve(path, f)): _*)
+      val rows = landed.groupBy(input_file_name().as("f"))
+        .agg(fmin(col(c)).cast("long").as("mn"), fmax(col(c)).cast("long").as("mx"))
+        .collect()
+      val byName = rewritten.map(f => f.split("/").last -> f).toMap
+      val fresh = rows.flatMap { r =>
+        byName.get(r.getString(0).split("/").last)
+          .map(rel => rel -> Map(c -> (r.getLong(1), r.getLong(2))))
+      }.toMap
+      writeFstats(spark, path, fstatsMap(spark, path) ++ fresh)
+    }
+    // the `#delete` marker makes the commit an OVERWRITE STEP for
+    // change consumers even though untouched files carry by name —
+    // without it the delta would be `new − old` = the survivor files,
+    // i.e. retractions silently re-delivered as appends
+    val v = casCommitWithHeaders(spark, path, untouched ++ rewritten,
+      overwrite = true, headers = Seq(DeleteMarker))
+    (v, candidates.size, untouched.size, nDel)
+  }
+
+  private val DeleteMarker = "#delete"
+
+  /** True iff version `v` is a copy-on-write delete commit (i29). */
+  def isDelete(spark: SparkSession, path: String, v: Long): Boolean =
+    rawManifest(spark, path, v).headOption.contains(DeleteMarker)
+
   /** i25 — the table's commit timestamps made MONOTONE non-decreasing
     * (Delta's legacy-timestamp adjustment, applied in the clamp-down
     * direction): `#ts:` headers are monotone by construction, but a
@@ -807,6 +872,7 @@ object VersionedTable {
     // replaced rows.
     def isOverwriteStep(v: Long): Boolean = {
       if (restoreTarget(spark, path, v).isDefined) return true
+      if (isDelete(spark, path, v)) return true // i29: retraction ⇒ restart
       val prev = prevManifest(v)
       val cur = manifestOf(v).toSet
       prev.nonEmpty && prev.forall(f => !cur.contains(f))

@@ -939,4 +939,49 @@ class VersionedTableSpec extends SparkTestBase {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(ids(pHash) == ids(pRange) && ids(pRange) == (100L to 110L).toSet)
   }
+
+  test("i29: copy-on-write delete — only candidate files rewritten, untouched byte-stable, time travel intact, consumers restart") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("vtable_cow_del").toString
+    def batch(lo: Long, hi: Long) =
+      (lo to hi).map(i => (i, s"r$i")).toDF("id", "v").repartition(2)
+    VersionedTable.commitWithStats(spark, path, batch(1, 100), Seq("id"))
+    VersionedTable.commitWithStats(spark, path, batch(101, 200), Seq("id"))
+    VersionedTable.commitWithStats(spark, path, batch(201, 300), Seq("id"))
+    val before = VersionedTable.readManifest(spark, path, 3L)
+
+    val (v, rewritten, untouched, nDel) =
+      VersionedTable.deleteRange(spark, path, "id", 120L, 180L)
+    assert(v == 4L && rewritten == 2 && untouched == 4 && nDel == 61L,
+      s"only batch-2's 2 files may rewrite: v=$v rw=$rewritten ut=$untouched n=$nDel")
+    // untouched files carry BY NAME — byte-stable, never re-landed
+    val after = VersionedTable.readManifest(spark, path, 4L)
+    assert(before.toSet.intersect(after.toSet).size == 4)
+    // rows gone at v4; v3 still serves them (time travel)
+    def idsAt(ver: Long) = VersionedTable.read(spark, path, Some(ver))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(idsAt(4L) == ((1L to 119L) ++ (181L to 300L)).toSet)
+    assert(idsAt(3L) == (1L to 300L).toSet)
+    // a probe inside the hole: zone maps keep the survivor files
+    // (bounds still span the hole) but the read is exactly empty
+    assert(VersionedTable.readSkipping(spark, path, "id", 150L, 160L).count() == 0L)
+    // change feed: the delete is an OVERWRITE step — the delta is the
+    // full surviving snapshot (a retraction never sneaks through as
+    // an append of survivor files)
+    assert(VersionedTable.isDelete(spark, path, 4L))
+    val delta = VersionedTable.readChanges(spark, path, 3L, 4L)
+    assert(delta.count() == 239L, s"delete delta must be the full snapshot")
+    // no-match delete beyond every zone: pure no-op, no new version
+    val (v2, rw2, _, n2) = VersionedTable.deleteRange(spark, path, "id", 900L, 999L)
+    assert(v2 == 4L && rw2 == 0 && n2 == 0L)
+
+    // matview across the delete recomputes instead of double-counting
+    val ckpt = java.nio.file.Files.createTempDirectory("vtable_cow_ck").toString
+    val mat = java.nio.file.Files.createTempDirectory("vtable_cow_mat").toString
+    VersionedTable.refreshMatView(spark, path, ckpt, mat, "id", "id")
+    val total = VersionedTable.read(spark, mat)
+      .agg(org.apache.spark.sql.functions.sum("total")).collect()(0).getLong(0)
+    assert(total == ((1L to 119L) ++ (181L to 300L)).sum,
+      s"matview must reflect the post-delete table exactly, got $total")
+  }
 }
