@@ -698,6 +698,53 @@ object VersionedTable {
   def isDelete(spark: SparkSession, path: String, v: Long): Boolean =
     rawManifest(spark, path, v).headOption.contains(DeleteMarker)
 
+  // ---- i30: idempotent writer transactions -------------------------
+
+  private val TxnMarkerPrefix = "#txn:"
+
+  /** The newest transaction version this writer has committed, read
+    * off the manifest headers newest→oldest (first hit wins — each
+    * commit carries at most one txn marker). O(versions-since-last-
+    * commit-by-this-writer) header reads; a steadily-committing
+    * writer finds its marker within a few manifests of the head. */
+  def lastTxnVersion(spark: SparkSession, path: String,
+      writerId: String): Option[Long] = {
+    val p = s"$TxnMarkerPrefix$writerId:"
+    versions(spark, path).reverseIterator.flatMap { v =>
+      rawManifest(spark, path, v)
+        .collectFirst { case l if l.startsWith(p) => l.stripPrefix(p).trim.toLong }
+    }.nextOption()
+  }
+
+  /** i30 — IDEMPOTENT writer commit (Delta's `txnAppId`/`txnVersion`
+    * — the contract that turns at-least-once micro-batch delivery
+    * into exactly-once TABLE state: a foreachBatch sink passes its
+    * batch id as the txn version, and a replayed batch becomes a
+    * NO-OP instead of a duplicate append): commits `df` iff
+    * `txnVersion` is strictly newer than this writer's last recorded
+    * transaction, stamping `#txn:writer:version` into the manifest.
+    * Returns Some(new table version) on commit, None when the
+    * transaction was already applied (the replay case). Writer ids
+    * must not contain ':'. The check-then-commit pair serializes on
+    * the same in-process lock as the manifest CAS — which is exactly
+    * the foreachBatch replay scope (a restarted query replays in the
+    * same process sequence); cross-process duplicate WRITERS (two
+    * live queries sharing a writer id) are a deployment error, as in
+    * Delta. */
+  def commitTxn(spark: SparkSession, path: String, df: DataFrame,
+      writerId: String, txnVersion: Long,
+      overwrite: Boolean = false): Option[Long] = {
+    require(!writerId.contains(":"), s"writer id must not contain ':': $writerId")
+    commitLock.synchronized {
+      if (lastTxnVersion(spark, path, writerId).exists(_ >= txnVersion)) None
+      else {
+        val newFiles = land(spark, path, df)
+        Some(casCommitWithHeaders(spark, path, newFiles, overwrite,
+          headers = Seq(s"$TxnMarkerPrefix$writerId:$txnVersion")))
+      }
+    }
+  }
+
   /** i25 — the table's commit timestamps made MONOTONE non-decreasing
     * (Delta's legacy-timestamp adjustment, applied in the clamp-down
     * direction): `#ts:` headers are monotone by construction, but a

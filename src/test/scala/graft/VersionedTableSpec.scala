@@ -984,4 +984,32 @@ class VersionedTableSpec extends SparkTestBase {
     assert(total == ((1L to 119L) ++ (181L to 300L)).sum,
       s"matview must reflect the post-delete table exactly, got $total")
   }
+
+  test("i30: idempotent txn commits — replays are no-ops, writers are independent, plain commits interleave") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("vtable_txn").toString
+    def b(lo: Long, hi: Long) = (lo to hi).map(i => (i, s"r$i")).toDF("id", "v")
+    def n() = VersionedTable.read(spark, path).count()
+
+    assert(VersionedTable.commitTxn(spark, path, b(1, 10), "ingest", 0L) == Some(1L))
+    // the foreachBatch replay case: same writer, same txn → NO-OP
+    assert(VersionedTable.commitTxn(spark, path, b(1, 10), "ingest", 0L).isEmpty)
+    assert(n() == 10L, "a replayed batch must not duplicate rows")
+    assert(VersionedTable.commitTxn(spark, path, b(11, 20), "ingest", 1L) == Some(2L))
+    // a STALE replay after newer transactions: still a no-op
+    assert(VersionedTable.commitTxn(spark, path, b(1, 10), "ingest", 0L).isEmpty)
+    // writer namespaces are independent
+    assert(VersionedTable.commitTxn(spark, path, b(21, 30), "compactor", 0L) == Some(3L))
+    assert(n() == 30L)
+    assert(VersionedTable.lastTxnVersion(spark, path, "ingest") == Some(1L))
+    assert(VersionedTable.lastTxnVersion(spark, path, "compactor") == Some(0L))
+    assert(VersionedTable.lastTxnVersion(spark, path, "nobody").isEmpty)
+    // plain commits interleave without disturbing txn resolution
+    VersionedTable.commit(spark, path, b(31, 40))
+    assert(VersionedTable.commitTxn(spark, path, b(41, 50), "ingest", 2L) == Some(5L))
+    assert(VersionedTable.commitTxn(spark, path, b(41, 50), "ingest", 2L).isEmpty)
+    assert(n() == 50L)
+    // time travel unaffected: the replayed-no-op left no version
+    assert(VersionedTable.versions(spark, path) == Seq(1L, 2L, 3L, 4L, 5L))
+  }
 }
