@@ -1273,6 +1273,17 @@ object VersionedTable {
       else fs.listStatus(dataDir).toSeq
         .filter(f => f.isFile && !referenced.contains(f.getPath.getName))
         .map { f => fs.delete(f.getPath, false); 1 }.sum
+    // i28 upkeep: drop zone-map entries for the files just collected —
+    // stale entries are harmless to correctness (lookups key off live
+    // manifests) but the sidecar must not grow with delete/rewrite
+    // churn forever
+    val stats = fstatsMap(spark, path)
+    if (stats.nonEmpty) {
+      val live = stats.filter { case (f, _) =>
+        referenced.contains(f.stripPrefix("data/"))
+      }
+      if (live.size != stats.size) writeFstats(spark, path, live)
+    }
     (drop.length, removed)
   }
 

@@ -983,6 +983,16 @@ class VersionedTableSpec extends SparkTestBase {
       .agg(org.apache.spark.sql.functions.sum("total")).collect()(0).getLong(0)
     assert(total == ((1L to 119L) ++ (181L to 300L)).sum,
       s"matview must reflect the post-delete table exactly, got $total")
+
+    // vacuum prunes the zone-map sidecar along with the files it
+    // collects: after keeping only the post-delete snapshot, exactly
+    // the 6 live files carry bounds and skipping still resolves
+    VersionedTable.vacuum(spark, path, keepLast = 1)
+    val stats = VersionedTable.fstatsMap(spark, path)
+    assert(stats.keySet == after.toSet,
+      s"sidecar must hold exactly the live files after vacuum")
+    assert(VersionedTable.readSkipping(spark, path, "id", 50L, 60L)
+      .count() == 11L)
   }
 
   test("i30: idempotent txn commits — replays are no-ops, writers are independent, plain commits interleave") {
