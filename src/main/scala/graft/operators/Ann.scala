@@ -830,18 +830,49 @@ object Ann {
   private[graft] def qKmeansConvergeFull(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "embeddings")
     val dq = round(col("v").cast("double"), 6).cast("decimal(8,6)")
+    // r16 optimization: the (8,6) quantized grid is exact in BIGINT
+    // micro-units (qm = qv·10⁶, both exact), and every pipeline stage
+    // only ever consumes the micro value — the distance sum, the seed
+    // centroids, and the positive-shifted floor-division refresh
+    // (SUM(qv)·10⁶ ≡ SUM(qm) exactly). Carrying qm/cm as primitive
+    // longs removes ALL per-row Decimal allocation from the hot
+    // 512k-row distance stream (the measured cost center: ~600 ms
+    // aggTime per round at sf0.1), leaving one exact decimal rescale
+    // per (vec, seed): d2 = s·10⁻¹² via the (15,0)×(12,12)→(28,12)
+    // multiply — overflow-safe at ANY corpus size because the bound is
+    // per-PAIR: 64 dims × (2·10⁶)² = 2.56·10¹⁴ ≪ 2⁶³. Values are
+    // bit-identical to the previous all-decimal formulation (re-proven
+    // against the DuckDB oracle at sf0.01 AND sf0.1 at full
+    // decimal(30,12) text precision, pinned by TrainingSpec).
+    // materialized once like [[qKmeansProbe]]'s pe (the q_rfm chained-leg
+    // convention): the two distance legs and the two refresh legs would
+    // otherwise each re-run the explode + quantize chain (NodeProf:
+    // ~450 ms aggTime per leg at sf0.1, vs ~70 ms reading the memo);
+    // the checkpointed frame is three longs per component.
     val pe = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
       .select(col("vec_id"), col("i"), dq.as("qv"))
+      .select(col("vec_id"), col("i"),
+        expr("CAST(qv * 1000000 AS BIGINT)").as("qm"))
+      .localCheckpoint(true)
     var cent = pe.filter(col("vec_id") < 4)
-      .select(col("vec_id").cast("int").as("seed_id"), col("i"), col("qv").as("cv"))
+      .select(col("vec_id").cast("int").as("seed_id"), col("i"), col("qm").as("cm"))
     val rounds = (1 to 2).map { it =>
       val dist = pe.join(broadcast(cent), "i")
         .groupBy("vec_id", "seed_id")
-        .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv"))).as("d2"))
+        .agg(sum((col("qm") - col("cm")) * (col("qm") - col("cm"))).as("s"))
+      // packed-long argmin (the q_pq_train_step convention):
+      // min(struct(d2, seed_id)) plans SortAggregate (struct buffers
+      // are immutable) — but s ≤ 2.56·10¹⁴ and seed_id < 4, so
+      // min(s·4 + seed_id) is the same lexicographic argmin as a pure
+      // long min (d2 = s·10⁻¹² is strictly monotone in s), and the
+      // whole assignment stays hash-aggregated. d2 is restored by the
+      // exact (15,0)×(12,12) rescale once per vector.
       val assign = dist.groupBy("vec_id")
-        .agg(min(struct(col("d2"), col("seed_id"))).as("best"))
-        .select(col("vec_id"), col("best.seed_id").as("seed_id"),
-          col("best.d2").as("d2"))
+        .agg(min(col("s") * 4 + col("seed_id")).as("packed"))
+        .select(col("vec_id"),
+          expr("CAST(pmod(packed, 4) AS INT)").as("seed_id"),
+          expr("""CAST(CAST(packed div 4 AS DECIMAL(15,0))
+                       * CAST(0.000000000001 AS DECIMAL(12,12)) AS DECIMAL(27,12))""").as("d2"))
       val stats = assign.groupBy("seed_id")
         .agg(count(lit(1)).as("n_assigned"),
           sum(col("d2")).cast("decimal(30,12)").as("inertia"))
@@ -850,9 +881,7 @@ object Ann {
       cent = pe.join(assign.select("vec_id", "seed_id"), "vec_id")
         .groupBy("seed_id", "i")
         .agg(expr(
-          """CAST(CAST((2 * CAST(SUM(qv) * 1000000 AS BIGINT) + 4000001 * COUNT(*))
-                        div (2 * COUNT(*)) - 2000000 AS DECIMAL(14,0))
-                  * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(8,6))""").as("cv"))
+          """(2 * SUM(qm) + 4000001 * COUNT(*)) div (2 * COUNT(*)) - 2000000""").as("cm"))
       stats
     }
     rounds.reduce(_.unionAll(_))
@@ -953,17 +982,29 @@ object Ann {
     // memo, final plan reads embeddings ZERO times
     val pe = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
       .select(col("vec_id"), col("i"), dq.as("qv"))
+      .select(col("vec_id"), col("i"),
+        expr("CAST(qv * 1000000 AS BIGINT)").as("qm"))
       .localCheckpoint(true)
     var cent = pe.filter(col("vec_id") < 4)
-      .select(col("vec_id").cast("int").as("seed_id"), col("i"), col("qv").as("cv"))
+      .select(col("vec_id").cast("int").as("seed_id"), col("i"), col("qm").as("cm"))
     val rounds = (1 to 2).map { it =>
+      // integer-micro pipeline — see [[qKmeansConvergeFull]] (r16: the
+      // checkpointed explode carries qm = qv·10⁶ as a primitive long,
+      // so the distance sum, the refresh (SUM(qv)·10⁶ ≡ SUM(qm)) and
+      // the wsum fingerprint all run as long codegen arithmetic with
+      // zero per-row Decimal allocation; one exact (15,0)×(12,12)
+      // rescale per (vec, seed) restores the DECIMAL(27,12) d2 grid.
+      // Values unchanged — bit-identical at both scales vs the oracle.)
       val dist = pe.join(broadcast(cent), "i")
         .groupBy("vec_id", "seed_id")
-        .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv"))).as("d2"))
+        .agg(sum((col("qm") - col("cm")) * (col("qm") - col("cm"))).as("s"))
+      // packed-long argmin — see [[qKmeansConvergeFull]]
       val assign = dist.groupBy("vec_id")
-        .agg(min(struct(col("d2"), col("seed_id"))).as("best"))
-        .select(col("vec_id"), col("best.seed_id").as("seed_id"),
-          col("best.d2").as("d2"))
+        .agg(min(col("s") * 4 + col("seed_id")).as("packed"))
+        .select(col("vec_id"),
+          expr("CAST(pmod(packed, 4) AS INT)").as("seed_id"),
+          expr("""CAST(CAST(packed div 4 AS DECIMAL(15,0))
+                       * CAST(0.000000000001 AS DECIMAL(12,12)) AS DECIMAL(27,12))""").as("d2"))
       val stats = assign.groupBy("seed_id")
         .agg(count(lit(1)).as("n_assigned"),
           sum(col("vec_id") * 4 + col("seed_id")).as("assign_ck"),
@@ -972,15 +1013,12 @@ object Ann {
           expr("CAST(floor(inertia_full * 1000000) AS BIGINT)"))
       val rec = pe.join(assign.select("vec_id", "seed_id"), "vec_id")
         .groupBy("seed_id", "i")
-        .agg(expr("CAST(SUM(qv) * 1000000 AS BIGINT)").as("s_micro"),
-          expr("""CAST(SUM(CAST(qv * 1000000 AS BIGINT)
-                          * (vec_id * 64 + i + 1)) AS BIGINT)""").as("wsum"),
+        .agg(expr("SUM(qm)").as("s_micro"),
+          expr("SUM(qm * (vec_id * 64 + i + 1))").as("wsum"),
           count(lit(1)).as("n"))
         .withColumn("cm_micro",
           expr("(2 * s_micro + 4000001 * n) div (2 * n) - 2000000"))
-      cent = rec.select(col("seed_id"), col("i"),
-        expr("""CAST(CAST(cm_micro AS DECIMAL(14,0))
-                     * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(8,6))""").as("cv"))
+      cent = rec.select(col("seed_id"), col("i"), col("cm_micro").as("cm"))
       val per = rec.groupBy("seed_id")
         .agg(sum("wsum").as("qv_wsum"), sum("cm_micro").as("cent_micro_sum"))
       stats.join(per, "seed_id")

@@ -99,7 +99,20 @@ object Dedup {
   private[graft] def minhashSig(sh: DataFrame): DataFrame = {
     val hashed = sh.select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"), md5(col("s")).as("h"))
-    val mins = (0 until 8).map(k => min(expr(s"substr(h, ${4 * k + 1}, 4)")).as(s"h$k"))
+    // r16 optimization: min over a 4-hex-char STRING slice carries an
+    // immutable agg buffer, and 8 of them demoted this aggregate — the
+    // shared signature stage of the ENTIRE MinHash family, running over
+    // the exploded shingle stream, the largest intermediate in dedup —
+    // to SortAggregate + a full sort of that stream. A fixed-width
+    // lowercase-hex min is ORDER-ISOMORPHIC to the integer min of its
+    // value ('0'<'9'<'a'<'f' and equal width ⇒ lexicographic ≡ numeric),
+    // so aggregate the 16-bit int (mutable buffer ⇒ HashAggregate with
+    // map-side partials) and decode back to the identical string once
+    // per group: lpad(lower(hex(min))) inverts conv(·,16,10) exactly on
+    // this domain. Band keys, index rows and oracle values unchanged.
+    val mins = (0 until 8).map(k =>
+      lpad(lower(hex(min(expr(
+        s"CAST(conv(substr(h, ${4 * k + 1}, 4), 16, 10) AS INT)")))), 4, "0").as(s"h$k"))
     hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
@@ -1370,8 +1383,17 @@ object Dedup {
   private[graft] def pagerankOf(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // r16 optimization: the degree-annotated edge list is loop-INVARIANT,
+    // but each of the 8 rounds' jobs re-derived it (degree agg + join =
+    // 2 shuffles per round, 16 across the descent, plus a 17th for the
+    // final deg join). One lazy checkpoint each materializes them on
+    // round 1 and every later round reads the blocks — exactly the
+    // "persist the message-passing structure once" discipline an
+    // iterative production job uses (d6's CC already checkpoints its
+    // edge table for the same reason). Values unchanged.
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val out = edges.join(deg, "src")
+      .localCheckpoint(false)
+    val out = edges.join(deg, "src").localCheckpoint(false)
     var rank = deg.select(col("src").as("id"), lit(1000000L).as("r"))
     for (i <- 1 to 8) {
       rank = out.join(rank, out("src") === rank("id"))

@@ -247,6 +247,18 @@ object OpsAudit {
     * suffices and Expand drops out entirely. */
   def qProfile(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables(spark, dir, "orders")
+    // r16 optimization: min/max over STRING columns carry immutable agg
+    // buffers, and ONE such pair used to demote the ENTIRE profile
+    // aggregate to SortAggregate — the measured cost was a full sort of
+    // the Expand's 7× row blow-up (1.05M rows, 1.5 s sortTime / 168 MB
+    // peak at sf0.1) plus sort-based partial/final aggs. Splitting the
+    // four string min/maxes into their own GLOBAL aggregate (grouping-
+    // free ⇒ no sort inserted, one cheap two-column pass) leaves every
+    // buffer in the main aggregate mutable, so the count-distinct
+    // Expand path plans as HashAggregate end to end; the two 1-row
+    // results recombine with a broadcast cross join. Same output, same
+    // oracle — plan diff: 8 SortAggregate + 2 full-width Sort → 6
+    // HashAggregate + 2 narrow SortAggregate (plans/r16/q_profile_*).
     val agg = o.agg(
       count(lit(1)).as("n"),
       count(col("o_orderkey")).as("nn_orderkey"),
@@ -259,8 +271,6 @@ object OpsAudit {
       max(col("o_custkey")).cast("string").as("hi_custkey"),
       count(col("o_orderstatus")).as("nn_status"),
       countDistinct(col("o_orderstatus")).as("nd_status"),
-      min(col("o_orderstatus")).as("lo_status"),
-      max(col("o_orderstatus")).as("hi_status"),
       count(col("o_totalprice")).as("nn_price"),
       countDistinct(col("o_totalprice")).as("nd_price"),
       min(col("o_totalprice").cast("decimal(18,2)")).cast("string").as("lo_price"),
@@ -270,10 +280,13 @@ object OpsAudit {
       unix_millis(min(col("o_orderdate")).cast("timestamp")).cast("string").as("lo_date"),
       unix_millis(max(col("o_orderdate")).cast("timestamp")).cast("string").as("hi_date"),
       count(col("o_orderpriority")).as("nn_prio"),
-      countDistinct(col("o_orderpriority")).as("nd_prio"),
+      countDistinct(col("o_orderpriority")).as("nd_prio"))
+    val strBounds = o.agg(
+      min(col("o_orderstatus")).as("lo_status"),
+      max(col("o_orderstatus")).as("hi_status"),
       min(col("o_orderpriority")).as("lo_prio"),
       max(col("o_orderpriority")).as("hi_prio"))
-    agg.select(expr(
+    agg.crossJoin(broadcast(strBounds)).select(expr(
       """stack(6,
         'o_custkey',      n - nn_custkey,  nd_custkey,  lo_custkey,  hi_custkey,
         'o_orderdate',    n - nn_date,     nd_date,     lo_date,     hi_date,

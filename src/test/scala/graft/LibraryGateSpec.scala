@@ -94,7 +94,10 @@ class LibraryGateSpec extends SparkTestBase {
     "q_filter_ablation" -> 3, // base projection + the registered f46/f47 sub-plans (f49's composition class)
     "q_fk_audit" -> 3,
     "q_gini" -> 4,
-    "q_kmeans_converge" -> 6, // 2 scans per Lloyd round × 2 rounds + assignment (declared design, VERDICT r13)
+    // q_kmeans_converge dropped from the whitelist in r16: the quantized
+    // component explode localCheckpoints once (q_rfm convention), so the
+    // final plan reads embeddings ZERO times (was 6, the 2-scans-per-
+    // Lloyd-round design) — it now rides the default bound like e28.
     "q_kmeans_step" -> 3,
     "q_ks_drift" -> 4,
     "q_lang_id_eval" -> 3,

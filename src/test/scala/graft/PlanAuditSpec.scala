@@ -444,14 +444,27 @@ class PlanAuditSpec extends SparkTestBase {
   }
 
   test("audit ops: single-scan Expand profile, broadcast FK probes, no cartesian triangles") {
-    // c64: the 6 count-distincts ride ONE scan through ONE Expand —
-    // per-column rescans would multiply the 100 TB pass count
+    // c64: the 6 count-distincts ride ONE scan through ONE Expand, and
+    // (r16) the four string min/maxes ride ONE more narrow two-column
+    // pass — splitting them out keeps every buffer in the Expand
+    // aggregate mutable, so the heavy path plans HashAggregate instead
+    // of sorting the 7× expanded stream (measured 2.7× at sf0.1);
+    // per-column rescans beyond these two would multiply the 100 TB
+    // pass count
     val prof = operators.OpsAudit.qProfile(spark, sfDir)
       .queryExecution.executedPlan.toString
-    assert("Scan parquet".r.findAllIn(prof).size == 1,
-      s"q_profile must profile every column off one scan:\n$prof")
+    assert("Scan parquet".r.findAllIn(prof).size == 2,
+      s"q_profile must profile off one Expand scan + one string-bounds scan:\n$prof")
     assert(prof.contains("Expand"),
       s"q_profile lost its multi-distinct Expand:\n$prof")
+    // the Expand path must never fall back to sort-based aggregation —
+    // the r16 finding: ONE immutable (string) min/max buffer demoted
+    // every phase of the profile aggregate to SortAggregate + a full
+    // sort of the 7× expanded stream. Exactly the two phases of the
+    // 1-row string-bounds aggregate may be sort-based (grouping-free,
+    // so they plan no Sort either).
+    assert("SortAggregate".r.findAllIn(prof).size == 2,
+      s"q_profile's Expand path fell back to SortAggregate:\n$prof")
     // c62: every dim-parent FK probe is a broadcast left join — the
     // child never shuffles to check a dimension
     val fk = operators.OpsAudit.qFkAudit(spark, sfDir)
