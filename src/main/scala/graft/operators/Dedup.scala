@@ -1278,7 +1278,17 @@ object Dedup {
     val d = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
     val keyed = d.withColumn("ck", md5(expr(normSpark)))
     val exactKeep = keyed.groupBy("ck").agg(min(col("doc_id")).as("ek"))
-    val s1 = keyed.join(exactKeep, "ck")
+    // r16: s1 and ranked (below) are the plan's two fan-out points —
+    // without materialization each union leg re-ran the md5-normalize
+    // + keeper-join (here) and the score/label/rank chain (below), and
+    // the executed DAG was ~58 sequential codegen stages of mostly
+    // re-derivation (the local wall is stage latency; A/B min-of-3
+    // 6.7 → 5.5-6.5 s at matched anchors). The trade is one extra
+    // corpus-width write each — the same "persist between dedup
+    // passes" discipline a production pipeline uses, and the final
+    // plan now reads documents ZERO times (gate default, was a
+    // whitelisted 20).
+    val s1 = keyed.join(exactKeep, "ck").localCheckpoint(true)
     val exactDups = s1.filter(col("doc_id") =!= col("ek"))
       .select(col("doc_id"), lit("exact_dup").as("verdict"), col("ek").as("dup_of"),
         lit(null).cast("long").as("n_tokens"), lit(null).cast("long").as("n_removed"))
@@ -1291,6 +1301,7 @@ object Dedup {
       .join(scores, "doc_id")
       .withColumn("rk", row_number().over(w))
       .withColumn("best", first(col("doc_id")).over(w))
+      .localCheckpoint(true) // second fan-out point — see s1 above
     val nearDups = ranked.filter(col("rk") > 1)
       .select(col("doc_id"), lit("near_dup").as("verdict"), col("best").as("dup_of"),
         lit(null).cast("long").as("n_tokens"), lit(null).cast("long").as("n_removed"))

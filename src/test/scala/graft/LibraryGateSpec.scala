@@ -36,9 +36,12 @@ class LibraryGateSpec extends SparkTestBase {
   //    sweeps (nprobe, rebalance_exec) rebuild per sweep point with
   //    BOUNDED sweep cardinality.
   //  - dedup family (q_dedup_*): the pair-graph build reads the doc
-  //    projection per blocking scheme (bands/pigeonhole blocks) —
-  //    q_dedup_e2e's 20 is the DELIBERATE all-schemes build,
-  //    adjudicated r12, amortized by d10/i7's persisted index.
+  //    projection per blocking scheme (bands/pigeonhole blocks).
+  //    q_dedup_e2e's former 20-scan whitelist entry (the DELIBERATE
+  //    all-schemes build, adjudicated r12) retired in r16: its two
+  //    fan-out frames (exact-keyed s1, quality-ranked survivors) now
+  //    localCheckpoint once each, so the final plan reads documents
+  //    ZERO times and it rides the default bound.
   //  - two-phase order statistics (q_median, q_equidepth, q_gini,
   //    q_acf, q_chi2, q_ks_drift, q_concurrency, q_ab_test,
   //    q_bootstrap_poisson, q_cohort_ltv, q_retention_cohorts,
@@ -85,7 +88,6 @@ class LibraryGateSpec extends SparkTestBase {
     "q_data_card" -> 4,
     "q_dedup_bloom" -> 3,
     "q_dedup_containment" -> 3,
-    "q_dedup_e2e" -> 20,
     "q_dedup_incremental" -> 3,
     "q_dedup_substring" -> 5,
     "q_dsir" -> 3,
