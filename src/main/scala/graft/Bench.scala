@@ -117,7 +117,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // per-run detail file name defaults to the core count so a scaling
+    // run (c8) no longer clobbers the main (c32) run's detail — the r16
+    // adjudication traced the driver's empty PERF per_query to exactly
+    // that overwrite
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", s"bench_out_c$cpus.json")
     val priorJson = results.flatMap { case (k, _) =>
       prior.get(k).map(p => "\"" + k + "\":" + p)
     }.mkString("{", ",", "}")
@@ -138,13 +142,22 @@ object Bench {
         .mkString("{", ",", "}")
       java.nio.file.Files.writeString(histPath, foldedJson + "\n")
     }
-    // full per-query detail goes to the file; stdout gets a SHORT line —
-    // the driver keeps only the tail of the output, and the ~3.5 KB
-    // per-query map was truncating the stdout JSON from the front
+    // full per-query detail (plus prior/delta vs history) goes to the
+    // file; stdout carries the contract JSON INCLUDING the per-query
+    // map, millisecond-rounded to stay compact (~6 KB) and printed as
+    // the LAST line after Spark fully stops — the driver keeps the
+    // tail of the output, so a final-line map survives where the r13-
+    // era mid-stream print was truncated from the front. Restoring the
+    // map is what lets the driver compute per-query speedups and
+    // core-count scaling (PERF r16 had per_query empty for this exact
+    // reason). Timing methodology unchanged.
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val qsMs = results.map { case (k, v) => f""""$k":$v%.3f""" }
+      .mkString("{", ",", "}")
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""prior":$priorJson,"delta":$deltaJson,"failed":$failedJson,"sf":"$sfDir"}"""
-    val short = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"sf":"$sfDir","detail":"$benchOut"}"""
+    val short = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsMs,""" +
+      f""""n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir","detail":"$benchOut"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(benchOut), full + "\n")
     // silence shutdown-path logging (EventLoop interrupt stacks at
     // stop() previously corrupted the output tail), stop Spark FIRST,

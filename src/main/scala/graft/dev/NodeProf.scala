@@ -58,10 +58,16 @@ object NodeProf {
     // df.write spawns its OWN QueryExecution (the V2 write command), so
     // walking df.queryExecution after the write would show a never-run
     // twin with zero metrics — capture the executed QE via the listener.
+    // only record the noop WRITE's QueryExecution: eager
+    // localCheckpoints inside the query builders (kmeans pe, e2e memos)
+    // also fire onSuccess, and without the funcName filter the spin
+    // loop could exit holding a construction-time checkpoint QE while
+    // the save's event was still on the async listener bus — printing
+    // metrics for the wrong plan (r16 advisor finding).
     @volatile var lastQe: org.apache.spark.sql.execution.QueryExecution = null
     spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
       def onSuccess(funcName: String, qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
-        lastQe = qe
+        if (funcName == "save") lastQe = qe
       def onFailure(funcName: String, qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
     })
     args.foreach { n =>
@@ -79,6 +85,8 @@ object NodeProf {
       var spins = 0
       while (lastQe == null && spins < 100) { Thread.sleep(50); spins += 1 }
       println(f"\n===== $n%s elapsed=$el%.2fs =====")
+      if (lastQe == null)
+        sys.error(s"no save-QueryExecution event captured for $n after 5s")
       walk(lastQe.executedPlan, 0, new java.util.IdentityHashMap)
     }
     spark.stop()

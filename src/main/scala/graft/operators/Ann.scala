@@ -963,13 +963,17 @@ object Ann {
     * a 1-ulp change in any single `round(v, 6)` input lands here with
     * a distinct weight, so cancellation can't hide it),
     * `cent_micro_sum` = Σ over dims of the refreshed centroid's
-    * micro-units (the positive-shifted floor-division stage),
-    * `inertia_micro` (BIGINT micro grid) and `inertia_full` (the full
-    * (30,12) grid — the historically red column, kept ON PURPOSE:
-    * green integer columns + red full grid pins the divergence to a
-    * driver-environment sub-micro ulp in the final decimal
-    * presentation, not to any pipeline stage). All integer columns
-    * are exact integer/decimal arithmetic — engine-proof given equal
+    * micro-units (the positive-shifted floor-division stage), and
+    * `inertia_micro` (BIGINT micro grid). The r16 round ALSO shipped
+    * an unrounded decimal(30,12) `inertia_full` column, kept
+    * deliberately red to localize the three-round e27 divergence; the
+    * diagnosis returned its answer in r16 (integer columns green, full
+    * grid red ⇒ a driver-environment sub-micro ulp in the final
+    * decimal presentation, not any pipeline stage), so per the r16
+    * adjudication the spent column is dropped from the hashed output
+    * (r17) — the full (30,12) grid stays pinned engine-side by
+    * TrainingSpec against [[qKmeansConvergeFull]]. All remaining
+    * columns are exact integer arithmetic — engine-proof given equal
     * inputs. Spark's posexplode dim index is 0-based and the oracle's
     * generate_series is 1-based, so the weight is `vec_id·64 + i + 1`
     * here and `vec_id·64 + i` there — the same weight per component. */
@@ -1024,7 +1028,7 @@ object Ann {
       stats.join(per, "seed_id")
         .withColumn("iteration", lit(it))
         .select("iteration", "seed_id", "n_assigned", "assign_ck",
-          "qv_wsum", "cent_micro_sum", "inertia_micro", "inertia_full")
+          "qv_wsum", "cent_micro_sum", "inertia_micro")
     }
     rounds.reduce(_.unionAll(_)).orderBy("iteration", "seed_id")
   }
@@ -1097,7 +1101,7 @@ object Ann {
           CAST(SUM(cm_micro) AS BIGINT) AS cent_micro_sum
         FROM rm2 GROUP BY seed_id)
       SELECT iteration, seed_id, n_assigned, assign_ck, qv_wsum,
-        cent_micro_sum, inertia_micro, inertia_full
+        cent_micro_sum, inertia_micro
       FROM (
         SELECT st1.*, pr1.qv_wsum, pr1.cent_micro_sum
         FROM st1 JOIN pr1 USING (seed_id)

@@ -460,11 +460,17 @@ class PlanAuditSpec extends SparkTestBase {
     // the Expand path must never fall back to sort-based aggregation —
     // the r16 finding: ONE immutable (string) min/max buffer demoted
     // every phase of the profile aggregate to SortAggregate + a full
-    // sort of the 7× expanded stream. Exactly the two phases of the
-    // 1-row string-bounds aggregate may be sort-based (grouping-free,
-    // so they plan no Sort either).
-    assert("SortAggregate".r.findAllIn(prof).size == 2,
+    // sort of the 7× expanded stream. Assert the guarded PROPERTY
+    // (r17, advisor): at most the two grouping-free string-bounds
+    // phases may stay sort-based (they sort NOTHING — no Sort node is
+    // planned for a global aggregate), and zero Sort operators exist
+    // anywhere in the plan. A Spark upgrade that hash-aggregates
+    // string min/max (SortAggregate count 0) passes; a demotion that
+    // re-sorts the Expand stream trips the Sort-node check.
+    assert("SortAggregate".r.findAllIn(prof).size <= 2,
       s"q_profile's Expand path fell back to SortAggregate:\n$prof")
+    assert("Sort \\[".r.findAllIn(prof).isEmpty,
+      s"q_profile must not sort any stream:\n$prof")
     // c62: every dim-parent FK probe is a broadcast left join — the
     // child never shuffles to check a dimension
     val fk = operators.OpsAudit.qFkAudit(spark, sfDir)

@@ -238,12 +238,15 @@ class TrainingSpec extends SparkTestBase {
       .orderBy("iteration", "seed_id").collect()
     assert(probe.length == head.length)
     probe.zip(head).foreach { case (p, h) =>
-      // keys, assignment cardinality, and BOTH inertia grids line up
-      // with the headline chain — the probe is a twin, not a fork
+      // keys, assignment cardinality, and the micro inertia grid line
+      // up with the headline chain — the probe is a twin, not a fork.
+      // The full (30,12) grid is pinned HERE against the headline
+      // chain's decimal (r17: the probe's deliberately-red
+      // inertia_full output column was dropped once its r16 diagnosis
+      // was banked; the engine-side full-precision pin lives on).
       assert((p.getInt(0), p.getInt(1)) == (h.getInt(0), h.getInt(1)))
       assert(p.getAs[Long]("n_assigned") == h.getLong(2))
       val full = BigDecimal(h.getDecimal(3))
-      assert(BigDecimal(p.getAs[java.math.BigDecimal]("inertia_full")) == full)
       assert(BigDecimal(p.getAs[Long]("inertia_micro")) ==
         (full * BigDecimal(1000000)).setScale(0, BigDecimal.RoundingMode.FLOOR))
       // assign_ck decomposes as 4*sum(vec_id) + n*seed: consistent
